@@ -1,13 +1,385 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{EventLog, Fallback, Redactions, Tiering}
+import graft.functions.MergePatch
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is an operator demonstration from SURVEY §2 (CDC set =
+  * reference fidelity; ops_* = the scale-out analytical set); `oracleSql` holds
+  * the DuckDB-equivalent ANSI SQL over the same parquet tables with matching
+  * output column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: reconstruct pqstream's UPDATE `changes` (RFC 7386 merge patch,
+    * pre-update values — reference `server.go:235-241`) from the event log.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcChanges(spark, "/root/testdata/sf0.001")
+
+  // ===== CDC operator set (reference fidelity) =====
+
+  private def cdcChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    EventLog.normalize(ev)
+      .filter(col("op") === "UPDATE" && col("prev_props").isNotNull)
+      .select(
+        col("event_id"), col("user_id"), col("props"), col("prev_props"),
+        MergePatch.json_merge_patch(col("props"), col("prev_props")).as("changes"))
+  }
+
+  private def cdcPrevImage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    EventLog.normalize(ev)
+      .select(col("event_id"), col("user_id"), col("op"), col("props"), col("prev_props"))
+  }
+
+  private def cdcTableFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    // unanchored substring match — Go RE2 MatchString semantics (F1/F2)
+    ev.filter(col("event_type").rlike("sign|pur"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  private def cdcRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val matches = col("event_type") === "purchase"
+    ev.select(col("event_id"), col("event_type"),
+      Redactions.redact(col("props"), matches, Seq("k")).as("props_redacted"))
+  }
+
+  /** Tiering demo: synthetic payload/previous sizes that actually cross the
+    * ladder's thresholds (the real 8000-byte NOTIFY limit never trips on this
+    * data; semantics — drop `previous` first, then `payload` — are identical).
+    */
+  private def cdcTieredFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val withSizes = ev.select(
+      col("event_id"),
+      expr("repeat(props, int(event_id % 5))").as("payload"),
+      expr("repeat(props, int((event_id + 2) % 4))").as("previous"))
+    Tiering.ladder(withSizes, "payload", "previous", limit = 25)
+  }
+
+  private def cdcTiering(spark: SparkSession, sfDir: String): DataFrame =
+    cdcTieredFrame(spark, sfDir)
+      .select(col("event_id"), col("tier"), col("payload"), col("previous"))
+
+  private def cdcFallbackJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val starved = cdcTieredFrame(spark, sfDir).select(col("event_id"), col("tier"), col("payload"))
+    val base = ev.select(col("event_id"), col("props").as("payload"))
+    Fallback.rehydrate(starved, base, "event_id", "payload")
+      .select(col("event_id"), col("tier"), col("payload"))
+  }
+
+  private def cdcOpCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    EventLog.normalize(ev)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  // ===== query registry =====
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC / reference-fidelity set
+    "cdc_changes"       -> (cdcChanges _),
+    "cdc_prev_image"    -> (cdcPrevImage _),
+    "cdc_table_filter"  -> (cdcTableFilter _),
+    "cdc_redact"        -> (cdcRedact _),
+    "cdc_tiering"       -> (cdcTiering _),
+    "cdc_fallback_join" -> (cdcFallbackJoin _),
+    "cdc_op_counts"     -> (cdcOpCounts _),
+    // relational set
+    "q1_pricing"            -> (Relational.pricingSummary _),
+    "ops_star_join_agg"     -> (Relational.starJoinAgg _),
+    "ops_top_customers"     -> (Relational.topCustomersPerNation _),
+    "ops_rollup"            -> (Relational.rollupCounts _),
+    "ops_anti_join"         -> (Relational.customersWithoutOrders _),
+    "ops_event_windows"     -> (Relational.eventWindows _),
+    "ops_hourly_counts"     -> (Relational.hourlyEventCounts _),
+    // dedup set
+    "ops_dedup_keys"    -> (Dedup.dedupKeys _),
+    "ops_dedup_content" -> (Dedup.dedupContent _),
+    "ops_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashCandidates(s, d)),
+    "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "ops_simhash"       -> (Dedup.simhash _),
+    // similarity set
+    "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
+    "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    // text analysis set
+    "ops_text_stats"    -> (TextStats.corpusStats _),
+    "ops_lang_id"       -> (TextStats.langId _),
+    "ops_text_quality"  -> (TextStats.qualityScore _),
+    "ops_token_counts"  -> (TextStats.tokenCounts _),
+    "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
+    // multimodal set
+    "ops_media_meta" -> (Multimodal.mediaMeta _),
+  )
+
+  // ===== DuckDB oracles =====
+
+  /** Shared SQL fragments for the oracle strings. */
+  private val opCase =
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** 60-bit md5 hash — DuckDB twin of [[graft.ops.Hashing.h60]]. */
+  private def h60sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Ordered-fold dot product of two DOUBLE lists — DuckDB twin of
+    * [[graft.ops.Similarity.dot]].
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Similarity.Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** DuckDB literal for a constant double list. */
+  private def listLit(xs: Array[Double]): String =
+    xs.map(x => s"CAST($x AS DOUBLE)").mkString("list_value(", ", ", ")")
+
+  private def lshBucketSql(v: String, numPlanes: Int): String =
+    Similarity.planes(numPlanes).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN ${dotSql(v, listLit(plane))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_changes" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, props,
+        |         LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
+        |  FROM events)
+        |SELECT event_id, user_id, props, prev_props,
+        |  CASE WHEN json_extract(props, '$.k') = json_extract(prev_props, '$.k') THEN '{}'
+        |       ELSE '{"k":' || CAST(json_extract(prev_props, '$.k') AS VARCHAR) || '}' END AS changes
+        |FROM e
+        |WHERE event_type NOT IN ('signup', 'error') AND prev_props IS NOT NULL""".stripMargin,
+    "cdc_prev_image" ->
+      s"""SELECT event_id, user_id, $opCase AS op, props,
+         |  LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
+         |FROM events""".stripMargin,
+    "cdc_table_filter" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE regexp_matches(event_type, 'sign|pur')",
+    "cdc_redact" ->
+      "SELECT event_id, event_type, CASE WHEN event_type = 'purchase' THEN '{}' ELSE props END AS props_redacted FROM events",
+    "cdc_tiering" ->
+      """WITH sized AS (
+        |  SELECT event_id,
+        |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
+        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, payload0, previous0,
+        |    CASE WHEN strlen(payload0) + strlen(previous0) < 25 THEN 0
+        |         WHEN strlen(payload0) < 25 THEN 1
+        |         ELSE 2 END AS tier
+        |  FROM sized)
+        |SELECT event_id, tier,
+        |  CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
+        |  CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
+        |FROM t""".stripMargin,
+    "cdc_fallback_join" ->
+      """WITH sized AS (
+        |  SELECT event_id, props,
+        |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
+        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, props, payload0,
+        |    CASE WHEN strlen(payload0) + strlen(previous0) < 25 THEN 0
+        |         WHEN strlen(payload0) < 25 THEN 1
+        |         ELSE 2 END AS tier
+        |  FROM sized)
+        |SELECT event_id, tier,
+        |  CASE WHEN tier = 2 THEN props ELSE payload0 END AS payload
+        |FROM t""".stripMargin,
+    "cdc_op_counts" ->
+      s"""SELECT $opCase AS op, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "ops_star_join_agg" ->
+      s"""SELECT n_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "ops_top_customers" ->
+      """WITH spend AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_name, c_nationkey),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS rk
+        |  FROM spend)
+        |SELECT n_name, c_name, total_spend, CAST(rk AS BIGINT) AS rk
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 3""".stripMargin,
+    "ops_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "ops_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
+    "ops_event_windows" ->
+      """SELECT event_id, user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events""".stripMargin,
+    "ops_hourly_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ops_dedup_keys" ->
+      "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
+    "ops_dedup_content" ->
+      "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "ops_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, j, MIN(${h60sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS m
+         |  FROM sh CROSS JOIN range(16) AS r(j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "ops_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE) >= 0.05""".stripMargin,
+    "ops_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN range(60) AS r(j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin,
+    "ops_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosineSql("v", "qv")}, 6) AS cos_sim
+         |FROM e, q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "ops_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 8)} AS bucket FROM e)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |  round(${cosineSql("a.v", "b2.v")}, 6) AS cos_sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE round(${cosineSql("a.v", "b2.v")}, 6) >= 0.3""".stripMargin,
+    "ops_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6) AS chars_per_token
+        |FROM documents GROUP BY lang""".stripMargin,
+    "ops_lang_id" -> {
+      val values = TextStats.markers.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+      s"""WITH m(cand_lang, marker) AS (VALUES $values),
+         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+         |  FROM toks JOIN m ON tok = marker
+         |  GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, n_hits,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) AS rk
+         |  FROM hits)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(b.cand_lang, 'und') AS pred_lang,
+         |  CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id""".stripMargin
+    },
+    "ops_text_quality" -> {
+      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
+         |    SUM(length(tok)) AS tok_chars
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+         |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len
+         |FROM agg""".stripMargin
+    },
+    "ops_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_other
+        |FROM documents""".stripMargin,
+    "ops_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pt AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks),
+         |h AS (SELECT doc_id, pos, ${h60sql("tok")} AS h FROM pt),
+         |w AS (
+         |  SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+         |  FROM h)
+         |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
+    "ops_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7919) % 1024 AS INT) AS width,
+        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 104729) % 768 AS INT) AS height,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+  )
 }

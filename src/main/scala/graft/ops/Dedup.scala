@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four tiers, in increasing fuzziness:
+  *  - exact key dedup (hash groupBy — one shuffle on the dedup key),
+  *  - exact content dedup (md5 of the text — same shape, content-derived key),
+  *  - MinHash+LSH near-dup candidates (shingle -> seeded min-hash signature ->
+  *    band -> bucket self-join: the classic O(n·bands) candidate generation
+  *    that avoids the O(n^2) all-pairs comparison at 100 TB),
+  *  - n-gram Jaccard verification via an inverted-index join (explode shingles,
+  *    join on shingle, count co-occurrences — only pairs sharing >= 1 shingle
+  *    are ever materialized).
+  *
+  * SimHash lives here too: a 60-bit bitwise-majority fingerprint whose Hamming
+  * distance approximates cosine similarity of the token multisets.
+  */
+object Dedup {
+
+  /** Exact dedup on a key set: keep the first row (min event_id) per key.
+    * Deterministic alternative to `dropDuplicates` (which keeps an arbitrary
+    * row and therefore can't be oracle-checked).
+    */
+  def dedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Exact content dedup: md5(text) as the content key. */
+  def dedupContent(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle) rows.
+    * Computed with codegen'd higher-order functions (split/transform/explode);
+    * narrow (no shuffle) until the downstream aggregation.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    docs
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** MinHash signatures: numHashes seeded min-hashes per doc, one aggregation
+    * pass (map-side combine keeps shuffle volume at docs x numHashes longs).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(Hashing.h60(j, col("shingle"))).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand` hashes; docs
+    * agreeing on any full band become candidate pairs. Self-join is on
+    * (band_id, sig) — a shuffle keyed by the band bucket, never all-pairs.
+    */
+  def minhashCandidates(spark: SparkSession, sfDir: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sig = minhashSignatures(shingles(docs), numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_id"), concat_ws("-", parts: _*).as("sig"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+              col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted-index join: only pairs
+    * sharing at least one shingle are generated; Jaccard from integer
+    * intersection/union counts (deterministic double division).
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.05): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val shared = a.join(b, col("a.shingle") === col("b.shingle") &&
+                           col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority
+    * vote of bit i across the token multiset's 60-bit hashes. Integer-only
+    * math -> bit-exact against any engine.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", Hashing.h60(col("tok")))
+    // one vote column per bit: a single hash-agg pass with map-side combine,
+    // instead of exploding 60 bit-rows per token
+    val votes = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val fingerprint = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+}

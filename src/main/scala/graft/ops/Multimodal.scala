@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) as opaque `binary`
+  * columns + typed metadata, with decode / feature-extraction as a
+  * per-partition batch operator.
+  *
+  * The container has no media codecs, so `decodeStub` is a clearly-marked
+  * deterministic FAKE decoder — but the Spark-side plumbing is real: binary
+  * column schema, case-class encoders, `mapPartitions` batching (the Scala
+  * analog of a vectorized/mapInPandas decode stage: one decoder instance per
+  * partition, rows streamed through it), and metadata columns computed with
+  * codegen'd expressions so scans can prune/push down on them without touching
+  * the blob bytes.
+  */
+object Multimodal {
+
+  /** A media row: id + opaque payload + container-level metadata. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+
+  /** Decoded features (here: deterministic fakes standing in for real
+    * width/height/duration extracted by a codec).
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+                           n_frames: Int, checksum: String)
+
+  /** Builds a media table from `documents` by treating the UTF-8 text bytes as
+    * the blob — same shape a real ingest would produce from image files.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_type"))
+  }
+
+  /** ===== STUB DECODER =====
+    * Stands in for a real codec (libpng/ffmpeg/...). Deterministic pure
+    * function of the bytes so tests and oracles are stable. The partition
+    * iterator shape is the real contract: a production decoder would
+    * initialize native state once per partition here.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // per-partition "codec init" would go here
+    rows.map { r =>
+      val n = r.media.length.toLong
+      MediaFeatures(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        width = ((n * 7919) % 1024).toInt,
+        height = ((n * 104729) % 768).toInt,
+        n_frames = (n % 30).toInt + 1,
+        checksum = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.media).map(b => f"$b%02x").mkString)
+    }
+  }
+
+  /** Distributed decode: one decoder per partition, rows streamed through. */
+  def decode(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions(decodeStub)
+  }
+
+  /** Metadata-only query — expression-level equivalent of the stub decoder's
+    * integer metadata, kept in whole-stage codegen (no decode of the blob
+    * beyond octet_length/md5) so it is oracle-checkable and scan-friendly.
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    mediaTable(spark, sfDir).select(
+      col("doc_id"),
+      col("media_type"),
+      octet_length(col("media")).cast("long").as("n_bytes"),
+      ((octet_length(col("media")).cast("long") * 7919) % 1024).cast("int").as("width"),
+      ((octet_length(col("media")).cast("long") * 104729) % 768).cast("int").as("height"),
+      md5(col("media")).as("checksum"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational demo queries over the TPC-H-ish star schema.
+  *
+  * Numeric discipline for oracle parity (SURVEY §7.4 #4): monetary doubles are
+  * cast to DECIMAL(18,2) *before* aggregation — decimal sums are exact and
+  * therefore independent of partitioning / aggregation order, so results match
+  * DuckDB bit-for-bit at any parallelism — then cast back to DOUBLE on output
+  * so the output schema is engine-neutral.
+  *
+  * Scale notes: all aggregations are partial (map-side combine) by
+  * construction; dimension tables (region/nation/customer at these row counts)
+  * are broadcast so fact-side rows never shuffle for the join.
+  */
+object Relational {
+
+  /** Exact-money helper: double -> DECIMAL(18,2). */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary (hash agg; exercises partial agg +
+    * whole-stage codegen; cf. reference gap SURVEY §2B "aggregations: none").
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Star join: revenue per nation in one region and date window.
+    * lineitem (fact) joins orders on the shuffle path; customer/nation/region
+    * dims are broadcast — at 100 TB only the two fact tables shuffle, on their
+    * join key.
+    */
+  def starJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Top-k per group via row_number with a deterministic tie-break
+    * (SURVEY §7.4 #5): top 3 customers by order spend per nation.
+    */
+  def topCustomersPerNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val spend = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total_spend"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+    spend.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("total_spend"), col("rk").cast("long").as("rk"))
+  }
+
+  /** ROLLUP grouping-sets aggregation (subtotals + grand total). */
+  def rollupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  /** Anti-join: customers with no orders since 2000 (reference has no joins
+    * beyond the point lookup E1; semi/anti come free with Catalyst — SURVEY
+    * §2B).
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Per-user ordered window functions over the event log: row_number + lag —
+    * the same per-key window machinery that reconstructs RawEvent.previous.
+    */
+  def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      row_number().over(w).cast("long").as("rn"),
+      lag(col("event_type"), 1).over(w).as("prev_type"))
+  }
+
+  /** Tumbling-window aggregation in batch form: hourly counts per event type
+    * (streaming-window semantics; SURVEY §2B "streaming windows: none in
+    * reference").
+    */
+  def hourlyEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("value"))).cast("double").as("sum_value"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k against ONE query vector — O(n), the exactness
+  *    baseline; top-k via sort+limit (Spark plans TakeOrderedAndProject — a
+  *    per-partition heap + driver merge, no global sort at 100 TB);
+  *  - LSH (random hyperplane / signed random projection) bucketing for the
+  *    all-pairs near-duplicate problem — candidate pairs only form inside a
+  *    bucket, turning O(n^2) into O(sum of bucket^2).
+  *
+  * Determinism: vector math uses codegen'd higher-order functions
+  * (`zip_with` + `aggregate` = an ordered left fold), float widened to double
+  * first. Hyperplane components are md5-derived integers precomputed on the
+  * driver (a constant — never recomputed per row) and embedded as array
+  * literals, so the SQL oracle can inline the identical constants.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Ordered left-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k neighbors of the vector with vec_id = queryId.
+    * Deterministic tie-break on vec_id (SURVEY §7.4 #5).
+    */
+  def topK(spark: SparkSession, sfDir: String,
+           queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane component for (plane p, dim d): first 15 hex
+    * chars of md5("p,d") as a 60-bit int, mapped into [-1000, 1000]. Same
+    * formula as [[Hashing.h60]] so any engine can reproduce it.
+    */
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p,$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
+  }
+
+  /** The constant hyperplane family. */
+  def planes(numPlanes: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map(p => Array.tabulate(Dim)(d => planeComponent(p, d)))
+
+  /** LSH bucket id: bit p of the bucket = sign(v . plane_p). */
+  def lshBucket(v: Column, numPlanes: Int): Column =
+    planes(numPlanes).zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(v, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All-pairs near-duplicate search via LSH bucketing: pairs sharing a bucket
+    * are verified with exact cosine; emits pairs with cosine >= threshold.
+    * The self-join key is the bucket — at 100 TB this is one shuffle on
+    * bucket id, never a cross join.
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String,
+                   numPlanes: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+  }
+}

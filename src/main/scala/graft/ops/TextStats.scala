@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table: per-language corpus stats,
+  * marker-word language ID, quality scoring, regex token counting, and
+  * winnowing-style rolling-hash fingerprints.
+  *
+  * All numeric outputs are integer counts or divisions of integers (a single
+  * deterministic double op), so every query here is oracle-exact.
+  */
+object TextStats {
+
+  /** Per-language corpus statistics. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")).cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
+  /** Tiny deterministic marker-word lists for language ID. The heuristic —
+    * argmax over per-language stopword hits — is the standard n-gram/stopword
+    * trick; lists are intentionally small and inline (broadcast-sized config,
+    * like the reference's redaction map).
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "y",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "des", "fr" -> "un",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ein",
+    "zh" -> "de5", "zh" -> "shi4", "zh" -> "le5", "zh" -> "zai4", "zh" -> "he2")
+
+  /** Language ID: count marker hits per candidate language, pick the argmax
+    * (ties broken by language code; docs with zero hits -> 'und').
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val m = markers.toDF("cand_lang", "marker")
+    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val hits = toks.join(broadcast(m), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_hits").desc, col("cand_lang"))
+    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("n_hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Quality scoring: token count, type-token ratio, stopword ratio, mean
+    * token length — the length/punct/stopword-ratio family of heuristics.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), col("n_chars"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val en = markers.filter(_._1 == "en").map(_._2)
+    toks.groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"),
+        sum(when(col("tok").isin(en: _*), 1L).otherwise(0L)).as("n_stop"),
+        sum(length(col("tok")).cast("long")).as("tok_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6).as("stopword_ratio"),
+        round(col("tok_chars").cast("double") / col("n_tokens").cast("double"), 6).as("mean_tok_len"))
+  }
+
+  /** BPE-ish regex token counting: alpha runs, digit runs, and single
+    * non-alnum marks counted separately (pattern kept in the RE2/Java common
+    * subset — SURVEY §7.4 #2).
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("n_alpha"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num"),
+      regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_other"))
+  }
+
+  /** Winnowing-style document fingerprints: hash each token, take the min
+    * hash over every sliding window of `w` consecutive tokens, keep the
+    * distinct minima. Standard rolling-hash fingerprinting for near-dup /
+    * plagiarism detection; per-doc window => partition-local, scales linearly.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String, w: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("h", Hashing.h60(col("tok")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    toks.withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness check (for builder iteration only;
+not part of the library). Runs each oracle_sql.json query in DuckDB against
+the sf parquet tables, loads the Spark parquet dump, sorts columns by name +
+rows, and diffs exactly."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fails.append(name); continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails.append(name); continue
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    if sorted(got.columns) != sorted(want.columns):
+        print(f"FAIL {name}: columns got={sorted(got.columns)} want={sorted(want.columns)}")
+        fails.append(name); continue
+    g, w = canon(got), canon(want)
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows got={len(g)} want={len(w)}")
+        fails.append(name); continue
+    # exact value compare (driver hashes values; we diff cell-wise)
+    diff_cols = []
+    for c in g.columns:
+        a, b = g[c], w[c]
+        try:
+            same = (a.astype(object).where(pd.notna(a), None) ==
+                    b.astype(object).where(pd.notna(b), None))
+            # None == None -> False in pandas object compare; fix
+            both_null = pd.isna(a).values & pd.isna(b).values
+            ok = (same.values | both_null).all()
+        except Exception:
+            ok = False
+        if not ok:
+            diff_cols.append(c)
+    if diff_cols:
+        print(f"FAIL {name}: value mismatch in {diff_cols}")
+        for c in diff_cols[:2]:
+            mask = ~((g[c].astype(object).where(pd.notna(g[c]), None) ==
+                      w[c].astype(object).where(pd.notna(w[c]), None)) |
+                     (pd.isna(g[c]).values & pd.isna(w[c]).values))
+            print("  got :", g.loc[mask].head(3).to_dict("records"))
+            print("  want:", w.loc[mask].head(3).to_dict("records"))
+        fails.append(name); continue
+    # dtype note (schema check)
+    dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+          if str(g[c].dtype) != str(w[c].dtype)]
+    note = f" [dtype diff: {dt}]" if dt else ""
+    print(f"OK   {name}: {len(g)} rows{note}")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} OK")
+sys.exit(1 if fails else 0)
