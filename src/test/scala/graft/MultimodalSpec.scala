@@ -1,0 +1,27 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** The stub decoder's plumbing contract: binary in, typed features out,
+  * deterministic, and consistent with the expression-level metadata query.
+  */
+class MultimodalSpec extends SparkSuite {
+
+  test("decode produces one feature row per media row, deterministic") {
+    val feats = Multimodal.decode(spark, sf).collect()
+    assert(feats.length == 500)
+    val again = Multimodal.decode(spark, sf).collect()
+    assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+
+  test("stub features agree with the expression-level metadata query") {
+    import org.apache.spark.sql.functions._
+    val meta = Multimodal.mediaMeta(spark, sf)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("checksum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    Multimodal.decode(spark, sf).collect().foreach { f =>
+      val (nb, w, ck) = meta(f.doc_id)
+      assert(f.n_bytes == nb && f.width == w && f.checksum == ck)
+    }
+  }
+}

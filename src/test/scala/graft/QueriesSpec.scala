@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the declared query inventory at sf0.001 (the DuckDB
+  * oracle equivalence itself is the driver's t2 gate; these are fast sanity
+  * invariants so `sbt test` catches regressions without the oracle).
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1)
+  }
+
+  test("every declared query has an oracle and runs non-empty") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet == qs.keySet)
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("cdc_changes holds pre-update values") {
+    val row = SparkEntry.queries("cdc_changes")(spark, sf)
+      .filter(col("changes") =!= "{}").limit(1).collect()(0)
+    val prevK = row.getAs[String]("prev_props").replaceAll("[^0-9-]", "")
+    val changes = row.getAs[String]("changes")
+    assert(changes == s"""{"k":$prevK}""")
+  }
+
+  test("simhash fingerprints fit in 60 bits") {
+    val mm = SparkEntry.queries("ops_simhash")(spark, sf)
+      .agg(min("simhash"), max("simhash")).collect()(0)
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 60))
+  }
+
+  test("sim_topk returns exactly k rows, sorted by similarity") {
+    val rows = SparkEntry.queries("ops_sim_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tiering drops previous before payload") {
+    val df = SparkEntry.queries("cdc_tiering")(spark, sf)
+    assert(df.filter(col("tier") === 1 && col("previous").isNotNull).count() == 0)
+    assert(df.filter(col("tier") === 2 && col("payload").isNotNull).count() == 0)
+    assert(df.filter(col("tier") === 0 && col("payload").isNull).count() == 0)
+  }
+
+  test("fallback join rehydrates every starved payload") {
+    val df = SparkEntry.queries("cdc_fallback_join")(spark, sf)
+    assert(df.filter(col("payload").isNull).count() == 0)
+  }
+}
