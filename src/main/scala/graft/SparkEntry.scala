@@ -268,18 +268,24 @@ object SparkEntry {
       "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
     "ops_dedup_content" ->
       "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
-    "ops_dedup_minhash" ->
+    "ops_dedup_minhash" -> {
+      val perms = graft.ops.Hashing.permutations(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
       s"""WITH $shinglesCte,
+         |perm(j, a, b) AS (VALUES $perms),
+         |hs AS (SELECT doc_id, ${h60sql("shingle")} % ${graft.ops.Hashing.P} AS h0 FROM sh),
          |mh AS (
-         |  SELECT doc_id, j, MIN(${h60sql("CAST(j AS VARCHAR) || ':' || shingle")}) AS m
-         |  FROM sh CROSS JOIN range(16) AS r(j)
+         |  SELECT doc_id, j, MIN((h0 * a + b) % ${graft.ops.Hashing.P}) AS m
+         |  FROM hs CROSS JOIN perm
          |  GROUP BY doc_id, j),
          |bands AS (
          |  SELECT doc_id, j // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS sig
          |  FROM mh GROUP BY doc_id, j // 2)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+         |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    },
     "ops_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -24,4 +24,30 @@ object Hashing {
     */
   def h60(seed: Int, c: Column): Column =
     h60(concat_ws(":", lit(seed.toString), c))
+
+  /** Prime modulus for the universal-hash permutation family (< 2^30, so
+    * (P-1)*(P-1)+(P-1) stays well inside a signed 64-bit int — no overflow in
+    * either Spark or DuckDB integer math).
+    */
+  val P: Long = 1073741789L
+
+  /** Driver-side md5-derived constant in [1, P-1] — used to materialize the
+    * permutation family (a_j, b_j) deterministically so a SQL oracle can
+    * inline the identical constants.
+    */
+  def constant(tag: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % (P - 1) + 1
+  }
+
+  /** MinHash permutation family: h_j(x) = (x * a_j + b_j) mod P over a base
+    * hash already reduced mod P. One md5 per value total, instead of one per
+    * (value, permutation).
+    */
+  def permutations(n: Int): Seq[(Long, Long)] =
+    (0 until n).map(j => (constant(s"a:$j"), constant(s"b:$j")))
+
+  /** Base hash reduced into the permutation domain. */
+  def h60modP(c: Column): Column = h60(c) % P
 }
