@@ -77,6 +77,35 @@ object SparkEntry {
       .select(col("event_id"), col("tier"), col("payload"))
   }
 
+  /** T2 JSON decode/encode: from_json the payload into typed columns, then
+    * to_json back (reference `server.go:219-222` + sink marshalling).
+    */
+  private def cdcJsonDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .withColumn("props_norm", to_json(struct(col("k"))))
+  }
+
+  /** Set ops: users who both purchased and hit an error (INTERSECT). */
+  private def opsSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      .intersect(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+  }
+
+  /** HLL sketch aggregation — approx_count_distinct per event type. No SQL
+    * oracle (sketches differ across engines); driver records rows-only.
+    */
+  private def opsApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           count(lit(1)).as("n"))
+  }
+
   private def cdcOpCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     EventLog.normalize(ev)
@@ -96,6 +125,9 @@ object SparkEntry {
     "cdc_tiering"       -> (cdcTiering _),
     "cdc_fallback_join" -> (cdcFallbackJoin _),
     "cdc_op_counts"     -> (cdcOpCounts _),
+    "cdc_json_decode"   -> (cdcJsonDecode _),
+    "ops_set_ops"         -> (opsSetOps _),
+    "ops_approx_distinct" -> (opsApproxDistinct _),
     // relational set
     "q1_pricing"            -> (Relational.pricingSummary _),
     "ops_star_join_agg"     -> (Relational.starJoinAgg _),
@@ -162,6 +194,16 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    "cdc_json_decode" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS props_norm
+        |FROM events""".stripMargin,
+    "ops_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    // ops_approx_distinct: intentionally no oracle — HLL sketches are
+    // engine-specific; the driver records a rows-only check.
     "cdc_changes" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, props,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.functions.MergePatch
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live-mode CDC pipeline: the reference's event loop (`server.go:258-281`)
+  * re-expressed as Structured Streaming.
+  *
+  *  - prev-image tracking: the reference gets OLD from the Postgres trigger
+  *    (`queries.go:22-24`); a live stream instead keeps the last payload per
+  *    key in `flatMapGroupsWithState` — state is partitioned by the group key,
+  *    so at 100 TB each key's state lives on exactly one executor and the
+  *    shuffle is the same one the aggregation would need anyway.
+  *  - `changes`: RFC 7386 merge patch on UPDATE (`server.go:235-241`).
+  *  - fan-out: the reference's subscriber loop (`server.go:249-253`) blocks on
+  *    the slowest client; here each subscriber is an independent filter over
+  *    the shared micro-batch (`foreachBatch`), so a slow sink never
+  *    back-pressures the others.
+  *
+  * State eviction: pass a `stateTtl` so unbounded key spaces (SURVEY §7.4 #6)
+  * expire idle per-key state instead of growing forever.
+  */
+object CdcStream {
+
+  case class RawChange(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, props: String)
+
+  case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      op: String, payload: String, previous: String, changes: String)
+
+  def opOf(eventType: String): String = eventType match {
+    case "signup" => "INSERT"
+    case "error"  => "DELETE"
+    case _        => "UPDATE"
+  }
+
+  private def processGroup(
+      userId: Long, rows: Iterator[RawChange],
+      state: GroupState[String]): Iterator[CdcEvent] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // within a micro-batch, apply rows in event order
+    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+    var prev: Option[String] = state.getOption
+    val out = ordered.map { r =>
+      val op = opOf(r.event_type)
+      val changes =
+        if (op == "UPDATE" && prev.isDefined)
+          MergePatch.createMergePatch(r.props, prev.get)
+        else null
+      val ev = CdcEvent(r.event_id, r.ts, r.user_id, op, r.props,
+        prev.orNull, changes)
+      prev = Some(r.props)
+      ev
+    }
+    prev.foreach(state.update)
+    out.iterator
+  }
+
+  /** Streaming (or batch) Dataset of raw changes -> CDC events with
+    * previous-image + changes, keyed state per user.
+    */
+  def withPrevState(ds: Dataset[RawChange],
+                    stateTtl: Option[String] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (k: Long, rows: Iterator[RawChange], state: GroupState[String]) =>
+          val out = processGroup(k, rows, state)
+          stateTtl.foreach(state.setTimeoutDuration)
+          out
+      }
+  }
+
+  /** Tumbling-window counts with a watermark — the streaming-window analog of
+    * `ops_hourly_counts` (the reference has no event time at all; SURVEY §2B).
+    */
+  def windowedCounts(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A subscriber = name + table/event-type regexp (the per-client filter of
+    * `Listen`, reference `pqstream.proto:12-15`) + sink directory.
+    */
+  case class Subscription(name: String, eventTypeRegexp: String, path: String)
+
+  /** Fan-out via foreachBatch: each micro-batch is written once per matching
+    * subscriber — the multicast of `server.go:249-253` without the
+    * slow-consumer head-of-line blocking (each write is independent).
+    */
+  def fanOut(events: DataFrame, subs: Seq[Subscription],
+             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        try subs.foreach { s =>
+          batch.filter(col("event_type").rlike(s.eventTypeRegexp))
+            .write.mode("append").parquet(s.path)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.{RawChange, Subscription}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming CDC pipeline: prev-image state must survive across
+  * micro-batches, changes must hold pre-update values, and the fan-out must
+  * deliver each subscriber its own filtered view.
+  */
+class CdcStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("prev-image state carries across micro-batches; changes = pre-update value") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out").outputMode("append").start()
+    try {
+      // batch 1: signup then purchase for user 1
+      input.addData(
+        RawChange(1, t(0), 1, "signup", """{"k":1}"""),
+        RawChange(2, t(1), 1, "purchase", """{"k":2}"""))
+      q.processAllAvailable()
+      // batch 2: another purchase — prev must come from batch-1 state
+      input.addData(RawChange(3, t(2), 1, "view", """{"k":5}"""))
+      q.processAllAvailable()
+
+      val rows = spark.table("cdc_out").orderBy("event_id").collect()
+      assert(rows.length == 3)
+      assert(rows(0).getAs[String]("op") == "INSERT" && rows(0).getAs[String]("previous") == null)
+      assert(rows(1).getAs[String]("op") == "UPDATE")
+      assert(rows(1).getAs[String]("previous") == """{"k":1}""")
+      assert(rows(1).getAs[String]("changes") == """{"k":1}""") // pre-update value
+      assert(rows(2).getAs[String]("previous") == """{"k":2}""")
+      assert(rows(2).getAs[String]("changes") == """{"k":2}""")
+    } finally q.stop()
+  }
+
+  test("same-batch ordering: rows within one micro-batch chain correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_chain").outputMode("append").start()
+    try {
+      input.addData(
+        RawChange(11, t(1), 7, "purchase", """{"k":10}"""),
+        RawChange(10, t(0), 7, "purchase", """{"k":9}"""), // earlier ts, added second
+        RawChange(12, t(2), 7, "purchase", """{"k":11}"""))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_chain").orderBy("event_id").collect()
+      assert(rows.map(_.getAs[String]("previous")).toSeq == Seq(null, """{"k":9}""", """{"k":10}"""))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark produce per-window totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.windowedCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("update").start()
+    try {
+      input.addData(
+        RawChange(1, t(0), 1, "click", "{}"),
+        RawChange(2, t(10), 2, "click", "{}"),
+        RawChange(3, t(4000), 3, "click", "{}")) // next hour
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.length == 2) // two distinct hour windows
+    } finally q.stop()
+  }
+
+  test("fan-out delivers per-subscriber filtered views (A1/K* semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    val input = MemoryStream[RawChange]
+    val subs = Seq(
+      Subscription("purchases", "pur", s"$dir/purchases"),
+      Subscription("all", ".", s"$dir/all"))
+    val q = CdcStream.fanOut(input.toDF(), subs, s"$dir/ckpt")
+    try {
+      input.addData(
+        RawChange(1, t(0), 1, "purchase", "{}"),
+        RawChange(2, t(1), 1, "click", "{}"),
+        RawChange(3, t(2), 2, "purchase", "{}"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/purchases").count() == 2)
+      assert(spark.read.parquet(s"$dir/all").count() == 3)
+    } finally q.stop()
+  }
+}

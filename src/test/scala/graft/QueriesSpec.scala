@@ -12,9 +12,11 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
-  test("every declared query has an oracle and runs non-empty") {
+  test("every declared query runs non-empty; oracles cover the SQL-expressible set") {
     val qs = SparkEntry.queries
-    assert(SparkEntry.oracleSql.keySet == qs.keySet)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // only sketch-based ops may omit an oracle
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set("ops_approx_distinct"))
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n > 0, s"$name returned 0 rows")
