@@ -3,7 +3,6 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, NullNode, ObjectNode}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 import scala.jdk.CollectionConverters._
 
@@ -96,11 +95,10 @@ object MergePatch {
   def applyMergePatch(target: String, patch: String): String =
     render(applyPatch(parseOrEmpty(target), parseOrEmpty(patch)))
 
-  private val createUdf =
-    udf((curr: String, prev: String) => createMergePatch(curr, prev))
-
   /** Column API: `json_merge_patch(payload, previous)` = the `changes` column
     * of the reference Event (pre-update values, reference `pqstream.proto:45`).
+    * Backed by the native Catalyst expression [[JsonMergePatch]].
     */
-  def json_merge_patch(curr: Column, prev: Column): Column = createUdf(curr, prev)
+  def json_merge_patch(curr: Column, prev: Column): Column =
+    JsonMergePatch(curr, prev)
 }

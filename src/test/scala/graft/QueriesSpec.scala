@@ -23,6 +23,15 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("json_merge_patch is SQL-registrable and null-safe to {} (reference patch.go:13-22)") {
+    graft.functions.JsonMergePatch.register(spark)
+    val r = spark.sql(
+      """SELECT json_merge_patch('{"a":1}', '{"a":2}') AS p1,
+        |       json_merge_patch(NULL, NULL) AS p2""".stripMargin).collect()(0)
+    assert(r.getString(0) == """{"a":2}""")
+    assert(r.getString(1) == "{}")
+  }
+
   test("cdc_changes holds pre-update values") {
     val row = SparkEntry.queries("cdc_changes")(spark, sf)
       .filter(col("changes") =!= "{}").limit(1).collect()(0)
