@@ -47,10 +47,20 @@ object Dedup {
     */
   def shingleArray(textCol: Column, n: Int = 3): Column = {
     val t = split(textCol, " ")
-    val outLen = size(t) - lit(n - 1)
+    val outLen = greatest(size(t) - lit(n - 1), lit(0))
     val parts = (0 until n).map(k => slice(t, lit(k + 1), outLen))
     array_distinct(parts.reduce((acc, p) => zip_with(acc, p, (x, y) => concat(x, lit(" "), y))))
   }
+
+  /** All ordered pairs (a < b) from a sorted id array — used to emit candidate
+    * pairs inside a bucket without a self-join, so the expensive upstream
+    * (shingling, signatures) is computed ONCE instead of once per join side.
+    * Higher-order functions only; stays in codegen.
+    */
+  def pairsOf(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds)), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
 
   /** Distinct word 3-gram shingles per document: (doc_id, shingle) rows.
     * Narrow (no shuffle) until the downstream aggregation.
@@ -76,8 +86,10 @@ object Dedup {
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand` hashes; docs
-    * agreeing on any full band become candidate pairs. Self-join is on
-    * (band_id, sig) — a shuffle keyed by the band bucket, never all-pairs.
+    * agreeing on any full band become candidate pairs. Bucketing is a
+    * groupBy on (band_id, sig) with in-bucket pair explosion — one shuffle
+    * keyed by the band bucket, never all-pairs, and the signature subtree is
+    * evaluated once (a self-join would compute it per side).
     */
   def minhashCandidates(spark: SparkSession, sfDir: String,
                         numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
@@ -88,14 +100,12 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band_id"), concat_ws("-", parts: _*).as("sig"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-              col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .groupBy(col("band.band_id"), col("band.sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -106,13 +116,18 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.05): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = shingles(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val shared = a.join(b, col("a.shingle") === col("b.shingle") &&
-                           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // per-doc set sizes straight off the shingle array — no aggregation pass
+    val sizes = docs.select(col("doc_id"),
+        size(shingleArray(col("text"))).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+    // inverted index: group docs per shingle, explode in-posting pairs —
+    // only pairs sharing >= 1 shingle are ever materialized, shingling runs once
+    val shared = shingles(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
