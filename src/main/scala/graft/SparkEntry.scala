@@ -89,6 +89,16 @@ object SparkEntry {
       .withColumn("props_norm", to_json(struct(col("k"))))
   }
 
+  /** Spark 4 Variant payload handling — parse_json + variant_get, the native
+    * analog of the reference's protobuf.Struct payloads (SURVEY §1.5).
+    */
+  private def cdcVariantGet(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(
+      col("event_id"),
+      variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+  }
+
   /** Set ops: users who both purchased and hit an error (INTERSECT). */
   private def opsSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -126,6 +136,8 @@ object SparkEntry {
     "cdc_fallback_join" -> (cdcFallbackJoin _),
     "cdc_op_counts"     -> (cdcOpCounts _),
     "cdc_json_decode"   -> (cdcJsonDecode _),
+    "cdc_variant_get"   -> (cdcVariantGet _),
+    "ops_sessionize"    -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "ops_set_ops"         -> (opsSetOps _),
     "ops_approx_distinct" -> (opsApproxDistinct _),
     // relational set
@@ -202,6 +214,25 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "cdc_variant_get" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
+    "ops_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     // ops_approx_distinct: intentionally no oracle — HLL sketches are
     // engine-specific; the driver records a rows-only check.
     "cdc_changes" ->

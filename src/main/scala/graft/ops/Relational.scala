@@ -111,6 +111,26 @@ object Relational {
       lag(col("event_type"), 1).over(w).as("prev_type"))
   }
 
+  /** Gap-based sessionization: a new session starts after `gapSeconds` of
+    * per-user inactivity. Classic lag + cumulative-sum-of-boundaries — two
+    * window passes over ONE shuffle (same partitioning), then a hash agg.
+    * Integer epoch-second math for oracle parity.
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapSeconds: Long = 1800): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val newSession = when(prevTs.isNull ||
+      (unix_timestamp(col("ts")) - unix_timestamp(prevTs)) > gapSeconds, 1L).otherwise(0L)
+    ev.withColumn("session_idx",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+  }
+
   /** Tumbling-window aggregation in batch form: hourly counts per event type
     * (streaming-window semantics; SURVEY §2B "streaming windows: none in
     * reference").
