@@ -146,6 +146,7 @@ object SparkEntry {
     "ops_top_customers"     -> (Relational.topCustomersPerNation _),
     "ops_rollup"            -> (Relational.rollupCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),
+    "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_event_windows"     -> (Relational.eventWindows _),
     "ops_hourly_counts"     -> (Relational.hourlyEventCounts _),
     // dedup set
@@ -156,6 +157,7 @@ object SparkEntry {
     "ops_simhash"       -> (Dedup.simhash _),
     // similarity set
     "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
+    "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     // text analysis set
     "ops_text_stats"    -> (TextStats.corpusStats _),
@@ -383,6 +385,33 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin,
+    "ops_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "ops_sim_ivf" -> {
+      val nlist = 16; val nprobe = 4
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
+         |a AS (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, v, cid AS bucket FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+         |    FROM a) WHERE rk = 1),
+         |probes AS (SELECT cid FROM a WHERE vec_id = 0 ORDER BY csim DESC, cid LIMIT $nprobe),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT s.vec_id, round(${cosineSql("s.v", "qv")}, 6) AS cos_sim
+         |FROM assign s, q
+         |WHERE s.bucket IN (SELECT cid FROM probes) AND s.vec_id <> 0
+         |ORDER BY cos_sim DESC, s.vec_id
+         |LIMIT 10""".stripMargin
+    },
     "ops_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -141,4 +141,44 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            sum(money(col("value"))).cast("double").as("sum_value"))
   }
+
+  /** As-of join: enrich each event with the most recent order (by
+    * `o_orderdate <= ts`) of the matching customer — the temporal point-in-time
+    * join Spark has no built-in operator for (cf. SURVEY §2B "joins": the
+    * reference has only the id-equality lookup E1).
+    *
+    * Shape: union both sides tagged, ONE shuffle+sort on the join key, then a
+    * running `last(..., ignoreNulls)` carries the latest order forward into
+    * each event row. This is the canonical distributed as-of — no range
+    * cross-product, no per-row subquery, and it scales as a single sort-merge
+    * pass regardless of how many orders precede an event. Orders are first
+    * reduced to one row per (custkey, orderdate) (keep max orderkey) so the
+    * match is deterministic and oracle-checkable (DuckDB ASOF JOIN picks an
+    * arbitrary row among exact-tie timestamps otherwise).
+    */
+  def asofLastOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val o = orders.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+           max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    val evSide = ev.select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("is_ev"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"), lit(null).cast("double").as("o_totalprice"))
+    // order rows sort BEFORE event rows at equal timestamps (is_ev asc), so an
+    // event at exactly o_orderdate sees that order — ASOF `ts >= o_orderdate`
+    val oSide = o.select(
+      col("o_custkey").cast("long").as("k"), col("o_orderdate").as("t"), lit(0).as("is_ev"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_ev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evSide.unionByName(oSide)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_ev") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("last_orderkey"), col("last_totalprice"))
+  }
 }

@@ -75,6 +75,44 @@ object Similarity {
     * The self-join key is the bucket — at 100 TB this is one shuffle on
     * bucket id, never a cross join.
     */
+  /** IVF (inverted-file) top-k: the scale path for single-query search.
+    *
+    * A coarse quantizer of `nlist` centroids (deterministically sampled: the
+    * vectors with vec_id < nlist — sampling is a standard k-means init, and
+    * keeping it data-derived-but-SQL-expressible makes the oracle exact)
+    * partitions the corpus into inverted lists; a query probes only its
+    * `nprobe` nearest lists, so the exact-cosine scan touches ~nprobe/nlist of
+    * the data instead of all of it. At 100 TB the assignment is a narrow map
+    * over the corpus (centroids ride along as ONE broadcast row — no shuffle,
+    * no driver collect), the probe filter prunes before the expensive exact
+    * cosine, and top-k plans as TakeOrderedAndProject (per-partition heap +
+    * driver merge of k rows, never a global sort). Persisting `assigned`
+    * bucket-partitioned would amortize the quantizer across queries — here it
+    * is recomputed because the harness is one-shot.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    // centroids ranked by (cosine desc, cid asc) for a vector — in-row argmax
+    def ranked(v: Column): Column =
+      array_sort(transform(col("cents"),
+        c => struct((-cosine(v, c("cv"))).as("neg"), c("cid").as("cid"))))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("bucket", element_at(ranked(col("v")), 1)("cid"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"),
+        transform(slice(ranked(col("v")), 1, nprobe), c => c("cid")).as("probes"))
+    assigned.join(broadcast(q))
+      .filter(array_contains(col("probes"), col("bucket")) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def nearDupPairs(spark: SparkSession, sfDir: String,
                    numPlanes: Int = 8, threshold: Double = 0.3): DataFrame = {
     val emb = Tables.load(spark, sfDir, "embeddings")

@@ -32,6 +32,33 @@ class QueriesSpec extends SparkSuite {
     assert(r.getString(1) == "{}")
   }
 
+  test("ops_asof_join matches the latest order at-or-before each event") {
+    val out = SparkEntry.queries("ops_asof_join")(spark, sf)
+    val ev = Tables.load(spark, sf, "events").select(col("event_id"), col("ts"))
+    val o = Tables.load(spark, sf, "orders")
+    // every matched row's order must exist for that customer with
+    // o_orderdate <= ts, and no later qualifying order may exist
+    val joined = out.filter(col("last_orderkey").isNotNull)
+      .join(ev, "event_id")
+      .join(o, col("last_orderkey") === col("o_orderkey"))
+    assert(joined.filter(col("o_custkey") =!= col("user_id")).count() == 0)
+    assert(joined.filter(col("o_orderdate") > col("ts")).count() == 0)
+    val better = joined.alias("j").join(o.alias("l"),
+        col("l.o_custkey") === col("j.user_id") &&
+        col("l.o_orderdate") <= col("j.ts") &&
+        col("l.o_orderdate") > col("j.o_orderdate"))
+    assert(better.count() == 0, "a more recent qualifying order exists")
+  }
+
+  test("ops_sim_ivf returns k descending, query excluded, bounded cosine") {
+    val rows = SparkEntry.queries("ops_sim_ivf")(spark, sf).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
   test("cdc_changes holds pre-update values") {
     val row = SparkEntry.queries("cdc_changes")(spark, sf)
       .filter(col("changes") =!= "{}").limit(1).collect()(0)
