@@ -166,7 +166,8 @@ object SparkEntry {
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
     // multimodal set
-    "ops_media_meta" -> (Multimodal.mediaMeta _),
+    "ops_media_meta"   -> (Multimodal.mediaMeta _),
+    "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
   )
 
   // ===== DuckDB oracles =====
@@ -489,5 +490,15 @@ object SparkEntry {
         |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 104729) % 768 AS INT) AS height,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+    "ops_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, md5(text) AS chk,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, chk, unnest(range(0, n_frames, 4)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+        |  md5(chk || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+        |FROM f""".stripMargin,
   )
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * spark.sql.udf behaviors) without boxing games.
   */
 case class JsonMergePatch(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -42,6 +43,27 @@ case class JsonMergePatch(left: Expression, right: Expression)
     UTF8String.fromString(MergePatch.createMergePatch(
       if (l == null) null else l.toString,
       if (r == null) null else r.toString))
+  }
+
+  /** Real codegen (not CodegenFallback): emits a static call into
+    * [[MergePatch.patchUtf8]], so this expression joins the surrounding
+    * whole-stage-codegen span instead of splitting it — the same pattern
+    * Spark's own regexp/json expressions use for non-trivial kernels. Children
+    * may be null (meaning `{}`), so this is NOT nullSafeCodeGen.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val cls = MergePatch.getClass.getName.stripSuffix("$") + ".MODULE$"
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        UTF8String ${ev.value} = $cls.patchUtf8(
+          ${l.isNull} ? null : ${l.value},
+          ${r.isNull} ? null : ${r.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

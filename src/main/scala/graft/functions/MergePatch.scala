@@ -95,6 +95,16 @@ object MergePatch {
   def applyMergePatch(target: String, patch: String): String =
     render(applyPatch(parseOrEmpty(target), parseOrEmpty(patch)))
 
+  /** UTF8String entry point called from generated code ([[JsonMergePatch]]'s
+    * doGenCode) — nulls mean `{}` (reference patch.go:13-22), never null out.
+    */
+  def patchUtf8(curr: org.apache.spark.unsafe.types.UTF8String,
+                prev: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(createMergePatch(
+      if (curr == null) null else curr.toString,
+      if (prev == null) null else prev.toString))
+
   /** Column API: `json_merge_patch(payload, previous)` = the `changes` column
     * of the reference Event (pre-update values, reference `pqstream.proto:45`).
     * Backed by the native Catalyst expression [[JsonMergePatch]].

@@ -67,6 +67,30 @@ object Multimodal {
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions(decodeStub)
   }
 
+  /** Frame sampling for video rows: one output row per sampled frame — the
+    * explode-per-media batch shape a real pipeline uses to fan a container out
+    * into frame work items (then decoded per partition like [[decodeStub]]).
+    * Frame count and the 10 fps clock come from the STUB "container header"
+    * (deterministic functions of the bytes); the per-frame content hash is a
+    * deterministic fake standing in for the decoded frame's digest. The
+    * explode stays narrow and codegen'd: at 100 TB this multiplies rows
+    * WITHOUT shuffling the blob — the blob is reduced to its md5 before the
+    * explode, so frame rows carry only 32-byte strings.
+    */
+  def frameSample(spark: SparkSession, sfDir: String, stride: Int = 4): DataFrame = {
+    mediaTable(spark, sfDir)
+      .filter(col("media_type") === "video/mp4")
+      .select(col("doc_id"), md5(col("media")).as("chk"),
+        (octet_length(col("media")).cast("long") % 30 + 1).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("chk"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * 100L).as("frame_ms"), // 10 fps stub clock
+        md5(concat(col("chk"), lit(":"), col("frame_idx").cast("string"))).as("frame_hash"))
+  }
+
   /** Metadata-only query — expression-level equivalent of the stub decoder's
     * integer metadata, kept in whole-stage codegen (no decode of the blob
     * beyond octet_length/md5) so it is oracle-checkable and scan-friendly.

@@ -23,6 +23,26 @@ class MergePatchSpec extends AnyFunSuite {
     assert(MergePatch.createMergePatch("{}", """{"foo":"bar"}""") == """{"foo":"bar"}""")
   }
 
+  test("native expression evaluates under forced codegen (doGenCode is real)") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      graft.functions.JsonMergePatch.register(spark)
+      val rows = spark.sql(
+        """SELECT json_merge_patch(c, p) AS patch FROM VALUES
+          |  ('{"a":1,"b":2}', '{"a":9,"b":2}'),
+          |  (NULL, '{"x":1}'),
+          |  ('{"y":1}', NULL) AS t(c, p)""".stripMargin).collect().map(_.getString(0))
+      assert(rows(0) == """{"a":9}""")
+      assert(rows(1) == """{"x":1}""")
+      assert(rows(2) == """{"y":null}""")
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   // --- direction: changes hold the PRE-update value (README.md:57) ---
   test("changed key maps to the old value") {
     val curr = """{"note":"here is an updated note","id":1}"""

@@ -24,4 +24,21 @@ class MultimodalSpec extends SparkSuite {
       assert(f.n_bytes == nb && f.width == w && f.checksum == ck)
     }
   }
+
+  test("frame sampling: stride-4 indices bounded by the stub frame count") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.frameSample(spark, sf).collect()
+    assert(frames.nonEmpty)
+    val nFrames = Multimodal.decode(spark, sf).collect()
+      .map(f => f.doc_id -> f.n_frames).toMap
+    frames.foreach { r =>
+      val idx = r.getAs[Long]("frame_idx")
+      assert(idx % 4 == 0)
+      assert(idx < nFrames(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("frame_ms") == idx * 100)
+    }
+    // every video doc appears (stride samples at least frame 0)
+    assert(frames.map(_.getAs[Long]("doc_id")).distinct.length ==
+      nFrames.count { case (id, _) => id % 3 == 2 })
+  }
 }
