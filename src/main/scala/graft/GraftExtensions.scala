@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extensions entry point: makes the engine's custom functions
+  * available to ANY session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the idiomatic way to
+  * ship Catalyst extensions in a library (no imperative register() call needed
+  * in user code; works from pure-SQL clients like Thrift server too).
+  *
+  * Only functions live here: the engine deliberately has zero custom
+  * optimizer `Rule`s or `SparkStrategy`s to inject (SURVEY §4 — the reference
+  * has no plan rewrites to port, and every operator composes from built-ins
+  * that Catalyst already optimizes).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("json_merge_patch"),
+      new ExpressionInfo(
+        classOf[functions.JsonMergePatch].getName,
+        null,
+        "json_merge_patch",
+        "json_merge_patch(curr, prev) - RFC 7386 merge patch transforming curr into prev (reference pqstream.proto:45; null documents mean {})",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.JsonMergePatch(exprs(0), exprs(1))))
+  }
+}

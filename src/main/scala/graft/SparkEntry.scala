@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{EventLog, Fallback, Redactions, Tiering}
 import graft.functions.MergePatch
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, Skew, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,6 +147,7 @@ object SparkEntry {
     "ops_rollup"            -> (Relational.rollupCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
+    "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
     "ops_event_windows"     -> (Relational.eventWindows _),
     "ops_hourly_counts"     -> (Relational.hourlyEventCounts _),
     // dedup set
@@ -386,6 +387,12 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin,
+    "ops_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "ops_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,

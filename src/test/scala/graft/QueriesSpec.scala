@@ -59,6 +59,40 @@ class QueriesSpec extends SparkSuite {
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("salted join is semantics-preserving vs the plain join") {
+    import graft.ops.Skew
+    val ev = Tables.load(spark, sf, "events").filter(col("event_type") === "purchase")
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val salted = Skew.saltedJoin(ev, cust, "user_id", 8, col("event_id"))
+      .select("event_id", "c_mktsegment")
+    val plain = ev.join(cust, "user_id").select("event_id", "c_mktsegment")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("GraftExtensions registers json_merge_patch at session build") {
+    // spark.sql.extensions is STATIC (read from the SparkContext conf), so a
+    // shared-context test exercises the same hook via builder.withExtensions;
+    // production use is --conf spark.sql.extensions=graft.GraftExtensions
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session as default afterwards
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val out = s2.sql("""SELECT json_merge_patch('{"a":1}', '{"a":2}') AS p""")
+        .collect()(0).getString(0)
+      assert(out == """{"a":2}""")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("cdc_changes holds pre-update values") {
     val row = SparkEntry.queries("cdc_changes")(spark, sf)
       .filter(col("changes") =!= "{}").limit(1).collect()(0)
