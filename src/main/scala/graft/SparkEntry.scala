@@ -145,6 +145,7 @@ object SparkEntry {
     "ops_star_join_agg"     -> (Relational.starJoinAgg _),
     "ops_top_customers"     -> (Relational.topCustomersPerNation _),
     "ops_rollup"            -> (Relational.rollupCounts _),
+    "ops_cube"              -> (Relational.cubeCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
@@ -330,6 +331,9 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "ops_cube" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, date_trunc('hour', ts))""".stripMargin,
     "ops_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
     "ops_event_windows" ->

@@ -87,6 +87,16 @@ object Relational {
            sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
   }
 
+  /** CUBE grouping sets: all 4 grouping combinations in one pass — Spark
+    * expands to grouping sets and still aggregates partially before the one
+    * shuffle (same scale shape as plain groupBy, x4 grouping-set rows).
+    */
+  def cubeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.cube(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Anti-join: customers with no orders since 2000 (reference has no joins
     * beyond the point lookup E1; semi/anti come free with Catalyst — SURVEY
     * §2B).
