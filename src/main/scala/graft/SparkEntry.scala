@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{EventLog, Fallback, Redactions, Tiering}
 import graft.functions.MergePatch
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, Skew, TextStats}
+import graft.ops.{Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -167,6 +167,11 @@ object SparkEntry {
     "ops_text_quality"  -> (TextStats.qualityScore _),
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
+    // curation set
+    "ops_pii_scan"   -> (Curation.piiScan _),
+    "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
+    "ops_vocab"      -> ((s: SparkSession, d: String) => Curation.vocabulary(s, d)),
+    "ops_repetition" -> (Curation.repetitionScore _),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -491,6 +496,37 @@ object SparkEntry {
          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
          |  FROM h)
          |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
+    "ops_pii_scan" -> {
+      // same pattern strings as the Spark side (standard-SQL quoting passes
+      // the backslash in \. through to the regex engine untouched)
+      val email = Curation.EmailRe
+      val phone = Curation.PhoneRe
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         WHEN doc_id % 11 = 0 THEN text || ' tel 555-01' || CAST(doc_id % 10 AS VARCHAR) || '.9876'
+         |         ELSE text END AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text2, '$phone')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM d""".stripMargin
+    },
+    "ops_doc_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "ops_vocab" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "ops_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |      FROM t WHERE len(tk) >= 2)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_ratio
+        |FROM b""".stripMargin,
     "ops_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` — the filter/sample/
+  * vocabulary stages a 100 TB corpus pipeline runs between ingest and
+  * training (C4/Gopher-style quality filtering is the public background).
+  *
+  * Patterns are kept in the RE2/Java/DuckDB-common regex subset (SURVEY §7.4
+  * #2: no backrefs, no lookahead) so the oracle matches character-for-
+  * character.
+  */
+object Curation {
+
+  /** Common-subset PII patterns. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val PhoneRe = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
+
+  /** The corpus text is synthetic bag-of-words with no PII, so the demo
+    * deterministically plants contacts in a slice of docs (derived purely from
+    * driver-table columns — the oracle plants the identical ones). Real
+    * pipelines obviously skip this.
+    */
+  def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com")))
+      .when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" tel 555-01"), (col("doc_id") % 10).cast("string"),
+          lit(".9876")))
+      .otherwise(col("text")))
+
+  /** PII scan + redaction: per-doc match counts and a redacted text — the
+    * content-level analog of the reference's field-level redaction (P1,
+    * redactions.go:33-52): drop-before-downstream, applied in one narrow
+    * codegen'd projection (regexp_count/replace), no shuffle.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = withPlantedPii(Tables.load(spark, sfDir, "documents"))
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text2"), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(regexp_replace(col("text2"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
+  /** Deterministic hash sampling: keep ~pct% of docs by a seeded content-free
+    * hash of the key — reproducible across engines and runs (rand() is not),
+    * stratification-friendly (hash is uniform within any stratum), and
+    * pushdown-friendly (a single narrow filter on the scan).
+    */
+  def hashSample(spark: SparkSession, sfDir: String, pct: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs
+      .filter(Hashing.h60(concat(lit("sample:"), col("doc_id"))) % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** Vocabulary building: global top-k tokens by frequency. Partial agg
+    * shrinks the shuffle to distinct-tokens-per-partition; top-k is
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * Deterministic tie-break on the token itself.
+    */
+  def vocabulary(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Gopher-style repetition signal: fraction of duplicate word bigrams per
+    * document — high values flag boilerplate/spam. Computed in-row over the
+    * token array (narrow, zero shuffle): duplicated-bigram ratio =
+    * 1 - distinct/total.
+    */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.load(spark, sfDir, "documents")
+      .filter(n >= 2)
+      .select(
+        col("doc_id"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("dup_bigram_ratio"))
+  }
+}
