@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship: reconstruct pqstream's UPDATE `changes` (RFC 7386 merge patch,
-    * pre-update values — reference `server.go:235-241`) from the event log.
+  /** Flagship: the reference's whole `handleEvent` path (filter → redact →
+    * tier → merge-patch changes → fallback, reference `server.go:214-255`)
+    * composed as one declarative plan — see [[cdcPipeline]].
     */
   def entry(spark: SparkSession): DataFrame =
-    cdcChanges(spark, "/root/testdata/sf0.001")
+    cdcPipeline(spark, "/root/testdata/sf0.001")
 
   // ===== CDC operator set (reference fidelity) =====
 
@@ -124,10 +125,42 @@ object SparkEntry {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** The WHOLE reference event path composed end-to-end in one declarative
+    * plan — `handleEvent` (reference `server.go:214-255`) as Spark stages:
+    * capture+prev-image (S1, lag), subscriber filter (F2, unanchored rlike),
+    * redaction (P1), size-tier ladder (S2, limit scaled to this data's
+    * payload sizes so tiers actually occur), UPDATE merge-patch (T1, computed
+    * BEFORE fallback exactly like the reference), and fallback rehydration
+    * (E1 — structurally present; this data never starves payloads, the
+    * dedicated cdc_fallback_join query exercises that path with tripping
+    * sizes). One narrow pipeline over one window shuffle + a broadcast join:
+    * Catalyst fuses what the reference runs as per-event Go control flow.
+    */
+  private def cdcPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val norm = EventLog.normalize(ev) // lag() BEFORE the subscriber filter (F2 is post-capture)
+    val filtered = norm.filter(col("event_type").rlike("p")) // signup|purchase, unanchored
+    val isSignup = col("event_type") === "signup"
+    val redacted = filtered
+      .withColumn("payload", Redactions.redact(col("props"), isSignup, Seq("k")))
+      .withColumn("previous", Redactions.redact(col("prev_props"), isSignup, Seq("k")))
+    val tiered = Tiering.ladder(redacted, "payload", "previous", limit = 18)
+    val withChanges = tiered.withColumn("changes",
+      when(col("op") === "UPDATE",
+        MergePatch.json_merge_patch(col("payload"), col("previous")))
+        .otherwise(lit(null: String)))
+    val base = ev.select(col("event_id"), col("props"))
+    Fallback.rehydrate(
+        withChanges.select(col("event_id"), col("user_id"), col("op"), col("tier"),
+          col("payload"), col("previous"), col("changes")),
+        base.withColumnRenamed("props", "payload"), "event_id", "payload")
+  }
+
   // ===== query registry =====
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC / reference-fidelity set
+    "cdc_pipeline"      -> (cdcPipeline _),
     "cdc_changes"       -> (cdcChanges _),
     "cdc_prev_image"    -> (cdcPrevImage _),
     "cdc_table_filter"  -> (cdcTableFilter _),
@@ -216,6 +249,39 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    "cdc_pipeline" ->
+      s"""WITH n AS (
+         |  SELECT event_id, user_id, event_type, props,
+         |    LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props,
+         |    $opCase AS op
+         |  FROM events),
+         |f AS (SELECT * FROM n WHERE regexp_matches(event_type, 'p')),
+         |r AS (
+         |  SELECT event_id, user_id, op,
+         |    CASE WHEN event_type = 'signup' THEN '{}' ELSE props END AS payload0,
+         |    CASE WHEN event_type = 'signup'
+         |         THEN CASE WHEN prev_props IS NULL THEN NULL ELSE '{}' END
+         |         ELSE prev_props END AS previous0
+         |  FROM f),
+         |t AS (
+         |  SELECT event_id, user_id, op,
+         |    CASE WHEN strlen(COALESCE(payload0, '')) + strlen(COALESCE(previous0, '')) < 18 THEN 0
+         |         WHEN strlen(COALESCE(payload0, '')) < 18 THEN 1
+         |         ELSE 2 END AS tier,
+         |    payload0, previous0
+         |  FROM r),
+         |t2 AS (
+         |  SELECT event_id, user_id, op, tier,
+         |    CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
+         |    CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
+         |  FROM t)
+         |SELECT event_id, user_id, op, tier, payload, previous,
+         |  CASE WHEN op <> 'UPDATE' THEN NULL
+         |       WHEN COALESCE(CAST(json_extract(payload, '$$.k') AS VARCHAR), 'X')
+         |          = COALESCE(CAST(json_extract(previous, '$$.k') AS VARCHAR), 'X') THEN '{}'
+         |       WHEN json_extract(previous, '$$.k') IS NULL THEN '{"k":null}'
+         |       ELSE '{"k":' || CAST(json_extract(previous, '$$.k') AS VARCHAR) || '}' END AS changes
+         |FROM t2""".stripMargin,
     "cdc_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
         |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS props_norm
