@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.{CdcSource, CdcStream}
+import org.apache.spark.sql.SparkSession
+
+/** Streaming-pipeline throughput probe: drives the `events` table through the
+  * custom micro-batch CDC source + the stateful prev-image pipeline
+  * (`CdcStream.withPrevState`, merge-patch included) and reports events/sec —
+  * the measurable counterpart to the reference's (unpublished) throughput,
+  * whose design ceiling is a single event-loop goroutine fed by Postgres
+  * NOTIFY (reference `server.go:258-281`; SURVEY §6).
+  *
+  * Usage: runMain graft.StreamBench [sfDir]  → one JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // stage the log into the in-memory feed (bench fixture, not the operator)
+    val rows = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "props")
+      .as[CdcStream.RawChange].collect()
+
+    def drain(feedName: String): Double = {
+      CdcSource.FeedRegistry.get(feedName).append(rows: _*)
+      val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("feed", feedName).option("numPartitions", cpus).load()
+      val events = CdcStream.withPrevState(raw.as[CdcStream.RawChange])
+      val q = events.writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      sec
+    }
+
+    val coldSec = drain("bench_cold") // includes stream init + codegen warmup
+    val warmSec = drain("bench_warm")
+    println(s"""{"metric":"cdc_stream_throughput","events":${rows.length},"cold_sec":$coldSec,"warm_sec":$warmSec,"events_per_sec":${(rows.length / warmSec).toLong},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -38,6 +38,35 @@ class CdcSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes after the committed offset (exactly-once)") {
+    val feed = CdcSource.FeedRegistry.get("spec3")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc_out").toString
+    def start() = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("feed", "spec3").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      feed.append(
+        RawChange(1, t(0), 1, "signup", """{"k":1}"""),
+        RawChange(2, t(1), 1, "purchase", """{"k":2}"""))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+    } finally q1.stop()
+
+    // rows arriving while the query is DOWN must be delivered exactly once
+    // after restart (the reference silently drops these — SURVEY §1.3)
+    feed.append(RawChange(3, t(2), 1, "view", """{"k":3}"""))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).orderBy("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once delivery across restart, got $ids")
+    } finally q2.stop()
+  }
+
   test("composes with the stateful CDC pipeline end to end") {
     val feed = CdcSource.FeedRegistry.get("spec2")
     val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
