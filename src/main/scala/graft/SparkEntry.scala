@@ -181,6 +181,7 @@ object SparkEntry {
     "ops_cube"              -> (Relational.cubeCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
+    "ops_range_join"        -> (Relational.rangeJoinBinned _),
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
     "ops_event_windows"     -> (Relational.eventWindows _),
     "ops_hourly_counts"     -> (Relational.hourlyEventCounts _),
@@ -462,6 +463,13 @@ object SparkEntry {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id""".stripMargin,
+    "ops_range_join" ->
+      """SELECT o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+        |FROM orders o LEFT JOIN events e
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= o.o_orderdate
+        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey""".stripMargin,
     "ops_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

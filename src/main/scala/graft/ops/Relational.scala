@@ -152,6 +152,33 @@ object Relational {
            sum(money(col("value"))).cast("double").as("sum_value"))
   }
 
+  /** Range (interval) join via time-bucket binning: count the events falling
+    * in each order's 7-day window. A naive `t1.key = t2.key AND t2.ts BETWEEN
+    * lo AND hi` join gives Spark only a non-equi condition to work with —
+    * at best a shuffled nested loop. Binning both sides to window-width
+    * buckets turns it into an EQUI-join on (key, bucket) + a residual range
+    * filter: each order probes exactly the 2 buckets its window can span, each
+    * event lands in 1 bucket, so the join is a plain shuffle hash/merge join
+    * that scales like any other equi-join (PlanSpec asserts no nested loop).
+    */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 7L * 86400L // bucket width == window length => 2 candidate buckets
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("bucket", floor(unix_timestamp(col("ts")) / W))
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("b0", floor(unix_timestamp(col("o_orderdate")) / W))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+    o.join(ev,
+        ev("user_id") === col("o_custkey") && ev("bucket") === o("bucket") &&
+        ev("ts") >= col("o_orderdate") &&
+        ev("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("event_id")).as("n_events"))
+  }
+
   /** As-of join: enrich each event with the most recent order (by
     * `o_orderdate <= ts`) of the matching customer — the temporal point-in-time
     * join Spark has no built-in operator for (cf. SURVEY §2B "joins": the

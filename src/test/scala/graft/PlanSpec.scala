@@ -48,6 +48,13 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ops_range_join: binning yields an equi-join, not a nested loop") {
+    val p = plan("ops_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
