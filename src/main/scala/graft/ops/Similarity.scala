@@ -70,6 +70,57 @@ object Similarity {
       when(dot(v, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Typed UDAF surface (`Aggregator[IN, BUF, OUT]`): element-wise vector
+    * mean — the centroid-update step of k-means, i.e. how the IVF coarse
+    * quantizer ([[ivfTopK]]) would be TRAINED at scale rather than sampled.
+    * The buffer is (running sum, count); `merge` is associative+commutative so
+    * Spark runs it as partial agg with map-side combine — centroid update over
+    * 100 TB is one shuffle of nlist x dim doubles per map partition.
+    * (No DuckDB oracle: float mean depends on summation order; the spec tests
+    * it on exactly-representable values instead.)
+    */
+  object VectorMean extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Double], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) =
+      if (b._2 == 0L) (v.clone(), 1L)
+      else { var i = 0; while (i < v.length) { b._1(i) += v(i); i += 1 }; (b._1, b._2 + 1) }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+      if (a._2 == 0L) b
+      else if (b._2 == 0L) a
+      else { var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }; (a._1, a._2 + b._2) }
+    override def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0L) Array.empty[Double] else r._1.map(_ / r._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** One k-means centroid-update iteration over the IVF assignment: vectors
+    * grouped by their current bucket, new centroid = [[VectorMean]] of each
+    * group. Returns (bucket, centroid, n_members).
+    */
+  def centroidStep(spark: SparkSession, sfDir: String, nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    def ranked(v: Column): Column =
+      array_sort(transform(col("cents"),
+        c => struct((-cosine(v, c("cv"))).as("neg"), c("cid").as("cid"))))
+    emb.join(broadcast(cents))
+      .select(element_at(ranked(col("v")), 1)("cid").as("bucket"), col("v"))
+      .as[(Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(VectorMean.toColumn.name("centroid"),
+           count(lit(1)).as("n_members").as[Long])
+      .toDF("bucket", "centroid", "n_members")
+  }
+
   /** All-pairs near-duplicate search via LSH bucketing: pairs sharing a bucket
     * are verified with exact cosine; emits pairs with cosine >= threshold.
     * The self-join key is the bucket — at 100 TB this is one shuffle on

@@ -93,6 +93,27 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("VectorMean aggregator: centroid step partitions the corpus and averages exactly") {
+    import graft.ops.Similarity
+    val out = Similarity.centroidStep(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every vector is assigned somewhere: member counts sum to the corpus size
+    val total = out.map(_.getAs[Long]("n_members")).sum
+    assert(total == Tables.load(spark, sf, "embeddings").count())
+    // centroids have the corpus dimensionality and finite values
+    out.foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Double]]("centroid")
+      assert(c.length == Similarity.Dim)
+      assert(c.forall(x => !x.isNaN && !x.isInfinite))
+    }
+    // exactness on a controlled group: mean of identical vectors is the vector
+    import spark.implicits._
+    val ones = Seq.fill(5)(Array.fill(4)(2.0)).toDS()
+    val m = ones.groupByKey(_ => 0).mapValues(identity[Array[Double]])
+      .agg(Similarity.VectorMean.toColumn.name("c")).collect().head._2
+    assert(m.toSeq == Seq(2.0, 2.0, 2.0, 2.0))
+  }
+
   test("cdc_changes holds pre-update values") {
     val row = SparkEntry.queries("cdc_changes")(spark, sf)
       .filter(col("changes") =!= "{}").limit(1).collect()(0)
