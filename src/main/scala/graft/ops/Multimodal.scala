@@ -67,6 +67,33 @@ object Multimodal {
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions(decodeStub)
   }
 
+  /** A resized media row: target dims + the re-encoded (stub) payload. */
+  case class ResizedRow(doc_id: Long, width: Int, height: Int, media: Array[Byte])
+
+  /** ===== STUB RESIZE =====
+    * Stands in for a decode→scale→re-encode kernel. The deterministic fake
+    * "re-encode" truncates/pads the blob to a size proportional to the target
+    * area, so output size scales like a real thumbnail. Same per-partition
+    * batch contract as [[decodeStub]]: codec state initializes once per
+    * partition, blobs never leave the task that read them (narrow — the
+    * resize of 100 TB of media is shuffle-free).
+    */
+  def resizeStub(target: (Int, Int))(rows: Iterator[MediaRow]): Iterator[ResizedRow] = {
+    val (tw, th) = target
+    rows.map { r =>
+      val n = math.max(1, (tw.toLong * th / 64).toInt)
+      val out = java.util.Arrays.copyOf(r.media, n) // truncate or zero-pad
+      ResizedRow(r.doc_id, tw, th, out)
+    }
+  }
+
+  /** Distributed resize to a fixed thumbnail size. */
+  def resize(spark: SparkSession, sfDir: String,
+             width: Int = 64, height: Int = 64): Dataset[ResizedRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions(resizeStub((width, height)))
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame — the
     * explode-per-media batch shape a real pipeline uses to fan a container out
     * into frame work items (then decoded per partition like [[decodeStub]]).

@@ -25,6 +25,15 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resize: one output per media row, target dims, size proportional to area") {
+    val out = Multimodal.resize(spark, sf, 64, 64).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    assert(out.forall(_.media.length == 64 * 64 / 64))
+    val big = Multimodal.resize(spark, sf, 128, 128).collect()
+    assert(big.forall(_.media.length == 128 * 128 / 64))
+  }
+
   test("frame sampling: stride-4 indices bounded by the stub frame count") {
     import org.apache.spark.sql.functions._
     val frames = Multimodal.frameSample(spark, sf).collect()
