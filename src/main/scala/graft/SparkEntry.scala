@@ -442,9 +442,10 @@ object SparkEntry {
     "ops_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
          |shared AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b,
          |  round(CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE), 6) AS jaccard

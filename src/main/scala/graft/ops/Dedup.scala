@@ -121,8 +121,15 @@ object Dedup {
         size(shingleArray(col("text"))).cast("long").as("n_sh"))
       .filter(col("n_sh") > 0)
     // inverted index: group docs per shingle, explode in-posting pairs —
-    // only pairs sharing >= 1 shingle are ever materialized, shingling runs once
+    // only pairs sharing >= 1 shingle are ever materialized, shingling runs
+    // once. The index key is the 60-bit md5 hash of the shingle, not the
+    // string: the shuffle carries 8-byte longs instead of ~20-byte strings
+    // (no measurable effect at sf0.1 where pair explosion dominates, but
+    // shuffle bytes are the scale bottleneck; the oracle keys on the
+    // identical hash, so a collision — ~1e-10 at this cardinality — cannot
+    // break parity)
     val shared = shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

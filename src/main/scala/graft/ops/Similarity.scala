@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors).
   *
+  * Public background (PAPERS.md): REPOSE (ICDE 2021) for distributed top-k
+  * similarity search via per-partition pruning structures — our top-k is
+  * likewise partition-local heaps merged on the driver — and "Incremental
+  * ... Top-K Similarity Search" (EDBT 2020) for candidate-pruned exact
+  * verification, the shape of [[ivfTopK]] and [[nearDupPairs]].
+  *
   * Two paths, per the standard ANN playbook:
   *  - brute-force cosine top-k against ONE query vector — O(n), the exactness
   *    baseline; top-k via sort+limit (Spark plans TakeOrderedAndProject — a
