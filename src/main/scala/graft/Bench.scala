@@ -20,13 +20,17 @@ object Bench {
       // noop sink forces FULL materialization of every output column;
       // count() would let Spark prune projection work (an aggregation-only
       // count is not the query) — honest timing for projection-heavy ops
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => System.err.println(s"[bench] $name failed") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false }
+      // a failed query records -1, NOT its (near-zero) elapsed time — a
+      // breakage must never improve the headline number
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -258,27 +258,30 @@ object SparkEntry {
          |  FROM events),
          |f AS (SELECT * FROM n WHERE regexp_matches(event_type, 'p')),
          |r AS (
-         |  SELECT event_id, user_id, op,
+         |  SELECT event_id, user_id, op, props,
          |    CASE WHEN event_type = 'signup' THEN '{}' ELSE props END AS payload0,
          |    CASE WHEN event_type = 'signup'
          |         THEN CASE WHEN prev_props IS NULL THEN NULL ELSE '{}' END
          |         ELSE prev_props END AS previous0
          |  FROM f),
          |t AS (
-         |  SELECT event_id, user_id, op,
+         |  SELECT event_id, user_id, op, props,
          |    CASE WHEN strlen(COALESCE(payload0, '')) + strlen(COALESCE(previous0, '')) < 18 THEN 0
          |         WHEN strlen(COALESCE(payload0, '')) < 18 THEN 1
          |         ELSE 2 END AS tier,
          |    payload0, previous0
          |  FROM r),
          |t2 AS (
-         |  SELECT event_id, user_id, op, tier,
+         |  SELECT event_id, user_id, op, tier, props,
          |    CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
          |    CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
          |  FROM t)
-         |SELECT event_id, user_id, op, tier, payload, previous,
+         |-- COALESCE = the fallback rehydration stage (changes is computed on
+         |-- the PRE-fallback payload, reference order server.go:235-248)
+         |SELECT event_id, user_id, op, tier,
+         |  COALESCE(t2.payload, props) AS payload, previous,
          |  CASE WHEN op <> 'UPDATE' THEN NULL
-         |       WHEN COALESCE(CAST(json_extract(payload, '$$.k') AS VARCHAR), 'X')
+         |       WHEN COALESCE(CAST(json_extract(t2.payload, '$$.k') AS VARCHAR), 'X')
          |          = COALESCE(CAST(json_extract(previous, '$$.k') AS VARCHAR), 'X') THEN '{}'
          |       WHEN json_extract(previous, '$$.k') IS NULL THEN '{"k":null}'
          |       ELSE '{"k":' || CAST(json_extract(previous, '$$.k') AS VARCHAR) || '}' END AS changes
@@ -318,7 +321,9 @@ object SparkEntry {
         |         LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
         |  FROM events)
         |SELECT event_id, user_id, props, prev_props,
-        |  CASE WHEN json_extract(props, '$.k') = json_extract(prev_props, '$.k') THEN '{}'
+        |  CASE WHEN COALESCE(CAST(json_extract(props, '$.k') AS VARCHAR), 'X')
+        |          = COALESCE(CAST(json_extract(prev_props, '$.k') AS VARCHAR), 'X') THEN '{}'
+        |       WHEN json_extract(prev_props, '$.k') IS NULL THEN '{"k":null}'
         |       ELSE '{"k":' || CAST(json_extract(prev_props, '$.k') AS VARCHAR) || '}' END AS changes
         |FROM e
         |WHERE event_type NOT IN ('signup', 'error') AND prev_props IS NOT NULL""".stripMargin,

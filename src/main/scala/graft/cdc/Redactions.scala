@@ -33,12 +33,15 @@ object Redactions {
     }.toMap
   }
 
+  // shared: ObjectMapper is heavyweight and readTree is thread-safe — a
+  // per-row instance on the redaction hot path would dominate the UDF cost
+  private val mapper = new ObjectMapper()
+
   /** Remove `fields` from a JSON-string payload. Rows are only rewritten when
     * a field is actually present; untouched payloads pass through byte-identical.
     */
   def redactJson(payload: String, fields: Seq[String]): String = {
     if (payload == null) return null
-    val mapper = new ObjectMapper()
     val node = mapper.readTree(payload)
     if (!node.isObject) return payload
     val obj = node.asInstanceOf[ObjectNode]

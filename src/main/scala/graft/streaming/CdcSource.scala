@@ -76,7 +76,11 @@ object CdcSource {
   private def toInternalRow(r: CdcStream.RawChange): InternalRow =
     InternalRow(
       r.event_id,
-      if (r.ts == null) null else r.ts.getTime * 1000L,
+      // full microsecond precision: getTime alone truncates sub-millisecond
+      // digits (they live in getNanos), which would make streaming ts diverge
+      // from the batch path for the same row
+      if (r.ts == null) null
+      else r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000,
       r.user_id,
       UTF8String.fromString(r.event_type),
       UTF8String.fromString(r.props))
@@ -142,8 +146,11 @@ class CdcSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val feed = Option(properties.get("feed")).getOrElse("default")
-    val parts = Option(properties.get("numpartitions")).map(_.toInt).getOrElse(4)
+    // getTable receives the ORIGINAL-case option keys (asCaseSensitiveMap) —
+    // wrap back into a case-insensitive map or "numPartitions" is missed
+    val opts = new CaseInsensitiveStringMap(properties)
+    val feed = Option(opts.get("feed")).getOrElse("default")
+    val parts = Option(opts.get("numPartitions")).map(_.toInt).getOrElse(4)
     new CdcSource.CdcTable(feed, parts)
   }
 }

@@ -15,9 +15,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    shuffle is the same one the aggregation would need anyway.
   *  - `changes`: RFC 7386 merge patch on UPDATE (`server.go:235-241`).
   *  - fan-out: the reference's subscriber loop (`server.go:249-253`) blocks on
-  *    the slowest client; here each subscriber is an independent filter over
-  *    the shared micro-batch (`foreachBatch`), so a slow sink never
-  *    back-pressures the others.
+  *    the slowest client; here each subscriber is its own streaming query
+  *    (own checkpoint + offsets), so a slow or failing sink never
+  *    back-pressures or force-replays the others.
   *
   * State eviction: pass a `stateTtl` so unbounded key spaces (SURVEY §7.4 #6)
   * expire idle per-key state instead of growing forever.
@@ -40,8 +40,10 @@ object CdcStream {
       userId: Long, rows: Iterator[RawChange],
       state: GroupState[String]): Iterator[CdcEvent] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    // within a micro-batch, apply rows in event order
-    val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+    // within a micro-batch, apply rows in event order (null ts sorts first —
+    // one bad row must not kill the query, cf. DeadLetter)
+    val ordered = rows.toSeq.sortBy(r =>
+      (if (r.ts == null) Long.MinValue else r.ts.getTime, r.event_id))
     var prev: Option[String] = state.getOption
     val out = ordered.map { r =>
       val op = opOf(r.event_type)
@@ -71,7 +73,10 @@ object CdcStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (k: Long, rows: Iterator[RawChange], state: GroupState[String]) =>
           val out = processGroup(k, rows, state)
-          stateTtl.foreach(state.setTimeoutDuration)
+          // re-arm the TTL only while state EXISTS: setting a timeout after
+          // remove() writes the entry back and the key re-fires forever —
+          // eviction would never actually shrink the store
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           out
       }
   }
@@ -92,22 +97,24 @@ object CdcStream {
     */
   case class Subscription(name: String, eventTypeRegexp: String, path: String)
 
-  /** Fan-out via foreachBatch: each micro-batch is written once per matching
-    * subscriber — the multicast of `server.go:249-253` without the
-    * slow-consumer head-of-line blocking (each write is independent).
+  /** Fan-out as ONE independent streaming query per subscriber over the same
+    * source — the multicast of `server.go:249-253` without the slow-consumer
+    * head-of-line blocking: each query has its own checkpoint and offsets, so
+    * a slow or failing sink delays/replays only itself (a single foreachBatch
+    * writing all sinks sequentially would stall every subscriber on the
+    * slowest one and duplicate earlier sinks' appends when a later sink's
+    * failure forces batch replay). File sinks are exactly-once per query via
+    * the sink's own transaction log.
     */
   def fanOut(events: DataFrame, subs: Seq[Subscription],
-             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.persist()
-        try subs.foreach { s =>
-          batch.filter(col("event_type").rlike(s.eventTypeRegexp))
-            .write.mode("append").parquet(s.path)
-        } finally batch.unpersist()
-        ()
-      }
-      .start()
+             checkpoint: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    subs.map { s =>
+      events.filter(col("event_type").rlike(s.eventTypeRegexp))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$checkpoint/${s.name}")
+        .option("path", s.path)
+        .format("parquet")
+        .start()
+    }
 }

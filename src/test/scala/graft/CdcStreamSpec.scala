@@ -81,15 +81,15 @@ class CdcStreamSpec extends SparkSuite {
     val subs = Seq(
       Subscription("purchases", "pur", s"$dir/purchases"),
       Subscription("all", ".", s"$dir/all"))
-    val q = CdcStream.fanOut(input.toDF(), subs, s"$dir/ckpt")
+    val qs = CdcStream.fanOut(input.toDF(), subs, s"$dir/ckpt")
     try {
       input.addData(
         RawChange(1, t(0), 1, "purchase", "{}"),
         RawChange(2, t(1), 1, "click", "{}"),
         RawChange(3, t(2), 2, "purchase", "{}"))
-      q.processAllAvailable()
+      qs.foreach(_.processAllAvailable()) // each subscriber query drains independently
       assert(spark.read.parquet(s"$dir/purchases").count() == 2)
       assert(spark.read.parquet(s"$dir/all").count() == 3)
-    } finally q.stop()
+    } finally qs.foreach(_.stop())
   }
 }

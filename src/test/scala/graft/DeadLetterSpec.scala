@@ -21,6 +21,15 @@ class DeadLetterSpec extends SparkSuite {
     assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
     val d = dead.collect()
     assert(d.length == 1 && d(0).getAs[Long]("id") == 2L)
-    assert(d(0).getAs[String]("reason").contains("unparseable"))
+    assert(d(0).getAs[String]("reason").contains("malformed"))
+  }
+
+  test("well-formed JSON missing a declared field is nonconforming (schema is enforced)") {
+    val df = Seq(
+      (1L, """{"k":1}"""),
+      (2L, """{"other":2}""")).toDF("id", "props") // valid JSON, wrong shape
+    val (good, dead) = DeadLetter.split(df, "props", schema)
+    assert(good.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(dead.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 }
