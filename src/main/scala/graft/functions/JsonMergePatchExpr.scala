@@ -54,7 +54,10 @@ case class JsonMergePatch(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
-    val cls = MergePatch.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the static forwarder `graft.functions.MergePatch.patchUtf8` that
+    // scalac emits for a companion-less object. (`MergePatch.MODULE$` is NOT
+    // valid Java — the singleton field lives on the `MergePatch$` class.)
+    val cls = MergePatch.getClass.getName.stripSuffix("$")
     ev.copy(
       code = code"""
         ${l.code}

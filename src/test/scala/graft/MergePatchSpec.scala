@@ -24,19 +24,28 @@ class MergePatchSpec extends AnyFunSuite {
   }
 
   test("native expression evaluates under forced codegen (doGenCode is real)") {
+    // A VALUES relation folds to a LocalRelation at optimization time (with the
+    // interpreted path), so it would never exercise doGenCode. Derive the JSON
+    // from spark.range — non-foldable — so Java IS generated, and forbid the
+    // interpreter fallback: with a broken doGenCode this test must fail.
     val spark = TestSpark.spark
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       graft.functions.JsonMergePatch.register(spark)
       val rows = spark.sql(
-        """SELECT json_merge_patch(c, p) AS patch FROM VALUES
-          |  ('{"a":1,"b":2}', '{"a":9,"b":2}'),
-          |  (NULL, '{"x":1}'),
-          |  ('{"y":1}', NULL) AS t(c, p)""".stripMargin).collect().map(_.getString(0))
-      assert(rows(0) == """{"a":9}""")
-      assert(rows(1) == """{"x":1}""")
-      assert(rows(2) == """{"y":null}""")
+        """SELECT json_merge_patch(
+          |         concat('{"a":', CAST(id AS STRING), ',"b":2}'),
+          |         CASE WHEN id % 3 = 2 THEN NULL
+          |              ELSE concat('{"a":9,"b":', CAST(id AS STRING), '}') END
+          |       ) AS patch
+          |FROM range(3)""".stripMargin).collect().map(_.getString(0))
+      // id=0: curr {"a":0,"b":2} vs prev {"a":9,"b":0} -> both keys differ
+      assert(rows(0) == """{"a":9,"b":0}""")
+      // id=1: curr {"a":1,"b":2} vs prev {"a":9,"b":1}
+      assert(rows(1) == """{"a":9,"b":1}""")
+      // id=2: prev NULL -> treated as {} -> both curr keys map to null
+      assert(rows(2) == """{"a":null,"b":null}""")
     } finally {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       spark.conf.set("spark.sql.codegen.fallback", "true")
