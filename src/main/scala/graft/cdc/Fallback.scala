@@ -8,24 +8,35 @@ import org.apache.spark.sql.functions._
   * `payload == nil && id != ""`, re-fetch the full row from the base table by
   * id and splice it in.
   *
-  * Spark-first shape: a stream-static LEFT broadcast equi-join against the
-  * base table, restricted to the rows that actually need it, followed by
-  * `coalesce(payload, base_payload)`. Catalyst pushes the `payload IS NULL`
-  * restriction so only the starved rows pay the join; with a broadcast hint
-  * the base side never shuffles — exactly the "late materialization" the
-  * reference hand-rolls with a per-event SELECT.
+  * Scale shape: the reference issues a point SELECT *only* for starved events,
+  * so the Spark plan must too — filter the starved slice out first
+  * (`payload IS NULL AND id IS NOT NULL`, the exact guard of
+  * `server.go:243-248`), equi-join ONLY that slice against the base table, and
+  * union the intact rows back untouched. The base table is fact-sized in
+  * general (it is the table being captured), so it is NOT broadcast by
+  * default: a shuffle join on the id key scales with the starved slice, which
+  * tiering keeps small. Pass `broadcastBase = true` only when the base is a
+  * genuine dimension table.
   */
 object Fallback {
 
-  /** @param events  frame with columns (id, payload, ...)
-    * @param base    base table keyed by `idCol` providing `payloadCol`
+  /** @param events        frame with columns (id, payload, ...)
+    * @param base          base table keyed by `idCol` providing `payloadCol`
+    * @param broadcastBase hint the base side as broadcastable — only for
+    *                      genuinely dim-sized base tables
     */
   def rehydrate(events: DataFrame, base: DataFrame,
-                idCol: String, payloadCol: String): DataFrame = {
+                idCol: String, payloadCol: String,
+                broadcastBase: Boolean = false): DataFrame = {
+    val outCols = events.columns.map(col).toSeq
+    val starvedGuard = col(payloadCol).isNull && col(idCol).isNotNull
+    val starved = events.filter(starvedGuard)
+    val intact = events.filter(!starvedGuard)
     val lookup = base.select(col(idCol), col(payloadCol).as("__base_payload"))
-    events
-      .join(broadcast(lookup), Seq(idCol), "left")
-      .withColumn(payloadCol, coalesce(col(payloadCol), col("__base_payload")))
-      .drop("__base_payload")
+    val rehydrated = starved
+      .join(if (broadcastBase) broadcast(lookup) else lookup, Seq(idCol), "left")
+      .withColumn(payloadCol, col("__base_payload"))
+      .select(outCols: _*)
+    intact.unionByName(rehydrated)
   }
 }

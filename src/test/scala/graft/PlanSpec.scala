@@ -55,6 +55,37 @@ class PlanSpec extends SparkSuite {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("fallback rehydration joins only the starved slice, without broadcasting the base") {
+    // Probe-side guard (reference server.go:243-248): with plain columns the
+    // starved filter survives verbatim in the plan. (In cdc_fallback_join the
+    // optimizer folds it into the tiering CASE — structurally the same filter.)
+    // localCheckpoint makes the columns opaque leaves — otherwise constant
+    // folding rewrites isnull(CASE ...) beyond string-matchability
+    val events = spark.range(100).selectExpr(
+      "id", "CASE WHEN id % 10 = 0 THEN CAST(NULL AS STRING) ELSE 'p' END AS payload", "'x' AS extra")
+      .localCheckpoint()
+    val base = spark.range(100).selectExpr("id", "'b' AS payload").localCheckpoint()
+    val direct = graft.cdc.Fallback.rehydrate(events, base, "id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(direct.contains("isnull(payload"), s"probe side lost the payload IS NULL guard:\n$direct")
+    assert(direct.contains("Union"), s"intact rows must bypass the join:\n$direct")
+
+    // No unconditional broadcast hint: with statistics-driven auto-broadcast
+    // off, any surviving BroadcastHashJoin would be a hard-coded broadcast()
+    // of the fact-sized base — the canonical 100 TB driver OOM. (Under normal
+    // conf Catalyst may still broadcast at tiny SF by size; that's the
+    // statistics making a runtime-correct call, not a plan defect.)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = graft.cdc.Fallback.rehydrate(events, base, "id", "payload")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"rehydrate hard-codes a base broadcast:\n$p")
+      val q = plan("cdc_fallback_join")
+      assert(!q.contains("BroadcastHashJoin"), s"cdc_fallback_join hard-codes a base broadcast:\n$q")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
