@@ -62,6 +62,20 @@ object Dedup {
       transform(slice(sortedIds, i + lit(2), size(sortedIds)), y =>
         struct(x.as("doc_a"), y.as("doc_b")))))
 
+  /** Skew guard for candidate generation: all pairs while the bucket is within
+    * `cap`, a star (hub = lowest id, one pair per other member) beyond it. A
+    * cluster of c identical documents lands every member in one bucket; naive
+    * explosion emits O(c^2) pairs — at 100 TB a single viral boilerplate page
+    * is a job-killing straggler. The star keeps every member connected to the
+    * cluster hub, so connected-components dedup still collapses the whole
+    * cluster, while pair output drops to O(c). Deterministic (ids sorted), so
+    * results are oracle-checkable whenever the cap is not hit.
+    */
+  def cappedPairs(sortedIds: Column, cap: Int): Column =
+    when(size(sortedIds) <= cap, pairsOf(sortedIds))
+      .otherwise(transform(slice(sortedIds, lit(2), size(sortedIds)), y =>
+        struct(element_at(sortedIds, 1).as("doc_a"), y.as("doc_b"))))
+
   /** Distinct word 3-gram shingles per document: (doc_id, shingle) rows.
     * Narrow (no shuffle) until the downstream aggregation.
     */
@@ -92,8 +106,20 @@ object Dedup {
     * evaluated once (a self-join would compute it per side).
     */
   def minhashCandidates(spark: SparkSession, sfDir: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+                        numHashes: Int = 16, rowsPerBand: Int = 2,
+                        bucketCap: Int = 10000): DataFrame =
+    minhashCandidatesDf(Tables.load(spark, sfDir, "documents"),
+      numHashes, rowsPerBand, bucketCap)
+
+  /** DataFrame-level core of [[minhashCandidates]]. `bucketCap` bounds
+    * per-bucket pair output via [[cappedPairs]] (star fallback): buckets are
+    * min-hash collisions, so a c-sized cluster of near-identical docs fills
+    * one bucket per band — without the cap that is numBands x O(c^2) pairs.
+    * The default cap is far above any natural bucket in the testdata (sf0.1
+    * has 5k docs total), so verified results are cap-invariant there.
+    */
+  def minhashCandidatesDf(docs: DataFrame, numHashes: Int = 16,
+                          rowsPerBand: Int = 2, bucketCap: Int = 10000): DataFrame = {
     val sig = minhashSignatures(shingles(docs), numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
@@ -104,7 +130,7 @@ object Dedup {
       .groupBy(col("band.band_id"), col("band.sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(cappedPairs(col("ids"), bucketCap)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
@@ -114,8 +140,21 @@ object Dedup {
     * intersection/union counts (deterministic double division).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   threshold: Double = 0.05): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+                   threshold: Double = 0.05, dfCap: Int = 5000): DataFrame =
+    ngramJaccardDf(Tables.load(spark, sfDir, "documents"), threshold, dfCap)
+
+  /** DataFrame-level core of [[ngramJaccard]]. `dfCap` is a document-frequency
+    * cut on the inverted index: a shingle appearing in more than `dfCap` docs
+    * (a stop-shingle — boilerplate, license headers) is dropped from the index
+    * entirely, because one n-doc posting list explodes into O(n^2) pairs while
+    * contributing almost no discriminative signal. This is the standard df cut
+    * from near-dup literature; it bounds BOTH the posting-row size and the
+    * pair blowup. Jaccard for surviving pairs then underestimates by at most
+    * the dropped shingles' mass — with the default cap above the corpus size
+    * at test SF, results are exact there.
+    */
+  def ngramJaccardDf(docs: DataFrame, threshold: Double = 0.05,
+                     dfCap: Int = 5000): DataFrame = {
     // per-doc set sizes straight off the shingle array — no aggregation pass
     val sizes = docs.select(col("doc_id"),
         size(shingleArray(col("text"))).cast("long").as("n_sh"))
@@ -132,7 +171,7 @@ object Dedup {
       .select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

