@@ -53,6 +53,22 @@ object SparkEntry {
       Redactions.redact(col("props"), matches, Seq("k")).as("props_redacted"))
   }
 
+  /** P1 driven end-to-end from the decoded reference-format config
+    * (reference `cmd/pqsd/main.go:74-83` decode + `redactions.go:38-44`
+    * two-level lookup): schema is the constant "public" (the reference
+    * watches one pg schema, `queries.go:7`), table analog = event_type.
+    * The `other.signup` entry must NOT fire — its schema doesn't match —
+    * which pins the lookup's both-levels-must-match semantics.
+    */
+  private def cdcRedactMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val config = """{"public":{"purchase":["k"],"error":["k"]},"other":{"signup":["k"]}}"""
+    val redactions = Redactions.decode(config)
+    ev.select(col("event_id"), col("event_type"),
+      Redactions.applyMap(col("props"), lit("public"), col("event_type"), redactions)
+        .as("props_redacted"))
+  }
+
   /** Tiering demo: synthetic payload/previous sizes that actually cross the
     * ladder's thresholds (the real 8000-byte NOTIFY limit never trips on this
     * data; semantics — drop `previous` first, then `payload` — are identical).
@@ -165,6 +181,7 @@ object SparkEntry {
     "cdc_prev_image"    -> (cdcPrevImage _),
     "cdc_table_filter"  -> (cdcTableFilter _),
     "cdc_redact"        -> (cdcRedact _),
+    "cdc_redact_map"    -> (cdcRedactMap _),
     "cdc_tiering"       -> (cdcTiering _),
     "cdc_fallback_join" -> (cdcFallbackJoin _),
     "cdc_op_counts"     -> (cdcOpCounts _),
@@ -335,6 +352,8 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events WHERE regexp_matches(event_type, 'sign|pur')",
     "cdc_redact" ->
       "SELECT event_id, event_type, CASE WHEN event_type = 'purchase' THEN '{}' ELSE props END AS props_redacted FROM events",
+    "cdc_redact_map" ->
+      "SELECT event_id, event_type, CASE WHEN event_type IN ('purchase', 'error') THEN '{}' ELSE props END AS props_redacted FROM events",
     "cdc_tiering" ->
       """WITH sized AS (
         |  SELECT event_id,

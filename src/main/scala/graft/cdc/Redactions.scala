@@ -1,8 +1,7 @@
 package graft.cdc
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
-import graft.functions.MergePatch
+import graft.functions.{JsonRedactColumn, Redact}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -11,8 +10,11 @@ import org.apache.spark.sql.functions._
   * events whose (schema, table) match have the listed fields deleted from
   * `payload` and `previous` before any downstream stage.
   *
-  * Scale note: the redaction map is tiny configuration — it is closed over by
-  * the expression (equivalent to a broadcast variable), never joined.
+  * Scale note: the redaction map is tiny configuration — it is compiled into
+  * the expression tree (codegen reference objects, the per-task equivalent of
+  * a broadcast variable), never joined. The JSON surgery itself is the native
+  * [[graft.functions.JsonRedact]] Catalyst expression, so redaction stays
+  * inside the surrounding whole-stage-codegen span (a UDF would split it).
   */
 object Redactions {
 
@@ -33,31 +35,35 @@ object Redactions {
     }.toMap
   }
 
-  // shared: ObjectMapper is heavyweight and readTree is thread-safe — a
-  // per-row instance on the redaction hot path would dominate the UDF cost
-  private val mapper = new ObjectMapper()
-
-  /** Remove `fields` from a JSON-string payload. Rows are only rewritten when
-    * a field is actually present; untouched payloads pass through byte-identical.
+  /** Remove `fields` from a JSON-string payload (kernel re-export; see
+    * [[graft.functions.Redact.redactJson]]).
     */
-  def redactJson(payload: String, fields: Seq[String]): String = {
-    if (payload == null) return null
-    val node = mapper.readTree(payload)
-    if (!node.isObject) return payload
-    val obj = node.asInstanceOf[ObjectNode]
-    val hit = fields.exists(obj.has)
-    if (!hit) payload else {
-      fields.foreach(obj.remove)
-      MergePatch.render(obj)
-    }
-  }
-
-  private def redactUdf(fields: Seq[String]) =
-    udf((payload: String) => redactJson(payload, fields))
+  def redactJson(payload: String, fields: Seq[String]): String =
+    Redact.redactJson(payload, fields)
 
   /** Column form: redact `fields` out of `payload` when `matches` holds
     * (the (schema, table) lookup of reference `redactions.go:38-44`).
     */
   def redact(payload: Column, matches: Column, fields: Seq[String]): Column =
-    when(matches, redactUdf(fields)(payload)).otherwise(payload)
+    when(matches, JsonRedactColumn(payload, fields)).otherwise(payload)
+
+  /** Drive redaction from a decoded config map end-to-end (reference
+    * `server.go:225` wiring + `redactions.go:38-44` lookup): each
+    * (schema, table) entry contributes one branch of a CASE chain testing the
+    * envelope columns against the entry's literals and applying its field
+    * list. Rows matching no entry pass through byte-identical. Entries are
+    * ordered deterministically; in the reference the map keys are unique so
+    * at most one branch can match and order is semantics-free.
+    */
+  def applyMap(payload: Column, schemaCol: Column, tableCol: Column,
+               redactions: FieldRedactions): Column = {
+    val entries = for {
+      (s, tables) <- redactions.toSeq.sortBy(_._1)
+      (t, fields) <- tables.toSeq.sortBy(_._1)
+    } yield (s, t, fields)
+    entries.foldRight(payload) { case ((s, t, fields), acc) =>
+      when(schemaCol === lit(s) && tableCol === lit(t),
+        JsonRedactColumn(payload, fields)).otherwise(acc)
+    }
+  }
 }

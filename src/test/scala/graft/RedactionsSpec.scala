@@ -34,4 +34,41 @@ class RedactionsSpec extends AnyFunSuite {
   test("redacting every field leaves {}") {
     assert(Redactions.redactJson("""{"k": 87}""", Seq("k")) == "{}")
   }
+
+  test("applyMap: both schema AND table must match (redactions.go:38-44)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("public", "users", """{"password":"x","name":"jane"}"""),
+      ("public", "notes", """{"password":"x","name":"n"}"""),   // table not in map
+      ("other", "users", """{"password":"x","name":"o"}"""))    // schema not in map
+      .toDF("schema", "table", "payload")
+    val map = Redactions.decode(config)
+    val out = rows
+      .select(Redactions.applyMap(col("payload"), col("schema"), col("table"), map).as("p"))
+      .as[String].collect()
+    assert(out(0) == """{"name":"jane"}""")
+    assert(out(1) == """{"password":"x","name":"n"}""")
+    assert(out(2) == """{"password":"x","name":"o"}""")
+  }
+
+  test("native json_redact evaluates under forced codegen") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      // range-derived JSON: non-foldable, so Java IS generated (cf. MergePatchSpec)
+      val out = spark.range(3).select(
+        graft.functions.JsonRedactColumn(
+          concat(lit("""{"k":"""), col("id").cast("string"), lit(""","secret":1}""")),
+          Seq("secret")).as("p"))
+        .collect().map(_.getString(0))
+      assert(out.toSeq == Seq("""{"k":0}""", """{"k":1}""", """{"k":2}"""))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
 }
