@@ -44,6 +44,23 @@ object CdcSource {
     def fetch(fromExclusive: Long, toInclusive: Long): Seq[CdcStream.RawChange]
   }
 
+  /** How a reader (re)connects to the log: a serializable SPEC, not a live
+    * feed — input partitions are shipped to executors, so they must carry
+    * connection info, never driver-side state.
+    */
+  sealed trait FeedSpec extends Serializable
+  /** Test/demo in-JVM feed, resolved via [[FeedRegistry]]. */
+  case class MemorySpec(name: String) extends FeedSpec
+  /** Production shape: ranged JDBC fetch, connection opened executor-side in
+    * the partition reader (see [[JdbcFeed]]).
+    */
+  case class JdbcSpec(url: String, table: String) extends FeedSpec
+
+  def resolve(spec: FeedSpec): ChangeFeed = spec match {
+    case MemorySpec(n)        => FeedRegistry.get(n)
+    case JdbcSpec(url, table) => new JdbcFeed(url, table)
+  }
+
   /** In-memory feed registry (the test/demo stand-in for a JDBC feed — same
     * contract, no database in this environment).
     */
@@ -71,7 +88,7 @@ object CdcSource {
       CdcOffset("""-?\d+""".r.findFirstIn(s).map(_.toLong).getOrElse(-1L))
   }
 
-  case class IdRangePartition(feedName: String, from: Long, to: Long) extends InputPartition
+  case class IdRangePartition(spec: FeedSpec, from: Long, to: Long) extends InputPartition
 
   private def toInternalRow(r: CdcStream.RawChange): InternalRow =
     InternalRow(
@@ -88,9 +105,9 @@ object CdcSource {
   class FeedReaderFactory extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val part = p.asInstanceOf[IdRangePartition]
-      // a JDBC feed would open its connection HERE (one range query per
-      // partition); the in-memory feed just reads the registry
-      val it = FeedRegistry.get(part.feedName).fetch(part.from, part.to).iterator
+      // executor-side: a JDBC feed opens its connection inside fetch — one
+      // ranged query per partition; the in-memory feed just reads the registry
+      val it = resolve(part.spec).fetch(part.from, part.to).iterator
       new PartitionReader[InternalRow] {
         private var cur: CdcStream.RawChange = _
         override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
@@ -100,8 +117,8 @@ object CdcSource {
     }
   }
 
-  class CdcMicroBatchStream(feedName: String, numPartitions: Int) extends MicroBatchStream {
-    private def feed = FeedRegistry.get(feedName)
+  class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int) extends MicroBatchStream {
+    private def feed = resolve(spec)
     override def latestOffset(): Offset = CdcOffset(feed.latestId())
     override def initialOffset(): Offset = CdcOffset(-1L)
     override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
@@ -118,14 +135,14 @@ object CdcSource {
       (0 until n).map { i =>
         val lo = from + i * step
         val hi = if (i == n - 1) to else from + (i + 1) * step
-        IdRangePartition(feedName, lo, hi): InputPartition
+        IdRangePartition(spec, lo, hi): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = new FeedReaderFactory
   }
 
-  class CdcTable(feedName: String, numPartitions: Int) extends Table with SupportsRead {
-    override def name(): String = s"cdc_feed($feedName)"
+  class CdcTable(spec: FeedSpec, numPartitions: Int) extends Table with SupportsRead {
+    override def name(): String = s"cdc_feed($spec)"
     override def schema(): StructType = CdcSource.schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -133,14 +150,16 @@ object CdcSource {
       () => new Scan {
         override def readSchema(): StructType = CdcSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(feedName, numPartitions)
+          new CdcMicroBatchStream(spec, numPartitions)
       }
   }
 }
 
-/** DataSource V2 provider:
+/** DataSource V2 provider. In-memory (tests/demo):
   * `spark.readStream.format("graft.streaming.CdcSourceProvider")
   *   .option("feed", "myfeed").option("numPartitions", "4").load()`
+  * JDBC (production shape — any DB with a monotone id column):
+  * `.option("jdbcUrl", "jdbc:...").option("jdbcTable", "events")`
   */
 class CdcSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcSource.schema
@@ -149,8 +168,14 @@ class CdcSourceProvider extends TableProvider {
     // getTable receives the ORIGINAL-case option keys (asCaseSensitiveMap) —
     // wrap back into a case-insensitive map or "numPartitions" is missed
     val opts = new CaseInsensitiveStringMap(properties)
-    val feed = Option(opts.get("feed")).getOrElse("default")
     val parts = Option(opts.get("numPartitions")).map(_.toInt).getOrElse(4)
-    new CdcSource.CdcTable(feed, parts)
+    val spec: CdcSource.FeedSpec = Option(opts.get("jdbcUrl")) match {
+      case Some(url) =>
+        CdcSource.JdbcSpec(url,
+          Option(opts.get("jdbcTable")).getOrElse(
+            throw new IllegalArgumentException("jdbcUrl requires jdbcTable")))
+      case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
+    }
+    new CdcSource.CdcTable(spec, parts)
   }
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import graft.streaming.CdcStream.RawChange
+
+/** JDBC-backed [[CdcSource.ChangeFeed]] — the production shape of the CDC
+  * poller (the north star's "Structured Streaming + JDBC source for CDC").
+  *
+  * Two query shapes, both mirroring the reference:
+  *  - `latestId` — one `MAX(id)` probe per trigger, driver-side (the analog of
+  *    the NOTIFY wake-up, reference `server.go:258-272`, as a pull);
+  *  - `fetch` — the ranged `WHERE event_id > ? AND event_id <= ?` scan
+  *    (the id-keyed query shape of the reference's fallback lookup,
+  *    `queries.go:62-64`), executed EXECUTOR-side in the partition reader:
+  *    each [[CdcSource.IdRangePartition]] opens its own short-lived
+  *    connection, so a large backlog is fetched by N readers in parallel and
+  *    no connection object ever needs to be serialized.
+  *
+  * Range bounds are bound as prepared-statement parameters. The table name
+  * cannot be a parameter, so it is validated against a strict identifier
+  * whitelist instead — the reference Sprintf's the table name into SQL
+  * unchecked (`server.go:196`), a noted injection surface we don't copy.
+  *
+  * Tested against in-process Derby (in `JdbcFeedSpec`) — any JDBC database
+  * with a monotone id column works; zero Derby-specific SQL here.
+  */
+final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
+  require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
+
+  override def latestId(): Long = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT MAX(event_id) FROM $table")
+      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
+    } finally conn.close()
+  }
+
+  override def fetch(fromExclusive: Long, toInclusive: Long): Seq[RawChange] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"SELECT event_id, ts, user_id, event_type, props FROM $table" +
+          " WHERE event_id > ? AND event_id <= ? ORDER BY event_id")
+      ps.setLong(1, fromExclusive)
+      ps.setLong(2, toInclusive)
+      val rs = ps.executeQuery()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[RawChange]
+      while (rs.next()) {
+        buf += RawChange(rs.getLong(1), rs.getTimestamp(2), rs.getLong(3),
+          rs.getString(4), rs.getString(5))
+      }
+      buf.toSeq
+    } finally conn.close()
+  }
+}
+
+object JdbcFeed {
+  /** `[A-Za-z_][A-Za-z0-9_.]*` — schema-qualified identifiers only. */
+  def isSafeIdent(s: String): Boolean =
+    s.nonEmpty && s.head.isLetter && s.forall(c => c.isLetterOrDigit || c == '_' || c == '.')
+}
+
+/** Live catalog discovery — the reference's `information_schema.tables`
+  * enumeration with install-time regexp pruning (reference `queries.go:4-9`
+  * consumed at `server.go:149-166`): tables that don't match the regexp never
+  * get a trigger, so filtered data is NEVER PRODUCED — source-side pruning,
+  * the strongest predicate pushdown there is (SURVEY §4). Here: a table with
+  * no feed never has a streaming query polling it.
+  *
+  * Uses JDBC `DatabaseMetaData.getTables` rather than literal
+  * `information_schema` SQL so the same code runs against Postgres, Derby, or
+  * anything else with a JDBC driver.
+  */
+object CdcCatalog {
+
+  /** Enumerate base tables in `schemaPattern` and keep those matching
+    * `tableRegexp` — UNANCHORED, the Go RE2 `MatchString` substring semantics
+    * of the reference (`server.go:160-162`), same as every F1/F2 filter here.
+    */
+  def discoverTables(url: String, schemaPattern: String, tableRegexp: String): Seq[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      val re = tableRegexp.r
+      names.toSeq.filter(t => re.findFirstIn(t).isDefined).sorted
+    } finally conn.close()
+  }
+
+  /** Install-time pruning composed end-to-end: one [[CdcSource.JdbcSpec]] per
+    * surviving table (the analog of per-table trigger install,
+    * `server.go:168-172`). Errors out on zero matches exactly like the
+    * reference (`server.go:143-145`).
+    */
+  def install(url: String, schemaPattern: String, tableRegexp: String): Seq[CdcSource.JdbcSpec] = {
+    val tables = discoverTables(url, schemaPattern, tableRegexp)
+    require(tables.nonEmpty,
+      s"no tables match regexp '$tableRegexp' (reference server.go:143-145 errors here too)")
+    tables.map(t => CdcSource.JdbcSpec(url, t))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.{CdcCatalog, CdcSource, JdbcFeed}
+import java.sql.{DriverManager, Timestamp}
+
+/** Drives the production CDC shape — JDBC ChangeFeed + live catalog
+  * discovery — against in-process Derby (in /opt/spark/jars, in-memory, zero
+  * egress). Mirrors CdcSourceSpec's exactly-once contract over a real
+  * database: ranged executor-side fetch, offset recovery across restart,
+  * install-time table pruning.
+  */
+class JdbcFeedSpec extends SparkSuite {
+
+  private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def withDb(name: String)(f: String => Unit): Unit = {
+    val url = s"jdbc:derby:memory:$name;create=true"
+    val c = DriverManager.getConnection(url)
+    c.close()
+    f(url)
+  }
+
+  private def exec(url: String, sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute(sql) finally c.close()
+  }
+
+  private def createEvents(url: String, table: String): Unit =
+    exec(url, s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+
+  private def insert(url: String, table: String,
+                     rows: (Long, Timestamp, Long, String, String)*): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+      rows.foreach { case (id, ts, uid, typ, props) =>
+        ps.setLong(1, id); ps.setTimestamp(2, ts); ps.setLong(3, uid)
+        ps.setString(4, typ); ps.setString(5, props)
+        ps.executeUpdate()
+      }
+    } finally c.close()
+  }
+
+  test("jdbc feed: ranged fetch semantics (exclusive/inclusive bounds)") {
+    withDb("bounds") { url =>
+      createEvents(url, "events")
+      insert(url, "events",
+        (1L, t(0), 1L, "signup", """{"k":1}"""),
+        (2L, t(1), 2L, "purchase", """{"k":2}"""),
+        (3L, t(2), 3L, "view", """{"k":3}"""))
+      val feed = new JdbcFeed(url, "events")
+      assert(feed.latestId() == 3L)
+      assert(feed.fetch(1L, 3L).map(_.event_id) == Seq(2L, 3L))
+      assert(feed.fetch(3L, 3L).isEmpty)
+      val r = feed.fetch(0L, 1L).head
+      assert(r.event_type == "signup" && r.props == """{"k":1}""" && r.ts == t(0))
+    }
+  }
+
+  test("jdbc feed drives the DSv2 source: restart resumes after the committed offset") {
+    withDb("restart") { url =>
+      createEvents(url, "events")
+      val ckpt = java.nio.file.Files.createTempDirectory("jdbc_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("jdbc_out").toString
+      def start() = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", url).option("jdbcTable", "events")
+        .option("numPartitions", "3").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      try {
+        insert(url, "events",
+          (1L, t(0), 1L, "signup", """{"k":1}"""),
+          (2L, t(1), 1L, "purchase", """{"k":2}"""))
+        q1.processAllAvailable()
+        assert(spark.read.parquet(out).count() == 2)
+      } finally q1.stop()
+
+      // rows committed while the query is DOWN are delivered exactly once on
+      // restart (the reference drops its reconnect window — SURVEY §1.3)
+      insert(url, "events", (3L, t(2), 1L, "view", """{"k":3}"""))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val ids = spark.read.parquet(out).orderBy("event_id").collect().map(_.getLong(0)).toSeq
+        assert(ids == Seq(1L, 2L, 3L), s"expected exactly-once delivery across restart, got $ids")
+      } finally q2.stop()
+    }
+  }
+
+  test("catalog discovery prunes by unanchored regexp at install time") {
+    withDb("catalog") { url =>
+      createEvents(url, "notes")
+      createEvents(url, "users")
+      createEvents(url, "audit_log")
+      // Derby folds unquoted identifiers to upper case; match case-insensitively
+      // like the reference's typical usage (regexp over lowercase pg names)
+      val found = CdcCatalog.discoverTables(url, "APP", "(?i)note|user")
+      assert(found == Seq("NOTES", "USERS"), s"got $found")
+      // install-time pruning: only matching tables get feeds at all
+      val specs = CdcCatalog.install(url, "APP", "(?i)note|user")
+      assert(specs.map(_.table) == Seq("NOTES", "USERS"))
+      // zero matches errors exactly like the reference (server.go:143-145)
+      intercept[IllegalArgumentException] {
+        CdcCatalog.install(url, "APP", "nomatch_xyz")
+      }
+      // the pruned table never produces events: poll the two installed feeds
+      insert(url, "notes", (1L, t(0), 1L, "insert", """{"k":1}"""))
+      insert(url, "audit_log", (99L, t(0), 1L, "insert", """{"k":99}"""))
+      val polled = specs.map(CdcSource.resolve).flatMap(_.fetch(-1L, Long.MaxValue))
+      assert(polled.map(_.event_id) == Seq(1L), "pruned table leaked events")
+    }
+  }
+
+  test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
+    intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
+    intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
+    assert(JdbcFeed.isSafeIdent("app.events"))
+  }
+}
