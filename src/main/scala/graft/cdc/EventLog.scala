@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object EventLog {
 
-  /** event_type -> Operation enum analog (reference `pqstream.proto:18-24`). */
+  /** event_type -> Operation enum analog (reference `pqstream.proto:18-24`).
+    * TRUNCATE completes the proto's op domain: the reference declares it but
+    * never produces it — its trigger only fires on INSERT/UPDATE/DELETE
+    * (`queries.go:58-60`) — and the testdata has no truncate events either,
+    * so the branch is dormant there exactly as in the reference.
+    */
   val opCol = when(col("event_type") === "signup", "INSERT")
     .when(col("event_type") === "error", "DELETE")
+    .when(col("event_type") === "truncate", "TRUNCATE")
     .otherwise("UPDATE")
 
   private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")

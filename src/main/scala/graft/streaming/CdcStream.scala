@@ -30,10 +30,14 @@ object CdcStream {
   case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       op: String, payload: String, previous: String, changes: String)
 
+  /** Matches [[graft.cdc.EventLog.opCol]]. TRUNCATE is declared-but-dormant,
+    * same as the reference (`pqstream.proto:23` vs `queries.go:58-60`).
+    */
   def opOf(eventType: String): String = eventType match {
-    case "signup" => "INSERT"
-    case "error"  => "DELETE"
-    case _        => "UPDATE"
+    case "signup"   => "INSERT"
+    case "error"    => "DELETE"
+    case "truncate" => "TRUNCATE"
+    case _          => "UPDATE"
   }
 
   private def processGroup(

@@ -15,6 +15,19 @@ class CdcStreamSpec extends SparkSuite {
 
   private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
 
+  test("op domain covers the full proto enum incl. declared-but-dormant TRUNCATE") {
+    // reference pqstream.proto:18-24 declares {UNKNOWN, INSERT, UPDATE,
+    // DELETE, TRUNCATE}; the trigger never produces TRUNCATE (queries.go:58-60)
+    assert(CdcStream.opOf("signup") == "INSERT")
+    assert(CdcStream.opOf("purchase") == "UPDATE")
+    assert(CdcStream.opOf("error") == "DELETE")
+    assert(CdcStream.opOf("truncate") == "TRUNCATE")
+    // batch mapping agrees with the streaming one
+    val types = Seq("signup", "purchase", "error", "truncate", "view").toDF("event_type")
+    val ops = types.select(graft.cdc.EventLog.opCol.as("op")).as[String].collect().toSeq
+    assert(ops == Seq("INSERT", "UPDATE", "DELETE", "TRUNCATE", "UPDATE"))
+  }
+
   test("prev-image state carries across micro-batches; changes = pre-update value") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawChange]
