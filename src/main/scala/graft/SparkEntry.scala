@@ -206,6 +206,7 @@ object SparkEntry {
     "ops_dedup_keys"    -> (Dedup.dedupKeys _),
     "ops_dedup_content" -> (Dedup.dedupContent _),
     "ops_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashCandidates(s, d)),
+    "ops_dedup_verify"  -> ((s: SparkSession, d: String) => Dedup.dedupVerify(s, d)),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_simhash"       -> (Dedup.simhash _),
     // similarity set
@@ -223,6 +224,7 @@ object SparkEntry {
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
     "ops_vocab"      -> ((s: SparkSession, d: String) => Curation.vocabulary(s, d)),
     "ops_repetition" -> (Curation.repetitionScore _),
+    "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -256,6 +258,29 @@ object SparkEntry {
       |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** MinHash band-bucket candidate pairs as CTEs ending in `cands` — shared
+    * by the ops_dedup_minhash oracle and the ops_dedup_verify composition.
+    * Expects `sh` from [[shinglesCte]] in scope.
+    */
+  private def minhashCandsCte: String = {
+    val perms = graft.ops.Hashing.permutations(16).zipWithIndex
+      .map { case ((a, b), j) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(", ")
+    s"""perm(j, a, b) AS (VALUES $perms),
+       |hs AS (SELECT doc_id, ${h60sql("shingle")} % ${graft.ops.Hashing.P} AS h0 FROM sh),
+       |mh AS (
+       |  SELECT doc_id, j, MIN((h0 * a + b) % ${graft.ops.Hashing.P}) AS m
+       |  FROM hs CROSS JOIN perm
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB literal for a constant double list. */
   private def listLit(xs: Array[Double]): String =
@@ -445,24 +470,35 @@ object SparkEntry {
       "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
     "ops_dedup_content" ->
       "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
-    "ops_dedup_minhash" -> {
-      val perms = graft.ops.Hashing.permutations(16).zipWithIndex
-        .map { case ((a, b), j) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
-        .mkString(", ")
+    "ops_dedup_minhash" ->
       s"""WITH $shinglesCte,
-         |perm(j, a, b) AS (VALUES $perms),
-         |hs AS (SELECT doc_id, ${h60sql("shingle")} % ${graft.ops.Hashing.P} AS h0 FROM sh),
-         |mh AS (
-         |  SELECT doc_id, j, MIN((h0 * a + b) % ${graft.ops.Hashing.P}) AS m
-         |  FROM hs CROSS JOIN perm
-         |  GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS sig
-         |  FROM mh GROUP BY doc_id, j // 2)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |$minhashCandsCte
+         |SELECT doc_a, doc_b FROM cands""".stripMargin,
+    "ops_dedup_verify" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |  FROM cands c
+         |  JOIN hv a ON a.doc_id = c.doc_a
+         |  JOIN hv b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT s.doc_a, s.doc_b,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM shared s
+         |JOIN sizes na ON na.doc_id = s.doc_a
+         |JOIN sizes nb ON nb.doc_id = s.doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    "ops_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5)
+         |SELECT hv.doc_id, CAST(COUNT(DISTINCT hv.h) AS BIGINT) AS n_hits
+         |FROM hv JOIN bench ON hv.h = bench.h
+         |WHERE hv.doc_id >= 5
+         |GROUP BY hv.doc_id""".stripMargin,
     "ops_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

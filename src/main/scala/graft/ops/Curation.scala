@@ -73,6 +73,31 @@ object Curation {
       .limit(k)
   }
 
+  /** Benchmark decontamination — the train/test-overlap scan every serious
+    * LLM corpus pipeline runs before training: find corpus documents sharing
+    * any word n-gram with the evaluation set, so contaminated docs can be
+    * dropped (n-gram-overlap decontamination, the GPT-3/PaLM-style published
+    * procedure). Here the "benchmark" is the deterministic slice doc_id <
+    * benchDocs so the oracle can reproduce it; a real run points `bench` at
+    * the eval-set texts.
+    *
+    * Scale shape: the benchmark shingle set is SMALL by construction (eval
+    * sets are a few thousand items) — aggregated to distinct hashes and
+    * broadcast, so the corpus side is ONE scan + a broadcast hash join (no
+    * shuffle) followed by one partial-agg groupBy. Counting DISTINCT matched
+    * shingles per doc keeps the metric stable under repeated shingles.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, benchDocs: Long = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = Dedup.shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
+    val bench = sh.filter(col("doc_id") < benchDocs).select(col("h")).distinct()
+    sh.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_hits"))
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word bigrams per
     * document — high values flag boilerplate/spam. Computed in-row over the
     * token array (narrow, zero shuffle): duplicated-bigram ratio =

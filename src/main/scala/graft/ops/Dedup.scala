@@ -184,6 +184,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The full two-stage near-dup pipeline composed: MinHash+LSH candidate
+    * generation ([[minhashCandidatesDf]]) followed by EXACT n-gram Jaccard
+    * verification of only those candidates — the standard candidate-verify
+    * split (generate cheaply with recall, verify exactly with precision).
+    *
+    * Verification cost is O(candidates), not O(pairs sharing a shingle): each
+    * doc's distinct shingle-hash set is aggregated once (sorted for
+    * determinism), the candidate pair joins its two sets and the exact
+    * Jaccard is an in-row `array_intersect` — no inverted-index pair
+    * explosion in the verify stage at all. At 100 TB this is the shape that
+    * survives: candidates are ~linear in corpus size by LSH design (and
+    * capped under skew), so the two id-keyed joins are the only shuffles.
+    */
+  def dedupVerify(spark: SparkSession, sfDir: String,
+                  threshold: Double = 0.2): DataFrame =
+    dedupVerifyDf(Tables.load(spark, sfDir, "documents"), threshold)
+
+  def dedupVerifyDf(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val cands = minhashCandidatesDf(docs)
+    val sets = shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("ha")) + size(col("hb")) - inter).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority
     * vote of bit i across the token multiset's 60-bit hashes. Integer-only
     * math -> bit-exact against any engine.

@@ -99,4 +99,26 @@ object CdcCatalog {
       s"no tables match regexp '$tableRegexp' (reference server.go:143-145 errors here too)")
     tables.map(t => CdcSource.JdbcSpec(url, t))
   }
+
+  /** The daemon composition (reference `cmd/pqsd/main.go:95-109`): every
+    * installed table captured into ONE event stream, each row carrying its
+    * source table in the envelope (`pqstream.proto:39` — the `table` field
+    * every downstream filter keys on). One DSv2 source per table unioned into
+    * a single streaming DataFrame: each source keeps its own offsets in the
+    * shared checkpoint, so the union stays exactly-once per table, and a busy
+    * table cannot starve a quiet one inside a trigger (each source plans its
+    * own partitions).
+    */
+  def readAll(spark: org.apache.spark.sql.SparkSession,
+              specs: Seq[CdcSource.JdbcSpec],
+              numPartitions: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(specs.nonEmpty, "readAll needs at least one feed")
+    import org.apache.spark.sql.functions.lit
+    specs.map { s =>
+      spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", s.url).option("jdbcTable", s.table)
+        .option("numPartitions", numPartitions.toString).load()
+        .withColumn("table", lit(s.table))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -114,6 +114,33 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("multi-table capture: discover -> per-table feeds -> one stream with table envelope") {
+    withDb("daemon") { url =>
+      createEvents(url, "notes")
+      createEvents(url, "users")
+      createEvents(url, "audit_log")
+      insert(url, "notes", (1L, t(0), 1L, "insert", """{"k":1}"""))
+      insert(url, "users", (1L, t(0), 2L, "insert", """{"k":2}"""))
+      insert(url, "audit_log", (1L, t(0), 3L, "insert", """{"k":3}"""))
+      val specs = CdcCatalog.install(url, "APP", "(?i)note|user")
+      val q = CdcCatalog.readAll(spark, specs)
+        .writeStream.format("memory").queryName("daemon_out").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("daemon_out")
+          .orderBy("table").collect()
+          .map(r => (r.getAs[String]("table"), r.getAs[Long]("user_id"))).toSeq
+        // audit_log was pruned at install time: never captured
+        assert(rows == Seq(("NOTES", 1L), ("USERS", 2L)), s"got $rows")
+
+        // per-table offsets advance independently within the one query
+        insert(url, "users", (2L, t(1), 4L, "update", """{"k":4}"""))
+        q.processAllAvailable()
+        assert(spark.table("daemon_out").count() == 3)
+      } finally q.stop()
+    }
+  }
+
   test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
