@@ -232,9 +232,14 @@ object SparkEntry {
 
   // ===== DuckDB oracles =====
 
-  /** Shared SQL fragments for the oracle strings. */
+  /** Shared SQL fragments for the oracle strings. Mirrors
+    * [[graft.cdc.EventLog.opCol]] branch for branch (incl. the dormant
+    * TRUNCATE — `CdcStreamSpec` pins the Scala mappings to each other, this
+    * copy must move with them).
+    */
   private val opCase =
-    "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' " +
+      "WHEN event_type = 'truncate' THEN 'TRUNCATE' ELSE 'UPDATE' END"
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"

@@ -49,7 +49,9 @@ case class JsonMergePatch(left: Expression, right: Expression)
     * [[MergePatch.patchUtf8]], so this expression joins the surrounding
     * whole-stage-codegen span instead of splitting it — the same pattern
     * Spark's own regexp/json expressions use for non-trivial kernels. Children
-    * may be null (meaning `{}`), so this is NOT nullSafeCodeGen.
+    * may be null (meaning `{}`), so this is NOT nullSafeCodeGen. The explicit
+    * UTF8String casts keep the call compilable when a child is a bare NULL
+    * literal (NullType generates a java.lang.Object-typed value).
     */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = left.genCode(ctx)
@@ -63,8 +65,8 @@ case class JsonMergePatch(left: Expression, right: Expression)
         ${l.code}
         ${r.code}
         UTF8String ${ev.value} = $cls.patchUtf8(
-          ${l.isNull} ? null : ${l.value},
-          ${r.isNull} ? null : ${r.value});
+          ${l.isNull} ? null : ((UTF8String) ${l.value}),
+          ${r.isNull} ? null : ((UTF8String) ${r.value}));
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }

@@ -27,8 +27,11 @@ case class JsonRedact(child: Expression, fields: Seq[String])
 
   @transient private lazy val fieldsArr: Array[String] = fields.toArray
 
+  // StringType ONLY (no NullType): nullSafeCodeGen emits the child's java
+  // type into the redactUtf8 call, and a NullType child (java Object) would
+  // not compile — cast a null literal to string first if you need one
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
+    if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

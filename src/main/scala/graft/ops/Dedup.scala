@@ -211,6 +211,13 @@ object Dedup {
     * end-to-end — higher-order lambdas are interpreted, the same measured
     * trade documented at [[simhash]]. One extra shingle pass is the cheaper
     * side of that trade.
+    *
+    * Cache lifecycle: the persisted frame is never unpersisted here (the
+    * result is lazy, so there is no in-function point where it is safe);
+    * it is LRU-evictable and spillable, and the harness runs one session
+    * per invocation. A long-lived session calling this repeatedly should
+    * `spark.catalog.clearCache()` between runs — or materialize the set
+    * frame as a bucketed table, which is the real 100 TB shape anyway.
     */
   def dedupVerifyDf(docs: DataFrame, threshold: Double = 0.2,
                     numHashes: Int = 16, rowsPerBand: Int = 2,
@@ -222,13 +229,16 @@ object Dedup {
       .agg(sort_array(collect_set(col("h"))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("ha"), col("hb")))
+    // filter on the UNROUNDED value (matching ngramJaccardDf and the oracle);
+    // rounding only the projected output — filtering post-round would admit
+    // boundary values the oracle rejects
+    val jaccard = inter.cast("double") /
+      (size(col("ha")) + size(col("hb")) - inter).cast("double")
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") /
-          (size(col("ha")) + size(col("hb")) - inter).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(jaccard >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jaccard, 6).as("jaccard"))
   }
 
   /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority

@@ -48,13 +48,22 @@ object CdcSource {
     * feed — input partitions are shipped to executors, so they must carry
     * connection info, never driver-side state.
     */
-  sealed trait FeedSpec extends Serializable
+  sealed trait FeedSpec extends Serializable {
+    /** Display form for Spark UI / logs / progress JSON. MUST NOT include the
+      * JDBC URL — connection strings routinely carry credentials.
+      */
+    def describe: String
+  }
   /** Test/demo in-JVM feed, resolved via [[FeedRegistry]]. */
-  case class MemorySpec(name: String) extends FeedSpec
+  case class MemorySpec(name: String) extends FeedSpec {
+    override def describe: String = s"memory:$name"
+  }
   /** Production shape: ranged JDBC fetch, connection opened executor-side in
     * the partition reader (see [[JdbcFeed]]).
     */
-  case class JdbcSpec(url: String, table: String) extends FeedSpec
+  case class JdbcSpec(url: String, table: String) extends FeedSpec {
+    override def describe: String = s"jdbc:$table"
+  }
 
   def resolve(spec: FeedSpec): ChangeFeed = spec match {
     case MemorySpec(n)        => FeedRegistry.get(n)
@@ -142,7 +151,7 @@ object CdcSource {
   }
 
   class CdcTable(spec: FeedSpec, numPartitions: Int) extends Table with SupportsRead {
-    override def name(): String = s"cdc_feed($spec)"
+    override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ)

@@ -55,9 +55,11 @@ final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
 }
 
 object JdbcFeed {
-  /** `[A-Za-z_][A-Za-z0-9_.]*` — schema-qualified identifiers only. */
-  def isSafeIdent(s: String): Boolean =
-    s.nonEmpty && s.head.isLetter && s.forall(c => c.isLetterOrDigit || c == '_' || c == '.')
+  private val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*$".r
+  /** ASCII identifier segments joined by single dots (schema qualification);
+    * no leading/trailing/doubled dots, no quoting, no unicode.
+    */
+  def isSafeIdent(s: String): Boolean = IdentRe.matches(s)
 }
 
 /** Live catalog discovery — the reference's `information_schema.tables`
@@ -73,18 +75,24 @@ object JdbcFeed {
   */
 object CdcCatalog {
 
-  /** Enumerate base tables in `schemaPattern` and keep those matching
-    * `tableRegexp` — UNANCHORED, the Go RE2 `MatchString` substring semantics
-    * of the reference (`server.go:160-162`), same as every F1/F2 filter here.
+  /** Enumerate base tables in `schemaPattern` and keep those whose TABLE
+    * name matches `tableRegexp` — UNANCHORED, the Go RE2 `MatchString`
+    * substring semantics of the reference (`server.go:160-162`), same as
+    * every F1/F2 filter here. Returned names are SCHEMA-QUALIFIED
+    * (`schema.table`): feeds must pin the discovered schema explicitly —
+    * a bare name would resolve through the connection's search path and
+    * could silently capture a same-named table in another schema.
     */
   def discoverTables(url: String, schemaPattern: String, tableRegexp: String): Seq[String] = {
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
-      val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next()) names += rs.getString("TABLE_NAME")
+      val names = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (rs.next()) names += ((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
       val re = tableRegexp.r
-      names.toSeq.filter(t => re.findFirstIn(t).isDefined).sorted
+      names.toSeq.collect {
+        case (s, t) if re.findFirstIn(t).isDefined => s"$s.$t"
+      }.sorted
     } finally conn.close()
   }
 

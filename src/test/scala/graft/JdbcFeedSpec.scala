@@ -97,11 +97,13 @@ class JdbcFeedSpec extends SparkSuite {
       createEvents(url, "audit_log")
       // Derby folds unquoted identifiers to upper case; match case-insensitively
       // like the reference's typical usage (regexp over lowercase pg names)
+      // names come back schema-qualified: a bare name would resolve through
+      // the connection's search path, risking capture of the wrong table
       val found = CdcCatalog.discoverTables(url, "APP", "(?i)note|user")
-      assert(found == Seq("NOTES", "USERS"), s"got $found")
+      assert(found == Seq("APP.NOTES", "APP.USERS"), s"got $found")
       // install-time pruning: only matching tables get feeds at all
       val specs = CdcCatalog.install(url, "APP", "(?i)note|user")
-      assert(specs.map(_.table) == Seq("NOTES", "USERS"))
+      assert(specs.map(_.table) == Seq("APP.NOTES", "APP.USERS"))
       // zero matches errors exactly like the reference (server.go:143-145)
       intercept[IllegalArgumentException] {
         CdcCatalog.install(url, "APP", "nomatch_xyz")
@@ -131,7 +133,7 @@ class JdbcFeedSpec extends SparkSuite {
           .orderBy("table").collect()
           .map(r => (r.getAs[String]("table"), r.getAs[Long]("user_id"))).toSeq
         // audit_log was pruned at install time: never captured
-        assert(rows == Seq(("NOTES", 1L), ("USERS", 2L)), s"got $rows")
+        assert(rows == Seq(("APP.NOTES", 1L), ("APP.USERS", 2L)), s"got $rows")
 
         // per-table offsets advance independently within the one query
         insert(url, "users", (2L, t(1), 4L, "update", """{"k":4}"""))

@@ -46,6 +46,11 @@ class MergePatchSpec extends AnyFunSuite {
       assert(rows(1) == """{"a":9,"b":1}""")
       // id=2: prev NULL -> treated as {} -> both curr keys map to null
       assert(rows(2) == """{"a":null,"b":null}""")
+      // NullType literal children must also survive forced codegen
+      val nulls = spark.sql(
+        "SELECT json_merge_patch(NULL, p) AS x FROM (SELECT concat('{\"k\":', CAST(id AS STRING), '}') AS p FROM range(1))")
+        .collect().map(_.getString(0))
+      assert(nulls(0) == """{"k":0}""")
     } finally {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       spark.conf.set("spark.sql.codegen.fallback", "true")
