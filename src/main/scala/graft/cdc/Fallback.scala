@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * default: a shuffle join on the id key scales with the starved slice, which
   * tiering keeps small. Pass `broadcastBase = true` only when the base is a
   * genuine dimension table.
+  *
+  * Known trade: the split + union references the upstream subtree twice, so
+  * its narrow work evaluates once per branch (Spark reuses the shuffle
+  * exchange, not projections). The alternative — one left join with the
+  * starved guard in the join condition — evaluates upstream once but
+  * shuffles EVERY event row on the id key; at capture scale the duplicated
+  * narrow CPU is far cheaper than shuffling the full fact, which is why the
+  * split shape wins.
   */
 object Fallback {
 
