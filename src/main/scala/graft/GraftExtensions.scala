@@ -27,5 +27,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.JsonMergePatch(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("json_redact"),
+      new ExpressionInfo(
+        classOf[functions.JsonRedact].getName,
+        null,
+        "json_redact",
+        "json_redact(payload, field, ...) - remove the named fields from a JSON object payload (reference redactions.go:33-52); field names must be string literals",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // fields are configuration, not data: demand foldable string literals
+        // so they can compile into the expression (codegen reference objects)
+        val fields = exprs.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"json_redact field names must be non-null string literals, got $other")
+        }
+        functions.JsonRedact(exprs.head, fields)
+      }))
   }
 }

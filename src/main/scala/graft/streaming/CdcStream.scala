@@ -85,6 +85,23 @@ object CdcStream {
       }
   }
 
+  /** Exactly-once-ify an at-least-once upstream: drop replayed event ids
+    * within the watermark horizon. The offset-tracked JDBC source is
+    * exactly-once by construction, but a NOTIFY-shaped transport (the
+    * reference's, which can re-deliver around reconnects) or any retrying
+    * producer needs ingest-side dedup. `dropDuplicatesWithinWatermark` keys
+    * state on event_id and EXPIRES it past the watermark — bounded state,
+    * unlike plain `dropDuplicates` whose id set grows forever (SURVEY §7.4
+    * #6: unbounded keys at 100 TB demand eviction).
+    */
+  def dedupeReplays(ds: Dataset[RawChange],
+                    watermark: String = "10 minutes"): Dataset[RawChange] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .as[RawChange]
+  }
+
   /** Tumbling-window counts with a watermark — the streaming-window analog of
     * `ops_hourly_counts` (the reference has no event time at all; SURVEY §2B).
     */

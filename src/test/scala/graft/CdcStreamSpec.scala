@@ -70,6 +70,26 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("replayed event ids are dropped within the watermark (at-least-once upstream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.dedupeReplays(in.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("replay_out").outputMode("append").start()
+    try {
+      in.addData(
+        RawChange(1, t(0), 1, "signup", """{"k":1}"""),
+        RawChange(1, t(0), 1, "signup", """{"k":1}""")) // same-batch replay
+      q.processAllAvailable()
+      in.addData(RawChange(1, t(1), 1, "signup", """{"k":1}""")) // cross-batch replay
+      in.addData(RawChange(2, t(2), 1, "purchase", """{"k":2}"""))
+      q.processAllAvailable()
+      val ids = spark.table("replay_out").orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L), s"replays must be dropped, got $ids")
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark produce per-window totals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawChange]

@@ -87,6 +87,11 @@ class QueriesSpec extends SparkSuite {
       val out = s2.sql("""SELECT json_merge_patch('{"a":1}', '{"a":2}') AS p""")
         .collect()(0).getString(0)
       assert(out == """{"a":2}""")
+      val red = s2.sql("""SELECT json_redact('{"a":1,"pw":"x"}', 'pw') AS p""")
+        .collect()(0).getString(0)
+      assert(red == """{"a":1}""")
+      // field names must be literals (they compile into the expression)
+      intercept[Exception] { s2.sql("SELECT json_redact('{}', lower('PW'))").collect() }
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
