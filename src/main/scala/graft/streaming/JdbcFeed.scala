@@ -23,6 +23,16 @@ import graft.streaming.CdcStream.RawChange
   *
   * Tested against in-process Derby (in `JdbcFeedSpec`) — any JDBC database
   * with a monotone id column works; zero Derby-specific SQL here.
+  *
+  * Visibility caveat (the classic id-polling CDC pitfall): `MAX(event_id)`
+  * assumes ids become VISIBLE in order. Under concurrent writers a
+  * transaction holding a smaller id can commit after a larger id was already
+  * polled past, and that row is then never fetched. The reference's NOTIFY
+  * transport dodges this (notifications fire on commit) at the price of
+  * at-most-once delivery. Production hardening on Postgres: poll an
+  * `xmin`/LSN horizon or re-scan a small trailing id window; for append-only
+  * single-writer logs (this harness, most event tables) the monotone
+  * assumption holds as-is.
   */
 final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
   require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")

@@ -92,6 +92,23 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"expected exactly 1 embeddings scan, found $scans:\n$p")
   }
 
+  test("cdc_pipeline executes fully codegen'd (no interpreter fallback anywhere)") {
+    // The flagship plan carries both custom expressions (json_redact,
+    // json_merge_patch). Forcing CODEGEN_ONLY with fallback off makes ANY
+    // non-compilable expression a hard failure instead of a silent
+    // interpreted downgrade — the production guarantee the custom
+    // expressions exist for.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = SparkEntry.queries("cdc_pipeline")(spark, sf).count()
+      assert(n > 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
