@@ -40,6 +40,16 @@ object CdcStream {
     case _          => "UPDATE"
   }
 
+  /** Multi-table capture row: [[RawChange]] plus the source-table envelope
+    * field (`pqstream.proto:39`) that [[CdcCatalog.readAll]] attaches.
+    */
+  case class TableRawChange(table: String, event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, props: String)
+
+  case class TableCdcEvent(table: String, event_id: Long, ts: java.sql.Timestamp,
+                           user_id: Long, op: String, payload: String,
+                           previous: String, changes: String)
+
   private def processGroup(
       userId: Long, rows: Iterator[RawChange],
       state: GroupState[String]): Iterator[CdcEvent] = {
@@ -80,6 +90,32 @@ object CdcStream {
           // re-arm the TTL only while state EXISTS: setting a timeout after
           // remove() writes the entry back and the key re-fires forever —
           // eviction would never actually shrink the store
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
+          out
+      }
+  }
+
+  /** Multi-table variant of [[withPrevState]]: state keyed by
+    * (table, user_id), because the reference's OLD image is PER TABLE
+    * (`queries.go:22-24` — the trigger fires per table; `previous` can never
+    * cross tables). Keying on user_id alone would bleed prev-images between
+    * tables the moment two captured tables share key values — the spec pins
+    * exactly that. Same TTL/eviction contract as the single-table path.
+    */
+  def withPrevStateByTable(ds: Dataset[TableRawChange],
+                           stateTtl: Option[String] = None): Dataset[TableCdcEvent] = {
+    import ds.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(r => (r.table, r.user_id))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (k: (String, Long), rows: Iterator[TableRawChange], state: GroupState[String]) =>
+          val raw = rows.map(r =>
+            RawChange(r.event_id, r.ts, r.user_id, r.event_type, r.props))
+          val out = processGroup(k._2, raw, state).map(e =>
+            TableCdcEvent(k._1, e.event_id, e.ts, e.user_id, e.op,
+              e.payload, e.previous, e.changes))
           if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           out
       }

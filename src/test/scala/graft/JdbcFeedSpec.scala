@@ -10,6 +10,7 @@ import java.sql.{DriverManager, Timestamp}
   * install-time table pruning.
   */
 class JdbcFeedSpec extends SparkSuite {
+  import spark.implicits._
 
   private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
 
@@ -139,6 +140,37 @@ class JdbcFeedSpec extends SparkSuite {
         insert(url, "users", (2L, t(1), 4L, "update", """{"k":4}"""))
         q.processAllAvailable()
         assert(spark.table("daemon_out").count() == 3)
+      } finally q.stop()
+    }
+  }
+
+  test("daemon end-to-end: catalog -> multi-table capture -> PER-TABLE prev-image state") {
+    import graft.streaming.CdcStream
+    withDb("daemon2") { url =>
+      createEvents(url, "accounts")
+      createEvents(url, "orders")
+      val specs = CdcCatalog.install(url, "APP", "(?i)account|order")
+      val raw = CdcCatalog.readAll(spark, specs).as[CdcStream.TableRawChange]
+      val q = CdcStream.withPrevStateByTable(raw)
+        .writeStream.format("memory").queryName("daemon_e2e").outputMode("append").start()
+      try {
+        // the SAME user_id lives in both tables: previous images must come
+        // from the same table only (reference OLD is per-table trigger state)
+        insert(url, "accounts", (1L, t(0), 7L, "signup", """{"k":1}"""))
+        insert(url, "orders", (1L, t(0), 7L, "signup", """{"k":100}"""))
+        q.processAllAvailable()
+        insert(url, "accounts", (2L, t(1), 7L, "purchase", """{"k":2}"""))
+        insert(url, "orders", (2L, t(1), 7L, "purchase", """{"k":200}"""))
+        q.processAllAvailable()
+        val rows = spark.table("daemon_e2e").orderBy("table", "event_id").collect()
+        def of(tbl: String) = rows.filter(_.getAs[String]("table") == tbl)
+        val acc = of("APP.ACCOUNTS")
+        val ord = of("APP.ORDERS")
+        assert(acc.length == 2 && ord.length == 2)
+        assert(acc(1).getAs[String]("previous") == """{"k":1}""")
+        assert(acc(1).getAs[String]("changes") == """{"k":1}""", "accounts changes must hold the ACCOUNTS pre-update value")
+        assert(ord(1).getAs[String]("previous") == """{"k":100}""")
+        assert(ord(1).getAs[String]("changes") == """{"k":100}""", "orders prev-image must not bleed from accounts")
       } finally q.stop()
     }
   }
