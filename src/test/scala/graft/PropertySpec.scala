@@ -54,4 +54,32 @@ class PropertySpec extends SparkSuite {
       got == want
     })
   }
+
+  test("cappedPairs: all pairs within the cap; star (hub + connectivity) beyond it") {
+    val ids = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 50L)))
+    val caps = Gen.chooseNum(2, 8)
+    check(Prop.forAll(ids, caps) { (raw, cap) =>
+      val sorted = raw.distinct.sorted
+      sorted.length < 2 || {
+        val df = Seq(Tuple1(sorted)).toDF("ids")
+        val got = df.select(explode(Dedup.cappedPairs(col("ids"), cap)).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (sorted.length <= cap) {
+          // identical to pairsOf
+          got == (for { a <- sorted; b <- sorted if a < b } yield (a, b)).toSet
+        } else {
+          // star: O(c) pairs, every member connected to the hub
+          got == sorted.tail.map(b => (sorted.head, b)).toSet
+        }
+      }
+    })
+  }
+
+  test("isSafeIdent: accepts exactly dot-joined ASCII identifier segments") {
+    import graft.streaming.JdbcFeed.isSafeIdent
+    assert(isSafeIdent("events") && isSafeIdent("app.events") && isSafeIdent("_x.y_2"))
+    for (bad <- Seq("", ".", "a.", ".a", "a..b", "a b", "a;b", "a'b", "1abc", "a.1b", "evénts"))
+      assert(!isSafeIdent(bad), s"must reject '$bad'")
+  }
 }
