@@ -225,6 +225,8 @@ object SparkEntry {
     "ops_vocab"      -> ((s: SparkSession, d: String) => Curation.vocabulary(s, d)),
     "ops_repetition" -> (Curation.repetitionScore _),
     "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
+    "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
+    "ops_seq_pack"      -> ((s: SparkSession, d: String) => Curation.seqPack(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -496,6 +498,17 @@ object SparkEntry {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    "ops_strat_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 60 ELSE 40 END""".stripMargin,
+    "ops_seq_pack" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
     "ops_decontaminate" ->
       s"""WITH $shinglesCte,
          |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),

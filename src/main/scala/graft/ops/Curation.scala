@@ -73,6 +73,49 @@ object Curation {
       .limit(k)
   }
 
+  /** Stratified sampling — per-stratum keep rates, i.e. the data-mixing
+    * weights step of corpus assembly (upsample scarce languages, downsample
+    * dominant ones). The rate map is tiny configuration compiled into a CASE
+    * chain over the stratum column (broadcast-equivalent, like the redaction
+    * map); membership is the same seeded content-free hash as [[hashSample]],
+    * so the sample is reproducible across engines/runs and the whole operator
+    * is ONE scan-level filter — no shuffle, no rand().
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       rates: Map[String, Int] = Map("en" -> 20, "zh" -> 60),
+                       defaultPct: Int = 40): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pct = rates.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((l, p), acc) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs
+      .filter(Hashing.h60(concat(lit("strat:"), col("doc_id"))) % 100 < pct)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Sequence packing — assign documents to fixed-token-budget training bins
+    * per language: bin = exclusive-prefix token sum over a deterministic
+    * order, integer-divided by the budget (first-fit-in-order packing; a doc
+    * is never split, so a bin can overshoot by at most one doc — the standard
+    * approximation when exact bin packing isn't worth a sequential pass).
+    * One shuffle: the window partitions by lang, so at 100 TB each stratum's
+    * running sum is a single sorted partition stream; skewed strata would
+    * sub-partition on a date/shard column added to the window key.
+    */
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer `div`, not double /: exact at any magnitude
+      .withColumn("bin", expr(s"prev_cum div $budget"))
+      .drop("prev_cum")
+  }
+
   /** Benchmark decontamination — the train/test-overlap scan every serious
     * LLM corpus pipeline runs before training: find corpus documents sharing
     * any word n-gram with the evaluation set, so contaminated docs can be
