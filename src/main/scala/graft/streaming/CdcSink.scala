@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Idempotent JDBC delivery — the "populating other systems" sink the
+  * reference exists for (reference `README.md:3`), composed Spark-first:
+  * the source side is exactly-once by checkpointed offsets ([[CdcSource]]),
+  * and this sink makes redelivery harmless, so the END-TO-END path is
+  * exactly-once — strictly stronger than the reference's at-most-once gRPC
+  * fan-out (`server.go:249-253` drops on slow/dead clients).
+  *
+  *  - `foreachBatch` + per-partition connections: each executor partition
+  *    opens its own short-lived connection and writes prepared-statement
+  *    batches — no driver funnel, no connection serialization (the exact
+  *    mirror of [[JdbcFeed]]'s read path).
+  *  - Idempotence by key: delete-then-insert on event_id inside one
+  *    transaction per partition. A replayed micro-batch (failure recovery
+  *    re-runs the last uncommitted batch) overwrites rows instead of
+  *    duplicating them. DELETE+INSERT is used rather than MERGE because it is
+  *    portable across every JDBC dialect; a dialect-aware upsert is a
+  *    drop-in.
+  */
+object CdcSink {
+
+  /** One micro-batch delivery, usable directly or via [[deliver]].
+    * Columns written: (event_id, ts, user_id, event_type, props).
+    */
+  def upsertBatch(url: String, table: String, batchSize: Int = 500)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
+    batch.select("event_id", "ts", "user_id", "event_type", "props")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
+            val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+            var pending = 0
+            rows.foreach { r =>
+              del.setLong(1, r.getLong(0))
+              del.addBatch()
+              ins.setLong(1, r.getLong(0))
+              ins.setTimestamp(2, r.getAs[java.sql.Timestamp](1))
+              ins.setLong(3, r.getLong(2))
+              ins.setString(4, r.getString(3))
+              ins.setString(5, r.getString(4))
+              ins.addBatch()
+              pending += 1
+              if (pending >= batchSize) {
+                del.executeBatch(); ins.executeBatch(); pending = 0
+              }
+            }
+            if (pending > 0) { del.executeBatch(); ins.executeBatch() }
+            conn.commit()
+          } catch {
+            case e: Throwable => conn.rollback(); throw e
+          } finally conn.close()
+        }
+      }
+  }
+
+  /** Streaming delivery: checkpointed foreachBatch over [[upsertBatch]]. */
+  def deliver(events: DataFrame, url: String, table: String,
+              checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch(upsertBatch(url, table) _)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

@@ -175,6 +175,48 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("jdbc sink: replayed micro-batches upsert instead of duplicate (exactly-once end to end)") {
+    import graft.streaming.{CdcSink, CdcSource}
+    import graft.streaming.CdcStream.RawChange
+    withDb("sinkdb") { url =>
+      createEvents(url, "delivered")
+      val feed = CdcSource.FeedRegistry.get("sink_feed")
+      val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+      val stream = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("feed", "sink_feed").load()
+      val q = CdcSink.deliver(stream, url, "delivered", ckpt)
+      try {
+        feed.append(
+          RawChange(1, t(0), 1, "signup", """{"k":1}"""),
+          RawChange(2, t(1), 2, "purchase", """{"k":2}"""))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      def delivered(): Seq[(Long, String)] = {
+        val c = DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT event_id, props FROM delivered ORDER BY event_id")
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          while (rs.next()) buf += ((rs.getLong(1), rs.getString(2)))
+          buf.toSeq
+        } finally c.close()
+      }
+      assert(delivered() == Seq((1L, """{"k":1}"""), (2L, """{"k":2}""")))
+
+      // failure-recovery replay: redeliver event 2 (with the post-recovery
+      // value) plus new event 3 — must overwrite, never duplicate
+      val replay = Seq(
+        (2L, t(1), 2L, "purchase", """{"k":22}"""),
+        (3L, t(2), 3L, "view", """{"k":3}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "props")
+      CdcSink.upsertBatch(url, "delivered")(replay, 1L)
+      CdcSink.upsertBatch(url, "delivered")(replay, 1L) // replay the replay
+      assert(delivered() ==
+        Seq((1L, """{"k":1}"""), (2L, """{"k":22}"""), (3L, """{"k":3}""")))
+    }
+  }
+
   test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
