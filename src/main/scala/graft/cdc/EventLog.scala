@@ -19,7 +19,10 @@ object EventLog {
     * TRUNCATE completes the proto's op domain: the reference declares it but
     * never produces it — its trigger only fires on INSERT/UPDATE/DELETE
     * (`queries.go:58-60`) — and the testdata has no truncate events either,
-    * so the branch is dormant there exactly as in the reference.
+    * so the branch is dormant there exactly as in the reference. UNKNOWN=0
+    * is the proto's unparseable-op default; here every event_type maps to a
+    * defined op (the remaining types are update-shaped), so UNKNOWN is
+    * unreachable by construction rather than silently produced.
     */
   val opCol = when(col("event_type") === "signup", "INSERT")
     .when(col("event_type") === "error", "DELETE")

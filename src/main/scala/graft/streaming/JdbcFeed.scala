@@ -126,6 +126,12 @@ object CdcCatalog {
     * shared checkpoint, so the union stays exactly-once per table, and a busy
     * table cannot starve a quiet one inside a trigger (each source plans its
     * own partitions).
+    *
+    * Scale note: each trigger issues one driver-side `MAX(id)` probe per
+    * table. Hundreds of tables are fine (cheap indexed probes); at thousands,
+    * shard tables across several queries (the fan-out model already runs one
+    * query per subscriber) or switch the feeds to a shared control/changelog
+    * table so one probe covers all tables.
     */
   def readAll(spark: org.apache.spark.sql.SparkSession,
               specs: Seq[CdcSource.JdbcSpec],
