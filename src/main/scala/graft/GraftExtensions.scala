@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "json_redact(payload, field, ...) - remove the named fields from a JSON object payload (reference redactions.go:33-52); field names must be string literals",
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length < 2) throw new IllegalArgumentException(
+          "json_redact requires a payload and at least one field name " +
+            s"(got ${exprs.length} argument(s))")
         // fields are configuration, not data: demand foldable string literals
         // so they can compile into the expression (codegen reference objects)
         val fields = exprs.tail.map {

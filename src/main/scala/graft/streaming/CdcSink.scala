@@ -30,7 +30,16 @@ object CdcSink {
   def upsertBatch(url: String, table: String, batchSize: Int = 500)
                  (batch: DataFrame, batchId: Long): Unit = {
     require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
+    // In-batch dedup by key BEFORE writing: an at-least-once upstream can
+    // redeliver an event_id inside one micro-batch, and the delete batch runs
+    // before the insert batch, so two copies would double-insert (PK
+    // violation -> permanently poisoned retry loop). dropDuplicates also
+    // shuffles by the key, co-locating copies that landed in different
+    // partitions (whose separate transactions couldn't see each other).
+    // Replay copies carry identical content, so which copy survives is
+    // immaterial.
     batch.select("event_id", "ts", "user_id", "event_type", "props")
+      .dropDuplicates("event_id")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
@@ -56,7 +65,11 @@ object CdcSink {
             if (pending > 0) { del.executeBatch(); ins.executeBatch() }
             conn.commit()
           } catch {
-            case e: Throwable => conn.rollback(); throw e
+            case e: Throwable =>
+              // rollback on a broken connection throws its own exception —
+              // suppress it so the ORIGINAL failure stays diagnosable
+              try conn.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+              throw e
           } finally conn.close()
         }
       }

@@ -133,9 +133,16 @@ object CdcStream {
   def dedupeReplays(ds: Dataset[RawChange],
                     watermark: String = "10 minutes"): Dataset[RawChange] = {
     import ds.sparkSession.implicits._
-    ds.withWatermark("ts", watermark)
+    // null-ts rows bypass the dedup instead of entering it: the watermark
+    // operator treats a null event time as infinitely late and silently
+    // DROPS the row — but the pipeline's contract is that one bad row never
+    // disappears silently (processGroup tolerates null ts; DeadLetter exists
+    // for malformed rows). They can't be deduplicated without an event time
+    // anyway, so they pass through unchanged.
+    val timed = ds.filter(col("ts").isNotNull)
+      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
-      .as[RawChange]
+    timed.unionByName(ds.filter(col("ts").isNull)).as[RawChange]
   }
 
   /** Tumbling-window counts with a watermark — the streaming-window analog of

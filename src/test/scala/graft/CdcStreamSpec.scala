@@ -83,10 +83,13 @@ class CdcStreamSpec extends SparkSuite {
       q.processAllAvailable()
       in.addData(RawChange(1, t(1), 1, "signup", """{"k":1}""")) // cross-batch replay
       in.addData(RawChange(2, t(2), 1, "purchase", """{"k":2}"""))
+      // a null-ts row must PASS THROUGH, not be silently dropped as
+      // infinitely-late by the watermark operator
+      in.addData(RawChange(99, null, 1, "error", """{"k":9}"""))
       q.processAllAvailable()
       val ids = spark.table("replay_out").orderBy("event_id")
         .collect().map(_.getLong(0)).toSeq
-      assert(ids == Seq(1L, 2L), s"replays must be dropped, got $ids")
+      assert(ids == Seq(1L, 2L, 99L), s"replays dropped, null-ts passed through; got $ids")
     } finally q.stop()
   }
 

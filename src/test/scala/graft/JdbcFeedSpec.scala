@@ -206,7 +206,11 @@ class JdbcFeedSpec extends SparkSuite {
 
       // failure-recovery replay: redeliver event 2 (with the post-recovery
       // value) plus new event 3 — must overwrite, never duplicate
+      // the replay batch carries an IN-BATCH duplicate of event 2 — the sink
+      // must dedup by key before writing (two copies would double-insert and
+      // violate the PK, permanently poisoning the retry loop)
       val replay = Seq(
+        (2L, t(1), 2L, "purchase", """{"k":22}"""),
         (2L, t(1), 2L, "purchase", """{"k":22}"""),
         (3L, t(2), 3L, "view", """{"k":3}"""))
         .toDF("event_id", "ts", "user_id", "event_type", "props")

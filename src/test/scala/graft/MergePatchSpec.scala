@@ -29,9 +29,7 @@ class MergePatchSpec extends AnyFunSuite {
     // from spark.range — non-foldable — so Java IS generated, and forbid the
     // interpreter fallback: with a broken doGenCode this test must fail.
     val spark = TestSpark.spark
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    TestSpark.withCodegenOnly {
       graft.functions.JsonMergePatch.register(spark)
       val rows = spark.sql(
         """SELECT json_merge_patch(
@@ -51,9 +49,6 @@ class MergePatchSpec extends AnyFunSuite {
         "SELECT json_merge_patch(NULL, p) AS x FROM (SELECT concat('{\"k\":', CAST(id AS STRING), '}') AS p FROM range(1))")
         .collect().map(_.getString(0))
       assert(nulls(0) == """{"k":0}""")
-    } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
 

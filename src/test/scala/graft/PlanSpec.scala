@@ -98,14 +98,9 @@ class PlanSpec extends SparkSuite {
     // non-compilable expression a hard failure instead of a silent
     // interpreted downgrade — the production guarantee the custom
     // expressions exist for.
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    TestSpark.withCodegenOnly {
       val n = SparkEntry.queries("cdc_pipeline")(spark, sf).count()
       assert(n > 0)
-    } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
 

@@ -55,9 +55,7 @@ class RedactionsSpec extends AnyFunSuite {
 
   test("native json_redact evaluates under forced codegen") {
     val spark = TestSpark.spark
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
+    TestSpark.withCodegenOnly {
       import org.apache.spark.sql.functions._
       // range-derived JSON: non-foldable, so Java IS generated (cf. MergePatchSpec)
       val out = spark.range(3).select(
@@ -66,9 +64,6 @@ class RedactionsSpec extends AnyFunSuite {
           Seq("secret")).as("p"))
         .collect().map(_.getString(0))
       assert(out.toSeq == Seq("""{"k":0}""", """{"k":1}""", """{"k":2}"""))
-    } finally {
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
-      spark.conf.set("spark.sql.codegen.fallback", "true")
     }
   }
 }

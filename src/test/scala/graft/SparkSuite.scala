@@ -12,6 +12,21 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Run `body` with codegen forced (no interpreter fallback), restoring the
+    * PRIOR conf values afterwards — the session is shared JVM-wide, so
+    * restoring hard-coded defaults would clobber other suites' settings.
+    */
+  def withCodegenOnly[T](body: => T): T = {
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode")
+    val fb = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+      spark.conf.set("spark.sql.codegen.fallback", fb)
+    }
+  }
 }
 
 trait SparkSuite extends AnyFunSuite {
