@@ -226,6 +226,7 @@ object SparkEntry {
     "ops_repetition" -> (Curation.repetitionScore _),
     "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
+    "ops_corpus_filter" -> ((s: SparkSession, d: String) => Curation.corpusFilter(s, d)),
     "ops_seq_pack"      -> ((s: SparkSession, d: String) => Curation.seqPack(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
@@ -498,6 +499,29 @@ object SparkEntry {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    "ops_corpus_filter" ->
+      s"""WITH $shinglesCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5),
+         |contaminated AS (
+         |  SELECT DISTINCT hv.doc_id FROM hv JOIN bench ON hv.h = bench.h
+         |  WHERE hv.doc_id >= 5),
+         |filt AS (
+         |  SELECT doc_id, lang, text,
+         |    string_split(text, ' ') AS t
+         |  FROM documents
+         |  WHERE doc_id >= 5 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+         |    AND len(string_split(text, ' ')) >= 2),
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM filt
+         |  WHERE (1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+         |        / CAST(len(t) - 1 AS DOUBLE)) <= 0.2),
+         |keep AS (
+         |  SELECT doc_id, lang FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         |SELECT k.doc_id, k.lang FROM keep k
+         |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)""".stripMargin,
     "ops_strat_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <

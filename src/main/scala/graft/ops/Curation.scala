@@ -141,6 +141,40 @@ object Curation {
       .agg(count_distinct(col("h")).as("n_hits"))
   }
 
+  /** The composed curation pipeline — the LLM-side flagship, the analog of
+    * `cdc_pipeline` for corpus assembly: one declarative plan keeps a doc iff
+    * it (a) is in an allowed language, (b) passes the Gopher-style repetition
+    * gate, (c) is the canonical copy of its exact-content group (lowest
+    * doc_id per md5), and (d) shares no n-gram with the benchmark slice.
+    *
+    * Plan shape: narrow quality exprs fold in-row on the scan; exact-dedup
+    * keep is ONE window shuffle on the content hash (`row_number`, no join);
+    * contamination is a LEFT ANTI join against the (small, broadcastable)
+    * contaminated-id set. Catalyst fuses the whole thing the way the per-doc
+    * Go/Python curation scripts this replaces cannot.
+    */
+  def corpusFilter(spark: SparkSession, sfDir: String,
+                   langs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+                   maxDupRatio: Double = 0.2, benchDocs: Long = 5): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val dupRatio = lit(1.0) -
+      size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val contaminated = decontaminate(spark, sfDir, benchDocs).select(col("doc_id"))
+    docs
+      .filter(col("doc_id") >= benchDocs && col("lang").isin(langs: _*) &&
+        n >= 2 && dupRatio <= maxDupRatio)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word bigrams per
     * document — high values flag boilerplate/spam. Computed in-row over the
     * token array (narrow, zero shuffle): duplicated-bigram ratio =
