@@ -157,12 +157,10 @@ object Curation {
                    langs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
                    maxDupRatio: Double = 0.2, benchDocs: Long = 5): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val t = split(col("text"), " ")
-    val n = size(t)
-    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
-      (a, b) => concat(a, lit(" "), b))
+    val n = size(split(col("text"), " "))
+    val bg = bigramsOf(col("text"))
     val dupRatio = lit(1.0) -
-      size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double")
+      size(array_distinct(bg)).cast("double") / size(bg).cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val contaminated = decontaminate(spark, sfDir, benchDocs).select(col("doc_id"))
@@ -171,7 +169,10 @@ object Curation {
         n >= 2 && dupRatio <= maxDupRatio)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      // the contaminated set is an aggregate output Catalyst can't always
+      // size-estimate under the broadcast threshold — pin the hint (it is
+      // bounded by benchmark overlap, small by construction)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
   }
 
@@ -180,11 +181,20 @@ object Curation {
     * token array (narrow, zero shuffle): duplicated-bigram ratio =
     * 1 - distinct/total.
     */
-  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = split(col("text"), " ")
+  /** Word-bigram array of a text column — the Gopher repetition gate's unit,
+    * shared by [[repetitionScore]] and [[corpusFilter]] so the standalone
+    * signal and the composed flagship can never desynchronize.
+    */
+  private def bigramsOf(textCol: Column): Column = {
+    val t = split(textCol, " ")
     val n = size(t)
-    val bigrams = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+    zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
       (a, b) => concat(a, lit(" "), b))
+  }
+
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val bigrams = bigramsOf(col("text"))
     Tables.load(spark, sfDir, "documents")
       .filter(n >= 2)
       .select(

@@ -104,6 +104,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ops_corpus_filter: one window exchange, broadcast anti join, non-empty") {
+    val p = plan("ops_corpus_filter")
+    assert(p.contains("LeftAnti"), s"missing anti join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"contaminated set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"anti join fell back to sort-merge:\n$p")
+    assert(SparkEntry.queries("ops_corpus_filter")(spark, sf).count() > 0)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
