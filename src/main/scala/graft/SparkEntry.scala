@@ -219,6 +219,7 @@ object SparkEntry {
     "ops_text_quality"  -> (TextStats.qualityScore _),
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
+    "ops_quantiles"     -> (TextStats.lengthQuantiles _),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
@@ -673,6 +674,13 @@ object SparkEntry {
          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
          |  FROM h)
          |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
+    "ops_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q25,
+        |  quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY lang""".stripMargin,
     "ops_pii_scan" -> {
       // same pattern strings as the Spark side (standard-SQL quoting passes
       // the backslash in \. through to the regex engine untouched)

@@ -106,6 +106,24 @@ object TextStats {
       regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long").as("n_other"))
   }
 
+  /** Per-stratum length quartiles — the corpus-profiling summary every
+    * curation pass starts from (length cutoffs are set off these). Exact
+    * `percentile` (sort-based, interpolated), not the t-digest sketch:
+    * quartile fractions are dyadic (1/4, 1/2, 3/4), so the interpolation
+    * arithmetic over integer lengths is bit-exact in ANY engine — hash-
+    * matchable against the oracle, where a sketch could never be. Partial
+    * aggregation still applies (percentile's buffer merges across
+    * partitions); the shuffle carries per-group buffers, not rows.
+    */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.25)").as("q25"),
+      expr("percentile(n_chars, 0.5)").as("q50"),
+      expr("percentile(n_chars, 0.75)").as("q75"),
+      count(lit(1)).as("n"))
+  }
+
   /** Winnowing-style document fingerprints: hash each token, take the min
     * hash over every sliding window of `w` consecutive tokens, keep the
     * distinct minima. Standard rolling-hash fingerprinting for near-dup /
