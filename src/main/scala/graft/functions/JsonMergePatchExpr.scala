@@ -18,6 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * treated as `{}`, so the expression itself never returns null — which a UDF
   * cannot express (Spark assumes UDFs are null-in/null-out under
   * spark.sql.udf behaviors) without boxing games.
+  *
+  * Malformed JSON throws (ANSI-style); route untrusted rows through
+  * [[graft.cdc.DeadLetter]] first — the engine's malformed-row policy
+  * (the reference daemon instead DIES on its first malformed notification,
+  * `server.go:219-222` + `270-272`).
   */
 case class JsonMergePatch(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -18,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null payload stays null (unlike merge patch there is no null-means-`{}`
   * rule here: the reference skips events without a payload).
+  *
+  * Malformed JSON THROWS (ANSI-style), deliberately: for a redaction
+  * function, failing open (passthrough) leaks the very fields it exists to
+  * drop, and failing closed (null/`{}`) silently loses data. The engine's
+  * malformed-row policy is [[graft.cdc.DeadLetter]]: partition bad rows out
+  * BEFORE the redaction projection, exactly where the reference would have
+  * died on unmarshal (`server.go:219-222` — its whole daemon terminates; we
+  * quarantine instead).
   */
 case class JsonRedact(child: Expression, fields: Seq[String])
     extends UnaryExpression {
