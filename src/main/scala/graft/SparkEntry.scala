@@ -295,8 +295,8 @@ object SparkEntry {
   private def listLit(xs: Array[Double]): String =
     xs.map(x => s"CAST($x AS DOUBLE)").mkString("list_value(", ", ", ")")
 
-  private def lshBucketSql(v: String, numPlanes: Int): String =
-    Similarity.planes(numPlanes).zipWithIndex.map { case (plane, p) =>
+  private def lshBucketSql(v: String, table: Int, numPlanes: Int): String =
+    Similarity.planes(table * numPlanes, numPlanes).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN ${dotSql(v, listLit(plane))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -617,11 +617,18 @@ object SparkEntry {
          |LIMIT 10""".stripMargin,
     "ops_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 8)} AS bucket FROM e)
-         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         |  round(${cosineSql("a.v", "b2.v")}, 6) AS cos_sim
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE round(${cosineSql("a.v", "b2.v")}, 6) >= 0.3""".stripMargin,
+         |b AS (
+         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
+         |  FROM b a JOIN b b2
+         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT ia AS vec_a, ib AS vec_b,
+         |  round(${cosineSql("va", "vb")}, 6) AS cos_sim
+         |FROM cand
+         |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
     "ops_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * starved guard in the join condition — evaluates upstream once but
   * shuffles EVERY event row on the id key; at capture scale the duplicated
   * narrow CPU is far cheaper than shuffling the full fact, which is why the
-  * split shape wins.
+  * split shape wins. Corollary: `events` must be DETERMINISTIC — a
+  * nondeterministic upstream column (rand(), monotonically_increasing_id)
+  * could evaluate the guard differently per branch, dropping or duplicating
+  * rows; cache/checkpoint such inputs first.
   */
 object Fallback {
 

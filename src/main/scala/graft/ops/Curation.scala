@@ -130,15 +130,21 @@ object Curation {
     * shuffle) followed by one partial-agg groupBy. Counting DISTINCT matched
     * shingles per doc keeps the metric stable under repeated shingles.
     */
-  def decontaminate(spark: SparkSession, sfDir: String, benchDocs: Long = 5): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def decontaminate(spark: SparkSession, sfDir: String, benchDocs: Long = 5): DataFrame =
+    contaminatedHits(Tables.load(spark, sfDir, "documents"), benchDocs)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_hits"))
+
+  /** (doc_id, h) rows for corpus shingles colliding with the benchmark set —
+    * the shared build side of [[decontaminate]] (which counts hits) and
+    * [[corpusFilter]] (which only needs the distinct ids, skipping the
+    * count-distinct buffers).
+    */
+  private def contaminatedHits(docs: DataFrame, benchDocs: Long): DataFrame = {
     val sh = Dedup.shingles(docs)
       .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
     val bench = sh.filter(col("doc_id") < benchDocs).select(col("h")).distinct()
-    sh.filter(col("doc_id") >= benchDocs)
-      .join(broadcast(bench), "h")
-      .groupBy(col("doc_id"))
-      .agg(count_distinct(col("h")).as("n_hits"))
+    sh.filter(col("doc_id") >= benchDocs).join(broadcast(bench), "h")
   }
 
   /** The composed curation pipeline — the LLM-side flagship, the analog of
@@ -163,7 +169,7 @@ object Curation {
       size(array_distinct(bg)).cast("double") / size(bg).cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val contaminated = decontaminate(spark, sfDir, benchDocs).select(col("doc_id"))
+    val contaminated = contaminatedHits(docs, benchDocs).select(col("doc_id")).distinct()
     docs
       .filter(col("doc_id") >= benchDocs && col("lang").isin(langs: _*) &&
         n >= 2 && dupRatio <= maxDupRatio)
@@ -176,11 +182,6 @@ object Curation {
       .select(col("doc_id"), col("lang"))
   }
 
-  /** Gopher-style repetition signal: fraction of duplicate word bigrams per
-    * document — high values flag boilerplate/spam. Computed in-row over the
-    * token array (narrow, zero shuffle): duplicated-bigram ratio =
-    * 1 - distinct/total.
-    */
   /** Word-bigram array of a text column — the Gopher repetition gate's unit,
     * shared by [[repetitionScore]] and [[corpusFilter]] so the standalone
     * signal and the composed flagship can never desynchronize.
@@ -192,6 +193,11 @@ object Curation {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Gopher-style repetition signal: fraction of duplicate word bigrams per
+    * document — high values flag boilerplate/spam. Computed in-row over the
+    * token array (narrow, zero shuffle): duplicated-bigram ratio =
+    * 1 - distinct/total.
+    */
   def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
     val n = size(split(col("text"), " "))
     val bigrams = bigramsOf(col("text"))

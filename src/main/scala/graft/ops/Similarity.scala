@@ -65,16 +65,25 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
   }
 
-  /** The constant hyperplane family. */
-  def planes(numPlanes: Int): Seq[Array[Double]] =
-    (0 until numPlanes).map(p => Array.tabulate(Dim)(d => planeComponent(p, d)))
+  /** The constant hyperplane family, starting at global plane index
+    * `offset` — hash table t of an L-table LSH uses offset = t * numPlanes,
+    * giving every table an independent plane set from the same deterministic
+    * md5 stream.
+    */
+  def planes(offset: Int, numPlanes: Int): Seq[Array[Double]] =
+    (offset until offset + numPlanes)
+      .map(p => Array.tabulate(Dim)(d => planeComponent(p, d)))
 
-  /** LSH bucket id: bit p of the bucket = sign(v . plane_p). */
-  def lshBucket(v: Column, numPlanes: Int): Column =
-    planes(numPlanes).zipWithIndex.map { case (plane, p) =>
+  def planes(numPlanes: Int): Seq[Array[Double]] = planes(0, numPlanes)
+
+  /** LSH bucket id for hash table `table`: bit p = sign(v . plane_(t*k+p)). */
+  def lshBucketAt(v: Column, table: Int, numPlanes: Int): Column =
+    planes(table * numPlanes, numPlanes).zipWithIndex.map { case (plane, p) =>
       val planeLit = array(plane.map(lit): _*)
       when(dot(v, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  def lshBucket(v: Column, numPlanes: Int): Column = lshBucketAt(v, 0, numPlanes)
 
   /** Typed UDAF surface (`Aggregator[IN, BUF, OUT]`): element-wise vector
     * mean — the centroid-update step of k-means, i.e. how the IVF coarse
@@ -165,46 +174,59 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs near-duplicate search via LSH bucketing: pairs sharing a bucket
-    * are verified with exact cosine; emits pairs with cosine >= threshold.
+  /** All-pairs near-duplicate search via multi-table LSH: pairs sharing a
+    * bucket in ANY hash table are verified with exact cosine; emits pairs
+    * with cosine >= threshold.
     */
   def nearDupPairs(spark: SparkSession, sfDir: String,
                    numPlanes: Int = 8, threshold: Double = 0.3,
-                   bucketCap: Int = 4096): DataFrame =
+                   bucketCap: Int = 4096, numTables: Int = 2): DataFrame =
     nearDupPairsDf(
       Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("v")),
-      numPlanes, threshold, bucketCap)
+      numPlanes, threshold, bucketCap, numTables)
 
   /** DataFrame-level core of [[nearDupPairs]], same candidate shape as
-    * [[Dedup.minhashCandidatesDf]]: ONE scan computes the 8 hyperplane dot
-    * products per vector, then one shuffle on the bucket id groups (vec_id, v)
-    * per bucket and explodes in-bucket pairs — a self-join on bucket would run
-    * the scan + hyperplane subtree twice. In-bucket pairing is bounded:
-    * `bucketCap` truncates each bucket to its lowest-id members BEFORE the
-    * vectors are collected (row_number over the same shuffle partitioning —
-    * no extra exchange), so both the collected row (cap x dim doubles) and the
-    * pair output (cap^2) stay bounded when a degenerate hash region — e.g. a
-    * cluster of identical vectors — would otherwise collect an O(c)-sized row
-    * and emit O(c^2) pairs. Members beyond the cap are dropped from candidate
-    * generation (they are near-identical to retained members by construction,
-    * so the retained pairs still identify the cluster). Default cap is above
-    * any natural bucket at test SF: results there are cap-invariant.
+    * [[Dedup.minhashCandidatesDf]]: ONE scan computes all L x k hyperplane
+    * dot products per vector and explodes (table, bucket) pairs, then one
+    * shuffle groups (vec_id, v) per (table, bucket) and explodes in-bucket
+    * pairs — a self-join on bucket would run the scan + hyperplane subtree
+    * twice. Pairs found by several tables collapse via distinct on the
+    * rounded output.
+    *
+    * Standard L-table design (`numTables` independent plane sets): sharing a
+    * bucket means only agreeing on k hyperplane signs — NOT near-identity —
+    * so recall needs multiple chances; it also de-risks the skew cap below,
+    * because a pair truncated out of an over-full bucket in one table gets
+    * an independent draw in every other table.
+    *
+    * In-bucket pairing is bounded: `bucketCap` truncates each (table,
+    * bucket) to its lowest-id members BEFORE the vectors are collected
+    * (row_number over the same shuffle partitioning — no extra exchange), so
+    * both the collected row (cap x dim doubles) and the pair output (cap^2)
+    * stay bounded when a degenerate hash region would otherwise collect an
+    * O(c)-sized row and emit O(c^2) pairs. Members beyond a cap lose
+    * candidacy in THAT table only. Default cap is above any natural bucket
+    * at test SF: results there are cap-invariant.
     */
   def nearDupPairsDf(emb: DataFrame, numPlanes: Int = 8,
-                     threshold: Double = 0.3, bucketCap: Int = 4096): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("v"), numPlanes))
+                     threshold: Double = 0.3, bucketCap: Int = 4096,
+                     numTables: Int = 2): DataFrame = {
+    val tb = array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), lshBucketAt(col("v"), t, numPlanes).as("b"))): _*)
+    val bucketed = emb.select(col("vec_id"), col("v"), explode(tb).as("tb"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("vec_id"))
+      .partitionBy(col("tb.t"), col("tb.b")).orderBy(col("vec_id"))
     bucketed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= bucketCap)
-      .groupBy(col("bucket"))
+      .groupBy(col("tb.t"), col("tb.b"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("items"))
       .filter(size(col("items")) > 1)
       .select(explode(Dedup.pairsOf(col("items"))).as("p"))
       .select(col("p.doc_a.vec_id").as("vec_a"), col("p.doc_b.vec_id").as("vec_b"),
         round(cosine(col("p.doc_a.v"), col("p.doc_b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .distinct()
   }
 }

@@ -33,20 +33,27 @@ object CdcSink {
     // In-batch dedup by key BEFORE writing: an at-least-once upstream can
     // redeliver an event_id inside one micro-batch, and the delete batch runs
     // before the insert batch, so two copies would double-insert (PK
-    // violation -> permanently poisoned retry loop). dropDuplicates also
+    // violation -> permanently poisoned retry loop). The groupBy also
     // shuffles by the key, co-locating copies that landed in different
     // partitions (whose separate transactions couldn't see each other).
-    // Replay copies carry identical content, so which copy survives is
-    // immaterial.
+    // Copies may DIFFER (a corrected retry): max(struct(...)) picks the
+    // lexicographically-latest copy deterministically — dropDuplicates would
+    // keep an arbitrary one and deliver nondeterministic data.
+    import org.apache.spark.sql.functions.{col, max, struct}
     batch.select("event_id", "ts", "user_id", "event_type", "props")
-      .dropDuplicates("event_id")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("ts"), col("user_id"), col("event_type"), col("props"))).as("r"))
+      .select(col("event_id"), col("r.ts"), col("r.user_id"), col("r.event_type"), col("r.props"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
           try {
             conn.setAutoCommit(false)
             val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
-            val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+            // explicit column list: VALUES without one silently depends on
+            // the target's physical column order
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $table (event_id, ts, user_id, event_type, props) VALUES (?, ?, ?, ?, ?)")
             var pending = 0
             rows.foreach { r =>
               del.setLong(1, r.getLong(0))

@@ -59,9 +59,10 @@ object CdcSource {
     override def describe: String = s"memory:$name"
   }
   /** Production shape: ranged JDBC fetch, connection opened executor-side in
-    * the partition reader (see [[JdbcFeed]]).
+    * the partition reader (see [[JdbcFeed]] / [[JdbcRowReader]]).
     */
   case class JdbcSpec(url: String, table: String) extends FeedSpec {
+    require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
     override def describe: String = s"jdbc:$table"
   }
 
@@ -99,7 +100,7 @@ object CdcSource {
 
   case class IdRangePartition(spec: FeedSpec, from: Long, to: Long) extends InputPartition
 
-  private def toInternalRow(r: CdcStream.RawChange): InternalRow =
+  private[streaming] def toInternalRow(r: CdcStream.RawChange): InternalRow =
     InternalRow(
       r.event_id,
       // full microsecond precision: getTime alone truncates sub-millisecond
@@ -114,14 +115,20 @@ object CdcSource {
   class FeedReaderFactory extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val part = p.asInstanceOf[IdRangePartition]
-      // executor-side: a JDBC feed opens its connection inside fetch — one
-      // ranged query per partition; the in-memory feed just reads the registry
-      val it = resolve(part.spec).fetch(part.from, part.to).iterator
-      new PartitionReader[InternalRow] {
-        private var cur: CdcStream.RawChange = _
-        override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-        override def get(): InternalRow = toInternalRow(cur)
-        override def close(): Unit = ()
+      part.spec match {
+        // executor-side streaming read: the reader holds the connection and
+        // pulls the ResultSet row by row — an initial-backlog partition can
+        // span a whole table, and buffering it (a Seq-returning fetch) would
+        // OOM the executor before the first row is emitted
+        case j: JdbcSpec => new JdbcRowReader(j, part.from, part.to)
+        case m: MemorySpec =>
+          val it = FeedRegistry.get(m.name).fetch(part.from, part.to).iterator
+          new PartitionReader[InternalRow] {
+            private var cur: CdcStream.RawChange = _
+            override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+            override def get(): InternalRow = toInternalRow(cur)
+            override def close(): Unit = ()
+          }
       }
     }
   }

@@ -72,6 +72,45 @@ object JdbcFeed {
   def isSafeIdent(s: String): Boolean = IdentRe.matches(s)
 }
 
+/** Executor-side STREAMING partition reader over the ranged fetch — rows are
+  * pulled straight off the ResultSet into the scan, never buffered: an
+  * initial-backlog partition (offset -1 on an existing table) can span
+  * millions of rows, and a Seq-materializing fetch would hold them all in
+  * heap before emitting the first one. `setFetchSize` keeps the driver
+  * cursor-based too (on Postgres that additionally needs autocommit off,
+  * set below; Derby ignores it harmlessly).
+  */
+final class JdbcRowReader(spec: CdcSource.JdbcSpec, fromExclusive: Long, toInclusive: Long)
+    extends org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val conn = {
+    val c = DriverManager.getConnection(spec.url)
+    c.setAutoCommit(false)
+    c
+  }
+  private val rs = {
+    val ps = conn.prepareStatement(
+      s"SELECT event_id, ts, user_id, event_type, props FROM ${spec.table}" +
+        " WHERE event_id > ? AND event_id <= ? ORDER BY event_id")
+    ps.setFetchSize(1000)
+    ps.setLong(1, fromExclusive)
+    ps.setLong(2, toInclusive)
+    ps.executeQuery()
+  }
+
+  override def next(): Boolean = rs.next()
+  override def get(): org.apache.spark.sql.catalyst.InternalRow =
+    CdcSource.toInternalRow(RawChange(rs.getLong(1), rs.getTimestamp(2),
+      rs.getLong(3), rs.getString(4), rs.getString(5)))
+  override def close(): Unit = {
+    // autocommit is off, so even the read opened a transaction — end it
+    // first (Derby refuses to close a connection mid-transaction)
+    try conn.rollback() catch { case _: Throwable => () }
+    conn.close()
+  }
+}
+
 /** Live catalog discovery — the reference's `information_schema.tables`
   * enumeration with install-time regexp pruning (reference `queries.go:4-9`
   * consumed at `server.go:149-166`): tables that don't match the regexp never

@@ -71,7 +71,6 @@ class CdcStreamSpec extends SparkSuite {
   }
 
   test("replayed event ids are dropped within the watermark (at-least-once upstream)") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RawChange]
     val q = CdcStream.dedupeReplays(in.toDS(), watermark = "1 hour")
