@@ -46,6 +46,33 @@ object StreamBench {
     val coldSec = drain("bench_cold") // includes stream init + codegen warmup
     val warmSec = drain("bench_warm")
     println(s"""{"metric":"cdc_stream_throughput","events":${rows.length},"cold_sec":$coldSec,"warm_sec":$warmSec,"events_per_sec":${(rows.length / warmSec).toLong},"sf":"$sfDir"}""")
+
+    // second line: the same drain through the PRODUCTION path — Derby-backed
+    // JDBC feed, streaming partition readers (JdbcRowReader), id-range
+    // parallelism — quantifying the JDBC reader against the in-memory ceiling
+    val url = "jdbc:derby:memory:streambench;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE events (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+          "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+      val ps = conn.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+      rows.foreach { r =>
+        ps.setLong(1, r.event_id); ps.setTimestamp(2, r.ts); ps.setLong(3, r.user_id)
+        ps.setString(4, r.event_type); ps.setString(5, r.props); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    val rawJdbc = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", url).option("jdbcTable", "events")
+      .option("numPartitions", cpus).load()
+    val qj = CdcStream.withPrevState(rawJdbc.as[CdcStream.RawChange])
+      .writeStream.format("noop").outputMode("append").start()
+    val tj = System.nanoTime()
+    qj.processAllAvailable()
+    val jdbcSec = (System.nanoTime() - tj) / 1e9
+    qj.stop()
+    println(s"""{"metric":"cdc_stream_throughput_jdbc","events":${rows.length},"warm_sec":$jdbcSec,"events_per_sec":${(rows.length / jdbcSec).toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
