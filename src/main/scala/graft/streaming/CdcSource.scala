@@ -133,7 +133,25 @@ object CdcSource {
     }
   }
 
-  class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int) extends MicroBatchStream {
+  /** @param rescanWindow commit-order visibility hardening (the classic
+    *   id-polling CDC race, [[JdbcFeed]] scaladoc): a transaction holding a
+    *   SMALLER id can commit after `MAX(event_id)` already polled past it —
+    *   a plain `(lastOffset, latest]` scan then never sees that row. With
+    *   `rescanWindow = W > 0` every batch re-fetches the trailing W ids below
+    *   its start offset, so a row whose id lags its commit by up to W ids is
+    *   picked up by the next batch that fires. The reference's NOTIFY
+    *   transport dodges the race (notifications fire on commit,
+    *   `queries.go:49`) at the price of at-most-once delivery.
+    *
+    *   Contract shift: rescan makes the source AT-LEAST-ONCE within the
+    *   window (the W trailing ids are redelivered each batch) — compose with
+    *   [[CdcStream.dedupeReplays]] (watermark delay ≥ the commit-visibility
+    *   lag) to restore exactly-once end to end. W = 0 (default) keeps the
+    *   exactly-once pull contract for append-only single-writer logs, where
+    *   id visibility is monotone and the race cannot occur.
+    */
+  class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int,
+                            rescanWindow: Long = 0L) extends MicroBatchStream {
     private def feed = resolve(spec)
     override def latestOffset(): Offset = CdcOffset(feed.latestId())
     override def initialOffset(): Offset = CdcOffset(-1L)
@@ -141,9 +159,13 @@ object CdcSource {
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-      val from = start.asInstanceOf[CdcOffset].maxId
+      val committed = start.asInstanceOf[CdcOffset].maxId
       val to = end.asInstanceOf[CdcOffset].maxId
-      if (to <= from) return Array.empty
+      if (to <= committed) return Array.empty
+      // trailing-window rescan: reach BELOW the committed offset so a
+      // late-visible smaller id is still fetched (never below the log start —
+      // the initial backlog batch must not grow by W phantom ids)
+      val from = if (committed < 0) committed else math.max(-1L, committed - rescanWindow)
       // split the id range across readers — parallel backlog catch-up
       val span = to - from
       val n = math.min(numPartitions.toLong, span).toInt
@@ -157,7 +179,8 @@ object CdcSource {
     override def createReaderFactory(): PartitionReaderFactory = new FeedReaderFactory
   }
 
-  class CdcTable(spec: FeedSpec, numPartitions: Int) extends Table with SupportsRead {
+  class CdcTable(spec: FeedSpec, numPartitions: Int,
+                 rescanWindow: Long = 0L) extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
     override def capabilities(): util.Set[TableCapability] =
@@ -166,7 +189,7 @@ object CdcSource {
       () => new Scan {
         override def readSchema(): StructType = CdcSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(spec, numPartitions)
+          new CdcMicroBatchStream(spec, numPartitions, rescanWindow)
       }
   }
 }
@@ -185,6 +208,11 @@ class CdcSourceProvider extends TableProvider {
     // wrap back into a case-insensitive map or "numPartitions" is missed
     val opts = new CaseInsensitiveStringMap(properties)
     val parts = Option(opts.get("numPartitions")).map(_.toInt).getOrElse(4)
+    // commit-order visibility hardening — see CdcMicroBatchStream scaladoc;
+    // a non-zero window makes delivery at-least-once inside it, so compose
+    // with CdcStream.dedupeReplays downstream
+    val rescan = Option(opts.get("rescanWindow")).map(_.toLong).getOrElse(0L)
+    require(rescan >= 0L, s"rescanWindow must be >= 0, got $rescan")
     val spec: CdcSource.FeedSpec = Option(opts.get("jdbcUrl")) match {
       case Some(url) =>
         CdcSource.JdbcSpec(url,
@@ -192,6 +220,6 @@ class CdcSourceProvider extends TableProvider {
             throw new IllegalArgumentException("jdbcUrl requires jdbcTable")))
       case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
     }
-    new CdcSource.CdcTable(spec, parts)
+    new CdcSource.CdcTable(spec, parts, rescan)
   }
 }

@@ -27,12 +27,16 @@ import graft.streaming.CdcStream.RawChange
   * Visibility caveat (the classic id-polling CDC pitfall): `MAX(event_id)`
   * assumes ids become VISIBLE in order. Under concurrent writers a
   * transaction holding a smaller id can commit after a larger id was already
-  * polled past, and that row is then never fetched. The reference's NOTIFY
-  * transport dodges this (notifications fire on commit) at the price of
-  * at-most-once delivery. Production hardening on Postgres: poll an
-  * `xmin`/LSN horizon or re-scan a small trailing id window; for append-only
-  * single-writer logs (this harness, most event tables) the monotone
-  * assumption holds as-is.
+  * polled past, and a plain `(lastOffset, latest]` scan then never fetches
+  * that row. The reference's NOTIFY transport dodges this (notifications
+  * fire on commit) at the price of at-most-once delivery. HARDENED here via
+  * the source's `rescanWindow` option ([[CdcSource.CdcMicroBatchStream]]):
+  * each batch re-fetches a trailing id window below its start offset, and
+  * [[CdcStream.dedupeReplays]] restores exactly-once downstream. Size the
+  * window to the id-allocation burst a transaction can straddle (ids issued
+  * per max-transaction-duration); for append-only single-writer logs the
+  * monotone assumption holds and `rescanWindow = 0` keeps the source
+  * exactly-once by itself.
   */
 final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
   require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
@@ -174,13 +178,15 @@ object CdcCatalog {
     */
   def readAll(spark: org.apache.spark.sql.SparkSession,
               specs: Seq[CdcSource.JdbcSpec],
-              numPartitions: Int = 4): org.apache.spark.sql.DataFrame = {
+              numPartitions: Int = 4,
+              rescanWindow: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(specs.nonEmpty, "readAll needs at least one feed")
     import org.apache.spark.sql.functions.lit
     specs.map { s =>
       spark.readStream.format("graft.streaming.CdcSourceProvider")
         .option("jdbcUrl", s.url).option("jdbcTable", s.table)
-        .option("numPartitions", numPartitions.toString).load()
+        .option("numPartitions", numPartitions.toString)
+        .option("rescanWindow", rescanWindow.toString).load()
         .withColumn("table", lit(s.table))
     }.reduce(_ unionByName _)
   }

@@ -221,6 +221,115 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("new-table re-discovery: a table created mid-stream is captured without restart") {
+    import graft.streaming.CdcDaemon
+    withDb("rediscover") { url =>
+      createEvents(url, "notes")
+      def sinkName(table: String) = "redisc_" + table.replace(".", "_").toLowerCase
+      val daemon = new CdcDaemon(url, "APP", "(?i)note|user", spec =>
+        CdcCatalog.readAll(spark, Seq(spec))
+          .writeStream.format("memory").queryName(sinkName(spec.table))
+          .outputMode("append").start())
+      try {
+        assert(daemon.rescan() == Seq("APP.NOTES"))
+        insert(url, "notes", (1L, t(0), 1L, "insert", """{"k":1}"""))
+        daemon.queries.foreach(_.processAllAvailable())
+        assert(spark.table(sinkName("APP.NOTES")).count() == 1)
+        val notesRunId = daemon.queries.head.runId
+
+        // the reference's server.go:133 TODO: a table created AFTER install.
+        // The next poll attaches it — no restart, no touch of the notes query.
+        createEvents(url, "users")
+        assert(daemon.rescan() == Seq("APP.USERS"), "mid-stream table must be discovered")
+        insert(url, "users", (1L, t(1), 2L, "insert", """{"k":2}"""))
+        insert(url, "notes", (2L, t(2), 1L, "update", """{"k":3}"""))
+        daemon.queries.foreach(_.processAllAvailable())
+        assert(spark.table(sinkName("APP.USERS")).count() == 1, "new table's rows must be captured")
+        assert(spark.table(sinkName("APP.NOTES")).count() == 2, "established capture keeps flowing")
+        assert(daemon.queries.head.runId == notesRunId, "attaching a new table must not restart existing capture")
+
+        // steady state: unchanged catalog attaches nothing
+        assert(daemon.rescan().isEmpty)
+        assert(daemon.tables == Seq("APP.NOTES", "APP.USERS"))
+
+        // the timer path drives the same rescan: a third table appears with
+        // no explicit rescan() call and is picked up by the poll cadence
+        daemon.start(pollIntervalMs = 100L)
+        exec(url, "CREATE TABLE user_audit (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+          "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!daemon.tables.contains("APP.USER_AUDIT") && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(daemon.tables.contains("APP.USER_AUDIT"), "poll cadence must attach the new table")
+      } finally daemon.stop()
+    }
+  }
+
+  test("rescanWindow closes the commit-order visibility race: late lower id delivered exactly once") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.RawChange
+    withDb("latecommit") { url =>
+      createEvents(url, "events")
+      // Derby is a locking engine (readers BLOCK on uncommitted rows), so the
+      // MVCC race can't be staged with a literally-open transaction here.
+      // From the poller's viewpoint the race is purely a visibility order:
+      // id 3 becomes visible only AFTER the offset advanced past id 4 —
+      // which is exactly the database-state sequence this test drives.
+      val ckpt = java.nio.file.Files.createTempDirectory("late_ckpt").toString
+      def start(name: String, rescan: Long, ckptDir: String) = {
+        val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+          .option("jdbcUrl", url).option("jdbcTable", "events")
+          .option("numPartitions", "3")
+          .option("rescanWindow", rescan.toString).load()
+          .as[RawChange]
+        // rescan redelivers the trailing window -> dedupeReplays restores
+        // exactly-once (watermark delay >= the commit-visibility lag)
+        CdcStream.dedupeReplays(raw)
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckptDir).outputMode("append").start()
+      }
+      def ids(name: String): Seq[Long] =
+        spark.table(name).orderBy("event_id").collect().map(_.getLong(0)).toSeq
+
+      val q = start("late_out", rescan = 4L, ckpt)
+      try {
+        // ids 1,2,4 are visible; the transaction holding id 3 has not
+        // committed yet when the poller advances the offset to 4
+        insert(url, "events",
+          (1L, t(0), 1L, "signup", """{"k":1}"""),
+          (2L, t(1), 2L, "purchase", """{"k":2}"""),
+          (4L, t(3), 4L, "view", """{"k":4}"""))
+        q.processAllAvailable()
+        assert(ids("late_out") == Seq(1L, 2L, 4L))
+        // the straggler commits AFTER the offset polled past it; a plain
+        // (lastOffset, latest] scan would never see it again
+        insert(url, "events", (3L, t(2), 3L, "update", """{"k":3}"""))
+        insert(url, "events", (5L, t(4), 5L, "view", """{"k":5}"""))
+        q.processAllAvailable()
+        assert(ids("late_out") == Seq(1L, 2L, 3L, 4L, 5L),
+          s"late-committed id 3 must be rescanned, ids 1/2/4 must not duplicate; got ${ids("late_out")}")
+      } finally q.stop()
+
+      // contrast: rescanWindow=0 (the r2 behavior) silently loses the row —
+      // the documented failure this feature exists to close
+      exec(url, "DELETE FROM events")
+      val ckpt0 = java.nio.file.Files.createTempDirectory("late_ckpt0").toString
+      val q0 = start("late_out0", rescan = 0L, ckpt0)
+      try {
+        insert(url, "events",
+          (1L, t(0), 1L, "signup", """{"k":1}"""),
+          (2L, t(1), 2L, "purchase", """{"k":2}"""),
+          (4L, t(3), 4L, "view", """{"k":4}"""))
+        q0.processAllAvailable()
+        insert(url, "events", (3L, t(2), 3L, "update", """{"k":3}"""))
+        insert(url, "events", (5L, t(4), 5L, "view", """{"k":5}"""))
+        q0.processAllAvailable()
+        assert(ids("late_out0") == Seq(1L, 2L, 4L, 5L),
+          "without rescan the late row is (by design of the race) lost")
+      } finally q0.stop()
+    }
+  }
+
   test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
