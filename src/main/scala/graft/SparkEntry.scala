@@ -64,14 +64,21 @@ object SparkEntry {
     val ev = Tables.load(spark, sfDir, "events")
     val config = """{"public":{"purchase":["k"],"error":["k"]},"other":{"signup":["k"]}}"""
     val redactions = Redactions.decode(config)
-    ev.select(col("event_id"), col("event_type"),
-      Redactions.applyMap(col("props"), lit("public"), col("event_type"), redactions)
-        .as("props_redacted"))
+    // schema rides as a real column, not a bare literal: lit === lit would
+    // log a trivially-true-predicate warning per branch on every run (the
+    // attribute folds to the same constant after resolution — same plan)
+    ev.withColumn("schema", lit("public"))
+      .select(col("event_id"), col("event_type"),
+        Redactions.applyMap(col("props"), col("schema"), col("event_type"), redactions)
+          .as("props_redacted"))
   }
 
   /** Tiering demo: synthetic payload/previous sizes that actually cross the
     * ladder's thresholds (the real 8000-byte NOTIFY limit never trips on this
     * data; semantics — drop `previous` first, then `payload` — are identical).
+    * Accounting measures the WHOLE notification like `queries.go:33`: the
+    * schema/table/id envelope rides along, and the limit (85) is tuned so all
+    * three rungs occur under the full-text measure.
     */
   private def cdcTieredFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -79,7 +86,9 @@ object SparkEntry {
       col("event_id"),
       expr("repeat(props, int(event_id % 5))").as("payload"),
       expr("repeat(props, int((event_id + 2) % 4))").as("previous"))
-    Tiering.ladder(withSizes, "payload", "previous", limit = 25)
+    val envelope = to_json(struct(
+      lit("public").as("schema"), lit("events").as("table"), col("event_id").as("id")))
+    Tiering.ladder(withSizes, "payload", "previous", limit = 85, envelope = envelope)
   }
 
   private def cdcTiering(spark: SparkSession, sfDir: String): DataFrame =
@@ -160,7 +169,10 @@ object SparkEntry {
     val redacted = filtered
       .withColumn("payload", Redactions.redact(col("props"), isSignup, Seq("k")))
       .withColumn("previous", Redactions.redact(col("prev_props"), isSignup, Seq("k")))
-    val tiered = Tiering.ladder(redacted, "payload", "previous", limit = 18)
+    val envelope = to_json(struct(
+      lit("public").as("schema"), lit("events").as("table"),
+      col("op").as("op"), col("event_id").as("id")))
+    val tiered = Tiering.ladder(redacted, "payload", "previous", limit = 95, envelope = envelope)
     val withChanges = tiered.withColumn("changes",
       when(col("op") === "UPDATE",
         MergePatch.json_merge_patch(col("payload"), col("previous")))
@@ -315,10 +327,15 @@ object SparkEntry {
          |         THEN CASE WHEN prev_props IS NULL THEN NULL ELSE '{}' END
          |         ELSE prev_props END AS previous0
          |  FROM f),
+         |-- full-notification accounting (queries.go:33): envelope bytes +
+         |-- ,"payload":<p> (11) + ,"previous":<v> (12), null document = 0
          |t AS (
          |  SELECT event_id, user_id, op, props,
-         |    CASE WHEN strlen(COALESCE(payload0, '')) + strlen(COALESCE(previous0, '')) < 18 THEN 0
-         |         WHEN strlen(COALESCE(payload0, '')) < 18 THEN 1
+         |    CASE WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
+         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END
+         |              + CASE WHEN previous0 IS NULL THEN 0 ELSE 12 + strlen(previous0) END < 95 THEN 0
+         |         WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
+         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END < 95 THEN 1
          |         ELSE 2 END AS tier,
          |    payload0, previous0
          |  FROM r),
@@ -392,12 +409,13 @@ object SparkEntry {
       """WITH sized AS (
         |  SELECT event_id,
         |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
-        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0
+        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0,
+        |         strlen('{"schema":"public","table":"events","id":' || CAST(event_id AS VARCHAR) || '}') AS env
         |  FROM events),
         |t AS (
         |  SELECT event_id, payload0, previous0,
-        |    CASE WHEN strlen(payload0) + strlen(previous0) < 25 THEN 0
-        |         WHEN strlen(payload0) < 25 THEN 1
+        |    CASE WHEN env + 11 + strlen(payload0) + 12 + strlen(previous0) < 85 THEN 0
+        |         WHEN env + 11 + strlen(payload0) < 85 THEN 1
         |         ELSE 2 END AS tier
         |  FROM sized)
         |SELECT event_id, tier,
@@ -408,12 +426,13 @@ object SparkEntry {
       """WITH sized AS (
         |  SELECT event_id, props,
         |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
-        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0
+        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0,
+        |         strlen('{"schema":"public","table":"events","id":' || CAST(event_id AS VARCHAR) || '}') AS env
         |  FROM events),
         |t AS (
         |  SELECT event_id, props, payload0,
-        |    CASE WHEN strlen(payload0) + strlen(previous0) < 25 THEN 0
-        |         WHEN strlen(payload0) < 25 THEN 1
+        |    CASE WHEN env + 11 + strlen(payload0) + 12 + strlen(previous0) < 85 THEN 0
+        |         WHEN env + 11 + strlen(payload0) < 85 THEN 1
         |         ELSE 2 END AS tier
         |  FROM sized)
         |SELECT event_id, tier,

@@ -55,9 +55,15 @@ object CdcStream {
       state: GroupState[String]): Iterator[CdcEvent] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     // within a micro-batch, apply rows in event order (null ts sorts first —
-    // one bad row must not kill the query, cf. DeadLetter)
+    // one bad row must not kill the query, cf. DeadLetter). FULL-PRECISION
+    // micros, same formula as CdcSource.toInternalRow: getTime alone truncates
+    // to millis, so two events in the same millisecond but different
+    // microseconds could order differently here than in the batch path
+    // (EventLog orders by full-precision ts)
     val ordered = rows.toSeq.sortBy(r =>
-      (if (r.ts == null) Long.MinValue else r.ts.getTime, r.event_id))
+      (if (r.ts == null) Long.MinValue
+       else r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000,
+       r.event_id))
     var prev: Option[String] = state.getOption
     val out = ordered.map { r =>
       val op = opOf(r.event_type)

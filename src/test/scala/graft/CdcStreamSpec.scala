@@ -70,6 +70,34 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("same-millisecond events order by MICROS, matching the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    // two updates in the same millisecond, microseconds opposing event_id
+    // order: a millis-precision sort key would fall through to event_id and
+    // invert them, diverging from the batch path's full-precision ts order
+    val tEarly = new Timestamp(1700000000123L); tEarly.setNanos(123000000) // .123000
+    val tLate = new Timestamp(1700000000123L); tLate.setNanos(123456000)   // .123456
+    val rows = Seq(
+      RawChange(1, t(0), 9, "signup", """{"k":0}"""),
+      RawChange(2, tLate, 9, "purchase", """{"k":2}"""), // later micros, smaller id
+      RawChange(3, tEarly, 9, "purchase", """{"k":3}"""))
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(input.toDS())
+      .writeStream.format("memory").queryName("micros_out").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("micros_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("previous")).toMap
+      // batch path: the same rows through EventLog.normalize (full-precision ts)
+      val batch = graft.cdc.EventLog.normalize(rows.toDF())
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("prev_props")).toMap
+      assert(stream == batch, s"stream $stream must equal batch $batch")
+      assert(stream(3L) == """{"k":0}""" && stream(2L) == """{"k":3}""",
+        "event 3 (.123000) precedes event 2 (.123456) despite the larger id")
+    } finally q.stop()
+  }
+
   test("replayed event ids are dropped within the watermark (at-least-once upstream)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RawChange]

@@ -20,15 +20,19 @@ class PropertySpec extends SparkSuite {
 
   test("tiering ladder: invariants hold for ALL size combinations") {
     val sizes = Gen.choose(0, 40)
-    check(Prop.forAll(sizes, sizes, Gen.choose(1, 60)) { (np, nv, limit) =>
+    check(Prop.forAll(sizes, sizes, Gen.choose(1, 120), Gen.choose(0, 50)) { (np, nv, limit, ne) =>
       val df = Seq(("x" * np, "y" * nv)).toDF("payload", "previous")
-      val r = Tiering.ladder(df, "payload", "previous", limit).collect()(0)
+      val r = Tiering.ladder(df, "payload", "previous", limit,
+        envelope = lit("e" * ne)).collect()(0)
       val tier = r.getAs[Int]("tier")
       val pay = Option(r.getAs[String]("payload"))
       val prev = Option(r.getAs[String]("previous"))
-      val full = np + nv
+      // full-notification splice model: envelope + ,"payload": (11) +
+      // ,"previous": (12); both documents are non-null strings here
+      val full = ne + 11 + np + 12 + nv
+      val noPrev = ne + 11 + np
       // tier matches the ladder arithmetic (>= semantics, queries.go:33)
-      (tier == (if (full < limit) 0 else if (np < limit) 1 else 2)) &&
+      (tier == (if (full < limit) 0 else if (noPrev < limit) 1 else 2)) &&
       // previous is dropped before payload, never the reverse
       (!pay.isEmpty || prev.isEmpty) &&
       // tier 0 passes both through byte-identical
