@@ -547,12 +547,25 @@ object SparkEntry {
          |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <
          |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 60 ELSE 40 END""".stripMargin,
     "ops_seq_pack" ->
-      """SELECT doc_id, lang,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
-        |    PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
-        |FROM documents""".stripMargin,
+      """WITH base AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |-- two-level prefix sum, packing order (lang, shard, doc_id):
+        |-- shard-local exclusive running sum + exclusive total of earlier shards
+        |loc AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_prev
+        |  FROM base),
+        |off AS (
+        |  SELECT lang, shard,
+        |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY lang ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+        |  FROM base GROUP BY lang, shard)
+        |SELECT loc.doc_id, loc.lang, loc.n_tokens,
+        |  CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin
+        |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard""".stripMargin,
     "ops_decontaminate" ->
       s"""WITH $shinglesCte,
          |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),

@@ -98,22 +98,45 @@ object Curation {
     * order, integer-divided by the budget (first-fit-in-order packing; a doc
     * is never split, so a bin can overshoot by at most one doc — the standard
     * approximation when exact bin packing isn't worth a sequential pass).
-    * One shuffle: the window partitions by lang, so at 100 TB each stratum's
-    * running sum is a single sorted partition stream; skewed strata would
-    * sub-partition on a date/shard column added to the window key.
+    *
+    * Two-level prefix sum so parallelism is NOT capped at the language count
+    * (a per-lang window = ~5 sorted single-partition streams at ANY data
+    * size — the round-2 straggler): each language splits into `shards`
+    * deterministic slices (`doc_id % shards`), the heavy exclusive prefix
+    * sum runs per (lang, shard) — lang×shards-way parallel — and each
+    * shard's bins are offset by the exclusive prefix TOTAL of earlier shards
+    * (a lang×shards-row aggregate — trivially small at any corpus size —
+    * broadcast back). Packing order is (lang, shard, doc_id): a different
+    * deterministic order than one global per-lang stream, equally valid for
+    * training bins and exactly reproduced by the oracle.
     */
-  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 2048,
+              shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sfDir, "documents")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("prev_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      (col("doc_id") % shards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // heavy level: shard-local exclusive prefix sum (the 100 TB work),
+    // partitioned (lang, shard) — parallel within each language
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_prev",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // light level: exclusive prefix of the per-shard totals — `shards` rows
+    // per language, so the per-lang window here is over a handful of rows
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .withColumn("shard_offset", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
+      .select(col("lang"), col("shard"), col("shard_offset"))
+    local
+      .join(broadcast(offsets), Seq("lang", "shard"))
       // integer `div`, not double /: exact at any magnitude
-      .withColumn("bin", expr(s"prev_cum div $budget"))
-      .drop("prev_cum")
+      .withColumn("bin", expr(s"(shard_offset + local_prev) div $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
   }
 
   /** Benchmark decontamination — the train/test-overlap scan every serious

@@ -112,6 +112,18 @@ class PlanSpec extends SparkSuite {
     assert(SparkEntry.queries("ops_corpus_filter")(spark, sf).count() > 0)
   }
 
+  test("ops_seq_pack: the heavy window partitions by (lang, shard), not lang alone") {
+    // the round-2 weak spot: Window.partitionBy(lang) = ~5 sorted
+    // single-partition streams at ANY data size. The heavy prefix sum must
+    // hash-partition on BOTH keys so each language spreads over `shards`
+    // streams; the per-lang window survives only on the tiny per-shard-total
+    // side (lang×shards rows), which then broadcasts back
+    val p = plan("ops_seq_pack")
+    assert("hashpartitioning\\(lang[#0-9]*, shard".r.findFirstIn(p).isDefined,
+      s"heavy window must partition by (lang, shard):\n$p")
+    assert(p.contains("BroadcastExchange"), s"shard offsets must broadcast back:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
