@@ -219,6 +219,7 @@ object SparkEntry {
     "ops_dedup_content" -> (Dedup.dedupContent _),
     "ops_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashCandidates(s, d)),
     "ops_dedup_verify"  -> ((s: SparkSession, d: String) => Dedup.dedupVerify(s, d)),
+    "ops_dedup_cc"      -> (Dedup.dedupCc _),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_simhash"       -> (Dedup.simhash _),
     // similarity set
@@ -502,6 +503,17 @@ object SparkEntry {
       s"""WITH $shinglesCte,
          |$minhashCandsCte
          |SELECT doc_a, doc_b FROM cands""".stripMargin,
+    "ops_dedup_cc" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$minhashCandsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |          UNION SELECT doc_b, doc_a FROM cands),
+         |-- transitive closure to min reachable id = the component canonical
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+         |SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id""".stripMargin,
     "ops_dedup_verify" ->
       s"""WITH $shinglesCte,
          |$minhashCandsCte,

@@ -241,6 +241,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jaccard, 6).as("jaccard"))
   }
 
+  /** Connected-components closure over near-dup candidate pairs — the
+    * cluster-collapse step the candidate stages exist FOR: near-duplication
+    * is transitive in practice (A~B, B~C → one cluster), so dedup must keep
+    * ONE canonical doc per component, not one per pair. [[cappedPairs]]'s
+    * star fallback deliberately preserves hub connectivity for exactly this
+    * closure: capped buckets still collapse to one component.
+    *
+    * Algorithm: iterative min-label propagation to a fixed point — each
+    * round every node takes the min component label among itself and its
+    * neighbors (one join + one min-agg per round, both shuffling on the id
+    * key). Rounds needed = graph diameter, and LSH candidate graphs are
+    * bucket cliques / capped stars (diameter ≤ 2 per bucket, small after
+    * overlap), so convergence is a handful of rounds; `localCheckpoint`
+    * truncates lineage each round — the standard guard for iterative
+    * DataFrame algorithms (without it the plan doubles per round). The
+    * convergence probe is a limit-1 count of strictly-decreased labels —
+    * O(1) rows to the driver, never data. At extreme scale the same loop
+    * body upgrades to the large-star/small-star variant (alternating
+    * propagation, provably O(log n) rounds); the per-round shape — join on
+    * id, min-agg — is identical.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
+        .select(col("dst").as("doc_id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") < col("old")).limit(1).count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** The dedup capstone: MinHash+LSH candidates → connected components →
+    * canonical doc per near-dup cluster (comp = min doc_id reachable).
+    * Output: one row per doc appearing in any candidate pair, labeled with
+    * its cluster's canonical id — `doc_id != comp` rows are the drop list.
+    */
+  def dedupCc(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(minhashCandidates(spark, sfDir))
+      .select(col("doc_id"), col("comp"))
+
   /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority
     * vote of bit i across the token multiset's 60-bit hashes. Integer-only
     * math -> bit-exact against any engine.

@@ -31,6 +31,30 @@ class DedupBoundsSpec extends SparkSuite {
     assert(n == 190L, s"expected C(20,2)=190 pairs, got $n")
   }
 
+  test("connected components: chains close transitively, clusters stay disjoint") {
+    import spark.implicits._
+    // chain 1-2-3-4 (A~B~C~D with no direct A~D pair), disjoint pair 10-11,
+    // and a capped-bucket star 20-{21,22,23}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L),
+      s"got $got")
+  }
+
+  test("connected components: 1000-doc identical cluster collapses to ONE canonical doc") {
+    // end to end with the capped candidate generator: the star fallback must
+    // still leave the whole cluster connected, so CC collapses it to doc 0
+    val docs = identicalDocs(1000)
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashCandidatesDf(docs, bucketCap = 100))
+    assert(comps.count() == 1000L)
+    assert(comps.filter(col("comp") =!= 0L).count() == 0L,
+      "every member must label to the hub doc 0")
+  }
+
   test("ngram jaccard: stop-shingles beyond the df cap are cut from the index") {
     val docs = identicalDocs(1000)
     // every shingle appears in all 1000 docs > cap -> whole index cut -> 0 pairs
