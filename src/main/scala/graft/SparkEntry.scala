@@ -33,6 +33,49 @@ object SparkEntry {
         MergePatch.json_merge_patch(col("props"), col("prev_props")).as("changes"))
   }
 
+  /** T1 exercised on NESTED, heterogeneous documents — the reference's model
+    * is schema-on-read over arbitrary `protobuf.Struct` payloads
+    * (`pqstream.proto:32-33,44-46`), but the flat `{"k":int}` testdata never
+    * drives the recursion. Docs are synthesized deterministically from driver
+    * columns (the withPlantedPii trick), six cases keyed on event_id % 6:
+    * identical docs (empty patch), top-level scalar change, NESTED-object
+    * change (recursion descends, unchanged sibling omitted), key added in new
+    * (patch deletes via null, RFC 7386), key removed in new (pre-update value
+    * resurfaces), and explicit-null vs value (the null-vs-absent edge,
+    * SURVEY §7.4 #3). The oracle constructs the expected patch per case from
+    * independently hand-derived RFC semantics.
+    */
+  private def cdcChangesNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val base = ev.selectExpr(
+      "event_id",
+      "CAST(event_id % 6 AS INT) AS m",
+      "CAST(event_id % 10 AS STRING) AS a",
+      "CAST(user_id % 3 AS STRING) AS x",
+      "CAST(user_id % 5 AS STRING) AS y")
+    val doc = expr(
+      """concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y, '}',
+        |  CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null' ELSE '' END,
+        |  '}')""".stripMargin)
+    val prevDoc = expr(
+      """CASE
+        |  WHEN m = 1 THEN concat('{"a":', CAST(CAST(a AS INT) + 1 AS STRING),
+        |    ',"meta":{"x":', x, ',"y":', y, '}}')
+        |  WHEN m = 2 THEN concat('{"a":', a, ',"meta":{"x":',
+        |    CAST(CAST(x AS INT) + 1 AS STRING), ',"y":', y, '}}')
+        |  WHEN m = 4 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
+        |    '},"extra":"old"}')
+        |  WHEN m = 5 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
+        |    '},"n":', y, '}')
+        |  ELSE concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y, '}}')
+        |END""".stripMargin)
+    base
+      .withColumn("doc", doc)
+      .withColumn("prev_doc", prevDoc)
+      .select(col("event_id"), col("doc"), col("prev_doc"),
+        MergePatch.json_merge_patch(col("doc"), col("prev_doc")).as("changes"))
+  }
+
   private def cdcPrevImage(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     EventLog.normalize(ev)
@@ -190,6 +233,7 @@ object SparkEntry {
     // CDC / reference-fidelity set
     "cdc_pipeline"      -> (cdcPipeline _),
     "cdc_changes"       -> (cdcChanges _),
+    "cdc_changes_nested" -> (cdcChangesNested _),
     "cdc_prev_image"    -> (cdcPrevImage _),
     "cdc_table_filter"  -> (cdcTableFilter _),
     "cdc_redact"        -> (cdcRedact _),
@@ -396,6 +440,42 @@ object SparkEntry {
         |       ELSE '{"k":' || CAST(json_extract(prev_props, '$.k') AS VARCHAR) || '}' END AS changes
         |FROM e
         |WHERE event_type NOT IN ('signup', 'error') AND prev_props IS NOT NULL""".stripMargin,
+    "cdc_changes_nested" ->
+      """WITH b AS (
+        |  SELECT event_id, CAST(event_id % 6 AS INT) AS m,
+        |    CAST(event_id % 10 AS VARCHAR) AS a,
+        |    CAST(user_id % 3 AS VARCHAR) AS x,
+        |    CAST(user_id % 5 AS VARCHAR) AS y
+        |  FROM events)
+        |SELECT event_id,
+        |  '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}' ||
+        |    CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null' ELSE '' END
+        |    || '}' AS doc,
+        |  CASE
+        |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR)
+        |      || ',"meta":{"x":' || x || ',"y":' || y || '}}'
+        |    WHEN m = 2 THEN '{"a":' || a || ',"meta":{"x":'
+        |      || CAST(CAST(x AS INT) + 1 AS VARCHAR) || ',"y":' || y || '}}'
+        |    WHEN m = 4 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
+        |      || '},"extra":"old"}'
+        |    WHEN m = 5 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
+        |      || '},"n":' || y || '}'
+        |    ELSE '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}}'
+        |  END AS prev_doc,
+        |  -- expected RFC 7386 patch per case, derived by hand (new -> old):
+        |  -- identical = {}; changed key = pre-update value; nested change
+        |  -- recurses and omits the unchanged sibling; key only in new
+        |  -- deletes via null; key only in old resurfaces; explicit null in
+        |  -- new vs value in old = the value
+        |  CASE
+        |    WHEN m = 0 THEN '{}'
+        |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR) || '}'
+        |    WHEN m = 2 THEN '{"meta":{"x":' || CAST(CAST(x AS INT) + 1 AS VARCHAR) || '}}'
+        |    WHEN m = 3 THEN '{"tag":null}'
+        |    WHEN m = 4 THEN '{"extra":"old"}'
+        |    ELSE '{"n":' || y || '}'
+        |  END AS changes
+        |FROM b""".stripMargin,
     "cdc_prev_image" ->
       s"""SELECT event_id, user_id, $opCase AS op, props,
          |  LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
