@@ -15,7 +15,12 @@ object Bench {
     // absorb one-time session init (~6 s)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query-name filter (single-query timing while iterating);
+    // the driver invokes with no args -> full set, unchanged
+    val wanted =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL materialization of every output column;
       // count() would let Spark prune projection work (an aggregation-only

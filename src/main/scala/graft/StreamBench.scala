@@ -30,22 +30,41 @@ object StreamBench {
       .select("event_id", "ts", "user_id", "event_type", "props")
       .as[CdcStream.RawChange].collect()
 
-    def drain(feedName: String): Double = {
-      CdcSource.FeedRegistry.get(feedName).append(rows: _*)
-      val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
-        .option("feed", feedName).option("numPartitions", cpus).load()
-      val events = CdcStream.withPrevState(raw.as[CdcStream.RawChange])
-      val q = events.writeStream.format("noop").outputMode("append").start()
-      val t0 = System.nanoTime()
-      q.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      sec
+    def drain(feedName: String, conf: Map[String, String] = Map.empty): Double = {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        CdcSource.FeedRegistry.get(feedName).append(rows: _*)
+        val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+          .option("feed", feedName).option("numPartitions", cpus).load()
+        val events = CdcStream.withPrevState(raw.as[CdcStream.RawChange])
+        val q = events.writeStream.format("noop").outputMode("append").start()
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
 
     val coldSec = drain("bench_cold") // includes stream init + codegen warmup
     val warmSec = drain("bench_warm")
     println(s"""{"metric":"cdc_stream_throughput","events":${rows.length},"cold_sec":$coldSec,"warm_sec":$warmSec,"events_per_sec":${(rows.length / warmSec).toLong},"sf":"$sfDir"}""")
+
+    // state-store knob probes (r2 found the keyed state shuffle, not the
+    // source, caps throughput): RocksDB provider vs the default HDFS-backed
+    // in-memory map, and 4x state partitions — measured either way, a
+    // recorded "no win" is a result too
+    val rocksSec = drain("bench_rocks", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    println(s"""{"metric":"cdc_stream_throughput_rocksdb","events":${rows.length},"warm_sec":$rocksSec,"events_per_sec":${(rows.length / rocksSec).toLong},"sf":"$sfDir"}""")
+    val partsSec = drain("bench_parts4x", Map(
+      "spark.sql.shuffle.partitions" -> (cpus.toInt * 4).toString))
+    println(s"""{"metric":"cdc_stream_throughput_parts4x","events":${rows.length},"warm_sec":$partsSec,"events_per_sec":${(rows.length / partsSec).toLong},"sf":"$sfDir"}""")
 
     // second line: the same drain through the PRODUCTION path — Derby-backed
     // JDBC feed, streaming partition readers (JdbcRowReader), id-range
