@@ -256,44 +256,62 @@ object Dedup {
     * rounds = graph DIAMETER, which overlapping near-dup buckets can chain
     * well past the per-bucket 2; the jump halves label-path lengths every
     * round, so convergence is O(log diameter) — measured 2x fewer rounds and
-    * ~2x faster end-to-end on the sf0.1 candidate graph. `localCheckpoint`
-    * truncates lineage each round — the standard guard for iterative
-    * DataFrame algorithms (without it the plan doubles per round). The
-    * convergence probe exploits monotonicity: labels only ever DECREASE, so
-    * `sum(comp)` is a fixpoint witness — unchanged sum = converged — costing
-    * one scalar agg over the just-checkpointed frame instead of a
-    * label-vs-label join per round. At extreme scale the same loop body
+    * ~2x faster end-to-end on the sf0.1 candidate graph. The "keep my own
+    * label" term rides as SELF-LOOP edges added once at init instead of a
+    * per-round `labels UNION propagated` — a self-loop (x, x) contributes
+    * exactly (x, comp(x)) to the propagation join, so the round body is a
+    * plain join + min-agg + jump with no Union (which both drops a scan of
+    * the label frame per round and avoids Union-under-self-join attribute
+    * collisions in constraint rewriting). `localCheckpoint` truncates
+    * lineage each round — the standard guard for iterative DataFrame
+    * algorithms (without it the plan doubles per round) — but LAZILY
+    * (`eager = false`): the checkpoint swaps the logical plan for a
+    * LogicalRDD barrier at build time while deferring materialization, so
+    * the convergence probe is the ONLY action per round — one job computes
+    * min-agg, pointer jump, and fixpoint witness together, and the persisted
+    * RDD it leaves behind is what the next round reads. (The eager form runs
+    * 2 jobs/round and re-executes the previous round's jump join twice more
+    * from the un-checkpointed `next`; at sf0.1 that was ~2x the loop cost —
+    * job-launch overhead dominates these label-sized frames.) The probe
+    * exploits monotonicity: labels only ever DECREASE, so `sum(comp)` is a
+    * fixpoint witness — unchanged sum = converged — costing one scalar agg
+    * instead of a label-vs-label join per round. At extreme scale the same
+    * loop body
     * upgrades to the large-star/small-star variant (alternating propagation,
     * provably O(log n) rounds); the per-round shape — join on id, min-agg —
     * is identical.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // checkpoint the candidate subtree ONCE: a plain union of two selects
-    // over `pairs` would compute the whole LSH candidate generation twice
-    // (and a lazy persist still pays both branches on first materialization)
-    val p = pairs.localCheckpoint()
-    val edges = p
+    // lazy checkpoint of the candidate subtree: the barrier means a union of
+    // two selects over `pairs` reads ONE cached RDD instead of computing the
+    // whole LSH candidate generation twice; materialized (then cached) by the
+    // first checksum job below, so init costs a single job end to end
+    val p = pairs.localCheckpoint(false)
+    val sym = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
-      .localCheckpoint()
+    // self-loops: (x, x) per node, so the propagation join emits each node's
+    // own current label alongside its neighbors' — replaces the per-round
+    // `labels UNION prop` term (see scaladoc)
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .localCheckpoint(false)
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("doc_id"), col("src").as("comp"))
+      .localCheckpoint(false)
     def checksum(df: DataFrame): Long =
       df.agg(sum(col("comp"))).first().getLong(0)
     var prevSum = checksum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val prop = edges
+      // barrier BEFORE the self-join: the LogicalRDD lets both join sides
+      // share one cached agg result; lazy, so no job yet
+      val minStep = edges
         .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
-        .select(col("dst").as("doc_id"), col("comp"))
-      // checkpointed BEFORE the self-join: truncating to a LogicalRDD both
-      // evaluates the agg once (not once per join side) and sidesteps the
-      // Union-under-self-join attribute collision in constraint rewriting
-      val minStep = labels.union(prop)
-        .groupBy(col("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
         .agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // pointer jump: comp := comp(comp). Every comp value is itself a key
       // of the label frame and comp(x) <= x, so the inner join is total and
       // the jumped label can only improve (never regress) the plain one
@@ -301,6 +319,9 @@ object Dedup {
         .join(minStep.select(col("doc_id").as("c"), col("comp").as("cc")).as("b"),
           col("a.comp") === col("b.c"))
         .select(col("a.doc_id").as("doc_id"), col("b.cc").as("comp"))
+        .localCheckpoint(false)
+      // the round's ONLY action: materializes minStep + next (cached for the
+      // next round) and reads the fixpoint witness in the same job
       val nextSum = checksum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
