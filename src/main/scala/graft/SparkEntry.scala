@@ -185,6 +185,29 @@ object SparkEntry {
            count(lit(1)).as("n"))
   }
 
+  /** Schema-on-read key census: which JSON keys exist per table/type, and
+    * how often — the introspection pass a CDC consumer runs to detect schema
+    * drift in dynamic payloads (the reference's documents are arbitrary
+    * `protobuf.Struct`s, `pqstream.proto:32-33`; nothing declares their
+    * shape). Drift is synthesized deterministically on top of the flat
+    * testdata props — each event type carries an extra key — mirrored
+    * verbatim in the oracle. One narrow explode of `json_object_keys` + a
+    * partial agg: the census never materializes payload values, only key
+    * names, so it scans 100 TB at column-projection cost.
+    */
+  private def cdcKeyInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val doc = concat(
+      lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+      when(col("event_type") === "purchase", lit(",\"amount\":1")).otherwise(lit("")),
+      when(col("event_type") === "error", lit(",\"code\":1")).otherwise(lit("")),
+      when(col("event_type") === "signup", lit(",\"plan\":\"p\"")).otherwise(lit("")),
+      lit("}"))
+    ev.select(col("event_type"), explode(json_object_keys(doc)).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private def cdcOpCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     EventLog.normalize(ev)
@@ -253,6 +276,12 @@ object SparkEntry {
     "ops_rollup"            -> (Relational.rollupCounts _),
     "ops_cube"              -> (Relational.cubeCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),
+    "ops_semi_join"         -> (Relational.customersWithOrders _),
+    "ops_pivot"             -> (Relational.pivotDailyTypes _),
+    "ops_histogram"         -> (Relational.docLengthHistogram _),
+    "ops_scalar_subquery"   -> (Relational.partsAboveMeanPrice _),
+    "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
+    "cdc_key_inventory"     -> (cdcKeyInventory _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_range_join"        -> (Relational.rangeJoinBinned _),
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
@@ -566,6 +595,44 @@ object SparkEntry {
         |FROM events GROUP BY CUBE (event_type, date_trunc('hour', ts))""".stripMargin,
     "ops_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
+    "ops_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')",
+    "ops_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "ops_histogram" ->
+      """SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(MIN(length(text)) AS BIGINT) AS min_len,
+        |  CAST(MAX(length(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ops_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
+        |  (SELECT CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |     // COUNT(*) AS BIGINT) FROM part)""".stripMargin,
+    "ops_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "cdc_key_inventory" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |    CASE WHEN event_type = 'purchase' THEN ',"amount":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'error' THEN ',"code":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'signup' THEN ',"plan":"p"' ELSE '' END ||
+        |    '}' AS doc
+        |  FROM events)
+        |SELECT event_type, k AS key, COUNT(*) AS n
+        |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
+        |GROUP BY event_type, k""".stripMargin,
     "ops_event_windows" ->
       """SELECT event_id, user_id, event_type,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

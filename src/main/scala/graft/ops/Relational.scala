@@ -109,6 +109,80 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  /** Semi-join (EXISTS): customers WITH at least one order in the window —
+    * the anti-join's dual. A semi join shuffles only the join keys of the
+    * probe side and short-circuits on first match: at 100 TB it is strictly
+    * cheaper than the inner-join-then-distinct a naive EXISTS rewrite plans.
+    */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** PIVOT: daily event counts reshaped wide, one column per event type.
+    * The value list is EXPLICIT — with it Spark plans a single partial-agg
+    * pass (each combination an aggregate column); without it Spark first runs
+    * a distinct scan to discover values, a second job a 100 TB pipeline
+    * shouldn't pay. Count cells for absent combinations are null in Spark's
+    * pivot and 0 in conditional-aggregation engines — coalesced to 0 so the
+    * output is engine-neutral.
+    */
+  def pivotDailyTypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** Fixed-width histogram of document lengths: bucket = floor(len/50).
+    * In-row bucketing + one partial agg — the scan-shaped profile pass a
+    * curation pipeline runs before choosing filter thresholds. Integer
+    * lengths keep the double division exact in any engine.
+    */
+  def docLengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.groupBy(floor(length(col("text")) / lit(50)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(length(col("text"))).cast("long").as("min_len"),
+           max(length(col("text"))).cast("long").as("max_len"))
+  }
+
+  /** Scalar-subquery filter: parts priced above the corpus mean. The mean
+    * rides as a ONE-ROW broadcast (BroadcastNestedLoopJoin over a single
+    * aggregated row — no shuffle of the probe side, no driver collect), the
+    * comparison is integer-cents math end to end: sum(cents) DIV count is
+    * exact in any engine, so the predicate boundary is hash-stable where a
+    * floating-point mean never is.
+    */
+  def partsAboveMeanPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.load(spark, sfDir, "part")
+      .withColumn("cents", (money(col("p_retailprice")) * 100).cast("long"))
+    val thr = part.agg(expr("sum(cents) DIV count(1)").as("thr_cents"))
+    part.join(broadcast(thr))
+      .filter(col("cents") > col("thr_cents"))
+      .select(col("p_partkey"), col("p_retailprice"))
+  }
+
+  /** TPC-H Q13-style distribution: how many customers placed k orders, for
+    * each k — the canonical left-outer-join + double aggregation. The outer
+    * join preserves order-less customers (k = 0); both aggs are partial
+    * before their single shuffle each.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Per-user ordered window functions over the event log: row_number + lag —
     * the same per-key window machinery that reconstructs RawEvent.previous.
     */
