@@ -162,6 +162,42 @@ object CdcStream {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval join: each DELETE-op event (error) paired with
+    * the INSERT/UPDATE-op events (purchases) the same user produced in the
+    * preceding `withinSeconds` — the online correlation ("which recent
+    * actions preceded this failure?") that batch engines answer with a range
+    * join (`Relational.rangeJoinBinned`) but a CDC consumer needs as rows
+    * arrive.
+    *
+    * Both sides carry watermarks and the join condition bounds event time in
+    * BOTH directions, so Spark derives state-eviction watermarks for each
+    * side: a buffered purchase is dropped once no future error can reach
+    * back to it (`p_ts < watermark - withinSeconds`), an error row is
+    * matched against buffered purchases and never retained past its own
+    * watermark. Without the time bound the join would buffer both streams
+    * FOREVER — the unbounded-state trap this operator exists to show
+    * avoided. State is keyed by (user, time-bucket) internally; shuffle is
+    * on user_id for both sides, same as every other keyed stage.
+    */
+  def correlate(events: DataFrame,
+                withinSeconds: Long = 600,
+                watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    errors.join(purchases,
+      col("p_user") === col("e_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("e_ts"),
+        col("purchase_id"), col("p_ts"))
+  }
+
   /** A subscriber = name + table/event-type regexp (the per-client filter of
     * `Listen`, reference `pqstream.proto:12-15`) + sink directory.
     */

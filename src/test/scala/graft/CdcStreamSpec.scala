@@ -137,6 +137,31 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with preceding purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.correlate(input.toDF(), withinSeconds = 600)
+      .writeStream.format("memory").queryName("corr_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 purchases at t0 and t500; user 2 purchases at t0
+      input.addData(
+        RawChange(1, t(0), 1, "purchase", "{}"),
+        RawChange(2, t(500), 1, "purchase", "{}"),
+        RawChange(3, t(0), 2, "purchase", "{}"))
+      q.processAllAvailable()
+      // batch 2: user 1 errors at t700 — must reach back ACROSS the batch
+      // boundary to the buffered t500 purchase (in window) but NOT t0
+      // (700 s > 600 s), and never to user 2's purchase
+      input.addData(RawChange(4, t(700), 1, "error", "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("corr_out").collect()
+      assert(rows.length == 1, s"expected exactly one pair, got ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("user_id") == 1L)
+      assert(rows(0).getAs[Long]("error_id") == 4L)
+      assert(rows(0).getAs[Long]("purchase_id") == 2L)
+    } finally q.stop()
+  }
+
   test("fan-out delivers per-subscriber filtered views (A1/K* semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("fanout").toString
