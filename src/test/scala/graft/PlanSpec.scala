@@ -29,6 +29,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("ops_semi_join plans as a semi join, not inner-join-plus-distinct") {
+    val p = plan("ops_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("ops_scalar_subquery: the mean rides as a one-row broadcast, probe side unshuffled") {
+    val p = plan("ops_scalar_subquery")
+    // the aggregated threshold row broadcasts into a nested-loop join (the
+    // only join type for a keyless comparison); the part scan must feed the
+    // join directly — no Exchange between scan and join on the probe side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("ops_sim_topk", "ops_sim_ivf")) {
       val p = plan(q)
