@@ -282,6 +282,11 @@ object SparkEntry {
     "ops_scalar_subquery"   -> (Relational.partsAboveMeanPrice _),
     "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
     "cdc_key_inventory"     -> (cdcKeyInventory _),
+    "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),
+    "ops_grouping_sets"     -> (Relational.groupingSetsCounts _),
+    "ops_rank_suite"        -> (Relational.rankSuite _),
+    "ops_gap_fill"          -> (Relational.gapFillDaily _),
+    "ops_ffill"             -> (Relational.forwardFill _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_range_join"        -> (Relational.rangeJoinBinned _),
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
@@ -299,6 +304,7 @@ object SparkEntry {
     "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
     "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    "ops_embed_quant" -> (Similarity.quantizeInt8 _),
     // text analysis set
     "ops_text_stats"    -> (TextStats.corpusStats _),
     "ops_lang_id"       -> (TextStats.langId _),
@@ -315,6 +321,8 @@ object SparkEntry {
     "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "ops_corpus_filter" -> ((s: SparkSession, d: String) => Curation.corpusFilter(s, d)),
     "ops_seq_pack"      -> ((s: SparkSession, d: String) => Curation.seqPack(s, d)),
+    "ops_doc_chunk"       -> ((s: SparkSession, d: String) => Curation.chunkDocs(s, d)),
+    "ops_weighted_sample" -> (Curation.weightedSample _),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -633,6 +641,47 @@ object SparkEntry {
         |SELECT event_type, k AS key, COUNT(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
         |GROUP BY event_type, k""".stripMargin,
+    "ops_unpivot" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |    -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT for the long
+        |    -- `value` column the UNION produces
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_cents,
+        |    COUNT(DISTINCT c_nationkey) AS n_nations
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL SELECT c_mktsegment, 'acctbal_cents', acctbal_cents FROM w
+        |UNION ALL SELECT c_mktsegment, 'n_nations', n_nations FROM w""".stripMargin,
+    "ops_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gmask
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "ops_rank_suite" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "ops_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |counts AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY user_id, day),
+        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id),
+        |cal AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |  FROM spans)
+        |SELECT cal.user_id, cal.day, COALESCE(counts.n, 0) AS n
+        |FROM cal LEFT JOIN counts ON cal.user_id = counts.user_id AND cal.day = counts.day""".stripMargin,
+    "ops_ffill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS sparse_value,
+        |  LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events""".stripMargin,
     "ops_event_windows" ->
       """SELECT event_id, user_id, event_type,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -725,6 +774,34 @@ object SparkEntry {
         |SELECT loc.doc_id, loc.lang, loc.n_tokens,
         |  CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin
         |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard""".stripMargin,
+    "ops_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start FROM t WHERE len(t) >= 1)
+        |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, start + 1, start + 50)) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(t, start + 1, start + 50), ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
+    "ops_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000 < LEAST(n_chars * 2, 1000)""".stripMargin,
+    "ops_embed_quant" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),
+         |c AS (
+         |  SELECT vec_id, v, am,
+         |    CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(v, x -> CAST(floor(x / am * 127) AS BIGINT)) END AS codes
+         |  FROM a)
+         |SELECT vec_id, round(am, 6) AS scale,
+         |  CAST(list_reduce(codes, (x, y) -> x + y) AS BIGINT) AS qsum,
+         |  CAST(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
+         |    i -> codes[i] * (i - 1)), (x, y) -> x + y) AS BIGINT) AS qdot,
+         |  CAST(list_min(codes) AS BIGINT) AS qmin,
+         |  CAST(list_max(codes) AS BIGINT) AS qmax,
+         |  round(sqrt(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
+         |    i -> (v[i] - CAST(codes[i] AS DOUBLE) * am / 127) * (v[i] - CAST(codes[i] AS DOUBLE) * am / 127)),
+         |    (x, y) -> x + y)), 6) AS recon_err
+         |FROM c""".stripMargin,
     "ops_decontaminate" ->
       s"""WITH $shinglesCte,
          |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),

@@ -216,6 +216,58 @@ object Curation {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Document chunking — split each document into fixed-token windows with
+    * overlap (stride < window), the standard context-length prep before
+    * tokenization/embedding: chunk starts at 0, stride, 2·stride, … while
+    * inside the doc; a doc shorter than the window yields one (short) chunk;
+    * docs are never merged across boundaries.
+    *
+    * Scale shape: `sequence()` + explode computes the starts IN-ROW — the
+    * fan-out is ceil(n_tokens/stride) rows per doc with no shuffle at all,
+    * and the chunk text is a slice of the already-split token array (no
+    * re-tokenization per chunk). At 100 TB this is a pure map stage that
+    * chains straight into the embedding/tokenizer stage behind it.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+                window: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && window >= stride, "overlapping fixed windows need 0 < stride <= window")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        // slice is 1-based; a trailing partial window is kept (real pipelines
+        // pad or drop it at tokenization — policy, not chunking)
+        slice(col("t"), col("start") + 1, lit(window)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** Weighted (importance) sampling: keep probability proportional to a
+    * per-row weight — here document length capped at 100 % — instead of the
+    * uniform rate of [[hashSample]]. Same seeded content-free hash, so the
+    * draw is reproducible and consistent under re-runs; weight and threshold
+    * are integer permille math (no float boundary to drift across engines).
+    * Still ONE scan-level filter: weight comes from the row itself, so the
+    * operator is shuffle-free at any corpus size.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // permille weight: 2 per character, capped at 1000 (docs >= 500 chars
+    // are always kept) — longer docs are likelier survivors
+    val weight = least(col("n_chars") * 2, lit(1000L))
+    docs
+      .filter(Hashing.h60(concat(lit("wsamp:"), col("doc_id"))) % 1000 < weight)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word bigrams per
     * document — high values flag boilerplate/spam. Computed in-row over the
     * token array (narrow, zero shuffle): duplicated-bigram ratio =

@@ -253,6 +253,104 @@ object Relational {
       .agg(count(col("event_id")).as("n_events"))
   }
 
+  /** UNPIVOT (melt): wide per-segment metrics reshaped long, one row per
+    * (segment, metric). The inverse of pivot; Spark plans it as an in-row
+    * `Expand` (each input row emits one row per value column) — no shuffle
+    * beyond the upstream agg, so at 100 TB it costs exactly the k× row fan-out
+    * and nothing else. Metrics are all BIGINT (counts + exact cents) so the
+    * long `value` column needs no lossy cast.
+    */
+  def unpivotSegmentMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val wide = c.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum((money(col("c_acctbal")) * 100).cast("long")).as("acctbal_cents"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+    wide.unpivot(
+      ids = Array(col("c_mktsegment")),
+      values = Array(col("n_customers"), col("acctbal_cents"), col("n_nations")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+  }
+
+  /** GROUPING SETS beyond what rollup/cube can express: two independent
+    * one-dimension aggregates — (returnflag) and (linestatus) — computed in a
+    * SINGLE pass over the fact table (one Expand + one partial agg + one
+    * shuffle) instead of two scans unioned. The explicit grouping-bit mask
+    * disambiguates "NULL because not grouped" from a null data value, the
+    * standard grouping-sets pitfall.
+    */
+  def groupingSetsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+           // grouping() is an aggregate-context marker: it must be computed
+           // inside THIS agg, not a downstream projection
+           (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+             .cast("long").as("gmask"))
+  }
+
+  /** Ranking-function suite over one window: ntile quartiles, percent_rank,
+    * cume_dist, dense_rank — per-segment account-balance distribution. One
+    * shuffle on the partition key; the full ordering includes the unique
+    * custkey tie-break (SURVEY §7.4 #5) so every rank is deterministic and
+    * the rank-ratio doubles are identical IEEE divisions in any engine.
+    */
+  def rankSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    c.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"),
+      dense_rank().over(w).cast("long").as("drank"))
+  }
+
+  /** Time-series gap fill: per-user DAILY event counts with missing days
+    * zero-filled across each user's own [first, last] activity span. The
+    * calendar is generated distributed — `sequence()` + explode per user row,
+    * never a driver-side loop or a global calendar cross join — so the row
+    * fan-out is bounded by sum over users of span-days, and the final join is
+    * a plain equi-join on (user, day). The standard resample/densify step
+    * before any per-entity time-series model.
+    */
+  def gapFillDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val counts = ev.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val calendar = spans.select(
+      col("user_id"),
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    calendar.join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Forward fill (last observation carried forward): nulls are synthesized
+    * deterministically on the measure (every third event loses its value) and
+    * repaired with `last(..., ignoreNulls)` over the per-user ordered window.
+    * One shuffle on the entity key; the running frame is streaming-friendly
+    * (UNBOUNDED PRECEDING .. CURRENT ROW, no re-scan per row). The imputation
+    * primitive for sensor/metric tables.
+    */
+  def forwardFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val sparse = when(col("event_id") % 3 === 0, lit(null).cast("double"))
+      .otherwise(col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(
+      col("event_id"), col("user_id"), sparse.as("sparse_value"),
+      last(sparse, ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** As-of join: enrich each event with the most recent order (by
     * `o_orderdate <= ts`) of the matching customer — the temporal point-in-time
     * join Spark has no built-in operator for (cf. SURVEY §2B "joins": the

@@ -174,6 +174,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression step
+    * that makes a 100 TB vector corpus storable/searchable: per-vector
+    * absmax scaling (code_i = floor(x_i / absmax * 127) ∈ [-128, 127]) cuts
+    * float32 vectors 4× with bounded error, and the per-vector scale rides
+    * along for dequantization.
+    *
+    * Scale shape: everything is IN-ROW over codegen'd higher-order functions
+    * (transform/aggregate/zip_with) — zero shuffle, a pure map stage that
+    * composes with any downstream ANN index build. Determinism: float widened
+    * to double first; floor() of an IEEE division is bit-stable in any
+    * engine, so codes are hash-matchable (unlike round-half-to-even
+    * variations). Output pins every code without shipping the array:
+    * qsum = Σ code_i and qdot = Σ i·code_i fix the multiset AND its order;
+    * recon_err is the dequantized L2 gap, the number a pipeline would alert
+    * on.
+    */
+  def quantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val absmax = array_max(transform(col("v"), x => abs(x)))
+    val codes = transform(col("v"), x => floor(x / col("am") * 127).cast("long"))
+    val idx = sequence(lit(0L), lit(Dim - 1L))
+    emb
+      .withColumn("am", absmax)
+      // an all-zero vector has no scale; quantize to all-zero codes
+      .withColumn("codes",
+        when(col("am") === 0d, transform(col("v"), _ => lit(0L))).otherwise(codes))
+      .select(
+        col("vec_id"),
+        round(col("am"), 6).as("scale"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(zip_with(col("codes"), idx, (c, i) => c * i), lit(0L), (a, x) => a + x)
+          .as("qdot"),
+        array_min(col("codes")).as("qmin"),
+        array_max(col("codes")).as("qmax"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("codes"), (x, c) => {
+            val d = x - c.cast("double") * col("am") / 127d
+            d * d
+          }),
+          lit(0.0), (a, x) => a + x)), 6).as("recon_err"))
+  }
+
   /** All-pairs near-duplicate search via multi-table LSH: pairs sharing a
     * bucket in ANY hash table are verified with exact cosine; emits pairs
     * with cosine >= threshold.

@@ -162,6 +162,29 @@ object CdcStream {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Session windows on the live stream — the streaming analog of the batch
+    * `ops_sessionize` (lag + cumulative boundary sum): `session_window` opens
+    * a window per (user, event) and MERGES windows that overlap within the
+    * gap, so a session closes only after `gap` of per-user silence. The
+    * watermark gives sessions a finalization horizon — a merged window is
+    * emitted (Append mode) once the watermark passes its end, and its state
+    * is dropped; without the watermark session state would accumulate
+    * forever. Shuffle is keyed (user, session-window), same partitioning as
+    * every other per-user stage.
+    */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Stream-stream interval join: each DELETE-op event (error) paired with
     * the INSERT/UPDATE-op events (purchases) the same user produced in the
     * preceding `withinSeconds` — the online correlation ("which recent

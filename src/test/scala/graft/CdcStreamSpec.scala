@@ -137,6 +137,38 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    // session aggregations emit in APPEND mode only: a merged window is final
+    // (and its state droppable) once the watermark passes its end
+    val q = CdcStream.sessionCounts(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: events at t0 and t+20min merge into ONE session (gap 30min);
+      // the t+3h event opens a SECOND one. user 2's event never merges in.
+      input.addData(
+        RawChange(1, t(0), 1, "click", "{}"),
+        RawChange(2, t(1200), 1, "click", "{}"),
+        RawChange(3, t(10800), 1, "click", "{}"),
+        RawChange(4, t(600), 2, "click", "{}"))
+      q.processAllAvailable()
+      // push the watermark far past every session end so they finalize; the
+      // pusher's own (still-open) session is the only one not emitted
+      input.addData(RawChange(99, t(100000), 9, "click", "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect().filter(_.getAs[Long]("user_id") != 9L)
+      val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+      assert(byUser(1L).length == 2, s"user 1 should have 2 sessions: ${rows.toSeq}")
+      assert(byUser(1L).map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+      assert(byUser(2L).length == 1 && byUser(2L).head.getAs[Long]("n_events") == 1L)
+      // merged session spans [t0, t20min + gap)
+      val merged = byUser(1L).find(_.getAs[Long]("n_events") == 2L).get
+      assert(merged.getAs[java.sql.Timestamp]("session_start") == t(0))
+      assert(merged.getAs[java.sql.Timestamp]("session_end") == t(1200 + 1800))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs errors with preceding purchases only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawChange]

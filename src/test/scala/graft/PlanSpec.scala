@@ -138,6 +138,50 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), s"shard offsets must broadcast back:\n$p")
   }
 
+  test("map-stage operators are shuffle-free (chunking, quantization, weighted sampling)") {
+    // these are pure scan-shaped map stages at 100 TB: any Exchange in the
+    // plan means an accidental shuffle crept into a narrow pipeline
+    for (q <- Seq("ops_doc_chunk", "ops_embed_quant", "ops_weighted_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
+  test("ops_unpivot: melt is an in-row Expand over the aggregated frame") {
+    val p = plan("ops_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    // two exchanges belong to the upstream agg (count-distinct expands to a
+    // two-phase agg); the melt itself must not add one: Expand is the plan
+    // ROOT, so no Exchange may sit above it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.linesIterator.toSeq.head.contains("AdaptiveSparkPlan") ||
+      !p.substring(0, p.indexOf("Expand")).contains("Exchange"),
+      s"melt added a shuffle above Expand:\n$p")
+  }
+
+  test("ops_grouping_sets: one Expand + partial agg + single exchange") {
+    val p = plan("ops_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), s"grouping sets lost partial aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ops_gap_fill: calendar join is an equi-join, not a calendar cross join") {
+    val p = plan("ops_gap_fill")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"gap fill planned a non-equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ops_ffill and ops_rank_suite: one window exchange, running frame") {
+    for (q <- Seq("ops_ffill", "ops_rank_suite")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q should have exactly the one window shuffle:\n$p")
+      assert(p.contains("Window"), p)
+    }
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
