@@ -208,6 +208,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) materialization from the change
+    * log — the canonical CDC-consumer build: each change becomes a validity
+    * interval [valid_from, valid_to) per key, closed by the NEXT change
+    * (`lead()`), open (null valid_to) for the current version. This is what
+    * "populating other systems" (reference `README.md:3`) usually means for a
+    * warehouse: one window shuffle on the key, then the dimension is
+    * range-joinable by (key, as-of-time) forever after.
+    */
+  private def cdcScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(
+      col("event_id"), col("user_id"), col("props"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Latest-snapshot materialization: collapse the change log to current
+    * table state (one row per key) — the other canonical CDC consumer. Shape
+    * matters at 100 TB: this is a PARTIAL AGGREGATION (`max` over a
+    * lexicographic (ts, event_id, props) struct), so each map partition ships
+    * ONE candidate row per key instead of the full history a
+    * row_number-window formulation would shuffle. Struct-max is the same
+    * trick the as-of join's dim-reduction uses.
+    */
+  private def cdcSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("props"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"),
+        col("s.event_id").as("event_id"), col("s.props").as("props"))
+  }
+
   private def cdcOpCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     EventLog.normalize(ev)
@@ -264,6 +299,8 @@ object SparkEntry {
     "cdc_tiering"       -> (cdcTiering _),
     "cdc_fallback_join" -> (cdcFallbackJoin _),
     "cdc_op_counts"     -> (cdcOpCounts _),
+    "cdc_scd2"          -> (cdcScd2 _),
+    "cdc_snapshot"      -> (cdcSnapshot _),
     "cdc_json_decode"   -> (cdcJsonDecode _),
     "cdc_variant_get"   -> (cdcVariantGet _),
     "ops_sessionize"    -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
@@ -556,6 +593,16 @@ object SparkEntry {
         |SELECT event_id, tier,
         |  CASE WHEN tier = 2 THEN props ELSE payload0 END AS payload
         |FROM t""".stripMargin,
+    "cdc_scd2" ->
+      """SELECT event_id, user_id, props, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+    "cdc_snapshot" ->
+      """WITH m AS (
+        |  SELECT user_id, max({'ts': ts, 'event_id': event_id, 'props': props}) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, s.ts AS ts, s.event_id AS event_id, s.props AS props FROM m""".stripMargin,
     "cdc_op_counts" ->
       s"""SELECT $opCase AS op, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -182,6 +182,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("cdc_snapshot collapses history via partial aggregation, not a window") {
+    // the 100 TB distinction this query exists for: struct-max ships one
+    // candidate row per key per map partition; a row_number window would
+    // shuffle the entire history
+    val p = plan("cdc_snapshot")
+    assert(p.contains("partial_max"), s"snapshot lost map-side combine:\n$p")
+    assert(!p.contains("Window"), s"snapshot regressed to a window formulation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cdc_scd2: one window exchange builds the validity intervals") {
+    val p = plan("cdc_scd2")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
