@@ -360,6 +360,7 @@ object SparkEntry {
     "ops_seq_pack"      -> ((s: SparkSession, d: String) => Curation.seqPack(s, d)),
     "ops_doc_chunk"       -> ((s: SparkSession, d: String) => Curation.chunkDocs(s, d)),
     "ops_weighted_sample" -> (Curation.weightedSample _),
+    "ops_group_sample"    -> ((s: SparkSession, d: String) => Curation.groupSample(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -831,6 +832,13 @@ object SparkEntry {
     "ops_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${h60sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000 < LEAST(n_chars * 2, 1000)""".stripMargin,
+    "ops_group_sample" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("'gsamp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 50""".stripMargin,
     "ops_embed_quant" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),

@@ -268,6 +268,27 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Fixed-SIZE per-group sampling — exactly min(k, |group|) docs per
+    * language — the reservoir-sample complement to the rate-based
+    * [[stratifiedSample]] (a rate can't promise "give me exactly 50 eval
+    * docs per language"). Deterministic reservoir: rank by the seeded
+    * content-free hash (a uniform random permutation within each group,
+    * reproducible across engines/runs) and keep the first k. One window
+    * shuffle on the group key; at 100 TB group count × k bounds the output,
+    * and heavy groups cost their row count in the one sort — the same
+    * shape as any top-k-per-group.
+    */
+  def groupSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Hashing.h60(concat(lit("gsamp:"), col("doc_id"))), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word bigrams per
     * document — high values flag boilerplate/spam. Computed in-row over the
     * token array (narrow, zero shuffle): duplicated-bigram ratio =
