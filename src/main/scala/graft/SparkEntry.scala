@@ -319,6 +319,8 @@ object SparkEntry {
     "ops_scalar_subquery"   -> (Relational.partsAboveMeanPrice _),
     "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
     "cdc_key_inventory"     -> (cdcKeyInventory _),
+    "ops_funnel"            -> (Relational.funnel _),
+    "ops_cohort_retention"  -> (Relational.cohortRetention _),
     "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),
     "ops_grouping_sets"     -> (Relational.groupingSetsCounts _),
     "ops_rank_suite"        -> (Relational.rankSuite _),
@@ -689,6 +691,24 @@ object SparkEntry {
         |SELECT event_type, k AS key, COUNT(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
         |GROUP BY event_type, k""".stripMargin,
+    "ops_funnel" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signups,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+        |  MAX(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase,
+        |  COALESCE(MIN(ts) FILTER (WHERE event_type = 'signup')
+        |         < MAX(ts) FILTER (WHERE event_type = 'purchase'), FALSE) AS converted
+        |FROM events GROUP BY user_id""".stripMargin,
+    "ops_cohort_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "ops_unpivot" ->
       """WITH w AS (
         |  SELECT c_mktsegment, COUNT(*) AS n_customers,

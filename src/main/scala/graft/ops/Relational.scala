@@ -253,6 +253,46 @@ object Relational {
       .agg(count(col("event_id")).as("n_events"))
   }
 
+  /** Funnel conversion: per user, did a signup precede a purchase? The
+    * ordered-sequence question every product pipeline asks of an event log.
+    * No window needed — "some signup before some purchase" reduces to
+    * min(signup ts) < max(purchase ts), two conditional aggregates in ONE
+    * partial-agg pass (each map partition ships 2 timestamps + 2 counts per
+    * user, never the event history). Tie-break: a purchase at exactly the
+    * signup instant does not count as converted (strict <).
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "signup", 1)).as("n_signups"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .withColumn("converted",
+        col("first_signup").isNotNull && col("last_purchase").isNotNull &&
+          col("first_signup") < col("last_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-activity day (their cohort),
+    * counted on each subsequent active day offset — the day-N retention
+    * triangle. Three keyed stages, all on bounded intermediates: distinct
+    * (user, day) activity (partial agg), per-user cohort day (partial agg),
+    * an equi-join on user, then the final (cohort, offset) count — shuffle
+    * rows never exceed distinct user-days. Integer date arithmetic end to
+    * end, so the offsets are engine-exact.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val activity = ev.distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** UNPIVOT (melt): wide per-segment metrics reshaped long, one row per
     * (segment, metric). The inverse of pivot; Spark plans it as an in-row
     * `Expand` (each input row emits one row per value column) — no shuffle

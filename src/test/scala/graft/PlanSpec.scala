@@ -56,7 +56,7 @@ class PlanSpec extends SparkSuite {
   }
 
   test("aggregation queries keep partial aggregation (map-side combine)") {
-    for (q <- Seq("q1_pricing", "cdc_op_counts", "ops_dedup_keys")) {
+    for (q <- Seq("q1_pricing", "cdc_op_counts", "ops_dedup_keys", "ops_funnel")) {
       val p = plan(q)
       assert(p.contains("partial_"), s"$q lost partial aggregation:\n$p")
     }
@@ -180,6 +180,14 @@ class PlanSpec extends SparkSuite {
         s"$q should have exactly the one window shuffle:\n$p")
       assert(p.contains("Window"), p)
     }
+  }
+
+  test("ops_funnel answers sequence order with aggregates, not a window") {
+    // "some signup before some purchase" = min/max conditional aggs; a
+    // window/sort formulation would shuffle the full event history
+    val p = plan("ops_funnel")
+    assert(!p.contains("Window"), s"funnel regressed to a window formulation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
   test("cdc_snapshot collapses history via partial aggregation, not a window") {
