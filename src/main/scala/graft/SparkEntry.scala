@@ -243,6 +243,33 @@ object SparkEntry {
         col("s.event_id").as("event_id"), col("s.props").as("props"))
   }
 
+  /** Incremental aggregate maintenance — the third canonical CDC consumer
+    * beside SCD2 and the snapshot: a downstream daily rollup kept fresh by
+    * merging a delta instead of recomputing the world. The base aggregate
+    * (events before the refresh horizon — in production, yesterday's
+    * materialized rollup read back from storage) merges with the delta
+    * aggregate (events since) through one re-aggregation: counts and exact
+    * decimal sums are associative, so merge = groupBy + sum over the UNION of
+    * partial states. At 100 TB the delta is a day against years of history —
+    * the refresh costs O(delta + affected groups), not O(history); the oracle
+    * is the full recompute, which is exactly the invariant incremental view
+    * maintenance must preserve.
+    */
+  private def cdcAggRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val horizon = lit("2024-01-15").cast("timestamp")
+    def rollup(part: DataFrame): DataFrame =
+      part.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val base = rollup(ev.filter(col("ts") < horizon))   // the stored rollup
+    val delta = rollup(ev.filter(col("ts") >= horizon)) // the new day's events
+    base.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+  }
+
   private def cdcOpCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     EventLog.normalize(ev)
@@ -301,6 +328,7 @@ object SparkEntry {
     "cdc_op_counts"     -> (cdcOpCounts _),
     "cdc_scd2"          -> (cdcScd2 _),
     "cdc_snapshot"      -> (cdcSnapshot _),
+    "cdc_agg_refresh"   -> (cdcAggRefresh _),
     "cdc_json_decode"   -> (cdcJsonDecode _),
     "cdc_variant_get"   -> (cdcVariantGet _),
     "ops_sessionize"    -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
@@ -326,6 +354,8 @@ object SparkEntry {
     "ops_rank_suite"        -> (Relational.rankSuite _),
     "ops_gap_fill"          -> (Relational.gapFillDaily _),
     "ops_ffill"             -> (Relational.forwardFill _),
+    "ops_corr_subquery"     -> (Relational.smallQuantityRevenue _),
+    "ops_moving_avg"        -> (Relational.movingAgg _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_range_join"        -> (Relational.rangeJoinBinned _),
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
@@ -339,6 +369,7 @@ object SparkEntry {
     "ops_dedup_cc"      -> (Dedup.dedupCc _),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_simhash"       -> (Dedup.simhash _),
+    "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // similarity set
     "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
     "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
@@ -363,6 +394,8 @@ object SparkEntry {
     "ops_doc_chunk"       -> ((s: SparkSession, d: String) => Curation.chunkDocs(s, d)),
     "ops_weighted_sample" -> (Curation.weightedSample _),
     "ops_group_sample"    -> ((s: SparkSession, d: String) => Curation.groupSample(s, d)),
+    "ops_line_dedup"      -> ((s: SparkSession, d: String) => Curation.lineDedup(s, d)),
+    "ops_shuffle_shards"  -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -424,6 +457,22 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** SimHash fingerprints as CTEs ending in `fp(doc_id, simhash)` — shared by
+    * the ops_simhash oracle and the ops_simhash_pairs banding composition.
+    */
+  private lazy val simhashCte =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hh AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hh CROSS JOIN range(60) AS r(j)
+       |  GROUP BY doc_id, j),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
 
   /** DuckDB literal for a constant double list. */
   private def listLit(xs: Array[Double]): String =
@@ -606,6 +655,11 @@ object SparkEntry {
         |  SELECT user_id, max({'ts': ts, 'event_id': event_id, 'props': props}) AS s
         |  FROM events GROUP BY user_id)
         |SELECT user_id, s.ts AS ts, s.event_id AS event_id, s.props AS props FROM m""".stripMargin,
+    // full recompute: exactly the invariant the incremental merge must preserve
+    "cdc_agg_refresh" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "cdc_op_counts" ->
       s"""SELECT $opCase AS op, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -859,6 +913,25 @@ object SparkEntry {
          |      ORDER BY ${h60sql("'gsamp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 50""".stripMargin,
+    "ops_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ln AS (
+         |  SELECT doc_id, CAST(i // 10 AS BIGINT) AS line_idx,
+         |    ${h60sql("array_to_string(t[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')")} AS line_hash
+         |  FROM toks, unnest(range(0, len(t), 10)) AS u(i)),
+         |df AS (SELECT line_hash, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY line_hash)
+         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
+         |  md5(string_agg(CAST(line_hash AS VARCHAR), ' ' ORDER BY line_idx)) AS kept_sig
+         |FROM ln JOIN df USING (line_hash)
+         |WHERE df.df <= 1
+         |GROUP BY doc_id""".stripMargin,
+    "ops_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${h60sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 64 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
     "ops_embed_quant" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),
@@ -900,16 +973,19 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE) >= 0.05""".stripMargin,
     "ops_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
-         |votes AS (
-         |  SELECT doc_id, j,
-         |    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |  FROM h CROSS JOIN range(60) AS r(j)
-         |  GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "ops_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+         |  FROM fp CROSS JOIN range(4) AS r(b))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
     "ops_range_join" ->
       """SELECT o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
         |FROM orders o LEFT JOIN events e
@@ -923,6 +999,36 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    "ops_corr_subquery" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qc, COUNT(1) AS n_li
+        |      FROM q GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_rows
+        |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE qty_c * 5 * n_li < sum_qc
+        |GROUP BY p_brand""".stripMargin,
+    "ops_moving_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(cents) OVER wrows AS BIGINT) AS mov_sum_cents,
+        |  CAST(COUNT(1) OVER wrows AS BIGINT) AS n_frame,
+        |  CAST(COUNT(1) OVER wrange AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(cents) OVER wrows AS BIGINT) // CAST(COUNT(1) OVER wrows AS BIGINT) AS mov_avg_cents
+        |FROM e
+        |WINDOW
+        |  wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wrange AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ops_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,

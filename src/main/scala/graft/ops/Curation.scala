@@ -289,6 +289,68 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
   }
 
+  /** Line-level dedup (CCNet/RefinedWeb-style boilerplate removal): split
+    * each document into fixed-length token lines, drop every line whose hash
+    * appears in more than `maxDf` distinct documents (headers, footers,
+    * navigation chrome — the content that repeats ACROSS pages), and emit
+    * each surviving document's kept-line signature. Operates on hashes end to
+    * end — line text never shuffles.
+    *
+    * Scale shape: line splitting is in-row (`sequence()` + explode, the
+    * [[chunkDocs]] fan-out); the line-frequency table is built with one
+    * partial-agg distinct count; membership is a SHUFFLE join on the line
+    * hash — deliberately not a broadcast, because at 100 TB the
+    * repeated-line set is corpus-sized (every boilerplate line on the web),
+    * exactly the case where a broadcast assumption falls over. Reassembly is
+    * one groupBy on doc_id. A doc whose every line is boilerplate drops out
+    * entirely (inner join) — the correct curation outcome.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String,
+                lineLen: Int = 10, maxDf: Int = 1): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = split(col("text"), " ")
+    val lines = docs
+      .select(col("doc_id"), t.as("t"),
+        explode(sequence(lit(0), size(t) - 1, lit(lineLen))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / lineLen).cast("long").as("line_idx"),
+        Hashing.h60(array_join(slice(col("t"), col("start") + 1, lit(lineLen)), " "))
+          .as("line_hash"))
+    val lineDf = lines.groupBy(col("line_hash"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    // merge hint: with df <= maxDf the kept set is the UNIQUE lines — nearly
+    // the whole line table — so Catalyst's size guess (an agg output it can't
+    // estimate) must not pick broadcast; both sides shuffle on the line hash
+    lines.join(lineDf.filter(col("df") <= maxDf).hint("merge"), "line_hash")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("line_idx"), col("line_hash")))),
+            x => x.getField("line_hash").cast("string")))).as("kept_sig"))
+  }
+
+  /** Deterministic training-order shuffle: the "global random shuffle" every
+    * training run needs, done the way 100 TB allows — not ONE global sort
+    * (a single-partition window is a non-starter) but hash-sharding: shard =
+    * seeded content-free hash mod `shards`, position = rank within the shard
+    * by the same hash. The hash is a reproducible uniform permutation, so
+    * (shard, pos) is a deterministic shuffled order any reader can replay;
+    * parallelism is `shards`-way regardless of corpus size, and each shard's
+    * window sort carries ~n/shards rows. Readers stream shards in index
+    * order — the standard sharded-shuffle contract of training-data loaders.
+    */
+  def shuffleShards(spark: SparkSession, sfDir: String, shards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.h60(concat(lit("shuf:"), col("doc_id")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (h % shards).as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Gopher-style repetition signal: fraction of duplicate word bigrams per
     * document — high values flag boilerplate/spam. Computed in-row over the
     * token array (narrow, zero shuffle): duplicated-bigram ratio =

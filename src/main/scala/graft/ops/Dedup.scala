@@ -341,6 +341,41 @@ object Dedup {
     connectedComponents(minhashCandidates(spark, sfDir))
       .select(col("doc_id"), col("comp"))
 
+  /** SimHash near-dup pairs via Hamming banding — the third candidate
+    * generator beside MinHash+LSH and the inverted index, and the cheapest:
+    * state per doc is ONE 64-bit fingerprint. Pigeonhole banding: split the
+    * 60-bit fingerprint into 4 disjoint 15-bit bands; two fingerprints within
+    * Hamming distance 3 MUST agree on at least one full band, so grouping by
+    * (band_id, band value) has perfect recall at distance <= 3 (and partial
+    * recall beyond). Candidates are verified in-row with the EXACT Hamming
+    * distance — `bit_count(a XOR b)` — so precision is exact; like the other
+    * generators, pair explosion is bucket-local (one groupBy shuffle keyed on
+    * the band, [[cappedPairs]]-guarded against viral-boilerplate buckets),
+    * never all-pairs.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
+    val bandBits = 15
+    val fp = simhash(spark, sfDir)
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until 60 / bandBits).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
+    }
+    val hamming = bit_count(col("p.doc_a.simhash").bitwiseXOR(col("p.doc_b.simhash")))
+      .cast("long")
+    fp.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("band"))
+      .groupBy(col("band.band_id"), col("band.key"))
+      // struct sort orders by doc_id (first field) — deterministic pair ids
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(cappedPairs(col("xs"), bucketCap)).as("p"))
+      .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority
     * vote of bit i across the token multiset's 60-bit hashes. Integer-only
     * math -> bit-exact against any engine.

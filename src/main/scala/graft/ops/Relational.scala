@@ -391,6 +391,60 @@ object Relational {
       last(sparse, ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Correlated-subquery decorrelation, TPC-H Q17 shape: revenue from
+    * line items whose quantity is below 20 % of their part's average — the
+    * canonical `WHERE l_quantity < (SELECT 0.2*avg(..) WHERE p_partkey =
+    * l_partkey)` query. A per-row correlated subquery would be an O(n)
+    * re-scan per line item; the decorrelated plan (what Catalyst's
+    * RewriteCorrelatedScalarSubquery produces for the SQL form, written
+    * explicitly here) aggregates per part ONCE and equi-joins back: the
+    * per-part agg is partial (map-side combine shrinks it to one row per
+    * part per partition) and both join sides shuffle on the same key.
+    * The 20 %-of-mean predicate is exact integer math — `qty_cents * 5 * n <
+    * sum_cents` is `qty < 0.2 * avg` with no floating-point boundary — so
+    * the survivor set is hash-stable in any engine.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("qty_c", (money(col("l_quantity")) * 100).cast("long"))
+    val part = Tables.load(spark, sfDir, "part").select(col("p_partkey"), col("p_brand"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_c")).as("sum_qc"), count(lit(1)).as("n_li"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty_c") * 5 * col("n_li") < col("sum_qc"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Sliding-frame window aggregation — the moving-average/rolling-sum family
+    * missing from the rank/lag suite: a trailing ROWS frame (last 7 events)
+    * and a trailing RANGE frame (last hour by event time) over one per-user
+    * ordered window. Both frames are streaming-friendly (bounded trailing
+    * state, no re-scan per row) and share ONE shuffle on the entity key.
+    * Integer-cents math throughout: the moving average is `sum div count` —
+    * exact at any magnitude, no float accumulation order to drift across
+    * engines. The RANGE frame orders by floored epoch seconds, so frame
+    * membership includes all peer rows of a second regardless of tie order —
+    * deterministic by construction.
+    */
+  def movingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("cents", (money(col("value")) * 100).cast("long"))
+      .withColumn("sec", unix_timestamp(col("ts")))
+    val wRows = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600, 0)
+    ev.select(
+        col("event_id"), col("user_id"),
+        sum(col("cents")).over(wRows).as("mov_sum_cents"),
+        count(lit(1)).over(wRows).cast("long").as("n_frame"),
+        count(lit(1)).over(wRange).cast("long").as("n_last_hour"))
+      .withColumn("mov_avg_cents", expr("mov_sum_cents div n_frame"))
+  }
+
   /** As-of join: enrich each event with the most recent order (by
     * `o_orderdate <= ts`) of the matching customer — the temporal point-in-time
     * join Spark has no built-in operator for (cf. SURVEY §2B "joins": the

@@ -206,6 +206,54 @@ class PlanSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("ops_corr_subquery: decorrelated to one per-part partial agg + key-shuffled join") {
+    val p = plan("ops_corr_subquery")
+    // the whole point vs a correlated subquery: the per-part average is
+    // aggregated once (partial first) and equi-joined — no per-row re-scan
+    assert(p.contains("partial_"), s"per-part agg lost map-side combine:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the part dim rides as a broadcast; the fact-fact join shuffles on key
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ops_moving_avg: both frames share one window shuffle on the entity key") {
+    val p = plan("ops_moving_avg")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the ROWS and RANGE frames should reuse one user_id shuffle:\n$p")
+  }
+
+  test("ops_line_dedup: line-frequency membership is a shuffle join, not a broadcast") {
+    // at 100 TB the repeated-line set is corpus-sized (all web boilerplate) —
+    // a broadcast assumption here is exactly what falls over at scale
+    val p = plan("ops_line_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"line-df join must shuffle on the line hash:\n$p")
+    assert(p.contains("partial_"), s"line-df count lost map-side combine:\n$p")
+  }
+
+  test("ops_shuffle_shards: sharded training order costs one shards-way window shuffle") {
+    val p = plan("ops_shuffle_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the one shard-keyed shuffle:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("cdc_agg_refresh: base and delta rollups stay partial-agg'd through the merge") {
+    val p = plan("cdc_agg_refresh")
+    assert(p.contains("partial_"), s"rollup lost map-side combine:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ops_simhash_pairs: band buckets via partial-agg'd groupBy, no self-join of the fingerprint subtree") {
+    val p = plan("ops_simhash_pairs")
+    // one scan of documents: the fingerprint feeds banding once; a self-join
+    // design would compute the simhash aggregation per join side
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"fingerprint subtree computed more than once:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
