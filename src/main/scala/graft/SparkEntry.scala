@@ -227,6 +227,39 @@ object SparkEntry {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time (PIT) join — the canonical SCD2 consumer: each purchase
+    * fact is enriched with the dimension version that was valid AT the fact's
+    * timestamp (`valid_from <= ts < valid_to`, open current version matches
+    * everything after its start). Training-data pipelines need exactly this
+    * to avoid feature leakage: the feature row must be the one that existed
+    * at label time, not the current one.
+    *
+    * Shape: equi-join on the entity key with the interval predicate as a
+    * join residual — the fact shuffles ONCE on `user_id`; versions of one key
+    * are colocated, and because an SCD2 dimension is slowly changing,
+    * versions-per-key is bounded, so the residual scan per key is small. (For
+    * a high-churn dimension the scalable escalation is the
+    * [[graft.ops.Relational.rangeJoinBinned]] time-bucket shape or the
+    * [[graft.ops.Relational.asofLastOrder]] union+running-last — same
+    * semantics, no per-key version list.) Intervals partition each key's
+    * timeline, so exactly one version matches every fact — pinned by the
+    * row-count equality with the purchase count in the oracle check.
+    */
+  private def cdcPitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = cdcScd2(spark, sfDir).select(
+      col("user_id"), col("event_id").as("ver_event_id"),
+      col("props").as("ver_props"), col("valid_from"), col("valid_to"))
+    val facts = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("f_user"), col("ts"))
+    facts.join(dim,
+        col("f_user") === col("user_id") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("ver_event_id"), col("ver_props"), col("valid_from"))
+  }
+
   /** Latest-snapshot materialization: collapse the change log to current
     * table state (one row per key) — the other canonical CDC consumer. Shape
     * matters at 100 TB: this is a PARTIAL AGGREGATION (`max` over a
@@ -327,6 +360,7 @@ object SparkEntry {
     "cdc_fallback_join" -> (cdcFallbackJoin _),
     "cdc_op_counts"     -> (cdcOpCounts _),
     "cdc_scd2"          -> (cdcScd2 _),
+    "cdc_pit_join"      -> (cdcPitJoin _),
     "cdc_snapshot"      -> (cdcSnapshot _),
     "cdc_agg_refresh"   -> (cdcAggRefresh _),
     "cdc_json_decode"   -> (cdcJsonDecode _),
@@ -355,6 +389,8 @@ object SparkEntry {
     "ops_gap_fill"          -> (Relational.gapFillDaily _),
     "ops_ffill"             -> (Relational.forwardFill _),
     "ops_corr_subquery"     -> (Relational.smallQuantityRevenue _),
+    "ops_q21_waiting"       -> (Relational.soleProblemSuppliers _),
+    "ops_dq_audit"          -> (Relational.dqAudit _),
     "ops_moving_avg"        -> (Relational.movingAgg _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
     "ops_range_join"        -> (Relational.rangeJoinBinned _),
@@ -374,6 +410,7 @@ object SparkEntry {
     "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
     "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_embed_quant" -> (Similarity.quantizeInt8 _),
     // text analysis set
     "ops_text_stats"    -> (TextStats.corpusStats _),
@@ -382,6 +419,8 @@ object SparkEntry {
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
     "ops_quantiles"     -> (TextStats.lengthQuantiles _),
+    "ops_text_search"   -> ((s: SparkSession, d: String) => TextStats.textSearch(s, d)),
+    "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
@@ -650,6 +689,15 @@ object SparkEntry {
         |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events""".stripMargin,
+    "cdc_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, event_id AS ver_event_id, props AS ver_props, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, d.ver_event_id, d.ver_props, d.valid_from
+        |FROM f JOIN dim d ON f.user_id = d.user_id AND d.valid_from <= f.ts
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
     "cdc_snapshot" ->
       """WITH m AS (
         |  SELECT user_id, max({'ts': ts, 'event_id': event_id, 'props': props}) AS s
@@ -1012,6 +1060,45 @@ object SparkEntry {
         |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
         |WHERE qty_c * 5 * n_li < sum_qc
         |GROUP BY p_brand""".stripMargin,
+    "ops_q21_waiting" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad
+        |  FROM lineitem GROUP BY l_orderkey),
+        |target AS (SELECT l_orderkey FROM per_order WHERE n_supp >= 2 AND n_bad = 1),
+        |bad AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(1) AS numwait
+        |FROM bad JOIN target USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "ops_dq_audit" ->
+      """WITH badA AS (
+        |  SELECT o_orderkey, o_custkey + 10000000 AS o_custkey, 'X' AS o_orderstatus,
+        |    -o_totalprice AS o_totalprice,
+        |    o_orderdate + INTERVAL 100 YEAR AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |badB AS (
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0),
+        |audited AS (
+        |  SELECT * FROM orders UNION ALL SELECT * FROM badA UNION ALL SELECT * FROM badB),
+        |a AS (
+        |  SELECT COUNT(1) AS row_count,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |             OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+        |    COUNT(1) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_custkey
+        |  FROM audited LEFT JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'row_count' AS check_name, CAST(row_count AS BIGINT) AS n_bad FROM a
+        |UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM a
+        |UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS BIGINT) FROM a
+        |UNION ALL SELECT 'bad_status', CAST(bad_status AS BIGINT) FROM a
+        |UNION ALL SELECT 'date_out_of_range', CAST(date_out_of_range AS BIGINT) FROM a
+        |UNION ALL SELECT 'dup_orderkey', CAST(dup_orderkey AS BIGINT) FROM a
+        |UNION ALL SELECT 'orphan_custkey', CAST(orphan_custkey AS BIGINT) FROM a""".stripMargin,
     "ops_moving_avg" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts,
@@ -1078,6 +1165,23 @@ object SparkEntry {
          |  round(${cosineSql("va", "vb")}, 6) AS cos_sim
          |FROM cand
          |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
+    "ops_embed_cluster" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (
+         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+         |  FROM b a JOIN b b2
+         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE round(${cosineSql("a.v", "b2.v")}, 6) >= 0.3),
+         |edges AS (SELECT ia AS src, ib AS dst FROM cand UNION SELECT ib, ia FROM cand),
+         |walk(vec_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.vec_id, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src)
+         |SELECT vec_id, MIN(reach) AS comp FROM walk GROUP BY vec_id""".stripMargin,
     "ops_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1161,6 +1265,28 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "ops_text_search" -> {
+      val terms = TextStats.searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |hits AS (
+         |  SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
+         |  FROM toks WHERE tok IN ($terms) GROUP BY doc_id)
+         |SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM hits
+         |WHERE n_terms = ${TextStats.searchTerms.size}
+         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "ops_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |      FROM t WHERE len(tk) >= 2),
+         |h AS (SELECT doc_id, ${h60sql("bg")} AS h FROM b),
+         |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+         |  CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS avg_freq
+         |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
     "ops_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg

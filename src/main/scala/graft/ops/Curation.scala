@@ -209,7 +209,7 @@ object Curation {
     * shared by [[repetitionScore]] and [[corpusFilter]] so the standalone
     * signal and the composed flagship can never desynchronize.
     */
-  private def bigramsOf(textCol: Column): Column = {
+  private[ops] def bigramsOf(textCol: Column): Column = {
     val t = split(textCol, " ")
     val n = size(t)
     zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),

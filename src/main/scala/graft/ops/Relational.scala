@@ -445,6 +445,92 @@ object Relational {
       .withColumn("mov_avg_cents", expr("mov_sum_cents div n_frame"))
   }
 
+  /** TPC-H Q21 shape — multi-EXISTS/NOT-EXISTS self-correlation, decorrelated:
+    * suppliers who were the SOLE supplier with a returned line in orders that
+    * involved at least two suppliers ("kept the order waiting"). The naive
+    * form is two correlated subqueries against the fact itself (EXISTS another
+    * supplier in the order, NOT EXISTS another supplier with a returned line)
+    * — two extra fact self-joins. The decorrelated plan aggregates the fact
+    * ONCE per order (distinct-supplier count + distinct-bad-supplier count,
+    * both partial-agg'd) and equi-joins the qualifying orders back to the
+    * distinct bad (order, supplier) pairs: the fact is scanned twice and
+    * shuffled on the order key, never self-joined row-to-row. Top-25 by wait
+    * count is TakeOrderedAndProject with a unique `s_name` tie-break, so the
+    * cut line is deterministic.
+    */
+  def soleProblemSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val s = Tables.load(spark, sfDir, "supplier")
+    val perOrder = li.groupBy(col("l_orderkey")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_bad"))
+    val target = perOrder.filter(col("n_supp") >= 2 && col("n_bad") === 1)
+      .select(col("l_orderkey"))
+    val badPairs = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    badPairs.join(target, "l_orderkey")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  /** One-pass data-quality audit (Deequ-style constraint metrics): null rate,
+    * value-domain, range, duplicate-key, and referential-integrity violation
+    * counts over the orders fact, emitted in long form (check, n_bad).
+    *
+    * Shape: ALL row-local checks fold into ONE conditional-aggregation pass;
+    * the duplicate-key census rides the same pass as `count - countDistinct`;
+    * referential integrity is a broadcast LEFT join against the customer key
+    * set (dim-sized build side) whose miss-marker folds into the same agg —
+    * one fact scan, one shuffle, however many checks. The audited input is
+    * the base table plus deterministically planted violations (same
+    * synthesized-defect pattern as `cdc_key_inventory`: a `% 101` slice with
+    * orphan key / negative price / bad status / out-of-range date, a `% 103`
+    * slice with a NULL key), mirrored in the oracle — so every check is
+    * proven to fire, not just to return zero.
+    */
+  def dqAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), lit(1).as("c_present"))
+    // planted defects: slice A duplicates existing keys with an orphan
+    // custkey, negative price, out-of-domain status, far-future date; slice B
+    // nulls the custkey. Both derived from base rows, so the oracle replays
+    // the same construction.
+    val badA = base.filter(col("o_orderkey") % 101 === 0).select(
+      col("o_orderkey"), (col("o_custkey") + 10000000L).as("o_custkey"),
+      lit("X").as("o_orderstatus"), (-col("o_totalprice")).as("o_totalprice"),
+      (col("o_orderdate") + expr("INTERVAL 100 YEARS")).as("o_orderdate"),
+      col("o_orderpriority"))
+    val badB = base.filter(col("o_orderkey") % 103 === 0)
+      .withColumn("o_custkey", lit(null).cast("long"))
+    val audited = base.unionByName(badA.select(base.columns.map(col): _*))
+      .unionByName(badB)
+    val a = audited.join(broadcast(c), audited("o_custkey") === c("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("row_count"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+        sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+                 col("o_orderdate") >= lit("2030-01-01").cast("timestamp"), 1L).otherwise(0L))
+          .as("date_out_of_range"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+        sum(when(col("o_custkey").isNotNull && col("c_present").isNull, 1L).otherwise(0L))
+          .as("orphan_custkey"))
+    a.select(expr(
+      """stack(7,
+        |  'row_count', row_count,
+        |  'null_custkey', null_custkey,
+        |  'nonpositive_price', nonpositive_price,
+        |  'bad_status', bad_status,
+        |  'date_out_of_range', date_out_of_range,
+        |  'dup_orderkey', dup_orderkey,
+        |  'orphan_custkey', orphan_custkey) AS (check_name, n_bad)""".stripMargin))
+  }
+
   /** As-of join: enrich each event with the most recent order (by
     * `o_orderdate <= ts`) of the matching customer — the temporal point-in-time
     * join Spark has no built-in operator for (cf. SURVEY §2B "joins": the

@@ -272,4 +272,20 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  /** Embedding near-dup clustering — the similarity-side capstone, mirroring
+    * [[Dedup.dedupCc]]: ANN/LSH candidate pairs ([[nearDupPairs]]) closed
+    * under transitivity by [[Dedup.connectedComponents]]; canonical vector =
+    * min vec_id per component. This is the standard embedding-dedup pipeline
+    * (cluster near-identical embeddings, keep one representative): candidate
+    * generation is bucket-local and cap-guarded, the closure converges in
+    * O(log diameter) pointer-jumping rounds, and near-dup cluster diameters
+    * are small in practice — so the composition inherits both stages' 100 TB
+    * posture unchanged.
+    */
+  def embedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponents(
+      nearDupPairs(spark, sfDir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("comp"))
 }

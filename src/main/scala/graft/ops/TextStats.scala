@@ -143,4 +143,69 @@ object TextStats {
         transform(sequence(lit(1), size(col("hs")) - lit(w - 1)),
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
+
+  /** Query terms for [[textSearch]] — mid-frequency corpus tokens so the
+    * conjunction is selective but non-empty at every SF.
+    */
+  val searchTerms: Seq[String] = Seq("join", "filter", "stream")
+
+  /** Conjunctive keyword search (every term must appear), ranked by total
+    * term frequency — the query side of an inverted text index.
+    *
+    * Shape: a coarse substring prefilter (`contains` of every term) runs at
+    * the scan, so only plausible documents are tokenized at all — it may
+    * overmatch ("joins" contains "join"), never undermatch, and the exact
+    * whole-token check downstream restores precision. Hits are filtered to
+    * the query terms IN-ROW before any shuffle (only query-term postings
+    * cross the wire — at 100 TB this is the posting-list fetch of a prebuilt
+    * index, whose build is exactly the [[Curation.vocabulary]] shape), then
+    * one partial-agg pass per doc counts tf and distinct matched terms;
+    * AND-semantics = distinct-count == n_terms. Top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort) with a
+    * `doc_id` tie-break so the cut line is deterministic.
+    */
+  def textSearch(spark: SparkSession, sfDir: String,
+                 terms: Seq[String] = searchTerms, k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val prefilter = terms.map(t => col("text").contains(t)).reduce(_ && _)
+    docs.filter(prefilter)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+           count(lit(1)).cast("long").as("tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("tf"))
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Corpus-familiarity score — an unsmoothed bigram-LM proxy: each document
+    * scored by the mean corpus frequency of its word bigrams (fluent /
+    * in-distribution text reuses corpus-common bigrams; gibberish and
+    * boilerplate-with-rare-joins score low). Integer math only (`sum div
+    * count`), so the score is hash-exact in any engine — a real LM would sum
+    * log-probs, whose floating accumulation is engine-ordered.
+    *
+    * Shape: ONE scan — bigrams fold in-row ([[Curation.bigramsOf]]) and are
+    * reduced to 8-byte hashes before anything shuffles; corpus counts come
+    * from a whole-partition window over the bigram hash (one shuffle) instead
+    * of a self-join, which would recompute the scan+explode subtree for the
+    * count side; then one partial-agg shuffle per doc. The window keys on the
+    * full 60-bit hash (high cardinality), but a genuinely degenerate corpus
+    * (one bigram dominating) skews that partition — at that extreme, switch
+    * to the [[Curation.lineDedup]] shape: a df-capped count table joined back
+    * (AQE can split a skewed join; it cannot split a window partition).
+    */
+  def bigramFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bg = docs
+      .select(col("doc_id"), explode(Curation.bigramsOf(col("text"))).as("bg"))
+      .select(col("doc_id"), Hashing.h60(col("bg")).as("h"))
+    bg.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           sum(col("cnt")).as("sum_freq"))
+      .withColumn("avg_freq", expr("sum_freq div n_bigrams"))
+  }
 }

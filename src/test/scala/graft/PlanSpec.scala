@@ -254,6 +254,49 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("ops_text_search: term prefilter pushed to the parquet scan; top-k heap, partial agg") {
+    val p = plan("ops_text_search")
+    // the coarse contains-prefilter must reach the scan (only plausible docs
+    // are tokenized at all); toString truncates the scan's filter list, so
+    // pin the first term only
+    assert(p.contains("StringContains(text,join)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("cdc_pit_join: fact-to-SCD2 is an equi-join with an interval residual, never a nested loop") {
+    val p = plan("cdc_pit_join")
+    // the interval predicate must ride a user_id equi-join as a residual (at
+    // sf0.001 stats let the tiny purchase side broadcast; at scale the same
+    // plan shape is a key-shuffled SortMergeJoin) — a nested-loop/cartesian
+    // interval join would explode at any size
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ops_q21_waiting: decorrelated to one per-order partial agg, broadcast dim, top-k heap") {
+    val p = plan("ops_q21_waiting")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
+    val p = plan("ops_dq_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ops_bigram_lm: corpus counts via window over the hash — single scan, no self-join") {
+    val p = plan("ops_bigram_lm")
+    assert(!p.contains("Join"), s"self-join crept in:\n$p")
+    assert(p.contains("Window"), p)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 documents scan, found $scans:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.TextStats
 import org.apache.spark.sql.functions._
 
 /** Invariant checks for the declared query inventory at sf0.001 (the DuckDB
@@ -150,5 +151,47 @@ class QueriesSpec extends SparkSuite {
   test("fallback join rehydrates every starved payload") {
     val df = SparkEntry.queries("cdc_fallback_join")(spark, sf)
     assert(df.filter(col("payload").isNull).count() == 0)
+  }
+
+  test("cdc_pit_join matches exactly one dimension version per purchase fact") {
+    val out = SparkEntry.queries("cdc_pit_join")(spark, sf)
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    // SCD2 intervals partition each key's timeline -> one version per fact
+    assert(out.count() == purchases)
+    assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() == 0)
+    // no feature leakage: the matched version never starts after the fact
+    assert(out.filter(col("valid_from") > col("ts")).count() == 0)
+  }
+
+  test("ops_dq_audit: every planted defect class fires, with cross-consistent counts") {
+    val m = SparkEntry.queries("ops_dq_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("orphan_custkey") > 0 && m("null_custkey") > 0 && m("dup_orderkey") > 0)
+    // slice A carries orphan + bad status + negative price + future date
+    assert(m("orphan_custkey") == m("bad_status"))
+    assert(m("bad_status") == m("nonpositive_price"))
+    assert(m("nonpositive_price") == m("date_out_of_range"))
+    // every planted row (A and B) duplicates an existing orderkey
+    assert(m("dup_orderkey") == m("orphan_custkey") + m("null_custkey"))
+  }
+
+  test("ops_text_search: AND semantics — every hit contains every query term as a token") {
+    val hits = SparkEntry.queries("ops_text_search")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = split(lower(col("text")), " ")
+    val violated = hits.join(docs, "doc_id")
+      .filter(!TextStats.searchTerms.map(t => array_contains(toks, t)).reduce(_ && _))
+    assert(violated.count() == 0)
+  }
+
+  test("ops_embed_cluster: component label is the minimum member id") {
+    val out = SparkEntry.queries("ops_embed_cluster")(spark, sf)
+    assert(out.filter(col("comp") > col("vec_id")).count() == 0)
+    // every component's labelled minimum is a member of the output set
+    val members = out.select(col("vec_id")).distinct()
+    val dangling = out.select(col("comp").as("vec_id")).distinct()
+      .join(members, Seq("vec_id"), "left_anti")
+    assert(dangling.count() == 0)
   }
 }
