@@ -175,6 +175,69 @@ object SparkEntry {
       .intersect(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
   }
 
+  /** EXCEPT ALL — bag (multiset) difference, the set-op semantics
+    * `intersect`/`except` can't express: each view "cancels" one click, so a
+    * user with 5 clicks and 3 views survives with multiplicity 2. Spark
+    * plans this as a signed-count aggregation + replicate (one shuffle on
+    * the key, no join); the trailing groupBy collapses the replicated rows
+    * to (user, n_excess) so the output is deterministic and
+    * multiplicity-preserving.
+    */
+  private def opsExceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.filter(col("event_type") === "click").select(col("user_id"))
+      .exceptAll(ev.filter(col("event_type") === "view").select(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_excess"))
+  }
+
+  /** Per-key JSON value-TYPE census over dynamic payloads — the schema
+    * half of schema-on-read (`pqstream.proto:32-33`: payloads are arbitrary
+    * `protobuf.Struct` documents; an engine consuming them needs to know,
+    * per key, WHICH types actually occur before it can plan typed reads).
+    * Complements [[cdcKeyInventory]] (key names) with value types.
+    *
+    * Type drift is synthesized deterministically from driver columns (same
+    * pattern as the key census): key `v` cycles through number / string /
+    * bool / object / array / null by `event_id % 6`, mirrored in the oracle.
+    * The census uses Spark 4's Variant path — `variant_explode` over
+    * `parse_json` yields (key, variant value) pairs without the
+    * literal-path restriction of `variant_get`, and `schema_of_variant`
+    * names each value's type; labels are normalized to engine-neutral
+    * {number,string,bool,object,array,null}. One narrow scan + one
+    * partial-agg shuffle of (key, label) pairs — at 100 TB the cost is the
+    * per-row variant parse, which is the price schema-on-read always pays
+    * exactly once.
+    */
+  private def cdcTypeCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val k = get_json_object(col("props"), "$.k")
+    val m = col("event_id") % 6
+    val vJson = when(m === 0, k)
+      .when(m === 1, concat(lit("\""), k, lit("\"")))
+      .when(m === 2, lit("true"))
+      .when(m === 3, concat(lit("{\"n\":"), k, lit("}")))
+      .when(m === 4, concat(lit("["), k, lit("]")))
+      .otherwise(lit("null"))
+    val doc = concat(lit("{\"k\":"), k, lit(",\"v\":"), vJson, lit("}"))
+    val st = schema_of_variant(col("value"))
+    val label = when(st.startsWith("OBJECT"), "object")
+      .when(st.startsWith("ARRAY"), "array")
+      .when(st === "VOID", "null")
+      .when(st === "STRING", "string")
+      .when(st === "BOOLEAN", "bool")
+      .otherwise("number") // BIGINT / DECIMAL(p,s) / DOUBLE
+    // variant_explode is a table-valued generator (not an expression), so the
+    // dynamic-key explosion goes through one LATERAL join over a temp view
+    ev.withColumn("doc", doc).select(col("doc"))
+      .createOrReplaceTempView("graft_type_census_docs")
+    spark.sql(
+      """SELECT key, value FROM graft_type_census_docs,
+        |LATERAL variant_explode(parse_json(doc))""".stripMargin)
+      .select(col("key"), label.as("vtype"))
+      .groupBy(col("key"), col("vtype"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** HLL sketch aggregation — approx_count_distinct per event type. No SQL
     * oracle (sketches differ across engines); driver records rows-only.
     */
@@ -367,7 +430,9 @@ object SparkEntry {
     "cdc_variant_get"   -> (cdcVariantGet _),
     "ops_sessionize"    -> ((s: SparkSession, d: String) => Relational.sessionize(s, d)),
     "ops_set_ops"         -> (opsSetOps _),
+    "ops_except_all"      -> (opsExceptAll _),
     "ops_approx_distinct" -> (opsApproxDistinct _),
+    "cdc_type_census"     -> (cdcTypeCensus _),
     // relational set
     "q1_pricing"            -> (Relational.pricingSummary _),
     "ops_star_join_agg"     -> (Relational.starJoinAgg _),
@@ -382,7 +447,10 @@ object SparkEntry {
     "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
     "cdc_key_inventory"     -> (cdcKeyInventory _),
     "ops_funnel"            -> (Relational.funnel _),
+    "ops_window_funnel"     -> (Relational.windowFunnel _),
     "ops_cohort_retention"  -> (Relational.cohortRetention _),
+    "ops_mad_outliers"      -> (Relational.madOutliers _),
+    "ops_full_outer"        -> (Relational.reconcileHourly _),
     "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),
     "ops_grouping_sets"     -> (Relational.groupingSetsCounts _),
     "ops_rank_suite"        -> (Relational.rankSuite _),
@@ -793,6 +861,74 @@ object SparkEntry {
         |SELECT event_type, k AS key, COUNT(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
         |GROUP BY event_type, k""".stripMargin,
+    "ops_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |         LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
+        |FROM lv GROUP BY level""".stripMargin,
+    "ops_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, cents, med FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, MAX(med) AS med,
+        |        quantile_cont(ABS(cents - med), 0.5) AS mad, COUNT(*) AS n
+        |      FROM d GROUP BY event_type)
+        |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
+        |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "ops_full_outer" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(s.hour, p.hour) AS hour,
+        |  CAST(COALESCE(n_signups, 0) AS BIGINT) AS n_signups,
+        |  CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM s FULL OUTER JOIN p ON s.hour = p.hour""".stripMargin,
+    "ops_except_all" ->
+      """SELECT user_id, COUNT(*) AS n_excess FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id""".stripMargin,
+    "cdc_type_census" ->
+      """WITH d AS (
+        |  SELECT
+        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || ',"v":' ||
+        |    CASE WHEN event_id % 6 = 0 THEN CAST(json_extract(props, '$.k') AS VARCHAR)
+        |         WHEN event_id % 6 = 1 THEN '"' || CAST(json_extract(props, '$.k') AS VARCHAR) || '"'
+        |         WHEN event_id % 6 = 2 THEN 'true'
+        |         WHEN event_id % 6 = 3 THEN '{"n":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+        |         WHEN event_id % 6 = 4 THEN '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']'
+        |         ELSE 'null' END || '}' AS doc
+        |  FROM events),
+        |kv AS (SELECT doc, unnest(json_keys(doc)) AS key FROM d),
+        |typed AS (SELECT key, json_type(doc::JSON, '$.' || key) AS jt FROM kv)
+        |SELECT key,
+        |  CASE WHEN jt IS NULL OR jt = 'NULL' THEN 'null'
+        |       WHEN jt = 'OBJECT' THEN 'object'
+        |       WHEN jt = 'ARRAY' THEN 'array'
+        |       WHEN jt = 'VARCHAR' THEN 'string'
+        |       WHEN jt = 'BOOLEAN' THEN 'bool'
+        |       ELSE 'number' END AS vtype,
+        |  COUNT(*) AS n
+        |FROM typed GROUP BY key, vtype""".stripMargin,
     "ops_funnel" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signups,

@@ -445,6 +445,112 @@ object Relational {
       .withColumn("mov_avg_cents", expr("mov_sum_cents div n_frame"))
   }
 
+  /** Strict-order window funnel (the k-step generalization of [[funnel]],
+    * ClickHouse `windowFunnel` semantics): per user, the deepest prefix of
+    * signup → click → purchase reached by STRICTLY time-increasing events
+    * that ALL land within `window` of the first step; output = users per
+    * funnel depth. [[funnel]]'s min/max trick answers the 2-step ordering
+    * question without any per-user history; with 3+ ordered steps the chain
+    * ("earliest click AFTER the earliest signup, earliest purchase after
+    * THAT, all within the horizon") needs the per-user event sequence.
+    *
+    * Shape: ONE shuffle on the user key. Funnel-irrelevant events are nulled
+    * BEFORE the aggregation (`collect_list` skips nulls), so only funnel-step
+    * (ts, type) tuples ever cross the wire — per-user state is bounded by the
+    * user's funnel-event count, not their history. The chain itself is a
+    * greedy in-row fold (`aggregate` over the sorted sequence): greedy =
+    * minimal at every step, so it computes exactly the nested-MIN chain the
+    * oracle states declaratively. An equivalent k-level nested-aggregation
+    * join tree costs k shuffles; this costs one.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val steps = Seq("signup", "click", "purchase")
+    val horizon = expr("INTERVAL 1 DAY")
+    val item = when(col("event_type").isin(steps: _*),
+      struct(col("ts"), col("event_id"), col("event_type")))
+    val nullT = lit(null).cast("timestamp")
+    val folded = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(item)).as("seq"))
+      .withColumn("acc", aggregate(
+        col("seq"),
+        struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),
+        (acc, e) => {
+          // deadline: every later step must land within `horizon` of t1
+          val inWindow = e.getField("ts") <= acc.getField("t1") + horizon
+          struct(
+            when(acc.getField("t1").isNull && e.getField("event_type") === "signup",
+              e.getField("ts")).otherwise(acc.getField("t1")).as("t1"),
+            when(acc.getField("t2").isNull && acc.getField("t1").isNotNull &&
+                 e.getField("event_type") === "click" &&
+                 e.getField("ts") > acc.getField("t1") && inWindow,
+              e.getField("ts")).otherwise(acc.getField("t2")).as("t2"),
+            when(acc.getField("t3").isNull && acc.getField("t2").isNotNull &&
+                 e.getField("event_type") === "purchase" &&
+                 e.getField("ts") > acc.getField("t2") && inWindow,
+              e.getField("ts")).otherwise(acc.getField("t3")).as("t3"))
+        }))
+    folded.select(
+        when(col("acc.t3").isNotNull, 3L)
+          .when(col("acc.t2").isNotNull, 2L)
+          .when(col("acc.t1").isNotNull, 1L)
+          .otherwise(0L).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Robust outlier detection via median absolute deviation (MAD): per
+    * event type, median, MAD, and the count of values beyond 3 MADs — the
+    * standard robust alternative to mean/stddev z-scores (a single extreme
+    * value drags a mean arbitrarily; the median moves by at most one rank).
+    *
+    * Shape: medians need ranks, so this is inherently two aggregation passes
+    * (median first, then the deviation median) plus a counting pass — but
+    * the per-group stats are GROUP-CARDINALITY rows (5 here; bounded at any
+    * corpus size), so they ride back onto the fact as broadcasts and the
+    * fact itself is only ever scanned narrow (2 columns) and partial-agg'd.
+    * The single-pass escape at extreme scale is an approximate-percentile
+    * sketch; this operator keeps the EXACT percentile (mergeable buffers,
+    * dyadic 0.5 fraction over integer cents => bit-exact in any engine —
+    * same argument as `ops_quantiles`).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (money(col("value")) * 100).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val stats = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+           expr("percentile(abs(cents - med), 0.5)").as("mad"),
+           count(lit(1)).as("n"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"), max(col("n")).as("n"),
+           sum(when(abs(col("cents") - col("med")) > col("mad") * 3, 1L).otherwise(0L))
+             .as("n_outliers"))
+  }
+
+  /** FULL OUTER reconciliation — the one standard join type the inventory
+    * lacked: hourly signup counts vs hourly purchase counts, keeping hours
+    * present on EITHER side (zero-filled). The canonical cross-system /
+    * cross-stream reconciliation report: inner would silently drop exactly
+    * the mismatched hours the report exists to surface. Both sides are
+    * partial-agg'd to group cardinality BEFORE the join, so the full outer
+    * joins two aggregate-sized inputs — never fact against fact.
+    */
+  def reconcileHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    def hourly(t: String, name: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as(name))
+    hourly("signup", "n_signups")
+      .join(hourly("purchase", "n_purchases"), Seq("hour"), "full_outer")
+      .select(col("hour"),
+        coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+  }
+
   /** TPC-H Q21 shape — multi-EXISTS/NOT-EXISTS self-correlation, decorrelated:
     * suppliers who were the SOLE supplier with a returned line in orders that
     * involved at least two suppliers ("kept the order waiting"). The naive

@@ -297,6 +297,30 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"expected exactly 1 documents scan, found $scans:\n$p")
   }
 
+  test("ops_window_funnel: one user-key shuffle, in-row fold — no window, no join") {
+    val p = plan("ops_window_funnel")
+    assert(!p.contains("Join"), s"funnel chain must not become a join tree:\n$p")
+    assert(!p.contains("Window"), s"funnel fold must stay in-row:\n$p")
+  }
+
+  test("ops_mad_outliers: group stats ride back as broadcasts, fact never shuffles to join") {
+    val p = plan("ops_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ops_full_outer: both sides aggregate to group cardinality before the full outer join") {
+    val p = plan("ops_full_outer")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ops_except_all: bag difference plans as signed-count aggregation, not a join") {
+    val p = plan("ops_except_all")
+    assert(!p.contains("Join"), s"exceptAll should not plan a join:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)

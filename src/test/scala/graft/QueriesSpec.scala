@@ -185,6 +185,25 @@ class QueriesSpec extends SparkSuite {
     assert(violated.count() == 0)
   }
 
+  test("ops_window_funnel: levels partition the full user base") {
+    val out = SparkEntry.queries("ops_window_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val users = Tables.load(spark, sf, "events").select(col("user_id")).distinct().count()
+    assert(out.values.sum == users, s"levels must partition all $users users: $out")
+  }
+
+  test("ops_except_all: surviving multiplicity equals clicks minus views per user") {
+    val ev = Tables.load(spark, sf, "events")
+    val direct = ev.groupBy(col("user_id")).agg(
+      (sum(when(col("event_type") === "click", 1L).otherwise(0L)) -
+       sum(when(col("event_type") === "view", 1L).otherwise(0L))).as("expected"))
+    val out = SparkEntry.queries("ops_except_all")(spark, sf)
+    assert(out.join(direct, "user_id").filter(col("n_excess") =!= col("expected")).count() == 0)
+    // and nobody with a non-positive balance appears
+    assert(out.filter(col("n_excess") <= 0).count() == 0)
+  }
+
   test("ops_embed_cluster: component label is the minimum member id") {
     val out = SparkEntry.queries("ops_embed_cluster")(spark, sf)
     assert(out.filter(col("comp") > col("vec_id")).count() == 0)
