@@ -506,6 +506,8 @@ object SparkEntry {
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // storage layout
+    "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
   )
 
   // ===== DuckDB oracles =====
@@ -525,6 +527,12 @@ object SparkEntry {
   /** 60-bit md5 hash — DuckDB twin of [[graft.ops.Hashing.h60]]. */
   private def h60sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Bit-interleave SQL — DuckDB twin of [[graft.sources.Layout.zValue]]. */
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
 
   /** Ordered-fold dot product of two DOUBLE lists — DuckDB twin of
     * [[graft.ops.Similarity.dot]].
@@ -1005,6 +1013,22 @@ object SparkEntry {
       s"""WITH $shinglesCte,
          |$minhashCandsCte
          |SELECT doc_a, doc_b FROM cands""".stripMargin,
+    "ops_zorder" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    (CAST(floor(epoch(ts)) AS BIGINT) -
+         |     CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)) // 32 AS su
+         |  FROM events),
+         |s AS (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+         |             MIN(su) AS bmn, MAX(su) AS bmx FROM e),
+         |q AS (SELECT user_id, su,
+         |        ((user_id - amn) * 256) // (amx - amn + 1) AS qa,
+         |        ((su - bmn) * 256) // (bmx - bmn + 1) AS qb FROM e, s),
+         |z AS (SELECT user_id, su, (${zInterleaveSql("qa", "qb", 8)}) AS z FROM q)
+         |SELECT z // 2048 AS bucket, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(MAX(su) - MIN(su) AS BIGINT) AS span32
+         |FROM z GROUP BY bucket""".stripMargin,
     "ops_dedup_cc" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$minhashCandsCte,

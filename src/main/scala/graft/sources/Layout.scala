@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage layout for the captured event log — the write side of the 100 TB
@@ -48,4 +48,78 @@ object Layout {
   def readDayOp(spark: SparkSession, path: String, day: String, op: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("day") === lit(day).cast("date") && col("op") === op)
+
+  // ===== Z-order (space-filling curve) clustering =====
+
+  /** Bit-interleave two already-quantized `bits`-wide non-negative columns
+    * into a Z-order curve value: z = ... b1 a1 b0 a0 (bit i of `a` lands at
+    * position 2i, of `b` at 2i+1). Locality property: rows close in z are
+    * close in BOTH dimensions, so sorting by z gives every storage block
+    * tight min/max ranges on both columns at once — where a lexicographic
+    * (a, b) sort gives tight ranges on `a` only.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Append a `z` column interleaving two long columns (by NAME, so the
+    * quantization can be expressed in exact integer SQL), each min/max
+    * normalized to `bits` levels first — raw interleave would be dominated by
+    * whichever column has the larger magnitude (high bits all zero on the
+    * smaller dim), which degenerates z-order back to a single-column sort.
+    * The min/max stats are ONE row computed in a partial agg and
+    * broadcast-joined back (the scalar-subquery shape of
+    * `ops_scalar_subquery`): no collect, no probe-side shuffle. At 100 TB
+    * production systems snapshot these stats instead of rescanning; the
+    * quantization is insensitive to staleness (new extremes clamp).
+    */
+  def withZ(df: DataFrame, aCol: String, bCol: String, bits: Int = 8): DataFrame = {
+    val levels = 1L << bits
+    val stats = df.agg(
+      min(col(aCol)).as("z_amn"), max(col(aCol)).as("z_amx"),
+      min(col(bCol)).as("z_bmn"), max(col(bCol)).as("z_bmx"))
+    df.join(broadcast(stats))
+      .withColumn("z_qa", expr(s"(($aCol - z_amn) * $levels) div (z_amx - z_amn + 1)"))
+      .withColumn("z_qb", expr(s"(($bCol - z_bmn) * $levels) div (z_bmx - z_bmn + 1)"))
+      .withColumn("z", zValue(col("z_qa"), col("z_qb"), bits))
+      .drop("z_amn", "z_amx", "z_bmn", "z_bmx", "z_qa", "z_qb")
+  }
+
+  /** Write the event log Z-order clustered on (user_id, time): range
+    * partition by z (sampled boundaries — distributed, no global sort), sort
+    * within each file by z. Every output file then holds a tight range of
+    * BOTH user ids and timestamps, so parquet row-group min/max pushdown
+    * skips data for user-bounded AND time-bounded scans — the standard
+    * lakehouse OPTIMIZE ZORDER layout, vs [[writeEventArchive]] whose in-file
+    * sort serves only the key dimension within each (day, op) directory.
+    */
+  def zorderWrite(events: DataFrame, path: String, numFiles: Int = 32): Unit =
+    withZ(events.withColumn("su", expr(
+        "(unix_timestamp(ts) - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 32")),
+        "user_id", "su")
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z", "su")
+      .write.mode("overwrite").parquet(path)
+
+  /** Z-order clustering statistics over the events table — the measurable
+    * form of the locality claim: bucket rows by the TOP 5 bits of z (an
+    * in-row projection — no global sort, no ntile) and report per-bucket row
+    * count, distinct users, and time span. Because top z bits alternate
+    * dimensions, every bucket must be narrow in BOTH user range and time
+    * range — the oracle checks the exact stats, `LayoutSpec` asserts the
+    * clustering factor against the single-dimension sort.
+    */
+  def zorderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events").withColumn("su", expr(
+      "(unix_timestamp(ts) - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 32"))
+    withZ(ev, "user_id", "su")
+      .withColumn("bucket", expr(s"z div ${1L << 11}")) // top 5 of 16 z bits
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           (max(col("su")) - min(col("su"))).as("span32"))
+  }
 }

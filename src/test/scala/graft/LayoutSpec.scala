@@ -44,6 +44,45 @@ class LayoutSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("op") == "INSERT"))
   }
 
+  test("z-order write clusters BOTH dimensions per file; a time sort clusters only time") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_archive").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    Layout.zorderWrite(ev, dir, numFiles = 16)
+
+    // per-file width of each dimension, as a fraction of its global width
+    val stats = spark.read.parquet(dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        input_file_name().as("f"))
+    val global = stats.agg(
+      (max(col("user_id")) - min(col("user_id"))).as("uw"),
+      (max(col("sec")) - min(col("sec"))).as("tw")).collect()(0)
+    val perFile = stats.groupBy(col("f")).agg(
+      (max(col("user_id")) - min(col("user_id"))).as("uw"),
+      (max(col("sec")) - min(col("sec"))).as("tw"))
+      .agg(avg(col("uw")).as("uw"), avg(col("tw")).as("tw")).collect()(0)
+    // 16 files = 4 z-bits = 2 bits per dimension -> each file should span
+    // roughly 1/4 of each dimension; assert the loose half-width bound that a
+    // single-dimension sort provably fails (its secondary dim spans ~100%)
+    assert(perFile.getDouble(0) < global.getLong(0) / 2.0,
+      s"user width not clustered: ${perFile.getDouble(0)} of ${global.getLong(0)}")
+    assert(perFile.getDouble(1) < global.getLong(1) / 2.0,
+      s"time width not clustered: ${perFile.getDouble(1)} of ${global.getLong(1)}")
+
+    // contrast: the same data sorted by time alone leaves the user dimension
+    // unclustered (each file spans ~the full user range)
+    val tDir = java.nio.file.Files.createTempDirectory("tsort_archive").toString
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(tDir)
+    val tAvg = spark.read.parquet(tDir)
+      .select(col("user_id"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg((max(col("user_id")) - min(col("user_id"))).as("uw"))
+      .agg(avg(col("uw"))).collect()(0).getDouble(0)
+    assert(tAvg > global.getLong(0) * 0.9,
+      s"time-sort contrast broken: user width $tAvg of ${global.getLong(0)}")
+  }
+
   test("archive writes one file per (day, op) directory — no small-file explosion") {
     val leafDirs = new java.io.File(archive).listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles().filter(_.isDirectory))
