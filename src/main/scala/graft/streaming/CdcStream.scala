@@ -221,6 +221,38 @@ object CdcStream {
         col("purchase_id"), col("p_ts"))
   }
 
+  /** LEFT OUTER variant of [[correlate]]: every error emits, with null
+    * purchase columns when NO purchase preceded it in the window — the
+    * "failures with no prior activity" report an inner join silently drops.
+    * The semantics outer adds on a stream are about TIME, not just nulls: an
+    * unmatched error cannot emit when first seen (a matching purchase may
+    * still arrive late), so Spark holds it in state and emits the
+    * null-padded row only once the PURCHASE-side watermark guarantees no
+    * qualifying `p_ts <= e_ts` row can still arrive — correctness waits
+    * exactly one watermark horizon, state stays bounded by the same
+    * two-sided eviction as the inner join. Same shuffle (user key, both
+    * sides), same state shape; only the emission rule differs.
+    */
+  def correlateOuter(events: DataFrame,
+                     withinSeconds: Long = 600,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermark)
+    errors.join(purchases,
+      col("p_user") === col("e_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL $withinSeconds SECONDS"),
+      "leftOuter")
+      .select(col("e_user").as("user_id"), col("error_id"), col("e_ts"),
+        col("purchase_id"), col("p_ts"))
+  }
+
   /** A subscriber = name + table/event-type regexp (the per-client filter of
     * `Listen`, reference `pqstream.proto:12-15`) + sink directory.
     */

@@ -194,6 +194,45 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("outer correlate emits unmatched errors null-padded once the purchase watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.correlateOuter(input.toDF(), withinSeconds = 600)
+      .writeStream.format("memory").queryName("corr_outer_out").outputMode("append").start()
+    try {
+      // user 1: purchase then error (matched); user 2: error alone (must
+      // surface null-padded — the rows an inner join silently drops)
+      input.addData(
+        RawChange(1, t(500), 1, "purchase", "{}"),
+        RawChange(2, t(700), 1, "error", "{}"),
+        RawChange(3, t(700), 2, "error", "{}"))
+      q.processAllAvailable()
+      // user 2's row must NOT emit yet: a purchase with p_ts <= 700 could
+      // still arrive while the purchase watermark lags
+      val early = spark.table("corr_outer_out").collect()
+      assert(!early.exists(_.getAs[Long]("user_id") == 2L),
+        s"unmatched error emitted before the watermark allowed: ${early.toSeq}")
+      // advance BOTH side watermarks far past t700 (+ another batch to let
+      // the eviction-driven emission land)
+      input.addData(
+        RawChange(4, t(5000), 9, "purchase", "{}"),
+        RawChange(5, t(5000), 9, "error", "{}"))
+      q.processAllAvailable()
+      input.addData(
+        RawChange(6, t(9000), 8, "purchase", "{}"),
+        RawChange(7, t(9000), 8, "error", "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("corr_outer_out").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1 && u1(0).getAs[Long]("purchase_id") == 1L)
+      val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+      assert(u2.length == 1, s"unmatched error missing/duplicated: ${rows.toSeq}")
+      assert(u2(0).isNullAt(u2(0).fieldIndex("purchase_id")), "outer row must be null-padded")
+      val u9 = rows.filter(_.getAs[Long]("user_id") == 9L)
+      assert(u9.length == 1 && u9(0).getAs[Long]("purchase_id") == 4L)
+    } finally q.stop()
+  }
+
   test("fan-out delivers per-subscriber filtered views (A1/K* semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("fanout").toString
