@@ -463,8 +463,14 @@ object Relational {
     * oracle states declaratively. An equivalent k-level nested-aggregation
     * join tree costs k shuffles; this costs one.
     */
-  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.load(spark, sfDir, "events")
+  def windowFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    windowFunnelDf(Tables.load(spark, sfDir, "events"))
+
+  /** DataFrame-level core of [[windowFunnel]] (events need `user_id`, `ts`,
+    * `event_id`, `event_type`); `PropertySpec` drives it over generated
+    * sequences against a reference fold.
+    */
+  def windowFunnelDf(ev: DataFrame): DataFrame = {
     val steps = Seq("signup", "click", "purchase")
     val horizon = expr("INTERVAL 1 DAY")
     val item = when(col("event_type").isin(steps: _*),

@@ -80,6 +80,61 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("windowFunnel fold matches a reference fold over randomized event histories") {
+    // one bulk job per seed: hundreds of generated users exercise the greedy
+    // chain (missing steps, out-of-order steps, deadline expiry, irrelevant
+    // noise, multiple candidates per step) against an imperative reference
+    val dayMicros = 86400L * 1000000L
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("signup", "click", "purchase", "view", "error")
+      var eid = 0L
+      val rows = (0 until 300).flatMap { user =>
+        (0 until rnd.nextInt(13)).map { _ =>
+          eid += 1
+          // ts over 3 days so the 1-day deadline bites for many users
+          (eid, user.toLong, rnd.nextLong(3L * dayMicros).abs, types(rnd.nextInt(types.length)))
+        }
+      }
+      val refLevels: Map[Long, Long] = rows.groupBy(_._2).map { case (u, evs) =>
+        var t1, t2, t3 = Option.empty[Long]
+        evs.sortBy(e => (e._3, e._1)).foreach { case (_, _, ts, tpe) =>
+          val (p1, p2) = (t1, t2) // pre-update snapshot, like the Column fold
+          if (p1.isEmpty && tpe == "signup") t1 = Some(ts)
+          if (t2.isEmpty && p1.nonEmpty && tpe == "click" &&
+              ts > p1.get && ts <= p1.get + dayMicros) t2 = Some(ts)
+          if (t3.isEmpty && p2.nonEmpty && tpe == "purchase" &&
+              ts > p2.get && ts <= p1.get + dayMicros) t3 = Some(ts)
+        }
+        u -> (if (t3.nonEmpty) 3L else if (t2.nonEmpty) 2L else if (t1.nonEmpty) 1L else 0L)
+      }
+      val want = refLevels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val df = rows.toDF("event_id", "user_id", "us", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+      val got = graft.ops.Relational.windowFunnelDf(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
+  test("zValue interleave is a bijection on the quantized grid") {
+    val bits = 8
+    val rnd = new scala.util.Random(7)
+    val pairs = (Seq((0L, 0L), (255L, 255L), (0L, 255L), (255L, 0L)) ++
+      (0 until 500).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))).distinct
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", graft.sources.Layout.zValue(col("a"), col("b"), bits))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(z >= 0 && z < (1L << (2 * bits)))
+      // de-interleave recovers both inputs exactly
+      val da = (0 until bits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val db = (0 until bits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(da == a && db == b, s"($a,$b) -> $z -> ($da,$db)")
+    }
+    assert(got.map(_._3).distinct.length == pairs.length, "z values must be distinct")
+  }
+
   test("isSafeIdent: accepts exactly dot-joined ASCII identifier segments") {
     import graft.streaming.JdbcFeed.isSafeIdent
     assert(isSafeIdent("events") && isSafeIdent("app.events") && isSafeIdent("_x.y_2"))
