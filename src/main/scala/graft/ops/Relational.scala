@@ -562,24 +562,27 @@ object Relational {
     * involved at least two suppliers ("kept the order waiting"). The naive
     * form is two correlated subqueries against the fact itself (EXISTS another
     * supplier in the order, NOT EXISTS another supplier with a returned line)
-    * — two extra fact self-joins. The decorrelated plan aggregates the fact
-    * ONCE per order (distinct-supplier count + distinct-bad-supplier count,
-    * both partial-agg'd) and equi-joins the qualifying orders back to the
-    * distinct bad (order, supplier) pairs: the fact is scanned twice and
-    * shuffled on the order key, never self-joined row-to-row. Top-25 by wait
-    * count is TakeOrderedAndProject with a unique `s_name` tie-break, so the
-    * cut line is deterministic.
+    * — two extra fact self-joins. The decorrelated plan pre-aggregates the
+    * fact ONCE to (order, supplier) grain with a has-bad-line marker; BOTH
+    * downstream needs — the per-order census (distinct-supplier count =
+    * plain count at this grain, distinct-bad count = marker sum; no
+    * distinct-Expand) and the bad (order, supplier) pairs — derive from that
+    * one grouped frame, whose identical exchange subtree physical planning
+    * reuses (one fact scan, one fine-grained shuffle). The fact is never
+    * self-joined row-to-row. Top-25 by wait count is TakeOrderedAndProject
+    * with a unique `s_name` tie-break, so the cut line is deterministic.
     */
   def soleProblemSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val s = Tables.load(spark, sfDir, "supplier")
-    val perOrder = li.groupBy(col("l_orderkey")).agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_bad"))
-    val target = perOrder.filter(col("n_supp") >= 2 && col("n_bad") === 1)
+    val grouped = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_bad"))
+    val target = grouped.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_supp"), sum(col("has_bad")).as("n_bad"))
+      .filter(col("n_supp") >= 2 && col("n_bad") === 1)
       .select(col("l_orderkey"))
-    val badPairs = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val badPairs = grouped.filter(col("has_bad") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
     badPairs.join(target, "l_orderkey")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
