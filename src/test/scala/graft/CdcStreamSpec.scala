@@ -233,6 +233,31 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch Fallback.rehydrate runs unchanged on a streaming frame (stream-static E1)") {
+    // the one-engine pitch made concrete: the E1 rehydration operator is
+    // plain DataFrame algebra (filter + stream-static join + union, no
+    // state), so the BATCH implementation drives the live capture path with
+    // zero code changes
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[RawChange]
+    val base = Seq((1L, """{"k":1}"""), (2L, """{"k":2}""")).toDF("user_id", "props")
+    val q = graft.cdc.Fallback
+      .rehydrate(input.toDF(), base, "user_id", "props", broadcastBase = true)
+      .writeStream.format("memory").queryName("rehydrate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RawChange(1, t(0), 1, "purchase", null),            // starved -> from base
+        RawChange(2, t(1), 2, "purchase", """{"x":9}"""),   // intact -> untouched
+        RawChange(3, t(2), 5, "purchase", null))            // starved, no base row
+      q.processAllAvailable()
+      val rows = spark.table("rehydrate_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("props"))).toMap
+      assert(rows == Map(1L -> Some("""{"k":1}"""), 2L -> Some("""{"x":9}"""), 3L -> None))
+    } finally q.stop()
+  }
+
   test("fan-out delivers per-subscriber filtered views (A1/K* semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("fanout").toString
