@@ -451,6 +451,7 @@ object SparkEntry {
     "ops_cohort_retention"  -> (Relational.cohortRetention _),
     "ops_mad_outliers"      -> (Relational.madOutliers _),
     "ops_full_outer"        -> (Relational.reconcileHourly _),
+    "ops_dau_wau"           -> (Relational.dauWau _),
     "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),
     "ops_grouping_sets"     -> (Relational.groupingSetsCounts _),
     "ops_rank_suite"        -> (Relational.rankSuite _),
@@ -898,6 +899,16 @@ object SparkEntry {
         |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
         |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "ops_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + INTERVAL (o) DAY AS day
+        |  FROM ud, generate_series(0, 6) AS t(o)),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM cov GROUP BY day)
+        |SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "ops_full_outer" ->
       """WITH s AS (
         |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_signups

@@ -536,6 +536,35 @@ object Relational {
              .as("n_outliers"))
   }
 
+  /** Exact DAU / trailing-7-day WAU per day — the canonical product metric
+    * pair, and the canonical hard sliding aggregate: windowed COUNT DISTINCT
+    * does not decompose (a user active on 5 of the 7 days must count once),
+    * so no window frame or partial agg computes it directly.
+    *
+    * The scalable exact shape: reduce events to distinct (user, day) pairs
+    * ONCE, then explode each pair onto the 7 window-END days it covers
+    * (in-row, ×7 fan-out of the already-deduplicated pairs — not of raw
+    * events) and count distinct covering users per end day. Every stage is a
+    * partial-agg'd distinct on (user, day) keys; nothing rescans history per
+    * day, and the window length only scales the in-row fan-out. The same
+    * shape computes MAU with a ×30 fan-out on day granularity — fan-out =
+    * window/granularity, the knob to coarsen at extreme ratios.
+    */
+  def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val userDays = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val coverage = userDays.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = coverage.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // report days with activity (coverage extends 6 days past the data edge)
+    dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
+  }
+
   /** FULL OUTER reconciliation — the one standard join type the inventory
     * lacked: hourly signup counts vs hourly purchase counts, keeping hours
     * present on EITHER side (zero-filled). The canonical cross-system /

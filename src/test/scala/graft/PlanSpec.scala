@@ -56,7 +56,7 @@ class PlanSpec extends SparkSuite {
   }
 
   test("aggregation queries keep partial aggregation (map-side combine)") {
-    for (q <- Seq("q1_pricing", "cdc_op_counts", "ops_dedup_keys", "ops_funnel")) {
+    for (q <- Seq("q1_pricing", "cdc_op_counts", "ops_dedup_keys", "ops_funnel", "ops_dau_wau")) {
       val p = plan(q)
       assert(p.contains("partial_"), s"$q lost partial aggregation:\n$p")
     }

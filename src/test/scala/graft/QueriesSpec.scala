@@ -204,6 +204,13 @@ class QueriesSpec extends SparkSuite {
     assert(out.filter(col("n_excess") <= 0).count() == 0)
   }
 
+  test("ops_dau_wau: weekly actives dominate daily actives on every day") {
+    val out = SparkEntry.queries("ops_dau_wau")(spark, sf)
+    assert(out.filter(col("wau") < col("dau")).count() == 0)
+    val users = Tables.load(spark, sf, "events").select(col("user_id")).distinct().count()
+    assert(out.filter(col("wau") > users).count() == 0)
+  }
+
   test("ops_embed_cluster: component label is the minimum member id") {
     val out = SparkEntry.queries("ops_embed_cluster")(spark, sf)
     assert(out.filter(col("comp") > col("vec_id")).count() == 0)
