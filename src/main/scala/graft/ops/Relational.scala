@@ -552,8 +552,14 @@ object Relational {
     */
   def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
+    // the explicit not-null guard makes BOTH consuming branches carry the
+    // same filter, so their distinct subtrees canonicalize identically and
+    // AQE's runtime stage reuse computes the pair reduction ONCE
+    // (ReusedExchange in the executed plan — pinned in PlanSpec); the
+    // dau-side inner join would otherwise infer `isnotnull(day)` only there
     val userDays = ev
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .filter(col("user_id").isNotNull && col("day").isNotNull)
       .distinct()
     val coverage = userDays.select(col("user_id"),
         explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAYS"),

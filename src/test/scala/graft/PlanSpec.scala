@@ -321,6 +321,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"exceptAll should not plan a join:\n$p")
   }
 
+  test("ops_dau_wau: the (user, day) pair reduction is computed once (runtime exchange reuse)") {
+    // static explain shows two branches; AQE's stage materialization reuses
+    // the identical distinct exchange — visible only in the EXECUTED plan
+    val df = SparkEntry.queries("ops_dau_wau")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"pair reduction rebuilt per branch:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
