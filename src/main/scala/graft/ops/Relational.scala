@@ -610,7 +610,13 @@ object Relational {
   def soleProblemSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val s = Tables.load(spark, sfDir, "supplier")
-    val grouped = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+    // explicit not-null guard: the bad-pairs branch alone would infer
+    // isnotnull(l_suppkey) from its supplier join, de-aligning the two
+    // consumers' subtrees; with both branches identical, AQE reuses ONE
+    // (order, supplier) exchange — one fact scan at runtime
+    val grouped = li
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_bad"))
     val target = grouped.groupBy(col("l_orderkey")).agg(
         count(lit(1)).as("n_supp"), sum(col("has_bad")).as("n_bad"))

@@ -280,6 +280,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // both consumers of the (order, supplier) grouped frame must share ONE
+    // runtime exchange (and so one fact scan) — visible in the executed plan
+    val df = SparkEntry.queries("ops_q21_waiting")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "grouped frame rebuilt per branch")
   }
 
   test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
