@@ -285,6 +285,11 @@ object Relational {
   def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    // note: no exchange-reuse alignment needed here (cf. dauWau /
+    // soleProblemSuppliers) — Catalyst collapses the redundant
+    // distinct-before-min on the cohort branch into ONE direct aggregation
+    // over the scan, which ships a single (user, min) pair per map partition:
+    // strictly cheaper than materializing and reusing the wider distinct
     val activity = ev.distinct()
     val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     activity.join(cohorts, "user_id")
