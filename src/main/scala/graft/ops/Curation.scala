@@ -304,6 +304,14 @@ object Curation {
     * exactly the case where a broadcast assumption falls over. Reassembly is
     * one groupBy on doc_id. A doc whose every line is boilerplate drops out
     * entirely (inner join) — the correct curation outcome.
+    *
+    * Known trade: the `lines` explode evaluates once per consumer (the df
+    * census and the join probe have structurally different exchange
+    * subtrees, so runtime exchange reuse cannot apply) — the narrow in-row
+    * split is recomputed rather than materialized. The single-evaluation
+    * alternative, a `collect_set(doc_id)` window over line_hash, buffers
+    * every occurrence of a boilerplate line in one partition — blowing up on
+    * exactly the skew this operator exists to remove.
     */
   def lineDedup(spark: SparkSession, sfDir: String,
                 lineLen: Int = 10, maxDf: Int = 1): DataFrame = {
