@@ -36,7 +36,13 @@ object Layout {
     events
       .withColumn("day", to_date(col("ts")))
       .repartition(col("day"), col("op"))
-      .sortWithinPartitions(col("user_id"), col("ts"))
+      // the partition columns LEAD the sort: the file writer requires rows
+      // ordered by partition columns and inserts its own (unstable) sort if
+      // the incoming order doesn't satisfy that requirement — which would
+      // silently destroy the secondary (user_id, ts) order the row-group
+      // stats depend on. With the prefix in place the writer reuses this
+      // sort and the in-file order survives.
+      .sortWithinPartitions(col("day"), col("op"), col("user_id"), col("ts"))
       .write
       .partitionBy("day", "op")
       .mode("overwrite")
@@ -48,6 +54,32 @@ object Layout {
   def readDayOp(spark: SparkSession, path: String, day: String, op: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("day") === lit(day).cast("date") && col("op") === op)
+
+  /** Compact one day's partitions in place — the nightly maintenance job a
+    * streaming writer makes necessary: micro-batch appends leave many small
+    * files per (day, op) directory, and at 100 TB small files kill both the
+    * file-index scan and row-group skipping (min/max stats are per row
+    * group; fragments mean fragmented stats). Rewrites JUST the target day
+    * via dynamic partition overwrite — one shuffle of one day's data, the
+    * rest of the archive untouched byte-for-byte — restoring the one-file,
+    * (user_id, ts)-sorted contract of [[writeEventArchive]].
+    */
+  def compactDay(spark: SparkSession, path: String, day: String): Unit = {
+    val slice = spark.read.parquet(path)
+      .filter(col("day") === lit(day).cast("date"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try slice
+      .repartition(col("day"), col("op"))
+      // partition columns lead the sort — see writeEventArchive
+      .sortWithinPartitions(col("day"), col("op"), col("user_id"), col("ts"))
+      .write.partitionBy("day", "op").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   // ===== Z-order (space-filling curve) clustering =====
 

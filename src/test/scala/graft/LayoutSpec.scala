@@ -44,6 +44,43 @@ class LayoutSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("op") == "INSERT"))
   }
 
+  test("compactDay rewrites one day to single sorted files, leaving other days untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_archive").toString
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+      .withColumn("day", to_date(col("ts")))
+    // fragmented write: hash-repartitioned, so every (day, op) dir gets
+    // multiple small files — the shape a micro-batch appender produces
+    ev.repartition(5)
+      .write.partitionBy("day", "op").mode("overwrite").parquet(dir)
+
+    def files(day: String): Map[String, Int] = {
+      val d = new java.io.File(dir, s"day=$day")
+      d.listFiles().filter(_.isDirectory).map(op =>
+        op.getName -> op.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val target = "2024-01-02"
+    val other = "2024-01-05"
+    val rowsBefore = spark.read.parquet(dir).count()
+    val otherBefore = files(other)
+    assert(files(target).values.exists(_ > 1), "fixture not fragmented — test is vacuous")
+
+    Layout.compactDay(spark, dir, target)
+
+    assert(files(target).values.forall(_ == 1),
+      s"target day not compacted: ${files(target)}")
+    assert(files(other) == otherBefore, "untouched day was rewritten")
+    assert(spark.read.parquet(dir).count() == rowsBefore, "compaction changed row count")
+    // in-file ordering restored: rows in one compacted file arrive sorted
+    val oneFile = new java.io.File(s"$dir/day=$target/op=INSERT")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val seq = spark.read.parquet(oneFile.toString)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(seq.zip(seq.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "in-file sort not restored")
+  }
+
   test("z-order write clusters BOTH dimensions per file; a time sort clusters only time") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_archive").toString
     val ev = Tables.load(spark, sf, "events")
@@ -91,5 +128,14 @@ class LayoutSpec extends SparkSuite {
       val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(parts == 1, s"${d.getName} has $parts files; repartition should yield 1")
     }
+    // the claimed in-file (user_id, ts) order actually holds — the file
+    // writer's partition-column sort requirement would silently destroy it
+    // if the task sort didn't lead with the partition columns
+    val aFile = leafDirs.head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val seq = spark.read.parquet(aFile.toString)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(seq.zip(seq.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "in-file sort violated")
   }
 }
