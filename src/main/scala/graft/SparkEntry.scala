@@ -452,6 +452,8 @@ object SparkEntry {
     "ops_mad_outliers"      -> (Relational.madOutliers _),
     "ops_full_outer"        -> (Relational.reconcileHourly _),
     "ops_dau_wau"           -> (Relational.dauWau _),
+    "ops_revenue_share"     -> (Relational.revenueShare _),
+    "ops_transition_matrix" -> (Relational.transitionMatrix _),
     "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),
     "ops_grouping_sets"     -> (Relational.groupingSetsCounts _),
     "ops_rank_suite"        -> (Relational.rankSuite _),
@@ -899,6 +901,27 @@ object SparkEntry {
         |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
         |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "ops_revenue_share" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        |  cents * 1000 // SUM(cents) OVER (PARTITION BY r_name) AS share_permille
+        |FROM pn""".stripMargin,
+    "ops_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
     "ops_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -541,6 +541,51 @@ object Relational {
              .as("n_outliers"))
   }
 
+  /** Share-of-total report (ratio_to_report): each nation's revenue as a
+    * permille share of its REGION's total. The window-over-aggregate
+    * pattern: the share window partitions an input that is already reduced
+    * to group cardinality (nations), so the "extra" window shuffle moves
+    * dozens of rows at any corpus size — windows are only a scale trap when
+    * they partition fact-sized data. Share is exact integer math
+    * (cents × 1000 div region cents), hash-stable in any engine.
+    */
+  def revenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val perNation = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((money(col("l_extendedprice")) * 100).cast("long")).as("cents"))
+    perNation
+      .withColumn("region_cents",
+        sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("cents * 1000 div region_cents").as("share_permille"))
+  }
+
+  /** Event-type transition matrix — the sequence-analytics primitive beyond
+    * funnels: counts of consecutive (from, to) event-type pairs per user
+    * timeline (the empirical Markov transitions of product navigation).
+    * One window shuffle on the user key derives each row's successor via
+    * `lead()`, then a partial-agg count over the (from, to) grid — transition
+    * state never materializes beyond one successor column, and the output is
+    * |event types|² rows at any corpus size.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Exact DAU / trailing-7-day WAU per day — the canonical product metric
     * pair, and the canonical hard sliding aggregate: windowed COUNT DISTINCT
     * does not decompose (a user active on 5 of the 7 days must count once),

@@ -211,6 +211,24 @@ class QueriesSpec extends SparkSuite {
     assert(out.filter(col("wau") > users).count() == 0)
   }
 
+  test("ops_revenue_share: region shares sum to 1000 permille minus floor loss") {
+    val out = SparkEntry.queries("ops_revenue_share")(spark, sf)
+    val sums = out.groupBy(col("r_name"))
+      .agg(sum(col("share_permille")).as("s"), count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      val (s, k) = (r.getAs[Long]("s"), r.getAs[Long]("k"))
+      assert(s <= 1000 && s > 1000 - k, s"${r.getString(0)}: sum $s of $k nations")
+    }
+  }
+
+  test("ops_transition_matrix: transitions total events minus one per user timeline") {
+    val n = SparkEntry.queries("ops_transition_matrix")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val ev = Tables.load(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(n == expected, s"$n transitions, expected $expected")
+  }
+
   test("ops_embed_cluster: component label is the minimum member id") {
     val out = SparkEntry.queries("ops_embed_cluster")(spark, sf)
     assert(out.filter(col("comp") > col("vec_id")).count() == 0)
