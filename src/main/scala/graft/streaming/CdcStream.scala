@@ -162,6 +162,17 @@ object CdcStream {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Live running counts per event type — the Update-output-mode companion
+    * to the Append-mode windowed/session aggregates: a dashboard wants the
+    * CURRENT total re-emitted whenever it changes, not a finalized row per
+    * closed window. No watermark and no eviction — correct here because the
+    * key domain (event types) is bounded, so state is |types| rows forever;
+    * for unbounded keys use the watermarked window forms instead (this is
+    * precisely the state-size trade that separates the two output modes).
+    */
+  def liveTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
   /** Session windows on the live stream — the streaming analog of the batch
     * `ops_sessionize` (lag + cumulative boundary sum): `session_window` opens
     * a window per (user, event) and MERGES windows that overlap within the

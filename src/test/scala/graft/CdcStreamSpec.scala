@@ -233,6 +233,32 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("live counts re-emit changed totals in Update mode across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.liveTypeCounts(input.toDF())
+      .writeStream.format("memory").queryName("live_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        RawChange(1, t(0), 1, "purchase", "{}"),
+        RawChange(2, t(1), 1, "click", "{}"))
+      q.processAllAvailable()
+      val b1 = spark.table("live_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(b1 == Map("purchase" -> 1L, "click" -> 1L))
+      // second batch touches only purchase — Update re-emits ONLY that key,
+      // with its new running total
+      input.addData(RawChange(3, t(2), 2, "purchase", "{}"))
+      q.processAllAvailable()
+      val emitted = spark.table("live_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(emitted.count(_._1 == "purchase") == 2, emitted.toSeq.toString)
+      assert(emitted.contains("purchase" -> 2L), "updated total missing")
+      assert(emitted.count(_._1 == "click") == 1, "unchanged key was re-emitted")
+    } finally q.stop()
+  }
+
   test("batch Fallback.rehydrate runs unchanged on a streaming frame (stream-static E1)") {
     // the one-engine pitch made concrete: the E1 rehydration operator is
     // plain DataFrame algebra (filter + stream-static join + union, no
