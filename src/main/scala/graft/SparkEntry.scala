@@ -505,6 +505,7 @@ object SparkEntry {
     "ops_weighted_sample" -> (Curation.weightedSample _),
     "ops_group_sample"    -> ((s: SparkSession, d: String) => Curation.groupSample(s, d)),
     "ops_line_dedup"      -> ((s: SparkSession, d: String) => Curation.lineDedup(s, d)),
+    "ops_quality_mix"     -> ((s: SparkSession, d: String) => Curation.qualityMix(s, d)),
     "ops_shuffle_shards"  -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
@@ -530,6 +531,23 @@ object SparkEntry {
   /** 60-bit md5 hash — DuckDB twin of [[graft.ops.Hashing.h60]]. */
   private def h60sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Per-doc bigram-LM score CTE chain — DuckDB twin of
+    * [[graft.ops.TextStats.bigramFamiliarity]], shared by `ops_bigram_lm`
+    * and `ops_quality_mix` so the score definition can never fork.
+    */
+  private val bigramScoreCte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |      FROM t WHERE len(tk) >= 2),
+       |h AS (SELECT doc_id, ${h60sql("bg")} AS h FROM b),
+       |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h),
+       |score AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+       |    CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS avg_freq
+       |  FROM h JOIN c USING (h) GROUP BY doc_id)""".stripMargin
 
   /** Bit-interleave SQL — DuckDB twin of [[graft.sources.Layout.zValue]]. */
   private def zInterleaveSql(a: String, b: String, bits: Int): String =
@@ -1471,16 +1489,23 @@ object SparkEntry {
          |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
     },
     "ops_bigram_lm" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |b AS (SELECT doc_id,
-         |        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
-         |      FROM t WHERE len(tk) >= 2),
-         |h AS (SELECT doc_id, ${h60sql("bg")} AS h FROM b),
-         |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(cnt) AS BIGINT) AS sum_freq,
-         |  CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS avg_freq
-         |FROM h JOIN c USING (h) GROUP BY doc_id""".stripMargin,
+      s"""WITH $bigramScoreCte
+         |SELECT doc_id, n_bigrams, sum_freq, avg_freq FROM score""".stripMargin,
+    "ops_quality_mix" ->
+      s"""WITH $bigramScoreCte,
+         |fine AS (SELECT doc_id, CAST(sum_freq * 1000 // n_bigrams AS BIGINT) AS freq_permille FROM score),
+         |q AS (SELECT quantile_cont(freq_permille, 0.25) AS p25,
+         |             quantile_cont(freq_permille, 0.5) AS p50,
+         |             quantile_cont(freq_permille, 0.75) AS p75 FROM fine),
+         |mixed AS (
+         |  SELECT doc_id, freq_permille,
+         |    CASE WHEN freq_permille <= p25 THEN 0 WHEN freq_permille <= p50 THEN 1
+         |         WHEN freq_permille <= p75 THEN 2 ELSE 3 END AS bucket
+         |  FROM fine, q)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, freq_permille
+         |FROM mixed
+         |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+         |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
     "ops_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg

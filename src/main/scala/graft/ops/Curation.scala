@@ -93,6 +93,41 @@ object Curation {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Quality-mixed sampling — the DoReMi/quality-mixing composition: bucket
+    * documents by corpus-familiarity quartile
+    * ([[TextStats.bigramFamiliarity]] score) and keep each bucket at its own
+    * rate (upsampling high-quality text, thinning the low tail) with the
+    * same seeded content-free hash as the other samplers — reproducible at
+    * any parallelism. Quartile boundaries are EXACT percentiles of the
+    * integer score (dyadic fractions — bit-exact cross-engine, the
+    * `ops_quantiles` argument) and ride back as a ONE-ROW broadcast; the
+    * bucket assignment and keep decision are then in-row, so the mix step
+    * adds zero shuffles beyond the score computation itself.
+    */
+  def qualityMix(spark: SparkSession, sfDir: String,
+                 ratesPermille: Seq[Int] = Seq(250, 500, 750, 1000)): DataFrame = {
+    require(ratesPermille.length == 4)
+    // permille-resolution mean (sum*1000 div n): the integer avg_freq is too
+    // coarse for quartiles — mass points make p25 == p50 and empty buckets
+    val scores = TextStats.bigramFamiliarity(spark, sfDir)
+      .withColumn("freq_permille", expr("sum_freq * 1000 div n_bigrams"))
+    val bounds = scores.agg(
+      expr("percentile(freq_permille, 0.25)").as("p25"),
+      expr("percentile(freq_permille, 0.5)").as("p50"),
+      expr("percentile(freq_permille, 0.75)").as("p75"))
+    val bucket = when(col("freq_permille") <= col("p25"), 0L)
+      .when(col("freq_permille") <= col("p50"), 1L)
+      .when(col("freq_permille") <= col("p75"), 2L)
+      .otherwise(3L)
+    val rate = ratesPermille.zipWithIndex.foldRight(lit(ratesPermille.last): Column) {
+      case ((p, i), acc) => when(col("bucket") === i.toLong, lit(p)).otherwise(acc)
+    }
+    scores.join(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .filter(Hashing.h60(concat(lit("qmix:"), col("doc_id"))) % 1000 < rate)
+      .select(col("doc_id"), col("bucket"), col("freq_permille"))
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training bins
     * per language: bin = exclusive-prefix token sum over a deterministic
     * order, integer-divided by the budget (first-fit-in-order packing; a doc
