@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   * `CAST('0x'||hex AS BIGINT)` (DuckDB) agree exactly. We intentionally do NOT
   * use Spark's `hash`/`xxhash64` (murmur/xxh seeds differ across engines).
   *
-  * All codegen'd built-ins — no UDF in these paths.
+  * All codegen'd — no UDF in these paths. Since round 4 the column form is
+  * the native [[graft.functions.Hash60]] expression (bit-identical to the
+  * `conv(substring(md5(c),1,15),16,10)` chain it replaced, but computed
+  * straight off the digest bytes with no hex-string round trip); the SQL
+  * oracles keep the original formula, which is exactly the equivalence the
+  * driver's hash gate re-proves on every query.
   */
 object Hashing {
 
-  /** 60-bit non-negative hash of a string column. */
+  /** 60-bit non-negative hash of a string column (native expression;
+    * value identical to `conv(substring(md5(c), 1, 15), 16, 10)`).
+    */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Hash60Kernel.h60(c)
 
   /** Seeded family: h60 of "<seed>:<value>" — the seeded permutations for
     * MinHash / hyperplane components for LSH.

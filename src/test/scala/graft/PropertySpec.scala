@@ -117,6 +117,25 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("native Hash60 is bit-identical to the conv(substring(md5)) chain, incl. codegen") {
+    // the native expression replaced the built-in chain in EVERY hashing hot
+    // path; a single differing bit would silently break every dedup oracle
+    val rnd = new scala.util.Random(11)
+    val strs = Seq("", "a", "qmix:123", "sample:0", "日本語 テスト", "x" * 500) ++
+      (0 until 300).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+        (if (rnd.nextBoolean()) " αβγ→" else ""))
+    val df = strs.toDF("s")
+    val cmp = df.select(
+      graft.ops.Hashing.h60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() == 0)
+    // and the expression stays inside whole-stage codegen (hard failure mode)
+    TestSpark.withCodegenOnly {
+      assert(cmp.filter(col("native") =!= col("builtin")).count() == 0)
+    }
+    assert(cmp.filter(col("native") < 0).count() == 0, "h60 must be non-negative")
+  }
+
   test("zValue interleave is a bijection on the quantized grid") {
     val bits = 8
     val rnd = new scala.util.Random(7)
