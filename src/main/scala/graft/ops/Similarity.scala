@@ -31,13 +31,16 @@ object Similarity {
   val Dim = 64
 
   /** Ordered left-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // native codegen'd kernels since round 4 — bit-identical to the
+  // aggregate(zip_with(...)) higher-order chains they replaced (left-to-right
+  // accumulation, same operand order; see functions/VectorExprs.scala), so
+  // every cosine oracle is unchanged; the higher-order forms ran their lambda
+  // bodies interpreted per element
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosine(a, b)
 
   /** Brute-force cosine top-k neighbors of the vector with vec_id = queryId.
     * Deterministic tie-break on vec_id (SURVEY §7.4 #5).

@@ -136,6 +136,34 @@ class PropertySpec extends SparkSuite {
     assert(cmp.filter(col("native") < 0).count() == 0, "h60 must be non-negative")
   }
 
+  test("native dot/cosine are bit-identical to the higher-order chains, incl. codegen") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextDouble() * 20 - 10), Seq.fill(n)(rnd.nextDouble() * 20 - 10))
+    }
+    val df = rows.toDF("a", "b")
+    def oldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cmp = df.select(
+      graft.functions.VectorExprs.dot(col("a"), col("b")).as("nd"),
+      oldDot(col("a"), col("b")).as("od"),
+      graft.functions.VectorExprs.cosine(col("a"), col("b")).as("nc"),
+      (oldDot(col("a"), col("b")) /
+        sqrt(oldDot(col("a"), col("a")) * oldDot(col("b"), col("b")))).as("oc"))
+    def check(): Unit = {
+      // exact bit equality — no tolerance: the fusion must be IEEE-neutral
+      assert(cmp.filter(col("nd") =!= col("od")).count() == 0)
+      assert(cmp.filter(col("nc") =!= col("oc")).count() == 0)
+    }
+    check()
+    TestSpark.withCodegenOnly { check() }
+    // length mismatch yields null, matching the zip_with null-padding chain
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(graft.functions.VectorExprs.dot(col("a"), col("b")).as("d"))
+    assert(mm.filter(col("d").isNull).count() == 1)
+  }
+
   test("zValue interleave is a bijection on the quantized grid") {
     val bits = 8
     val rnd = new scala.util.Random(7)
