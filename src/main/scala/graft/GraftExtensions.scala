@@ -49,5 +49,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.JsonRedact(exprs.head, fields)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("h60"),
+      new ExpressionInfo(
+        classOf[functions.Hash60].getName,
+        null,
+        "h60",
+        "h60(str) - engine-neutral 60-bit md5 hash (first 15 hex digits of md5 as a non-negative bigint)",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.Hash60(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[functions.DoubleDot].getName,
+        null,
+        "vec_dot",
+        "vec_dot(a, b) - dot product of two dense array<double> vectors (null on length mismatch)",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.DoubleDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(
+        classOf[functions.CosineSim].getName,
+        null,
+        "vec_cosine",
+        "vec_cosine(a, b) - cosine similarity of two dense array<double> vectors (null on length mismatch)",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.CosineSim(exprs(0), exprs(1))))
   }
 }

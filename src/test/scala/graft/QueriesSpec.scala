@@ -93,6 +93,15 @@ class QueriesSpec extends SparkSuite {
       assert(red == """{"a":1}""")
       // field names must be literals (they compile into the expression)
       intercept[Exception] { s2.sql("SELECT json_redact('{}', lower('PW'))").collect() }
+      // the round-4 natives are SQL-callable too, with the documented values
+      val h = s2.sql("SELECT h60('sample:0') AS h").collect()(0).getLong(0)
+      assert(h >= 0 && h < (1L << 60))
+      val vd = s2.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(vd == 11.0)
+      val vc = s2.sql("SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .collect()(0).getDouble(0)
+      assert(vc == 1.0)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
