@@ -49,4 +49,32 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("bucket pruning: a point lookup on the bucket key reads one bucket of eight") {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      // production subtlety worth pinning: the DisableUnnecessaryBucketedScan
+      // rule turns OFF bucketed reading for filter-only queries (no operator
+      // "needs" the hash distribution) — which also forfeits bucket PRUNING,
+      // the very thing a point lookup wants. Disabling the auto rule restores
+      // the pruned scan; at 100 TB that's reading 1/N of the table vs all of
+      // it, so lookup-heavy workloads should pin this conf off.
+      spark.conf.set(key, "false")
+      Tables.load(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").saveAsTable("b_prune")
+      val probe = spark.table("b_prune").filter(col("o_orderkey") === 42L)
+      val p = probe.queryExecution.executedPlan.toString
+      // the E1 point-lookup shape against a bucketed base: the scan itself
+      // reports how many buckets survive — 7/8 of the table is never read
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$p")
+      assert(probe.count() ==
+        Tables.load(spark, sf, "orders").filter(col("o_orderkey") === 42L).count())
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS b_prune")
+    }
+  }
 }
