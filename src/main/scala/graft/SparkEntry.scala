@@ -461,6 +461,8 @@ object SparkEntry {
     "ops_ffill"             -> (Relational.forwardFill _),
     "ops_corr_subquery"     -> (Relational.smallQuantityRevenue _),
     "ops_q21_waiting"       -> (Relational.soleProblemSuppliers _),
+    "ops_q15_top_supplier"  -> (Relational.topRevenueSupplier _),
+    "ops_q18_large_orders"  -> ((s: SparkSession, d: String) => Relational.largeQuantityOrders(s, d)),
     "ops_dq_audit"          -> (Relational.dqAudit _),
     "ops_moving_avg"        -> (Relational.movingAgg _),
     "ops_asof_join"         -> (Relational.asofLastOrder _),
@@ -1272,6 +1274,26 @@ object SparkEntry {
         |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
         |WHERE qty_c * 5 * n_li < sum_qc
         |GROUP BY p_brand""".stripMargin,
+    "ops_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_bp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_bp
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_bp = (SELECT MAX(rev_bp) FROM rev)""".stripMargin,
+    "ops_q18_large_orders" ->
+      """WITH oq AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, qty_c
+        |FROM oq JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE qty_c > 15000
+        |ORDER BY qty_c DESC, o_orderkey LIMIT 100""".stripMargin,
     "ops_q21_waiting" ->
       """WITH per_order AS (
         |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,

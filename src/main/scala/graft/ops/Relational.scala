@@ -541,6 +541,54 @@ object Relational {
              .as("n_outliers"))
   }
 
+  /** TPC-H Q15 shape — argmax over an aggregate: the supplier(s) achieving
+    * MAXIMUM quarterly revenue. The correlated form ("revenue = (SELECT
+    * MAX(revenue) FROM view)") decorrelates to the same one-row-broadcast
+    * scalar pattern as `ops_scalar_subquery`, but over an AGGREGATE instead
+    * of a scan: per-supplier revenue reduces once (partial agg), its max
+    * rides back as one broadcast row, ties all emit (Q15 semantics — no
+    * arbitrary tie cut). Revenue in basis points (×10000): the 4-decimal
+    * discount product becomes integer-exact, so no decimal→int cast rounding
+    * can diverge between engines.
+    */
+  def topRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val s = Tables.load(spark, sfDir, "supplier")
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        .cast("long").as("rev_bp"))
+    val mx = rev.agg(max(col("rev_bp")).as("max_bp"))
+    rev.join(broadcast(mx)).filter(col("rev_bp") === col("max_bp"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_bp"))
+  }
+
+  /** TPC-H Q18 shape — large-quantity orders: HAVING over a per-order
+    * aggregate joined back to its dimensions. The per-order quantity sum
+    * reduces the fact FIRST (partial agg; the filter then keeps ~2% of
+    * orders), and only the surviving keys join orders and the broadcast
+    * customer dim — never fact × dim before the reduction. Top-100 by
+    * quantity is TakeOrderedAndProject with the order key as tie-break.
+    */
+  def largeQuantityOrders(spark: SparkSession, sfDir: String,
+                          minQtyCents: Long = 15000L): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val oq = li.groupBy(col("l_orderkey"))
+      .agg((sum(money(col("l_quantity"))) * 100).cast("long").as("qty_c"))
+      .filter(col("qty_c") > minQtyCents)
+    oq.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("qty_c"))
+      .orderBy(col("qty_c").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Share-of-total report (ratio_to_report): each nation's revenue as a
     * permille share of its REGION's total. The window-over-aggregate
     * pattern: the share window partitions an input that is already reduced
