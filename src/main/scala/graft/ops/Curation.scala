@@ -244,12 +244,11 @@ object Curation {
     * shared by [[repetitionScore]] and [[corpusFilter]] so the standalone
     * signal and the composed flagship can never desynchronize.
     */
-  private[ops] def bigramsOf(textCol: Column): Column = {
-    val t = split(textCol, " ")
-    val n = size(t)
-    zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  private[ops] def bigramsOf(textCol: Column): Column =
+    // native since round 4 — bit-identical to
+    // zip_with(slice(split(t," "),1,n-1), slice(...,2,n-1), concat):
+    // see functions/WordBigramsExpr.scala for the tokenization contract
+    graft.functions.WordBigramsKernel.bigrams(textCol)
 
   /** Document chunking — split each document into fixed-token windows with
     * overlap (stride < window), the standard context-length prep before

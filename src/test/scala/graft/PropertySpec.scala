@@ -164,6 +164,29 @@ class PropertySpec extends SparkSuite {
     assert(mm.filter(col("d").isNull).count() == 1)
   }
 
+  test("native word_bigrams is element-identical to the zip_with chain, incl. codegen") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("a", "bb", "ccc", "", "αβ", "日本", "x-y", "z'z")
+    val strs = Seq("", " ", "  ", "a", "a b", "a  b", " a b ", "a b c d") ++
+      (0 until 300).map(_ => (0 until rnd.nextInt(12))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val df = strs.toDF("s")
+    def oldForm(c: org.apache.spark.sql.Column) = {
+      val t = split(c, " ")
+      val n = size(t)
+      zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val cmp = df.select(
+      graft.functions.WordBigramsKernel.bigrams(col("s")).as("nb"),
+      oldForm(col("s")).as("ob"))
+    def check(): Unit =
+      assert(cmp.filter(not(col("nb") === col("ob"))).count() == 0,
+        cmp.filter(not(col("nb") === col("ob"))).collect().take(3).mkString("; "))
+    check()
+    TestSpark.withCodegenOnly { check() }
+  }
+
   test("zValue interleave is a bijection on the quantized grid") {
     val bits = 8
     val rnd = new scala.util.Random(7)
