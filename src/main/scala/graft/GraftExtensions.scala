@@ -70,6 +70,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.DoubleDot(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(
+        classOf[functions.WordBigrams].getName,
+        null,
+        "word_bigrams",
+        "word_bigrams(str) - array of space-joined consecutive word pairs (split on single spaces, empties kept)",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.WordBigrams(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(
         classOf[functions.CosineSim].getName,

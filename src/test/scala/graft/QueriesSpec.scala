@@ -102,6 +102,9 @@ class QueriesSpec extends SparkSuite {
       val vc = s2.sql("SELECT vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
         .collect()(0).getDouble(0)
       assert(vc == 1.0)
+      val wb = s2.sql("SELECT word_bigrams('a b c') AS b")
+        .collect()(0).getSeq[String](0)
+      assert(wb == Seq("a b", "b c"))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
