@@ -932,7 +932,7 @@ object SparkEntry {
         |  JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY r_name, n_name)
         |SELECT r_name, n_name, cents,
-        |  cents * 1000 // SUM(cents) OVER (PARTITION BY r_name) AS share_permille
+        |  cents * 1000 // CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_permille
         |FROM pn""".stripMargin,
     "ops_transition_matrix" ->
       """WITH s AS (

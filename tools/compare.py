@@ -64,11 +64,24 @@ for name, sql in sorted(oracle.items()):
             print("  got :", g.loc[mask].head(3).to_dict("records"))
             print("  want:", w.loc[mask].head(3).to_dict("records"))
         fails.append(name); continue
-    # dtype note (schema check)
-    dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
-          if str(g[c].dtype) != str(w[c].dtype)]
-    note = f" [dtype diff: {dt}]" if dt else ""
-    print(f"OK   {name}: {len(g)} rows{note}")
+    # dtype mismatch is a hard FAIL: the driver hashes stringified values, so
+    # int64 149 vs float64 149.0 passes Python == but breaks the driver hash
+    # (r4 lesson: ops_revenue_share). Whitelist only pairs whose string forms
+    # are provably identical cell-for-cell.
+    dt = []
+    for c in g.columns:
+        gd, wd = str(g[c].dtype), str(w[c].dtype)
+        if gd == wd:
+            continue
+        # same stringified values => same driver hash, regardless of dtype label
+        gs = g[c].map(lambda v: None if pd.isna(v) else str(v))
+        ws = w[c].map(lambda v: None if pd.isna(v) else str(v))
+        if not gs.equals(ws):
+            dt.append((c, gd, wd))
+    if dt:
+        print(f"FAIL {name}: dtype mismatch (driver-hash hazard): {dt}")
+        fails.append(name); continue
+    print(f"OK   {name}: {len(g)} rows")
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} OK")
 sys.exit(1 if fails else 0)
