@@ -248,88 +248,102 @@ object Dedup {
     * star fallback deliberately preserves hub connectivity for exactly this
     * closure: capped buckets still collapse to one component.
     *
-    * Algorithm: iterative min-label propagation WITH pointer jumping — each
-    * round every node takes the min label among itself and its neighbors
-    * (join + min-agg on the id key), then compresses paths by one hop:
-    * `comp := comp(comp)` (a label self-join — sound because `comp(x) <= x`
-    * holds throughout, labels only decrease). Plain propagation needs
-    * rounds = graph DIAMETER, which overlapping near-dup buckets can chain
-    * well past the per-bucket 2; the jump halves label-path lengths every
-    * round, so convergence is O(log diameter) — measured 2x fewer rounds and
-    * ~2x faster end-to-end on the sf0.1 candidate graph. The "keep my own
-    * label" term rides as SELF-LOOP edges added once at init instead of a
-    * per-round `labels UNION propagated` — a self-loop (x, x) contributes
-    * exactly (x, comp(x)) to the propagation join, so the round body is a
-    * plain join + min-agg + jump with no Union (which both drops a scan of
-    * the label frame per round and avoids Union-under-self-join attribute
-    * collisions in constraint rewriting). `localCheckpoint` truncates
-    * lineage each round — the standard guard for iterative DataFrame
-    * algorithms (without it the plan doubles per round) — but LAZILY
-    * (`eager = false`): the checkpoint swaps the logical plan for a
-    * LogicalRDD barrier at build time while deferring materialization, so
-    * the convergence probe is the ONLY action per round — one job computes
-    * min-agg, pointer jump, and fixpoint witness together, and the persisted
-    * RDD it leaves behind is what the next round reads. (The eager form runs
-    * 2 jobs/round and re-executes the previous round's jump join twice more
-    * from the un-checkpointed `next`; at sf0.1 that was ~2x the loop cost —
-    * job-launch overhead dominates these label-sized frames.) The probe
-    * exploits monotonicity: labels only ever DECREASE, so `sum(comp)` is a
-    * fixpoint witness — unchanged sum = converged — costing one scalar agg
-    * instead of a label-vs-label join per round. At extreme scale the same
-    * loop body
-    * upgrades to the large-star/small-star variant (alternating propagation,
-    * provably O(log n) rounds); the per-round shape — join on id, min-agg —
-    * is identical.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — see PAPERS.md), the
+    * shape that survives 100 TB: convergence is O(log² n) rounds proven
+    * (~log n observed) INDEPENDENT OF GRAPH DIAMETER, unlike min-label
+    * propagation whose round count is the diameter (a pathological near-dup
+    * chain — boilerplate drifting one edit per page — can chain thousands
+    * deep). Each round:
+    *
+    *  - large-star: every node u links each LARGER neighbor v to the
+    *    smallest node of u's closed neighborhood — `(v, min(Γ(u) ∪ u))` for
+    *    v > u. One groupBy(min) over the symmetrized edges + one key join.
+    *    Output is child>parent oriented and self-loop free by construction.
+    *  - small-star: every node u links its smaller neighbors (and itself)
+    *    to their collective minimum — for oriented edges grouped by child u
+    *    with m = min(parents): `(u, m)` plus `(p, m)` for the other parents.
+    *    Expressed per-edge as `when(parent == m, child).otherwise(parent)`,
+    *    so no collect_list — a hub with millions of members never builds an
+    *    in-memory array; both phases are pure groupBy+join, skew handled by
+    *    AQE like any other hot key.
+    *
+    * Both phases only ever re-point nodes at smaller component members, so
+    * component membership is invariant and the fixpoint is the star forest:
+    * every node points directly at its component minimum. Convergence is
+    * tested by a scalar witness that is EXACT here, not heuristic: each
+    * phase maps every input edge to exactly one output edge whose endpoints
+    * are componentwise ≤ the input's (large-star: (c,p) → (c, min(Γ⁺(p)));
+    * small-star: (c,p) → (c,m) or (p,m), m = min of c's parents < c ≤ the
+    * replaced endpoint), and `distinct` only removes rows — so BOTH
+    * count(edges) and sum(child+parent) are non-increasing per round, and
+    * the pair is unchanged iff every edge mapped to itself and nothing
+    * merged, i.e. iff the edge set is the fixpoint. One scalar agg is the
+    * round's only action. `localCheckpoint(eager = false)` swaps each
+    * round's plan for a LogicalRDD barrier while deferring materialization,
+    * so that probe materializes the round and the cached RDD it leaves is
+    * what the next round (and both sides of the self-joins) read — without
+    * the barrier the plan doubles per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // lazy checkpoint of the candidate subtree: the barrier means a union of
-    // two selects over `pairs` reads ONE cached RDD instead of computing the
-    // whole LSH candidate generation twice; materialized (then cached) by the
-    // first checksum job below, so init costs a single job end to end
-    val p = pairs.localCheckpoint(false)
-    val sym = p
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // self-loops: (x, x) per node, so the propagation join emits each node's
-    // own current label alongside its neighbors' — replaces the per-round
-    // `labels UNION prop` term (see scaladoc)
-    val edges = sym
-      .union(sym.select(col("src"), col("src").as("dst")).distinct())
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — exposed for
+    * the bounds spec (a 1000-node chain must converge in ~log2(1000) ≈ 10
+    * rounds, the property that distinguishes star alternation from
+    * diameter-bound propagation).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    // lazy checkpoint of the candidate subtree: the barrier means the
+    // symmetrize union reads ONE cached RDD instead of computing the whole
+    // LSH candidate generation twice
+    var edges = pairs
+      .select(col("doc_a").as("child"), col("doc_b").as("parent"))
       .localCheckpoint(false)
-    var labels = edges.filter(col("src") === col("dst"))
-      .select(col("src").as("doc_id"), col("src").as("comp"))
-      .localCheckpoint(false)
-    def checksum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).first().getLong(0)
-    var prevSum = checksum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // barrier BEFORE the self-join: the LogicalRDD lets both join sides
-      // share one cached agg result; lazy, so no job yet
-      val minStep = edges
-        .join(labels.select(col("doc_id").as("src"), col("comp")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("comp")).as("comp"))
+    // decimal accumulator: a long sum over ~1e12 edges of ~1e12 ids would
+    // overflow (ANSI mode makes that a job-killing error, not a wrap)
+    def witness(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("child").cast("decimal(38,0)") + col("parent").cast("decimal(38,0)"))).first()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = witness(edges)
+    var converged = prev._1 == 0L // empty candidate graph: nothing to close
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // ---- large-star ----
+      // no distinct needed: each undirected input edge is emitted exactly
+      // once (from its smaller endpoint's group), so the output stays
+      // duplicate-free whenever the input is
+      val sym = edges.select(col("child").as("u"), col("parent").as("v"))
+        .union(edges.select(col("parent").as("u"), col("child").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("child"), col("m").as("parent"))
         .localCheckpoint(false)
-      // pointer jump: comp := comp(comp). Every comp value is itself a key
-      // of the label frame and comp(x) <= x, so the inner join is total and
-      // the jumped label can only improve (never regress) the plain one
-      val next = minStep.as("a")
-        .join(minStep.select(col("doc_id").as("c"), col("comp").as("cc")).as("b"),
-          col("a.comp") === col("b.c"))
-        .select(col("a.doc_id").as("doc_id"), col("b.cc").as("comp"))
+      // ---- small-star (input already child>parent oriented) ----
+      val mins2 = large.groupBy(col("child").as("c")).agg(min(col("parent")).as("m"))
+      val next = large.join(mins2, col("child") === col("c"))
+        .select(
+          when(col("parent") === col("m"), col("child")).otherwise(col("parent")).as("child"),
+          col("m").as("parent"))
+        .distinct()
         .localCheckpoint(false)
-      // the round's ONLY action: materializes minStep + next (cached for the
-      // next round) and reads the fixpoint witness in the same job
-      val nextSum = checksum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      iter += 1
+      // ---- fixpoint witness (the round's only action; exact — see scaladoc)
+      val cur = witness(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      rounds += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+    val labels = edges.select(col("child").as("doc_id"), col("parent").as("comp"))
+      .union(edges.select(col("parent").as("doc_id"), col("parent").as("comp")).distinct())
+    (labels, rounds)
   }
 
   /** The dedup capstone: MinHash+LSH candidates → connected components →

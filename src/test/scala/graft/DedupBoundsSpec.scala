@@ -44,6 +44,19 @@ class DedupBoundsSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("connected components: 1000-node chain converges in ~log n rounds, not diameter") {
+    import spark.implicits._
+    // worst case for label propagation: a pure chain 0-1-2-...-999 has
+    // diameter 999, so diameter-bound propagation needs ~1000 rounds. The
+    // large-star/small-star alternation must close it in ~log2(1000) ≈ 10.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIter = 15)
+    assert(rounds <= 12, s"chain should converge in ~log n rounds, took $rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1000 && got.forall(_._2 == 0L),
+      s"all 1000 chain nodes must label to node 0; got ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("connected components: 1000-doc identical cluster collapses to ONE canonical doc") {
     // end to end with the capped candidate generator: the star fallback must
     // still leave the whole cluster connected, so CC collapses it to doc 0
