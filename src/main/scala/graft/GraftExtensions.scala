@@ -16,6 +16,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * that Catalyst already optimizes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity guard shared by every builder: a wrong-arity SQL call must surface
+    * as a clear IllegalArgumentException naming the expected signature, not
+    * an IndexOutOfBoundsException from `exprs(1)`.
+    */
+  private def requireArity(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int, signature: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$signature expects $n argument(s), got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("json_merge_patch"),
@@ -25,8 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "json_merge_patch",
         "json_merge_patch(curr, prev) - RFC 7386 merge patch transforming curr into prev (reference pqstream.proto:45; null documents mean {})",
         ""),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.JsonMergePatch(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 2, "json_merge_patch(curr, prev)")
+        functions.JsonMergePatch(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("json_redact"),
       new ExpressionInfo(
@@ -57,8 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "h60",
         "h60(str) - engine-neutral 60-bit md5 hash (first 15 hex digits of md5 as a non-negative bigint)",
         ""),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.Hash60(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 1, "h60(str)")
+        functions.Hash60(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(
@@ -67,8 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_dot",
         "vec_dot(a, b) - dot product of two dense array<double> vectors (null on length mismatch)",
         ""),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.DoubleDot(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 2, "vec_dot(a, b)")
+        functions.DoubleDot(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_bigrams"),
       new ExpressionInfo(
@@ -77,8 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_bigrams",
         "word_bigrams(str) - array of space-joined consecutive word pairs (split on single spaces, empties kept)",
         ""),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.WordBigrams(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 1, "word_bigrams(str)")
+        functions.WordBigrams(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(
@@ -87,7 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_cosine",
         "vec_cosine(a, b) - cosine similarity of two dense array<double> vectors (null on length mismatch)",
         ""),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        functions.CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 2, "vec_cosine(a, b)")
+        functions.CosineSim(exprs(0), exprs(1))
+      }))
   }
 }

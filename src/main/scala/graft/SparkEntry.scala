@@ -226,13 +226,13 @@ object SparkEntry {
       .when(st === "STRING", "string")
       .when(st === "BOOLEAN", "bool")
       .otherwise("number") // BIGINT / DECIMAL(p,s) / DOUBLE
-    // variant_explode is a table-valued generator (not an expression), so the
-    // dynamic-key explosion goes through one LATERAL join over a temp view
+    // variant_explode is a table-valued generator; the lateral join goes
+    // through the Dataset lateralJoin + spark.tvf API — side-effect free,
+    // unlike the previous fixed-name temp view (merely PLANNING the query
+    // mutated the session catalog, and two concurrent calls on one session
+    // raced on the view name)
     ev.withColumn("doc", doc).select(col("doc"))
-      .createOrReplaceTempView("graft_type_census_docs")
-    spark.sql(
-      """SELECT key, value FROM graft_type_census_docs,
-        |LATERAL variant_explode(parse_json(doc))""".stripMargin)
+      .lateralJoin(spark.tvf.variant_explode(parse_json(col("doc").outer())))
       .select(col("key"), label.as("vtype"))
       .groupBy(col("key"), col("vtype"))
       .agg(count(lit(1)).as("n"))
@@ -1306,7 +1306,7 @@ object SparkEntry {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
     "ops_dq_audit" ->
       """WITH badA AS (
-        |  SELECT o_orderkey, o_custkey + 10000000 AS o_custkey, 'X' AS o_orderstatus,
+        |  SELECT o_orderkey, -o_custkey AS o_custkey, 'X' AS o_orderstatus,
         |    -o_totalprice AS o_totalprice,
         |    o_orderdate + INTERVAL 100 YEAR AS o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 101 = 0),

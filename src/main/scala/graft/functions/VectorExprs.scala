@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Inputs are dense `array<double>` vectors; arrays of different lengths
   * yield null (the zip_with chain yields null via its null padding —
   * matching that, not silently truncating, keeps the two forms
-  * substitutable). Null ELEMENTS are undefined (embeddings are dense).
+  * substitutable). A null ELEMENT likewise yields null — `aggregate` folds
+  * `acc + null` to null, so the chain these kernels claim bit-identity with
+  * returns null for sparse arrays, and a SQL caller must get the same
+  * answer, not a garbage number from reading the slot as 0.0.
   */
 abstract class DenseVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -49,7 +52,10 @@ case class DoubleDot(left: Expression, right: Expression) extends DenseVectorBin
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     acc
   }
 
@@ -63,9 +69,10 @@ case class DoubleDot(left: Expression, right: Expression) extends DenseVectorBin
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -89,6 +96,7 @@ case class CosineSim(left: Expression, right: Expression) extends DenseVectorBin
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val (xi, yi) = (x.getDouble(i), y.getDouble(i))
       ab += xi * yi; aa += xi * xi; bb += yi * yi
       i += 1
@@ -108,11 +116,12 @@ case class CosineSim(left: Expression, right: Expression) extends DenseVectorBin
          |} else {
          |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xi = $a.getDouble($i);
          |    final double $yi = $b.getDouble($i);
          |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |  }
-         |  ${ev.value} = $ab / java.lang.Math.sqrt($aa * $bb);
+         |  if (!${ev.isNull}) ${ev.value} = $ab / java.lang.Math.sqrt($aa * $bb);
          |}
        """.stripMargin
     })

@@ -752,9 +752,12 @@ object Relational {
     // planted defects: slice A duplicates existing keys with an orphan
     // custkey, negative price, out-of-domain status, far-future date; slice B
     // nulls the custkey. Both derived from base rows, so the oracle replays
-    // the same construction.
+    // the same construction. The orphan key is the NEGATED custkey: real
+    // custkeys are positive at every scale factor, so a planted key can
+    // never collide with an existing customer (a fixed +10M offset would at
+    // SFs where custkeys exceed 10M, silently un-firing the orphan check).
     val badA = base.filter(col("o_orderkey") % 101 === 0).select(
-      col("o_orderkey"), (col("o_custkey") + 10000000L).as("o_custkey"),
+      col("o_orderkey"), (-col("o_custkey")).as("o_custkey"),
       lit("X").as("o_orderstatus"), (-col("o_totalprice")).as("o_totalprice"),
       (col("o_orderdate") + expr("INTERVAL 100 YEARS")).as("o_orderdate"),
       col("o_orderpriority"))

@@ -162,6 +162,18 @@ class PropertySpec extends SparkSuite {
     val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
       .select(graft.functions.VectorExprs.dot(col("a"), col("b")).as("d"))
     assert(mm.filter(col("d").isNull).count() == 1)
+    // a null ELEMENT yields null too — `aggregate` folds acc + null to null,
+    // so a sparse array must not silently read the hole as 0.0
+    val sparse = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](null, 2.0)))
+      .toDF("a", "b")
+    def sparseNulls() = sparse.select(
+      graft.functions.VectorExprs.dot(col("a"), col("b")).as("d"),
+      graft.functions.VectorExprs.cosine(col("a"), col("b")).as("c"))
+      .filter(col("d").isNull && col("c").isNull).count()
+    assert(sparseNulls() == 2)
+    TestSpark.withCodegenOnly { assert(sparseNulls() == 2) }
   }
 
   test("native word_bigrams is element-identical to the zip_with chain, incl. codegen") {
