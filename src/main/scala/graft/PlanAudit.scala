@@ -43,6 +43,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

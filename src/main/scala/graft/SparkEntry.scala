@@ -37,25 +37,33 @@ object SparkEntry {
     * is schema-on-read over arbitrary `protobuf.Struct` payloads
     * (`pqstream.proto:32-33,44-46`), but the flat `{"k":int}` testdata never
     * drives the recursion. Docs are synthesized deterministically from driver
-    * columns (the withPlantedPii trick), six cases keyed on event_id % 6:
+    * columns (the withPlantedPii trick), nine cases keyed on event_id % 9:
     * identical docs (empty patch), top-level scalar change, NESTED-object
     * change (recursion descends, unchanged sibling omitted), key added in new
     * (patch deletes via null, RFC 7386), key removed in new (pre-update value
-    * resurfaces), and explicit-null vs value (the null-vs-absent edge,
-    * SURVEY §7.4 #3). The oracle constructs the expected patch per case from
-    * independently hand-derived RFC semantics.
+    * resurfaces), explicit-null vs value (the null-vs-absent edge,
+    * SURVEY §7.4 #3), and the ARRAY edges — RFC 7386 treats arrays as atomic
+    * values that replace WHOLESALE, never element-merge: array changed
+    * (whole prev array in the patch), array identical (empty patch), and
+    * scalar-vs-array type change (prev array replaces the scalar). The
+    * oracle constructs the expected patch per case from independently
+    * hand-derived RFC semantics.
     */
   private def cdcChangesNested(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     val base = ev.selectExpr(
       "event_id",
-      "CAST(event_id % 6 AS INT) AS m",
+      "CAST(event_id % 9 AS INT) AS m",
       "CAST(event_id % 10 AS STRING) AS a",
       "CAST(user_id % 3 AS STRING) AS x",
       "CAST(user_id % 5 AS STRING) AS y")
     val doc = expr(
       """concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y, '}',
-        |  CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null' ELSE '' END,
+        |  CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null'
+        |       WHEN m = 6 THEN concat(',"arr":[', a, ']')
+        |       WHEN m = 7 THEN concat(',"arr":[', a, ',', x, ']')
+        |       WHEN m = 8 THEN concat(',"v":', a)
+        |       ELSE '' END,
         |  '}')""".stripMargin)
     val prevDoc = expr(
       """CASE
@@ -67,6 +75,12 @@ object SparkEntry {
         |    '},"extra":"old"}')
         |  WHEN m = 5 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
         |    '},"n":', y, '}')
+        |  WHEN m = 6 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
+        |    '},"arr":[', a, ',', x, ']}')
+        |  WHEN m = 7 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
+        |    '},"arr":[', a, ',', x, ']}')
+        |  WHEN m = 8 THEN concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y,
+        |    '},"v":[', a, ']}')
         |  ELSE concat('{"a":', a, ',"meta":{"x":', x, ',"y":', y, '}}')
         |END""".stripMargin)
     base
@@ -374,6 +388,47 @@ object SparkEntry {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** The composed corpus filter re-expressed as ONE SQL string over the
+    * SQL-registered native functions (`h60`, `word_bigrams`) — proving the
+    * `spark.sql.extensions=graft.GraftExtensions` surface end-to-end through
+    * the driver harness: a pure-SQL client (spark-sql shell, Thrift server)
+    * can run the engine's flagship curation pipeline with zero Scala
+    * imports. Same gates, same shingle construction as
+    * [[graft.ops.Curation.corpusFilter]]; the DuckDB oracle is shared
+    * verbatim ([[corpusFilterOracle]]), so the two front ends are pinned to
+    * identical semantics. Plan shape matches the DataFrame form: in-row
+    * gates on the scan, one content-hash window, broadcast-hinted anti join.
+    */
+  private def opsSqlCorpusFilter(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""WITH docs AS (SELECT * FROM parquet.`$sfDir/documents.parquet`),
+         |tok AS (SELECT doc_id, split(text, ' ') AS t FROM docs),
+         |sh AS (
+         |  SELECT doc_id, explode(array_distinct(zip_with(
+         |      slice(t, 1, size(t) - 2),
+         |      zip_with(slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2),
+         |        (b, c) -> concat(b, ' ', c)),
+         |      (a, bc) -> concat(a, ' ', bc)))) AS shingle
+         |  FROM tok WHERE size(t) >= 3),
+         |hv AS (SELECT doc_id, h60(shingle) AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5),
+         |contaminated AS (
+         |  SELECT DISTINCT hv.doc_id FROM hv JOIN bench ON hv.h = bench.h
+         |  WHERE hv.doc_id >= 5),
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM docs
+         |  WHERE doc_id >= 5 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+         |    AND size(split(text, ' ')) >= 2
+         |    AND (1.0 - CAST(size(array_distinct(word_bigrams(text))) AS DOUBLE)
+         |          / CAST(size(word_bigrams(text)) AS DOUBLE)) <= 0.2),
+         |keep AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1)
+         |SELECT /*+ BROADCAST(c) */ k.doc_id, k.lang
+         |FROM keep k LEFT ANTI JOIN contaminated c ON k.doc_id = c.doc_id""".stripMargin)
+
   /** The WHOLE reference event path composed end-to-end in one declarative
     * plan — `handleEvent` (reference `server.go:214-255`) as Spark stages:
     * capture+prev-image (S1, lag), subscriber filter (F2, unanchored rlike),
@@ -502,6 +557,7 @@ object SparkEntry {
     "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "ops_corpus_filter" -> ((s: SparkSession, d: String) => Curation.corpusFilter(s, d)),
+    "ops_sql_corpus_filter" -> (opsSqlCorpusFilter _),
     "ops_seq_pack"      -> ((s: SparkSession, d: String) => Curation.seqPack(s, d)),
     "ops_doc_chunk"       -> ((s: SparkSession, d: String) => Curation.chunkDocs(s, d)),
     "ops_weighted_sample" -> (Curation.weightedSample _),
@@ -550,6 +606,35 @@ object SparkEntry {
        |    CAST(SUM(cnt) AS BIGINT) AS sum_freq,
        |    CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS avg_freq
        |  FROM h JOIN c USING (h) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of the composed corpus filter — shared verbatim by
+    * `ops_corpus_filter` (DataFrame form) and `ops_sql_corpus_filter` (the
+    * pure-SQL form over the registered native functions): one oracle, two
+    * front ends, so the two can never drift apart silently.
+    */
+  private lazy val corpusFilterOracle: String =
+    s"""WITH $shinglesCte,
+       |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5),
+       |contaminated AS (
+       |  SELECT DISTINCT hv.doc_id FROM hv JOIN bench ON hv.h = bench.h
+       |  WHERE hv.doc_id >= 5),
+       |filt AS (
+       |  SELECT doc_id, lang, text,
+       |    string_split(text, ' ') AS t
+       |  FROM documents
+       |  WHERE doc_id >= 5 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+       |    AND len(string_split(text, ' ')) >= 2),
+       |gated AS (
+       |  SELECT doc_id, lang, text FROM filt
+       |  WHERE (1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+       |        / CAST(len(t) - 1 AS DOUBLE)) <= 0.2),
+       |keep AS (
+       |  SELECT doc_id, lang FROM gated
+       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+       |SELECT k.doc_id, k.lang FROM keep k
+       |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)""".stripMargin
 
   /** Bit-interleave SQL — DuckDB twin of [[graft.sources.Layout.zValue]]. */
   private def zInterleaveSql(a: String, b: String, bits: Int): String =
@@ -706,14 +791,18 @@ object SparkEntry {
         |WHERE event_type NOT IN ('signup', 'error') AND prev_props IS NOT NULL""".stripMargin,
     "cdc_changes_nested" ->
       """WITH b AS (
-        |  SELECT event_id, CAST(event_id % 6 AS INT) AS m,
+        |  SELECT event_id, CAST(event_id % 9 AS INT) AS m,
         |    CAST(event_id % 10 AS VARCHAR) AS a,
         |    CAST(user_id % 3 AS VARCHAR) AS x,
         |    CAST(user_id % 5 AS VARCHAR) AS y
         |  FROM events)
         |SELECT event_id,
         |  '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}' ||
-        |    CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null' ELSE '' END
+        |    CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null'
+        |         WHEN m = 6 THEN ',"arr":[' || a || ']'
+        |         WHEN m = 7 THEN ',"arr":[' || a || ',' || x || ']'
+        |         WHEN m = 8 THEN ',"v":' || a
+        |         ELSE '' END
         |    || '}' AS doc,
         |  CASE
         |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR)
@@ -724,19 +813,30 @@ object SparkEntry {
         |      || '},"extra":"old"}'
         |    WHEN m = 5 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
         |      || '},"n":' || y || '}'
+        |    WHEN m = 6 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
+        |      || '},"arr":[' || a || ',' || x || ']}'
+        |    WHEN m = 7 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
+        |      || '},"arr":[' || a || ',' || x || ']}'
+        |    WHEN m = 8 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
+        |      || '},"v":[' || a || ']}'
         |    ELSE '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}}'
         |  END AS prev_doc,
         |  -- expected RFC 7386 patch per case, derived by hand (new -> old):
         |  -- identical = {}; changed key = pre-update value; nested change
         |  -- recurses and omits the unchanged sibling; key only in new
         |  -- deletes via null; key only in old resurfaces; explicit null in
-        |  -- new vs value in old = the value
+        |  -- new vs value in old = the value; arrays replace WHOLESALE
+        |  -- (changed array = whole prev array; identical array = omitted;
+        |  -- scalar-vs-array = prev array verbatim) — never element-merged
         |  CASE
         |    WHEN m = 0 THEN '{}'
         |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR) || '}'
         |    WHEN m = 2 THEN '{"meta":{"x":' || CAST(CAST(x AS INT) + 1 AS VARCHAR) || '}}'
         |    WHEN m = 3 THEN '{"tag":null}'
         |    WHEN m = 4 THEN '{"extra":"old"}'
+        |    WHEN m = 6 THEN '{"arr":[' || a || ',' || x || ']}'
+        |    WHEN m = 7 THEN '{}'
+        |    WHEN m = 8 THEN '{"v":[' || a || ']}'
         |    ELSE '{"n":' || y || '}'
         |  END AS changes
         |FROM b""".stripMargin,
@@ -1111,29 +1211,8 @@ object SparkEntry {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
-    "ops_corpus_filter" ->
-      s"""WITH $shinglesCte,
-         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
-         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5),
-         |contaminated AS (
-         |  SELECT DISTINCT hv.doc_id FROM hv JOIN bench ON hv.h = bench.h
-         |  WHERE hv.doc_id >= 5),
-         |filt AS (
-         |  SELECT doc_id, lang, text,
-         |    string_split(text, ' ') AS t
-         |  FROM documents
-         |  WHERE doc_id >= 5 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
-         |    AND len(string_split(text, ' ')) >= 2),
-         |gated AS (
-         |  SELECT doc_id, lang, text FROM filt
-         |  WHERE (1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
-         |          i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
-         |        / CAST(len(t) - 1 AS DOUBLE)) <= 0.2),
-         |keep AS (
-         |  SELECT doc_id, lang FROM gated
-         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
-         |SELECT k.doc_id, k.lang FROM keep k
-         |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)""".stripMargin,
+    "ops_corpus_filter" -> corpusFilterOracle,
+    "ops_sql_corpus_filter" -> corpusFilterOracle,
     "ops_strat_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <

@@ -105,6 +105,14 @@ class QueriesSpec extends SparkSuite {
       val wb = s2.sql("SELECT word_bigrams('a b c') AS b")
         .collect()(0).getSeq[String](0)
       assert(wb == Seq("a b", "b c"))
+      // wrong arity surfaces as a clear signature error, not an
+      // IndexOutOfBoundsException from the builder indexing exprs(1)
+      val e = intercept[Exception] { s2.sql("SELECT h60()").collect() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("h60(str)")), s"unexpected error chain: $e")
+      intercept[Exception] { s2.sql("SELECT vec_dot(array(1.0d))").collect() }
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
