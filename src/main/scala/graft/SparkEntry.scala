@@ -574,1065 +574,15 @@ object SparkEntry {
 
   // ===== DuckDB oracles =====
 
-  /** Shared SQL fragments for the oracle strings. Mirrors
-    * [[graft.cdc.EventLog.opCol]] branch for branch (incl. the dormant
-    * TRUNCATE — `CdcStreamSpec` pins the Scala mappings to each other, this
-    * copy must move with them).
+  /** Oracle SQL lives in [[graft.oracles]] (one object per domain:
+    * CDC / relational-events / documents-LLM) so this contract file stays
+    * readable; the key set is asserted disjoint at class-init time.
     */
-  private val opCase =
-    "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' " +
-      "WHEN event_type = 'truncate' THEN 'TRUNCATE' ELSE 'UPDATE' END"
-
-  private val discPrice =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
-
-  /** 60-bit md5 hash — DuckDB twin of [[graft.ops.Hashing.h60]]. */
-  private def h60sql(e: String): String =
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
-
-  /** Per-doc bigram-LM score CTE chain — DuckDB twin of
-    * [[graft.ops.TextStats.bigramFamiliarity]], shared by `ops_bigram_lm`
-    * and `ops_quality_mix` so the score definition can never fork.
-    */
-  private val bigramScoreCte: String =
-    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |b AS (SELECT doc_id,
-       |        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
-       |      FROM t WHERE len(tk) >= 2),
-       |h AS (SELECT doc_id, ${h60sql("bg")} AS h FROM b),
-       |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h),
-       |score AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(cnt) AS BIGINT) AS sum_freq,
-       |    CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS avg_freq
-       |  FROM h JOIN c USING (h) GROUP BY doc_id)""".stripMargin
-
-  /** DuckDB twin of the composed corpus filter — shared verbatim by
-    * `ops_corpus_filter` (DataFrame form) and `ops_sql_corpus_filter` (the
-    * pure-SQL form over the registered native functions): one oracle, two
-    * front ends, so the two can never drift apart silently.
-    */
-  private lazy val corpusFilterOracle: String =
-    s"""WITH $shinglesCte,
-       |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
-       |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5),
-       |contaminated AS (
-       |  SELECT DISTINCT hv.doc_id FROM hv JOIN bench ON hv.h = bench.h
-       |  WHERE hv.doc_id >= 5),
-       |filt AS (
-       |  SELECT doc_id, lang, text,
-       |    string_split(text, ' ') AS t
-       |  FROM documents
-       |  WHERE doc_id >= 5 AND lang IN ('en', 'de', 'fr', 'es', 'zh')
-       |    AND len(string_split(text, ' ')) >= 2),
-       |gated AS (
-       |  SELECT doc_id, lang, text FROM filt
-       |  WHERE (1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
-       |          i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
-       |        / CAST(len(t) - 1 AS DOUBLE)) <= 0.2),
-       |keep AS (
-       |  SELECT doc_id, lang FROM gated
-       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
-       |SELECT k.doc_id, k.lang FROM keep k
-       |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)""".stripMargin
-
-  /** Bit-interleave SQL — DuckDB twin of [[graft.sources.Layout.zValue]]. */
-  private def zInterleaveSql(a: String, b: String, bits: Int): String =
-    (0 until bits).map(i =>
-      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" | ")
-
-  /** Ordered-fold dot product of two DOUBLE lists — DuckDB twin of
-    * [[graft.ops.Similarity.dot]].
-    */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, ${Similarity.Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-
-  private def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
-
-  private val shinglesCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |         unnest(list_distinct(list_transform(range(1, len(t) - 1),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3)""".stripMargin
-
-  /** MinHash band-bucket candidate pairs as CTEs ending in `cands` — shared
-    * by the ops_dedup_minhash oracle and the ops_dedup_verify composition.
-    * Expects `sh` from [[shinglesCte]] in scope.
-    */
-  private def minhashCandsCte: String = {
-    val perms = graft.ops.Hashing.permutations(16).zipWithIndex
-      .map { case ((a, b), j) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
-      .mkString(", ")
-    s"""perm(j, a, b) AS (VALUES $perms),
-       |hs AS (SELECT doc_id, ${h60sql("shingle")} % ${graft.ops.Hashing.P} AS h0 FROM sh),
-       |mh AS (
-       |  SELECT doc_id, j, MIN((h0 * a + b) % ${graft.ops.Hashing.P}) AS m
-       |  FROM hs CROSS JOIN perm
-       |  GROUP BY doc_id, j),
-       |bands AS (
-       |  SELECT doc_id, j // 2 AS band_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS sig
-       |  FROM mh GROUP BY doc_id, j // 2),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  def oracleSql: Map[String, String] = {
+    val parts = Seq(oracles.CdcOracles.sql, oracles.OpsOracles.sql, oracles.TextOracles.sql)
+    val merged = parts.reduce(_ ++ _)
+    require(merged.size == parts.map(_.size).sum,
+      "oracle key collision across domain objects")
+    merged
   }
-
-  /** SimHash fingerprints as CTEs ending in `fp(doc_id, simhash)` — shared by
-    * the ops_simhash oracle and the ops_simhash_pairs banding composition.
-    */
-  private lazy val simhashCte =
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |hh AS (SELECT doc_id, ${h60sql("tok")} AS h FROM toks),
-       |votes AS (
-       |  SELECT doc_id, j,
-       |    SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM hh CROSS JOIN range(60) AS r(j)
-       |  GROUP BY doc_id, j),
-       |fp AS (
-       |  SELECT doc_id,
-       |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM votes GROUP BY doc_id)""".stripMargin
-
-  /** DuckDB literal for a constant double list. */
-  private def listLit(xs: Array[Double]): String =
-    xs.map(x => s"CAST($x AS DOUBLE)").mkString("list_value(", ", ", ")")
-
-  private def lshBucketSql(v: String, table: Int, numPlanes: Int): String =
-    Similarity.planes(table * numPlanes, numPlanes).zipWithIndex.map { case (plane, p) =>
-      s"(CASE WHEN ${dotSql(v, listLit(plane))} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
-  def oracleSql: Map[String, String] = Map(
-    "cdc_pipeline" ->
-      s"""WITH n AS (
-         |  SELECT event_id, user_id, event_type, props,
-         |    LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props,
-         |    $opCase AS op
-         |  FROM events),
-         |f AS (SELECT * FROM n WHERE regexp_matches(event_type, 'p')),
-         |r AS (
-         |  SELECT event_id, user_id, op, props,
-         |    CASE WHEN event_type = 'signup' THEN '{}' ELSE props END AS payload0,
-         |    CASE WHEN event_type = 'signup'
-         |         THEN CASE WHEN prev_props IS NULL THEN NULL ELSE '{}' END
-         |         ELSE prev_props END AS previous0
-         |  FROM f),
-         |-- full-notification accounting (queries.go:33): envelope bytes +
-         |-- ,"payload":<p> (11) + ,"previous":<v> (12), null document = 0
-         |t AS (
-         |  SELECT event_id, user_id, op, props,
-         |    CASE WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
-         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END
-         |              + CASE WHEN previous0 IS NULL THEN 0 ELSE 12 + strlen(previous0) END < 95 THEN 0
-         |         WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
-         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END < 95 THEN 1
-         |         ELSE 2 END AS tier,
-         |    payload0, previous0
-         |  FROM r),
-         |t2 AS (
-         |  SELECT event_id, user_id, op, tier, props,
-         |    CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
-         |    CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
-         |  FROM t)
-         |-- COALESCE = the fallback rehydration stage (changes is computed on
-         |-- the PRE-fallback payload, reference order server.go:235-248)
-         |SELECT event_id, user_id, op, tier,
-         |  COALESCE(t2.payload, props) AS payload, previous,
-         |  CASE WHEN op <> 'UPDATE' THEN NULL
-         |       WHEN COALESCE(CAST(json_extract(t2.payload, '$$.k') AS VARCHAR), 'X')
-         |          = COALESCE(CAST(json_extract(previous, '$$.k') AS VARCHAR), 'X') THEN '{}'
-         |       WHEN json_extract(previous, '$$.k') IS NULL THEN '{"k":null}'
-         |       ELSE '{"k":' || CAST(json_extract(previous, '$$.k') AS VARCHAR) || '}' END AS changes
-         |FROM t2""".stripMargin,
-    "cdc_json_decode" ->
-      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
-        |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS props_norm
-        |FROM events""".stripMargin,
-    "ops_set_ops" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-        |INTERSECT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
-    "cdc_variant_get" ->
-      "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
-    "ops_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-        |  FROM g)
-        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-        |  COUNT(*) AS n_events,
-        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
-        |FROM s GROUP BY user_id, session_idx""".stripMargin,
-    // ops_approx_distinct: intentionally no oracle — HLL sketches are
-    // engine-specific; the driver records a rows-only check.
-    "cdc_changes" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, props,
-        |         LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
-        |  FROM events)
-        |SELECT event_id, user_id, props, prev_props,
-        |  CASE WHEN COALESCE(CAST(json_extract(props, '$.k') AS VARCHAR), 'X')
-        |          = COALESCE(CAST(json_extract(prev_props, '$.k') AS VARCHAR), 'X') THEN '{}'
-        |       WHEN json_extract(prev_props, '$.k') IS NULL THEN '{"k":null}'
-        |       ELSE '{"k":' || CAST(json_extract(prev_props, '$.k') AS VARCHAR) || '}' END AS changes
-        |FROM e
-        |WHERE event_type NOT IN ('signup', 'error') AND prev_props IS NOT NULL""".stripMargin,
-    "cdc_changes_nested" ->
-      """WITH b AS (
-        |  SELECT event_id, CAST(event_id % 9 AS INT) AS m,
-        |    CAST(event_id % 10 AS VARCHAR) AS a,
-        |    CAST(user_id % 3 AS VARCHAR) AS x,
-        |    CAST(user_id % 5 AS VARCHAR) AS y
-        |  FROM events)
-        |SELECT event_id,
-        |  '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}' ||
-        |    CASE WHEN m = 3 THEN ',"tag":"t"' WHEN m = 5 THEN ',"n":null'
-        |         WHEN m = 6 THEN ',"arr":[' || a || ']'
-        |         WHEN m = 7 THEN ',"arr":[' || a || ',' || x || ']'
-        |         WHEN m = 8 THEN ',"v":' || a
-        |         ELSE '' END
-        |    || '}' AS doc,
-        |  CASE
-        |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR)
-        |      || ',"meta":{"x":' || x || ',"y":' || y || '}}'
-        |    WHEN m = 2 THEN '{"a":' || a || ',"meta":{"x":'
-        |      || CAST(CAST(x AS INT) + 1 AS VARCHAR) || ',"y":' || y || '}}'
-        |    WHEN m = 4 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
-        |      || '},"extra":"old"}'
-        |    WHEN m = 5 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
-        |      || '},"n":' || y || '}'
-        |    WHEN m = 6 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
-        |      || '},"arr":[' || a || ',' || x || ']}'
-        |    WHEN m = 7 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
-        |      || '},"arr":[' || a || ',' || x || ']}'
-        |    WHEN m = 8 THEN '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y
-        |      || '},"v":[' || a || ']}'
-        |    ELSE '{"a":' || a || ',"meta":{"x":' || x || ',"y":' || y || '}}'
-        |  END AS prev_doc,
-        |  -- expected RFC 7386 patch per case, derived by hand (new -> old):
-        |  -- identical = {}; changed key = pre-update value; nested change
-        |  -- recurses and omits the unchanged sibling; key only in new
-        |  -- deletes via null; key only in old resurfaces; explicit null in
-        |  -- new vs value in old = the value; arrays replace WHOLESALE
-        |  -- (changed array = whole prev array; identical array = omitted;
-        |  -- scalar-vs-array = prev array verbatim) — never element-merged
-        |  CASE
-        |    WHEN m = 0 THEN '{}'
-        |    WHEN m = 1 THEN '{"a":' || CAST(CAST(a AS INT) + 1 AS VARCHAR) || '}'
-        |    WHEN m = 2 THEN '{"meta":{"x":' || CAST(CAST(x AS INT) + 1 AS VARCHAR) || '}}'
-        |    WHEN m = 3 THEN '{"tag":null}'
-        |    WHEN m = 4 THEN '{"extra":"old"}'
-        |    WHEN m = 6 THEN '{"arr":[' || a || ',' || x || ']}'
-        |    WHEN m = 7 THEN '{}'
-        |    WHEN m = 8 THEN '{"v":[' || a || ']}'
-        |    ELSE '{"n":' || y || '}'
-        |  END AS changes
-        |FROM b""".stripMargin,
-    "cdc_prev_image" ->
-      s"""SELECT event_id, user_id, $opCase AS op, props,
-         |  LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
-         |FROM events""".stripMargin,
-    "cdc_table_filter" ->
-      "SELECT event_id, user_id, event_type, value FROM events WHERE regexp_matches(event_type, 'sign|pur')",
-    "cdc_redact" ->
-      "SELECT event_id, event_type, CASE WHEN event_type = 'purchase' THEN '{}' ELSE props END AS props_redacted FROM events",
-    "cdc_redact_map" ->
-      "SELECT event_id, event_type, CASE WHEN event_type IN ('purchase', 'error') THEN '{}' ELSE props END AS props_redacted FROM events",
-    "cdc_tiering" ->
-      """WITH sized AS (
-        |  SELECT event_id,
-        |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
-        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0,
-        |         strlen('{"schema":"public","table":"events","id":' || CAST(event_id AS VARCHAR) || '}') AS env
-        |  FROM events),
-        |t AS (
-        |  SELECT event_id, payload0, previous0,
-        |    CASE WHEN env + 11 + strlen(payload0) + 12 + strlen(previous0) < 85 THEN 0
-        |         WHEN env + 11 + strlen(payload0) < 85 THEN 1
-        |         ELSE 2 END AS tier
-        |  FROM sized)
-        |SELECT event_id, tier,
-        |  CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
-        |  CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
-        |FROM t""".stripMargin,
-    "cdc_fallback_join" ->
-      """WITH sized AS (
-        |  SELECT event_id, props,
-        |         repeat(props, CAST(event_id % 5 AS INT)) AS payload0,
-        |         repeat(props, CAST((event_id + 2) % 4 AS INT)) AS previous0,
-        |         strlen('{"schema":"public","table":"events","id":' || CAST(event_id AS VARCHAR) || '}') AS env
-        |  FROM events),
-        |t AS (
-        |  SELECT event_id, props, payload0,
-        |    CASE WHEN env + 11 + strlen(payload0) + 12 + strlen(previous0) < 85 THEN 0
-        |         WHEN env + 11 + strlen(payload0) < 85 THEN 1
-        |         ELSE 2 END AS tier
-        |  FROM sized)
-        |SELECT event_id, tier,
-        |  CASE WHEN tier = 2 THEN props ELSE payload0 END AS payload
-        |FROM t""".stripMargin,
-    "cdc_scd2" ->
-      """SELECT event_id, user_id, props, ts AS valid_from,
-        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM events""".stripMargin,
-    "cdc_pit_join" ->
-      """WITH dim AS (
-        |  SELECT user_id, event_id AS ver_event_id, props AS ver_props, ts AS valid_from,
-        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-        |  FROM events),
-        |f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-        |SELECT f.event_id, f.user_id, f.ts, d.ver_event_id, d.ver_props, d.valid_from
-        |FROM f JOIN dim d ON f.user_id = d.user_id AND d.valid_from <= f.ts
-        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
-    "cdc_snapshot" ->
-      """WITH m AS (
-        |  SELECT user_id, max({'ts': ts, 'event_id': event_id, 'props': props}) AS s
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id, s.ts AS ts, s.event_id AS event_id, s.props AS props FROM m""".stripMargin,
-    // full recompute: exactly the invariant the incremental merge must preserve
-    "cdc_agg_refresh" ->
-      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(1) AS n,
-        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "cdc_op_counts" ->
-      s"""SELECT $opCase AS op, COUNT(*) AS n,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1""".stripMargin,
-    "q1_pricing" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
-         |  COUNT(*) AS count_order
-         |FROM lineitem
-         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "ops_star_join_agg" ->
-      s"""SELECT n_name,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
-         |  COUNT(*) AS n_rows
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-         |GROUP BY n_name""".stripMargin,
-    "ops_top_customers" ->
-      """WITH spend AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY c_custkey, c_name, c_nationkey),
-        |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS rk
-        |  FROM spend)
-        |SELECT n_name, c_name, total_spend, CAST(rk AS BIGINT) AS rk
-        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
-        |WHERE rk <= 3""".stripMargin,
-    "ops_rollup" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-    "ops_cube" ->
-      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n
-        |FROM events GROUP BY CUBE (event_type, date_trunc('hour', ts))""".stripMargin,
-    "ops_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
-    "ops_semi_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')",
-    "ops_pivot" ->
-      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
-        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY 1""".stripMargin,
-    "ops_histogram" ->
-      """SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
-        |  CAST(MIN(length(text)) AS BIGINT) AS min_len,
-        |  CAST(MAX(length(text)) AS BIGINT) AS max_len
-        |FROM documents GROUP BY 1""".stripMargin,
-    "ops_scalar_subquery" ->
-      """SELECT p_partkey, p_retailprice FROM part
-        |WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
-        |  (SELECT CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |     // COUNT(*) AS BIGINT) FROM part)""".stripMargin,
-    "ops_order_count_dist" ->
-      """SELECT c_count, COUNT(*) AS custdist FROM (
-        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |  GROUP BY c_custkey)
-        |GROUP BY c_count""".stripMargin,
-    "cdc_key_inventory" ->
-      """WITH d AS (
-        |  SELECT event_type,
-        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
-        |    CASE WHEN event_type = 'purchase' THEN ',"amount":1' ELSE '' END ||
-        |    CASE WHEN event_type = 'error' THEN ',"code":1' ELSE '' END ||
-        |    CASE WHEN event_type = 'signup' THEN ',"plan":"p"' ELSE '' END ||
-        |    '}' AS doc
-        |  FROM events)
-        |SELECT event_type, k AS key, COUNT(*) AS n
-        |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
-        |GROUP BY event_type, k""".stripMargin,
-    "ops_window_funnel" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 1 DAY
-        |       GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-        |       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 1 DAY
-        |       GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM events),
-        |lv AS (
-        |  SELECT u.user_id,
-        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level
-        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |         LEFT JOIN s3 USING (user_id))
-        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
-        |FROM lv GROUP BY level""".stripMargin,
-    "ops_mad_outliers" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
-        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM e GROUP BY event_type),
-        |d AS (SELECT e.event_type, cents, med FROM e JOIN m USING (event_type)),
-        |s AS (SELECT event_type, MAX(med) AS med,
-        |        quantile_cont(ABS(cents - med), 0.5) AS mad, COUNT(*) AS n
-        |      FROM d GROUP BY event_type)
-        |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
-        |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
-    "ops_revenue_share" ->
-      """WITH pn AS (
-        |  SELECT r_name, n_name,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY r_name, n_name)
-        |SELECT r_name, n_name, cents,
-        |  cents * 1000 // CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_permille
-        |FROM pn""".stripMargin,
-    "ops_transition_matrix" ->
-      """WITH s AS (
-        |  SELECT event_type AS from_type,
-        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events)
-        |SELECT from_type, to_type, COUNT(*) AS n
-        |FROM s WHERE to_type IS NOT NULL
-        |GROUP BY from_type, to_type""".stripMargin,
-    "ops_dau_wau" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |cov AS (
-        |  SELECT DISTINCT user_id, day + INTERVAL (o) DAY AS day
-        |  FROM ud, generate_series(0, 6) AS t(o)),
-        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
-        |wau AS (SELECT day, COUNT(*) AS wau FROM cov GROUP BY day)
-        |SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
-        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
-    "ops_full_outer" ->
-      """WITH s AS (
-        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_signups
-        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
-        |p AS (
-        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_purchases
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
-        |SELECT COALESCE(s.hour, p.hour) AS hour,
-        |  CAST(COALESCE(n_signups, 0) AS BIGINT) AS n_signups,
-        |  CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
-        |FROM s FULL OUTER JOIN p ON s.hour = p.hour""".stripMargin,
-    "ops_except_all" ->
-      """SELECT user_id, COUNT(*) AS n_excess FROM (
-        |  SELECT user_id FROM events WHERE event_type = 'click'
-        |  EXCEPT ALL
-        |  SELECT user_id FROM events WHERE event_type = 'view')
-        |GROUP BY user_id""".stripMargin,
-    "cdc_type_census" ->
-      """WITH d AS (
-        |  SELECT
-        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || ',"v":' ||
-        |    CASE WHEN event_id % 6 = 0 THEN CAST(json_extract(props, '$.k') AS VARCHAR)
-        |         WHEN event_id % 6 = 1 THEN '"' || CAST(json_extract(props, '$.k') AS VARCHAR) || '"'
-        |         WHEN event_id % 6 = 2 THEN 'true'
-        |         WHEN event_id % 6 = 3 THEN '{"n":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
-        |         WHEN event_id % 6 = 4 THEN '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']'
-        |         ELSE 'null' END || '}' AS doc
-        |  FROM events),
-        |kv AS (SELECT doc, unnest(json_keys(doc)) AS key FROM d),
-        |typed AS (SELECT key, json_type(doc::JSON, '$.' || key) AS jt FROM kv)
-        |SELECT key,
-        |  CASE WHEN jt IS NULL OR jt = 'NULL' THEN 'null'
-        |       WHEN jt = 'OBJECT' THEN 'object'
-        |       WHEN jt = 'ARRAY' THEN 'array'
-        |       WHEN jt = 'VARCHAR' THEN 'string'
-        |       WHEN jt = 'BOOLEAN' THEN 'bool'
-        |       ELSE 'number' END AS vtype,
-        |  COUNT(*) AS n
-        |FROM typed GROUP BY key, vtype""".stripMargin,
-    "ops_funnel" ->
-      """SELECT user_id,
-        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signups,
-        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-        |  MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
-        |  MAX(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase,
-        |  COALESCE(MIN(ts) FILTER (WHERE event_type = 'signup')
-        |         < MAX(ts) FILTER (WHERE event_type = 'purchase'), FALSE) AS converted
-        |FROM events GROUP BY user_id""".stripMargin,
-    "ops_cohort_retention" ->
-      """WITH activity AS (
-        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
-        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
-        |SELECT c.cohort_day,
-        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
-        |  COUNT(*) AS n_users
-        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
-        |GROUP BY 1, 2""".stripMargin,
-    "ops_unpivot" ->
-      """WITH w AS (
-        |  SELECT c_mktsegment, COUNT(*) AS n_customers,
-        |    -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT for the long
-        |    -- `value` column the UNION produces
-        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_cents,
-        |    COUNT(DISTINCT c_nationkey) AS n_nations
-        |  FROM customer GROUP BY c_mktsegment)
-        |SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
-        |UNION ALL SELECT c_mktsegment, 'acctbal_cents', acctbal_cents FROM w
-        |UNION ALL SELECT c_mktsegment, 'n_nations', n_nations FROM w""".stripMargin,
-    "ops_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gmask
-        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
-    "ops_rank_suite" ->
-      """SELECT c_custkey, c_mktsegment, c_acctbal,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  percent_rank() OVER w AS pct_rank,
-        |  cume_dist() OVER w AS cdist,
-        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
-    "ops_gap_fill" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
-        |counts AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY user_id, day),
-        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id),
-        |cal AS (
-        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
-        |  FROM spans)
-        |SELECT cal.user_id, cal.day, COALESCE(counts.n, 0) AS n
-        |FROM cal LEFT JOIN counts ON cal.user_id = counts.user_id AND cal.day = counts.day""".stripMargin,
-    "ops_ffill" ->
-      """SELECT event_id, user_id,
-        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS sparse_value,
-        |  LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-        |FROM events""".stripMargin,
-    "ops_event_windows" ->
-      """SELECT event_id, user_id, event_type,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-        |FROM events""".stripMargin,
-    "ops_hourly_counts" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "ops_dedup_keys" ->
-      "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
-    "ops_dedup_content" ->
-      "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
-    "ops_dedup_minhash" ->
-      s"""WITH $shinglesCte,
-         |$minhashCandsCte
-         |SELECT doc_a, doc_b FROM cands""".stripMargin,
-    "ops_zorder" ->
-      s"""WITH e AS (
-         |  SELECT user_id,
-         |    (CAST(floor(epoch(ts)) AS BIGINT) -
-         |     CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)) // 32 AS su
-         |  FROM events),
-         |s AS (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
-         |             MIN(su) AS bmn, MAX(su) AS bmx FROM e),
-         |q AS (SELECT user_id, su,
-         |        ((user_id - amn) * 256) // (amx - amn + 1) AS qa,
-         |        ((su - bmn) * 256) // (bmx - bmn + 1) AS qb FROM e, s),
-         |z AS (SELECT user_id, su, (${zInterleaveSql("qa", "qb", 8)}) AS z FROM q)
-         |SELECT z // 2048 AS bucket, COUNT(*) AS n,
-         |  COUNT(DISTINCT user_id) AS n_users,
-         |  CAST(MAX(su) - MIN(su) AS BIGINT) AS span32
-         |FROM z GROUP BY bucket""".stripMargin,
-    "ops_dedup_cc" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |$minhashCandsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
-         |          UNION SELECT doc_b, doc_a FROM cands),
-         |-- transitive closure to min reachable id = the component canonical
-         |walk(doc_id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
-         |SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id""".stripMargin,
-    "ops_dedup_verify" ->
-      s"""WITH $shinglesCte,
-         |$minhashCandsCte,
-         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
-         |shared AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-         |  FROM cands c
-         |  JOIN hv a ON a.doc_id = c.doc_a
-         |  JOIN hv b ON b.doc_id = c.doc_b AND b.h = a.h
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT s.doc_a, s.doc_b,
-         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
-         |FROM shared s
-         |JOIN sizes na ON na.doc_id = s.doc_a
-         |JOIN sizes nb ON nb.doc_id = s.doc_b
-         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
-    "ops_corpus_filter" -> corpusFilterOracle,
-    "ops_sql_corpus_filter" -> corpusFilterOracle,
-    "ops_strat_sample" ->
-      s"""SELECT doc_id, lang FROM documents
-         |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <
-         |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 60 ELSE 40 END""".stripMargin,
-    "ops_seq_pack" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang, doc_id % 8 AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |-- two-level prefix sum, packing order (lang, shard, doc_id):
-        |-- shard-local exclusive running sum + exclusive total of earlier shards
-        |loc AS (
-        |  SELECT doc_id, lang, shard, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_prev
-        |  FROM base),
-        |off AS (
-        |  SELECT lang, shard,
-        |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY lang ORDER BY shard
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
-        |  FROM base GROUP BY lang, shard)
-        |SELECT loc.doc_id, loc.lang, loc.n_tokens,
-        |  CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin
-        |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard""".stripMargin,
-    "ops_doc_chunk" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start FROM t WHERE len(t) >= 1)
-        |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
-        |  CAST(len(list_slice(t, start + 1, start + 50)) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(list_slice(t, start + 1, start + 50), ' ')) AS chunk_hash
-        |FROM s""".stripMargin,
-    "ops_weighted_sample" ->
-      s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE ${h60sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000 < LEAST(n_chars * 2, 1000)""".stripMargin,
-    "ops_group_sample" ->
-      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT doc_id, lang,
-         |    row_number() OVER (PARTITION BY lang
-         |      ORDER BY ${h60sql("'gsamp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
-         |  FROM documents)
-         |WHERE rk <= 50""".stripMargin,
-    "ops_line_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |ln AS (
-         |  SELECT doc_id, CAST(i // 10 AS BIGINT) AS line_idx,
-         |    ${h60sql("array_to_string(t[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')")} AS line_hash
-         |  FROM toks, unnest(range(0, len(t), 10)) AS u(i)),
-         |df AS (SELECT line_hash, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY line_hash)
-         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
-         |  md5(string_agg(CAST(line_hash AS VARCHAR), ' ' ORDER BY line_idx)) AS kept_sig
-         |FROM ln JOIN df USING (line_hash)
-         |WHERE df.df <= 1
-         |GROUP BY doc_id""".stripMargin,
-    "ops_shuffle_shards" ->
-      s"""WITH h AS (SELECT doc_id,
-         |    ${h60sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
-         |  FROM documents)
-         |SELECT doc_id, h % 64 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
-         |FROM h""".stripMargin,
-    "ops_embed_quant" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),
-         |c AS (
-         |  SELECT vec_id, v, am,
-         |    CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-         |         ELSE list_transform(v, x -> CAST(floor(x / am * 127) AS BIGINT)) END AS codes
-         |  FROM a)
-         |SELECT vec_id, round(am, 6) AS scale,
-         |  CAST(list_reduce(codes, (x, y) -> x + y) AS BIGINT) AS qsum,
-         |  CAST(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
-         |    i -> codes[i] * (i - 1)), (x, y) -> x + y) AS BIGINT) AS qdot,
-         |  CAST(list_min(codes) AS BIGINT) AS qmin,
-         |  CAST(list_max(codes) AS BIGINT) AS qmax,
-         |  round(sqrt(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
-         |    i -> (v[i] - CAST(codes[i] AS DOUBLE) * am / 127) * (v[i] - CAST(codes[i] AS DOUBLE) * am / 127)),
-         |    (x, y) -> x + y)), 6) AS recon_err
-         |FROM c""".stripMargin,
-    "ops_decontaminate" ->
-      s"""WITH $shinglesCte,
-         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
-         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5)
-         |SELECT hv.doc_id, CAST(COUNT(DISTINCT hv.h) AS BIGINT) AS n_hits
-         |FROM hv JOIN bench ON hv.h = bench.h
-         |WHERE hv.doc_id >= 5
-         |GROUP BY hv.doc_id""".stripMargin,
-    "ops_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |hs AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
-         |shared AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
-         |FROM shared
-         |JOIN sizes na ON na.doc_id = doc_a
-         |JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE) >= 0.05""".stripMargin,
-    "ops_simhash" ->
-      s"""WITH $simhashCte
-         |SELECT doc_id, simhash FROM fp""".stripMargin,
-    "ops_simhash_pairs" ->
-      s"""WITH $simhashCte,
-         |bands AS (
-         |  SELECT doc_id, simhash, b,
-         |    (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
-         |  FROM fp CROSS JOIN range(4) AS r(b))
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         |FROM bands x JOIN bands y
-         |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
-    "ops_range_join" ->
-      """SELECT o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
-        |FROM orders o LEFT JOIN events e
-        |  ON e.user_id = o.o_custkey
-        |  AND e.ts >= o.o_orderdate
-        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
-        |GROUP BY o_orderkey""".stripMargin,
-    "ops_salted_join" ->
-      """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |WHERE e.event_type = 'purchase'
-        |GROUP BY 1""".stripMargin,
-    "ops_corr_subquery" ->
-      """WITH q AS (
-        |  SELECT l_partkey, l_extendedprice,
-        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
-        |  FROM lineitem),
-        |a AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qc, COUNT(1) AS n_li
-        |      FROM q GROUP BY l_partkey)
-        |SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(1) AS n_rows
-        |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
-        |WHERE qty_c * 5 * n_li < sum_qc
-        |GROUP BY p_brand""".stripMargin,
-    "ops_q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_bp
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, rev_bp
-        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rev_bp = (SELECT MAX(rev_bp) FROM rev)""".stripMargin,
-    "ops_q18_large_orders" ->
-      """WITH oq AS (
-        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
-        |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, qty_c
-        |FROM oq JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE qty_c > 15000
-        |ORDER BY qty_c DESC, o_orderkey LIMIT 100""".stripMargin,
-    "ops_q21_waiting" ->
-      """WITH per_order AS (
-        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
-        |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad
-        |  FROM lineitem GROUP BY l_orderkey),
-        |target AS (SELECT l_orderkey FROM per_order WHERE n_supp >= 2 AND n_bad = 1),
-        |bad AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
-        |SELECT s_name, COUNT(1) AS numwait
-        |FROM bad JOIN target USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
-    "ops_dq_audit" ->
-      """WITH badA AS (
-        |  SELECT o_orderkey, -o_custkey AS o_custkey, 'X' AS o_orderstatus,
-        |    -o_totalprice AS o_totalprice,
-        |    o_orderdate + INTERVAL 100 YEAR AS o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 101 = 0),
-        |badB AS (
-        |  SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_orderstatus,
-        |    o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 103 = 0),
-        |audited AS (
-        |  SELECT * FROM orders UNION ALL SELECT * FROM badA UNION ALL SELECT * FROM badB),
-        |a AS (
-        |  SELECT COUNT(1) AS row_count,
-        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
-        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
-        |             OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
-        |    COUNT(1) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
-        |    SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_custkey
-        |  FROM audited LEFT JOIN customer ON o_custkey = c_custkey)
-        |SELECT 'row_count' AS check_name, CAST(row_count AS BIGINT) AS n_bad FROM a
-        |UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM a
-        |UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS BIGINT) FROM a
-        |UNION ALL SELECT 'bad_status', CAST(bad_status AS BIGINT) FROM a
-        |UNION ALL SELECT 'date_out_of_range', CAST(date_out_of_range AS BIGINT) FROM a
-        |UNION ALL SELECT 'dup_orderkey', CAST(dup_orderkey AS BIGINT) FROM a
-        |UNION ALL SELECT 'orphan_custkey', CAST(orphan_custkey AS BIGINT) FROM a""".stripMargin,
-    "ops_moving_avg" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, ts,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
-        |  FROM events)
-        |SELECT event_id, user_id,
-        |  CAST(SUM(cents) OVER wrows AS BIGINT) AS mov_sum_cents,
-        |  CAST(COUNT(1) OVER wrows AS BIGINT) AS n_frame,
-        |  CAST(COUNT(1) OVER wrange AS BIGINT) AS n_last_hour,
-        |  CAST(SUM(cents) OVER wrows AS BIGINT) // CAST(COUNT(1) OVER wrows AS BIGINT) AS mov_avg_cents
-        |FROM e
-        |WINDOW
-        |  wrows AS (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-        |  wrange AS (PARTITION BY user_id ORDER BY sec
-        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "ops_asof_join" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
-        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id,
-        |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
-        |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
-    "ops_sim_ivf" -> {
-      val nlist = 16; val nprobe = 4
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
-         |a AS (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
-         |assign AS (
-         |  SELECT vec_id, v, cid AS bucket FROM (
-         |    SELECT vec_id, v, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-         |    FROM a) WHERE rk = 1),
-         |probes AS (SELECT cid FROM a WHERE vec_id = 0 ORDER BY csim DESC, cid LIMIT $nprobe),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT s.vec_id, round(${cosineSql("s.v", "qv")}, 6) AS cos_sim
-         |FROM assign s, q
-         |WHERE s.bucket IN (SELECT cid FROM probes) AND s.vec_id <> 0
-         |ORDER BY cos_sim DESC, s.vec_id
-         |LIMIT 10""".stripMargin
-    },
-    "ops_sim_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT vec_id, round(${cosineSql("v", "qv")}, 6) AS cos_sim
-         |FROM e, q
-         |WHERE vec_id <> 0
-         |ORDER BY cos_sim DESC, vec_id
-         |LIMIT 10""".stripMargin,
-    "ops_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (
-         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
-         |  UNION ALL
-         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
-         |  FROM b a JOIN b b2
-         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-         |SELECT ia AS vec_a, ib AS vec_b,
-         |  round(${cosineSql("va", "vb")}, 6) AS cos_sim
-         |FROM cand
-         |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
-    "ops_embed_cluster" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (
-         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
-         |  UNION ALL
-         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
-         |  FROM b a JOIN b b2
-         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |  WHERE round(${cosineSql("a.v", "b2.v")}, 6) >= 0.3),
-         |edges AS (SELECT ia AS src, ib AS dst FROM cand UNION SELECT ib, ia FROM cand),
-         |walk(vec_id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT w.vec_id, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src)
-         |SELECT vec_id, MIN(reach) AS comp FROM walk GROUP BY vec_id""".stripMargin,
-    "ops_text_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
-        |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6) AS chars_per_token
-        |FROM documents GROUP BY lang""".stripMargin,
-    "ops_lang_id" -> {
-      val values = TextStats.markers.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
-      s"""WITH m(cand_lang, marker) AS (VALUES $values),
-         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-         |hits AS (
-         |  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
-         |  FROM toks JOIN m ON tok = marker
-         |  GROUP BY doc_id, cand_lang),
-         |best AS (
-         |  SELECT doc_id, cand_lang, n_hits,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) AS rk
-         |  FROM hits)
-         |SELECT d.doc_id, d.lang,
-         |  COALESCE(b.cand_lang, 'und') AS pred_lang,
-         |  CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
-         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id""".stripMargin
-    },
-    "ops_text_quality" -> {
-      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-         |agg AS (
-         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
-         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
-         |    SUM(length(tok)) AS tok_chars
-         |  FROM toks GROUP BY doc_id)
-         |SELECT doc_id, n_tokens,
-         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
-         |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-         |  round(CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len
-         |FROM agg""".stripMargin
-    },
-    "ops_token_counts" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
-        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
-        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_other
-        |FROM documents""".stripMargin,
-    "ops_fingerprints" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |pt AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks),
-         |h AS (SELECT doc_id, pos, ${h60sql("tok")} AS h FROM pt),
-         |w AS (
-         |  SELECT doc_id, pos,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
-         |  FROM h)
-         |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
-    "ops_quantiles" ->
-      """SELECT lang,
-        |  quantile_cont(n_chars, 0.25) AS q25,
-        |  quantile_cont(n_chars, 0.5) AS q50,
-        |  quantile_cont(n_chars, 0.75) AS q75,
-        |  COUNT(*) AS n
-        |FROM documents GROUP BY lang""".stripMargin,
-    "ops_pii_scan" -> {
-      // same pattern strings as the Spark side (standard-SQL quoting passes
-      // the backslash in \. through to the regex engine untouched)
-      val email = Curation.EmailRe
-      val phone = Curation.PhoneRe
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
-         |         WHEN doc_id % 11 = 0 THEN text || ' tel 555-01' || CAST(doc_id % 10 AS VARCHAR) || '.9876'
-         |         ELSE text END AS text2
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text2, '$phone')) AS BIGINT) AS n_phone,
-         |  regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
-         |FROM d""".stripMargin
-    },
-    "ops_doc_sample" ->
-      s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
-    "ops_vocab" ->
-      """SELECT token, COUNT(*) AS freq
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
-        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
-    "ops_text_search" -> {
-      val terms = TextStats.searchTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-         |hits AS (
-         |  SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
-         |  FROM toks WHERE tok IN ($terms) GROUP BY doc_id)
-         |SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM hits
-         |WHERE n_terms = ${TextStats.searchTerms.size}
-         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
-    },
-    "ops_bigram_lm" ->
-      s"""WITH $bigramScoreCte
-         |SELECT doc_id, n_bigrams, sum_freq, avg_freq FROM score""".stripMargin,
-    "ops_quality_mix" ->
-      s"""WITH $bigramScoreCte,
-         |fine AS (SELECT doc_id, CAST(sum_freq * 1000 // n_bigrams AS BIGINT) AS freq_permille FROM score),
-         |q AS (SELECT quantile_cont(freq_permille, 0.25) AS p25,
-         |             quantile_cont(freq_permille, 0.5) AS p50,
-         |             quantile_cont(freq_permille, 0.75) AS p75 FROM fine),
-         |mixed AS (
-         |  SELECT doc_id, freq_permille,
-         |    CASE WHEN freq_permille <= p25 THEN 0 WHEN freq_permille <= p50 THEN 1
-         |         WHEN freq_permille <= p75 THEN 2 ELSE 3 END AS bucket
-         |  FROM fine, q)
-         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, freq_permille
-         |FROM mixed
-         |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
-         |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
-    "ops_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
-        |      FROM t WHERE len(tk) >= 2)
-        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
-        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_ratio
-        |FROM b""".stripMargin,
-    "ops_media_meta" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |       ELSE 'video/mp4' END AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7919) % 1024 AS INT) AS width,
-        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 104729) % 768 AS INT) AS height,
-        |  md5(text) AS checksum
-        |FROM documents""".stripMargin,
-    "ops_media_frames" ->
-      """WITH v AS (
-        |  SELECT doc_id, md5(text) AS chk,
-        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT doc_id, chk, unnest(range(0, n_frames, 4)) AS frame_idx FROM v)
-        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
-        |  md5(chk || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
-        |FROM f""".stripMargin,
-  )
 }

@@ -1,0 +1,373 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for the relational / events analytics set (TPC-H-ish
+  * shapes, windows, joins, time series, product analytics). Extracted from
+  * SparkEntry; key set and strings unchanged. Fragments: [[OracleFrags]].
+  */
+private[graft] object OpsOracles {
+  import OracleFrags._
+
+  val sql: Map[String, String] = Map(
+    "ops_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "ops_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // ops_approx_distinct: intentionally no oracle — HLL sketches are
+    // engine-specific; the driver records a rows-only check.,
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "ops_star_join_agg" ->
+      s"""SELECT n_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "ops_top_customers" ->
+      """WITH spend AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_name, c_nationkey),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS rk
+        |  FROM spend)
+        |SELECT n_name, c_name, total_spend, CAST(rk AS BIGINT) AS rk
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 3""".stripMargin,
+    "ops_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "ops_cube" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n
+        |FROM events GROUP BY CUBE (event_type, date_trunc('hour', ts))""".stripMargin,
+    "ops_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')",
+    "ops_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')",
+    "ops_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "ops_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
+        |  (SELECT CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |     // COUNT(*) AS BIGINT) FROM part)""".stripMargin,
+    "ops_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "ops_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 1 DAY
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |         LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
+        |FROM lv GROUP BY level""".stripMargin,
+    "ops_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, cents, med FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, MAX(med) AS med,
+        |        quantile_cont(ABS(cents - med), 0.5) AS mad, COUNT(*) AS n
+        |      FROM d GROUP BY event_type)
+        |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
+        |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "ops_revenue_share" ->
+      """WITH pn AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        |  cents * 1000 // CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_permille
+        |FROM pn""".stripMargin,
+    "ops_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+    "ops_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + INTERVAL (o) DAY AS day
+        |  FROM ud, generate_series(0, 6) AS t(o)),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM cov GROUP BY day)
+        |SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+    "ops_full_outer" ->
+      """WITH s AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(s.hour, p.hour) AS hour,
+        |  CAST(COALESCE(n_signups, 0) AS BIGINT) AS n_signups,
+        |  CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM s FULL OUTER JOIN p ON s.hour = p.hour""".stripMargin,
+    "ops_except_all" ->
+      """SELECT user_id, COUNT(*) AS n_excess FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'view')
+        |GROUP BY user_id""".stripMargin,
+    "ops_funnel" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signups,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  MIN(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+        |  MAX(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase,
+        |  COALESCE(MIN(ts) FILTER (WHERE event_type = 'signup')
+        |         < MAX(ts) FILTER (WHERE event_type = 'purchase'), FALSE) AS converted
+        |FROM events GROUP BY user_id""".stripMargin,
+    "ops_cohort_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    "ops_unpivot" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |    -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT for the long
+        |    -- `value` column the UNION produces
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS acctbal_cents,
+        |    COUNT(DISTINCT c_nationkey) AS n_nations
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
+        |UNION ALL SELECT c_mktsegment, 'acctbal_cents', acctbal_cents FROM w
+        |UNION ALL SELECT c_mktsegment, 'n_nations', n_nations FROM w""".stripMargin,
+    "ops_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gmask
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "ops_rank_suite" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
+    "ops_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+        |counts AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY user_id, day),
+        |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id),
+        |cal AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |  FROM spans)
+        |SELECT cal.user_id, cal.day, COALESCE(counts.n, 0) AS n
+        |FROM cal LEFT JOIN counts ON cal.user_id = counts.user_id AND cal.day = counts.day""".stripMargin,
+    "ops_ffill" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS sparse_value,
+        |  LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM events""".stripMargin,
+    "ops_event_windows" ->
+      """SELECT event_id, user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events""".stripMargin,
+    "ops_hourly_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ops_dedup_keys" ->
+      "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
+    "ops_zorder" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    (CAST(floor(epoch(ts)) AS BIGINT) -
+         |     CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)) // 32 AS su
+         |  FROM events),
+         |s AS (SELECT MIN(user_id) AS amn, MAX(user_id) AS amx,
+         |             MIN(su) AS bmn, MAX(su) AS bmx FROM e),
+         |q AS (SELECT user_id, su,
+         |        ((user_id - amn) * 256) // (amx - amn + 1) AS qa,
+         |        ((su - bmn) * 256) // (bmx - bmn + 1) AS qb FROM e, s),
+         |z AS (SELECT user_id, su, (${zInterleaveSql("qa", "qb", 8)}) AS z FROM q)
+         |SELECT z // 2048 AS bucket, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(MAX(su) - MIN(su) AS BIGINT) AS span32
+         |FROM z GROUP BY bucket""".stripMargin,
+    "ops_range_join" ->
+      """SELECT o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+        |FROM orders o LEFT JOIN events e
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= o.o_orderdate
+        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+    "ops_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "ops_corr_subquery" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_extendedprice,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |a AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qc, COUNT(1) AS n_li
+        |      FROM q GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_rows
+        |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE qty_c * 5 * n_li < sum_qc
+        |GROUP BY p_brand""".stripMargin,
+    "ops_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_bp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_bp
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_bp = (SELECT MAX(rev_bp) FROM rev)""".stripMargin,
+    "ops_q18_large_orders" ->
+      """WITH oq AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, qty_c
+        |FROM oq JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE qty_c > 15000
+        |ORDER BY qty_c DESC, o_orderkey LIMIT 100""".stripMargin,
+    "ops_q21_waiting" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad
+        |  FROM lineitem GROUP BY l_orderkey),
+        |target AS (SELECT l_orderkey FROM per_order WHERE n_supp >= 2 AND n_bad = 1),
+        |bad AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(1) AS numwait
+        |FROM bad JOIN target USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "ops_dq_audit" ->
+      """WITH badA AS (
+        |  SELECT o_orderkey, -o_custkey AS o_custkey, 'X' AS o_orderstatus,
+        |    -o_totalprice AS o_totalprice,
+        |    o_orderdate + INTERVAL 100 YEAR AS o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |badB AS (
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0),
+        |audited AS (
+        |  SELECT * FROM orders UNION ALL SELECT * FROM badA UNION ALL SELECT * FROM badB),
+        |a AS (
+        |  SELECT COUNT(1) AS row_count,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |             OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+        |    COUNT(1) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_custkey
+        |  FROM audited LEFT JOIN customer ON o_custkey = c_custkey)
+        |SELECT 'row_count' AS check_name, CAST(row_count AS BIGINT) AS n_bad FROM a
+        |UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM a
+        |UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS BIGINT) FROM a
+        |UNION ALL SELECT 'bad_status', CAST(bad_status AS BIGINT) FROM a
+        |UNION ALL SELECT 'date_out_of_range', CAST(date_out_of_range AS BIGINT) FROM a
+        |UNION ALL SELECT 'dup_orderkey', CAST(dup_orderkey AS BIGINT) FROM a
+        |UNION ALL SELECT 'orphan_custkey', CAST(orphan_custkey AS BIGINT) FROM a""".stripMargin,
+    "ops_moving_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(cents) OVER wrows AS BIGINT) AS mov_sum_cents,
+        |  CAST(COUNT(1) OVER wrows AS BIGINT) AS n_frame,
+        |  CAST(COUNT(1) OVER wrange AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(cents) OVER wrows AS BIGINT) // CAST(COUNT(1) OVER wrows AS BIGINT) AS mov_avg_cents
+        |FROM e
+        |WINDOW
+        |  wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  wrange AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ops_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+  )
+}

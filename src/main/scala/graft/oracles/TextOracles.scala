@@ -1,0 +1,365 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for the LLM-pipeline set over documents/embeddings:
+  * dedup (exact/MinHash/SimHash/Jaccard/CC), similarity, text analysis,
+  * curation, multimodal. Extracted from SparkEntry; key set and strings
+  * unchanged. Fragments: [[OracleFrags]].
+  */
+private[graft] object TextOracles {
+  import OracleFrags._
+  import graft.ops.{Curation, Similarity, TextStats}
+
+  val sql: Map[String, String] = Map(
+    "ops_histogram" ->
+      """SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(MIN(length(text)) AS BIGINT) AS min_len,
+        |  CAST(MAX(length(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
+    "ops_dedup_content" ->
+      "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "ops_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte
+         |SELECT doc_a, doc_b FROM cands""".stripMargin,
+    "ops_dedup_cc" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$minhashCandsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |          UNION SELECT doc_b, doc_a FROM cands),
+         |-- transitive closure to min reachable id = the component canonical
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+         |SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id""".stripMargin,
+    "ops_dedup_verify" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |  FROM cands c
+         |  JOIN hv a ON a.doc_id = c.doc_a
+         |  JOIN hv b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT s.doc_a, s.doc_b,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM shared s
+         |JOIN sizes na ON na.doc_id = s.doc_a
+         |JOIN sizes nb ON nb.doc_id = s.doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    "ops_corpus_filter" -> corpusFilterOracle,
+    "ops_sql_corpus_filter" -> corpusFilterOracle,
+    "ops_strat_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 60 ELSE 40 END""".stripMargin,
+    "ops_seq_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |-- two-level prefix sum, packing order (lang, shard, doc_id):
+        |-- shard-local exclusive running sum + exclusive total of earlier shards
+        |loc AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_prev
+        |  FROM base),
+        |off AS (
+        |  SELECT lang, shard,
+        |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY lang ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+        |  FROM base GROUP BY lang, shard)
+        |SELECT loc.doc_id, loc.lang, loc.n_tokens,
+        |  CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin
+        |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard""".stripMargin,
+    "ops_doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start FROM t WHERE len(t) >= 1)
+        |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(t, start + 1, start + 50)) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(t, start + 1, start + 50), ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
+    "ops_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000 < LEAST(n_chars * 2, 1000)""".stripMargin,
+    "ops_group_sample" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h60sql("'gsamp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 50""".stripMargin,
+    "ops_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ln AS (
+         |  SELECT doc_id, CAST(i // 10 AS BIGINT) AS line_idx,
+         |    ${h60sql("array_to_string(t[CAST(i + 1 AS INT):CAST(i + 10 AS INT)], ' ')")} AS line_hash
+         |  FROM toks, unnest(range(0, len(t), 10)) AS u(i)),
+         |df AS (SELECT line_hash, COUNT(DISTINCT doc_id) AS df FROM ln GROUP BY line_hash)
+         |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_kept,
+         |  md5(string_agg(CAST(line_hash AS VARCHAR), ' ' ORDER BY line_idx)) AS kept_sig
+         |FROM ln JOIN df USING (line_hash)
+         |WHERE df.df <= 1
+         |GROUP BY doc_id""".stripMargin,
+    "ops_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${h60sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 64 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+    "ops_embed_quant" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),
+         |c AS (
+         |  SELECT vec_id, v, am,
+         |    CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(v, x -> CAST(floor(x / am * 127) AS BIGINT)) END AS codes
+         |  FROM a)
+         |SELECT vec_id, round(am, 6) AS scale,
+         |  CAST(list_reduce(codes, (x, y) -> x + y) AS BIGINT) AS qsum,
+         |  CAST(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
+         |    i -> codes[i] * (i - 1)), (x, y) -> x + y) AS BIGINT) AS qdot,
+         |  CAST(list_min(codes) AS BIGINT) AS qmin,
+         |  CAST(list_max(codes) AS BIGINT) AS qmax,
+         |  round(sqrt(list_reduce(list_transform(range(1, ${Similarity.Dim + 1}),
+         |    i -> (v[i] - CAST(codes[i] AS DOUBLE) * am / 127) * (v[i] - CAST(codes[i] AS DOUBLE) * am / 127)),
+         |    (x, y) -> x + y)), 6) AS recon_err
+         |FROM c""".stripMargin,
+    "ops_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hv WHERE doc_id < 5)
+         |SELECT hv.doc_id, CAST(COUNT(DISTINCT hv.h) AS BIGINT) AS n_hits
+         |FROM hv JOIN bench ON hv.h = bench.h
+         |WHERE hv.doc_id >= 5
+         |GROUP BY hv.doc_id""".stripMargin,
+    "ops_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_shared AS DOUBLE) >= 0.05""".stripMargin,
+    "ops_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM fp""".stripMargin,
+    "ops_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+         |  FROM fp CROSS JOIN range(4) AS r(b))
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "ops_sim_ivf" -> {
+      val nlist = 16; val nprobe = 4
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
+         |a AS (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, v, cid AS bucket FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+         |    FROM a) WHERE rk = 1),
+         |probes AS (SELECT cid FROM a WHERE vec_id = 0 ORDER BY csim DESC, cid LIMIT $nprobe),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT s.vec_id, round(${cosineSql("s.v", "qv")}, 6) AS cos_sim
+         |FROM assign s, q
+         |WHERE s.bucket IN (SELECT cid FROM probes) AND s.vec_id <> 0
+         |ORDER BY cos_sim DESC, s.vec_id
+         |LIMIT 10""".stripMargin
+    },
+    "ops_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosineSql("v", "qv")}, 6) AS cos_sim
+         |FROM e, q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    "ops_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (
+         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib, a.v AS va, b2.v AS vb
+         |  FROM b a JOIN b b2
+         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT ia AS vec_a, ib AS vec_b,
+         |  round(${cosineSql("va", "vb")}, 6) AS cos_sim
+         |FROM cand
+         |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
+    "ops_embed_cluster" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (
+         |  SELECT 0 AS t, vec_id, v, ${lshBucketSql("v", 0, 8)} AS bucket FROM e
+         |  UNION ALL
+         |  SELECT 1 AS t, vec_id, v, ${lshBucketSql("v", 1, 8)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+         |  FROM b a JOIN b b2
+         |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |  WHERE round(${cosineSql("a.v", "b2.v")}, 6) >= 0.3),
+         |edges AS (SELECT ia AS src, ib AS dst FROM cand UNION SELECT ib, ia FROM cand),
+         |walk(vec_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.vec_id, e2.dst FROM walk w JOIN edges e2 ON w.reach = e2.src)
+         |SELECT vec_id, MIN(reach) AS comp FROM walk GROUP BY vec_id""".stripMargin,
+    "ops_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE), 6) AS chars_per_token
+        |FROM documents GROUP BY lang""".stripMargin,
+    "ops_lang_id" -> {
+      val values = TextStats.markers.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+      s"""WITH m(cand_lang, marker) AS (VALUES $values),
+         |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS n_hits
+         |  FROM toks JOIN m ON tok = marker
+         |  GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, n_hits,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) AS rk
+         |  FROM hits)
+         |SELECT d.doc_id, d.lang,
+         |  COALESCE(b.cand_lang, 'und') AS pred_lang,
+         |  CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id""".stripMargin
+    },
+    "ops_text_quality" -> {
+      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
+         |    SUM(length(tok)) AS tok_chars
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+         |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len
+         |FROM agg""".stripMargin
+    },
+    "ops_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_other
+        |FROM documents""".stripMargin,
+    "ops_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pt AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks),
+         |h AS (SELECT doc_id, pos, ${h60sql("tok")} AS h FROM pt),
+         |w AS (
+         |  SELECT doc_id, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+         |  FROM h)
+         |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
+    "ops_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q25,
+        |  quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY lang""".stripMargin,
+    "ops_pii_scan" -> {
+      // same pattern strings as the Spark side (standard-SQL quoting passes
+      // the backslash in \. through to the regex engine untouched)
+      val email = Curation.EmailRe
+      val phone = Curation.PhoneRe
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         WHEN doc_id % 11 = 0 THEN text || ' tel 555-01' || CAST(doc_id % 10 AS VARCHAR) || '.9876'
+         |         ELSE text END AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text2, '$phone')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM d""".stripMargin
+    },
+    "ops_doc_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "ops_vocab" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "ops_text_search" -> {
+      val terms = TextStats.searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |hits AS (
+         |  SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
+         |  FROM toks WHERE tok IN ($terms) GROUP BY doc_id)
+         |SELECT doc_id, CAST(tf AS BIGINT) AS tf FROM hits
+         |WHERE n_terms = ${TextStats.searchTerms.size}
+         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "ops_bigram_lm" ->
+      s"""WITH $bigramScoreCte
+         |SELECT doc_id, n_bigrams, sum_freq, avg_freq FROM score""".stripMargin,
+    "ops_quality_mix" ->
+      s"""WITH $bigramScoreCte,
+         |fine AS (SELECT doc_id, CAST(sum_freq * 1000 // n_bigrams AS BIGINT) AS freq_permille FROM score),
+         |q AS (SELECT quantile_cont(freq_permille, 0.25) AS p25,
+         |             quantile_cont(freq_permille, 0.5) AS p50,
+         |             quantile_cont(freq_permille, 0.75) AS p75 FROM fine),
+         |mixed AS (
+         |  SELECT doc_id, freq_permille,
+         |    CASE WHEN freq_permille <= p25 THEN 0 WHEN freq_permille <= p50 THEN 1
+         |         WHEN freq_permille <= p75 THEN 2 ELSE 3 END AS bucket
+         |  FROM fine, q)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, freq_permille
+         |FROM mixed
+         |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+         |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
+    "ops_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |      FROM t WHERE len(tk) >= 2)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_ratio
+        |FROM b""".stripMargin,
+    "ops_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7919) % 1024 AS INT) AS width,
+        |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 104729) % 768 AS INT) AS height,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "ops_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, md5(text) AS chk,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, chk, unnest(range(0, n_frames, 4)) AS frame_idx FROM v)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+        |  md5(chk || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
+        |FROM f""".stripMargin,
+  )
+}
