@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe: measures the heavy document/event queries at 1× and
+  * 10× (and optionally more) the sf0.1 data, to turn the plan-audit's
+  * "amortizes with data size" claims into measured curves (BASELINE.md
+  * round 5) — e.g. the CC loop's fixed per-round job overhead, and the
+  * pair queries' bucket-local (not quadratic) candidate growth.
+  *
+  * Scaled data is synthesized DETERMINISTICALLY from the base tables so the
+  * corpus looks statistically like the original, just bigger — not a
+  * pathological duplication corpus:
+  *
+  *  - documents: copy i suffixes every token with `_cp<i>` — shingle/bigram
+  *    spaces of different copies are DISJOINT, so each copy reproduces the
+  *    original near-dup structure with zero cross-copy candidate pairs
+  *    (10× data ⇒ 10× groups of the same size profile, which is what real
+  *    corpus growth looks like; naive replication would instead make every
+  *    doc a 10-way exact dup — a different, quadratic-ish workload);
+  *  - events: copy i shifts user_id (disjoint user populations with the
+  *    original per-user timelines) and event_id (uniqueness); `ts` stays a
+  *    raw nanos long exactly as the driver files store it, so
+  *    [[Tables.load]] reads scaled dirs unchanged.
+  *
+  * Output: one JSON line per (factor, query), min-of-2 seconds, plus a
+  * generation line per factor. Dirs are cached under /tmp and reused.
+  */
+object ScaleProbe {
+
+  val probeQueries: Seq[String] = Seq(
+    "ops_dedup_minhash", "ops_dedup_verify", "ops_ngram_jaccard",
+    "ops_dedup_cc", "ops_simhash_pairs", "ops_bigram_lm",
+    "ops_corpus_filter", "ops_line_dedup",
+    "ops_cohort_retention", "ops_dau_wau")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    factors.foreach { f =>
+      val dir = s"$outRoot/x$f"
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val t0 = System.nanoTime()
+        generate(spark, baseDir, dir, f)
+        println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      }
+    }
+    factors.foreach { f =>
+      val dir = s"$outRoot/x$f"
+      probeQueries.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(s"""{"metric":"scale_probe","factor":$f,"query":"$name","sec":$secs}""")
+      }
+    }
+    spark.stop()
+  }
+
+  /** Deterministic f× blowup of documents + events into `dir`. */
+  def generate(spark: SparkSession, baseDir: String, dir: String, f: Int): Unit = {
+    // raw read keeps events.ts as the nanos long the driver files use
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val docCopies = (0 until f).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_cp$i"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+        .withColumn("n_chars", length(col("text")))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val evCopies = (0 until f).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+    }
+    evCopies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+}
