@@ -390,6 +390,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact duplicated-substring detection, rolling-window form: find every
+    * w-token window whose exact text occurs more than once ANYWHERE in the
+    * corpus (cross-doc or within-doc), then report per affected doc the
+    * duplicated-window count and the interval-union token coverage — the
+    * "what fraction of this doc is verbatim-repeated training text" number
+    * that substring-level dedup policies threshold on (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", use
+    * suffix arrays for variable-length matches; the fixed-width rolling
+    * window is the standard shuffle-friendly form of the same test — any
+    * duplicated run of length >= w is found, reported as its cover of
+    * w-windows).
+    *
+    * Shape at 100 TB: window hashes are computed IN-ROW (one projection,
+    * ~n_tokens 8-byte hashes per doc — same row-growth class as the bigram
+    * LM and inverted-index queries); the only shuffles are the groupBy(h)
+    * duplicate census and the hash-join back, both on 8-byte keys. Coverage
+    * is a per-doc sort-merge window: union of [pos, pos+w) intervals =
+    * w + sum(min(w, gap)) over consecutive duplicated positions — no
+    * per-doc collect, no quadratic interval logic.
+    */
+  def substringDup(spark: SparkSession, sfDir: String, w: Int = 5): DataFrame =
+    substringDupDf(Tables.load(spark, sfDir, "documents"), w)
+
+  /** Core of [[substringDup]] over any (doc_id, text) frame. */
+  def substringDupDf(docs: DataFrame, w: Int = 5): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .filter(col("n_tokens") >= w)
+    val wins = base.select(
+      col("doc_id"), col("n_tokens"),
+      posexplode(transform(
+        sequence(lit(0), col("n_tokens") - w),
+        i => Hashing.h60(array_join(slice(col("tk"), i + lit(1), lit(w)), " "))))
+        .as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("h"))
+    // merge hint for the same reason as lineDedup's membership join: the
+    // duplicated-hash set is corpus-derived (an agg output Catalyst can't
+    // size) and grows with the data — broadcasting it would be the scale bug
+    val dup = wins.join(dupHashes.hint("merge"), "h")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byDoc))
+      .withColumn("cov", when(col("gap").isNull, lit(w)).otherwise(least(lit(w), col("gap"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).as("dup_windows"),
+        sum(col("cov")).cast("long").as("covered_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("dup_windows"), col("covered_tokens"),
+        round(col("covered_tokens") / col("n_tokens"), 6).as("dup_frac"))
+  }
+
   /** SimHash: 60-bit fingerprint. Bit i of the fingerprint is the majority
     * vote of bit i across the token multiset's 60-bit hashes. Integer-only
     * math -> bit-exact against any engine.

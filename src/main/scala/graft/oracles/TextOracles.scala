@@ -49,6 +49,26 @@ private[graft] object TextOracles {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    // twin of [[graft.ops.Dedup.substringDup]] (w = 5); coverage = interval
+    // union of [pos, pos+5) via the sorted-gap identity, CAST on SUM guards
+    // the DuckDB HUGEINT widening
+    "ops_substring_dup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk FROM t WHERE len(tk) >= 5),
+         |p AS (SELECT doc_id, n_tokens, tk, unnest(range(0, n_tokens - 4)) AS pos FROM b),
+         |win AS (SELECT doc_id, n_tokens, pos,
+         |        ${h60sql("array_to_string(list_slice(tk, pos + 1, pos + 5), ' ')")} AS h
+         |      FROM p),
+         |c AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+         |d AS (SELECT doc_id, n_tokens, pos FROM win JOIN c USING (h)),
+         |g AS (SELECT doc_id, n_tokens, pos,
+         |        pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |      FROM d)
+         |SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS dup_windows,
+         |  CAST(SUM(COALESCE(LEAST(5, gap), 5)) AS BIGINT) AS covered_tokens,
+         |  round(CAST(SUM(COALESCE(LEAST(5, gap), 5)) AS BIGINT) / MAX(n_tokens), 6) AS dup_frac
+         |FROM g GROUP BY doc_id""".stripMargin,
     "ops_corpus_filter" -> corpusFilterOracle,
     "ops_sql_corpus_filter" -> corpusFilterOracle,
     "ops_strat_sample" ->

@@ -78,6 +78,28 @@ class DedupBoundsSpec extends SparkSuite {
     assert(m == 190L, s"expected C(20,2)=190 exact pairs, got $m")
   }
 
+  test("substring dup: interval-union coverage over cross-doc and within-doc repeats") {
+    import spark.implicits._
+    // A and B share the 7-token run X1..X7 (3 dup 5-windows each, union = 7
+    // tokens); C repeats Y1..Y5 within itself (2 dup windows, disjoint
+    // intervals, union = 10); D is all-unique and must be absent. Every
+    // non-run token is globally unique so no window straddling a run edge
+    // can collide.
+    val docs = Seq(
+      (1L, "a1 a2 X1 X2 X3 X4 X5 X6 X7 a3 a4"),
+      (2L, "b1 X1 X2 X3 X4 X5 X6 X7 b2 b3"),
+      (3L, "c1 Y1 Y2 Y3 Y4 Y5 c2 Y1 Y2 Y3 Y4 Y5 c3"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8")).toDF("doc_id", "text")
+    val got = Dedup.substringDupDf(docs, w = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((11L, 3L, 7L, 0.636364)),
+      2L -> ((10L, 3L, 7L, 0.7)),
+      3L -> ((13L, 2L, 10L, 0.769231))), s"got $got")
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)
