@@ -208,4 +208,40 @@ object TextStats {
            sum(col("cnt")).as("sum_freq"))
       .withColumn("avg_freq", expr("sum_freq div n_bigrams"))
   }
+
+  /** Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the classic
+    * keyword/topic extraction pass over a corpus.
+    *
+    * Shape: tf is one partial-agg shuffle on (doc, term); df folds the tf
+    * table again on term (no second scan — (doc, term) is already distinct,
+    * so df is a plain COUNT); the df table is VOCABULARY-sized and
+    * corpus-derived (~1e8 terms at 100 TB), so the join back is merge-hinted
+    * like [[Curation.lineDedup]]'s — broadcasting an unboundedly-growing agg
+    * output is the scale bug. N rides in as a one-row broadcast (the
+    * intentional scalar-subquery shape). Ranking orders on the ROUNDED score
+    * (the value the oracle hash-checks) with a term tie-break, so rank is
+    * exactly as cross-engine-deterministic as the score column itself —
+    * ranking on the raw double would let two analytically-equal scores
+    * computed by different libm paths (e.g. 2·ln10 vs ln100) flip order
+    * between engines while both outputs round identically.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df.hint("merge"), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
 }

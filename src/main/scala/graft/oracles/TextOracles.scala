@@ -339,6 +339,20 @@ private[graft] object TextOracles {
     "ops_bigram_lm" ->
       s"""WITH $bigramScoreCte
          |SELECT doc_id, n_bigrams, sum_freq, avg_freq FROM score""".stripMargin,
+    // twin of [[graft.ops.TextStats.tfidfTopTerms]] (k = 3); ranking orders
+    // on the rounded score exactly as the Spark side does
+    "ops_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+        |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        |      FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, tfidf
+        |FROM r WHERE rnk <= 3""".stripMargin,
     "ops_quality_mix" ->
       s"""WITH $bigramScoreCte,
          |fine AS (SELECT doc_id, CAST(sum_freq * 1000 // n_bigrams AS BIGINT) AS freq_permille FROM score),
