@@ -212,13 +212,13 @@ object TextStats {
   /** Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the classic
     * keyword/topic extraction pass over a corpus.
     *
-    * Shape: tf is one partial-agg shuffle on (doc, term); df folds the tf
-    * table again on term (no second scan — (doc, term) is already distinct,
-    * so df is a plain COUNT); the df table is VOCABULARY-sized and
-    * corpus-derived (~1e8 terms at 100 TB), so the join back is merge-hinted
-    * like [[Curation.lineDedup]]'s — broadcasting an unboundedly-growing agg
-    * output is the scale bug. N rides in as a one-row broadcast (the
-    * intentional scalar-subquery shape). Ranking orders on the ROUNDED score
+    * Shape: tf is one partial-agg shuffle on (doc, term); df is a COUNT
+    * window over term on the tf table — (doc, term) is already distinct, and
+    * the window (same trick as [[bigramFamiliarity]]) costs one shuffle
+    * WITHOUT the self-join that would recompute the scan+tokenize+agg
+    * subtree for the count side (plan-audited: 2 scans, not 3). N rides in
+    * as a one-row broadcast (the intentional scalar-subquery shape).
+    * Ranking orders on the ROUNDED score
     * (the value the oracle hash-checks) with a term tie-break, so rank is
     * exactly as cross-engine-deterministic as the score column itself —
     * ranking on the raw double would let two analytically-equal scores
@@ -231,9 +231,9 @@ object TextStats {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df.hint("merge"), "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val byDoc = Window.partitionBy(col("doc_id"))
