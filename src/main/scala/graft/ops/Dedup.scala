@@ -355,6 +355,55 @@ object Dedup {
     connectedComponents(minhashCandidates(spark, sfDir))
       .select(col("doc_id"), col("comp"))
 
+  /** PageRank over the near-dup candidate graph: importance scoring of docs
+    * by how centrally they sit in their near-duplicate neighborhood —
+    * canonical-doc election beyond min-id (keep the most-linked variant),
+    * and the representative iterative-graph-analytics shape beside the CC
+    * closure.
+    *
+    * Fixed-round power iteration in INTEGER math: scores scaled by 1e12,
+    * per-edge contribution `pr div deg` (floor), damping folded as
+    * `17 * (sum div 20)` (= 0.85 exactly). Integer sums are
+    * order-independent, so the result is bit-exact in any engine — a
+    * floating PageRank's partition-ordered double accumulation could never
+    * hash-match a sequential oracle. Overflow headroom: total mass is
+    * conserved at ~1e12 per node, so a hub's received sum is bounded by
+    * component_mass ≈ |component|·1e12 — exact in int64 up to ~4e6-node
+    * components, far beyond what the capped candidate generators emit as
+    * one component; switch the accumulator to decimal(38,0) beyond.
+    *
+    * Shape: symmetrized edges + degree are computed ONCE and lazily
+    * checkpointed (the LSH candidate subtree must not re-run per round);
+    * each round is one key-shuffled join (scores onto edge sources) + one
+    * partial-agg'd groupBy(dst) — the Pregel message-passing shape, 2
+    * shuffles per round, nothing driver-side.
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankDf(minhashCandidates(spark, sfDir))
+
+  /** Core of [[pagerank]] over any (doc_a, doc_b) undirected pair frame. */
+  def pagerankDf(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // merge hints, same reason as lineDedup's membership join: deg and the
+    // per-round score table are NODE-count-sized, corpus-derived agg outputs —
+    // the tiny-SF size estimate would broadcast what grows unboundedly
+    val withDeg = edges.join(deg.hint("merge"), "src").localCheckpoint(false)
+    var pr = deg.select(col("src").as("doc_id"), lit(1000000000000L).as("pr"))
+    (1 to iters).foreach { _ =>
+      pr = withDeg.join(pr.hint("merge"), withDeg("src") === pr("doc_id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("doc_id"),
+          (lit(150000000000L) + lit(17L) * expr("s div 20")).as("pr"))
+    }
+    pr
+  }
+
   /** SimHash near-dup pairs via Hamming banding — the third candidate
     * generator beside MinHash+LSH and the inverted index, and the cheapest:
     * state per doc is ONE 64-bit fingerprint. Pigeonhole banding: split the

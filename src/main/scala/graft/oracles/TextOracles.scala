@@ -49,6 +49,27 @@ private[graft] object TextOracles {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
+    // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
+    // damping and final CAST land back in BIGINT exactly as Spark's long math
+    "ops_pagerank" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT e.dst AS doc_id,
+           |    CAST(150000000000 + 17 * (SUM(p.pr // e.deg) // 20) AS BIGINT) AS pr
+           |  FROM we e JOIN $prev p ON e.src = p.doc_id
+           |  GROUP BY e.dst)""".stripMargin
+      val rounds = (1 to 5).map(i => round(s"p${i - 1}", s"p$i")).mkString(",\n")
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |      UNION ALL SELECT doc_b, doc_a FROM cands),
+         |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |we AS (SELECT e.src, e.dst, dg.deg FROM e JOIN dg USING (src)),
+         |p0 AS (SELECT src AS doc_id, CAST(1000000000000 AS BIGINT) AS pr FROM dg),
+         |$rounds
+         |SELECT doc_id, pr FROM p5""".stripMargin
+    },
     // twin of [[graft.ops.Dedup.substringDup]] (w = 5); coverage = interval
     // union of [pos, pos+5) via the sorted-gap identity, CAST on SUM guards
     // the DuckDB HUGEINT widening

@@ -100,6 +100,24 @@ class DedupBoundsSpec extends SparkSuite {
       3L -> ((13L, 2L, 10L, 0.769231))), s"got $got")
   }
 
+  test("pagerank: integer power iteration is exact and mass-conserving") {
+    import spark.implicits._
+    // path 1-2-3, one round, T = 1e12: center gets 0.15T + 0.85*(T+T) and
+    // each leaf 0.15T + 0.85*(T/2) — hand-computed with the same floor ops
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val one = Dedup.pagerankDf(pairs, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 575000000000L, 2L -> 1850000000000L, 3L -> 575000000000L),
+      s"got $one")
+    // total mass conserved exactly (0.15 + 0.85 split has no rounding loss
+    // here: every division in this graph is exact)
+    assert(one.values.sum == 3000000000000L)
+    // more rounds stay deterministic and keep the center on top
+    val five = Dedup.pagerankDf(pairs, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(five(2L) > five(1L) && five(1L) == five(3L), s"got $five")
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)
