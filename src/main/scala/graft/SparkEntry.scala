@@ -552,6 +552,7 @@ object SparkEntry {
     "ops_text_search"   -> ((s: SparkSession, d: String) => TextStats.textSearch(s, d)),
     "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),
     "ops_tfidf_terms"   -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)),
+    "ops_cms_freq"      -> (TextStats.cmsFrequency _),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),

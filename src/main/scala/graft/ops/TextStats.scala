@@ -209,6 +209,53 @@ object TextStats {
       .withColumn("avg_freq", expr("sum_freq div n_bigrams"))
   }
 
+  /** Count-Min sketch probe terms — fixed so the oracle can replicate the
+    * probe set; mix of corpus-common and absent terms exercises both the
+    * collision over-count and the zero path.
+    */
+  val cmsProbeTerms: Seq[String] =
+    Seq("the", "data", "spark", "table", "row", "fast", "merge", "key",
+      "value", "hash", "zzz_absent_term")
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Count-Min frequency sketch over the corpus term stream, probed against
+    * exact counts. Chosen over Misra-Gries deliberately: CM counters are
+    * SUMS, so partial aggregation merges in any order to the same matrix —
+    * the sketch is bit-exact and hash-checkable against a sequential oracle,
+    * where MG's counter-eviction is merge-order-dependent and could only
+    * ever be rows-only-checked (same reasoning as the HLL entry, inverted).
+    *
+    * Shape at 100 TB: the sketch is d×w = 4096 cells BY CONSTRUCTION,
+    * independent of corpus size — the d-per-token explode collapses to
+    * ≤ 4096 rows per map partition via partial agg before the one shuffle,
+    * and the counter table is the rare join side that is LEGITIMATELY
+    * broadcastable at any scale (unlike the corpus-derived agg outputs the
+    * merge-hinted joins guard against). Estimates are one-sided:
+    * cms_est >= exact_cnt always, equality when no bucket collision in some
+    * row — both visible in the output.
+    */
+  def cmsFrequency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+    def buckets = posexplode(array((0 until CmsDepth).map(j =>
+      Hashing.h60(j, col("term")) % CmsWidth): _*)).as(Seq("j", "b"))
+    val cells = terms.select(buckets)
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+    val probe = cmsProbeTerms.toDF("term").select(col("term"), buckets)
+    val est = probe
+      .join(broadcast(cells), Seq("j", "b"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    val exact = terms.filter(col("term").isin(cmsProbeTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        col("cms_est"))
+  }
+
   /** Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the classic
     * keyword/topic extraction pass over a corpus.
     *

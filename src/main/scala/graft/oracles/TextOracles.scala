@@ -49,6 +49,32 @@ private[graft] object TextOracles {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    // twin of [[graft.ops.TextStats.cmsFrequency]]: the same d=4 w=1024
+    // Count-Min matrix (counter sums are order-independent, so the sketch is
+    // bit-exact cross-engine), probed against exact counts
+    "ops_cms_freq" -> {
+      val probeList = TextStats.cmsProbeTerms.map(t => s"'$t'").mkString(", ")
+      val d = TextStats.CmsDepth
+      val w = TextStats.CmsWidth
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |cells AS (
+         |  SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT r.j, ${h60sql("CAST(r.j AS VARCHAR) || ':' || term")} % $w AS b
+         |        FROM tok CROSS JOIN range($d) AS r(j))
+         |  GROUP BY j, b),
+         |probe AS (SELECT unnest([$probeList]) AS term),
+         |pj AS (SELECT term, r.j, ${h60sql("CAST(r.j AS VARCHAR) || ':' || term")} % $w AS b
+         |       FROM probe CROSS JOIN range($d) AS r(j)),
+         |est AS (
+         |  SELECT term, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM pj LEFT JOIN cells ON pj.j = cells.j AND pj.b = cells.b
+         |  GROUP BY term),
+         |exact AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok
+         |  WHERE term IN ($probeList) GROUP BY term)
+         |SELECT e.term, COALESCE(exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt, cms_est
+         |FROM est e LEFT JOIN exact x ON e.term = x.term""".stripMargin
+    },
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math

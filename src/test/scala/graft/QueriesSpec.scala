@@ -24,6 +24,17 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_cms_freq: estimates dominate exact counts; absent term reads zero") {
+    val out = SparkEntry.queries("ops_cms_freq")(spark, sf).collect()
+    assert(out.length == TextStats.cmsProbeTerms.size)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: cms_est ${r.getLong(2)} < exact ${r.getLong(1)} — CM error is one-sided")
+    }
+    val absent = out.find(_.getString(0) == "zzz_absent_term").get
+    assert(absent.getLong(1) == 0L)
+  }
+
   test("json_merge_patch is SQL-registrable and null-safe to {} (reference patch.go:13-22)") {
     graft.functions.JsonMergePatch.register(spark)
     val r = spark.sql(
