@@ -534,6 +534,7 @@ object SparkEntry {
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
+    "ops_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "ops_simhash"       -> (Dedup.simhash _),
     "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // similarity set

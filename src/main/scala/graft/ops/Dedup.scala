@@ -355,6 +355,32 @@ object Dedup {
     connectedComponents(minhashCandidates(spark, sfDir))
       .select(col("doc_id"), col("comp"))
 
+  /** Quality-aware cluster collapse: for each near-dup cluster (CC over the
+    * LSH candidate graph), keep the highest-QUALITY member instead of the
+    * min-id one — the policy real curation pipelines want (among near-dups
+    * of a page, keep the cleanest crawl). Composition of three existing
+    * pieces, no new machinery: [[connectedComponents]] for the clusters,
+    * [[TextStats.bigramFamiliarity]]'s integer corpus-familiarity score for
+    * quality (integer ⇒ the argmax is hash-exact cross-engine), and a
+    * per-component row_number argmax with a doc_id tie-break. The groupBy
+    * that follows the window reuses the window's comp-partitioning — one
+    * shuffle for both.
+    */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = connectedComponents(minhashCandidates(spark, sfDir))
+    val scores = TextStats.bigramFamiliarity(spark, sfDir)
+      .select(col("doc_id"), col("avg_freq"))
+    val byComp = Window.partitionBy(col("comp"))
+      .orderBy(col("avg_freq").desc, col("doc_id").asc)
+    cc.join(scores.hint("merge"), "doc_id")
+      .withColumn("rk", row_number().over(byComp))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+        max(when(col("rk") === 1, col("avg_freq"))).as("keep_score"))
+  }
+
   /** PageRank over the near-dup candidate graph: importance scoring of docs
     * by how centrally they sit in their near-duplicate neighborhood —
     * canonical-doc election beyond min-id (keep the most-linked variant),

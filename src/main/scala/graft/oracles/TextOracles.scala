@@ -32,6 +32,27 @@ private[graft] object TextOracles {
          |  UNION
          |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
          |SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id""".stripMargin,
+    // twin of [[graft.ops.Dedup.dedupKeepBest]]: CC closure + bigram-LM
+    // quality + per-component argmax, assembled from the same shared CTEs
+    "ops_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$minhashCandsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cands
+         |          UNION SELECT doc_b, doc_a FROM cands),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+         |comp AS (SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id),
+         |$bigramScoreCte,
+         |j AS (SELECT comp.comp, comp.doc_id, score.avg_freq
+         |      FROM comp JOIN score USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY comp ORDER BY avg_freq DESC, doc_id ASC) AS rk
+         |      FROM j)
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+         |  MAX(CASE WHEN rk = 1 THEN avg_freq END) AS keep_score
+         |FROM r GROUP BY comp""".stripMargin,
     "ops_dedup_verify" ->
       s"""WITH $shinglesCte,
          |$minhashCandsCte,
