@@ -492,6 +492,7 @@ object SparkEntry {
     "q1_pricing"            -> (Relational.pricingSummary _),
     "ops_star_join_agg"     -> (Relational.starJoinAgg _),
     "ops_top_customers"     -> (Relational.topCustomersPerNation _),
+    "ops_regression"        -> (Relational.regressionStats _),
     "ops_rollup"            -> (Relational.rollupCounts _),
     "ops_cube"              -> (Relational.cubeCounts _),
     "ops_anti_join"         -> (Relational.customersWithoutOrders _),

@@ -827,4 +827,45 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"),
         col("last_orderkey"), col("last_totalprice"))
   }
+
+  /** Per-group Pearson correlation + OLS regression line (price on quantity
+    * per return flag) from EXACT moment sums — deliberately NOT the built-in
+    * `corr`/`regr_slope`: those accumulate doubles in partition order, so
+    * two runs (or two engines) disagree in the last ulps and can never
+    * hash-match. Here the five moments (Σx, Σy, Σx², Σy², Σxy) are exact
+    * integer/decimal(38,0) sums — order-independent — and only the FINAL
+    * closed-form formulas run in double, on identical exact inputs with an
+    * identical operation sequence in both engines, so the rounded outputs
+    * are bit-stable at any parallelism (the local[7]-vs-local[32] gate
+    * proves it). One partial-agg'd shuffle; headroom: n·Σxy stays exact in
+    * double-free decimal up to ~1e38, ample for 100 TB of cents-scale data.
+    */
+  def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val d = "decimal(38,0)"
+    val agg = li
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d)).as("sxe"),
+        sum(col("y").cast(d)).as("sye"),
+        sum((col("x") * col("x")).cast(d)).as("sxxe"),
+        sum((col("y").cast(d) * col("y").cast(d))).as("syye"),
+        sum((col("x").cast(d) * col("y").cast(d))).as("sxye"))
+    val nD = col("n").cast("double")
+    val Seq(sx, sy, sxx, syy, sxy) =
+      Seq("sxe", "sye", "sxxe", "syye", "sxye").map(c => col(c).cast("double"))
+    val covn = nD * sxy - sx * sy
+    val varxn = nD * sxx - sx * sx
+    val varyn = nD * syy - sy * sy
+    agg.select(
+      col("l_returnflag"), col("n"),
+      round(covn / sqrt(varxn * varyn), 6).as("corr"),
+      round(covn / varxn, 6).as("slope"),
+      round((sy - (covn / varxn) * sx) / nD, 6).as("intercept"))
+  }
 }

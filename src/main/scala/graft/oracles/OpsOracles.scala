@@ -65,6 +65,25 @@ private[graft] object OpsOracles {
         |SELECT n_name, c_name, total_spend, CAST(rk AS BIGINT) AS rk
         |FROM ranked JOIN nation ON c_nationkey = n_nationkey
         |WHERE rk <= 3""".stripMargin,
+    // twin of [[graft.ops.Relational.regressionStats]]: exact HUGEINT moment
+    // sums, identical double-only closed forms at the end — the order of the
+    // final double ops must mirror the Spark expressions exactly
+    "ops_regression" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        |FROM a""".stripMargin,
     "ops_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
