@@ -526,6 +526,10 @@ object SparkEntry {
     "ops_salted_join"       -> ((s: SparkSession, d: String) => Skew.saltedSegmentRevenue(s, d)),
     "ops_event_windows"     -> (Relational.eventWindows _),
     "ops_hourly_counts"     -> (Relational.hourlyEventCounts _),
+    "ops_gini"              -> (Relational.giniConcentration _),
+    "ops_ks_test"           -> ((s: SparkSession, d: String) => Relational.ksTest(s, d)),
+    "ops_seasonal"          -> (Relational.seasonalDecompose _),
+    "ops_chi2"              -> (Relational.chi2Association _),
     // dedup set
     "ops_dedup_keys"    -> (Dedup.dedupKeys _),
     "ops_dedup_content" -> (Dedup.dedupContent _),
@@ -534,6 +538,7 @@ object SparkEntry {
     "ops_dedup_cc"      -> (Dedup.dedupCc _),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
+    "ops_containment"   -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
     "ops_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "ops_simhash"       -> (Dedup.simhash _),
@@ -555,6 +560,8 @@ object SparkEntry {
     "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),
     "ops_tfidf_terms"   -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)),
     "ops_cms_freq"      -> (TextStats.cmsFrequency _),
+    "ops_skipgram_pmi"  -> ((s: SparkSession, d: String) => TextStats.skipgramPmi(s, d)),
+    "ops_bm25"          -> ((s: SparkSession, d: String) => TextStats.bm25Search(s, d)),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),

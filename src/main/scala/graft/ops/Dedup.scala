@@ -184,6 +184,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT — |A∩B|/|A| and |A∩B|/|B| per candidate
+    * pair — the near-dup case Jaccard structurally misses: a short document
+    * quoted wholesale inside a much longer one has tiny Jaccard (union is
+    * dominated by the long side) but containment ≈ 1 on the short side.
+    * Curation pipelines drop the CONTAINED side (it adds no novel text);
+    * [[ngramJaccardDf]] would keep both.
+    *
+    * Shape: identical machinery to the Jaccard pass — df-capped inverted
+    * index over 8-byte shingle hashes, in-posting pair explosion, partial-agg
+    * intersection counts, two joins against the per-doc set sizes — so the
+    * scale properties (bucket-local candidates, no all-pairs, stop-shingle
+    * cut) carry over unchanged; only the final ratio differs. The threshold
+    * keeps a pair when EITHER direction crosses it (the interesting direction
+    * is whichever side is smaller).
+    */
+  def containment(spark: SparkSession, sfDir: String,
+                  threshold: Double = 0.5, dfCap: Int = 5000): DataFrame =
+    containmentDf(Tables.load(spark, sfDir, "documents"), threshold, dfCap)
+
+  /** DataFrame-level core of [[containment]] — see [[ngramJaccardDf]] for the
+    * shared index/cap design notes.
+    */
+  def containmentDf(docs: DataFrame, threshold: Double = 0.5,
+                    dfCap: Int = 5000): DataFrame = {
+    val sizes = docs.select(col("doc_id"),
+        size(shingleArray(col("text"))).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val shared = shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val ns = col("n_shared").cast("double")
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(greatest(ns / col("n_a"), ns / col("n_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(ns / col("n_a"), 6).as("cont_a"),
+        round(ns / col("n_b"), 6).as("cont_b"))
+  }
+
   /** The full two-stage near-dup pipeline composed: MinHash+LSH candidate
     * generation ([[minhashCandidatesDf]]) followed by EXACT n-gram Jaccard
     * verification of only those candidates — the standard candidate-verify

@@ -840,6 +840,175 @@ object Relational {
     * proves it). One partial-agg'd shuffle; headroom: n·Σxy stays exact in
     * double-free decimal up to ~1e38, ample for 100 TB of cents-scale data.
     */
+  /** Per-region Gini coefficient of customer revenue — the standard
+    * concentration metric ("do 1% of customers carry the region?"). Computed
+    * from the sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    * entirely in exact integer math (cents, decimal(38,0) sums, integer
+    * division scaled to micro-units), so the output hash-matches any engine.
+    * Tied revenues contribute the same Σi·xᵢ under any permutation of their
+    * ranks (equal values × consecutive ranks), so the custkey tie-break makes
+    * the FRAME deterministic without affecting the statistic.
+    *
+    * Shape: the fact collapses to customer grain FIRST (partial-agg sum of
+    * cents — one shuffle at customer cardinality), then dims broadcast onto
+    * the aggregate, then ONE window shuffle keyed by region ranks each
+    * region's customers. The window partitions by region over
+    * customer-cardinality rows — never over the fact. At 100 TB the rank
+    * window within a giant region is the pressure point; the escape is
+    * two-level ranking (the [[graft.ops.Curation.seqPack]] bucket-offset
+    * trick) over revenue-range buckets, same shape as [[ksTest]]'s cumsum.
+    */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    val r = Tables.load(spark, sfDir, "region")
+    val rev = o.groupBy(col("o_custkey"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val withRegion = rev
+      .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_custkey"), col("cents"))
+    val w = Window.partitionBy(col("r_name")).orderBy(col("cents"), col("o_custkey"))
+    val d = "decimal(38,0)"
+    withRegion
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(d)).as("s"),
+        sum((col("i").cast(d) * col("cents").cast(d))).as("s1"))
+      .select(
+        col("r_name"), col("n_customers"),
+        col("s").cast("long").as("sum_cents"),
+        expr("CAST((2 * s1 - (n_customers + 1) * s) * 1000000 div (n_customers * s) AS BIGINT)")
+          .as("gini_micro"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the order-price
+    * distributions of two priority classes — the drift test a training
+    * pipeline runs between data snapshots. D = max over the merged support of
+    * |F₁(v) − F₂(v)| is kept RATIONAL: the maximized quantity is the integer
+    * |cum₁·n₂ − cum₂·n₁| (common denominator n₁·n₂ applied once at the end),
+    * so the statistic is hash-exact — no floating CDF accumulation anywhere.
+    *
+    * Shape: one conditional partial agg to value grain (distinct prices),
+    * then the global running sums use a TWO-LEVEL prefix sum — per-bucket
+    * subtotals (value range / 2²², bucket-cardinality window) feed exclusive
+    * offsets, in-bucket cumsums run partitioned by bucket — so no
+    * single-partition global-order window ever exists, the same
+    * bucket-offset trick as [[graft.ops.Curation.seqPack]]. The argmax row is
+    * TakeOrderedAndProject with the value as tie-break (first crossing wins),
+    * emitting one row: D's numerator, the common denominator parts, the
+    * micro-scaled ratio, and the price where the gap peaks.
+    */
+  def ksTest(spark: SparkSession, sfDir: String,
+             priA: String = "1-URGENT", priB: String = "5-LOW"): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val cents = (money(col("o_totalprice")) * 100).cast("long")
+    val byValue = o.filter(col("o_orderpriority").isin(priA, priB))
+      .select(cents.as("v"),
+        when(col("o_orderpriority") === priA, 1L).otherwise(0L).as("a"),
+        when(col("o_orderpriority") === priB, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      .withColumn("bucket", expr("v div 4194304"))
+    val bucketTotals = byValue.groupBy(col("bucket"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("offa", coalesce(sum(col("ta")).over(wOff), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("tb")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offa"), col("offb"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byValue.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+    byValue
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum1", col("offa") + sum(col("ca")).over(wIn))
+      .withColumn("cum2", col("offb") + sum(col("cb")).over(wIn))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .orderBy(col("d_num").desc, col("v"))
+      .limit(1)
+      .select(col("n1"), col("n2"), col("v").as("at_value_cents"), col("d_num"),
+        expr("""CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000
+               |     div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""".stripMargin)
+          .as("d_micro"))
+  }
+
+  /** Hour-of-day seasonal decomposition of the event stream: observed hourly
+    * counts split into the seasonal profile (mean count for that hour-of-day
+    * across all days, milli-scaled integer division) and the residual — the
+    * first pass of any traffic-anomaly or capacity model. Exact integers
+    * throughout: seasonal = Σcounts·1000 div n_days, residual = cnt·1000 −
+    * seasonal, so every row hash-matches.
+    *
+    * Shape: one partial agg to (day, hour) grain — the only fact-sized
+    * shuffle; the 24-row seasonal profile and the one-row day census ride
+    * back as broadcasts onto the aggregate. Hours with zero events on a
+    * given day are absent rows (the profile denominator is the GLOBAL day
+    * count, so absent cells depress the seasonal mean exactly as a zero row
+    * would); [[gapFillDaily]] is the densification pass when downstream
+    * needs explicit zeros.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val cells = ev
+      .select(date_trunc("day", col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .groupBy(col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val profile = cells.groupBy(col("hod")).agg(sum(col("cnt")).as("tot"))
+    val nDays = cells.select(col("day")).distinct().agg(count(lit(1)).as("n_days"))
+    cells
+      .join(broadcast(profile), Seq("hod"))
+      .crossJoin(broadcast(nDays))
+      .withColumn("seasonal_milli", expr("tot * 1000 div n_days"))
+      .select(col("day"), col("hod").cast("long").as("hod"), col("cnt"),
+        col("seasonal_milli"),
+        (col("cnt") * 1000 - col("seasonal_milli")).as("residual_milli"))
+  }
+
+  /** Chi-square association cells between event type and day-of-week — "is
+    * traffic mix independent of weekday?". Emits the PER-CELL decomposition
+    * (observed, expected, contribution), not the summed statistic: each
+    * cell's χ² term (o·N − r·c)²·10⁶ div (N·r·c) is exact integer arithmetic
+    * on decimal(38,0), whereas the total would be a float sum in
+    * engine-dependent order. Downstream sums the bounded cell table if it
+    * wants the scalar (types × 7 rows — driver-side cheap).
+    *
+    * Shape: one partial agg to cell grain, then the row/column margins and
+    * grand total are windows OVER THE CELL TABLE (35 rows — these windows
+    * repartition nothing that matters), never over the fact. Day-of-week is
+    * emitted in DuckDB numbering (Sunday = 0) so the oracle is a direct
+    * transcription.
+    */
+  def chi2Association(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val cells = ev
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val d = "decimal(38,0)"
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("o"),
+        expr(s"CAST(CAST(r AS $d) * CAST(c AS $d) * 1000000 div CAST(n AS $d) AS BIGINT)")
+          .as("exp_micro"),
+        expr(s"""CAST(
+          (CAST(o AS $d) * CAST(n AS $d) - CAST(r AS $d) * CAST(c AS $d)) *
+          (CAST(o AS $d) * CAST(n AS $d) - CAST(r AS $d) * CAST(c AS $d)) * 1000000
+          div (CAST(n AS $d) * CAST(r AS $d) * CAST(c AS $d)) AS BIGINT)""")
+          .as("chi2_micro"))
+  }
+
   def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val d = "decimal(38,0)"

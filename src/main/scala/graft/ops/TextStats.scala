@@ -256,6 +256,92 @@ object TextStats {
         col("cms_est"))
   }
 
+  /** Corpus word-association mining: skip-gram co-occurrence counts within a
+    * ±`window` token distance, scored by a PMI-proxy kept RATIONAL —
+    * cxy·T·1000 div (cx·cy), the argument of the PMI log as a milli-scaled
+    * integer (log is monotone, so ranking by the ratio IS ranking by PMI,
+    * with none of the cross-engine libm risk). The standard collocation /
+    * phrase-mining pass before tokenizer or vocab training.
+    *
+    * Shape: pair generation is IN-ROW (transform over the token array against
+    * its own sliced tail — no position explode, no positional self-join), so
+    * nothing token-shaped shuffles until the (x, y) partial agg. Unigram
+    * counts come from one more partial agg of the same scan; the two lookups
+    * of the vocab-sized count table are merge-hinted SHUFFLE joins — the
+    * vocabulary of a 100 TB corpus is itself corpus-sized, and broadcasting a
+    * corpus-derived aggregate is the scale trap the line-dedup membership
+    * join documents. Total token count rides as the one-row broadcast. Output
+    * is top-k by (ratio, x, y) via TakeOrderedAndProject; the min-count floor
+    * kills the noise pairs that dominate raw PMI.
+    */
+  def skipgramPmi(spark: SparkSession, sfDir: String, window: Int = 2,
+                  minPairCount: Int = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t = split(col("text"), " ")
+    val pairs = flatten(transform(t, (x, i) =>
+      transform(slice(t, i + lit(2), lit(window)), y =>
+        struct(x.as("x"), y.as("y")))))
+    val pc = docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = docs.agg(sum(size(t).cast("long")).as("t_tokens"))
+    pc.filter(col("cxy") >= minPairCount)
+      .join(uni.select(col("w").as("x"), col("cw").as("cx")).hint("merge"), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("cw").as("cy")).hint("merge"), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+        expr("""CAST(CAST(cxy AS DECIMAL(38,0)) * t_tokens * 1000
+               |     div (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)""".stripMargin)
+          .as("pmi_ratio_milli"))
+      .orderBy(col("pmi_ratio_milli").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
+  /** BM25-ranked DISJUNCTIVE search over [[searchTerms]] (any term matches,
+    * unlike [[textSearch]]'s conjunction) — the ranking function actual
+    * retrieval stacks use, with the standard k1 = 1.2, b = 0.75. Hash-exact
+    * across engines: each (doc, term) contribution is computed once in double
+    * (exact integer inputs, identical operation sequence) and SNAPPED to an
+    * integer micro-unit; the per-doc score is then an INTEGER sum — immune to
+    * the engine-ordered float accumulation that makes naive BM25
+    * unverifiable (same discipline as [[graft.ops.Relational.regressionStats]]:
+    * exact sums, floats only in a final deterministic formula — here the
+    * float step is per-term, so the sum must be integer instead).
+    *
+    * Shape: term postings are filtered IN-ROW before any shuffle (only
+    * query-term hits travel — the posting-fetch shape of [[textSearch]]);
+    * document length joins back from a narrow per-doc projection of the same
+    * scan; df (≤ |terms| rows) and the corpus length stats (one row) ride as
+    * broadcasts. Top-k is TakeOrderedAndProject with doc_id tie-break.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String,
+                 terms: Seq[String] = searchTerms, k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(lower(col("text")), " ")
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(toks).cast("long")).cast("double").as("t_tokens"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / (col("t_tokens") / col("n_docs")))
+    val contrib = idf * col("tf") * lit(2.2) / denom
+    tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contrib * lit(1e6)).cast("long").as("c_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the classic
     * keyword/topic extraction pass over a corpus.
     *

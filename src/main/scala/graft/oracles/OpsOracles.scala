@@ -388,5 +388,77 @@ private[graft] object OpsOracles {
         |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // twin of [[graft.ops.Relational.giniConcentration]]: sorted-rank Gini
+    // from exact integer sums; HUGEINT guards the rank-weighted products
+    // (same widening hazard class as the revenue_share window SUM).
+    "ops_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT r_name, o_custkey, cents,
+        |    CAST(row_number() OVER (PARTITION BY r_name ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM rev
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST((2 * SUM(CAST(i AS HUGEINT) * cents) - (COUNT(*) + 1) * SUM(CAST(cents AS HUGEINT)))
+        |       * 1000000 // (COUNT(*) * SUM(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_micro
+        |FROM ranked GROUP BY r_name""".stripMargin,
+    // twin of [[graft.ops.Relational.ksTest]]: the oracle uses the plain
+    // global cumsum (correctness only); the Spark side's two-level prefix
+    // sum must produce the identical CDF.
+    "ops_ks_test" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |byv AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+        |        FROM f GROUP BY v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2 FROM byv),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM byv)
+        |SELECT n1, n2, v AS at_value_cents,
+        |  CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS d_num,
+        |  CAST(CAST(abs(cum1 * n2 - cum2 * n1) AS HUGEINT) * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_micro
+        |FROM cum, t
+        |ORDER BY d_num DESC, v LIMIT 1""".stripMargin,
+    // twin of [[graft.ops.Relational.seasonalDecompose]].
+    "ops_seasonal" ->
+      """WITH cells AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (SELECT hod, CAST(SUM(cnt) AS BIGINT) AS tot FROM cells GROUP BY hod),
+        |nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM cells)
+        |SELECT day, hod, cnt,
+        |  CAST(tot * 1000 // n_days AS BIGINT) AS seasonal_milli,
+        |  CAST(cnt * 1000 - tot * 1000 // n_days AS BIGINT) AS residual_milli
+        |FROM cells JOIN prof USING (hod) CROSS JOIN nd""".stripMargin,
+    // twin of [[graft.ops.Relational.chi2Association]]; dow is DuckDB
+    // numbering (Sunday = 0) on both sides.
+    "ops_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, o,
+        |    SUM(o) OVER (PARTITION BY event_type) AS r,
+        |    SUM(o) OVER (PARTITION BY dow) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM cells)
+        |SELECT event_type, dow, o,
+        |  CAST(CAST(r AS HUGEINT) * c * 1000000 // n AS BIGINT) AS exp_micro,
+        |  CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
+        |     // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_micro
+        |FROM m""".stripMargin,
   )
 }

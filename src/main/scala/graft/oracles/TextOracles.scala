@@ -463,5 +463,69 @@ private[graft] object TextOracles {
         |  CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
         |  md5(chk || ':' || CAST(frame_idx AS VARCHAR)) AS frame_hash
         |FROM f""".stripMargin,
+    // twin of [[graft.ops.Dedup.containmentDf]] — same index/pair CTEs as
+    // ops_ngram_jaccard, asymmetric ratios instead of the union ratio.
+    "ops_containment" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / na.n_sh, 6) AS cont_a,
+         |  round(CAST(n_shared AS DOUBLE) / nb.n_sh, 6) AS cont_b
+         |FROM shared
+         |JOIN sizes na ON na.doc_id = doc_a
+         |JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE greatest(CAST(n_shared AS DOUBLE) / na.n_sh,
+         |               CAST(n_shared AS DOUBLE) / nb.n_sh) >= 0.5""".stripMargin,
+    // twin of [[graft.ops.TextStats.skipgramPmi]]: the oracle generates
+    // pairs by positional self-join (the Spark side folds them in-row —
+    // identical pair multiset); HUGEINT guards cxy·T and cx·cy.
+    "ops_skipgram_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pos AS (SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS tok FROM t),
+        |pairs AS (
+        |  SELECT p1.tok AS x, p2.tok AS y
+        |  FROM pos p1 JOIN pos p2
+        |    ON p1.doc_id = p2.doc_id AND p2.i - p1.i BETWEEN 1 AND 2),
+        |pc AS (SELECT x, y, COUNT(*) AS cxy FROM pairs GROUP BY x, y),
+        |uni AS (SELECT tok AS w, COUNT(*) AS cw FROM pos GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS t_tokens FROM t)
+        |SELECT x, y, cxy, ux.cw AS cx, uy.cw AS cy,
+        |  CAST(CAST(cxy AS HUGEINT) * t_tokens * 1000
+        |       // (CAST(ux.cw AS HUGEINT) * uy.cw) AS BIGINT) AS pmi_ratio_milli
+        |FROM pc
+        |JOIN uni ux ON pc.x = ux.w
+        |JOIN uni uy ON pc.y = uy.w
+        |CROSS JOIN tot
+        |WHERE cxy >= 5
+        |ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50""".stripMargin,
+    // twin of [[graft.ops.TextStats.bm25Search]]. Float literals are
+    // e-notation so DuckDB parses them as DOUBLE (a bare 1.2 is DECIMAL and
+    // would change the promotion path); per-term contributions snap to
+    // integer micro-units before the per-doc sum, exactly like the Spark
+    // side, so no float ever accumulates.
+    "ops_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |hits AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM hits WHERE tok IN ('join', 'filter', 'stream')
+        |       GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(len(tk)) AS DOUBLE) AS t_tokens FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * tf * 2.2e0
+        |      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / (t_tokens / n_docs)))
+        |      * 1000000.0e0) AS BIGINT) AS c_micro
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |FROM c GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the round-5 statistics operators (Gini, KS,
+  * seasonal decomposition, chi-square cells, containment, skip-gram PMI,
+  * BM25). The DuckDB hash-equivalence is the driver's gate; these pin the
+  * properties the statistics must satisfy BY CONSTRUCTION, so a refactor
+  * that keeps the oracle in lockstep but breaks the math still fails fast.
+  */
+class StatsSpec extends SparkSuite {
+
+  test("ops_gini: coefficient in [0, 1) micro-units; region census complete") {
+    val rows = SparkEntry.queries("ops_gini")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_micro")
+      assert(g >= 0L && g < 1000000L, s"${r.getString(0)}: gini $g out of range")
+    }
+    // every customer with >= 1 order is counted exactly once across regions
+    val totalCustomers = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == totalCustomers)
+  }
+
+  test("ops_ks_test: D is a valid rational statistic") {
+    val r = SparkEntry.queries("ops_ks_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val (n1, n2) = (r(0).getAs[Long]("n1"), r(0).getAs[Long]("n2"))
+    val dNum = r(0).getAs[Long]("d_num")
+    val dMicro = r(0).getAs[Long]("d_micro")
+    assert(n1 > 0 && n2 > 0)
+    assert(dNum > 0 && dNum <= n1 * n2, "0 < D <= 1 as a fraction of n1*n2")
+    assert(dMicro == dNum * 1000000L / (n1 * n2))
+  }
+
+  test("ops_seasonal: residual identity holds; profile constant per hour") {
+    val out = SparkEntry.queries("ops_seasonal")(spark, sf)
+    val badIdentity = out
+      .filter(col("residual_milli") =!= col("cnt") * 1000 - col("seasonal_milli"))
+      .count()
+    assert(badIdentity == 0)
+    // one seasonal value per hour-of-day, whatever the day
+    val perHod = out.groupBy(col("hod"))
+      .agg(countDistinct(col("seasonal_milli")).as("nvals"))
+      .filter(col("nvals") =!= 1).count()
+    assert(perHod == 0)
+  }
+
+  test("ops_chi2: margins reconcile; zero cells iff o*N == r*c") {
+    val rows = SparkEntry.queries("ops_chi2")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("o")).sum
+    assert(n == Tables.load(spark, sf, "events").count())
+    // expected counts per event_type sum back to the row margin within
+    // per-cell truncation (integer div drops < 1 micro-unit per cell)
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val r = cells.map(_.getAs[Long]("o")).sum
+      val expSum = cells.map(_.getAs[Long]("exp_micro")).sum
+      assert(math.abs(expSum - r * 1000000L) <= cells.length,
+        s"row-margin drift beyond truncation: $expSum vs ${r * 1000000L}")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("chi2_micro") >= 0L))
+  }
+
+  test("ops_containment: ratios in (0,1]; threshold respected; asymmetry real") {
+    val rows = SparkEntry.queries("ops_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+      assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.5 - 1e-9)
+    }
+  }
+
+  test("ops_skipgram_pmi: counts consistent; output ranked") {
+    val rows = SparkEntry.queries("ops_skipgram_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getAs[Long]("cxy"), r.getAs[Long]("cx"), r.getAs[Long]("cy"))
+      assert(cxy >= 5, "min-count floor")
+      // each x occurrence emits at most `window` pairs, each y occurrence
+      // absorbs at most `window` — cxy is bounded by both
+      assert(cxy <= 2 * math.min(cx, cy), s"pair count $cxy exceeds 2*min($cx,$cy)")
+    }
+    val scores = rows.map(_.getAs[Long]("pmi_ratio_milli"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending by ratio")
+  }
+
+  test("ops_bm25: ranked; every hit contains a query term; n_terms bounded") {
+    val out = SparkEntry.queries("ops_bm25")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3))
+    val docs = Tables.load(spark, sf, "documents")
+    val nonMatching = out.join(docs, "doc_id")
+      .filter(!col("text").contains("join") && !col("text").contains("filter") &&
+              !col("text").contains("stream"))
+      .count()
+    assert(nonMatching == 0)
+  }
+}
