@@ -530,6 +530,8 @@ object SparkEntry {
     "ops_ks_test"           -> ((s: SparkSession, d: String) => Relational.ksTest(s, d)),
     "ops_seasonal"          -> (Relational.seasonalDecompose _),
     "ops_chi2"              -> (Relational.chi2Association _),
+    "ops_autocorr"          -> ((s: SparkSession, d: String) => Relational.autocorrelation(s, d)),
+    "ops_cusum"             -> (Relational.cusumChangepoint _),
     // dedup set
     "ops_dedup_keys"    -> (Dedup.dedupKeys _),
     "ops_dedup_content" -> (Dedup.dedupContent _),

@@ -1009,6 +1009,97 @@ object Relational {
           .as("chi2_micro"))
   }
 
+  /** Lag-k autocorrelation of the daily event-count series (k = 1..7) — the
+    * seasonality detector that tells a pipeline WHICH lag [[seasonalDecompose]]
+    * should model. Same numeric discipline as [[regressionStats]]: the five
+    * moment sums per lag are exact integer sums over (x_t, x_{t+k}) pairs, and
+    * only the final Pearson formula runs in double on identical exact inputs —
+    * bit-stable at any parallelism, hash-checkable in any engine.
+    *
+    * Shape: the fact collapses to day grain first (one partial-agg shuffle);
+    * the lag pairing is ONE window over the day series (days-cardinality
+    * rows — at 100 TB the series is ~36.5k rows per century, driver-trivial),
+    * unioned across the 7 lags in-plan; the moment aggregation is 7 groups.
+    * Nothing fact-sized ever shuffles twice.
+    */
+  def autocorrelation(spark: SparkSession, sfDir: String, maxLag: Int = 7): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(
+      Seq(col("day"), col("x")) ++
+        (1 to maxLag).map(k => lead(col("x"), k).over(w).as(s"y$k")): _*)
+    val pairs = (1 to maxLag).map { k =>
+      lagged.filter(col(s"y$k").isNotNull)
+        .select(lit(k).cast("long").as("lag"), col("x"), col(s"y$k").as("y"))
+    }.reduce(_ unionByName _)
+    val d = "decimal(38,0)"
+    val agg = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d)).as("sxe"),
+      sum(col("y").cast(d)).as("sye"),
+      sum((col("x").cast(d) * col("x").cast(d))).as("sxxe"),
+      sum((col("y").cast(d) * col("y").cast(d))).as("syye"),
+      sum((col("x").cast(d) * col("y").cast(d))).as("sxye"))
+    val nD = col("n").cast("double")
+    val Seq(sx, sy, sxx, syy, sxy) =
+      Seq("sxe", "sye", "sxxe", "syye", "sxye").map(c => col(c).cast("double"))
+    agg.select(col("lag"), col("n"),
+        round((nD * sxy - sx * sy) / sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint detection on the daily event-count series: the day
+    * where the centered cumulative sum S_t = Σ(n·x_i − T) peaks in absolute
+    * value — the classic "where did the level shift?" scan statistic,
+    * n-scaled so it stays INTEGER (x̄ = T/n is never materialized as a
+    * float; S_t is exactly n·Σ(x_i − x̄)). Hash-exact: the argmax row is
+    * deterministic with the day tie-break, and the output carries the raw
+    * integer statistic plus its milli-scaled normalization.
+    *
+    * Shape: day-grain partial agg (the only fact-sized shuffle), then the
+    * running sum over the day series uses the same two-level prefix-sum
+    * trick as [[ksTest]] (month buckets feed exclusive offsets; in-bucket
+    * cumsums run partitioned) — no single-partition global window even
+    * though the series is small today; the shape survives a per-minute or
+    * per-key series tomorrow. One-row output via TakeOrderedAndProject.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("bucket", date_trunc("month", col("day")))
+    val totals = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val bucketTotals = daily.groupBy(col("bucket"))
+      .agg(sum(col("x")).as("bx"), count(lit(1)).as("bn"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("offx", coalesce(sum(col("bx")).over(wOff), lit(0L)))
+      .withColumn("offn", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offx"), col("offn"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cumx", col("offx") + sum(col("x")).over(wIn))
+      .withColumn("cumn", col("offn") + count(lit(1)).over(wIn))
+      .crossJoin(broadcast(totals))
+      // S_t scaled by n: n*cumx - cumn*T  ==  n * Σ_{i<=t}(x_i - T/n)
+      .withColumn("s_scaled", col("n") * col("cumx") - col("cumn") * col("t"))
+      .withColumn("abs_s", abs(col("s_scaled")))
+      .orderBy(col("abs_s").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("change_day"), col("n").as("n_days"),
+        col("t").as("total_events"), col("s_scaled"),
+        expr("""CAST(CAST(abs_s AS DECIMAL(38,0)) * 1000
+               |     div (CAST(n AS DECIMAL(38,0)) * t) AS BIGINT)""".stripMargin)
+          .as("cusum_milli"))
+  }
+
   def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val d = "decimal(38,0)"

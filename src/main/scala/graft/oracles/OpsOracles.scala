@@ -442,6 +442,52 @@ private[graft] object OpsOracles {
         |  CAST(tot * 1000 // n_days AS BIGINT) AS seasonal_milli,
         |  CAST(cnt * 1000 - tot * 1000 // n_days AS BIGINT) AS residual_milli
         |FROM cells JOIN prof USING (hod) CROSS JOIN nd""".stripMargin,
+    // twin of [[graft.ops.Relational.autocorrelation]]: exact HUGEINT moment
+    // sums per lag, Pearson formula in double on identical inputs (the
+    // ops_regression discipline applied to the lagged series).
+    "ops_autocorr" -> {
+      val leads = (1 to 7).map(k => s"lead(x, $k) OVER (ORDER BY day) AS y$k").mkString(",\n|    ")
+      val arms = (1 to 7).map(k =>
+        s"SELECT $k AS lag, x, y$k AS y FROM l WHERE y$k IS NOT NULL")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS x
+         |  FROM events GROUP BY 1),
+         |l AS (
+         |  SELECT day, x,
+         |    $leads
+         |  FROM daily),
+         |pairs AS (
+         |  $arms),
+         |a AS (
+         |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+         |  FROM pairs GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n,
+         |  round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+         |FROM a ORDER BY lag""".stripMargin
+    },
+    // twin of [[graft.ops.Relational.cusumChangepoint]]: the oracle runs the
+    // plain global cumsum; the Spark side's two-level prefix sum must land on
+    // the identical S_t series.
+    "ops_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t FROM daily),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx,
+        |    CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+        |  FROM daily)
+        |SELECT day AS change_day, n AS n_days, t AS total_events,
+        |  CAST(n * cumx - cumn * t AS BIGINT) AS s_scaled,
+        |  CAST(CAST(abs(n * cumx - cumn * t) AS HUGEINT) * 1000
+        |       // (CAST(n AS HUGEINT) * t) AS BIGINT) AS cusum_milli
+        |FROM cum, t
+        |ORDER BY abs(n * cumx - cumn * t) DESC, day LIMIT 1""".stripMargin,
     // twin of [[graft.ops.Relational.chi2Association]]; dow is DuckDB
     // numbering (Sunday = 0) on both sides.
     "ops_chi2" ->

@@ -86,6 +86,41 @@ class StatsSpec extends SparkSuite {
     assert(scores.sameElements(scores.sorted.reverse), "descending by ratio")
   }
 
+  test("ops_autocorr: one row per lag, coefficients bounded, pair counts shrink") {
+    val rows = SparkEntry.queries("ops_autocorr")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 7L))
+    rows.foreach { r =>
+      val acf = r.getAs[Double]("acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"lag ${r.getLong(0)}: acf $acf")
+    }
+    // lag k has exactly (n_days - k) pairs
+    val ns = rows.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b == a - 1 })
+  }
+
+  test("ops_cusum: statistic matches a driver-side replay of the series") {
+    val r = SparkEntry.queries("ops_cusum")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // replay: daily counts -> n-scaled centered cumsum -> argmax
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("day")).collect()
+    val n = daily.length.toLong
+    val t = daily.map(_.getAs[Long]("x")).sum
+    var cum = 0L; var best = 0L; var bestDay: java.sql.Timestamp = null
+    daily.zipWithIndex.foreach { case (d, i) =>
+      cum += d.getAs[Long]("x")
+      val s = math.abs(n * cum - (i + 1) * t)
+      if (s > best) { best = s; bestDay = d.getAs[java.sql.Timestamp]("day") }
+    }
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("total_events") == t)
+    assert(math.abs(row.getAs[Long]("s_scaled")) == best)
+    assert(row.getAs[java.sql.Timestamp]("change_day") == bestDay)
+  }
+
   test("ops_bm25: ranked; every hit contains a query term; n_terms bounded") {
     val out = SparkEntry.queries("ops_bm25")(spark, sf)
     val rows = out.collect()
