@@ -342,6 +342,40 @@ object TextStats {
       .limit(k)
   }
 
+  /** Per-document token-distribution Shannon entropy — the information-
+    * density quality signal (low entropy = repetitive boilerplate / keyword
+    * stuffing; high = diverse text). H = ln(n) − (Σ c·ln c)/n over the token
+    * counts c. Floats ARE involved (ln), but the accumulation is made
+    * engine-exact by folding LEFT-TO-RIGHT over the SORTED count list in
+    * both engines — identical addend sequence, identical partial sums, so
+    * the rounded output hash-matches (equal counts yield equal addends, so
+    * ties in the sort order cannot perturb the sum).
+    *
+    * Shape: one (doc, token-hash) partial agg — the only token-shaped
+    * shuffle — then counts collapse to a per-doc sorted array (bounded by
+    * per-doc vocabulary, not corpus vocabulary) and the fold is in-row.
+    * Token identity is not needed after the count agg, so the shuffle
+    * carries 8-byte hashes ([[bigramFamiliarity]]'s trick).
+    */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), Hashing.h60(col("tok")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sort_array(collect_list(col("c").cast("double"))).as("cs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(
+          log(col("n_tokens").cast("double")) -
+            aggregate(col("cs"), lit(0.0), (acc, c) => acc + c * log(c)) /
+              col("n_tokens").cast("double"),
+          6).as("entropy"))
+  }
+
   /** Per-document top-k terms by TF-IDF (tf * ln(N/df)) — the classic
     * keyword/topic extraction pass over a corpus.
     *

@@ -503,6 +503,25 @@ private[graft] object TextOracles {
         |CROSS JOIN tot
         |WHERE cxy >= 5
         |ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50""".stripMargin,
+    // twin of [[graft.ops.TextStats.tokenEntropy]]: both engines fold
+    // c*ln(c) LEFT-TO-RIGHT over the ascending-sorted count list, so the
+    // float accumulation sequence is identical (list_reduce seeds with the
+    // first element, so the transformed list is folded, not the raw counts).
+    "ops_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${h60sql("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |cnt AS (SELECT doc_id, h, COUNT(*) AS c FROM toks GROUP BY doc_id, h),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    list_sort(list(CAST(c AS DOUBLE))) AS cs
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |  round(ln(CAST(n_tokens AS DOUBLE)) -
+         |    list_reduce(list_transform(cs, c -> c * ln(c)), (a, b) -> a + b)
+         |      / CAST(n_tokens AS DOUBLE), 6) AS entropy
+         |FROM agg""".stripMargin,
     // twin of [[graft.ops.TextStats.bm25Search]]. Float literals are
     // e-notation so DuckDB parses them as DOUBLE (a bare 1.2 is DECIMAL and
     // would change the promotion path); per-term contributions snap to

@@ -121,6 +121,21 @@ class StatsSpec extends SparkSuite {
     assert(row.getAs[java.sql.Timestamp]("change_day") == bestDay)
   }
 
+  test("ops_entropy: bounded by ln(n_types); types never exceed tokens") {
+    val rows = SparkEntry.queries("ops_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"))
+      val h = r.getAs[Double]("entropy")
+      assert(nTyp <= nTok)
+      assert(h >= -1e-9, s"doc ${r.getLong(0)}: negative entropy $h")
+      // 1e-6 slack: the output is rounded to 6 dp, so a uniform-distribution
+      // doc can sit up to half an ulp-of-rounding above the exact bound
+      assert(h <= math.log(nTyp.toDouble) + 1e-6,
+        s"doc ${r.getLong(0)}: entropy $h exceeds ln($nTyp)")
+    }
+  }
+
   test("ops_bm25: ranked; every hit contains a query term; n_terms bounded") {
     val out = SparkEntry.queries("ops_bm25")(spark, sf)
     val rows = out.collect()
