@@ -33,7 +33,11 @@ object ScaleProbe {
     "ops_dedup_minhash", "ops_dedup_verify", "ops_ngram_jaccard",
     "ops_dedup_cc", "ops_simhash_pairs", "ops_bigram_lm",
     "ops_corpus_filter", "ops_line_dedup",
-    "ops_cohort_retention", "ops_dau_wau")
+    "ops_cohort_retention", "ops_dau_wau",
+    // round-5 heavies: containment shares the jaccard inverted index (its
+    // curve should track ops_ngram_jaccard), skipgram pairs are in-row +
+    // two vocab merge joins, entropy is a pure partial-agg scan shape
+    "ops_containment", "ops_skipgram_pmi", "ops_entropy")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
