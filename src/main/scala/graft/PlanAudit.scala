@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * `ops_sim_topk`/`ops_sim_ivf` query-vector/centroid rows, `ops_zorder`
   * stats row, `ops_quality_mix` quartile bounds, and the round-5 statistics
   * rows: `ops_bm25` corpus length stats, `ops_ks_test` sample totals,
-  * `ops_seasonal` day census, `ops_skipgram_pmi` token total) — those are
+  * `ops_seasonal` day census, `ops_skipgram_pmi` token total,
+  * `ops_q22_idle_rich` balance-stats row) — those are
   * the expected hits; anything else flagged here is a regression
   * (`PlanSpec`'s no-CartesianProduct test is the hard gate).
   */

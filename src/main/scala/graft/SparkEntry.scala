@@ -517,6 +517,8 @@ object SparkEntry {
     "ops_ffill"             -> (Relational.forwardFill _),
     "ops_corr_subquery"     -> (Relational.smallQuantityRevenue _),
     "ops_q21_waiting"       -> (Relational.soleProblemSuppliers _),
+    "ops_q20_dominant_supp" -> (Relational.dominantPartSuppliers _),
+    "ops_q22_idle_rich"     -> (Relational.idleRichCustomers _),
     "ops_q15_top_supplier"  -> (Relational.topRevenueSupplier _),
     "ops_q18_large_orders"  -> ((s: SparkSession, d: String) => Relational.largeQuantityOrders(s, d)),
     "ops_dq_audit"          -> (Relational.dqAudit _),

@@ -1103,6 +1103,82 @@ object Relational {
           .as("cusum_milli"))
   }
 
+  /** TPC-H Q20 shape — double-nested correlated subqueries, decorrelated:
+    * "dominant suppliers of scarce parts". Q20's inner correlation compares a
+    * per-(part, supplier) availability against a correlated per-(part,
+    * supplier) shipped-quantity aggregate, nested inside a part-name IN
+    * filter, nested inside a supplier semi-join. This schema has no partsupp,
+    * so the same *shape* runs entirely off the fact: a supplier dominates a
+    * part when its 1996 shipped quantity exceeds 30% of the part's total
+    * 1996 quantity across all suppliers.
+    *
+    * Decorrelation: the fact reduces ONCE to (part, supplier) grain — the
+    * finest grain any consumer needs — and the per-part total comes from a
+    * window SUM over that already-reduced frame (partitioned by part key),
+    * not from a groupBy-then-self-join, which would re-plan the whole agg
+    * subtree per consumer and scan the fact twice (same single-scan rewrite
+    * as `ops_tfidf_terms`' df census; the window partitions part-grain data,
+    * never fact-sized rows — windows are only a scale trap on the latter).
+    * The dominance test compares in exact integer cross-multiplication
+    * (qty_c * 10 > total_c * 3), so no engine's division rounding can flip a
+    * boundary row. The part-name filter is a broadcast semi-join
+    * (dim-sized), applied at the reduced grain. Never a correlated re-scan
+    * per outer row.
+    */
+  def dominantPartSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+    val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(money(col("l_quantity"))) * 100).cast("long").as("qty_c"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    ps.withColumn("total_c",
+        sum(col("qty_c")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty_c") * 10 > col("total_c") * 3)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+  }
+
+  /** TPC-H Q22 shape — scalar-aggregate threshold + anti-join: "idle
+    * high-balance customers" per market segment (the segment plays Q22's
+    * country-code role; this schema has no phone column). Customers in the
+    * three target segments whose balance exceeds the average positive
+    * balance of that population AND who have never ordered, rolled up per
+    * segment.
+    *
+    * The scalar subquery reduces the (broadcast-small) filtered customer set
+    * to ONE (sum, count) row that rides back as a broadcast — and the
+    * above-average test multiplies through instead of dividing (bal_c * n_c
+    * > sum_c): the comparison stays in exact BIGINT, immune to avg()
+    * rounding divergence between engines. The no-recent-orders test is a
+    * LEFT ANTI join on the date-filtered order fact's customer key (idle =
+    * nothing ordered since 2000; the date filter pushes to the scan) — at
+    * 100 TB that is the one real shuffle here (orders project to the key
+    * column only, then shuffle-partition by it); everything customer-sided
+    * is dim-scale.
+    */
+  def idleRichCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Seq("BUILDING", "MACHINERY", "HOUSEHOLD")
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (money(col("c_acctbal")) * 100).cast("long").as("bal_c"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val stats = c.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_c"))
+    c.join(broadcast(stats))
+      .filter(col("bal_c") * col("n_c") > col("sum_c"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("total_bal_c"))
+  }
+
   def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val d = "decimal(38,0)"

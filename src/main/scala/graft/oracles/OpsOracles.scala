@@ -143,6 +143,39 @@ private[graft] object OpsOracles {
         |SELECT e.event_type, MAX(s.med) AS med, MAX(s.mad) AS mad, MAX(s.n) AS n,
         |  CAST(SUM(CASE WHEN ABS(cents - s.med) > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN s USING (event_type) GROUP BY e.event_type""".stripMargin,
+    "ops_q20_dominant_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey),
+        |tot AS (
+        |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS total_c
+        |  FROM ps GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, COUNT(*) AS n_parts
+        |FROM ps JOIN tot USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_c * 10 > total_c * 3
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+    "ops_q22_idle_rich" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')),
+        |st AS (
+        |  SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c, COUNT(*) AS n_c
+        |  FROM seg WHERE bal_c > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+        |FROM seg, st
+        |WHERE bal_c * n_c > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "ops_revenue_share" ->
       """WITH pn AS (
         |  SELECT r_name, n_name,

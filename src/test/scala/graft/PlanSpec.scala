@@ -288,6 +288,26 @@ class PlanSpec extends SparkSuite {
       "grouped frame rebuilt per branch")
   }
 
+  test("ops_q20_dominant_supp: one fact scan — per-part total is a window over the reduced grain") {
+    val p = plan("ops_q20_dominant_supp")
+    // the groupBy-then-self-join form would re-plan the (part, supplier)
+    // agg subtree per consumer and scan lineitem twice; the window form
+    // scans once and partitions part-grain rows only
+    assert("Scan parquet".r.findAllIn(p).size == 3, s"expected 3 scans (lineitem, part, supplier):\n$p")
+    assert(p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("ops_q22_idle_rich: anti join on the date-pruned fact; scalar stats ride one broadcast row") {
+    val p = plan("ops_q22_idle_rich")
+    assert(p.contains("LeftAnti"), p)
+    // the scalar (sum, count) threshold is the one-row-broadcast BNLJ shape
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the idle cutoff reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
     val p = plan("ops_dq_audit")
     assert(p.contains("BroadcastHashJoin"), p)
