@@ -572,6 +572,7 @@ object SparkEntry {
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
     "ops_vocab"      -> ((s: SparkSession, d: String) => Curation.vocabulary(s, d)),
     "ops_repetition" -> (Curation.repetitionScore _),
+    "ops_filter_attrib" -> (Curation.filterAttribution _),
     "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "ops_corpus_filter" -> ((s: SparkSession, d: String) => Curation.corpusFilter(s, d)),

@@ -411,4 +411,72 @@ object Curation {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 6)
           .as("dup_bigram_ratio"))
   }
+
+  /** Filter attribution — the observability side of a Gopher/MassiveText
+    * quality gate: instead of silently dropping documents, score every doc
+    * against the full rule set and report the HISTOGRAM OF RULE-FAILURE
+    * COMBINATIONS (bitmask → doc count). In a real pipeline this is the
+    * artifact you read before committing a gate: which rules kill how much
+    * data, and which co-fire (a spam doc failing repetition usually also
+    * fails the stopword rule — visible here, invisible in per-rule totals).
+    *
+    * Rules (bit set = FAILED; all thresholds exact integer
+    * cross-multiplications, no float division to diverge between engines):
+    *   bit 0 — word count outside [20, 2000]
+    *   bit 1 — mean word length outside [3, 12]  (sum_chars vs 3n / 12n)
+    *   bit 2 — symbol ratio > 10%               (10 * n_sym > n_chars)
+    *   bit 3 — no common stopword present
+    *   bit 4 — duplicate-bigram ratio > 20%     (5 * n_dup > n_bigrams)
+    *
+    * The base corpus is clean synthetic text, so — same discipline as
+    * `ops_dq_audit` — deterministic violating docs are unioned in (each
+    * derived from a `% prime` slice of the base, replayed identically in the
+    * oracle), proving every rule and several multi-rule combinations fire:
+    * symbol-spiked (bit 2), a 2200-word spam repeat (bits 0+3+4), a tiny doc
+    * (0+3), a long-word repeat (1+3+4), and an `a a a …` doc (1+4).
+    *
+    * Scale shape: every rule is an in-row fold over the token array — one
+    * scan, one partial agg on a key whose cardinality is ≤ 2^5 regardless of
+    * corpus size. The planted union adds map-side rows only. Zero joins.
+    */
+  def filterAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val spiked = Seq(
+      docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(' #$%!', CAST((length(text) div 20) + 1 AS INT))")).as("text")),
+      docs.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id"), trim(expr("repeat('spam ham ', 1100)")).as("text")),
+      docs.filter(col("doc_id") % 83 === 0)
+        .select(col("doc_id"), lit("tiny doc").as("text")),
+      docs.filter(col("doc_id") % 79 === 0).select(col("doc_id"),
+        trim(expr("repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 30)")).as("text")),
+      docs.filter(col("doc_id") % 73 === 0)
+        .select(col("doc_id"), trim(expr("repeat('a ', 40)")).as("text"))
+    ).reduce(_ unionByName _)
+    val all = docs.unionByName(spiked)
+    val toks = split(col("text"), " ")
+    val bigrams = bigramsOf(col("text"))
+    val scored = all.select(
+      size(toks).cast("long").as("nw"),
+      length(translate(col("text"), " ", "")).cast("long").as("nc"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long").as("nsym"),
+      length(col("text")).cast("long").as("tlen"),
+      arrays_overlap(toks,
+        array(Seq("the", "and", "of", "to", "a").map(lit): _*)).as("has_stop"),
+      size(bigrams).cast("long").as("nb"),
+      size(array_distinct(bigrams)).cast("long").as("nd"))
+    val bitmask =
+      when(col("nw") < 20 || col("nw") > 2000, 1L).otherwise(0L) +
+      when(col("nc") < col("nw") * 3 || col("nc") > col("nw") * 12, 2L).otherwise(0L) +
+      when(col("nsym") * 10 > col("tlen"), 4L).otherwise(0L) +
+      when(!col("has_stop"), 8L).otherwise(0L) +
+      when((col("nb") - col("nd")) * 5 > col("nb"), 16L).otherwise(0L)
+    scored.select(bitmask.as("bitmask"))
+      .groupBy(col("bitmask"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("bitmask"), bit_count(col("bitmask")).cast("long").as("n_rules_failed"),
+        col("n_docs"))
+  }
 }

@@ -436,6 +436,43 @@ private[graft] object TextOracles {
          |FROM mixed
          |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
+    "ops_filter_attrib" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |aug AS (
+        |  SELECT text FROM base
+        |  UNION ALL SELECT text || repeat(' #$%!', length(text)//20 + 1)
+        |    FROM base WHERE doc_id % 97 = 0
+        |  UNION ALL SELECT trim(repeat('spam ham ', 1100))
+        |    FROM base WHERE doc_id % 89 = 0
+        |  UNION ALL SELECT 'tiny doc' FROM base WHERE doc_id % 83 = 0
+        |  UNION ALL SELECT trim(repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 30))
+        |    FROM base WHERE doc_id % 79 = 0
+        |  UNION ALL SELECT trim(repeat('a ', 40)) FROM base WHERE doc_id % 73 = 0),
+        |sc AS (
+        |  SELECT
+        |    len(string_split(text, ' ')) AS nw,
+        |    length(replace(text, ' ', '')) AS nc,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nsym,
+        |    length(text) AS tlen,
+        |    list_has_any(string_split(text, ' '), ['the','and','of','to','a']) AS has_stop,
+        |    string_split(text, ' ') AS t
+        |  FROM aug),
+        |sc2 AS (
+        |  SELECT nw, nc, nsym, tlen, has_stop,
+        |    len(list_transform(range(1, nw), i -> t[i] || ' ' || t[i+1])) AS nb,
+        |    len(list_distinct(list_transform(range(1, nw), i -> t[i] || ' ' || t[i+1]))) AS nd
+        |  FROM sc),
+        |m AS (
+        |  SELECT (CASE WHEN nw < 20 OR nw > 2000 THEN 1 ELSE 0 END
+        |        + CASE WHEN nc < nw * 3 OR nc > nw * 12 THEN 2 ELSE 0 END
+        |        + CASE WHEN nsym * 10 > tlen THEN 4 ELSE 0 END
+        |        + CASE WHEN NOT has_stop THEN 8 ELSE 0 END
+        |        + CASE WHEN (nb - nd) * 5 > nb THEN 16 ELSE 0 END) AS bm
+        |  FROM sc2)
+        |SELECT CAST(bm AS BIGINT) AS bitmask,
+        |  CAST(bit_count(CAST(bm AS BIGINT)) AS BIGINT) AS n_rules_failed,
+        |  COUNT(*) AS n_docs
+        |FROM m GROUP BY 1, 2""".stripMargin,
     "ops_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg

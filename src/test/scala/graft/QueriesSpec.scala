@@ -35,6 +35,16 @@ class QueriesSpec extends SparkSuite {
     assert(absent.getLong(1) == 0L)
   }
 
+  test("ops_filter_attrib: every rule fires (planted docs cover all 5 bits) and clean docs survive") {
+    val rows = SparkEntry.queries("ops_filter_attrib")(spark, sf).collect()
+    val union = rows.map(_.getLong(0)).reduce(_ | _)
+    assert(union == 31L, s"some rule never fired: combined bitmask $union, expected 31")
+    val clean = rows.find(_.getLong(0) == 0L)
+    assert(clean.exists(_.getLong(2) > 0), "no document passed all rules")
+    // n_rules_failed is the popcount of its bitmask
+    rows.foreach(r => assert(java.lang.Long.bitCount(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("json_merge_patch is SQL-registrable and null-safe to {} (reference patch.go:13-22)") {
     graft.functions.JsonMergePatch.register(spark)
     val r = spark.sql(
