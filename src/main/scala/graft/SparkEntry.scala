@@ -544,6 +544,7 @@ object SparkEntry {
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "ops_containment"   -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
+    "ops_triangles"     -> (Dedup.triangles _),
     "ops_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "ops_simhash"       -> (Dedup.simhash _),
     "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

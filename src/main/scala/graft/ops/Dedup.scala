@@ -590,4 +590,61 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
+
+  /** Triangle count + local clustering coefficient over the near-dup
+    * candidate graph — the graph-density diagnostic PageRank doesn't give:
+    * a high-coefficient node sits inside a clique-like dup cluster (safe to
+    * collapse), a high-degree low-coefficient node is a hub stitching
+    * UNRELATED docs together (an LSH false-positive magnet — exactly the
+    * node you want flagged before transitive closure merges its neighbors).
+    *
+    * Scale shape — degree-ordered orientation (the standard distributed
+    * triangle algorithm): each undirected edge orients from its (degree,
+    * id)-smaller endpoint to the larger, so every node's OUT-degree is
+    * O(sqrt(m)) regardless of its raw degree, and the wedge self-join's
+    * per-key fan-out is bounded by that — a billion-edge graph with a
+    * degree-10^6 hub generates sqrt-bounded wedges instead of 10^12. The
+    * wedge list joins the oriented edges once more for closure; each
+    * triangle materializes exactly once (src ranked below both dsts, dsts
+    * mutually ranked). Edges are localCheckpointed once and shared by the
+    * degree census, both wedge sides, and the closure probe — the expensive
+    * LSH candidate generation runs once, not four times.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesDf(minhashCandidates(spark, sfDir))
+
+  /** Core of [[triangles]] over any distinct (doc_a < doc_b) pair frame. */
+  def trianglesDf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val deg = edges.select(col("doc_a").as("v"))
+      .union(edges.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // merge hints: deg is a corpus-derived agg output (same estimate hazard
+    // as pagerankDf's) — never broadcast what grows with the graph
+    val withDeg = edges
+      .join(deg.hint("merge").select(col("v").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.hint("merge").select(col("v").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+    val aFirst = struct(col("deg_a"), col("doc_a")) < struct(col("deg_b"), col("doc_b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("ddeg"))
+      .localCheckpoint(false)
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("rv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("rw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(struct(col("rv"), col("v")) < struct(col("rw"), col("w")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val triCounts = closed
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triCounts.hint("merge"), deg("v") === triCounts("node"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("doc_id"), col("deg"), col("n_tri"),
+        when(col("deg") > 1,
+          expr("2000 * n_tri div (deg * (deg - 1))")).otherwise(lit(0L))
+          .as("cc_milli"))
+  }
 }

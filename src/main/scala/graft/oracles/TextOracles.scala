@@ -99,6 +99,24 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math
+    "ops_triangles" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cands),
+         |tri AS (
+         |  SELECT x.a AS u, x.b AS v, y.b AS w
+         |  FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b),
+         |nodes AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nodes GROUP BY v),
+         |tn AS (SELECT u AS v FROM tri
+         |       UNION ALL SELECT v FROM tri
+         |       UNION ALL SELECT w FROM tri),
+         |tc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tn GROUP BY v)
+         |SELECT d.v AS doc_id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+         |  CAST(CASE WHEN d.deg > 1
+         |    THEN (2000 * COALESCE(tc.n_tri, 0)) // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_milli
+         |FROM deg d LEFT JOIN tc ON tc.v = d.v""".stripMargin,
     "ops_pagerank" -> {
       def round(prev: String, cur: String) =
         s"""$cur AS (

@@ -35,6 +35,25 @@ class QueriesSpec extends SparkSuite {
     assert(absent.getLong(1) == 0L)
   }
 
+  test("ops_triangles: per-node counts sum to 3 per triangle; coefficient bounded; planted clique closes") {
+    val rows = SparkEntry.queries("ops_triangles")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum % 3 == 0, "per-node triangle counts must triple-count each triangle")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000, s"cc_milli out of [0,1000]: $r")
+      assert(r.getLong(1) >= 1)
+    }
+    // ground truth on a hand-built graph: a 4-clique on {1,2,3,4} (4 triangles,
+    // every node in 3) plus a hub 5 connected to 6,7,8 (no closures, cc 0)
+    import spark.implicits._
+    val pairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(5L,6L),(5L,7L),(5L,8L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.ops.Dedup.trianglesDf(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (1L to 4L).foreach(v => assert(out(v) == ((3L, 3L, 1000L)), s"clique node $v: ${out(v)}"))
+    assert(out(5L) == ((3L, 0L, 0L)), s"hub: ${out(5L)}")
+    (6L to 8L).foreach(v => assert(out(v) == ((1L, 0L, 0L)), s"leaf $v: ${out(v)}"))
+  }
+
   test("ops_filter_attrib: every rule fires (planted docs cover all 5 bits) and clean docs survive") {
     val rows = SparkEntry.queries("ops_filter_attrib")(spark, sf).collect()
     val union = rows.map(_.getLong(0)).reduce(_ | _)
