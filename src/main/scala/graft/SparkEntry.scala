@@ -554,6 +554,7 @@ object SparkEntry {
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_embed_quant" -> (Similarity.quantizeInt8 _),
+    "ops_embed_gram"  -> (Similarity.embedGram _),
     // text analysis set
     "ops_text_stats"    -> (TextStats.corpusStats _),
     "ops_lang_id"       -> (TextStats.langId _),

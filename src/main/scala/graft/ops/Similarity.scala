@@ -291,4 +291,40 @@ object Similarity {
       nearDupPairs(spark, sfDir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("comp"))
+
+  /** Exact integer Gram matrix over int8-quantized embeddings — the
+    * reduction half of distributed PCA, done as ONE aggregation pass: every
+    * vector contributes its d(d+1)/2 upper-triangle code products in-row
+    * (nested transform + flatten builds the 2080-entry grid per row, one
+    * generator explodes it), and a partial-agg groupBy on (i, j) sums them —
+    * the shuffle carries at most #partitions x 2080 rows no matter how many
+    * billions of vectors reduce. Quantization reuses [[quantizeInt8]]'s
+    * per-vector absmax scheme, so every product is exact BIGINT math and the
+    * result hash-matches any engine.
+    *
+    * This is the scale pattern for covariance/PCA at 100 TB: the cluster
+    * reduces data-sized input to a d x d summary, the driver eigen-solves
+    * the TINY matrix (64 x 64 — microseconds), and the projection broadcasts
+    * back as a constant. `StatsSpec` drives that driver-side half (breeze
+    * eigSym: PSD check, spectral reconstruction) against this operator's
+    * output; the cluster-side reduction here is the only part that touches
+    * the corpus.
+    */
+  def embedGram(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(toDouble(col("embedding")).as("v"))
+    val absmax = array_max(transform(col("v"), x => abs(x)))
+    val codes = transform(col("v"), x => floor(x / col("am") * 127).cast("long"))
+    val withCodes = emb.withColumn("am", absmax)
+      .withColumn("codes",
+        when(col("am") === 0d, transform(col("v"), _ => lit(0L))).otherwise(codes))
+    val grid = flatten(transform(sequence(lit(0L), lit(Dim - 1L)), i =>
+      transform(sequence(i, lit(Dim - 1L)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("codes"), (i + 1).cast("int")) *
+           element_at(col("codes"), (j + 1).cast("int"))).as("p")))))
+    withCodes.select(explode(grid).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("s"))
+  }
 }

@@ -217,6 +217,18 @@ private[graft] object TextOracles {
          |SELECT doc_id, h % 64 AS shard,
          |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h""".stripMargin,
+    "ops_embed_gram" ->
+      s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),
+         |c AS (
+         |  SELECT CASE WHEN am = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(v, x -> CAST(floor(x / am * 127) AS BIGINT)) END AS codes
+         |  FROM a),
+         |pr AS (
+         |  SELECT ti.i AS i, tj.j AS j, codes[ti.i + 1] * codes[tj.j + 1] AS p
+         |  FROM c, range(0, ${Similarity.Dim}) ti(i), range(0, ${Similarity.Dim}) tj(j)
+         |  WHERE tj.j >= ti.i)
+         |SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM pr GROUP BY i, j""".stripMargin,
     "ops_embed_quant" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS am FROM e),

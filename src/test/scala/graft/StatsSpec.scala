@@ -150,4 +150,28 @@ class StatsSpec extends SparkSuite {
       .count()
     assert(nonMatching == 0)
   }
+
+  test("ops_embed_gram: PSD, symmetric-complete, and the driver-side PCA half closes the loop") {
+    import breeze.linalg.{DenseMatrix, eigSym}
+    val d = graft.ops.Similarity.Dim
+    val rows = SparkEntry.queries("ops_embed_gram")(spark, sf).collect()
+    assert(rows.length == d * (d + 1) / 2, "upper triangle incomplete")
+    val g = DenseMatrix.zeros[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toDouble)
+      g(i, j) = s; g(j, i) = s
+    }
+    // the exact-integer Gram of real vectors is PSD; doubles add only fp noise
+    val es = eigSym(g)
+    val evs = es.eigenvalues.toArray
+    assert(evs.min >= -1e-6 * evs.max, s"not PSD: min eig ${evs.min}")
+    // spectral reconstruction: V diag(l) V^T must reproduce the matrix —
+    // this is the projection math a PCA consumer would broadcast
+    val recon = es.eigenvectors * breeze.linalg.diag(es.eigenvalues) * es.eigenvectors.t
+    val maxErr = breeze.linalg.max(breeze.numerics.abs(recon - g))
+    assert(maxErr < 1e-6 * evs.max, s"spectral reconstruction off by $maxErr")
+    // trace identity ties the distributed sum to the spectrum
+    val trace = (0 until d).map(i => g(i, i)).sum
+    assert(math.abs(trace - evs.sum) < 1e-6 * trace.max(1.0))
+  }
 }
