@@ -545,6 +545,7 @@ object SparkEntry {
     "ops_containment"   -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
     "ops_triangles"     -> (Dedup.triangles _),
+    "ops_lsh_calib"     -> ((s: SparkSession, d: String) => Dedup.lshCalibration(s, d)),
     "ops_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "ops_simhash"       -> (Dedup.simhash _),
     "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

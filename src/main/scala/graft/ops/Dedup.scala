@@ -591,6 +591,60 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
+  /** LSH calibration — measured recall of the MinHash banding against exact
+    * ground truth, per similarity decile: for every doc pair sharing ≥ 1
+    * shingle with exact Jaccard ≥ 0.1, was it surfaced as an LSH candidate?
+    * This is the tuning artifact for the (numHashes, rowsPerBand) trade: the
+    * S-curve P(candidate) = 1-(1-j^b)^r is theory; this measures it on YOUR
+    * corpus, per decile, next to the false-positive mass (candidates below
+    * the truth floor, bucket -1). Run it on a sample before committing a
+    * banding config to a 100 TB dedup pass.
+    *
+    * Exactness: the decile is integer math off the exact intersection
+    * ((10 * |A∩B|) div |A∪B|) — no float boundary can disagree between
+    * engines — and recall_milli is an integer permille. Ground-truth pair
+    * enumeration is the df-capped inverted index (same bound and caveat as
+    * [[ngramJaccardDf]]: stop-shingles beyond the cap are dropped, which is
+    * also what you'd do at 100 TB); candidates come from
+    * [[minhashCandidatesDf]] unchanged. The truth↔candidate comparison is a
+    * pair-keyed FULL OUTER join — key-local, no fan-out beyond the pair sets
+    * themselves.
+    */
+  def lshCalibration(spark: SparkSession, sfDir: String,
+                     dfCap: Int = 5000): DataFrame =
+    lshCalibrationDf(Tables.load(spark, sfDir, "documents"), dfCap)
+
+  /** DataFrame-level core of [[lshCalibration]] over any (doc_id, text)
+    * frame — also the spec's entry point for controlled-overlap corpora
+    * (the testdata's planted dups are all ≥ 90% similar, so only the top
+    * decile shows there; `DedupBoundsSpec` drives the mid-similarity range).
+    */
+  def lshCalibrationDf(docs: DataFrame, dfCap: Int = 5000): DataFrame = {
+    val hv = shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
+      .distinct()
+    val sizes = hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val truth = hv
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("10 * n_shared div (n_a + n_b - n_shared)").as("bucket"))
+      .filter(col("bucket") >= 1)
+    val cands = minhashCandidatesDf(docs).withColumn("is_cand", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+      .groupBy(coalesce(col("bucket"), lit(-1L)).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"))
+      .select(col("bucket"), col("n_pairs"), col("n_cand"),
+        expr("1000 * n_cand div n_pairs").as("recall_milli"))
+  }
+
   /** Triangle count + local clustering coefficient over the near-dup
     * candidate graph — the graph-density diagnostic PageRank doesn't give:
     * a high-coefficient node sits inside a clique-like dup cluster (safe to

@@ -99,6 +99,28 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math
+    "ops_lsh_calib" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |hv AS (SELECT DISTINCT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hv GROUP BY doc_id),
+         |pf AS (SELECT h FROM hv GROUP BY h HAVING COUNT(*) > 1 AND COUNT(*) <= 5000),
+         |shp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.h IN (SELECT h FROM pf)
+         |  GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT doc_a, doc_b, (10 * ns) // (sa.n_sh + sb.n_sh - ns) AS bucket
+         |  FROM shp JOIN sz sa ON shp.doc_a = sa.doc_id
+         |           JOIN sz sb ON shp.doc_b = sb.doc_id),
+         |tr1 AS (SELECT * FROM tr WHERE bucket >= 1)
+         |SELECT CAST(COALESCE(t.bucket, -1) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |  CAST((1000 * SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM tr1 t FULL JOIN cands c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |GROUP BY 1""".stripMargin,
     "ops_triangles" ->
       s"""WITH $shinglesCte,
          |$minhashCandsCte,

@@ -118,6 +118,29 @@ class DedupBoundsSpec extends SparkSuite {
     assert(five(2L) > five(1L) && five(1L) == five(3L), s"got $five")
   }
 
+  test("lsh calibration: identical pairs always recalled; candidates bounded by truth per decile") {
+    import spark.implicits._
+    // 30 vocabulary-disjoint pairs: 15 identical (jaccard 1.0 -> bucket 10),
+    // 15 half-overlapping (10 shared / 34 union shingles -> bucket 2)
+    val docs = (0 until 30).flatMap { p =>
+      val toks = (0 until 24).map(i => s"w${p}_$i")
+      val a = toks.mkString(" ")
+      val b = if (p < 15) a
+              else (toks.drop(12) ++ (0 until 12).map(i => s"u${p}_$i")).mkString(" ")
+      Seq((2L * p, a), (2L * p + 1, b))
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshCalibrationDf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // identical sets -> identical signatures -> every band collides: recall MUST be total
+    assert(out(10L) == ((15L, 15L, 1000L)), s"bucket 10: ${out.get(10L)}")
+    // the half-overlap pairs land in their computed decile; the banding
+    // S-curve decides how many surface, but never more than exist
+    assert(out.contains(2L), s"mid bucket missing: ${out.keySet}")
+    out.foreach { case (b, (np, nc, rm)) =>
+      assert(nc <= np && rm >= 0 && rm <= 1000, s"bucket $b: ($np, $nc, $rm)")
+    }
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)
