@@ -570,6 +570,7 @@ object SparkEntry {
     "ops_skipgram_pmi"  -> ((s: SparkSession, d: String) => TextStats.skipgramPmi(s, d)),
     "ops_bm25"          -> ((s: SparkSession, d: String) => TextStats.bm25Search(s, d)),
     "ops_entropy"       -> (TextStats.tokenEntropy _),
+    "ops_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),

@@ -411,4 +411,35 @@ object TextStats {
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
         col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Heavy hitters — tokens with frequency above n/`capacity` — via the
+    * sketch-then-verify two-pass that makes a Misra–Gries summary
+    * DETERMINISTIC end to end: pass 1 reduces the corpus to one capacity-m
+    * summary (plus the exact token total, riding the same aggregation), whose
+    * keys are a GUARANTEED superset of every true heavy hitter
+    * ([[graft.functions.MisraGries]]: anything above n/(m+1) survives any
+    * merge order); pass 2 re-counts ONLY the ≤ m candidate tokens exactly
+    * (broadcast filter join — the shuffle carries ≤ m keys, never the
+    * domain) and keeps those exceeding the threshold. Merge-order
+    * sensitivity lives only in which NON-heavy keys pad the candidate set,
+    * and the exact pass discards precisely those — so the output
+    * hash-matches a plain GROUP BY / HAVING oracle while never aggregating
+    * the full domain: at 100 TB, pass 1 ships capacity-m maps per partition
+    * and pass 2 ships ≤ m counter rows, vs. a full-vocabulary shuffle for
+    * the naive form.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   capacity: Int = 64): DataFrame = {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val mg = graft.functions.MisraGries.sketch(capacity)
+    val cands = toks
+      .agg(mg(col("tok")).as("sk"), count(lit(1)).as("n_total"))
+      .select(explode(map_keys(col("sk"))).as("tok"), col("n_total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * capacity > col("n_total"))
+      .select(col("tok"), col("n"))
+  }
 }

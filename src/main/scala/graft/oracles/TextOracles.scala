@@ -99,6 +99,10 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math
+    "ops_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        |HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM toks)""".stripMargin,
     "ops_lsh_calib" ->
       s"""WITH $shinglesCte,
          |$minhashCandsCte,

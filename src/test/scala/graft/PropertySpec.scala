@@ -18,6 +18,40 @@ class PropertySpec extends SparkSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("misra-gries: guarantee holds under every partitioning (merge-order stress)") {
+    val mg = graft.functions.MisraGries.sketch(8)
+    // 3 planted heavies far above n/(m+1) drowned in 2000 distinct singletons
+    val heavies = Seq("alpha", "beta", "gamma")
+    val stream = heavies.flatMap(h => Seq.fill(1000)(h)) ++
+      (0 until 2000).map(i => s"noise_$i")
+    val n = stream.size.toLong       // 5000; err bound n/(m+1) = 555
+    val err = n / 9
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = stream.toDF("tok").repartition(parts)
+      val sk = df.agg(mg(col("tok"))).collect()(0).getAs[Map[String, Long]](0)
+      assert(sk.size <= 8, s"capacity exceeded: ${sk.size}")
+      heavies.foreach(h => assert(sk.contains(h),
+        s"$parts partitions: heavy '$h' (freq 1000 > $err) missing — guarantee broken"))
+      sk.foreach { case (k, est) =>
+        val t = exact(k)
+        assert(est <= t && t <= est + err,
+          s"$parts partitions: '$k' est $est outside [${t - err}, $t]")
+      }
+    }
+  }
+
+  test("misra-gries: exact (and partitioning-invariant) when distinct keys fit capacity") {
+    val mg = graft.functions.MisraGries.sketch(64)
+    val stream = (0 until 3000).map(i => s"k${i % 20}")
+    for (parts <- Seq(1, 13)) {
+      val sk = stream.toDF("tok").repartition(parts)
+        .agg(mg(col("tok"))).collect()(0).getAs[Map[String, Long]](0)
+      assert(sk.size == 20)
+      assert(sk.values.forall(_ == 150L), s"counts drifted: $sk")
+    }
+  }
+
   test("tiering ladder: invariants hold for ALL size combinations") {
     val sizes = Gen.choose(0, 40)
     check(Prop.forAll(sizes, sizes, Gen.choose(1, 120), Gen.choose(0, 50)) { (np, nv, limit, ne) =>
