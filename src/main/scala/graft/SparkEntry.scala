@@ -508,6 +508,7 @@ object SparkEntry {
     "ops_mad_outliers"      -> (Relational.madOutliers _),
     "ops_full_outer"        -> (Relational.reconcileHourly _),
     "ops_dau_wau"           -> (Relational.dauWau _),
+    "ops_cum_users"         -> (Relational.cumulativeUsers _),
     "ops_revenue_share"     -> (Relational.revenueShare _),
     "ops_transition_matrix" -> (Relational.transitionMatrix _),
     "ops_unpivot"           -> (Relational.unpivotSegmentMetrics _),

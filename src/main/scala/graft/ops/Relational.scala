@@ -669,6 +669,31 @@ object Relational {
     dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Cumulative distinct users per day — the expanding-window COUNT
+    * DISTINCT, which (like [[dauWau]]'s sliding variant) no window frame
+    * computes directly: a user active on 50 days must count once, forever.
+    * The first-touch decomposition makes it exact AND cheap: distinct-count
+    * over an expanding window ≡ running SUM of NEW-user counts, and "new" =
+    * the user's MIN activity day — one per-user reduction (partial agg), one
+    * day-grain rollup, one running sum over day-cardinality rows. The only
+    * window partitions DAYS (thousands of rows at any corpus size); the
+    * per-user min is where the data-sized work happens, and it is a plain
+    * partial-aggregable min. Days with activity but no new users report
+    * their standing total (day census LEFT join, zero-filled).
+    */
+  def cumulativeUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    val newPerDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val days = ev.select(col("day")).distinct()
+    days.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** FULL OUTER reconciliation — the one standard join type the inventory
     * lacked: hourly signup counts vs hourly purchase counts, keeping hours
     * present on EITHER side (zero-filled). The canonical cross-system /

@@ -207,6 +207,15 @@ private[graft] object OpsOracles {
         |wau AS (SELECT day, COUNT(*) AS wau FROM cov GROUP BY day)
         |SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+    "ops_cum_users" ->
+      """WITH ed AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM ed GROUP BY user_id),
+        |nd AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY day),
+        |days AS (SELECT DISTINCT day FROM ed)
+        |SELECT d.day, CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM days d LEFT JOIN nd ON d.day = nd.day""".stripMargin,
     "ops_full_outer" ->
       """WITH s AS (
         |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_signups

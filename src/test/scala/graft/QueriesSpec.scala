@@ -35,6 +35,19 @@ class QueriesSpec extends SparkSuite {
     assert(absent.getLong(1) == 0L)
   }
 
+  test("ops_cum_users: monotone, first-day total matches, final equals distinct users") {
+    val rows = SparkEntry.queries("ops_cum_users")(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cumulative count decreased")
+    assert(rows.head.getLong(1) == rows.head.getLong(2), "day 1: cum must equal new")
+    val distinctUsers = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(cums.last == distinctUsers,
+      s"final cumulative ${cums.last} != distinct users $distinctUsers")
+  }
+
   test("ops_triangles: per-node counts sum to 3 per triangle; coefficient bounded; planted clique closes") {
     val rows = SparkEntry.queries("ops_triangles")(spark, sf).collect()
     assert(rows.map(_.getLong(2)).sum % 3 == 0, "per-node triangle counts must triple-count each triangle")
