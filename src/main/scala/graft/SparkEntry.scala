@@ -547,6 +547,7 @@ object SparkEntry {
     "ops_pagerank"      -> (Dedup.pagerank _),
     "ops_triangles"     -> (Dedup.triangles _),
     "ops_lsh_calib"     -> ((s: SparkSession, d: String) => Dedup.lshCalibration(s, d)),
+    "ops_incr_dedup"    -> (Dedup.incrementalDedup _),
     "ops_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "ops_simhash"       -> (Dedup.simhash _),
     "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),

@@ -119,7 +119,22 @@ object Dedup {
     * has 5k docs total), so verified results are cap-invariant there.
     */
   def minhashCandidatesDf(docs: DataFrame, numHashes: Int = 16,
-                          rowsPerBand: Int = 2, bucketCap: Int = 10000): DataFrame = {
+                          rowsPerBand: Int = 2, bucketCap: Int = 10000): DataFrame =
+    bandFrame(docs, numHashes, rowsPerBand)
+      .groupBy(col("band.band_id"), col("band.sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(cappedPairs(col("ids"), bucketCap)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
+  /** Per-doc LSH band rows (doc_id, band.band_id, band.sig): the join key
+    * material of MinHash banding, shared by the self-pairing candidate
+    * generator ([[minhashCandidatesDf]]) and the batch-vs-index incremental
+    * path ([[incrementalDedupDf]]).
+    */
+  private[ops] def bandFrame(docs: DataFrame, numHashes: Int,
+                             rowsPerBand: Int): DataFrame = {
     val sig = minhashSignatures(shingles(docs), numHashes)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
@@ -127,12 +142,6 @@ object Dedup {
       struct(lit(b).as("band_id"), concat_ws("-", parts: _*).as("sig"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .groupBy(col("band.band_id"), col("band.sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(cappedPairs(col("ids"), bucketCap)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity via inverted-index join: only pairs
@@ -589,6 +598,60 @@ object Dedup {
     toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** Incremental dedup — an arriving BATCH checked against the standing
+    * CORPUS without ever re-pairing the corpus with itself: the batch's band
+    * signatures join the corpus's band index on (band_id, sig), and only
+    * those cross candidates get the exact shingle-set verify. This is how a
+    * dedup pass actually runs day over day at 100 TB — the corpus side of
+    * the band index is a materialized table keyed on (band_id, sig) that
+    * the nightly batch probes; only the probe join and the O(candidates)
+    * verify touch compute, never a corpus self-join. Here both sides derive
+    * from one signature pass over the documents table (batch = doc_id % 10
+    * == 0 plays the arriving slice), which also means the index build cost
+    * is measured, not hidden.
+    *
+    * Oversized corpus buckets (boilerplate signatures) are dropped at
+    * `bucketCap` before the probe — same df-cut rationale as
+    * [[ngramJaccardDf]]: a degenerate bucket multiplies every probing batch
+    * doc by its size while carrying no discriminative signal.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalDedupDf(Tables.load(spark, sfDir, "documents"))
+
+  /** Core of [[incrementalDedup]]; batch membership = doc_id % 10 == 0. */
+  def incrementalDedupDf(docs: DataFrame, threshold: Double = 0.2,
+                         numHashes: Int = 16, rowsPerBand: Int = 2,
+                         bucketCap: Int = 10000): DataFrame = {
+    val isBatch = col("doc_id") % 10 === 0
+    val bands = bandFrame(docs, numHashes, rowsPerBand)
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.sig").as("sig"))
+    val batchBands = bands.filter(isBatch).select(col("doc_id").as("batch_id"),
+      col("band_id"), col("sig"))
+    val corpusBands = bands.filter(!isBatch)
+    // cap corpus buckets before the probe join (count rides a window over
+    // the already-shuffled key — no second aggregation pass)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("sig"))
+    val corpusIdx = corpusBands
+      .withColumn("bsize", count(lit(1)).over(cw))
+      .filter(col("bsize") <= bucketCap)
+      .select(col("doc_id").as("corpus_id"), col("band_id"), col("sig"))
+    val cands = batchBands.join(corpusIdx, Seq("band_id", "sig"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val sets = shingles(docs)
+      .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = size(array_intersect(col("ha"), col("hb")))
+    val jaccard = inter.cast("double") /
+      (size(col("ha")) + size(col("hb")) - inter).cast("double")
+    cands
+      .join(sets.select(col("doc_id").as("batch_id"), col("hs").as("ha")), "batch_id")
+      .join(sets.select(col("doc_id").as("corpus_id"), col("hs").as("hb")), "corpus_id")
+      .filter(jaccard >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(jaccard, 6).as("jaccard"))
   }
 
   /** LSH calibration — measured recall of the MinHash banding against exact

@@ -99,6 +99,28 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math
+    "ops_incr_dedup" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |bb AS (SELECT doc_id AS batch_id, band_id, sig FROM bands WHERE doc_id % 10 = 0),
+         |csz AS (SELECT band_id, sig, COUNT(*) AS bsize
+         |        FROM bands WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+         |ci AS (SELECT b.doc_id AS corpus_id, b.band_id, b.sig
+         |       FROM bands b JOIN csz USING (band_id, sig)
+         |       WHERE b.doc_id % 10 <> 0 AND csz.bsize <= 10000),
+         |pairs AS (SELECT DISTINCT batch_id, corpus_id FROM bb JOIN ci USING (band_id, sig)),
+         |hv AS (SELECT DISTINCT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hv GROUP BY doc_id),
+         |iv AS (SELECT p.batch_id, p.corpus_id, CAST(COUNT(*) AS BIGINT) AS ns
+         |       FROM pairs p
+         |       JOIN hv a ON a.doc_id = p.batch_id
+         |       JOIN hv b ON b.doc_id = p.corpus_id AND b.h = a.h
+         |       GROUP BY 1, 2)
+         |SELECT iv.batch_id, iv.corpus_id,
+         |  round(ns * 1.0 / (sa.n + sb.n - ns), 6) AS jaccard
+         |FROM iv JOIN sz sa ON iv.batch_id = sa.doc_id
+         |        JOIN sz sb ON iv.corpus_id = sb.doc_id
+         |WHERE ns * 1.0 / (sa.n + sb.n - ns) >= 0.2""".stripMargin,
     "ops_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok

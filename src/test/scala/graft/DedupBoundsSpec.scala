@@ -141,6 +141,19 @@ class DedupBoundsSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup: identical batch doc always matches its corpus twin; no corpus self-pairs") {
+    import spark.implicits._
+    // corpus docs 1..9, batch doc 10 (% 10 == 0) identical to corpus doc 3;
+    // distinct vocabularies elsewhere so nothing else can pair
+    val docs = ((1 to 9).map { i =>
+      (i.toLong, (0 until 20).map(j => s"v${i}_$j").mkString(" "))
+    } :+ ((10L, (0 until 20).map(j => s"v3_$j").mkString(" ")))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupDf(docs).collect()
+    assert(out.length == 1, s"expected exactly the planted twin: ${out.mkString(",")}")
+    assert(out(0).getLong(0) == 10L && out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)
