@@ -3,7 +3,8 @@ package graft.streaming
 import graft.functions.MergePatch
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Live-mode CDC pipeline: the reference's event loop (`server.go:258-281`)
   * re-expressed as Structured Streaming.
@@ -50,21 +51,25 @@ object CdcStream {
                            user_id: Long, op: String, payload: String,
                            previous: String, changes: String)
 
-  private def processGroup(
-      userId: Long, rows: Iterator[RawChange],
-      state: GroupState[String]): Iterator[CdcEvent] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    // within a micro-batch, apply rows in event order (null ts sorts first —
-    // one bad row must not kill the query, cf. DeadLetter). FULL-PRECISION
-    // micros, same formula as CdcSource.toInternalRow: getTime alone truncates
-    // to millis, so two events in the same millisecond but different
-    // microseconds could order differently here than in the batch path
-    // (EventLog orders by full-precision ts)
+  /** Shared per-key micro-batch fold: order rows, thread the prev-image
+    * through, emit CDC events; returns the events and the final image. Both
+    * stateful APIs — classic `flatMapGroupsWithState` and Spark 4
+    * `transformWithState` — delegate here, so their semantics cannot drift.
+    *
+    * Within a micro-batch, rows apply in event order (null ts sorts first —
+    * one bad row must not kill the query, cf. DeadLetter). FULL-PRECISION
+    * micros, same formula as CdcSource.toInternalRow: getTime alone
+    * truncates to millis, so two events in the same millisecond but
+    * different microseconds could order differently here than in the batch
+    * path (EventLog orders by full-precision ts).
+    */
+  private def foldChanges(rows: Iterator[RawChange],
+                          prev0: Option[String]): (Seq[CdcEvent], Option[String]) = {
     val ordered = rows.toSeq.sortBy(r =>
       (if (r.ts == null) Long.MinValue
        else r.ts.getTime / 1000 * 1000000L + r.ts.getNanos / 1000,
        r.event_id))
-    var prev: Option[String] = state.getOption
+    var prev: Option[String] = prev0
     val out = ordered.map { r =>
       val op = opOf(r.event_type)
       val changes =
@@ -76,6 +81,14 @@ object CdcStream {
       prev = Some(r.props)
       ev
     }
+    (out, prev)
+  }
+
+  private def processGroup(
+      userId: Long, rows: Iterator[RawChange],
+      state: GroupState[String]): Iterator[CdcEvent] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val (out, prev) = foldChanges(rows, state.getOption)
     prev.foreach(state.update)
     out.iterator
   }
@@ -99,6 +112,45 @@ object CdcStream {
           if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           out
       }
+  }
+
+  /** Spark 4 `transformWithState` port of the prev-image tracker — the
+    * modern stateful API (SPARK-46815): explicit named `ValueState` with
+    * native TTL instead of timeout callbacks, RocksDB-backed. Semantics are
+    * IDENTICAL to [[withPrevState]] by construction (both fold through
+    * [[foldChanges]]); `CdcStreamSpec` replays the same input through both
+    * and asserts row-for-row parity. State TTL here is declarative
+    * (`TTLConfig` per state variable, requires `TimeMode.ProcessingTime`)
+    * versus the classic path's manual re-arm — the per-key partitioning and
+    * 100 TB posture are unchanged: state lives with its shuffle key.
+    */
+  class PrevImageProcessor(ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessor[Long, RawChange, CdcEvent] {
+    @transient private var prevState: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[RawChange],
+                                 timerValues: TimerValues): Iterator[CdcEvent] = {
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val (out, p1) = foldChanges(rows, p0)
+      p1.foreach(prevState.update)
+      out.iterator
+    }
+  }
+
+  /** [[withPrevState]] via [[PrevImageProcessor]]. TTL requires processing-
+    * time semantics; without one the query runs in `TimeMode.None`.
+    */
+  def withPrevStateTws(ds: Dataset[RawChange],
+                       ttl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PrevImageProcessor(ttl), mode, OutputMode.Append())
   }
 
   /** Multi-table variant of [[withPrevState]]: state keyed by

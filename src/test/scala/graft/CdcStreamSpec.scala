@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.CdcStream
-import graft.streaming.CdcStream.{RawChange, Subscription}
+import graft.streaming.CdcStream.{CdcEvent, RawChange, Subscription}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -52,6 +52,44 @@ class CdcStreamSpec extends SparkSuite {
       assert(rows(2).getAs[String]("previous") == """{"k":2}""")
       assert(rows(2).getAs[String]("changes") == """{"k":2}""")
     } finally q.stop()
+  }
+
+  test("transformWithState prev-image path matches the classic API row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batch1 = Seq(
+      RawChange(1, t(0), 1, "signup", """{"k":1}"""),
+      RawChange(2, t(1), 1, "purchase", """{"k":2,"x":"a"}"""),
+      RawChange(3, t(0), 2, "signup", """{"k":9}"""))
+    val batch2 = Seq(
+      RawChange(4, t(2), 1, "view", """{"k":5}"""),
+      RawChange(5, t(2), 2, "error", """{"k":9}"""))
+    def run(name: String, f: org.apache.spark.sql.Dataset[RawChange] =>
+        org.apache.spark.sql.Dataset[CdcEvent]): Seq[String] = {
+      val in = MemoryStream[RawChange]
+      val q = f(in.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+        spark.table(name).orderBy("event_id").collect().map(_.toString).toSeq
+      } finally q.stop()
+    }
+    try {
+      val modern = run("tws_out", ds => CdcStream.withPrevStateTws(ds))
+      val classic = run("classic_out", ds => CdcStream.withPrevState(ds))
+      assert(modern.size == 5)
+      assert(modern == classic, s"API paths diverged:\n$modern\nvs\n$classic")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   test("same-batch ordering: rows within one micro-batch chain correctly") {
