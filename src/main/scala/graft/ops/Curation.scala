@@ -429,7 +429,7 @@ object Curation {
     *   bit 4 — duplicate-bigram ratio > 20%     (5 * n_dup > n_bigrams)
     *
     * The base corpus is clean synthetic text, so — same discipline as
-    * `ops_dq_audit` — deterministic violating docs are unioned in (each
+    * `ops_dq_audit` — deterministic violating docs are added (each
     * derived from a `% prime` slice of the base, replayed identically in the
     * oracle), proving every rule and several multi-rule combinations fire:
     * symbol-spiked (bit 2), a 2200-word spam repeat (bits 0+3+4), a tiny doc
@@ -437,24 +437,26 @@ object Curation {
     *
     * Scale shape: every rule is an in-row fold over the token array — one
     * scan, one partial agg on a key whose cardinality is ≤ 2^5 regardless of
-    * corpus size. The planted union adds map-side rows only. Zero joins.
+    * corpus size. Planting is an in-row conditional explode riding the one
+    * scan — pure map fan-out. Zero joins.
     */
   def filterAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
-    val spiked = Seq(
-      docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"),
-        concat(col("text"),
-          expr("repeat(' #$%!', CAST((length(text) div 20) + 1 AS INT))")).as("text")),
-      docs.filter(col("doc_id") % 89 === 0)
-        .select(col("doc_id"), trim(expr("repeat('spam ham ', 1100)")).as("text")),
-      docs.filter(col("doc_id") % 83 === 0)
-        .select(col("doc_id"), lit("tiny doc").as("text")),
-      docs.filter(col("doc_id") % 79 === 0).select(col("doc_id"),
-        trim(expr("repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 30)")).as("text")),
-      docs.filter(col("doc_id") % 73 === 0)
-        .select(col("doc_id"), trim(expr("repeat('a ', 40)")).as("text"))
-    ).reduce(_ unionByName _)
-    val all = docs.unionByName(spiked)
+    // planted violators ride the SAME scan as the base rows: each doc emits
+    // its original text plus any slice-conditional variants via an in-row
+    // conditional array + explode (a 5-way filter-union would re-scan the
+    // corpus six times; this is one scan, pure map fan-out)
+    val variants = array(
+      col("text"),
+      when(col("doc_id") % 97 === 0, concat(col("text"),
+        expr("repeat(' #$%!', CAST((length(text) div 20) + 1 AS INT))"))),
+      when(col("doc_id") % 89 === 0, trim(expr("repeat('spam ham ', 1100)"))),
+      when(col("doc_id") % 83 === 0, lit("tiny doc")),
+      when(col("doc_id") % 79 === 0,
+        trim(expr("repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 30)"))),
+      when(col("doc_id") % 73 === 0, trim(expr("repeat('a ', 40)"))))
+    val all = docs.select(
+      explode(filter(variants, v => v.isNotNull)).as("text"))
     val toks = split(col("text"), " ")
     val bigrams = bigramsOf(col("text"))
     val scored = all.select(
