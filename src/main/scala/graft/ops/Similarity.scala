@@ -318,13 +318,15 @@ object Similarity {
     val withCodes = emb.withColumn("am", absmax)
       .withColumn("codes",
         when(col("am") === 0d, transform(col("v"), _ => lit(0L))).otherwise(codes))
-    val grid = flatten(transform(sequence(lit(0L), lit(Dim - 1L)), i =>
-      transform(sequence(i, lit(Dim - 1L)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col("codes"), (i + 1).cast("int")) *
-           element_at(col("codes"), (j + 1).cast("int"))).as("p")))))
-    withCodes.select(explode(grid).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("s"))
+    // two stacked posexplode generators stay in whole-stage codegen; the
+    // nested-transform + struct-array form of the same grid ran ~3x slower
+    // (interpreted higher-order lambdas building 2080 structs per row —
+    // the simhash/dedupVerify trade-off, measured again here)
+    withCodes
+      .select(col("codes"), posexplode(col("codes")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("codes")).as(Seq("j", "cj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(sum(col("ci") * col("cj")).as("s"))
   }
 }
