@@ -683,9 +683,12 @@ object Dedup {
     * decile shows there; `DedupBoundsSpec` drives the mid-similarity range).
     */
   def lshCalibrationDf(docs: DataFrame, dfCap: Int = 5000): DataFrame = {
+    // the per-doc hash set feeds BOTH the size census and the posting index
+    // — persist it once (same diamond and lifecycle note as dedupVerifyDf)
     val hv = shingles(docs)
       .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val truth = hv
       .groupBy(col("h"))
