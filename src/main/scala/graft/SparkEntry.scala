@@ -520,6 +520,9 @@ object SparkEntry {
     "ops_q21_waiting"       -> (Relational.soleProblemSuppliers _),
     "ops_q20_dominant_supp" -> (Relational.dominantPartSuppliers _),
     "ops_q22_idle_rich"     -> (Relational.idleRichCustomers _),
+    "ops_q4_late_orders"    -> (Relational.latePriorityCensus _),
+    "ops_q3_ship_priority"  -> (Relational.shippingPriority _),
+    "ops_benford"           -> (Relational.benfordAudit _),
     "ops_q15_top_supplier"  -> (Relational.topRevenueSupplier _),
     "ops_q18_large_orders"  -> ((s: SparkSession, d: String) => Relational.largeQuantityOrders(s, d)),
     "ops_dq_audit"          -> (Relational.dqAudit _),
@@ -573,6 +576,7 @@ object SparkEntry {
     "ops_bm25"          -> ((s: SparkSession, d: String) => TextStats.bm25Search(s, d)),
     "ops_entropy"       -> (TextStats.tokenEntropy _),
     "ops_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)),
+    "ops_bpe_pairs"     -> (TextStats.bpePairStats _),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),
     "ops_doc_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),

@@ -669,6 +669,83 @@ object Relational {
     dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Benford first-digit audit — the classic fraud/data-quality screen:
+    * leading-digit distribution of order totals against Benford's law. The
+    * digit extraction stays EXACT: price → cents (decimal→BIGINT, the
+    * repo-wide money discipline) → first character of the integer's decimal
+    * string — identical in any engine, where floor(x/10^floor(log10 x)) on
+    * doubles can flip at powers of ten. Expected frequencies are milli-unit
+    * constants (log10(1+1/d) is irrational; the CONSTANTS are the spec).
+    * One scan, partial agg onto nine keys; the share window moves nine rows.
+    */
+  def benfordAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val o = Tables.load(spark, sfDir, "orders").filter(col("o_totalprice") > 0)
+    val digit = substring((money(col("o_totalprice")) * 100).cast("long").cast("string"), 1, 1)
+      .cast("long")
+    val expectedCol = expected.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, p).otherwise(acc)
+    }
+    o.select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+      .withColumn("observed_permille",
+        expr("1000 * n_orders div sum(n_orders) OVER ()"))
+      .withColumn("expected_permille", expectedCol)
+      .withColumn("deviation_permille",
+        abs(col("observed_permille") - col("expected_permille")))
+  }
+
+  /** TPC-H Q4 shape — EXISTS-with-condition rolled up: order counts per
+    * priority among orders with at least one LATE line (shipped > 90 days
+    * after the order date; this schema has no commit/receipt dates, so
+    * lateness is ship-vs-order-date). The EXISTS decorrelates to a LEFT
+    * SEMI join — the probe ships only its join key + grouping column, the
+    * build side prunes to late lines at the scan (the date comparison needs
+    * both tables, so it sits in the join condition; the 1996 order window
+    * DOES push to the orders scan) — and the priority rollup is a partial
+    * agg over the handful of surviving keys. Never inner-join-then-distinct.
+    */
+  def latePriorityCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** TPC-H Q3 shape — shipping-priority top-k: revenue of orders not yet
+    * fully shipped at the cutoff, for one market segment, top 10 by
+    * revenue. The segment filter broadcasts customer keys onto the orders
+    * scan; revenue reduces per order with partial agg (basis-point integer
+    * cents so the top-k cut is exact); the final cut is a
+    * TakeOrderedAndProject heap with the order key tie-break, never a
+    * global sort.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(money(col("l_extendedprice")) *
+             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        .cast("long").as("rev_bp"))
+      .orderBy(col("rev_bp").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Cumulative distinct users per day — the expanding-window COUNT
     * DISTINCT, which (like [[dauWau]]'s sliding variant) no window frame
     * computes directly: a user active on 50 days must count once, forever.

@@ -428,6 +428,32 @@ object TextStats {
     * and pass 2 ships ≤ m counter rows, vs. a full-vocabulary shuffle for
     * the naive form.
     */
+  /** BPE pair statistics — the counting pass of byte-pair-encoding tokenizer
+    * training: corpus-wide frequencies of adjacent character pairs inside
+    * words, weighted by word frequency. The scale move is TYPES VS TOKENS:
+    * the corpus reduces to its vocabulary FIRST (distinct word + count — a
+    * partial agg whose output grows by Heaps' law, sublinearly in corpus
+    * size), and the character-pair explode runs in-row over each TYPE once,
+    * weighted by its count — at 100 TB the token stream is trillions of
+    * rows but the type table is millions, and the pair census shuffles
+    * types. Exploding pairs from every token occurrence — the naive form —
+    * does 1000× the generator work for identical output. Each BPE merge
+    * iteration re-runs exactly this pass over the re-segmented vocab.
+    */
+  def bpePairStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+    vocab
+      .select(col("n"),
+        explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_positions"), sum(col("n")).as("pair_count"))
+  }
+
   def heavyHitters(spark: SparkSession, sfDir: String,
                    capacity: Int = 64): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")

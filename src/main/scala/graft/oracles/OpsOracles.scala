@@ -345,6 +345,38 @@ private[graft] object OpsOracles {
         |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
         |WHERE qty_c * 5 * n_li < sum_qc
         |GROUP BY p_brand""".stripMargin,
+    "ops_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit),
+        |e(digit, expected_permille) AS (VALUES (1, 301), (2, 176), (3, 125),
+        |  (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+        |SELECT g.digit, g.n_orders,
+        |  CAST(1000 * n_orders // CAST(SUM(n_orders) OVER () AS BIGINT) AS BIGINT) AS observed_permille,
+        |  CAST(e.expected_permille AS BIGINT) AS expected_permille,
+        |  CAST(abs(1000 * n_orders // CAST(SUM(n_orders) OVER () AS BIGINT)
+        |    - e.expected_permille) AS BIGINT) AS deviation_permille
+        |FROM g JOIN e ON g.digit = e.digit""".stripMargin,
+    "ops_q4_late_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "ops_q3_ship_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY rev_bp DESC, l_orderkey LIMIT 10""".stripMargin,
     "ops_q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

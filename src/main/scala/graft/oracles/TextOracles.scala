@@ -121,6 +121,15 @@ private[graft] object TextOracles {
          |FROM iv JOIN sz sa ON iv.batch_id = sa.doc_id
          |        JOIN sz sb ON iv.corpus_id = sb.doc_id
          |WHERE ns * 1.0 / (sa.n + sb.n - ns) >= 0.2""".stripMargin,
+    "ops_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok HAVING length(tok) >= 2),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substring(tok, CAST(i AS INTEGER), 2))) AS pair, n
+        |  FROM vocab)
+        |SELECT pair, COUNT(*) AS n_positions, CAST(SUM(n) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair""".stripMargin,
     "ops_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok

@@ -308,6 +308,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("ops_q4_late_orders: EXISTS decorrelates to a semi join, order window pushed to the scan") {
+    val p = plan("ops_q4_late_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("Distinct"), "EXISTS planned as inner-join-plus-distinct")
+  }
+
+  test("ops_q3_ship_priority: top-10 is a heap, segment filter a broadcast semi join") {
+    val p = plan("ops_q3_ship_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
     val p = plan("ops_dq_audit")
     assert(p.contains("BroadcastHashJoin"), p)
