@@ -523,6 +523,7 @@ object SparkEntry {
     "ops_q4_late_orders"    -> (Relational.latePriorityCensus _),
     "ops_q3_ship_priority"  -> (Relational.shippingPriority _),
     "ops_benford"           -> (Relational.benfordAudit _),
+    "ops_drawdown"          -> (Relational.maxDrawdown _),
     "ops_q15_top_supplier"  -> (Relational.topRevenueSupplier _),
     "ops_q18_large_orders"  -> ((s: SparkSession, d: String) => Relational.largeQuantityOrders(s, d)),
     "ops_dq_audit"          -> (Relational.dqAudit _),

@@ -31,14 +31,17 @@ object StreamBench {
       .select("event_id", "ts", "user_id", "event_type", "props")
       .as[CdcStream.RawChange].collect()
 
-    def drain(feedName: String, conf: Map[String, String] = Map.empty): Double = {
+    def drain(feedName: String, conf: Map[String, String] = Map.empty,
+              pipe: org.apache.spark.sql.Dataset[CdcStream.RawChange] =>
+                org.apache.spark.sql.Dataset[CdcStream.CdcEvent] =
+                CdcStream.withPrevState(_)): Double = {
       val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         CdcSource.FeedRegistry.get(feedName).append(rows: _*)
         val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
           .option("feed", feedName).option("numPartitions", cpus).load()
-        val events = CdcStream.withPrevState(raw.as[CdcStream.RawChange])
+        val events = pipe(raw.as[CdcStream.RawChange])
         val q = events.writeStream.format("noop").outputMode("append").start()
         val t0 = System.nanoTime()
         q.processAllAvailable()
@@ -66,6 +69,14 @@ object StreamBench {
     val partsSec = drain("bench_parts4x", Map(
       "spark.sql.shuffle.partitions" -> (cpus.toInt * 4).toString))
     println(s"""{"metric":"cdc_stream_throughput_parts4x","events":${rows.length},"warm_sec":$partsSec,"events_per_sec":${(rows.length / partsSec).toLong},"sf":"$sfDir"}""")
+    // the Spark 4 transformWithState port (parity-pinned in CdcStreamSpec),
+    // measured against the classic path; requires the RocksDB provider, so
+    // its fair comparison line is cdc_stream_throughput_rocksdb above
+    val twsSec = drain("bench_tws", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      ds => CdcStream.withPrevStateTws(ds))
+    println(s"""{"metric":"cdc_stream_throughput_tws","events":${rows.length},"warm_sec":$twsSec,"events_per_sec":${(rows.length / twsSec).toLong},"sf":"$sfDir"}""")
 
     // second line: the same drain through the PRODUCTION path — Derby-backed
     // JDBC feed, streaming partition readers (JdbcRowReader), id-range

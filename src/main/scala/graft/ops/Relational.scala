@@ -669,6 +669,25 @@ object Relational {
     dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Running-max drawdown of the daily revenue series — the peak-to-trough
+    * metric (finance's max drawdown, ops' regression-from-peak): per day,
+    * the running maximum of daily revenue to date and the shortfall from
+    * it. The prefix-max window is the one frame shape the inventory's other
+    * windows don't cover (sliding avg, rank, prefix-SUM exist). Exact cents
+    * end to end. Fact-sized work is the one day-grain partial agg; both
+    * windows move day-cardinality rows.
+    */
+  def maxDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    val daily = o.groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val runMax = max(col("cents")).over(
+      Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    daily
+      .withColumn("peak_cents", runMax)
+      .withColumn("drawdown_cents", col("peak_cents") - col("cents"))
+  }
+
   /** Benford first-digit audit — the classic fraud/data-quality screen:
     * leading-digit distribution of order totals against Benford's law. The
     * digit extraction stays EXACT: price → cents (decimal→BIGINT, the

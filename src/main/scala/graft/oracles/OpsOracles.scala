@@ -345,6 +345,15 @@ private[graft] object OpsOracles {
         |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
         |WHERE qty_c * 5 * n_li < sum_qc
         |GROUP BY p_brand""".stripMargin,
+    "ops_drawdown" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  CAST(MAX(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_cents,
+        |  CAST(MAX(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents AS BIGINT) AS drawdown_cents
+        |FROM d""".stripMargin,
     "ops_benford" ->
       """WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
