@@ -37,7 +37,12 @@ object ScaleProbe {
     // round-5 heavies: containment shares the jaccard inverted index (its
     // curve should track ops_ngram_jaccard), skipgram pairs are in-row +
     // two vocab merge joins, entropy is a pure partial-agg scan shape
-    "ops_containment", "ops_skipgram_pmi", "ops_entropy")
+    "ops_containment", "ops_skipgram_pmi", "ops_entropy",
+    // late-round-5 heavies: triangles (wedge join over oriented LSH edges),
+    // lsh_calib (truth postings + candidate full outer), incr_dedup (band
+    // index probe), bpe_pairs (types-vs-tokens — its curve should be the
+    // FLATTEST: vocab grows by Heaps' law, sublinear in corpus size)
+    "ops_triangles", "ops_lsh_calib", "ops_incr_dedup", "ops_bpe_pairs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

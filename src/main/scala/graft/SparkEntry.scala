@@ -597,6 +597,7 @@ object SparkEntry {
     "ops_shuffle_shards"  -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
+    "ops_media_dedup"  -> (Multimodal.mediaDedupManifest _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),

@@ -118,6 +118,25 @@ object Multimodal {
         md5(concat(col("chk"), lit(":"), col("frame_idx").cast("string"))).as("frame_hash"))
   }
 
+  /** Content-addressable dedup manifest — the storage-side primitive of a
+    * multimodal lake: blobs keyed by digest, with reference counts, unique
+    * bytes, and the savings a CAS layout banks by storing each distinct
+    * blob once. The digest is computed MAP-SIDE (codegen'd md5 over the
+    * binary column) and only (type, digest, length) ever shuffles — the
+    * blob bytes stay in the task that read them, so the manifest of 100 TB
+    * of media moves kilobytes per partition. This is the upload-dedup /
+    * garbage-collection table every content store maintains.
+    */
+  def mediaDedupManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    mediaTable(spark, sfDir)
+      .select(col("media_type"), md5(col("media")).as("digest"),
+        octet_length(col("media")).cast("long").as("n_bytes"))
+      .groupBy(col("media_type"), col("digest"))
+      .agg(count(lit(1)).as("ref_count"), max(col("n_bytes")).as("n_bytes"))
+      .select(col("media_type"), col("digest"), col("ref_count"), col("n_bytes"),
+        ((col("ref_count") - 1) * col("n_bytes")).as("saved_bytes"))
+  }
+
   /** Metadata-only query — expression-level equivalent of the stub decoder's
     * integer metadata, kept in whole-stage codegen (no decode of the blob
     * beyond octet_length/md5) so it is oracle-checkable and scan-friendly.

@@ -567,6 +567,18 @@ private[graft] object TextOracles {
         |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
         |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_ratio
         |FROM b""".stripMargin,
+    "ops_media_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS media_type,
+        |    md5(text) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT media_type, digest, COUNT(*) AS ref_count,
+        |  CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST((COUNT(*) - 1) * MAX(n_bytes) AS BIGINT) AS saved_bytes
+        |FROM m GROUP BY media_type, digest""".stripMargin,
     "ops_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
