@@ -584,6 +584,7 @@ object SparkEntry {
     "ops_vocab"      -> ((s: SparkSession, d: String) => Curation.vocabulary(s, d)),
     "ops_repetition" -> (Curation.repetitionScore _),
     "ops_filter_attrib" -> (Curation.filterAttribution _),
+    "ops_train_prep"    -> ((s: SparkSession, d: String) => Curation.trainPrep(s, d)),
     "ops_decontaminate" -> ((s: SparkSession, d: String) => Curation.decontaminate(s, d)),
     "ops_strat_sample"  -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "ops_corpus_filter" -> ((s: SparkSession, d: String) => Curation.corpusFilter(s, d)),

@@ -146,9 +146,15 @@ object Curation {
     * training bins and exactly reproduced by the oracle.
     */
   def seqPack(spark: SparkSession, sfDir: String, budget: Int = 2048,
-              shards: Int = 8): DataFrame = {
+              shards: Int = 8): DataFrame =
+    seqPackDf(Tables.load(spark, sfDir, "documents"), budget, shards)
+
+  /** DataFrame-level core of [[seqPack]] over any (doc_id, lang, text)
+    * frame — also the packing stage of the composed [[trainPrep]] pipeline.
+    */
+  def seqPackDf(docs: DataFrame, budget: Int = 2048,
+                shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, sfDir, "documents")
     val base = docs.select(
       col("doc_id"), col("lang"),
       (col("doc_id") % shards).as("shard"),
@@ -457,28 +463,62 @@ object Curation {
       when(col("doc_id") % 73 === 0, trim(expr("repeat('a ', 40)"))))
     val all = docs.select(
       explode(filter(variants, v => v.isNotNull)).as("text"))
-    val toks = split(col("text"), " ")
-    val bigrams = bigramsOf(col("text"))
-    val scored = all.select(
-      size(toks).cast("long").as("nw"),
-      length(translate(col("text"), " ", "")).cast("long").as("nc"),
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long").as("nsym"),
-      length(col("text")).cast("long").as("tlen"),
-      arrays_overlap(toks,
-        array(Seq("the", "and", "of", "to", "a").map(lit): _*)).as("has_stop"),
-      size(bigrams).cast("long").as("nb"),
-      size(array_distinct(bigrams)).cast("long").as("nd"))
-    val bitmask =
-      when(col("nw") < 20 || col("nw") > 2000, 1L).otherwise(0L) +
-      when(col("nc") < col("nw") * 3 || col("nc") > col("nw") * 12, 2L).otherwise(0L) +
-      when(col("nsym") * 10 > col("tlen"), 4L).otherwise(0L) +
-      when(!col("has_stop"), 8L).otherwise(0L) +
-      when((col("nb") - col("nd")) * 5 > col("nb"), 16L).otherwise(0L)
-    scored.select(bitmask.as("bitmask"))
+    all.select(ruleBitmask(col("text")).as("bitmask"))
       .groupBy(col("bitmask"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("bitmask"), bit_count(col("bitmask")).cast("long").as("n_rules_failed"),
         col("n_docs"))
+  }
+
+  /** The composed training-data-prep pipeline — the library's stages chained
+    * as ONE declarative plan, the way a real pre-training run would consume
+    * them: quality gate (the [[ruleBitmask]] five-rule screen, all rules
+    * pass) → exact content dedup (keep lowest doc_id per md5) → fixed-budget
+    * sequence packing ([[seqPackDf]]'s two-level prefix sum) → the per-
+    * (lang, bin) block manifest a loader would read.
+    *
+    * The point is the COMPOSITION property: every stage is in-row or
+    * partial-agg shaped, so Catalyst fuses the gate into the dedup window's
+    * scan, the pack consumes the dedup output without re-materializing, and
+    * the whole prep of a 100 TB corpus is one lineage — no intermediate
+    * tables, no driver round-trips, one job. Output is block-grain (bins ×
+    * langs), thousands of rows at any corpus size.
+    */
+  def trainPrep(spark: SparkSession, sfDir: String, budget: Int = 2048,
+                shards: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val clean = docs.filter(ruleBitmask(col("text")) === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = clean
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    seqPackDf(deduped, budget, shards)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** The five-rule quality bitmask of [[filterAttribution]] as one Column
+    * expression over the text (bit set = FAILED; see the rule table there).
+    * Shared by the attribution histogram and the composed training-prep
+    * pipeline's gate ([[trainPrep]]); codegen's common-subexpression
+    * elimination keeps the repeated token-array derivations single-pass.
+    */
+  private[graft] def ruleBitmask(text: Column): Column = {
+    val toks = split(text, " ")
+    val nw = size(toks).cast("long")
+    val nc = length(translate(text, " ", "")).cast("long")
+    val nsym = (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("long")
+    val tlen = length(text).cast("long")
+    val hasStop = arrays_overlap(toks,
+      array(Seq("the", "and", "of", "to", "a").map(lit): _*))
+    val bg = bigramsOf(text)
+    val nb = size(bg).cast("long")
+    val nd = size(array_distinct(bg)).cast("long")
+    when(nw < 20 || nw > 2000, 1L).otherwise(0L) +
+      when(nc < nw * 3 || nc > nw * 12, 2L).otherwise(0L) +
+      when(nsym * 10 > tlen, 4L).otherwise(0L) +
+      when(!hasStop, 8L).otherwise(0L) +
+      when((nb - nd) * 5 > nb, 16L).otherwise(0L)
   }
 }

@@ -523,6 +523,48 @@ private[graft] object TextOracles {
          |FROM mixed
          |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
+    "ops_train_prep" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS nw,
+        |    length(replace(text, ' ', '')) AS nc,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nsym,
+        |    length(text) AS tlen,
+        |    list_has_any(string_split(text, ' '), ['the','and','of','to','a']) AS has_stop,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |sc2 AS (
+        |  SELECT doc_id, lang, text,
+        |    (CASE WHEN nw < 20 OR nw > 2000 THEN 1 ELSE 0 END
+        |   + CASE WHEN nc < nw * 3 OR nc > nw * 12 THEN 2 ELSE 0 END
+        |   + CASE WHEN nsym * 10 > tlen THEN 4 ELSE 0 END
+        |   + CASE WHEN NOT has_stop THEN 8 ELSE 0 END
+        |   + CASE WHEN (len(list_transform(range(1, nw), i -> t[i] || ' ' || t[i+1]))
+        |              - len(list_distinct(list_transform(range(1, nw), i -> t[i] || ' ' || t[i+1])))) * 5
+        |              > len(list_transform(range(1, nw), i -> t[i] || ' ' || t[i+1]))
+        |     THEN 16 ELSE 0 END) AS bm
+        |  FROM sc),
+        |ded AS (
+        |  SELECT doc_id, lang, text FROM sc2 WHERE bm = 0
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |base AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM ded),
+        |loc AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_prev
+        |  FROM base),
+        |off AS (
+        |  SELECT lang, shard,
+        |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY lang ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+        |  FROM base GROUP BY lang, shard)
+        |SELECT loc.lang, CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(loc.n_tokens) AS BIGINT) AS n_tokens
+        |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard
+        |GROUP BY 1, 2""".stripMargin,
     "ops_filter_attrib" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |aug AS (

@@ -35,6 +35,23 @@ class QueriesSpec extends SparkSuite {
     assert(absent.getLong(1) == 0L)
   }
 
+  test("ops_train_prep: block manifest conserves the gated+deduped token mass") {
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("ops_train_prep")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
+    // conservation: manifest tokens == tokens of quality-passing, deduped docs
+    val docs = Tables.load(spark, sf, "documents")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val expected = docs
+      .filter(graft.ops.Curation.ruleBitmask(col("text")) === 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(3)).sum == expected,
+      "token mass lost or duplicated across the pipeline stages")
+  }
+
   test("ops_cum_users: monotone, first-day total matches, final equals distinct users") {
     val rows = SparkEntry.queries("ops_cum_users")(spark, sf)
       .orderBy(col("day")).collect()
