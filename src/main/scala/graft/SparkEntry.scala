@@ -524,6 +524,8 @@ object SparkEntry {
     "ops_q3_ship_priority"  -> (Relational.shippingPriority _),
     "ops_benford"           -> (Relational.benfordAudit _),
     "ops_drawdown"          -> (Relational.maxDrawdown _),
+    "ops_q19_disjuncts"     -> (Relational.discountedRevenue _),
+    "ops_q14_promo"         -> (Relational.promoShare _),
     "ops_q15_top_supplier"  -> (Relational.topRevenueSupplier _),
     "ops_q18_large_orders"  -> ((s: SparkSession, d: String) => Relational.largeQuantityOrders(s, d)),
     "ops_dq_audit"          -> (Relational.dqAudit _),

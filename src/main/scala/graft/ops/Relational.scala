@@ -669,6 +669,54 @@ object Relational {
     dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
   }
 
+  /** TPC-H Q19 shape — disjunctive multi-table predicate (OR of brand/size/
+    * quantity conjunctions): the classic test of whether an engine pushes
+    * the per-table projections of a cross-table OR down to the scans rather
+    * than evaluating the whole disjunction post-join. Catalyst extracts the
+    * part-only disjuncts to the part scan (each OR arm constrains p_brand/
+    * p_size, so their union prunes the build side before the broadcast);
+    * the quantity arms stay in the join filter where they belong. Revenue
+    * in exact cents; one aggregate row out.
+    */
+  def discountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part")
+    val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+      col("l_quantity").between(20, 30)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(
+        (sum(money(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+          .cast("long").as("revenue_bp"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q14 shape — conditional-aggregate share (promo revenue fraction
+    * in a month): both the conditional and total sums ride ONE partial-agg
+    * pass over the joined scan, and the share is exact integer permille —
+    * the one-pass CASE-inside-SUM idiom, never two scans or a self-join.
+    */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    val p = Tables.load(spark, sfDir, "part")
+    val disc = money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("promo_bp"),
+        (sum(disc) * 10000).cast("long").as("total_bp"))
+      .select(col("promo_bp"), col("total_bp"),
+        expr("promo_bp * 1000 div total_bp").as("promo_permille"))
+  }
+
   /** Running-max drawdown of the daily revenue series — the peak-to-trough
     * metric (finance's max drawdown, ops' regression-from-peak): per day,
     * the running maximum of daily revenue to date and the shortfall from

@@ -345,6 +345,26 @@ private[graft] object OpsOracles {
         |FROM q JOIN a USING (l_partkey) JOIN part ON l_partkey = p_partkey
         |WHERE qty_c * 5 * n_li < sum_qc
         |GROUP BY p_brand""".stripMargin,
+    "ops_q19_disjuncts" ->
+      s"""SELECT
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS revenue_bp,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "ops_q14_promo" ->
+      s"""WITH j AS (
+         |  SELECT $discPrice AS disc, p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+         |SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) AS promo_bp,
+         |  CAST(SUM(disc) * 10000 AS BIGINT) AS total_bp,
+         |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT) * 1000
+         |    // CAST(SUM(disc) * 10000 AS BIGINT) AS BIGINT) AS promo_permille
+         |FROM j""".stripMargin,
     "ops_drawdown" ->
       """WITH d AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,

@@ -322,6 +322,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("ops_q19_disjuncts: per-side projections of the cross-table OR reach BOTH parquet scans") {
+    val p = plan("ops_q19_disjuncts")
+    // Catalyst must derive the part-only and lineitem-only unions of the OR
+    // arms and push each to its scan — evaluating the disjunction only
+    // post-join reads both tables unpruned
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), s"part-side disjunct not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), s"fact-side disjunct not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
     val p = plan("ops_dq_audit")
     assert(p.contains("BroadcastHashJoin"), p)
