@@ -323,13 +323,19 @@ class PlanSpec extends SparkSuite {
   }
 
   test("ops_q19_disjuncts: per-side projections of the cross-table OR reach BOTH parquet scans") {
-    val p = plan("ops_q19_disjuncts")
-    // Catalyst must derive the part-only and lineitem-only unions of the OR
-    // arms and push each to its scan — evaluating the disjunction only
-    // post-join reads both tables unpruned
-    assert(p.contains("EqualTo(p_brand,Brand#12)"), s"part-side disjunct not pushed:\n$p")
-    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), s"fact-side disjunct not pushed:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the default 100-char metadata truncation hides the pushed OR trees
+    val key = "spark.sql.maxMetadataStringLength"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try {
+      val p = plan("ops_q19_disjuncts")
+      // Catalyst must derive the part-only and lineitem-only unions of the OR
+      // arms and push each to its scan — evaluating the disjunction only
+      // post-join reads both tables unpruned
+      assert(p.contains("EqualTo(p_brand,Brand#12)"), s"part-side disjunct not pushed:\n$p")
+      assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), s"fact-side disjunct not pushed:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set(key, prior)
   }
 
   test("ops_dq_audit: every check folds into one conditional-agg pass, referential check broadcast") {
