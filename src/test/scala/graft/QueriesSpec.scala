@@ -35,6 +35,24 @@ class QueriesSpec extends SparkSuite {
     assert(absent.getLong(1) == 0L)
   }
 
+  test("ops_approx_distinct: HLL estimates within the sketch's error bound of exact counts") {
+    // the one rows-only query gets its accuracy pinned here instead of an
+    // oracle: default rsd = 0.05, so |est - exact| / exact beyond 3 sigma
+    // (15%) would mean a broken sketch, not noise
+    val est = SparkEntry.queries("ops_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val e = est(k)
+      assert(math.abs(e - ex).toDouble / ex <= 0.15,
+        s"$k: approx $e vs exact $ex exceeds 3x rsd")
+    }
+  }
+
   test("ops_train_prep: block manifest conserves the gated+deduped token mass") {
     import org.apache.spark.sql.expressions.Window
     val out = SparkEntry.queries("ops_train_prep")(spark, sf).collect()
