@@ -522,6 +522,12 @@ object SparkEntry {
     "ops_q22_idle_rich"     -> (Relational.idleRichCustomers _),
     "ops_q4_late_orders"    -> (Relational.latePriorityCensus _),
     "ops_q3_ship_priority"  -> (Relational.shippingPriority _),
+    "ops_q5_local_volume"   -> (Relational.localSupplierVolume _),
+    "ops_q7_trade_volume"   -> (Relational.tradeVolume _),
+    "ops_q8_market_share"   -> (Relational.marketShare _),
+    "ops_q9_profit"         -> (Relational.profitByNation _),
+    "ops_q10_returns"       -> (Relational.returnedItems _),
+    "ops_q12_priority_lanes" -> (Relational.priorityLanes _),
     "ops_benford"           -> (Relational.benfordAudit _),
     "ops_drawdown"          -> (Relational.maxDrawdown _),
     "ops_q19_disjuncts"     -> (Relational.discountedRevenue _),
@@ -546,6 +552,7 @@ object SparkEntry {
     "ops_dedup_content" -> (Dedup.dedupContent _),
     "ops_dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhashCandidates(s, d)),
     "ops_dedup_verify"  -> ((s: SparkSession, d: String) => Dedup.dedupVerify(s, d)),
+    "ops_edit_verify"   -> ((s: SparkSession, d: String) => Dedup.editVerify(s, d)),
     "ops_dedup_cc"      -> (Dedup.dedupCc _),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),

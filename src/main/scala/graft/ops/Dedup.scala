@@ -767,4 +767,44 @@ object Dedup {
           expr("2000 * n_tri div (deg * (deg - 1))")).otherwise(lit(0L))
           .as("cc_milli"))
   }
+
+  /** Edit-distance verification of LSH candidates — the character-level
+    * complement to the shingle-set verify ([[dedupVerifyDf]]): near-dup
+    * curation sometimes wants "how much EDITING separates these two docs"
+    * (template instantiations, boilerplate with substitutions) rather than
+    * set overlap, which is blind to ordering and repetition.
+    *
+    * Scale shape: candidates come from [[minhashCandidatesDf]] unchanged
+    * (bucket-local, capped — linear in corpus size by LSH design), and the
+    * quadratic-cost Levenshtein runs ONLY on those pairs, with the
+    * banded-DP threshold form (`levenshtein(a, b, maxDist)`, codegen'd
+    * built-in): cost per pair is O(maxDist · min_len), not O(len²), and
+    * pairs further apart than the curation bound report -1 without paying
+    * for an exact count they'd never use. Texts join onto the pair list
+    * through two id-keyed shuffles — the same two-join diamond as the
+    * set verify, no text ever moves except for candidate rows.
+    *
+    * Output keeps the decision-grade normalized form alongside the raw
+    * count: permille of the LONGER text (integer division, engine-exact),
+    * -1 propagated for over-threshold pairs.
+    */
+  def editVerify(spark: SparkSession, sfDir: String, maxDist: Int = 200): DataFrame =
+    editVerifyDf(Tables.load(spark, sfDir, "documents"), maxDist)
+
+  def editVerifyDf(docs: DataFrame, maxDist: Int = 200,
+                   numHashes: Int = 16, rowsPerBand: Int = 2,
+                   bucketCap: Int = 10000): DataFrame = {
+    val cands = minhashCandidatesDf(docs, numHashes, rowsPerBand, bucketCap)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("max_len"),
+        when(col("edit_dist") >= 0,
+          expr("edit_dist * 1000 div max_len")).otherwise(lit(-1L))
+          .as("dist_permille"))
+  }
 }

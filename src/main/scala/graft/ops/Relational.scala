@@ -1376,4 +1376,232 @@ object Relational {
       round(covn / varxn, 6).as("slope"),
       round((sy - (covn / varxn) * sx) / nD, 6).as("intercept"))
   }
+
+  // ===== TPC-H multi-way-join suite (Q5/Q7/Q8/Q9/Q10/Q12 shapes) =====
+  //
+  // The join-ORDER queries: five-to-seven-table plans where the win at
+  // 100 TB is deciding which joins shuffle (fact⋈fact, on their keys) and
+  // which broadcast (dims, or dim slices pruned by a selective filter
+  // BEFORE the join). Each query below fixes that decision explicitly and
+  // documents why it survives a 1000-executor scale-up; testdata lacks
+  // partsupp / l_shipmode / l_commitdate, so Q9 and Q12 are adapted shapes
+  // (cost basis from part.p_retailprice; lateness from shipdate vs
+  // orderdate) with the join topology preserved.
+
+  /** TPC-H Q5 shape — local-supplier volume: revenue per nation for orders
+    * placed in one region and year where the SUPPLIER sits in the customer's
+    * own nation. The plan: region⋈nation collapses to a 5-key broadcast
+    * BEFORE touching facts; lineitem⋈orders shuffles on the order key (the
+    * only fact⋈fact edge); customer — fact-sized at 100 TB even pruned to
+    * one region — joins on its own key via shuffle, NEVER broadcast; the
+    * supplier side ships only (suppkey, nationkey) and the "local" predicate
+    * s_nationkey = c_nationkey rides the join condition, so non-local rows
+    * die inside the join instead of in a post-filter. Aggregation is on the
+    * integer nationkey; names attach to the 5-row aggregate afterwards.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.load(spark, sfDir, "nation")
+      .join(broadcast(Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      // merge hint: customer is fact-sized at 100 TB even pruned to one
+      // region — the hint pins the scale-true shuffle shape so the benched
+      // plan is the cluster plan (the lineDedup membership-join precedent)
+      .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        .cast("long").as("rev_bp"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rev_bp"))
+  }
+
+  /** TPC-H Q7 shape — bilateral trade volume: shipped revenue between two
+    * named nations, per direction per ship-year. The two-nation filter is
+    * maximally selective, so it prunes BOTH fact-adjacent sides before any
+    * fact shuffle: supplier collapses to a broadcast keyed slice, customer
+    * prunes via the same 2-key broadcast semi-join and then shuffles on its
+    * own key. The asymmetric-pair predicate (supp ≠ cust nation) rides a
+    * post-join filter on two broadcast-attached columns — by then each row
+    * carries both nation names, and the grid is 2×2 minus the diagonal.
+    */
+  def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val n = Tables.load(spark, sfDir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      // merge hint: same customer-is-fact-sized reasoning as Q5
+      .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(money(col("l_extendedprice")) *
+             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        .cast("long").as("rev_bp"))
+  }
+
+  /** TPC-H Q8 shape — national market share: one nation's slice of a
+    * region's yearly volume in one part type, as exact permille. Three
+    * selective dims prune before the facts move: part (type slice) and
+    * supplier ship as broadcasts; ASIA customers prune via a 5-key
+    * semi-join then shuffle on custkey. The share is numerator-conditional
+    * aggregation in ONE pass — sum(cents) and sum(cents WHERE supplier is
+    * the focal nation) ride the same partial agg, so the share needs no
+    * self-join and no window; integer cents before division keeps the
+    * permille bit-exact across engines ([[revenueShare]] discipline).
+    */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.load(spark, sfDir, "nation")
+      .join(broadcast(Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    // ×10000 (basis points): the discounted product is a scale-4 decimal, so
+    // bp sums are exactly integral — cents (×100) would leave a fraction that
+    // Spark's cast truncates where DuckDB rounds (the q19/q14 lesson)
+    val bp = (money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - money(col("l_discount"))) * 10000)
+    Tables.load(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 7, bp).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("long").as("nation_vol_bp"),
+        sum(bp).cast("long").as("total_vol_bp"))
+      .select(col("o_year"), col("nation_vol_bp"), col("total_vol_bp"),
+        expr("nation_vol_bp * 1000 div total_vol_bp").as("share_permille"))
+  }
+
+  /** TPC-H Q9 shape (adapted) — product-line profit by supplier nation and
+    * order year. Testdata has no partsupp, so the cost basis is half the
+    * part's retail price per unit (deterministic, join topology unchanged:
+    * the part slice still prunes lineitem, profit still needs part, orders
+    * and supplier on one fact row). Part (name slice) and supplier
+    * broadcast; orders ships only (orderkey, year) into the one fact
+    * shuffle. Profit stays in exact integer cents: revenue and cost are
+    * summed as decimals in one partial agg, subtracted, THEN cast — the
+    * money discipline that keeps the result partitioning-independent.
+    */
+  def profitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // ×10000 / ×5000 keep both scale-4 decimal products exactly integral in
+    // basis points — see [[marketShare]] on why cents would round-vs-truncate
+    val revBp = money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - money(col("l_discount"))) * 10000
+    val costBp = money(col("l_quantity")) * money(col("p_retailprice")) * 5000
+    Tables.load(spark, sfDir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(revBp) - sum(costBp)).cast("long").as("profit_bp"))
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: top 20 customers by revenue
+    * lost to returns in one quarter. The fact side reduces FIRST: lineitem
+    * (returnflag slice) ⋈ orders (quarter slice) shuffle on the order key
+    * and collapse to per-customer cents — at 100 TB that aggregate is
+    * orders-of-magnitude smaller than the customer table, so it is the
+    * AGGREGATE that broadcasts into the customer join (the small side of a
+    * join is decided by where the data is AFTER reduction, not by which
+    * table is "dim"). The final cut is a TakeOrderedAndProject heap with a
+    * custkey tie-break, never a global sort.
+    */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("l_extendedprice")) *
+             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        .cast("long").as("rev_bp"))
+    broadcast(perCust)
+      .join(Tables.load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("rev_bp"))
+      .orderBy(col("rev_bp").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (adapted) — priority lanes: per return-flag lane,
+    * how many LATE lines (shipped >60 days after the order date — testdata
+    * has no commit/receipt dates, so lateness is shipdate-vs-orderdate)
+    * carried urgent-or-high orders vs the rest. The classic CASE-sum pair:
+    * one fact⋈fact shuffle on the order key with the date predicate riding
+    * the join condition (it needs both sides, so it evaluates inside the
+    * join, before any row reaches the agg), then both lane counts ride one
+    * partial agg — never two scans, never a pivot.
+    */
+  def priorityLanes(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
 }

@@ -406,6 +406,85 @@ private[graft] object OpsOracles {
          |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
          |GROUP BY 1, 2, 3
          |ORDER BY rev_bp DESC, l_orderkey LIMIT 10""".stripMargin,
+    "ops_q5_local_volume" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "ops_q7_trade_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "ops_q8_market_share" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, s_nationkey,
+         |    $discPrice * 10000 AS bp
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         |SELECT o_year,
+         |  CAST(SUM(CASE WHEN s_nationkey = 7 THEN bp ELSE 0 END) AS BIGINT) AS nation_vol_bp,
+         |  CAST(SUM(bp) AS BIGINT) AS total_vol_bp,
+         |  CAST(CAST(SUM(CASE WHEN s_nationkey = 7 THEN bp ELSE 0 END) AS BIGINT) * 1000
+         |    // CAST(SUM(bp) AS BIGINT) AS BIGINT) AS share_permille
+         |FROM vol GROUP BY o_year""".stripMargin,
+    "ops_q9_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM($discPrice * 10000)
+         |     - SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * 5000)
+         |    AS BIGINT) AS profit_bp
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY n_name, o_year""".stripMargin,
+    "ops_q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY rev_bp DESC, c_custkey LIMIT 20""".stripMargin,
+    "ops_q12_priority_lanes" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag""".stripMargin,
     "ops_q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

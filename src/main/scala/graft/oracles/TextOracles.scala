@@ -70,6 +70,25 @@ private[graft] object TextOracles {
          |JOIN sizes na ON na.doc_id = s.doc_a
          |JOIN sizes nb ON nb.doc_id = s.doc_b
          |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2""".stripMargin,
+    // twin of [[graft.ops.Dedup.editVerifyDf]]: same LSH candidate pairs,
+    // banded-threshold Levenshtein (DuckDB computes the full distance, the
+    // CASE reproduces Spark's -1-above-threshold contract bit for bit)
+    "ops_edit_verify" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |t AS (SELECT doc_id, text FROM documents),
+         |d AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    levenshtein(a.text, b.text) AS lev,
+         |    CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+         |  FROM cands c
+         |  JOIN t a ON a.doc_id = c.doc_a
+         |  JOIN t b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(CASE WHEN lev <= 200 THEN lev ELSE -1 END AS BIGINT) AS edit_dist,
+         |  max_len,
+         |  CAST(CASE WHEN lev <= 200 THEN lev * 1000 // max_len ELSE -1 END AS BIGINT) AS dist_permille
+         |FROM d""".stripMargin,
     // twin of [[graft.ops.TextStats.cmsFrequency]]: the same d=4 w=1024
     // Count-Min matrix (counter sums are order-independent, so the sketch is
     // bit-exact cross-engine), probed against exact counts

@@ -386,6 +386,56 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ReusedExchange"), s"pair reduction rebuilt per branch:\n$p")
   }
 
+  test("ops_q5_local_volume: customer shuffles on its key; supplier and nations broadcast") {
+    val p = plan("ops_q5_local_volume")
+    // the pruned customer slice is still fact-sized at 100 TB — it must
+    // NEVER ride a broadcast; the supplier/nation sides must
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no shuffled join in a fact-to-fact plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the order-date window reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("ops_q7_trade_volume: two-nation slices prune supplier/customer before any fact shuffle") {
+    val p = plan("ops_q7_trade_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // customer rides the pinned shuffle join (fact-sized at scale)
+    assert(p.contains("SortMergeJoin"), p)
+    // the ship-date window reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ops_q8_market_share: share is one conditional-agg pass — no self-join, no window") {
+    val p = plan("ops_q8_market_share")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Window"), s"share must not plan a window:\n$p")
+    // both numerator and denominator ride the same partial agg
+    assert("HashAggregate".r.findAllIn(p).size <= 4, s"extra agg passes:\n$p")
+  }
+
+  test("ops_q10_returns: the reduced aggregate broadcasts into customer; top-20 is a heap") {
+    val p = plan("ops_q10_returns")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // returnflag slice reaches the lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("ops_q12_priority_lanes: both lane counts ride one agg over one fact join") {
+    val p = plan("ops_q12_priority_lanes")
+    assert("HashAggregate".r.findAllIn(p).size <= 2, s"lanes split into extra aggs:\n$p")
+    assert(!p.contains("Union"), s"lanes must not plan two scans:\n$p")
+  }
+
+  test("ops_edit_verify: quadratic edit distance runs only post-candidate join") {
+    val p = plan("ops_edit_verify")
+    // levenshtein sits above the candidate joins, never against the raw scan
+    assert(p.contains("levenshtein"), p)
+    assert(p.contains("partial_min"), s"minhash signature agg not partial:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
