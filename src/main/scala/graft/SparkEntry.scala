@@ -528,6 +528,7 @@ object SparkEntry {
     "ops_q9_profit"         -> (Relational.profitByNation _),
     "ops_q10_returns"       -> (Relational.returnedItems _),
     "ops_q12_priority_lanes" -> (Relational.priorityLanes _),
+    "ops_q6_forecast"       -> (Relational.forecastRevenue _),
     "ops_benford"           -> (Relational.benfordAudit _),
     "ops_drawdown"          -> (Relational.maxDrawdown _),
     "ops_q19_disjuncts"     -> (Relational.discountedRevenue _),
@@ -611,6 +612,7 @@ object SparkEntry {
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
+    "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
   )
 
   // ===== DuckDB oracles =====

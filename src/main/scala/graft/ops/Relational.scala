@@ -1604,4 +1604,28 @@ object Relational {
         sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
   }
+
+  /** TPC-H Q6 shape — the forecast-revenue-change probe: total discount
+    * given on small-quantity 1996 lines inside a discount band. Zero joins,
+    * zero windows: this query IS the pushdown showcase, and the whole point
+    * of declaring it is the plan — all three predicates (shipdate range,
+    * discount band, quantity cap) land in `PushedFilters` at the parquet
+    * scan, `ReadSchema` narrows to the two money columns, and what's left is
+    * a single-row partial agg riding whole-stage codegen. At 100 TB this
+    * reads the row groups whose min/max stats survive the date range and
+    * nothing else. Discount values are engine-shared doubles compared
+    * against the same literals in both engines, so the band selects
+    * identical rows; the summed product uses the repo-wide
+    * decimal-before-sum discipline, reported in basis points.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(
+        (sum(money(col("l_extendedprice")) * money(col("l_discount"))) * 10000)
+          .cast("long").as("discount_rev_bp"),
+        count(lit(1)).as("n_lines"))
 }

@@ -303,6 +303,23 @@ private[graft] object OpsOracles {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "ops_dedup_keys" ->
       "SELECT user_id, event_type, MIN(event_id) AS keep_id, COUNT(*) AS n_dups FROM events GROUP BY user_id, event_type",
+    "ops_q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS discount_rev_bp,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // the oracle joins the UNBUCKETED parquet: bucketing is layout, and
+    // layout must never change answers
+    "ops_bucket_join" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp,
+         |  COUNT(*) AS n_lines
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "ops_zorder" ->
       s"""WITH e AS (
          |  SELECT user_id,

@@ -154,4 +154,73 @@ object Layout {
            countDistinct(col("user_id")).as("n_users"),
            (max(col("su")) - min(col("su"))).as("span32"))
   }
+
+  /** Number of buckets for the co-located fact tables. At 100 TB this is
+    * sized so one bucket of the LARGER fact fits an executor's shuffle-free
+    * join task (≈ rows/buckets × row width ≲ a few hundred MB); 16 keeps the
+    * local[32] test honest (more buckets than needed, like production).
+    */
+  val FactBuckets = 16
+
+  /** Write a fact table bucketed (and per-file sorted) on its join key into
+    * the session catalog, once per (table, source-dir): the write is skipped
+    * when the catalog already has it, so within a session only the FIRST
+    * plan/run pays the layout cost — exactly the amortization bucketing buys
+    * at scale, where the one-time cluster-wide shuffle into bucket files is
+    * repaid by every subsequent join and aggregation on that key running
+    * shuffle-free. The table name carries a source-dir hash so concurrent
+    * sessions over different scale factors never collide in the shared
+    * warehouse.
+    */
+  private def ensureBucketed(spark: SparkSession, sfDir: String,
+                             table: String, key: String): String = {
+    val short = s"${table}_bk_${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+    val name = s"graft_buckets.$short"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    if (!spark.catalog.tableExists(name)) {
+      // the in-memory catalog forgets tables across JVMs while the warehouse
+      // directory persists, and CTAS refuses an existing location even in
+      // overwrite mode — drop the stale files from a previous session first
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_buckets.db/$short")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.Tables.load(spark, sfDir, table)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(FactBuckets, key).sortBy(key)
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Bucketed co-located fact⋈fact join — the storage-layout answer to the
+    * biggest shuffle on the board. A plain orders⋈lineitem shuffles BOTH
+    * facts on the order key every time it runs; with both tables bucketed by
+    * that key into the same bucket count, the sort-merge join consumes
+    * bucket i of each side directly — the physical plan has ZERO Exchange
+    * below the join (`PlanSpec` pins it; `SelectedBucketsCount` shows in the
+    * scans), and the only shuffle left in the query is the final
+    * priority-grain rollup. At 100 TB this converts the dominant recurring
+    * fact-shuffle into a one-time layout cost shared by every keyed join,
+    * aggregation, and incremental merge on the same key. The merge hint
+    * keeps the demonstration honest at test scale (orders would otherwise
+    * broadcast); at production fact sizes SMJ is what the planner picks
+    * anyway. Values (per-priority line counts and discounted revenue in
+    * basis points) are oracle-checked against the logically identical
+    * unbucketed join — layout must never change answers.
+    */
+  def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val money = graft.ops.Relational.money _
+    val o = spark.table(ensureBucketed(spark, sfDir, "orders", "o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = spark.table(ensureBucketed(spark, sfDir, "lineitem", "l_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (sum(money(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+          .cast("long").as("rev_bp"),
+        count(lit(1)).as("n_lines"))
+  }
 }

@@ -436,6 +436,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_min"), s"minhash signature agg not partial:\n$p")
   }
 
+  test("ops_q6_forecast: all three predicates and the column pruning reach the one parquet scan") {
+    // the default 100-char metadata truncation cuts the PushedFilters list
+    val key = "spark.sql.maxMetadataStringLength"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try {
+      val p = plan("ops_q6_forecast")
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date range not pushed:\n$p")
+      assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount band not pushed:\n$p")
+      assert(p.contains("LessThan(l_quantity,24.0)"), s"quantity cap not pushed:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"Q6 is a single-scan query:\n$p")
+      assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("ops_bucket_join: co-located SMJ — zero Exchange below the join, bucketed scans") {
+    val p = plan("ops_bucket_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // bucket-pruned scans: both sides report their bucket selection
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 2, s"scans not bucketed:\n$p")
+    // the ONLY shuffle is the final priority rollup — the join itself is
+    // exchange-free because both sides arrive pre-partitioned by the layout
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"bucketed join must not shuffle either fact:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
