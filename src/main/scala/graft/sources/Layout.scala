@@ -172,8 +172,8 @@ object Layout {
     * sessions over different scale factors never collide in the shared
     * warehouse.
     */
-  private def ensureBucketed(spark: SparkSession, sfDir: String,
-                             table: String, key: String): String = {
+  def ensureBucketed(spark: SparkSession, sfDir: String,
+                     table: String, key: String): String = {
     val short = s"${table}_bk_${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
     val name = s"graft_buckets.$short"
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")

@@ -462,6 +462,20 @@ class PlanSpec extends SparkSuite {
       s"bucketed join must not shuffle either fact:\n$p")
   }
 
+  test("bucketed layout also serves keyed aggregation shuffle-free (the amortization claim)") {
+    import org.apache.spark.sql.functions._
+    // the layout ops_bucket_join pays for is NOT join-specific: any groupBy
+    // on the bucket key consumes the scan's existing hash partitioning, so
+    // the per-order rollup plans ZERO Exchange — on raw parquet the
+    // identical query shuffles the whole fact
+    val t = graft.sources.Layout.ensureBucketed(spark, sf, "lineitem", "l_orderkey")
+    val p = spark.table(t)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bucketed keyed agg must not shuffle:\n$p")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
