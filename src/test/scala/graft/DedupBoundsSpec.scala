@@ -154,6 +154,28 @@ class DedupBoundsSpec extends SparkSuite {
     assert(out(0).getDouble(2) == 1.0)
   }
 
+  test("edit verify: exact distance inside the band, -1 sentinel beyond it, permille normalized") {
+    import spark.implicits._
+    // b = a plus a 6-char suffix (inside maxDist=10); c = a plus a long tail
+    // (beyond it). All three share a's shingles, so LSH pairs them; the
+    // banded-DP threshold form must report b exactly and refuse to pay for c.
+    val tail = " padding" * 30
+    val docs = Seq((0L, text), (1L, text + " extra"), (2L, text + tail))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerifyDf(docs, maxDist = 10)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("dist_permille"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, d, p) => ((a, b), (d, p)) }.toMap
+    assert(out.contains((0L, 1L)), s"near pair not generated: $out")
+    assert(out((0L, 1L)) == ((6L, 6000L / (text.length + 6))),
+      s"exact distance/permille wrong: ${out((0L, 1L))}")
+    // both over-threshold pairs (0,2) and (1,2) report the -1 sentinel
+    for (p <- Seq((0L, 2L), (1L, 2L)) if out.contains(p))
+      assert(out(p) == ((-1L, -1L)), s"beyond-band pair must be -1: ${out(p)}")
+    assert(out.contains((0L, 2L)) || out.contains((1L, 2L)),
+      s"tail doc never paired — fixture no longer collides: $out")
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)

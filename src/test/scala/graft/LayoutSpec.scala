@@ -138,4 +138,26 @@ class LayoutSpec extends SparkSuite {
     assert(seq.zip(seq.tail).forall { case (a, b) =>
       a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "in-file sort violated")
   }
+
+  test("ensureBucketed survives a stale warehouse location left by a dead catalog") {
+    // the in-memory catalog forgets tables when a JVM exits while the
+    // managed-table files persist in spark-warehouse/ — simulate the next
+    // session by planting junk at the location BEFORE the catalog knows the
+    // table; CTAS would throw LOCATION_ALREADY_EXISTS without the guard
+    val short = s"region_bk_${Integer.toHexString(sf.hashCode).takeRight(8)}"
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_buckets.db/$short")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet"))
+    junk.write("not a parquet file".getBytes); junk.close()
+    assert(!spark.catalog.tableExists(s"graft_buckets.$short"))
+    val t = Layout.ensureBucketed(spark, sf, "region", "r_regionkey")
+    assert(spark.table(t).count() == Tables.load(spark, sf, "region").count())
+    // and the second call is the no-op amortized path: same table, no rewrite
+    val modTime = fs.listStatus(loc).map(_.getModificationTime).max
+    assert(Layout.ensureBucketed(spark, sf, "region", "r_regionkey") == t)
+    assert(fs.listStatus(loc).map(_.getModificationTime).max == modTime,
+      "second call must not rewrite the layout")
+  }
 }
