@@ -42,7 +42,14 @@ object ScaleProbe {
     // lsh_calib (truth postings + candidate full outer), incr_dedup (band
     // index probe), bpe_pairs (types-vs-tokens — its curve should be the
     // FLATTEST: vocab grows by Heaps' law, sublinear in corpus size)
-    "ops_triangles", "ops_lsh_calib", "ops_incr_dedup", "ops_bpe_pairs")
+    "ops_triangles", "ops_lsh_calib", "ops_incr_dedup", "ops_bpe_pairs",
+    // the multi-join family over the f× fact blowup (fixed dims, f× order
+    // history — temporal growth): every join edge is either a broadcast of
+    // a FIXED-size dim slice or a key shuffle of both facts, so the curves
+    // should be ~linear; bucket_join's rep-1 write is the one-time layout
+    // cost, its min-of-2 the steady-state co-located join
+    "ops_q5_local_volume", "ops_q7_trade_volume", "ops_q9_profit",
+    "ops_q12_priority_lanes", "ops_q21_waiting", "ops_bucket_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,17 +67,32 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // which table families to synthesize for each factor dir: "docs"
+    // (documents+events), "tpch" (the relational star), or "all" — large
+    // factors get expensive, and a join-only probe shouldn't pay for a
+    // 100× token-suffixed document corpus it never reads
+    val families = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES", "all")
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      if (families != "tpch" && !new java.io.File(s"$dir/documents.parquet").exists()) {
         val t0 = System.nanoTime()
         generate(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
       }
+      // the relational family arrived later than the doc/event one — cached
+      // dirs from earlier sessions regenerate just the missing tables
+      if (families != "docs" && !new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val t0 = System.nanoTime()
+        generateTpch(spark, baseDir, dir, f)
+        println(s"""{"metric":"scale_gen_tpch","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+      }
     }
+    // optional args = query-name filter, same contract as graft.Bench
+    val selected =
+      if (args.nonEmpty) probeQueries.filter(args.toSet) else probeQueries
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
-      probeQueries.foreach { name =>
+      selected.foreach { name =>
         val fn = SparkEntry.queries(name)
         val secs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -108,5 +130,33 @@ object ScaleProbe {
     }
     evCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Deterministic f× blowup of the relational star: dims stay FIXED (the
+    * realistic growth mode — fact history accumulates over a slowly-growing
+    * entity base), orders/lineitem replicate with copy i shifting the order
+    * key into a disjoint range while keeping o_custkey / l_suppkey /
+    * l_partkey — every customer gets f× the order history, FK integrity
+    * preserved, join selectivities unchanged. Dates repeat rather than
+    * extend, so date-sliced queries see f× rows inside the same windows —
+    * exactly the per-window density growth a bigger cluster faces.
+    */
+  def generateTpch(spark: SparkSession, baseDir: String, dir: String, f: Int): Unit = {
+    for (t <- Seq("region", "nation", "supplier", "part", "customer"))
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val shift = 1000000000L // far above any base orderkey at these SFs
+    val o = spark.read.parquet(s"$baseDir/orders.parquet")
+    (0 until f).map { i =>
+      if (i == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    (0 until f).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 }
