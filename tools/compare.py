@@ -13,7 +13,13 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    if not os.path.exists(p):
+        continue  # scaled probe dirs may carry only one table family
+    # driver testdata is single-file parquet; Spark-written scale dirs are
+    # directories of part files
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
