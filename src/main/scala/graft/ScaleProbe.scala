@@ -67,29 +67,49 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // which table families to synthesize for each factor dir: "docs"
-    // (documents+events), "tpch" (the relational star), or "all" — large
-    // factors get expensive, and a join-only probe shouldn't pay for a
-    // 100× token-suffixed document corpus it never reads
-    val families = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES", "all")
+    // optional args = query-name filter over the FULL registry (the same
+    // contract as graft.Bench — any declared query can be probed, not just
+    // the curated default list); unknown names are an error, not a silent
+    // empty run
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val selected: Seq[String] = if (args.nonEmpty) args.toSeq else probeQueries
+
+    // which table families the selected queries need: generation is the
+    // expensive step (a 100× token-suffixed document corpus costs minutes a
+    // join-only probe shouldn't pay), so it is driven by the selection —
+    // queries outside the curated list conservatively generate everything.
+    // SPARK_GRAFT_SCALE_TABLES=docs|tpch|auto remains as a manual override.
+    val tpchQueries = Set("ops_q5_local_volume", "ops_q7_trade_volume",
+      "ops_q9_profit", "ops_q12_priority_lanes", "ops_q21_waiting",
+      "ops_bucket_join")
+    val families = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES", "auto") match {
+      case "auto" =>
+        (if (selected.exists(q => !tpchQueries(q))) Set("docs") else Set[String]()) ++
+          (if (selected.exists(q => tpchQueries(q) || !probeQueries.contains(q))) Set("tpch") else Set())
+      case one => Set(one)
+    }
+    // a family only counts as generated when its LAST-written table's Spark
+    // job COMMITTED (_SUCCESS present) — a bare directory left by an
+    // interrupted write must regenerate, not poison the cache (generate
+    // writes events last; generateTpch writes lineitem last)
+    def committed(dir: String, lastTable: String): Boolean =
+      new java.io.File(s"$dir/$lastTable.parquet/_SUCCESS").exists()
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
-      if (families != "tpch" && !new java.io.File(s"$dir/documents.parquet").exists()) {
+      if (families("docs") && !committed(dir, "events")) {
         val t0 = System.nanoTime()
         generate(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
       }
       // the relational family arrived later than the doc/event one — cached
       // dirs from earlier sessions regenerate just the missing tables
-      if (families != "docs" && !new java.io.File(s"$dir/lineitem.parquet").exists()) {
+      if (families("tpch") && !committed(dir, "lineitem")) {
         val t0 = System.nanoTime()
         generateTpch(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen_tpch","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
       }
     }
-    // optional args = query-name filter, same contract as graft.Bench
-    val selected =
-      if (args.nonEmpty) probeQueries.filter(args.toSet) else probeQueries
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
       selected.foreach { name =>

@@ -22,6 +22,25 @@ object Relational {
   /** Exact-money helper: double -> DECIMAL(18,2). */
   def money(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Per-line discounted revenue as an exact scale-4 decimal —
+    * cents × (1 − disc), the shared money primitive of the TPC-H family
+    * (sum first, scale to basis points, cast long LAST: the
+    * basis-points-after-sum discipline).
+    */
+  def discountedLine: Column =
+    money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
+
+  /** One region's nations as a broadcastable (n_nationkey, n_name) slice —
+    * the shared prune-before-the-facts prefix of Q5/Q8.
+    */
+  private def regionNations(spark: SparkSession, sfDir: String, region: String): DataFrame =
+    Tables.load(spark, sfDir, "nation")
+      .join(broadcast(Tables.load(spark, sfDir, "region")
+          .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+
   /** TPC-H Q1-style pricing summary (hash agg; exercises partial agg +
     * whole-stage codegen; cf. reference gap SURVEY §2B "aggregations: none").
     */
@@ -1400,10 +1419,7 @@ object Relational {
     * integer nationkey; names attach to the 5-row aggregate afterwards.
     */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
-    val asiaNations = Tables.load(spark, sfDir, "nation")
-      .join(broadcast(Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
+    val asiaNations = regionNations(spark, sfDir, "ASIA")
     val c = Tables.load(spark, sfDir, "customer")
       .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -1424,9 +1440,7 @@ object Relational {
         col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("c_nationkey"))
-      .agg((sum(money(col("l_extendedprice")) *
-             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
-        .cast("long").as("rev_bp"))
+      .agg((sum(discountedLine) * 10000).cast("long").as("rev_bp"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("rev_bp"))
   }
@@ -1464,9 +1478,7 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg((sum(money(col("l_extendedprice")) *
-             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
-        .cast("long").as("rev_bp"))
+      .agg((sum(discountedLine) * 10000).cast("long").as("rev_bp"))
   }
 
   /** TPC-H Q8 shape — national market share: one nation's slice of a
@@ -1480,10 +1492,7 @@ object Relational {
     * permille bit-exact across engines ([[revenueShare]] discipline).
     */
   def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
-    val asiaNations = Tables.load(spark, sfDir, "nation")
-      .join(broadcast(Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"))
+    val asiaNations = regionNations(spark, sfDir, "ASIA").select(col("n_nationkey"))
     val p = Tables.load(spark, sfDir, "part")
       .filter(col("p_type") === "PROMO").select(col("p_partkey"))
     val s = Tables.load(spark, sfDir, "supplier")
@@ -1498,8 +1507,7 @@ object Relational {
     // ×10000 (basis points): the discounted product is a scale-4 decimal, so
     // bp sums are exactly integral — cents (×100) would leave a fraction that
     // Spark's cast truncates where DuckDB rounds (the q19/q14 lesson)
-    val bp = (money(col("l_extendedprice")) *
-      (lit(1).cast("decimal(18,2)") - money(col("l_discount"))) * 10000)
+    val bp = discountedLine * 10000
     Tables.load(spark, sfDir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
@@ -1534,10 +1542,12 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"))
     val o = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderdate"))
-    // ×10000 / ×5000 keep both scale-4 decimal products exactly integral in
-    // basis points — see [[marketShare]] on why cents would round-vs-truncate
-    val revBp = money(col("l_extendedprice")) *
-      (lit(1).cast("decimal(18,2)") - money(col("l_discount"))) * 10000
+    // revBp is exactly integral (scale-4 decimal × 10000). costBp×5000 is
+    // integral only while quantities are WHOLE (true of this data; a
+    // fractional qty × odd cents can end in .5) — so the oracle wraps the
+    // difference in trunc() to match Spark's truncating decimal→long cast
+    // for ANY input, instead of betting correctness on the precondition
+    val revBp = discountedLine * 10000
     val costBp = money(col("l_quantity")) * money(col("p_retailprice")) * 5000
     Tables.load(spark, sfDir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
@@ -1568,9 +1578,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg((sum(money(col("l_extendedprice")) *
-             (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
-        .cast("long").as("rev_bp"))
+      .agg((sum(discountedLine) * 10000).cast("long").as("rev_bp"))
     broadcast(perCust)
       .join(Tables.load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.load(spark, sfDir, "nation")),

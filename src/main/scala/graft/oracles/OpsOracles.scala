@@ -473,8 +473,8 @@ private[graft] object OpsOracles {
          |FROM vol GROUP BY o_year""".stripMargin,
     "ops_q9_profit" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         |  CAST(SUM($discPrice * 10000)
-         |     - SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * 5000)
+         |  CAST(trunc(SUM($discPrice * 10000)
+         |     - SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * 5000))
          |    AS BIGINT) AS profit_bp
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey

@@ -170,7 +170,9 @@ object Layout {
     * repaid by every subsequent join and aggregation on that key running
     * shuffle-free. The table name carries a source-dir hash so concurrent
     * sessions over different scale factors never collide in the shared
-    * warehouse.
+    * warehouse; within ONE source dir the layout write is single-writer by
+    * contract (as with any table build — two concurrent builders of the
+    * same table need external coordination, here as everywhere).
     */
   def ensureBucketed(spark: SparkSession, sfDir: String,
                      table: String, key: String): String = {
@@ -210,7 +212,6 @@ object Layout {
     * unbucketed join — layout must never change answers.
     */
   def bucketedJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
-    val money = graft.ops.Relational.money _
     val o = spark.table(ensureBucketed(spark, sfDir, "orders", "o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"))
     val l = spark.table(ensureBucketed(spark, sfDir, "lineitem", "l_orderkey"))
@@ -218,8 +219,7 @@ object Layout {
     o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        (sum(money(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+        (sum(graft.ops.Relational.discountedLine) * 10000)
           .cast("long").as("rev_bp"),
         count(lit(1)).as("n_lines"))
   }
