@@ -613,6 +613,7 @@ object SparkEntry {
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
+    "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
   )
 
   // ===== DuckDB oracles =====

@@ -312,6 +312,16 @@ private[graft] object OpsOracles {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // the oracle reads the PARQUET original: the text serialization must
+    // not change answers, and the three planted corrupt lines must all
+    // land in the constant dead-letter row
+    "ops_json_source" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_corrupt', 3, CAST(NULL AS DOUBLE), 0""".stripMargin,
     // the oracle joins the UNBUCKETED parquet: bucketing is layout, and
     // layout must never change answers
     "ops_bucket_join" ->

@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources.TextFormats
+import org.apache.spark.sql.functions._
+
+/** Pins the JSON-ingest contract: what quarantines, what is leniently
+  * nulled, and that the text round-trip preserves every aggregate the
+  * oracle checks (the oracle itself proves parity; these tests pin the
+  * SEMANTICS a pipeline must know when it trusts PERMISSIVE mode).
+  */
+class TextFormatsSpec extends SparkSuite {
+
+  test("the three planted corrupt lines quarantine as one _corrupt row of n=3") {
+    val out = TextFormats.jsonEventIngest(spark, sf)
+      .filter(col("event_type") === "_corrupt").collect()
+    assert(out.length == 1, out.mkString(","))
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).isNullAt(2), "corrupt row must not carry a money sum")
+    assert(out(0).getLong(3) == 0L)
+  }
+
+  test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
+    // the measured semantics the fixture comment documents, pinned so a
+    // Spark upgrade that changes them is caught here, not by a drifting
+    // oracle: the raw line lands in the corrupt column (dead-letter sees
+    // the original) while parseable siblings survive (salvageable)
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_leniency")
+    java.nio.file.Files.write(dir.resolve("drop.json"),
+      "{\"event_id\": true, \"user_id\": 7, \"event_type\": \"click\", \"value\": 1.5}\n"
+        .getBytes("UTF-8"))
+    val rows = spark.read.schema(TextFormats.eventWireSchema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(dir.toString).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.isNullAt(r.fieldIndex("event_id")), "mistyped field must be nulled")
+    assert(!r.isNullAt(r.fieldIndex("_bad")), "row must be quarantined with its raw line")
+    assert(r.getLong(r.fieldIndex("user_id")) == 7L, "siblings must survive")
+  }
+}
