@@ -25,7 +25,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * stats row, `ops_quality_mix` quartile bounds, and the round-5 statistics
   * rows: `ops_bm25` corpus length stats, `ops_ks_test` sample totals,
   * `ops_seasonal` day census, `ops_skipgram_pmi` token total,
-  * `ops_q22_idle_rich` balance-stats row) — those are
+  * `ops_q22_idle_rich` balance-stats row, and the round-5 closers:
+  * `ops_q11_important_stock` total/count threshold row, `ops_hybrid_rrf`
+  * inheriting `ops_sim_topk`'s query-vector row) — those are
   * the expected hits; anything else flagged here is a regression
   * (`PlanSpec`'s no-CartesianProduct test is the hard gate).
   */

@@ -519,6 +519,9 @@ object SparkEntry {
     "ops_corr_subquery"     -> (Relational.smallQuantityRevenue _),
     "ops_q21_waiting"       -> (Relational.soleProblemSuppliers _),
     "ops_q20_dominant_supp" -> (Relational.dominantPartSuppliers _),
+    "ops_q2_min_cost"       -> (Relational.minCostSuppliers _),
+    "ops_q11_important_stock" -> (Relational.importantStock _),
+    "ops_q16_supplier_cnt"  -> (Relational.supplierRelationCount _),
     "ops_q22_idle_rich"     -> (Relational.idleRichCustomers _),
     "ops_q4_late_orders"    -> (Relational.latePriorityCensus _),
     "ops_q3_ship_priority"  -> (Relational.shippingPriority _),
@@ -567,6 +570,7 @@ object SparkEntry {
     "ops_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // similarity set
     "ops_sim_topk"    -> ((s: SparkSession, d: String) => Similarity.topK(s, d)),
+    "ops_hybrid_rrf"  -> ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
     "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),

@@ -1367,6 +1367,110 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("total_bal_c"))
   }
 
+  /** TPC-H Q2 shape — min-cost supplier per part within one region: the
+    * classic correlated-MIN subquery (`cost = (SELECT MIN(cost) ... WHERE
+    * partkey = outer.partkey)`), decorrelated. This schema has no partsupp,
+    * so the supply relation derives from the fact ONCE at (part, supplier)
+    * grain with cost_c = MIN observed line price in cents — deterministic,
+    * exact integer money, and the oracle mirrors the same derivation.
+    *
+    * The scale decisions: the p_size filter prunes the fact through a
+    * broadcast join BEFORE its only shuffle, so the (part, supplier)
+    * aggregation moves ~2% of lineitem, not all of it; the Europe supplier
+    * slice is dim-sized and broadcasts; and the correlated MIN becomes a
+    * window MIN partitioned by part key over the already-reduced grain
+    * (part-grain rows, never fact-sized — the same single-scan
+    * decorrelation as `dominantPartSuppliers`), with the equality filter
+    * keeping exactly the tied minimum rows per part, which is Q2's
+    * semantics (ties return every witness).
+    */
+  def minCostSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val eurSupp = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(regionNations(spark, sfDir, "EUROPE")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        (money(col("s_acctbal")) * 100).cast("long").as("bal_c"))
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(min((money(col("l_extendedprice")) * 100).cast("long")).as("cost_c"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_c",
+        min(col("cost_c")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost_c") === col("min_c"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("bal_c"), col("cost_c"))
+  }
+
+  /** TPC-H Q11 shape — "important stock": per-part supplied value within one
+    * region's suppliers, kept where the part's value exceeds a threshold
+    * computed by a scalar subquery over the SAME aggregate. Q11's literal
+    * fraction (0.0001/SF) must shrink with scale or the result set empties;
+    * this shape makes the threshold scale-free instead — keep parts worth
+    * more than 2× the mean part value — so the query is meaningful at every
+    * SF without retuning, which is what a production data-health query
+    * needs.
+    *
+    * The region supplier slice broadcasts and semi-join-prunes the fact
+    * before its single shuffle to part grain. The scalar (total, count)
+    * reduces the part-grain frame to ONE row that rides back as a broadcast
+    * (the `idleRichCustomers` pattern), and the above-mean test
+    * cross-multiplies (value·n > 2·total) instead of dividing — in
+    * decimal(38,0) so the product cannot overflow int64 even at 100 TB
+    * aggregate magnitudes (DuckDB's HUGEINT widening agrees exactly).
+    */
+  def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaSupp = Tables.load(spark, sfDir, "supplier")
+      .join(broadcast(regionNations(spark, sfDir, "ASIA")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((money(col("l_extendedprice")) * 100).cast("long")).as("value_c"))
+    val tot = vals.agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_parts"))
+    vals.join(broadcast(tot))
+      .filter(col("value_c").cast("decimal(38,0)") * col("n_parts") >
+              col("total_c").cast("decimal(38,0)") * 2)
+      .select(col("l_partkey"), col("value_c"))
+  }
+
+  /** TPC-H Q16 shape — supplier-relationship census: COUNT(DISTINCT
+    * suppliers) per (brand, type, size) for a filtered part family,
+    * excluding a supplier blocklist via NOT IN. The schema has no partsupp
+    * or supplier comments, so the relation is the fact's (part, supplier)
+    * pairs and the blocklist is a deterministic name predicate — topology
+    * preserved: negated dim filters + IN-list on the dim, anti-join for the
+    * exclusion, distinct-count aggregation.
+    *
+    * Both dim sides broadcast (the part family prunes the fact before any
+    * shuffle; the blocklist anti-join is dim-sized). The only shuffle is
+    * the distinct aggregation itself, which Spark runs as the standard
+    * two-phase distinct expand — duplicate (part, supplier) lineitems
+    * collapse map-side, so the exchange carries pair grain, not fact grain.
+    */
+  def supplierRelationCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.load(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#45" &&
+              !col("p_type").startsWith("MEDIUM") &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excl = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_name").endsWith("7"))
+      .select(col("s_suppkey"))
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val d = "decimal(38,0)"

@@ -57,6 +57,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hybrid retrieval — BM25 lexical top-n fused with dense cosine top-n by
+    * reciprocal-rank fusion (Cormack et al., SIGIR 2009: score(d) =
+    * Σ_rankers 1/(k0 + rank_d), k0 = 60), the standard way production
+    * retrieval stacks combine a keyword index with an embedding index. Doc
+    * `queryId` plays the query role: its embedding is the dense query, and
+    * it is excluded from BOTH rankers' corpora (see [[TextStats.bm25Search]]'s
+    * `exclude` — corpus stats shift with it, as they must).
+    *
+    * Hash-exact across engines: both rank keys are already deterministic
+    * integers (BM25 micro-unit scores; cosine rounded to 6 dp, each with a
+    * doc-id tie-break), and the RRF sum is computed in integer
+    * parts-per-billion via BIGINT division — 1e9 div (k0 + rank) — so no
+    * float ever enters. A ranker miss contributes exactly 0 (rank sentinel
+    * 0), the standard RRF-over-the-union semantics.
+    *
+    * Scale shape: each ranker is its own distributed top-n ending in a
+    * TakeOrderedAndProject heap (per-partition heaps + driver merge — no
+    * global sort at 100 TB); everything downstream of those two heaps (the
+    * rank windows, the full-outer fusion join, the final top-k) touches at
+    * most 2n rows, so the single-partition windows and the fusion join are
+    * k-sized by construction, never data-sized. The fusion cost is fixed no
+    * matter how large the corpus grows — the rankers are the whole cost.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                n: Int = 50, k: Int = 20, k0: Int = 60): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sparse = TextStats
+      .bm25Search(spark, sfDir, TextStats.searchTerms, n, exclude = Some(queryId))
+      .select(col("doc_id"),
+        row_number().over(w.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long").as("r_sparse"))
+    val dense = topK(spark, sfDir, queryId, n)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(w.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long").as("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf_ppb", expr(
+        s"""CAST(CASE WHEN r_sparse > 0 THEN 1000000000 div ($k0 + r_sparse) ELSE 0 END
+           |   + CASE WHEN r_dense  > 0 THEN 1000000000 div ($k0 + r_dense)  ELSE 0 END
+           | AS BIGINT)""".stripMargin).as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane component for (plane p, dim d): first 15 hex
     * chars of md5("p,d") as a 60-bit int, mapped into [-1000, 1000]. Same
     * formula as [[Hashing.h60]] so any engine can reproduce it.

@@ -317,8 +317,14 @@ object TextStats {
     * broadcasts. Top-k is TakeOrderedAndProject with doc_id tie-break.
     */
   def bm25Search(spark: SparkSession, sfDir: String,
-                 terms: Seq[String] = searchTerms, k: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+                 terms: Seq[String] = searchTerms, k: Int = 20,
+                 exclude: Option[Long] = None): DataFrame = {
+    // `exclude` drops a query document from the SEARCHABLE corpus (so the
+    // corpus stats n_docs / t_tokens / df shift with it — the document is
+    // not retrievable, so it must not weigh the ranking either); used by
+    // [[graft.ops.Similarity.hybridRrf]] where doc 0 plays the query role.
+    val docs = exclude.foldLeft(Tables.load(spark, sfDir, "documents"))(
+      (d, id) => d.filter(col("doc_id") =!= id))
     val toks = split(lower(col("text")), " ")
     val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
       .filter(col("tok").isin(terms: _*))

@@ -160,6 +160,52 @@ private[graft] object OpsOracles {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty_c * 10 > total_c * 3
         |GROUP BY s_suppkey, s_name""".stripMargin,
+    // Q2/Q11/Q16 shapes: the supply relation derives from lineitem at
+    // (part, supplier) grain — this schema has no partsupp — with the
+    // derivation mirrored exactly between engines. MIN of BIGINT stays
+    // BIGINT in DuckDB, but SUM widens to HUGEINT: every summed total is
+    // CAST back before comparison, and the Q11 threshold cross-multiplies
+    // (HUGEINT on the DuckDB side, decimal(38,0) in Spark — both exact).
+    "ops_q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, p_brand, l_suppkey,
+        |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cost_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2, 3),
+        |eur AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |w AS (
+        |  SELECT l_partkey AS p_partkey, p_brand, s_name, n_name, bal_c, cost_c,
+        |    MIN(cost_c) OVER (PARTITION BY l_partkey) AS min_c
+        |  FROM ps JOIN eur ON l_suppkey = s_suppkey)
+        |SELECT p_partkey, p_brand, s_name, n_name, bal_c, cost_c
+        |FROM w WHERE cost_c = min_c""".stripMargin,
+    "ops_q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(value_c) AS BIGINT) AS total_c, COUNT(*) AS n_parts FROM v)
+        |SELECT l_partkey, value_c
+        |FROM v, t WHERE value_c * n_parts > 2 * total_c""".stripMargin,
+    "ops_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2, 3""".stripMargin,
     "ops_q22_idle_rich" ->
       """WITH seg AS (
         |  SELECT c_custkey, c_mktsegment,

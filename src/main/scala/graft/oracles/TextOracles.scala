@@ -743,5 +743,51 @@ private[graft] object TextOracles {
         |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c_micro) AS BIGINT) AS score_micro
         |FROM c GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    // twin of [[graft.ops.Similarity.hybridRrf]]. The BM25 CTE chain is
+    // ops_bm25's with doc 0 excluded from the corpus (it plays the query
+    // role, so the stats shift with it — mirroring bm25Search(exclude)); the
+    // dense side is ops_sim_topk's. RRF fuses the two 50-deep rank lists in
+    // integer parts-per-billion (`//` = DuckDB BIGINT division, `div` on the
+    // Spark side), rank sentinel 0 = ranker miss contributes nothing.
+    "ops_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents WHERE doc_id <> 0),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(tk) AS tok FROM d)
+        |       WHERE tok IN ('join', 'filter', 'stream')
+        |       GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(len(tk)) AS DOUBLE) AS t_tokens FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * tf * 2.2e0
+        |      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / (t_tokens / n_docs)))
+        |      * 1000000.0e0) AS BIGINT) AS c_micro
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |sp AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_sparse
+        |  FROM (SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |        FROM c GROUP BY doc_id
+        |        ORDER BY score_micro DESC, doc_id LIMIT 50)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |dn AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+        |  FROM (SELECT vec_id AS doc_id, round(${cosineSql("v", "qv")}, 6) AS cos_sim
+        |        FROM e, q WHERE vec_id <> 0
+        |        ORDER BY cos_sim DESC, doc_id LIMIT 50)),
+        |f AS (
+        |  SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+        |    CAST(COALESCE(r_sparse, 0) AS BIGINT) AS r_sparse,
+        |    CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense
+        |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+        |SELECT doc_id, r_sparse, r_dense,
+        |  CAST(CASE WHEN r_sparse > 0 THEN 1000000000 // (60 + r_sparse) ELSE 0 END
+        |     + CASE WHEN r_dense > 0 THEN 1000000000 // (60 + r_dense) ELSE 0 END
+        |   AS BIGINT) AS rrf_ppb
+        |FROM f
+        |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -299,6 +299,64 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
   }
 
+  test("ops_q2_min_cost: size filter pruned into the fact pre-shuffle; correlated MIN is a window") {
+    val p = plan("ops_q2_min_cost")
+    // the p_size predicate must reach the part scan (it is what makes the
+    // fact join prune ~98% of lineitem before the only shuffle)
+    assert(p.contains("EqualTo(p_size,15)"), p)
+    // every dim side broadcasts — the fact never shuffles to join
+    assert(!p.contains("SortMergeJoin"), "a dim join fell back to sort-merge")
+    // the decorrelated MIN is a window over the (part, supplier) grain, not
+    // a groupBy-plus-self-join that would scan lineitem twice
+    assert(p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 5,
+      s"expected 5 scans (lineitem, part, supplier, nation, region):\n$p")
+  }
+
+  test("ops_q11_important_stock: semi-join pruning before the part shuffle; scalar threshold is one broadcast row") {
+    val p = plan("ops_q11_important_stock")
+    assert(p.contains("LeftSemi"), p)
+    // the (total, count) scalar rides back as a single-row broadcast — the
+    // part-grain frame is never shuffled a second time for the threshold
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the part-grain aggregation is partial+final (map-side combine carries
+    // the fact down to part grain before the exchange)
+    assert(p.contains("partial_"), p)
+    // both consumers of the part-grain frame must share one runtime
+    // exchange: lineitem is scanned once, not once per branch
+    val df = SparkEntry.queries("ops_q11_important_stock")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "part-grain aggregate rebuilt per branch — lineitem scanned twice")
+  }
+
+  test("ops_q16_supplier_cnt: blocklist is a broadcast anti join; only shuffle is the distinct agg") {
+    // the default 100-char metadata truncation hides the In(p_size,...) list
+    val key = "spark.sql.maxMetadataStringLength"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    val p = try plan("ops_q16_supplier_cnt") finally spark.conf.set(key, prior)
+    assert(p.contains("LeftAnti"), p)
+    // part-family predicates reach the part scan
+    assert(p.contains("In(p_size"), p)
+    assert(p.contains("Not(EqualTo(p_brand,Brand#45))"), p)
+    // COUNT(DISTINCT) plans as the two-phase expand over pair grain — the
+    // exchange must be the only one (fact joins all broadcast)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ops_hybrid_rrf: both rankers end in top-n heaps; fusion work is k-sized") {
+    val p = plan("ops_hybrid_rrf")
+    // each ranker's top-50 is a TakeOrderedAndProject (per-partition heap +
+    // driver merge) — a global Sort before the cut would be the scale bug
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the rank windows and the fusion join sit ABOVE the heaps, so they see
+    // ≤ 2n rows; the final top-20 is again a heap
+    assert(p.contains("Window"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("ops_q22_idle_rich: anti join on the date-pruned fact; scalar stats ride one broadcast row") {
     val p = plan("ops_q22_idle_rich")
     assert(p.contains("LeftAnti"), p)
