@@ -22,10 +22,23 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") df.schema("ts").dataType match {
+      // a long-typed ts is ONLY ever nanosAsLong's rendering of
+      // TIMESTAMP(NANOS) — a hypothetical raw-micros-as-long layout would
+      // silently come out 1000x too small here, so any NEW long-shaped
+      // layout must extend this match, not reuse the nanos branch
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-native; NTZ→LTZ cast is wall-clock identity under the UTC
+        // session zone every entry point sets
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case other =>
+        // fail fast: the driver has changed this file's physical layout
+        // before (nanos→micros mid-round-5) — a third layout must be looked
+        // at, not guessed at
+        throw new IllegalStateException(
+          s"events.ts has unrecognized physical type $other — inspect the parquet and extend Tables.load")
     } else df
   }
 }

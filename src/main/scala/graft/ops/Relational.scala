@@ -1421,7 +1421,8 @@ object Relational {
     * (the `idleRichCustomers` pattern), and the above-mean test
     * cross-multiplies (value·n > 2·total) instead of dividing — in
     * decimal(38,0) so the product cannot overflow int64 even at 100 TB
-    * aggregate magnitudes (DuckDB's HUGEINT widening agrees exactly).
+    * aggregate magnitudes (the oracle casts to HUGEINT explicitly for the
+    * same headroom; DuckDB would raise, not widen, on a BIGINT overflow).
     */
   def importantStock(spark: SparkSession, sfDir: String): DataFrame = {
     val asiaSupp = Tables.load(spark, sfDir, "supplier")

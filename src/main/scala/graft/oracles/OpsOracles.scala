@@ -164,8 +164,11 @@ private[graft] object OpsOracles {
     // (part, supplier) grain — this schema has no partsupp — with the
     // derivation mirrored exactly between engines. MIN of BIGINT stays
     // BIGINT in DuckDB, but SUM widens to HUGEINT: every summed total is
-    // CAST back before comparison, and the Q11 threshold cross-multiplies
-    // (HUGEINT on the DuckDB side, decimal(38,0) in Spark — both exact).
+    // CAST back before comparison. The Q11 threshold cross-multiplies with
+    // EXPLICIT HUGEINT casts — DuckDB does NOT auto-widen BIGINT*BIGINT (it
+    // raises on overflow, same as the gini/ks/chi2 oracles' guard), so the
+    // casts keep the oracle exact at any scale, matching Spark's
+    // decimal(38,0) product.
     "ops_q2_min_cost" ->
       """WITH ps AS (
         |  SELECT l_partkey, p_brand, l_suppkey,
@@ -197,7 +200,8 @@ private[graft] object OpsOracles {
         |t AS (
         |  SELECT CAST(SUM(value_c) AS BIGINT) AS total_c, COUNT(*) AS n_parts FROM v)
         |SELECT l_partkey, value_c
-        |FROM v, t WHERE value_c * n_parts > 2 * total_c""".stripMargin,
+        |FROM v, t
+        |WHERE CAST(value_c AS HUGEINT) * n_parts > 2 * CAST(total_c AS HUGEINT)""".stripMargin,
     "ops_q16_supplier_cnt" ->
       """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey

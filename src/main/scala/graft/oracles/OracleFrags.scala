@@ -24,6 +24,38 @@ private[graft] object OracleFrags {
   def h60sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** BM25 scoring CTE chain ending in `c(doc_id, c_micro)` — DuckDB twin of
+    * [[graft.ops.TextStats.bm25Search]], shared by `ops_bm25` and
+    * `ops_hybrid_rrf` so the formula (k1 = 1.2, b = 0.75, micro-unit
+    * snapping) and term list can never fork between the two oracles.
+    * `exclude` mirrors bm25Search's query-doc exclusion: the doc leaves the
+    * SEARCHABLE corpus, so n_docs / t_tokens / df shift with it. Float
+    * literals are e-notation so DuckDB parses them as DOUBLE (a bare 1.2 is
+    * DECIMAL and would change the promotion path); per-term contributions
+    * snap to integer micro-units before the per-doc sum, exactly like the
+    * Spark side, so no float ever accumulates.
+    */
+  def bm25Cte(exclude: Option[Long]): String = {
+    val corpus = exclude.map(id => s" WHERE doc_id <> $id").getOrElse("")
+    val terms = TextStats.searchTerms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |      FROM documents$corpus),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM (SELECT doc_id, unnest(tk) AS tok FROM d)
+       |       WHERE tok IN ($terms)
+       |       GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                 CAST(SUM(len(tk)) AS DOUBLE) AS t_tokens FROM d),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * tf * 2.2e0
+       |      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / (t_tokens / n_docs)))
+       |      * 1000000.0e0) AS BIGINT) AS c_micro
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
+  }
+
   /** Per-doc bigram-LM score CTE chain — DuckDB twin of
     * [[graft.ops.TextStats.bigramFamiliarity]], shared by `ops_bigram_lm`
     * and `ops_quality_mix` so the score definition can never fork.

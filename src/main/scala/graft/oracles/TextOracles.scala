@@ -719,53 +719,22 @@ private[graft] object TextOracles {
          |    list_reduce(list_transform(cs, c -> c * ln(c)), (a, b) -> a + b)
          |      / CAST(n_tokens AS DOUBLE), 6) AS entropy
          |FROM agg""".stripMargin,
-    // twin of [[graft.ops.TextStats.bm25Search]]. Float literals are
-    // e-notation so DuckDB parses them as DOUBLE (a bare 1.2 is DECIMAL and
-    // would change the promotion path); per-term contributions snap to
-    // integer micro-units before the per-doc sum, exactly like the Spark
-    // side, so no float ever accumulates.
+    // twin of [[graft.ops.TextStats.bm25Search]] — the scoring chain lives
+    // in [[OracleFrags.bm25Cte]], shared with ops_hybrid_rrf.
     "ops_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-        |hits AS (SELECT doc_id, unnest(tk) AS tok FROM d),
-        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-        |       FROM hits WHERE tok IN ('join', 'filter', 'stream')
-        |       GROUP BY doc_id, tok),
-        |dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
-        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |                 CAST(SUM(len(tk)) AS DOUBLE) AS t_tokens FROM d),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(round(ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * tf * 2.2e0
-        |      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / (t_tokens / n_docs)))
-        |      * 1000000.0e0) AS BIGINT) AS c_micro
-        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+      s"""WITH ${bm25Cte(None)}
         |SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c_micro) AS BIGINT) AS score_micro
         |FROM c GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
-    // twin of [[graft.ops.Similarity.hybridRrf]]. The BM25 CTE chain is
-    // ops_bm25's with doc 0 excluded from the corpus (it plays the query
-    // role, so the stats shift with it — mirroring bm25Search(exclude)); the
-    // dense side is ops_sim_topk's. RRF fuses the two 50-deep rank lists in
-    // integer parts-per-billion (`//` = DuckDB BIGINT division, `div` on the
-    // Spark side), rank sentinel 0 = ranker miss contributes nothing.
+    // twin of [[graft.ops.Similarity.hybridRrf]]. The BM25 chain is
+    // [[OracleFrags.bm25Cte]] with doc 0 excluded from the corpus (it plays
+    // the query role, so the stats shift with it — mirroring
+    // bm25Search(exclude)); the dense side is ops_sim_topk's. RRF fuses the
+    // two 50-deep rank lists in integer parts-per-billion (`//` = DuckDB
+    // BIGINT division, `div` on the Spark side), rank sentinel 0 = ranker
+    // miss contributes nothing.
     "ops_hybrid_rrf" ->
-      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |           FROM documents WHERE doc_id <> 0),
-        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
-        |       FROM (SELECT doc_id, unnest(tk) AS tok FROM d)
-        |       WHERE tok IN ('join', 'filter', 'stream')
-        |       GROUP BY doc_id, tok),
-        |dft AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
-        |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM d),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |                 CAST(SUM(len(tk)) AS DOUBLE) AS t_tokens FROM d),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(round(ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * tf * 2.2e0
-        |      / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / (t_tokens / n_docs)))
-        |      * 1000000.0e0) AS BIGINT) AS c_micro
-        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+      s"""WITH ${bm25Cte(Some(0L))},
         |sp AS (
         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_sparse
         |  FROM (SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
