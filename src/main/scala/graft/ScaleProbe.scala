@@ -92,12 +92,12 @@ object ScaleProbe {
     // a family only counts as generated when its LAST-written table's Spark
     // job COMMITTED (_SUCCESS present) — a bare directory left by an
     // interrupted write must regenerate, not poison the cache (generate
-    // writes events last; generateTpch writes lineitem last)
+    // writes embeddings last; generateTpch writes lineitem last)
     def committed(dir: String, lastTable: String): Boolean =
       new java.io.File(s"$dir/$lastTable.parquet/_SUCCESS").exists()
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
-      if (families("docs") && !committed(dir, "events")) {
+      if (families("docs") && !committed(dir, "embeddings")) {
         val t0 = System.nanoTime()
         generate(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
@@ -150,6 +150,14 @@ object ScaleProbe {
     }
     evCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // embeddings pass through UNCHANGED (the realistic lag mode: the lexical
+    // corpus grows f× while the vector index trails behind a batch refresh)
+    // so retrieval compositions over documents ⊕ embeddings — ops_hybrid_rrf
+    // in particular — can be probed and hash-checked on scaled dirs; the
+    // blowup's shifted doc_ids (base + i·1e7) never collide with vec_ids, so
+    // only copy 0 is dense-rankable, exactly the lag scenario
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   /** Deterministic f× blowup of the relational star: dims stay FIXED (the

@@ -30,14 +30,18 @@ def canon(df):
 
 fails = []
 for name, sql in sorted(oracle.items()):
+    # check for spark output BEFORE running the oracle: on a filtered
+    # Verify run (builder iteration) the dump holds a few queries, and
+    # running all ~143 DuckDB oracles anyway can grind for minutes on a
+    # scaled dir (recursive-CTE cluster oracles over a 50k-doc corpus)
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails.append(name); continue
     try:
         want = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
-        fails.append(name); continue
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output")
         fails.append(name); continue
     got = pd.concat([pd.read_parquet(f) for f in files])
     if sorted(got.columns) != sorted(want.columns):
