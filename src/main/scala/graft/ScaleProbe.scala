@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *    corpus growth looks like; naive replication would instead make every
   *    doc a 10-way exact dup — a different, quadratic-ish workload);
   *  - events: copy i shifts user_id (disjoint user populations with the
-  *    original per-user timelines) and event_id (uniqueness); `ts` stays a
-  *    raw nanos long exactly as the driver files store it, so
-  *    [[Tables.load]] reads scaled dirs unchanged.
+  *    original per-user timelines) and event_id (uniqueness); `ts` keeps
+  *    whatever physical layout the driver files currently use (raw nanos
+  *    long historically, micros-native since the mid-round-5 driver
+  *    regeneration) — [[Tables.load]] branches on the loaded type, and the
+  *    micros layout is DuckDB-readable, so event oracles can hash-check
+  *    scaled dirs too (BASELINE addendum V);
+  *  - embeddings: passed through UNCHANGED (lexical corpus grows f×, the
+  *    vector index trails a batch refresh), enabling retrieval probes.
   *
   * Output: one JSON line per (factor, query), min-of-2 seconds, plus a
   * generation line per factor. Dirs are cached under /tmp and reused.
@@ -92,16 +97,20 @@ object ScaleProbe {
     // a family only counts as generated when its LAST-written table's Spark
     // job COMMITTED (_SUCCESS present) — a bare directory left by an
     // interrupted write must regenerate, not poison the cache (generate
-    // writes embeddings last; generateTpch writes lineitem last)
+    // writes events last; generateTpch writes lineitem last; the embeddings
+    // pass-through copy has its own marker so a cached pre-embeddings dir
+    // gains it without re-running the expensive doc/event blowup)
     def committed(dir: String, lastTable: String): Boolean =
       new java.io.File(s"$dir/$lastTable.parquet/_SUCCESS").exists()
     factors.foreach { f =>
       val dir = s"$outRoot/x$f"
-      if (families("docs") && !committed(dir, "embeddings")) {
+      if (families("docs") && !committed(dir, "events")) {
         val t0 = System.nanoTime()
         generate(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
       }
+      if (families("docs") && !committed(dir, "embeddings"))
+        copyEmbeddings(spark, baseDir, dir)
       // the relational family arrived later than the doc/event one — cached
       // dirs from earlier sessions regenerate just the missing tables
       if (families("tpch") && !committed(dir, "lineitem")) {
@@ -127,7 +136,10 @@ object ScaleProbe {
 
   /** Deterministic f× blowup of documents + events into `dir`. */
   def generate(spark: SparkSession, baseDir: String, dir: String, f: Int): Unit = {
-    // raw read keeps events.ts as the nanos long the driver files use
+    // raw read preserves the driver files' physical ts layout into the
+    // scaled dir (nanosAsLong only fires when the source actually IS
+    // TIMESTAMP(NANOS); micros-native sources read — and re-write — as
+    // plain timestamps)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
@@ -150,15 +162,22 @@ object ScaleProbe {
     }
     evCopies.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    // embeddings pass through UNCHANGED (the realistic lag mode: the lexical
-    // corpus grows f× while the vector index trails behind a batch refresh)
-    // so retrieval compositions over documents ⊕ embeddings — ops_hybrid_rrf
-    // in particular — can be probed and hash-checked on scaled dirs; the
-    // blowup's shifted doc_ids (base + i·1e7) never collide with vec_ids, so
-    // only copy 0 is dense-rankable, exactly the lag scenario
+  }
+
+  /** Embeddings pass through UNCHANGED (the realistic lag mode: the lexical
+    * corpus grows f× while the vector index trails behind a batch refresh)
+    * so retrieval compositions over documents ⊕ embeddings — ops_hybrid_rrf
+    * in particular — can be probed and hash-checked on scaled dirs; the
+    * blowup's shifted doc_ids (base + i·1e7) never collide with vec_ids, so
+    * only copy 0 is dense-rankable, exactly the lag scenario. A separate
+    * fill-in step (not part of [[generate]]) so cached pre-embeddings dirs
+    * gain the cheap copy WITHOUT re-running the multi-minute doc/event
+    * blowup — the same regenerate-just-the-missing-tables pattern as the
+    * tpch branch.
+    */
+  def copyEmbeddings(spark: SparkSession, baseDir: String, dir: String): Unit =
     spark.read.parquet(s"$baseDir/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
 
   /** Deterministic f× blowup of the relational star: dims stay FIXED (the
     * realistic growth mode — fact history accumulates over a slowly-growing

@@ -21,6 +21,18 @@ object Verify {
     val wanted =
       if (args.length > 2) SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
       else SparkEntry.queries
+    // clear every registry query's stale dump first: leftovers from a prior
+    // run against a DIFFERENT sfDir would otherwise diff against this run's
+    // oracles in compare.py — and defeat its skip-absent-queries fast path
+    // on filtered runs (reused outDirs are the norm while iterating)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      val d = new java.io.File(s"$outDir/$name")
+      if (d.exists()) rm(d)
+    }
     wanted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

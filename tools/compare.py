@@ -36,7 +36,7 @@ for name, sql in sorted(oracle.items()):
     # scaled dir (recursive-CTE cluster oracles over a 50k-doc corpus)
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output")
+        print(f"FAIL {name}: no spark output (oracle not executed)")
         fails.append(name); continue
     try:
         want = con.execute(sql).fetchdf()
