@@ -42,12 +42,21 @@ object Bench {
         // breakage must never improve the headline number
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> ((if (times.exists(_ < 0)) -1.0 else times.min, times))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-rep raw times alongside the min: a contended run (one rep far
+    // slower than the other) is now identifiable from the artifact alone —
+    // two rounds running the driver's headline contained a >7× contention
+    // spike that only an out-of-band clean rerun could refute. The top-level
+    // contract (metric/value/unit/queries/sf) is unchanged; "times" is a
+    // sibling key that existing consumers ignore.
+    val ts = results.map { case (k, (_, times)) =>
+      s"\"" + k + "\":" + times.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

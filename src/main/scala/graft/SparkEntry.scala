@@ -614,6 +614,10 @@ object SparkEntry {
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_dedup"  -> (Multimodal.mediaDedupManifest _),
     "ops_media_frames" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // real codecs: encode→decode round-trip through javax.imageio /
+    // javax.sound.sampled; oracle recomputes the decoded content in SQL
+    "ops_png_decode"   -> ((s: SparkSession, d: String) => Multimodal.pngDecodeDf(s, d).toDF()),
+    "ops_wav_decode"   -> ((s: SparkSession, d: String) => Multimodal.wavDecodeDf(s, d).toDF()),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),

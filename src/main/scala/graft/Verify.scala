@@ -26,7 +26,10 @@ object Verify {
     // oracles in compare.py — and defeat its skip-absent-queries fast path
     // on filtered runs (reused outDirs are the norm while iterating)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      // don't recurse through directory symlinks (File.isDirectory follows
+      // them): delete the link itself, never its target's contents
+      if (f.isDirectory && !Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
     SparkEntry.queries.keys.foreach { name =>
@@ -40,6 +43,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // manifest of the queries this run attempted: lets compare.py restrict
+    // its oracle sweep on filtered (builder-iteration) runs, so a filtered
+    // run's exit code reflects only the queries actually executed instead of
+    // failing every unselected query as "no spark output"
+    Files.writeString(Paths.get(s"$outDir/ran_queries.json"),
+      wanted.keys.toSeq.sorted.map(k => "\"" + k + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

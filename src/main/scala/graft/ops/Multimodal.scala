@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extraction as a
   * per-partition batch operator.
   *
-  * The container has no media codecs, so `decodeStub` is a clearly-marked
-  * deterministic FAKE decoder — but the Spark-side plumbing is real: binary
+  * Two paths are REAL end-to-end with zero extra dependencies: PNG via
+  * javax.imageio and WAV PCM via javax.sound.sampled (see "REAL CODECS"
+  * below) — genuine encode→decode round-trips whose decoded pixels/samples
+  * are oracle-checked. `decodeStub`/`resizeStub` remain as clearly-marked
+  * deterministic FAKES standing in for codecs the container lacks
+  * (ffmpeg-class video) — but even there the Spark-side plumbing is real: binary
   * column schema, case-class encoders, `mapPartitions` batching (the Scala
   * analog of a vectorized/mapInPandas decode stage: one decoder instance per
   * partition, rows streamed through it), and metadata columns computed with
@@ -149,5 +153,172 @@ object Multimodal {
       ((octet_length(col("media")).cast("long") * 7919) % 1024).cast("int").as("width"),
       ((octet_length(col("media")).cast("long") * 104729) % 768).cast("int").as("height"),
       md5(col("media")).as("checksum"))
+  }
+
+  // ===== REAL CODECS (no stubs) =====
+  // Two genuine end-to-end media paths with zero new dependencies:
+  //  * PNG via javax.imageio — a real third-party codec (zlib/DEFLATE
+  //    decompression, filter reconstruction, real container parsing);
+  //  * WAV PCM via javax.sound.sampled — real RIFF container + PCM frames.
+  // Blobs are synthesized at ingest as REAL encoded files whose *content*
+  // (pixels / samples) is a closed-form function of doc_id, so a SQL oracle
+  // can verify the decoded values without any codec: if ImageIO's DEFLATE
+  // round-trip or the RIFF frame math were wrong anywhere, the hash check
+  // fails. The encoded byte stream itself is codec-version-dependent (PNG
+  // encoders choose filters/compression freely), so oracles check decoded
+  // content, never blob bytes.
+
+  /** Deterministic image geometry/content for doc `id` (shared with the
+    * DuckDB oracle, which recomputes these in SQL): w,h in [8,24), gray
+    * value at (x,y) = (id*31 + 7x + 13y) mod 256.
+    */
+  def pngWidth(id: Long): Int = 8 + (id % 16).toInt
+  def pngHeight(id: Long): Int = 8 + ((id / 16) % 16).toInt
+  def pngGray(id: Long, x: Int, y: Int): Int = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+
+  /** Real PNG encode — one ImageIO encoder per partition, blobs produced in
+    * the task that will store them (narrow, shuffle-free, same contract a
+    * production ingest uses).
+    */
+  def pngEncode(ids: Iterator[Long]): Iterator[MediaRow] = {
+    ids.map { id =>
+      val (w, h) = (pngWidth(id), pngHeight(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pngGray(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, bos.toByteArray, "image/png")
+    }
+  }
+
+  /** An images table of REAL PNG files, one per document id. */
+  def pngTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions(pngEncode)
+  }
+
+  /** Columns derived from REAL decoded pixels (not the blob envelope):
+    * dimensions as reported by the decoder, the sum over every decoded gray
+    * value, and the first/last pixel values.
+    */
+  case class PngFeatures(doc_id: Long, width: Int, height: Int,
+                         pixel_sum: Long, px_first: Int, px_last: Int)
+
+  /** Real PNG decode — javax.imageio parses the container, inflates the
+    * DEFLATE stream, and reconstructs scanline filters; every output column
+    * comes from the decoded raster. Per-partition batch contract as above.
+    */
+  def pngDecode(rows: Iterator[MediaRow]): Iterator[PngFeatures] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"PNG decode failed for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      PngFeatures(r.doc_id, w, h, sum,
+        raster.getSample(0, 0, 0), raster.getSample(w - 1, h - 1, 0))
+    }
+  }
+
+  /** Distributed real-PNG decode: encode → decode round-trip through the
+    * actual codec, oracle-checked cell-for-cell against the closed-form
+    * pixel model.
+    */
+  def pngDecodeDf(spark: SparkSession, sfDir: String): Dataset[PngFeatures] = {
+    import spark.implicits._
+    pngTable(spark, sfDir).mapPartitions(pngDecode)
+  }
+
+  /** Deterministic PCM content for doc `id` (shared with the oracle):
+    * 64 + id%64 mono 16-bit frames at 8 kHz, sample i =
+    * ((id*131 + 17i) mod 65536) - 32768.
+    */
+  val WavRate = 8000
+  def wavFrames(id: Long): Int = 64 + (id % 64).toInt
+  def wavSample(id: Long, i: Int): Int = ((id * 131 + 17L * i) % 65536).toInt - 32768
+
+  /** Real WAV encode: a canonical 44-byte RIFF/WAVE header + 16-bit
+    * little-endian PCM mono frames — a genuine .wav file any player opens.
+    */
+  def wavEncode(ids: Iterator[Long]): Iterator[MediaRow] = {
+    ids.map { id =>
+      val n = wavFrames(id)
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)               // PCM
+        .putShort(1)               // mono
+        .putInt(WavRate)
+        .putInt(WavRate * 2)       // byte rate
+        .putShort(2)               // block align
+        .putShort(16)              // bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+      MediaRow(id, bb.array(), "audio/wav")
+    }
+  }
+
+  /** An audio table of REAL WAV files, one per document id. */
+  def wavTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions(wavEncode)
+  }
+
+  /** Columns from REAL decoded audio: frame count and rate as reported by
+    * the javax.sound codec, plus sum/max over every decoded signed sample.
+    */
+  case class WavFeatures(doc_id: Long, n_frames: Long, sample_rate: Int,
+                         amp_sum: Long, amp_max: Int)
+
+  /** Real WAV decode — javax.sound.sampled parses the RIFF container and
+    * exposes typed PCM frames; sample values are re-assembled from the
+    * decoder's output bytes per its reported AudioFormat (not assumed LE).
+    */
+  def wavDecode(rows: Iterator[MediaRow]): Iterator[WavFeatures] = {
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected format for doc ${r.doc_id}: $fmt")
+      val pcm = ais.readAllBytes()
+      ais.close()
+      var sum = 0L; var max = Int.MinValue
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val (lo, hi) = if (fmt.isBigEndian) (pcm(i + 1), pcm(i)) else (pcm(i), pcm(i + 1))
+        val s = (hi.toInt << 8) | (lo.toInt & 0xff)
+        sum += s; if (s > max) max = s
+        i += 2
+      }
+      WavFeatures(r.doc_id, pcm.length / 2L, fmt.getSampleRate.toInt, sum, max)
+    }
+  }
+
+  /** Distributed real-WAV decode, oracle-checked against the closed-form
+    * sample model.
+    */
+  def wavDecodeDf(spark: SparkSession, sfDir: String): Dataset[WavFeatures] = {
+    import spark.implicits._
+    wavTable(spark, sfDir).mapPartitions(wavDecode)
   }
 }

@@ -80,8 +80,16 @@ object Similarity {
     * k-sized by construction, never data-sized. The fusion cost is fixed no
     * matter how large the corpus grows — the rankers are the whole cost.
     */
-  def hybridRrf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
-                n: Int = 50, k: Int = 20, k0: Int = 60): DataFrame = {
+  // Registry/oracle defaults for hybridRrf, shared with the DuckDB twin
+  // (TextOracles "ops_hybrid_rrf" interpolates these) so a default change
+  // cannot silently fork the Spark query from its oracle.
+  val RrfQueryId: Long = 0L
+  val RrfN: Int = 50
+  val RrfK: Int = 20
+  val RrfK0: Int = 60
+
+  def hybridRrf(spark: SparkSession, sfDir: String, queryId: Long = RrfQueryId,
+                n: Int = RrfN, k: Int = RrfK, k0: Int = RrfK0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val sparse = TextStats
       .bm25Search(spark, sfDir, TextStats.searchTerms, n, exclude = Some(queryId))

@@ -650,6 +650,44 @@ private[graft] object TextOracles {
         |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 104729) % 768 AS INT) AS height,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // twin of [[graft.ops.Multimodal.pngDecodeDf]]: the Spark side decodes
+    // REAL PNG bytes with javax.imageio; this oracle recomputes the same
+    // pixel model (w,h in [8,24), gray(x,y) = (id*31+7x+13y) mod 256) in
+    // pure SQL — agreement proves the encode→DEFLATE→decode round-trip
+    // preserved every pixel. doc_id >= 0 so % is the true mod.
+    "ops_png_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + (doc_id // 16) % 16 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |    (d.doc_id * 31 + 7 * xs.x + 13 * ys.y) % 256 AS g
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, d.width)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, d.height)) AS y) ys)
+        |SELECT doc_id, width, height,
+        |  CAST(SUM(g) AS BIGINT) AS pixel_sum,
+        |  CAST(doc_id * 31 % 256 AS INT) AS px_first,
+        |  CAST((doc_id * 31 + 7 * (width - 1) + 13 * (height - 1)) % 256 AS INT) AS px_last
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    // twin of [[graft.ops.Multimodal.wavDecodeDf]]: Spark decodes REAL
+    // RIFF/WAVE PCM via javax.sound.sampled; the oracle recomputes the
+    // sample model (n = 64 + id%64 frames, s_i = (id*131+17i) mod 65536
+    // - 32768) in SQL.
+    "ops_wav_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.n_frames,
+        |    (f.doc_id * 131 + 17 * i.i) % 65536 - 32768 AS samp
+        |  FROM f, LATERAL (SELECT unnest(range(0, f.n_frames)) AS i) i)
+        |SELECT doc_id, n_frames, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(SUM(samp) AS BIGINT) AS amp_sum,
+        |  CAST(MAX(samp) AS INT) AS amp_max
+        |FROM s GROUP BY doc_id, n_frames""".stripMargin,
     "ops_media_frames" ->
       """WITH v AS (
         |  SELECT doc_id, md5(text) AS chk,
@@ -734,29 +772,29 @@ private[graft] object TextOracles {
     // BIGINT division, `div` on the Spark side), rank sentinel 0 = ranker
     // miss contributes nothing.
     "ops_hybrid_rrf" ->
-      s"""WITH ${bm25Cte(Some(0L))},
+      s"""WITH ${bm25Cte(Some(Similarity.RrfQueryId))},
         |sp AS (
         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_sparse
         |  FROM (SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
         |        FROM c GROUP BY doc_id
-        |        ORDER BY score_micro DESC, doc_id LIMIT 50)),
+        |        ORDER BY score_micro DESC, doc_id LIMIT ${Similarity.RrfN})),
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = ${Similarity.RrfQueryId}),
         |dn AS (
         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
         |  FROM (SELECT vec_id AS doc_id, round(${cosineSql("v", "qv")}, 6) AS cos_sim
-        |        FROM e, q WHERE vec_id <> 0
-        |        ORDER BY cos_sim DESC, doc_id LIMIT 50)),
+        |        FROM e, q WHERE vec_id <> ${Similarity.RrfQueryId}
+        |        ORDER BY cos_sim DESC, doc_id LIMIT ${Similarity.RrfN})),
         |f AS (
         |  SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
         |    CAST(COALESCE(r_sparse, 0) AS BIGINT) AS r_sparse,
         |    CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense
         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
         |SELECT doc_id, r_sparse, r_dense,
-        |  CAST(CASE WHEN r_sparse > 0 THEN 1000000000 // (60 + r_sparse) ELSE 0 END
-        |     + CASE WHEN r_dense > 0 THEN 1000000000 // (60 + r_dense) ELSE 0 END
+        |  CAST(CASE WHEN r_sparse > 0 THEN 1000000000 // (${Similarity.RrfK0} + r_sparse) ELSE 0 END
+        |     + CASE WHEN r_dense > 0 THEN 1000000000 // (${Similarity.RrfK0} + r_dense) ELSE 0 END
         |   AS BIGINT) AS rrf_ppb
         |FROM f
-        |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY rrf_ppb DESC, doc_id LIMIT ${Similarity.RrfK}""".stripMargin,
   )
 }

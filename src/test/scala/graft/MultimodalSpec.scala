@@ -34,6 +34,42 @@ class MultimodalSpec extends SparkSuite {
     assert(big.forall(_.media.length == 128 * 128 / 64))
   }
 
+  test("real PNG codec: javax.imageio round-trip recovers every pixel") {
+    // the blobs are REAL PNG files (magic bytes prove a genuine container,
+    // not our own serialization) ...
+    val blobs = Multimodal.pngTable(spark, sf).collect()
+    assert(blobs.length == 500)
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    blobs.foreach(b => assert(b.media.take(8).sameElements(magic), s"doc ${b.doc_id} not a PNG"))
+    // ... and the decoded raster matches the closed-form pixel model
+    Multimodal.pngDecodeDf(spark, sf).collect().foreach { f =>
+      assert(f.width == Multimodal.pngWidth(f.doc_id))
+      assert(f.height == Multimodal.pngHeight(f.doc_id))
+      val want = (for (y <- 0 until f.height; x <- 0 until f.width)
+        yield Multimodal.pngGray(f.doc_id, x, y).toLong).sum
+      assert(f.pixel_sum == want, s"doc ${f.doc_id}: pixel_sum ${f.pixel_sum} != $want")
+      assert(f.px_first == Multimodal.pngGray(f.doc_id, 0, 0))
+      assert(f.px_last == Multimodal.pngGray(f.doc_id, f.width - 1, f.height - 1))
+    }
+  }
+
+  test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
+    val blobs = Multimodal.wavTable(spark, sf).collect()
+    assert(blobs.length == 500)
+    blobs.foreach { b =>
+      assert(new String(b.media.take(4), "US-ASCII") == "RIFF")
+      assert(new String(b.media.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(b.media.length == 44 + 2 * Multimodal.wavFrames(b.doc_id))
+    }
+    Multimodal.wavDecodeDf(spark, sf).collect().foreach { f =>
+      val n = Multimodal.wavFrames(f.doc_id)
+      assert(f.n_frames == n && f.sample_rate == Multimodal.WavRate)
+      val samples = (0 until n).map(i => Multimodal.wavSample(f.doc_id, i))
+      assert(f.amp_sum == samples.map(_.toLong).sum)
+      assert(f.amp_max == samples.max)
+    }
+  }
+
   test("frame sampling: stride-4 indices bounded by the stub frame count") {
     import org.apache.spark.sql.functions._
     val frames = Multimodal.frameSample(spark, sf).collect()

@@ -309,8 +309,13 @@ class PlanSpec extends SparkSuite {
     // the decorrelated MIN is a window over the (part, supplier) grain, not
     // a groupBy-plus-self-join that would scan lineitem twice
     assert(p.contains("Window"), p)
-    assert("Scan parquet".r.findAllIn(p).size == 5,
-      s"expected 5 scans (lineitem, part, supplier, nation, region):\n$p")
+    // the property under test is "lineitem is scanned once" (the window
+    // replaced the groupBy-plus-self-join); assert it directly instead of a
+    // brittle total-scan count that any planner-version change could shift
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
   }
 
   test("ops_q11_important_stock: semi-join pruning before the part shuffle; scalar threshold is one broadcast row") {

@@ -23,6 +23,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# On a filtered Verify run the manifest lists only the queries executed;
+# restrict the oracle sweep to those so the exit code reflects real
+# mismatches, not not-run queries. A full Verify run lists every query.
+manifest_path = f"{out_dir}/ran_queries.json"
+if os.path.exists(manifest_path):
+    ran = set(json.load(open(manifest_path)))
+    skipped = sorted(set(oracle) - ran)
+    if skipped:
+        print(f"SKIP {len(skipped)} queries not in this run's manifest")
+    oracle = {k: v for k, v in oracle.items() if k in ran}
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
