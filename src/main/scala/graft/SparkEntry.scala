@@ -463,11 +463,74 @@ object SparkEntry {
         base.withColumnRenamed("props", "payload"), "event_id", "payload")
   }
 
+  /** The flagship pipeline re-run with Spark 4 VariantType as the payload
+    * carrier — the native analog of the reference's schema-on-read
+    * `protobuf.Struct` payloads (reference `pqstream.proto:32-33`).
+    * Documents live as Variant BETWEEN stages and serialize exactly where
+    * bytes matter — redaction config application and the NOTIFY size ladder
+    * operate on the wire form, just as the reference round-trips its Struct
+    * through jsonpb at those points (`server.go:220,258`) — then re-parse.
+    * Variant serialization is canonical (no whitespace), so the tier ladder
+    * measures normalized wire bytes (`{"k":69}`, not the source text's
+    * `{"k": 69}`); that is arguably MORE faithful than cdc_pipeline's
+    * source-text accounting (the reference measures its own re-serialized
+    * notification, `queries.go:33`), and the oracle mirrors it. The output
+    * proves redact → tier → patch → fallback compose on Variant: payload
+    * and changes re-serialized FROM Variant values after rehydration, and
+    * k_new typed-extracted with variant_get post-fallback.
+    */
+  private def cdcVariantPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val norm = EventLog.normalize(ev)
+    val filtered = norm.filter(col("event_type").rlike("p"))
+    val isSignup = col("event_type") === "signup"
+    // documents → Variant once, at capture
+    val v = filtered
+      .withColumn("payload_v", parse_json(col("props")))
+      .withColumn("previous_v", parse_json(col("prev_props")))
+    // redaction is a document-codec operation (the config names JSON fields):
+    // serialize → native JsonRedact → re-parse, carrier stays Variant
+    val redacted = v
+      .withColumn("payload_v",
+        parse_json(Redactions.redact(to_json(col("payload_v")), isSignup, Seq("k"))))
+      .withColumn("previous_v",
+        parse_json(Redactions.redact(to_json(col("previous_v")), isSignup, Seq("k"))))
+    val envelope = to_json(struct(
+      lit("public").as("schema"), lit("events").as("table"),
+      col("op").as("op"), col("event_id").as("id")))
+    // the ladder measures the canonical wire form of the Variant documents
+    val serialized = redacted
+      .withColumn("payload", to_json(col("payload_v")))
+      .withColumn("previous", to_json(col("previous_v")))
+    // limit 98 (vs cdc_pipeline's 95): canonical-form notification sizes on
+    // this data cluster at 86-87 (no previous) and 96-99 (both documents);
+    // 98 splits the two-document cluster, so tier-0 AND tier-1 rows occur
+    // alongside all three patch shapes — 95 would shed nearly every
+    // previous image and leave only delete-patches
+    val tiered = Tiering.ladder(serialized, "payload", "previous", limit = 98, envelope = envelope)
+    val withChanges = tiered
+      .withColumn("changes_v",
+        when(col("op") === "UPDATE",
+          parse_json(MergePatch.json_merge_patch(col("payload"), col("previous")))))
+      .withColumn("payload_v", parse_json(col("payload")))
+    val base = ev.select(col("event_id"), parse_json(col("props")).as("payload_v"))
+    Fallback.rehydrate(
+        withChanges.select(col("event_id"), col("user_id"), col("op"), col("tier"),
+          col("payload_v"), col("previous"), col("changes_v")),
+        base, "event_id", "payload_v")
+      .select(col("event_id"), col("user_id"), col("op"), col("tier"),
+        to_json(col("payload_v")).as("payload"),
+        col("previous"),
+        to_json(col("changes_v")).as("changes"),
+        variant_get(col("payload_v"), "$.k", "int").as("k_new"))
+  }
+
   // ===== query registry =====
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC / reference-fidelity set
     "cdc_pipeline"      -> (cdcPipeline _),
+    "cdc_variant_pipeline" -> (cdcVariantPipeline _),
     "cdc_changes"       -> (cdcChanges _),
     "cdc_changes_nested" -> (cdcChangesNested _),
     "cdc_prev_image"    -> (cdcPrevImage _),

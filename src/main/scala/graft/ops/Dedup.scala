@@ -447,10 +447,15 @@ object Dedup {
     * order-independent, so the result is bit-exact in any engine — a
     * floating PageRank's partition-ordered double accumulation could never
     * hash-match a sequential oracle. Overflow headroom: total mass is
-    * conserved at ~1e12 per node, so a hub's received sum is bounded by
-    * component_mass ≈ |component|·1e12 — exact in int64 up to ~4e6-node
-    * components, far beyond what the capped candidate generators emit as
-    * one component; switch the accumulator to decimal(38,0) beyond.
+    * conserved at ~massPerNode per node, so a hub's received sum is
+    * bounded by component_mass ≈ |component|·massPerNode — beyond int64
+    * at ~9e6-node components at the default mass, so every per-round
+    * quantity (contribution, received sum, damped score) accumulates in
+    * decimal(38,0): exact to 1e38, same shuffle-width class as two longs,
+    * and under ANSI mode a (physically implausible) 1e38 breach throws
+    * instead of silently wrapping. Floor-division is kept exact in the
+    * decimal domain as (x - x % d) / d — IntegralDivide would collapse the
+    * operands back to int64, which is precisely the hazard being removed.
     *
     * Shape: symmetrized edges + degree are computed ONCE and lazily
     * checkpointed (the LSH candidate subtree must not re-run per round);
@@ -459,10 +464,18 @@ object Dedup {
     * shuffles per round, nothing driver-side.
     */
   def pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    // int64 cast at the OUTPUT only (the oracle contract is BIGINT): the
+    // iteration itself is decimal-exact, and a component large enough to
+    // push a final score past int64 throws under ANSI instead of wrapping
     pagerankDf(minhashCandidates(spark, sfDir))
+      .select(col("doc_id"), col("pr").cast("long").as("pr"))
 
-  /** Core of [[pagerank]] over any (doc_a, doc_b) undirected pair frame. */
-  def pagerankDf(pairs: DataFrame, iters: Int = 5): DataFrame = {
+  /** Core of [[pagerank]] over any (doc_a, doc_b) undirected pair frame.
+    * Returns `pr` as decimal(38,0) — exact for components far beyond the
+    * int64 mass bound (see the overflow note above).
+    */
+  def pagerankDf(pairs: DataFrame, iters: Int = 5,
+                 massPerNode: Long = 1000000000000L): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -472,14 +485,20 @@ object Dedup {
     // per-round score table are NODE-count-sized, corpus-derived agg outputs —
     // the tiny-SF size estimate would broadcast what grows unboundedly
     val withDeg = edges.join(deg.hint("merge"), "src").localCheckpoint(false)
-    var pr = deg.select(col("src").as("doc_id"), lit(1000000000000L).as("pr"))
+    val teleport = massPerNode / 20L * 3L // 0.15 · mass, exact for mass % 20 == 0
+    var pr = deg.select(col("src").as("doc_id"),
+      lit(massPerNode).cast("decimal(38,0)").as("pr"))
     (1 to iters).foreach { _ =>
       pr = withDeg.join(pr.hint("merge"), withDeg("src") === pr("doc_id"))
-        .select(col("dst"), expr("pr div deg").as("c"))
+        // decimal floor-division: remainder subtraction keeps the quotient an
+        // exact integer, so the scale-6 division result casts back losslessly
+        .select(col("dst"),
+          expr("CAST((pr - pr % deg) / deg AS DECIMAL(38,0))").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("doc_id"),
-          (lit(150000000000L) + lit(17L) * expr("s div 20")).as("pr"))
+          expr(s"CAST($teleport + 17 * CAST((s - s % 20) / 20 AS DECIMAL(38,0)) AS DECIMAL(38,0))")
+            .as("pr"))
     }
     pr
   }

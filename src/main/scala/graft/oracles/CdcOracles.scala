@@ -49,6 +49,54 @@ private[graft] object CdcOracles {
          |       WHEN json_extract(previous, '$$.k') IS NULL THEN '{"k":null}'
          |       ELSE '{"k":' || CAST(json_extract(previous, '$$.k') AS VARCHAR) || '}' END AS changes
          |FROM t2""".stripMargin,
+    // twin of SparkEntry.cdcVariantPipeline — cdc_pipeline's stage math over
+    // the CANONICAL wire form (Variant serialization strips whitespace:
+    // '{"k":69}', not the source '{"k": 69}'), so every strlen below
+    // measures the normalized document and the final payload/changes are
+    // reconstructed in normalized form. k_new = the post-fallback typed
+    // extraction (variant_get on the Spark side).
+    "cdc_variant_pipeline" ->
+      s"""WITH n0 AS (
+         |  SELECT event_id, ts, user_id, event_type,
+         |    '{"k":' || CAST(json_extract(props, '$$.k') AS VARCHAR) || '}' AS propsn
+         |  FROM events),
+         |n AS (
+         |  SELECT event_id, user_id, event_type, propsn,
+         |    LAG(propsn) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prevn,
+         |    $opCase AS op
+         |  FROM n0),
+         |f AS (SELECT * FROM n WHERE regexp_matches(event_type, 'p')),
+         |r AS (
+         |  SELECT event_id, user_id, op, propsn,
+         |    CASE WHEN event_type = 'signup' THEN '{}' ELSE propsn END AS payload0,
+         |    CASE WHEN event_type = 'signup'
+         |         THEN CASE WHEN prevn IS NULL THEN NULL ELSE '{}' END
+         |         ELSE prevn END AS previous0
+         |  FROM f),
+         |t AS (
+         |  SELECT event_id, user_id, op, propsn,
+         |    CASE WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
+         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END
+         |              + CASE WHEN previous0 IS NULL THEN 0 ELSE 12 + strlen(previous0) END < 98 THEN 0
+         |         WHEN strlen('{"schema":"public","table":"events","op":"' || op || '","id":' || CAST(event_id AS VARCHAR) || '}')
+         |              + CASE WHEN payload0 IS NULL THEN 0 ELSE 11 + strlen(payload0) END < 98 THEN 1
+         |         ELSE 2 END AS tier,
+         |    payload0, previous0
+         |  FROM r),
+         |t2 AS (
+         |  SELECT event_id, user_id, op, tier, propsn,
+         |    CASE WHEN tier = 2 THEN NULL ELSE payload0 END AS payload,
+         |    CASE WHEN tier >= 1 THEN NULL ELSE previous0 END AS previous
+         |  FROM t)
+         |SELECT event_id, user_id, op, tier,
+         |  COALESCE(t2.payload, propsn) AS payload, previous,
+         |  CASE WHEN op <> 'UPDATE' THEN NULL
+         |       WHEN COALESCE(CAST(json_extract(t2.payload, '$$.k') AS VARCHAR), 'X')
+         |          = COALESCE(CAST(json_extract(previous, '$$.k') AS VARCHAR), 'X') THEN '{}'
+         |       WHEN json_extract(previous, '$$.k') IS NULL THEN '{"k":null}'
+         |       ELSE '{"k":' || CAST(json_extract(previous, '$$.k') AS VARCHAR) || '}' END AS changes,
+         |  CAST(json_extract(COALESCE(t2.payload, propsn), '$$.k') AS INT) AS k_new
+         |FROM t2""".stripMargin,
     "cdc_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
         |  '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS props_norm

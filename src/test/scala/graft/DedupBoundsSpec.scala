@@ -105,17 +105,38 @@ class DedupBoundsSpec extends SparkSuite {
     // path 1-2-3, one round, T = 1e12: center gets 0.15T + 0.85*(T+T) and
     // each leaf 0.15T + 0.85*(T/2) — hand-computed with the same floor ops
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
-    val one = Dedup.pagerankDf(pairs, iters = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def runPr(iters: Int, mass: Long = 1000000000000L) =
+      Dedup.pagerankDf(pairs, iters, mass)
+        .collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    val one = runPr(1)
     assert(one == Map(1L -> 575000000000L, 2L -> 1850000000000L, 3L -> 575000000000L),
       s"got $one")
     // total mass conserved exactly (0.15 + 0.85 split has no rounding loss
     // here: every division in this graph is exact)
     assert(one.values.sum == 3000000000000L)
     // more rounds stay deterministic and keep the center on top
-    val five = Dedup.pagerankDf(pairs, iters = 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val five = runPr(5)
     assert(five(2L) > five(1L) && five(1L) == five(3L), s"got $five")
+  }
+
+  test("pagerank: decimal accumulator is exact past the int64 sum bound") {
+    import spark.implicits._
+    // 10-spoke star at mass 1e18/node: the hub's round-1 received sum is
+    // 10 * 1e18 = 1e19 > Long.MaxValue (9.22e18) — the pre-guard int64
+    // accumulator would have thrown ARITHMETIC_OVERFLOW here (ANSI) or
+    // silently wrapped (non-ANSI). The decimal(38,0) path is exact:
+    //   hub   = 0.15e18 + 17 * (1e19 div 20)  = 8.65e18
+    //   spoke = 0.15e18 + 17 * (1e17 div 20)  = 2.35e17
+    val mass = 1000000000000000000L
+    val star = (1L to 10L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val got = Dedup.pagerankDf(star, iters = 1, massPerNode = mass)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(got(0L) == new java.math.BigDecimal(8650000000000000000L), s"hub: ${got(0L)}")
+    (1L to 10L).foreach { i =>
+      assert(got(i) == new java.math.BigDecimal(235000000000000000L), s"spoke $i: ${got(i)}")
+    }
   }
 
   test("lsh calibration: identical pairs always recalled; candidates bounded by truth per decile") {
