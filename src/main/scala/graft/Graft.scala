@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Public API facade — the library's front door for use OUTSIDE the driver
+  * harness. Everything here is a thin delegate to the operator objects
+  * (`graft.ops.*`, `graft.streaming.*`, `graft.cdc.*`); use those directly
+  * for the full parameter surface. The SQL front end (native `h60`,
+  * `word_bigrams`, `json_merge_patch`, `json_redact`, `vec_dot`,
+  * `vec_cosine`) registers via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Input contracts: document frames carry `(doc_id: Long, text: String)`,
+  * embedding frames `(vec_id: Long, embedding: Array[Float])` — the same
+  * shapes as the testdata tables.
+  *
+  * See README "Quickstart" for a copy-paste spark-shell session.
+  */
+object Graft {
+
+  /** A SparkSession builder preconfigured for this engine: native SQL
+    * functions registered, ANSI semantics (the oracle contract assumes it).
+    * `spark.sql.shuffle.partitions` is left to the caller/cluster defaults —
+    * size it to your core count (the harness uses 32 on local[32]).
+    */
+  def sessionBuilder(): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.ansi.enabled", "true")
+
+  // ===== dedup (docs: (doc_id, text)) =====
+
+  /** MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b). Defaults
+    * derive from [[Dedup.DefaultTargetJaccard]] — see [[Dedup.tunedRowsPerBand]].
+    */
+  def dedupPairs(docs: DataFrame): DataFrame = Dedup.minhashCandidatesDf(docs)
+
+  /** Near-duplicate clusters: (doc_id, comp) with comp = the cluster's
+    * canonical (minimum) doc id. Docs with no near-dup are absent.
+    */
+  def dedupClusters(docs: DataFrame): DataFrame =
+    Dedup.connectedComponents(Dedup.minhashCandidatesDf(docs))
+      .select(col("doc_id"), col("comp"))
+
+  /** The deduplicated corpus: one representative (minimum doc_id) per
+    * near-dup cluster, all non-duplicated docs untouched. The membership
+    * join is merge-hinted — the cluster table is corpus-derived and must
+    * never be broadcast on a size estimate.
+    */
+  def dedup(docs: DataFrame): DataFrame =
+    docs.join(dedupClusters(docs).hint("merge"), Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp")
+
+  /** Candidate pairs verified with exact n-gram Jaccard ≥ threshold. */
+  def dedupVerified(docs: DataFrame, threshold: Double = 0.2): DataFrame =
+    Dedup.dedupVerifyDf(docs, threshold)
+
+  // ===== similarity (embeddings: (vec_id, embedding)) =====
+
+  /** Brute-force cosine top-k neighbors of vector `queryId` (fused native
+    * kernel, broadcast query row, TakeOrderedAndProject heap).
+    */
+  def similarTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame =
+    Similarity.topKDf(embeddings, queryId, k)
+
+  // ===== CDC (column functions + streaming source) =====
+
+  /** RFC 7386 JSON merge patch from `newDoc` to `oldDoc` (the reference's
+    * `changes` field direction) — native codegen'd expression.
+    */
+  def mergePatch(newDoc: Column, oldDoc: Column): Column =
+    graft.functions.MergePatch.json_merge_patch(newDoc, oldDoc)
+
+  /** Streaming CDC feed over any table with a monotone id column: one row
+    * per captured change, exactly-once w.r.t. the checkpoint. See
+    * [[graft.streaming.CdcSource]] for offsets/rescan semantics.
+    */
+  def cdcStream(spark: SparkSession, jdbcUrl: String, table: String,
+                numPartitions: Int = 4): DataFrame =
+    spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", jdbcUrl).option("jdbcTable", table)
+      .option("numPartitions", numPartitions.toString).load()
+
+  /** Stateful prev-image enrichment: each change becomes a full CDC event
+    * (op, payload, previous, RFC 7386 changes) keyed on user_id.
+    */
+  def withPrevImages(changes: Dataset[CdcStream.RawChange]): Dataset[CdcStream.CdcEvent] =
+    CdcStream.withPrevState(changes)
+}

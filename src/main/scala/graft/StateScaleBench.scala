@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.{CdcSource, CdcStream}
+import org.apache.spark.sql.SparkSession
+
+/** Streaming state at scale: drives N synthetic events (generator-backed
+  * source, zero materialized backlog — [[CdcSource.SyntheticSpec]]) through
+  * the stateful prev-image pipeline in waves, with ~N/2 distinct user keys,
+  * against BOTH state-store providers — the in-heap HDFS-backed map and
+  * RocksDB. The r4 knob probe predicted "RocksDB wins only when state
+  * outgrows memory"; this measures where that crossover actually sits, and
+  * records per-run state rows + state memory from the query's own progress
+  * metrics so the curve is self-describing.
+  *
+  * Usage: runMain graft.StateScaleBench [sizesCsv] [waves]
+  *   default sizes 500000,1000000,2000000,4000000; 5 waves each.
+  * One JSON line per (size, provider).
+  */
+object StateScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("500000,1000000,2000000,4000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val waves = args.lift(1).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val providers = Seq(
+      "heap" -> None,
+      "rocksdb" -> Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+
+    /** One full run: fresh feed + fresh checkpoint, N events in `waves`
+      * micro-batch waves so state accumulates like a live capture (a single
+      * giant batch would only measure one bulk state write). Returns
+      * (sec, stateRows, stateMemBytes).
+      */
+    def run(provName: String, n: Long, rep: Int): (Double, Long, Long) = {
+      val users = math.max(1L, n / 2)
+      val feedName = s"scale_${provName}_${n}_$rep"
+      val feed = CdcSource.SyntheticRegistry.get(feedName, users)
+      val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("synthetic", feedName).option("syntheticUsers", users.toString)
+        .option("numPartitions", cpus).load()
+      val q = CdcStream.withPrevState(raw.as[CdcStream.RawChange])
+        .writeStream.format("noop").outputMode("append").start()
+      val t0 = System.nanoTime()
+      (1 to waves).foreach { w =>
+        feed.advanceTo(n / waves * w - 1)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val out = (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+      q.stop()
+      out
+    }
+
+    for ((provName, provClass) <- providers) {
+      val saved = spark.conf.getOption(confKey)
+      provClass.foreach(spark.conf.set(confKey, _))
+      try {
+        // unrecorded warmup: session init, codegen, state-store provider
+        // class load — the first streaming query pays all of it
+        run(provName, 100000L, rep = -1)
+        for (n <- sizes) {
+          // min-of-reps absorbs GC/contention spikes (same rationale and
+          // env knob as Bench.scala); per-rep times printed alongside
+          val runs = (1 to reps).map(r => run(provName, n, r))
+          val best = runs.minBy(_._1)
+          val times = runs.map(_._1).mkString("[", ",", "]")
+          println(s"""{"metric":"state_scale","provider":"$provName","events":$n,"users":${math.max(1L, n / 2)},"waves":$waves,"sec":${best._1},"times":$times,"events_per_sec":${(n / best._1).toLong},"state_rows":${best._2},"state_mem_bytes":${best._3}}""")
+        }
+      } finally saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+    spark.stop()
+  }
+}

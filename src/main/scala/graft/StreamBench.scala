@@ -104,6 +104,85 @@ object StreamBench {
     val jdbcSec = (System.nanoTime() - tj) / 1e9
     qj.stop()
     println(s"""{"metric":"cdc_stream_throughput_jdbc","events":${rows.length},"warm_sec":$jdbcSec,"events_per_sec":${(rows.length / jdbcSec).toLong},"sf":"$sfDir"}""")
+
+    // ===== capture-latency probe =====
+    // The reference's one structural edge over a polling source is push
+    // NOTIFY delivery (server.go:98-109): pg_notify hands the event to the
+    // listener goroutine in milliseconds. A micro-batch pull source's floor
+    // is its poll cadence: with no trigger, Spark replans the next batch
+    // ~spark.sql.streaming.pollingDelay (10 ms) after an empty one, so the
+    // floor is planning + execution overhead; with ProcessingTime(T) it is
+    // ~T/2 mean + batch cost. Measured here end-to-end THROUGH the stateful
+    // prev-image pipeline against the live Derby JDBC feed: single-row
+    // commits spaced gapMs apart, commit timestamp → foreachBatch arrival.
+    def latencyProbe(label: String, triggerMs: Int, nEvents: Int, gapMs: Long,
+                     conf: Map[String, String] = Map.empty): Unit = {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try latencyProbeRun(label, triggerMs, nEvents, gapMs)
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    def latencyProbeRun(label: String, triggerMs: Int, nEvents: Int, gapMs: Long): Unit = {
+      val arrivals = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+      val raw2 = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", url).option("jdbcTable", "events")
+        // single-row batches: 32 id-range splits per poll would be overhead
+        .option("numPartitions", "4").load()
+      val writer = CdcStream.withPrevState(raw2.as[CdcStream.RawChange])
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[CdcStream.CdcEvent], _: Long) =>
+          val ids = df.select("event_id").as[Long].collect()
+          val t = System.nanoTime()
+          ids.foreach(id => arrivals.put(id, t))
+          ()
+        }
+      val q2 = (if (triggerMs > 0)
+        writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      else writer).start()
+      q2.processAllAvailable() // drain the table backlog before timing
+      val conn2 = java.sql.DriverManager.getConnection(url)
+      val commits = new scala.collection.mutable.HashMap[Long, Long]()
+      try {
+        val rs = conn2.createStatement().executeQuery("SELECT MAX(event_id) FROM events")
+        rs.next(); val maxId = rs.getLong(1)
+        val ps2 = conn2.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+        (1 to nEvents).foreach { i =>
+          val id = maxId + i
+          ps2.setLong(1, id)
+          ps2.setTimestamp(2, new java.sql.Timestamp(System.currentTimeMillis()))
+          ps2.setLong(3, id % 97); ps2.setString(4, "purchase")
+          ps2.setString(5, s"""{"k": ${i % 997}}""")
+          ps2.execute() // autocommit: visible to the next poll immediately
+          commits(id) = System.nanoTime()
+          Thread.sleep(gapMs)
+        }
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (commits.keys.exists(id => !arrivals.containsKey(id)) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(20)
+      } finally conn2.close()
+      q2.stop()
+      val lat = commits.toSeq.collect {
+        case (id, t0) if arrivals.containsKey(id) =>
+          (arrivals.get(id) - t0) / 1e6
+      }.sorted
+      def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+      println(s"""{"metric":"cdc_capture_latency","config":"$label","trigger_ms":$triggerMs,"events":${lat.size},"p50_ms":${pct(0.5).round},"p99_ms":${pct(0.99).round},"max_ms":${lat.last.round},"gap_ms":$gapMs}""")
+    }
+    // default config: the throughput-tuned 32 state partitions make every
+    // micro-batch pay ~32 state-store commits — batch duration, not poll
+    // cadence, is the latency floor
+    latencyProbe("default32", triggerMs = 0, nEvents = 120, gapMs = 30)
+    // low-latency config: a single state partition per subscriber (the
+    // reference's subscriber is single-threaded anyway, server.go:291) cuts
+    // the per-batch floor to task-launch + one state commit
+    latencyProbe("tuned1", triggerMs = 0, nEvents = 120, gapMs = 30,
+      conf = Map("spark.sql.shuffle.partitions" -> "1"))
+    latencyProbe("tuned1_t500", triggerMs = 500, nEvents = 40, gapMs = 120,
+      conf = Map("spark.sql.shuffle.partitions" -> "1"))
     spark.stop()
   }
 }

@@ -99,14 +99,90 @@ object Dedup {
     withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  // ===== closed-loop LSH banding tuning =====
+  // The banding config is DERIVED from a similarity target, not hardcoded,
+  // and [[flagMistunedBanding]] closes the loop against the MEASURED curve
+  // from [[lshCalibrationDf]] — a config that cannot meet its target (or a
+  // corpus that breaks the S-curve model's assumptions) is flagged before a
+  // 100 TB dedup pass commits to it.
+
+  /** Theoretical candidate probability of (numHashes/rowsPerBand bands × r
+    * rows) banding at Jaccard j: 1 - (1 - j^r)^b (MMDS §3.4).
+    */
+  def bandingRecall(j: Double, numHashes: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), numHashes.toDouble / rowsPerBand)
+
+  /** Derive rowsPerBand for a similarity target within a hash budget: the
+    * LARGEST divisor of numHashes whose theoretical recall at the target
+    * still clears `requiredMilli` — larger rows-per-band = sharper S-curve =
+    * fewer sub-threshold false-positive candidates, so maximizing r subject
+    * to the recall promise is the selectivity-optimal choice. Falls back to
+    * r = 1 (every hash its own band, maximum recall) if nothing clears.
+    */
+  def tunedRowsPerBand(targetJaccard: Double, numHashes: Int = DefaultNumHashes,
+                       requiredMilli: Long = RequiredRecallMilli): Int =
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .filter(r => bandingRecall(targetJaccard, numHashes, r) * 1000 >= requiredMilli)
+      .maxOption.getOrElse(1)
+
+  /** The contract the default banding is derived FROM: catch pairs at
+    * Jaccard ≥ 0.5 with ≥ 85% probability using 16 min-hashes. 16/2 — the
+    * historical hardcoded default — is exactly what falls out
+    * (recall(0.5, 16, 2) = 89.99%; r = 4 would drop to 22.8%).
+    */
+  val DefaultNumHashes = 16
+  val DefaultTargetJaccard = 0.5
+  val RequiredRecallMilli = 850L
+  val DefaultRowsPerBand: Int = tunedRowsPerBand(DefaultTargetJaccard)
+
+  /** One flagged decile of a measured calibration curve — see
+    * [[flagMistunedBanding]].
+    */
+  case class BandingFlag(bucket: Long, expectedMilli: Long,
+                         measuredMilli: Option[Long], reason: String)
+
+  /** Closed-loop config check: for every similarity decile at/above the
+    * target, the config must PROMISE the recall floor (S-curve at the
+    * decile's lower edge ≥ requiredMilli — otherwise the config is
+    * mistuned for the target no matter what the corpus looks like), and
+    * where the measured curve has pairs, it must DELIVER within
+    * `slackMilli` of the promise (a larger gap means the corpus broke the
+    * model's independence assumptions — e.g. correlated permutations or
+    * capped buckets). Pure function over the collected (tiny, ≤ 11-row)
+    * calibration frame: `measured` = bucket → recall_milli from
+    * [[lshCalibrationDf]]. Empty result = config fits the target.
+    */
+  def flagMistunedBanding(measured: Map[Long, Long], targetJaccard: Double,
+                          numHashes: Int = DefaultNumHashes,
+                          rowsPerBand: Int = DefaultRowsPerBand,
+                          requiredMilli: Long = RequiredRecallMilli,
+                          slackMilli: Long = 150): Seq[BandingFlag] = {
+    val fromBucket = math.ceil(targetJaccard * 10).toLong
+    (fromBucket to 10L).flatMap { b =>
+      val expected = (bandingRecall(b / 10.0, numHashes, rowsPerBand) * 1000).toLong
+      val got = measured.get(b)
+      if (expected < requiredMilli)
+        Some(BandingFlag(b, expected, got,
+          s"config cannot meet target: theory ${expected}m < required ${requiredMilli}m"))
+      else got match {
+        case Some(m) if m < expected - slackMilli =>
+          Some(BandingFlag(b, expected, got,
+            s"measured ${m}m below theory ${expected}m - slack ${slackMilli}m"))
+        case _ => None
+      }
+    }
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand` hashes; docs
     * agreeing on any full band become candidate pairs. Bucketing is a
     * groupBy on (band_id, sig) with in-bucket pair explosion — one shuffle
     * keyed by the band bucket, never all-pairs, and the signature subtree is
-    * evaluated once (a self-join would compute it per side).
+    * evaluated once (a self-join would compute it per side). Defaults derive
+    * from [[DefaultTargetJaccard]] via [[tunedRowsPerBand]].
     */
   def minhashCandidates(spark: SparkSession, sfDir: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 2,
+                        numHashes: Int = DefaultNumHashes,
+                        rowsPerBand: Int = DefaultRowsPerBand,
                         bucketCap: Int = 10000): DataFrame =
     minhashCandidatesDf(Tables.load(spark, sfDir, "documents"),
       numHashes, rowsPerBand, bucketCap)
@@ -118,8 +194,9 @@ object Dedup {
     * The default cap is far above any natural bucket in the testdata (sf0.1
     * has 5k docs total), so verified results are cap-invariant there.
     */
-  def minhashCandidatesDf(docs: DataFrame, numHashes: Int = 16,
-                          rowsPerBand: Int = 2, bucketCap: Int = 10000): DataFrame =
+  def minhashCandidatesDf(docs: DataFrame, numHashes: Int = DefaultNumHashes,
+                          rowsPerBand: Int = DefaultRowsPerBand,
+                          bucketCap: Int = 10000): DataFrame =
     bandFrame(docs, numHashes, rowsPerBand)
       .groupBy(col("band.band_id"), col("band.sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -274,7 +351,7 @@ object Dedup {
     * frame as a bucketed table, which is the real 100 TB shape anyway.
     */
   def dedupVerifyDf(docs: DataFrame, threshold: Double = 0.2,
-                    numHashes: Int = 16, rowsPerBand: Int = 2,
+                    numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
                     bucketCap: Int = 10000): DataFrame = {
     val cands = minhashCandidatesDf(docs, numHashes, rowsPerBand, bucketCap)
     val sets = shingles(docs)
@@ -641,7 +718,7 @@ object Dedup {
 
   /** Core of [[incrementalDedup]]; batch membership = doc_id % 10 == 0. */
   def incrementalDedupDf(docs: DataFrame, threshold: Double = 0.2,
-                         numHashes: Int = 16, rowsPerBand: Int = 2,
+                         numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
                          bucketCap: Int = 10000): DataFrame = {
     val isBatch = col("doc_id") % 10 === 0
     val bands = bandFrame(docs, numHashes, rowsPerBand)
@@ -701,7 +778,9 @@ object Dedup {
     * (the testdata's planted dups are all ≥ 90% similar, so only the top
     * decile shows there; `DedupBoundsSpec` drives the mid-similarity range).
     */
-  def lshCalibrationDf(docs: DataFrame, dfCap: Int = 5000): DataFrame = {
+  def lshCalibrationDf(docs: DataFrame, dfCap: Int = 5000,
+                       numHashes: Int = DefaultNumHashes,
+                       rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     // the per-doc hash set feeds BOTH the size census and the posting index
     // — persist it once (same diamond and lifecycle note as dedupVerifyDf)
     val hv = shingles(docs)
@@ -721,7 +800,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("10 * n_shared div (n_a + n_b - n_shared)").as("bucket"))
       .filter(col("bucket") >= 1)
-    val cands = minhashCandidatesDf(docs).withColumn("is_cand", lit(1L))
+    val cands = minhashCandidatesDf(docs, numHashes, rowsPerBand)
+      .withColumn("is_cand", lit(1L))
     truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
       .groupBy(coalesce(col("bucket"), lit(-1L)).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -811,7 +891,7 @@ object Dedup {
     editVerifyDf(Tables.load(spark, sfDir, "documents"), maxDist)
 
   def editVerifyDf(docs: DataFrame, maxDist: Int = 200,
-                   numHashes: Int = 16, rowsPerBand: Int = 2,
+                   numHashes: Int = DefaultNumHashes, rowsPerBand: Int = DefaultRowsPerBand,
                    bucketCap: Int = 10000): DataFrame = {
     val cands = minhashCandidatesDf(docs, numHashes, rowsPerBand, bucketCap)
     val texts = docs.select(col("doc_id"), col("text"))

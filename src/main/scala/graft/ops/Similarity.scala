@@ -46,9 +46,12 @@ object Similarity {
     * Deterministic tie-break on vec_id (SURVEY §7.4 #5).
     */
   def topK(spark: SparkSession, sfDir: String,
-           queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+           queryId: Long = 0L, k: Int = 10): DataFrame =
+    topKDf(Tables.load(spark, sfDir, "embeddings"), queryId, k)
+
+  /** DataFrame-level core of [[topK]] over any (vec_id, embedding) frame. */
+  def topKDf(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     emb.filter(col("vec_id") =!= queryId)
       .join(broadcast(q))

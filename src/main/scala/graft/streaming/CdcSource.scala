@@ -65,10 +65,21 @@ object CdcSource {
     require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
     override def describe: String = s"jdbc:$table"
   }
+  /** Bench/test fixture for state-at-scale probes: rows are a deterministic
+    * pure function of the id, generated in the partition reader — no
+    * materialized backlog anywhere, so the STATE under test is the only
+    * thing that grows. Visibility advances via [[SyntheticFeed.advanceTo]]
+    * (driver-side, local mode), letting a probe feed N events in waves and
+    * accumulate keyed state across micro-batches like a live capture.
+    */
+  case class SyntheticSpec(name: String, numUsers: Long) extends FeedSpec {
+    override def describe: String = s"synthetic:$name(users=$numUsers)"
+  }
 
   def resolve(spec: FeedSpec): ChangeFeed = spec match {
-    case MemorySpec(n)        => FeedRegistry.get(n)
-    case JdbcSpec(url, table) => new JdbcFeed(url, table)
+    case MemorySpec(n)          => FeedRegistry.get(n)
+    case JdbcSpec(url, table)   => new JdbcFeed(url, table)
+    case SyntheticSpec(n, u)    => SyntheticRegistry.get(n, u)
   }
 
   /** In-memory feed registry (the test/demo stand-in for a JDBC feed — same
@@ -78,6 +89,35 @@ object CdcSource {
     private val feeds = new java.util.concurrent.ConcurrentHashMap[String, MemoryFeed]()
     def get(name: String): MemoryFeed =
       feeds.computeIfAbsent(name, _ => new MemoryFeed)
+  }
+
+  /** Deterministic row for synthetic id `id`: user cycles over `numUsers`
+    * (so state cardinality = min(numUsers, ids seen) and every user's
+    * second event onward carries a prev-image), type cycles the four
+    * event families, props the flat reference payload shape.
+    */
+  object SyntheticFeed {
+    private val types = Array("signup", "purchase", "click", "view")
+    private val baseMs = 1704067200000L // 2024-01-01T00:00:00Z
+    def row(id: Long, numUsers: Long): CdcStream.RawChange =
+      CdcStream.RawChange(id, new java.sql.Timestamp(baseMs + id * 1000L),
+        id % numUsers, types((id % 4).toInt), s"""{"k": ${id % 997}}""")
+  }
+
+  final class SyntheticFeed(numUsers: Long) extends ChangeFeed {
+    private val visible = new java.util.concurrent.atomic.AtomicLong(-1L)
+    /** Make ids [0, id] pollable — the probe's wave control. */
+    def advanceTo(id: Long): Unit = visible.set(id)
+    override def latestId(): Long = visible.get()
+    override def fetch(from: Long, to: Long): Seq[CdcStream.RawChange] =
+      ((math.max(from, -1L) + 1) to math.min(to, visible.get()))
+        .map(SyntheticFeed.row(_, numUsers))
+  }
+
+  object SyntheticRegistry {
+    private val feeds = new java.util.concurrent.ConcurrentHashMap[String, SyntheticFeed]()
+    def get(name: String, numUsers: Long): SyntheticFeed =
+      feeds.computeIfAbsent(name, _ => new SyntheticFeed(numUsers))
   }
 
   final class MemoryFeed extends ChangeFeed {
@@ -127,6 +167,16 @@ object CdcSource {
             private var cur: CdcStream.RawChange = _
             override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
             override def get(): InternalRow = toInternalRow(cur)
+            override def close(): Unit = ()
+          }
+        // generator-backed: rows are computed from the id as the reader
+        // advances — a multi-million-id backlog partition allocates nothing
+        case s: SyntheticSpec =>
+          new PartitionReader[InternalRow] {
+            private var id = part.from
+            override def next(): Boolean = { id += 1; id <= part.to }
+            override def get(): InternalRow =
+              toInternalRow(SyntheticFeed.row(id, s.numUsers))
             override def close(): Unit = ()
           }
       }
@@ -218,7 +268,13 @@ class CdcSourceProvider extends TableProvider {
         CdcSource.JdbcSpec(url,
           Option(opts.get("jdbcTable")).getOrElse(
             throw new IllegalArgumentException("jdbcUrl requires jdbcTable")))
-      case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
+      case None => Option(opts.get("synthetic")) match {
+        case Some(name) =>
+          CdcSource.SyntheticSpec(name,
+            Option(opts.get("syntheticUsers")).map(_.toLong).getOrElse(
+              throw new IllegalArgumentException("synthetic requires syntheticUsers")))
+        case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
+      }
     }
     new CdcSource.CdcTable(spec, parts, rescan)
   }

@@ -139,6 +139,36 @@ class DedupBoundsSpec extends SparkSuite {
     }
   }
 
+  test("lsh tuning: defaults derive from the target; mis-tuned banding is flagged") {
+    import spark.implicits._
+    // the derivation reproduces the historical default (16 hashes / 2 rows)
+    // from its contract (Jaccard >= 0.5 at >= 85% recall) — and moves with
+    // the target: stricter similarity targets earn sharper bands
+    assert(Dedup.DefaultRowsPerBand == 2)
+    assert(Dedup.tunedRowsPerBand(0.9) == 4)
+    assert(Dedup.tunedRowsPerBand(0.98) == 8)
+    assert(Dedup.tunedRowsPerBand(0.05) == 1) // nothing clears -> max-recall fallback
+    // theory-side flagging needs no corpus: a 4-rows-per-band config claimed
+    // for a 0.5 target promises only ~23% at the target decile
+    val mistuned = Dedup.flagMistunedBanding(Map.empty, 0.5, rowsPerBand = 4)
+    assert(mistuned.nonEmpty && mistuned.head.reason.contains("cannot meet target"))
+    assert(Dedup.flagMistunedBanding(Map.empty, 0.5, rowsPerBand = 2).isEmpty)
+    // measured-side flagging: the tuned config on a corpus of identical
+    // pairs (bucket 10, recall 1000m) fits; the same measurement hung on a
+    // config whose theory promises more than the corpus delivered is flagged
+    val docs = (0 until 10).flatMap { p =>
+      val a = (0 until 24).map(i => s"w${p}_$i").mkString(" ")
+      Seq((2L * p, a), (2L * p + 1, a))
+    }.toDF("doc_id", "text")
+    val measured = Dedup.lshCalibrationDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(measured(10L) == 1000L)
+    assert(Dedup.flagMistunedBanding(measured, Dedup.DefaultTargetJaccard).isEmpty)
+    val broken = measured.updated(10L, 300L) // a hypothetical capped/correlated corpus
+    val flags = Dedup.flagMistunedBanding(broken, Dedup.DefaultTargetJaccard)
+    assert(flags.exists(f => f.bucket == 10L && f.reason.contains("below theory")), s"$flags")
+  }
+
   test("lsh calibration: identical pairs always recalled; candidates bounded by truth per decile") {
     import spark.implicits._
     // 30 vocabulary-disjoint pairs: 15 identical (jaccard 1.0 -> bucket 10),

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The public facade stays in lockstep with the operator objects it fronts
+  * (a facade that drifts from the registry-verified ops would be worse than
+  * no facade).
+  */
+class GraftFacadeSpec extends SparkSuite {
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  test("dedup keeps exactly the cluster canonicals plus all singletons") {
+    val clusters = Dedup.connectedComponents(Dedup.minhashCandidatesDf(docs))
+    val nonCanonical = clusters.filter(col("comp") =!= col("doc_id")).count()
+    val kept = Graft.dedup(docs)
+    assert(kept.count() == docs.count() - nonCanonical)
+    // every kept doc is either a canonical or was never in a cluster
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val canonicals = clusters.select("comp").collect().map(_.getLong(0)).toSet
+    val clustered = clusters.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.forall(id => canonicals.contains(id) || !clustered.contains(id)))
+  }
+
+  test("facade delegates match the registry-verified operators row-for-row") {
+    val viaFacade = Graft.similarTopK(Tables.load(spark, sf, "embeddings"), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Similarity.topK(spark, sf, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaFacade == direct)
+    val pairsFacade = Graft.dedupPairs(docs).count()
+    val pairsDirect = Dedup.minhashCandidatesDf(docs).count()
+    assert(pairsFacade == pairsDirect && pairsFacade > 0)
+  }
+
+  test("mergePatch column function is the native RFC 7386 expression") {
+    import spark.implicits._
+    val out = Seq(("""{"a":1,"b":2}""", """{"a":1,"b":3}"""))
+      .toDF("n", "o")
+      .select(Graft.mergePatch(col("n"), col("o")).as("changes"))
+      .head().getString(0)
+    assert(out == """{"b":3}""")
+  }
+}
