@@ -681,6 +681,7 @@ object SparkEntry {
     // javax.sound.sampled; oracle recomputes the decoded content in SQL
     "ops_png_decode"   -> ((s: SparkSession, d: String) => Multimodal.pngDecodeDf(s, d).toDF()),
     "ops_wav_decode"   -> ((s: SparkSession, d: String) => Multimodal.wavDecodeDf(s, d).toDF()),
+    "ops_png_resize"   -> ((s: SparkSession, d: String) => Multimodal.pngThumbFeatures(s, d).toDF()),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),

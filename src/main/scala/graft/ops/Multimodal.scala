@@ -181,6 +181,12 @@ object Multimodal {
     * production ingest uses).
     */
   def pngEncode(ids: Iterator[Long]): Iterator[MediaRow] = {
+    // in-memory ImageIO streams: the default file-backed stream cache
+    // creates (and fsyncs) a temp FILE per encode/decode — measured 21x
+    // cost at 10x rows on the resize path before this (superlinear from
+    // tmpfs contention across 32 threads); with the cache off the codec
+    // curves are ~linear
+    javax.imageio.ImageIO.setUseCache(false)
     ids.map { id =>
       val (w, h) = (pngWidth(id), pngHeight(id))
       val img = new java.awt.image.BufferedImage(
@@ -217,6 +223,7 @@ object Multimodal {
     * comes from the decoded raster. Per-partition batch contract as above.
     */
   def pngDecode(rows: Iterator[MediaRow]): Iterator[PngFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // see pngEncode
     rows.map { r =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
       require(img != null, s"PNG decode failed for doc ${r.doc_id}")
@@ -241,6 +248,54 @@ object Multimodal {
   def pngDecodeDf(spark: SparkSession, sfDir: String): Dataset[PngFeatures] = {
     import spark.implicits._
     pngTable(spark, sfDir).mapPartitions(pngDecode)
+  }
+
+  /** Real thumbnail pass: decode the PNG, scale to `tw`×`th` by
+    * nearest-neighbor — dst(x,y) = src(x·w div tw, y·h div th), chosen over
+    * Graphics2D interpolation because it is exactly reproducible in SQL —
+    * and RE-ENCODE through the codec. Two genuine codec passes per blob,
+    * still narrow: blobs never leave the task that read them.
+    */
+  def pngResizeEncode(tw: Int, th: Int)(rows: Iterator[MediaRow]): Iterator[MediaRow] = {
+    javax.imageio.ImageIO.setUseCache(false) // see pngEncode
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"PNG decode failed for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val src = img.getRaster
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val dst = out.getRaster
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          dst.setSample(x, y, 0, src.getSample(x * w / tw, y * h / th, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      MediaRow(r.doc_id, bos.toByteArray, "image/png")
+    }
+  }
+
+  /** Real 8×8 (default) thumbnails of the real PNG table. */
+  def pngThumbs(spark: SparkSession, sfDir: String,
+                tw: Int = 8, th: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    pngTable(spark, sfDir).mapPartitions(pngResizeEncode(tw, th))
+  }
+
+  /** encode → decode → scale → re-encode → decode: features of the REAL
+    * thumbnail bytes, oracle-checked against the closed-form
+    * nearest-neighbor pixel model.
+    */
+  def pngThumbFeatures(spark: SparkSession, sfDir: String,
+                       tw: Int = 8, th: Int = 8): Dataset[PngFeatures] = {
+    import spark.implicits._
+    pngThumbs(spark, sfDir, tw, th).mapPartitions(pngDecode)
   }
 
   /** Deterministic PCM content for doc `id` (shared with the oracle):

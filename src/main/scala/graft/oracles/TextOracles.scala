@@ -672,6 +672,27 @@ private[graft] object TextOracles {
         |  CAST(doc_id * 31 % 256 AS INT) AS px_first,
         |  CAST((doc_id * 31 + 7 * (width - 1) + 13 * (height - 1)) % 256 AS INT) AS px_last
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    // twin of [[graft.ops.Multimodal.pngThumbFeatures]]: Spark runs
+    // encode → decode → nearest-neighbor 8×8 scale → RE-encode → decode
+    // (two real codec passes); the oracle recomputes the thumbnail pixels
+    // as gray(id, (x*w)//8, (y*h)//8) in SQL.
+    "ops_png_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    (d.doc_id * 31 + 7 * ((xs.x * d.w) // 8) + 13 * ((ys.y * d.h) // 8)) % 256 AS g
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) ys)
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(SUM(g) AS BIGINT) AS pixel_sum,
+        |  CAST(doc_id * 31 % 256 AS INT) AS px_first,
+        |  CAST((doc_id * 31 + 7 * ((7 * w) // 8) + 13 * ((7 * h) // 8)) % 256 AS INT) AS px_last
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     // twin of [[graft.ops.Multimodal.wavDecodeDf]]: Spark decodes REAL
     // RIFF/WAVE PCM via javax.sound.sampled; the oracle recomputes the
     // sample model (n = 64 + id%64 frames, s_i = (id*131+17i) mod 65536

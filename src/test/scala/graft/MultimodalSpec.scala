@@ -53,6 +53,20 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real PNG resize: thumbnails are real PNGs with nearest-neighbor pixels") {
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val thumbs = Multimodal.pngThumbs(spark, sf, 8, 8).collect()
+    assert(thumbs.length == 500)
+    thumbs.foreach(t => assert(t.media.take(8).sameElements(magic)))
+    Multimodal.pngThumbFeatures(spark, sf, 8, 8).collect().foreach { f =>
+      assert(f.width == 8 && f.height == 8)
+      val (w, h) = (Multimodal.pngWidth(f.doc_id), Multimodal.pngHeight(f.doc_id))
+      val want = (for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.pngGray(f.doc_id, x * w / 8, y * h / 8).toLong).sum
+      assert(f.pixel_sum == want, s"doc ${f.doc_id}: ${f.pixel_sum} != $want")
+    }
+  }
+
   test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
     val blobs = Multimodal.wavTable(spark, sf).collect()
     assert(blobs.length == 500)

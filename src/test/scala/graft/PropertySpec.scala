@@ -52,6 +52,55 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("png codec: arbitrary grayscale images survive the decode path losslessly") {
+    import graft.ops.Multimodal
+    val dims = Gen.choose(1, 40)
+    // arbitrary pixel content (not the corpus's closed-form model): encode
+    // with ImageIO directly, decode through Multimodal.pngDecode — any
+    // filter/compression choice the encoder makes must be invisible
+    check(Prop.forAll(dims, dims, Gen.choose(0L, 1L << 40)) { (w, h, seed) =>
+      def px(x: Int, y: Int): Int = (((seed + x) * 2654435761L + y * 40503L) % 256).toInt & 0xff
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val f = Multimodal.pngDecode(
+        Iterator(Multimodal.MediaRow(1L, bos.toByteArray, "image/png"))).next()
+      val want = (for (y <- 0 until h; x <- 0 until w) yield px(x, y).toLong).sum
+      f.width == w && f.height == h && f.pixel_sum == want &&
+        f.px_first == px(0, 0) && f.px_last == px(w - 1, h - 1)
+    })
+  }
+
+  test("wav codec: arbitrary PCM (incl. extremes) survives the decode path losslessly") {
+    import graft.ops.Multimodal
+    val lens = Gen.choose(1, 300)
+    check(Prop.forAll(lens, Gen.choose(0L, 1L << 40)) { (n, seed) =>
+      // arbitrary samples hitting the signed-16-bit extremes
+      def samp(i: Int): Int =
+        if (i == 0) -32768 else if (i == n - 1 && n > 1) 32767
+        else ((seed * 6364136223846793005L + i * 1442695040888963407L) % 65536).toInt match {
+          case v if v < -32768 => v + 65536
+          case v if v > 32767  => v - 65536
+          case v => v
+        }
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(i => bb.putShort(samp(i).toShort))
+      val f = Multimodal.wavDecode(
+        Iterator(Multimodal.MediaRow(1L, bb.array(), "audio/wav"))).next()
+      f.n_frames == n && f.sample_rate == 8000 &&
+        f.amp_sum == (0 until n).map(samp(_).toLong).sum &&
+        f.amp_max == (0 until n).map(samp).max
+    })
+  }
+
   test("tiering ladder: invariants hold for ALL size combinations") {
     val sizes = Gen.choose(0, 40)
     check(Prop.forAll(sizes, sizes, Gen.choose(1, 120), Gen.choose(0, 50)) { (np, nv, limit, ne) =>
