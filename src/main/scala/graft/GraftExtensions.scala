@@ -63,6 +63,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.JsonRedact(exprs.head, fields)
       }))
     ext.injectFunction((
+      FunctionIdentifier("variant_merge_patch"),
+      new ExpressionInfo(
+        classOf[functions.VariantMergePatchExpr].getName,
+        null,
+        "variant_merge_patch",
+        "variant_merge_patch(curr, prev) - RFC 7386 merge patch computed natively over VARIANT values (no JSON text round-trip); null documents mean {}",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity(exprs, 2, "variant_merge_patch(curr, prev)")
+        functions.VariantMergePatchExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("h60"),
       new ExpressionInfo(
         classOf[functions.Hash60].getName,

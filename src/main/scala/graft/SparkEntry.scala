@@ -509,10 +509,19 @@ object SparkEntry {
     // previous image and leave only delete-patches
     val tiered = Tiering.ladder(serialized, "payload", "previous", limit = 98, envelope = envelope)
     val withChanges = tiered
+      // tier drops applied to the VARIANT columns in lockstep with the
+      // serialized ones the ladder nulls, then the patch computed NATIVELY
+      // over the Variant values (graft.functions.VariantMergePatch — no
+      // JSON text round-trip in the changes stage; parity with the string
+      // expression pinned by VariantMergePatchSpec)
+      .withColumn("payload_v",
+        when(col("tier") === 2, lit(null).cast("variant")).otherwise(col("payload_v")))
+      .withColumn("previous_v",
+        when(col("tier") >= 1, lit(null).cast("variant")).otherwise(col("previous_v")))
       .withColumn("changes_v",
         when(col("op") === "UPDATE",
-          parse_json(MergePatch.json_merge_patch(col("payload"), col("previous")))))
-      .withColumn("payload_v", parse_json(col("payload")))
+          graft.functions.VariantMergePatch.variant_merge_patch(
+            col("payload_v"), col("previous_v"))))
     val base = ev.select(col("event_id"), parse_json(col("props")).as("payload_v"))
     Fallback.rehydrate(
         withChanges.select(col("event_id"), col("user_id"), col("op"), col("tier"),
