@@ -75,6 +75,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.VariantMergePatchExpr(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("variant_redact"),
+      new ExpressionInfo(
+        classOf[functions.VariantRedactExpr].getName,
+        null,
+        "variant_redact",
+        "variant_redact(payload, field, ...) - remove the named fields from a VARIANT object natively (reference redactions.go:33-52); field names must be string literals",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length < 2) throw new IllegalArgumentException(
+          "variant_redact requires a payload and at least one field name " +
+            s"(got ${exprs.length} argument(s))")
+        val fields = exprs.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"variant_redact field names must be non-null string literals, got $other")
+        }
+        functions.VariantRedactExpr(exprs.head, fields)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("h60"),
       new ExpressionInfo(
         classOf[functions.Hash60].getName,

@@ -488,13 +488,14 @@ object SparkEntry {
     val v = filtered
       .withColumn("payload_v", parse_json(col("props")))
       .withColumn("previous_v", parse_json(col("prev_props")))
-    // redaction is a document-codec operation (the config names JSON fields):
-    // serialize → native JsonRedact → re-parse, carrier stays Variant
+    // redaction applied NATIVELY on the Variant values (variant_redact
+    // rebuilds the binary object minus the configured fields — no JSON
+    // text round-trip; parity with the string path pinned in RedactionsSpec)
     val redacted = v
       .withColumn("payload_v",
-        parse_json(Redactions.redact(to_json(col("payload_v")), isSignup, Seq("k"))))
+        Redactions.redactVariant(col("payload_v"), isSignup, Seq("k")))
       .withColumn("previous_v",
-        parse_json(Redactions.redact(to_json(col("previous_v")), isSignup, Seq("k"))))
+        Redactions.redactVariant(col("previous_v"), isSignup, Seq("k")))
     val envelope = to_json(struct(
       lit("public").as("schema"), lit("events").as("table"),
       col("op").as("op"), col("event_id").as("id")))

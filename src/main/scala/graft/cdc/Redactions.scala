@@ -47,6 +47,13 @@ object Redactions {
   def redact(payload: Column, matches: Column, fields: Seq[String]): Column =
     when(matches, JsonRedactColumn(payload, fields)).otherwise(payload)
 
+  /** Variant twin of [[redact]] — same conditional application, natively over
+    * a VariantType payload column (no JSON text round-trip).
+    */
+  def redactVariant(payload: Column, matches: Column, fields: Seq[String]): Column =
+    when(matches, graft.functions.VariantRedact.variant_redact(payload, fields: _*))
+      .otherwise(payload)
+
   /** Drive redaction from a decoded config map end-to-end (reference
     * `server.go:225` wiring + `redactions.go:38-44` lookup): each
     * (schema, table) entry contributes one branch of a CASE chain testing the

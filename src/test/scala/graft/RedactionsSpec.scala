@@ -53,6 +53,45 @@ class RedactionsSpec extends AnyFunSuite {
     assert(out(2) == """{"password":"x","name":"o"}""")
   }
 
+  test("variant_redact: native Variant twin matches the string expression") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      """{"password":"x","name":"jane","meta":{"a":1}}""", // drop one of three
+      """{"name":"n"}""",                                  // no-match passthrough
+      """{"password":"x"}""",                              // redact-to-empty
+      """[1,2,3]""",                                       // non-object passthrough
+      """7""").toDF("payload")
+    val out = docs.select(
+      to_json(graft.functions.VariantRedact.variant_redact(
+        parse_json(col("payload")), "password")).as("v")).as[String].collect()
+    assert(out(0) == """{"meta":{"a":1},"name":"jane"}""") // variant keys sort
+    assert(out(1) == """{"name":"n"}""")
+    assert(out(2) == "{}")
+    assert(out(3) == "[1,2,3]")
+    assert(out(4) == "7")
+    // null payload stays null
+    val n = Seq((null: String)).toDF("payload")
+      .select(graft.functions.VariantRedact.variant_redact(
+        parse_json(col("payload")), "password").as("v"))
+      .select(col("v").isNull).head().getBoolean(0)
+    assert(n)
+  }
+
+  test("variant_redact evaluates under forced codegen") {
+    val spark = TestSpark.spark
+    TestSpark.withCodegenOnly {
+      import org.apache.spark.sql.functions._
+      val out = spark.range(3).select(
+        to_json(graft.functions.VariantRedact.variant_redact(
+          parse_json(concat(lit("""{"k":"""), col("id").cast("string"), lit(""","secret":1}"""))),
+          "secret")).as("p"))
+        .collect().map(_.getString(0))
+      assert(out.toSeq == Seq("""{"k":0}""", """{"k":1}""", """{"k":2}"""))
+    }
+  }
+
   test("native json_redact evaluates under forced codegen") {
     val spark = TestSpark.spark
     TestSpark.withCodegenOnly {
