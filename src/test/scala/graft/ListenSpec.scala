@@ -1,0 +1,152 @@
+package graft
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{CopyOnWriteArrayList, TimeUnit}
+
+import graft.streaming.{Listen, ListenServer, ListenSink, PqsClient}
+import graft.streaming.CdcStream.RawChange
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Push transport vs the reference's `Listen` RPC semantics
+  * (`server.go:284-315`): per-subscription regexp filtering (unanchored, RE2
+  * MatchString), invalid-regexp error return, at-most-once drop-on-slow, and
+  * the jsonpb `Event` wire shape with omitted absent fields.
+  */
+class ListenSpec extends SparkSuite {
+
+  /** Subscriber harness: connects, sends the ListenRequest, collects lines. */
+  private final class Sub(port: Int, re: String) extends AutoCloseable {
+    val socket = new Socket("127.0.0.1", port)
+    val lines = new CopyOnWriteArrayList[String]()
+    private val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+    w.write(s"""{"tableRegexp":${ujsonQuote(re)}}""" + "\n"); w.flush()
+    private val reader = new Thread(() => {
+      try {
+        val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
+        var line = in.readLine()
+        while (line != null) { lines.add(line); line = in.readLine() }
+      } catch { case _: Throwable => () }
+    })
+    reader.setDaemon(true); reader.start()
+    def await(n: Int, ms: Long = 5000): Unit = {
+      val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(ms)
+      while (lines.size < n && System.nanoTime() < deadline) Thread.sleep(10)
+    }
+    override def close(): Unit = socket.close()
+  }
+
+  private def ujsonQuote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def awaitSubs(server: ListenServer, n: Int, ms: Long = 5000): Unit = {
+    val deadline = System.nanoTime() + TimeUnit.MILLISECONDS.toNanos(ms)
+    while (server.subscriberCount < n && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(server.subscriberCount >= n, s"subscribers never registered (want $n)")
+  }
+
+  test("per-subscription regexp fan-out, unanchored match, in-order delivery") {
+    val server = new ListenServer()
+    try {
+      val all = new Sub(server.boundPort, ".*")
+      val ord = new Sub(server.boundPort, "rder") // unanchored substring, like RE2 MatchString
+      try {
+        awaitSubs(server, 2)
+        server.publish("orders", """{"table":"orders","id":"1"}""")
+        server.publish("users", """{"table":"users","id":"2"}""")
+        server.publish("orders", """{"table":"orders","id":"3"}""")
+        all.await(3); ord.await(2)
+        assert(all.lines.size == 3)
+        assert(ord.lines.size == 2)
+        import scala.jdk.CollectionConverters._
+        assert(ord.lines.asScala.toList == List(
+          """{"table":"orders","id":"1"}""", """{"table":"orders","id":"3"}"""))
+      } finally { all.close(); ord.close() }
+    } finally server.close()
+  }
+
+  test("invalid regexp answers an error line and closes — the RPC error return") {
+    val server = new ListenServer()
+    try {
+      val bad = new Sub(server.boundPort, "(unclosed")
+      try {
+        bad.await(1)
+        assert(bad.lines.size == 1 && bad.lines.get(0).startsWith("{\"error\":"))
+        // connection is closed server-side: no registration happened
+        assert(server.subscriberCount == 0)
+      } finally bad.close()
+    } finally server.close()
+  }
+
+  test("slow subscriber drops (at-most-once), fast subscribers unaffected") {
+    val server = new ListenServer(queueCapacity = 4)
+    try {
+      // a subscriber that never reads: its socket buffer + 4-slot queue fill up
+      val slow = new Socket("127.0.0.1", server.boundPort)
+      val sw = new BufferedWriter(new OutputStreamWriter(slow.getOutputStream, UTF_8))
+      sw.write("{\"tableRegexp\":\".*\"}\n"); sw.flush()
+      awaitSubs(server, 1)
+      // stall its writer thread by closing the input abruptly? No — just flood:
+      // the writer drains to the OS buffer, so flood well past capacity + buffers.
+      val payload = "x" * 65536
+      (1 to 64).foreach(i => server.publish("t", s"""{"i":$i,"pad":"$payload""" + "\"}"))
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      while (server.droppedCount == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(server.droppedCount > 0, "flooded non-reading subscriber never dropped")
+      slow.close()
+    } finally server.close()
+  }
+
+  test("eventJson matches the jsonpb Event shape; absent fields omitted") {
+    import spark.implicits._
+    val df = Seq(
+      ("public", "events", "UPDATE", 7L, """{"k":2}""", """{"k":1}"""),
+      ("public", "events", "INSERT", 8L, """{"k":3}""", null.asInstanceOf[String]),
+      ("public", "events", "DELETE", 9L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("schema", "table", "op", "id", "payload", "changes")
+    val out = df.select(Listen.eventJson(col("schema"), col("table"), col("op"),
+      col("id"), col("payload"), col("changes")).as("j")).as[String].collect()
+    assert(out(0) ==
+      """{"schema":"public","table":"events","op":"UPDATE","id":"7","payload":{"k":2},"changes":{"k":1}}""")
+    assert(out(1) == """{"schema":"public","table":"events","op":"INSERT","id":"8","payload":{"k":3}}""")
+    assert(out(2) == """{"schema":"public","table":"events","op":"DELETE","id":"9"}""")
+  }
+
+  test("end-to-end: streaming query -> executor ingest sockets -> hub -> pqs client") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val server = new ListenServer()
+    val q = {
+      val input = MemoryStream[RawChange]
+      input.addData(
+        RawChange(1, new java.sql.Timestamp(0), 1, "signup", """{"k":1}"""),
+        RawChange(2, new java.sql.Timestamp(1), 2, "purchase", """{"k":2}"""),
+        RawChange(3, new java.sql.Timestamp(2), 3, "error", """{"k":3}"""))
+      val events = input.toDS().toDF()
+        .select(lit("events").as("table"),
+          Listen.eventJson(lit("public"), lit("events"),
+            graft.cdc.EventLog.opCol, col("event_id"), col("props"), lit(null).cast("string"))
+            .as("event"))
+      events.writeStream.outputMode("append").foreach(ListenSink.writer("127.0.0.1", server.boundPort)).start()
+    }
+    try {
+      // pqs-client analog: subscribe before draining the stream
+      val got = new CopyOnWriteArrayList[String]()
+      val client = new Thread(() =>
+        try PqsClient.run("127.0.0.1", server.boundPort, "even", got.add(_), maxEvents = 3)
+        catch { case _: Throwable => () })
+      client.setDaemon(true); client.start()
+      awaitSubs(server, 1)
+      q.processAllAvailable()
+      client.join(10000)
+      import scala.jdk.CollectionConverters._
+      val lines = got.asScala.toList
+      assert(lines.size == 3, s"client got: $lines")
+      assert(lines.contains(
+        """{"schema":"public","table":"events","op":"INSERT","id":"1","payload":{"k":1}}"""))
+      assert(lines.exists(l => l.contains("\"op\":\"UPDATE\"") && l.contains("\"id\":\"2\"")))
+    } finally { q.stop(); server.close() }
+  }
+}
