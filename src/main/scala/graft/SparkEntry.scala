@@ -647,6 +647,7 @@ object SparkEntry {
     "ops_sim_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
+    "ops_semdedup"    -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "ops_embed_quant" -> (Similarity.quantizeInt8 _),
     "ops_embed_gram"  -> (Similarity.embedGram _),
     // text analysis set
@@ -655,6 +656,7 @@ object SparkEntry {
     "ops_text_quality"  -> (TextStats.qualityScore _),
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
+    "ops_winnowing"     -> ((s: SparkSession, d: String) => TextStats.winnowing(s, d)),
     "ops_quantiles"     -> (TextStats.lengthQuantiles _),
     "ops_text_search"   -> ((s: SparkSession, d: String) => TextStats.textSearch(s, d)),
     "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),
@@ -683,6 +685,8 @@ object SparkEntry {
     "ops_line_dedup"      -> ((s: SparkSession, d: String) => Curation.lineDedup(s, d)),
     "ops_quality_mix"     -> ((s: SparkSession, d: String) => Curation.qualityMix(s, d)),
     "ops_shuffle_shards"  -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
+    "ops_domain_mix"      -> (Curation.domainMix _),
+    "ops_url_dedup"       -> (Curation.urlDedup _),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_dedup"  -> (Multimodal.mediaDedupManifest _),

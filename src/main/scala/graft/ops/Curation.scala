@@ -498,6 +498,88 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
+  /** Training-mixture allocation — the domain-reweighting step every LLM
+    * data pipeline runs between curation and packing (the Pile / DoReMi
+    * shape: per-domain target weights → per-domain sampling rates): given
+    * measured token mass per domain (here `lang`) and a target weight
+    * vector, compute each domain's token budget under a half-corpus
+    * training target, its sampling rate, and its epoch count (> 1 = the
+    * domain is up-sampled, i.e. repeated).
+    *
+    * Numerics: the budget split is EXACT integer math — `(total * w) DIV
+    * 200` fuses the half-budget and the percent split into one integer
+    * floor-division, so engines can't diverge on intermediate floats; only
+    * the final rate/epoch ratios are doubles, rounded to 6 like every ratio
+    * output here. Scale shape: one partial-agg groupBy over the corpus
+    * (domain cardinality is tiny), total rides back as a ONE-ROW broadcast —
+    * no second corpus pass, no driver collect.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight = coalesce(element_at(
+      map(lit("en"), lit(40L), lit("zh"), lit(20L), lit("de"), lit(15L),
+        lit("fr"), lit(15L), lit("es"), lit(10L)), col("lang")), lit(0L))
+    val per = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    per.join(broadcast(tot))
+      .withColumn("weight", weight)
+      .withColumn("target_tokens", expr("(tot * weight) DIV 200"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"),
+        round(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("sample_rate"),
+        round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
+
+  /** URL-keyed dedup with canonicalization — the CommonCrawl-style first
+    * dedup pass: the same page arrives under scheme/case variants, tracking
+    * parameters, trailing slashes, and fragments, so raw-URL grouping
+    * under-merges. Canonical form = lowercase, scheme and `www.` stripped,
+    * `utm_*` tracking parameters removed (non-tracking params like `id=`
+    * are KEPT — the two-step regex removes a tracking param whether or not
+    * another parameter follows it), fragment dropped, trailing slash
+    * trimmed. URLs are synthesized deterministically from driver columns
+    * (same discipline as the planted-PII set): id-keyed variants guarantee
+    * every canonicalization rule fires, and (source, lang, doc_id % 40)
+    * page keys guarantee genuine cross-doc collisions.
+    *
+    * Scale shape: canonicalization is a pure codegen'd map (a regex chain);
+    * the group-collapse is ONE hash groupBy on the canonical key with
+    * partial aggregation — the exact-dedup plan, keyed by URL instead of
+    * content hash. All regexes are RE2-safe (no lookaround/backrefs), so
+    * the DuckDB oracle applies the identical patterns with the 'g' flag.
+    */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val url = concat(
+      when(col("doc_id") % 3 === 1, lit("HTTP://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com/"), col("lang"),
+      lit("/page-"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0 && col("doc_id") % 4 === 0,
+        lit("?id=7&utm_source=feed&utm_campaign=x"))
+        .when(col("doc_id") % 2 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+    val canon = Seq[Column => Column](
+      lower,
+      regexp_replace(_, "#.*", ""),            // fragment
+      regexp_replace(_, "utm_[^&#]*&", ""),    // tracking param with a successor
+      regexp_replace(_, "[?&]utm_[^&#]*", ""), // trailing tracking param(s)
+      regexp_replace(_, "^https?://", ""),     // scheme
+      regexp_replace(_, "^www\\.", ""),        // host alias
+      regexp_replace(_, "/$", "")              // trailing slash
+    ).foldLeft(url)((c, f) => f(c))
+    docs.select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+  }
+
   /** The five-rule quality bitmask of [[filterAttribution]] as one Column
     * expression over the text (bit set = FAILED; see the rule table there).
     * Shared by the attribution histogram and the composed training-prep

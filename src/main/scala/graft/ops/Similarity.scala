@@ -350,6 +350,63 @@ object Similarity {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("comp"))
 
+  /** SemDeDup (Abbas et al. 2023, PAPERS.md): semantic deduplication via
+    * coarse k-clustering + WITHIN-CLUSTER cosine pruning — the embedding
+    * analog of MinHash dedup, catching paraphrases that share no shingles.
+    * Pipeline: (1) assign every vector to its nearest of `nlist` centroids
+    * (the [[ivfTopK]] quantizer — deterministically sampled centroids ride
+    * along as ONE broadcast row, assignment is an in-row argmax: zero
+    * shuffle); (2) pairs form ONLY inside a cluster (the paper's point: the
+    * O(n²) pair space collapses to Σ cluster², and `nlist` grows with the
+    * corpus so cluster size — and so this join's output — stays bounded at
+    * 100 TB); (3) greedy keep-lowest-id: a vector is dropped iff a
+    * smaller-id vector in its cluster exceeds `tau` (deterministic,
+    * recursion-free — the paper keeps one exemplar per ε-ball; the greedy
+    * variant needs no transitive closure, and [[embedClusters]] covers the
+    * CC-closed alternative).
+    *
+    * The driver corpus is near-orthogonal (max organic within-cluster cosine
+    * ≈ 0.49), so the test plants semantic clones — scale-doubled copies of
+    * every `plantStride`-th vector (cosine is scale-invariant, so the clone
+    * reads exactly 1.0 without any float tolerance) — and `tau` = 0.4 sits
+    * below the organic tail so BOTH planted and organic drops exercise the
+    * path. Threshold compare is on `round(cos, 6)`, the same guard every
+    * similarity oracle here uses.
+    */
+  def semDedup(spark: SparkSession, sfDir: String, nlist: Int = 16,
+               tau: Double = 0.4, plantStride: Long = 7L): DataFrame = {
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % plantStride === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+    val e = base.unionAll(planted)
+    val cents = e.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("bucket",
+        element_at(array_sort(transform(col("cents"),
+          c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid")))), 1)("cid"))
+      .select(col("vec_id"), col("v"), col("bucket"))
+    // ONE shuffle total: group the cluster, then judge every member IN-ROW
+    // (dropped iff a smaller-id member clears tau) — the bucket-local
+    // pattern of [[nearDupPairs]], but emitting a verdict per member
+    // instead of pairs, so no self-join, no second corpus scan, no
+    // presence-join at the end. The cluster must fit in one row — which is
+    // the SemDeDup operating point by construction: k (nlist) scales with
+    // the corpus precisely so clusters stay small.
+    assigned
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("items"))
+      .select(col("bucket"), explode(transform(col("items"), x =>
+        struct(x("vec_id").as("vec_id"),
+          not(exists(col("items"), y =>
+            y("vec_id") < x("vec_id") &&
+              round(cosine(x("v"), y("v")), 6) >= tau)).as("kept")))).as("m"))
+      .select(col("m.vec_id"), col("bucket"), col("m.kept"))
+  }
+
   /** Exact integer Gram matrix over int8-quantized embeddings — the
     * reduction half of distributed PCA, done as ONE aggregation pass: every
     * vector contributes its d(d+1)/2 upper-triangle code products in-row

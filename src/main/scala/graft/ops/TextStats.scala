@@ -144,6 +144,42 @@ object TextStats {
           i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Full winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+    * fingerprinter; PAPERS.md): hash every word k-gram, slide a window of
+    * `w` consecutive gram hashes, and select each window's MINIMUM hash,
+    * breaking ties by the RIGHTMOST position — the rule that makes selection
+    * local (two documents sharing a run of ≥ w+k-1 words are guaranteed to
+    * select at least one common (position-independent) fingerprint, the
+    * paper's detection guarantee). Unlike [[fingerprints]] (the positionless
+    * window-min sketch), this keeps positions, so matches can be LOCATED,
+    * not just detected — the plagiarism/provenance use case.
+    *
+    * Shape: selection is entirely IN-ROW (gram hashes, per-window min, and
+    * the rightmost-argmin all via codegen'd higher-order functions over the
+    * token array) — a narrow map stage; the only shuffle is whatever the
+    * consumer does with the fingerprints. The DuckDB oracle computes the
+    * same selection RELATIONALLY (explode grams, range self-join, window
+    * rank) — two independent algorithm shapes agreeing cell-for-cell.
+    */
+  def winnowing(spark: SparkSession, sfDir: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = split(col("text"), " ")
+    docs.filter(size(toks) >= w + k - 1)
+      .withColumn("t", toks)
+      .withColumn("hs", transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => Hashing.h60(concat_ws(" ",
+          (0 until k).map(o => element_at(col("t"), i + o)): _*))))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - (w - 1)), { j =>
+          val mn = array_min(slice(col("hs"), j, lit(w)))
+          struct(
+            array_max(filter(sequence(j, j + (w - 1)),
+              p => element_at(col("hs"), p) === mn)).cast("long").as("pos"),
+            mn.as("fp"))
+        }))).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+  }
+
   /** Query terms for [[textSearch]] — mid-frequency corpus tokens so the
     * conjunction is selective but non-empty at every SF.
     */

@@ -399,6 +399,31 @@ private[graft] object TextOracles {
          |  round(${cosineSql("va", "vb")}, 6) AS cos_sim
          |FROM cand
          |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
+    // SemDeDup: IVF assignment (same quantizer as ops_sim_ivf), within-cluster
+    // pairs, greedy keep-lowest-id; clones = scale-doubled every-7th vector
+    // (cosine scale-invariant -> exactly 1.0). Constants pinned to
+    // Similarity.semDedup defaults (nlist=16, tau=0.4, stride=7, id+100000).
+    "ops_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM base
+         |  WHERE vec_id % 7 = 0),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a AS (SELECT e.vec_id, e.v, c.cid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, v, cid AS bucket FROM (
+         |    SELECT vec_id, v, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+         |    FROM a) WHERE rk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM assign x JOIN assign y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE round(${cosineSql("x.v", "y.v")}, 6) >= 0.4)
+         |SELECT s.vec_id, s.bucket, (d.vec_id IS NULL) AS kept
+         |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin,
     "ops_embed_cluster" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (
@@ -468,6 +493,29 @@ private[graft] object TextOracles {
          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
          |  FROM h)
          |SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 5""".stripMargin,
+    // Full winnowing, pinned to TextStats.winnowing defaults (k=3 word-grams,
+    // w=4): relational form — explode grams, range self-join to windows,
+    // rank (h ASC, pos DESC) = min-hash with rightmost tie, full windows only.
+    // The Spark side computes the identical selection in-row.
+    "ops_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(range(1, len(t) - 1)) AS pos,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> ${h60sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})) AS h
+         |  FROM toks WHERE len(t) >= 6),
+         |win AS (
+         |  SELECT a.doc_id, a.pos AS wpos, b.pos, b.h
+         |  FROM g a JOIN g b ON a.doc_id = b.doc_id
+         |    AND b.pos BETWEEN a.pos AND a.pos + 3),
+         |rk AS (
+         |  SELECT doc_id, wpos, pos, h,
+         |    count(*) OVER (PARTITION BY doc_id, wpos) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+         |      ORDER BY h ASC, pos DESC) AS rnk
+         |  FROM win)
+         |SELECT DISTINCT doc_id, pos, h AS fp FROM rk
+         |WHERE cnt = 4 AND rnk = 1""".stripMargin,
     "ops_quantiles" ->
       """SELECT lang,
         |  quantile_cont(n_chars, 0.25) AS q25,
@@ -542,6 +590,49 @@ private[graft] object TextOracles {
          |FROM mixed
          |WHERE ${h60sql("'qmix:' || CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE bucket WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END""".stripMargin,
+    // Domain-mixture allocation: weights pinned to Curation.domainMix's map
+    // (en 40 / zh 20 / de 15 / fr 15 / es 10), half-corpus budget fused into
+    // one integer floor-division so only the final ratios are floats.
+    "ops_domain_mix" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        |w AS (SELECT * FROM (VALUES ('en', 40), ('zh', 20), ('de', 15),
+        |  ('fr', 15), ('es', 10)) AS t(lang, weight))
+        |SELECT p.lang, p.n_docs, p.n_tokens, CAST(w.weight AS BIGINT) AS weight,
+        |  CAST((tot * w.weight) // 200 AS BIGINT) AS target_tokens,
+        |  round(least(1.0, CAST((tot * w.weight) // 200 AS DOUBLE) / p.n_tokens), 6)
+        |    AS sample_rate,
+        |  round(CAST((tot * w.weight) // 200 AS DOUBLE) / p.n_tokens, 6) AS epochs
+        |FROM per p JOIN w ON p.lang = w.lang, tot""".stripMargin,
+    // URL canonicalization dedup: identical synthesis + regex chain as
+    // Curation.urlDedup (RE2-safe patterns, 'g' flag = Spark's replace-all).
+    "ops_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.example.com/' || lang || '/page-' ||
+        |    CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0
+        |          THEN '?id=7&utm_source=feed&utm_campaign=x'
+        |          WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(lower(url),
+        |    '#.*', '', 'g'), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*', '', 'g'),
+        |    '^https?://', '', 'g'), '^www\.', '', 'g'), '/$', '', 'g')
+        |    AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keeper_doc_id
+        |FROM c GROUP BY 1""".stripMargin,
     "ops_train_prep" ->
       """WITH sc AS (
         |  SELECT doc_id, lang, text,

@@ -346,4 +346,55 @@ class QueriesSpec extends SparkSuite {
       .join(members, Seq("vec_id"), "left_anti")
     assert(dangling.count() == 0)
   }
+
+  test("ops_semdedup: every planted clone drops (cosine 1.0 to a smaller id); buckets keep a representative") {
+    val out = SparkEntry.queries("ops_semdedup")(spark, sf).collect()
+    val clones = out.filter(_.getLong(0) >= 100000L)
+    assert(clones.nonEmpty)
+    assert(clones.forall(!_.getBoolean(2)), "a scale-doubled clone survived its original")
+    // greedy keep-lowest-id can never empty a bucket: the smallest id in any
+    // bucket has no smaller-id neighbor, so it is always kept
+    val buckets = out.map(_.getLong(1)).toSet
+    val keptBuckets = out.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+    assert(buckets == keptBuckets)
+  }
+
+  test("ops_winnowing: selected fingerprints are in-document gram hashes; coverage gap never exceeds w") {
+    val out = SparkEntry.queries("ops_winnowing")(spark, sf)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ps = r.getSeq[Long](1)
+      // winnowing's density property: consecutive selected positions are
+      // less than w apart (each window of w grams contains a selection)
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4, s"doc ${r.getLong(0)}: gap $a -> $b exceeds w")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ops_domain_mix: budgets partition the half-corpus target; rates capped at 1") {
+    val out = SparkEntry.queries("ops_domain_mix")(spark, sf).collect()
+    assert(out.map(_.getLong(3)).sum == 100L, "weights must total 100")
+    out.foreach { r =>
+      assert(r.getDouble(5) <= 1.0 && r.getDouble(5) > 0.0)
+      // epochs and rate agree below the cap
+      if (r.getDouble(6) <= 1.0) assert(r.getDouble(5) == r.getDouble(6))
+    }
+  }
+
+  test("ops_url_dedup: canonical urls carry no scheme/www/tracking/fragment residue") {
+    val out = SparkEntry.queries("ops_url_dedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val u = r.getString(0)
+      assert(!u.contains("http") && !u.startsWith("www.") && !u.contains("utm_")
+        && !u.contains("#") && !u.endsWith("/"), s"residue in: $u")
+      assert(u == u.toLowerCase)
+    }
+    // the id=7 non-tracking parameter must SURVIVE canonicalization
+    assert(out.exists(_.getString(0).contains("?id=7")))
+  }
 }
