@@ -109,8 +109,14 @@ object ScaleProbe {
         generate(spark, baseDir, dir, f)
         println(s"""{"metric":"scale_gen","factor":$f,"sec":${(System.nanoTime() - t0) / 1e9}}""")
       }
-      if (families("docs") && !committed(dir, "embeddings"))
-        copyEmbeddings(spark, baseDir, dir)
+      if (families("docs") && !committed(dir, "embeddings")) {
+        // SPARK_GRAFT_SCALE_VECTORS=grow swaps the pass-through for the f×
+        // sign-mask blowup; pair it with a non-default SPARK_GRAFT_SCALE_DIR
+        // so the cached lag-mode dirs stay valid for the retrieval probes
+        if (sys.env.get("SPARK_GRAFT_SCALE_VECTORS").contains("grow"))
+          growEmbeddings(spark, baseDir, dir, f)
+        else copyEmbeddings(spark, baseDir, dir)
+      }
       // the relational family arrived later than the doc/event one — cached
       // dirs from earlier sessions regenerate just the missing tables
       if (families("tpch") && !committed(dir, "lineitem")) {
@@ -178,6 +184,37 @@ object ScaleProbe {
   def copyEmbeddings(spark: SparkSession, baseDir: String, dir: String): Unit =
     spark.read.parquet(s"$baseDir/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+  /** Opt-in f× VECTOR blowup (`SPARK_GRAFT_SCALE_VECTORS=grow`) — the vector
+    * analog of the token-suffix document trick: copy c multiplies every
+    * vector by a c-seeded ±1 sign mask. A fixed mask is an isometry of the
+    * dot product (mask²=1), so every intra-copy cosine — cluster structure,
+    * near-dup pairs, centroid geometry — is preserved EXACTLY, while
+    * cross-copy cosines decorrelate (independent sign patterns ≈ random
+    * projections), giving f disjoint semantic spaces: the right workload
+    * model for probing [[graft.ops.Similarity.semDedup]]'s in-bucket cost
+    * growth, where naive identical copies would instead mark 100% of the
+    * corpus duplicate. Copy 0 keeps the identity mask, so the base rows ride
+    * through unchanged. Pair with a non-default `SPARK_GRAFT_SCALE_DIR` so
+    * the cached lag-mode dirs keep their index-lags-corpus premise.
+    */
+  def growEmbeddings(spark: SparkSession, baseDir: String, dir: String, f: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val copies = (0 until f).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("vec_id", col("vec_id") + lit(c.toLong * 1000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, k) => when(
+              graft.ops.Hashing.h60(concat_ws(":", lit(c.toString), k.cast("string"))) % 2 === 0,
+              x).otherwise(-x)))
+    }
+    copies.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
 
   /** Deterministic f× blowup of the relational star: dims stay FIXED (the
     * realistic growth mode — fact history accumulates over a slowly-growing
