@@ -687,6 +687,8 @@ object SparkEntry {
     "ops_shuffle_shards"  -> ((s: SparkSession, d: String) => Curation.shuffleShards(s, d)),
     "ops_domain_mix"      -> (Curation.domainMix _),
     "ops_url_dedup"       -> (Curation.urlDedup _),
+    "ops_pref_pairs"      -> (Curation.prefPairs _),
+    "ops_span_corrupt"    -> ((s: SparkSession, d: String) => Curation.spanCorruption(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),
     "ops_media_dedup"  -> (Multimodal.mediaDedupManifest _),

@@ -580,6 +580,74 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
   }
 
+  /** Preference-pair construction — the data side of RLHF/DPO reward
+    * modeling: within each stratum (lang), rank documents by a quality
+    * score and pair the k-th BEST with the k-th WORST, so every pair has
+    * the widest margin available at its rank and a stratum of n docs
+    * yields floor(n/2) candidate pairs; tied-score pairs are dropped (a
+    * preference pair with no margin teaches nothing). Score = bigram
+    * uniqueness in integer micro-units — `(n_distinct_bigrams * 1e6) DIV
+    * n_bigrams` — exact in any engine, no float ranking anywhere.
+    *
+    * Scale shape: two window ranks over the same (lang) partitioning (one
+    * shuffle, the second window reuses it) and a self-join ON (lang, k) —
+    * pair construction never crosses strata, so the join key is as
+    * selective as the stratification. Deterministic ties: (score, doc_id)
+    * total order on both ends.
+    */
+  def prefPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = bigramsOf(col("text"))
+    val s = Tables.load(spark, sfDir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        size(array_distinct(bg)).cast("long").as("nd"),
+        size(bg).cast("long").as("nb"))
+      .withColumn("score_micro", expr("(nd * 1000000) DIV nb"))
+      .select(col("doc_id"), col("lang"), col("score_micro"))
+    val top = s.withColumn("k", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("score_micro").desc, col("doc_id"))))
+    val bot = s.withColumn("k", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("score_micro").asc, col("doc_id").desc)))
+    val n = s.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    top.select(col("lang"), col("k"), col("doc_id").as("chosen_doc"),
+        col("score_micro").as("chosen_score"))
+      .join(bot.select(col("lang"), col("k"), col("doc_id").as("rejected_doc"),
+        col("score_micro").as("rejected_score")), Seq("lang", "k"))
+      .join(broadcast(n), Seq("lang"))
+      .filter(col("k") * 2 <= col("n") && col("chosen_score") > col("rejected_score"))
+      .select(col("lang"), col("k").cast("long").as("k"), col("chosen_doc"),
+        col("rejected_doc"),
+        (col("chosen_score") - col("rejected_score")).as("margin_micro"))
+  }
+
+  /** T5-style span-corruption instance layout — the pretraining
+    * instance-construction step: deterministic mask spans on a seeded grid
+    * (offset = h60(doc_id) mod `stride`, one `spanLen`-token span per
+    * `stride` tokens), emitted as one row per span with its position. The
+    * grid guarantees non-overlap by construction (stride > spanLen), so
+    * instance accounting (inputs length = n - masked + spans sentinels;
+    * targets length = masked + spans sentinels) is exact without the
+    * sequential skip-scan a random-span sampler needs — and stays
+    * hash-checkable. Per-doc span enumeration is IN-ROW (`sequence` +
+    * explode): a narrow map over the corpus, zero shuffle.
+    */
+  def spanCorruption(spark: SparkSession, sfDir: String,
+                     stride: Int = 20, spanLen: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = size(split(col("text"), " ")).cast("long")
+    docs
+      .select(col("doc_id"), n.as("n_tokens"),
+        (graft.ops.Hashing.h60(col("doc_id").cast("string")) % stride + 1).as("off"))
+      .filter(col("off") + (spanLen - 1) <= col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("off"),
+        explode(sequence(lit(0L),
+          expr(s"(n_tokens - off - ${spanLen - 1}) DIV $stride"))).as("span_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("span_idx"),
+        (col("off") + col("span_idx") * stride).as("start"),
+        lit(spanLen.toLong).as("span_len"))
+  }
+
   /** The five-rule quality bitmask of [[filterAttribution]] as one Column
     * expression over the text (bit set = FAILED; see the rule table there).
     * Shared by the attribution histogram and the composed training-prep

@@ -633,6 +633,40 @@ private[graft] object TextOracles {
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS keeper_doc_id
         |FROM c GROUP BY 1""".stripMargin,
+    // Preference pairs: k-th best vs k-th worst per lang stratum by integer
+    // bigram-uniqueness score; both rank orders and the DIV formula pinned
+    // to Curation.prefPairs.
+    "ops_pref_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(len(list_distinct(bg)) AS BIGINT) * 1000000) // len(bg) AS score_micro
+        |  FROM (SELECT doc_id, lang,
+        |          list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+        |        FROM t WHERE len(tk) >= 2)),
+        |top AS (SELECT lang, doc_id, score_micro,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_micro DESC, doc_id) AS k FROM s),
+        |bot AS (SELECT lang, doc_id, score_micro,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_micro ASC, doc_id DESC) AS k FROM s),
+        |n AS (SELECT lang, count(*) AS n FROM s GROUP BY lang)
+        |SELECT top.lang, CAST(top.k AS BIGINT) AS k,
+        |  top.doc_id AS chosen_doc, bot.doc_id AS rejected_doc,
+        |  top.score_micro - bot.score_micro AS margin_micro
+        |FROM top JOIN bot ON top.lang = bot.lang AND top.k = bot.k
+        |JOIN n ON n.lang = top.lang
+        |WHERE top.k * 2 <= n.n AND top.score_micro > bot.score_micro""".stripMargin,
+    // Span corruption: seeded grid (offset = h60(doc_id) % 20 + 1, one
+    // 3-token span per 20), pinned to Curation.spanCorruption defaults.
+    "ops_span_corrupt" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${h60sql("CAST(doc_id AS VARCHAR)")} % 20 + 1 AS off
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, unnest(range(0, (n_tokens - off - 2) // 20 + 1)) AS span_idx,
+         |  off + unnest(range(0, (n_tokens - off - 2) // 20 + 1)) * 20 AS start,
+         |  CAST(3 AS BIGINT) AS span_len
+         |FROM d WHERE off + 2 <= n_tokens""".stripMargin,
     "ops_train_prep" ->
       """WITH sc AS (
         |  SELECT doc_id, lang, text,

@@ -385,6 +385,36 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_pref_pairs: every pair has a strict margin and distinct endpoints; counts bounded by stratum halves") {
+    val out = SparkEntry.queries("ops_pref_pairs")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) > 0L, "zero-margin pair survived")
+      assert(r.getLong(2) != r.getLong(3), "chosen == rejected")
+    }
+    // within a stratum, a document may appear as chosen or rejected, never both
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val chosen = rows.map(_.getLong(2)).toSet
+      val rejected = rows.map(_.getLong(3)).toSet
+      assert(chosen.intersect(rejected).isEmpty, s"$lang: doc on both sides")
+    }
+  }
+
+  test("ops_span_corrupt: spans in-bounds, grid-spaced, never overlapping") {
+    val out = SparkEntry.queries("ops_span_corrupt")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val n = rows.head.getLong(1)
+      val starts = rows.map(_.getLong(3)).sorted.toSeq
+      starts.foreach(s0 => assert(s0 >= 1 && s0 + 2 <= n, s"doc $doc: span $s0 out of bounds"))
+      starts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a == 20, s"doc $doc: off-grid spacing $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("ops_url_dedup: canonical urls carry no scheme/www/tracking/fragment residue") {
     val out = SparkEntry.queries("ops_url_dedup")(spark, sf).collect()
     assert(out.nonEmpty)
