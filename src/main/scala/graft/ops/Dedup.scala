@@ -210,7 +210,7 @@ object Dedup {
     * generator ([[minhashCandidatesDf]]) and the batch-vs-index incremental
     * path ([[incrementalDedupDf]]).
     */
-  private[ops] def bandFrame(docs: DataFrame, numHashes: Int,
+  private[graft] def bandFrame(docs: DataFrame, numHashes: Int,
                              rowsPerBand: Int): DataFrame = {
     val sig = minhashSignatures(shingles(docs), numHashes)
     val numBands = numHashes / rowsPerBand

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.ops.{Dedup, Hashing}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** ONLINE near-duplicate detection — the streaming face of the MinHash/LSH
+  * dedup family: documents arrive on a stream, and each is judged against
+  * the ENTIRE history seen so far, in one pass, with state bounded by the
+  * number of distinct band buckets (not documents²).
+  *
+  * This is the production shape of "dedup the crawl as it lands" (the batch
+  * analog is [[graft.ops.Dedup.incrementalDedupDf]], which probes a static
+  * corpus index): no nightly re-scan of the corpus, no candidate self-join —
+  * a new document shuffles to its `b` band buckets and compares against one
+  * stored exemplar per bucket.
+  *
+  *  - Signatures are computed IN-ROW (`array_min` over the permuted shingle
+  *    hashes — no per-document groupBy on the hot path, unlike the batch
+  *    [[Dedup.minhashSignatures]] whose exploded-shingle aggregation shape
+  *    is the right call when the corpus is at rest). `DedupStreamSpec` pins
+  *    the two signature paths equal row-for-row.
+  *  - State per bucket = the FIRST document id that exhibited the band
+  *    signature (first-writer-wins, deterministic min-id within a
+  *    micro-batch). Later arrivals emit a `(doc_id, dup_of, band_id)`
+  *    CANDIDATE edge — a star around the exemplar, exactly the
+  *    candidate→verify contract of the batch family: downstream either
+  *    exact-verifies (Jaccard/edit distance) or trusts the banding S-curve
+  *    ([[Dedup.tunedRowsPerBand]] derives the config from a target, and the
+  *    same derivation applies here).
+  *  - At-least-once candidates by construction (a doc in `b` buckets can
+  *    emit up to `b` edges; replays re-emit) — correct for dedup, where the
+  *    verify stage is idempotent. State TTL is the retention knob: a
+  *    `stateTtl` evicts exemplars the business no longer dedups against
+  *    (e.g. "only dedup within a 30-day crawl window"), keeping the store
+  *    proportional to the ACTIVE bucket population.
+  *
+  * 100 TB posture: the only shuffle is the groupByKey on the band key —
+  * identical key-hash partitioning to the batch band join; bucket state is
+  * one long per key; skewed buckets (boilerplate bands) concentrate writes
+  * but state stays one exemplar regardless of bucket popularity.
+  */
+object DedupStream {
+
+  case class Doc(doc_id: Long, text: String)
+  case class BandRow(key: String, doc_id: Long, band_id: Int)
+  case class Candidate(doc_id: Long, dup_of: Long, band_id: Int)
+
+  /** In-row MinHash band rows for streaming documents: shingle → permuted
+    * min per hash → band signature strings, all inside whole-stage codegen;
+    * one output row per (doc, band). Documents too short to shingle pass
+    * through with zero rows (they can never band-collide — the batch family
+    * filters them identically).
+    */
+  def bandRows(docs: DataFrame, numHashes: Int = Dedup.DefaultNumHashes,
+               rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sh = Dedup.shingleArray(col("text"))
+    val perms = Hashing.permutations(numHashes)
+    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("sh"),
+        s => (Hashing.h60modP(s) * a + b) % Hashing.P)).as(s"m$j")
+    }
+    val sig = docs
+      .withColumn("sh", sh)
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id") +: mins: _*)
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_id"),
+        concat_ws("-", lit(b.toString) +: parts: _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("band.key").as("key"), col("doc_id"), col("band.band_id").as("band_id"))
+  }
+
+  /** First-writer-wins bucket state over the band-row stream. */
+  def candidates(bands: Dataset[BandRow],
+                 stateTtl: Option[String] = None): Dataset[Candidate] = {
+    import bands.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          // deterministic within a micro-batch: the min doc_id claims an
+          // unclaimed bucket, everyone else pairs with the exemplar
+          val rs = rows.toSeq.sortBy(_.doc_id)
+          val exemplar = if (state.exists) state.get else {
+            state.update(rs.head.doc_id)
+            rs.head.doc_id
+          }
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
+          rs.iterator
+            .filter(_.doc_id != exemplar)
+            .map(r => Candidate(r.doc_id, exemplar, r.band_id))
+      }
+  }
+}
