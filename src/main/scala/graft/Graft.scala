@@ -59,6 +59,20 @@ object Graft {
   def dedupVerified(docs: DataFrame, threshold: Double = 0.2): DataFrame =
     Dedup.dedupVerifyDf(docs, threshold)
 
+  /** ONLINE near-dup candidates over a STREAMING doc frame: band-bucket
+    * state keeps one exemplar per bucket (optional TTL = retention window)
+    * and emits `(doc_id, dup_of, band_id)` edges as documents arrive. Feed
+    * the edges to [[dedupVerified]]-style exact checks downstream. See
+    * [[graft.streaming.DedupStream]].
+    */
+  def dedupStream(docs: DataFrame,
+                  stateTtl: Option[String] = None): Dataset[graft.streaming.DedupStream.Candidate] = {
+    import docs.sparkSession.implicits._
+    graft.streaming.DedupStream.candidates(
+      graft.streaming.DedupStream.bandRows(docs)
+        .as[graft.streaming.DedupStream.BandRow], stateTtl)
+  }
+
   // ===== similarity (embeddings: (vec_id, embedding)) =====
 
   /** Brute-force cosine top-k neighbors of vector `queryId` (fused native

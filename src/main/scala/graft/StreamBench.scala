@@ -183,6 +183,38 @@ object StreamBench {
       conf = Map("spark.sql.shuffle.partitions" -> "1"))
     latencyProbe("tuned1_t500", triggerMs = 500, nEvents = 40, gapMs = 120,
       conf = Map("spark.sql.shuffle.partitions" -> "1"))
+
+    // ===== online near-dup dedup throughput =====
+    // The document corpus replicated with disjoint ids (copies share TEXT,
+    // so near-dup candidate volume is realistic — every copy collides with
+    // the original's buckets) driven through the in-row banding + bucket
+    // state pipeline; warm run reported (cold pays codegen).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docRows = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      val copies = 4
+      val docs = (0 until copies).flatMap(c =>
+        docRows.map { case (id, t) => graft.streaming.DedupStream.Doc(id + c * 10000000L, t) })
+      def run(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[graft.streaming.DedupStream.Doc]
+        val q = graft.Graft.dedupStream(input.toDS().toDF())
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("dedup_stream_bench").toString)
+          .start()
+        input.addData(docs: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      run() // cold: codegen + state-store setup
+      val warmSec = run()
+      println(s"""{"metric":"dedup_stream_throughput","docs":${docs.size},"warm_sec":$warmSec,"docs_per_sec":${(docs.size / warmSec).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -42,4 +42,22 @@ class GraftFacadeSpec extends SparkSuite {
       .head().getString(0)
     assert(out == """{"b":3}""")
   }
+
+  test("dedupStream facade runs the online near-dup pipeline end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      graft.streaming.DedupStream.Doc]
+    val q = Graft.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("facade_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        graft.streaming.DedupStream.Doc(1L, "alpha beta gamma delta epsilon zeta"),
+        graft.streaming.DedupStream.Doc(2L, "alpha beta gamma delta epsilon eta"))
+      q.processAllAvailable()
+      val out = spark.table("facade_dedup_stream").collect()
+      assert(out.nonEmpty && out.forall(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+    } finally q.stop()
+  }
 }
