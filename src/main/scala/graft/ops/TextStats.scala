@@ -496,6 +496,55 @@ object TextStats {
       .agg(count(lit(1)).as("n_positions"), sum(col("n")).as("pair_count"))
   }
 
+  /** BPE merge TRAINING LOOP (Sennrich et al. 2016, PAPERS.md) — the step
+    * [[bpePairStats]] only scores once, iterated: each round selects the
+    * corpus-weighted top adjacent symbol pair (deterministic tie-break:
+    * count desc, pair asc) and APPLIES it to the vocabulary by replacing
+    * the pair with a fresh single-symbol marker (chr(round) — outside the
+    * corpus alphabet, so merged symbols can never collide with text and
+    * distinct types stay distinct). Emits one row per round: the merge
+    * rule, its selection count, and the number of corpus occurrences it
+    * actually collapsed (= Σ type_freq × length shrinkage — `replace` is
+    * left-to-right non-overlapping in both engines, so application counts
+    * are engine-exact even on runs like "aaa").
+    *
+    * Scale shape — the textbook BPE trick: the loop runs on the TYPE
+    * vocabulary (Heaps-law sublinear in corpus size), never the corpus;
+    * per round = one partial-agg pair count + a ONE-ROW broadcast of the
+    * winner + a narrow replace map. `localCheckpoint` between rounds keeps
+    * the plan flat (the CC-loop discipline) instead of 2^rounds lineage
+    * replication.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+      .localCheckpoint()
+    val perRound = (1 to rounds).map { r =>
+      val marker = (0x0 + r).toChar.toString
+      val top = vocab
+        .select(col("n"),
+          explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+      val applied = vocab.join(broadcast(top))
+        .select(col("tok"), col("n"), col("pair"), col("pair_count"),
+          call_function("replace", col("tok"), col("pair"), lit(marker)).as("tok2"))
+        .localCheckpoint()
+      vocab = applied.select(col("tok2").as("tok"), col("n"))
+      applied.agg(
+          first(col("pair")).as("pair"), first(col("pair_count")).as("pair_count"),
+          sum(col("n") * (length(col("tok")) - length(col("tok2"))).cast("long"))
+            .as("n_applications"))
+        .select(lit(r.toLong).as("merge_rank"), col("pair"), col("pair_count"),
+          col("n_applications"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
   def heavyHitters(spark: SparkSession, sfDir: String,
                    capacity: Int = 64): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")

@@ -149,6 +149,32 @@ private[graft] object TextOracles {
         |  FROM vocab)
         |SELECT pair, COUNT(*) AS n_positions, CAST(SUM(n) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair""".stripMargin,
+    // BPE merge loop, 3 unrolled rounds mirroring TextStats.bpeMerges:
+    // per-round top pair (count desc, pair asc), chr(r) marker application,
+    // corpus-occurrence accounting via length shrinkage.
+    "ops_bpe_merge" -> {
+      def round(r: Int, prev: String): String =
+        s"""t$r AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+           |  SELECT n, unnest(list_transform(range(1, length(tok)),
+           |    i -> substring(tok, CAST(i AS INTEGER), 2))) AS pair FROM $prev)
+           |  GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1),
+           |v$r AS (SELECT replace(tok, (SELECT pair FROM t$r), chr($r)) AS tok, n FROM $prev),
+           |a$r AS (SELECT CAST($r AS BIGINT) AS merge_rank,
+           |  (SELECT pair FROM t$r) AS pair,
+           |  (SELECT pair_count FROM t$r) AS pair_count,
+           |  CAST(SUM(n * (length(tok) -
+           |    length(replace(tok, (SELECT pair FROM t$r), chr($r))))) AS BIGINT)
+           |    AS n_applications
+           |  FROM $prev)""".stripMargin
+      s"""WITH v0 AS (
+         |  SELECT tok, COUNT(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok HAVING length(tok) >= 2),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")}
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3""".stripMargin
+    },
     "ops_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok

@@ -415,6 +415,20 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_bpe_merge: ranks sequential, applications positive and bounded by selection count") {
+    val out = SparkEntry.queries("ops_bpe_merge")(spark, sf)
+      .orderBy("merge_rank").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    out.foreach { r =>
+      // overlap in symbol runs can only REDUCE applications below the
+      // (overlap-counting) selection statistic, never exceed it
+      assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(2),
+        s"rank ${r.getLong(0)}: applications ${r.getLong(3)} vs count ${r.getLong(2)}")
+    }
+    // the first merge precedes any marker symbol: both chars are corpus text
+    assert(out.head.getString(1).forall(_ >= ' '))
+  }
+
   test("ops_url_dedup: canonical urls carry no scheme/www/tracking/fragment residue") {
     val out = SparkEntry.queries("ops_url_dedup")(spark, sf).collect()
     assert(out.nonEmpty)
