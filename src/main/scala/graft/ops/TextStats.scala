@@ -545,6 +545,59 @@ object TextStats {
     perRound.reduce(_ unionByName _)
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    * 1998, PAPERS.md) — the smoothing the count-based [[bm25Search]]-era
+    * stack actually shipped, and still the baseline perplexity filter for
+    * corpus quality scoring. With absolute discount D = 3/4:
+    *
+    *   P_KN(w2|w1) = max(c12 − D, 0)/c1  +  D·N1+(w1·)/c1 · N1+(·w2)/T
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * left contexts of w2 (the "how promiscuous is this word" continuation
+    * count that makes KN famous), T = distinct bigram types. Everything is
+    * a COUNT, so with D = 3/4 the whole expression is one exact rational:
+    *   numer = T·max(4·c12 − 3, 0) + 3·N1+(w1·)·N1+(·w2),  denom = 4·c1·T
+    * and `p_kn_micro = (numer · 1e6) DIV denom` is engine-exact. The
+    * T·c12·1e6 product can clear int64 at large corpora, so the final
+    * scaling runs in decimal(38,0) — the [[Dedup.pagerankDf]] guard
+    * discipline, cast back to BIGINT only at the output contract.
+    *
+    * Scale shape: the classic count-LM pipeline — one corpus pass explodes
+    * bigrams into a partial-agg count, then three TYPE-level aggregations
+    * (left-context totals, continuation counts both directions, the
+    * type-count scalar as a one-row broadcast) joined back on their own
+    * grouping keys. No corpus-sized shuffle after the first count; vocab
+    * tables follow Heaps' law.
+    */
+  def knBigramLm(spark: SparkSession, sfDir: String, minCount: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bg = graft.functions.WordBigramsKernel.bigrams(col("text"))
+    // the bigram-type table feeds FOUR consumers (the joined counts, both
+    // continuation aggregations, and the type-count scalar) — checkpoint it
+    // so the corpus is scanned ONCE, not once per consumer; the table itself
+    // is Heaps-law (type-sized), safe to materialize
+    val c12 = docs.select(explode(bg).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val types = c12.agg(count(lit(1)).as("t_types"))
+    c12.filter(col("c12") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .join(broadcast(types))
+      .withColumn("numer",
+        (col("t_types") * greatest(col("c12") * 4 - 3, lit(0L)) +
+          col("n1p_w1") * col("n1p_w2") * 3L).cast("decimal(38,0)"))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST((c12 * 1000000) DIV c1 AS BIGINT)").as("p_mle_micro"),
+        expr("CAST((numer * 1000000) DIV (CAST(4 * c1 AS DECIMAL(38,0)) * t_types) AS BIGINT)")
+          .as("p_kn_micro"))
+  }
+
   def heavyHitters(spark: SparkSession, sfDir: String,
                    capacity: Int = 64): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")

