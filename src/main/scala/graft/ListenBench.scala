@@ -1,0 +1,85 @@
+package graft
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.streaming.{ListenServer, PqsClient}
+
+/** Push-transport throughput probe — pure JVM, no Spark session: measures
+  * the [[ListenServer]] hub's fan-out rate, the analog of the reference's
+  * single-goroutine event loop ceiling (reference `server.go:258-281`).
+  * Two paths:
+  *  - in-process `publish` (the upper bound: no socket between producer
+  *    and hub), and
+  *  - socket ingest (the executor path: events arrive over TCP exactly as
+  *    a `ForeachWriter` partition delivers them).
+  * Each event fans out to every subscriber (regexp `.*`), so delivered
+  * lines = events × subscribers; the probe waits for full drain, so a
+  * drop (at-most-once overflow) would surface as a hang — queue capacity
+  * is sized above the burst.
+  *
+  * Usage: `runMain graft.ListenBench [nEvents] [nSubscribers]` → JSON lines.
+  */
+object ListenBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val nSubs = args.lift(1).map(_.toInt).getOrElse(4)
+    val event = """{"schema":"public","table":"events","op":"UPDATE","id":"7",""" +
+      """"payload":{"k":2,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"},"changes":{"k":1}}"""
+
+    def withHub(body: ListenServer => Unit): Unit = {
+      val server = new ListenServer(queueCapacity = n + 16)
+      try body(server) finally server.close()
+    }
+
+    def subscribers(server: ListenServer, each: Int): Seq[Thread] = {
+      val done = new AtomicLong(0)
+      val ts = (1 to nSubs).map { _ =>
+        val t = new Thread(() => {
+          val got = new AtomicLong(0)
+          PqsClient.run("127.0.0.1", server.boundPort, ".*",
+            _ => got.incrementAndGet(), maxEvents = each)
+          done.addAndGet(got.get)
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (server.subscriberCount < nSubs && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      require(server.subscriberCount == nSubs, "subscribers failed to register")
+      ts
+    }
+
+    // in-process publish
+    withHub { server =>
+      val subs = subscribers(server, n)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { server.publish("events", event); i += 1 }
+      subs.foreach(_.join(60000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      println(s"""{"metric":"listen_throughput_inproc","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
+    }
+
+    // socket ingest (the executor-partition path)
+    withHub { server =>
+      val subs = subscribers(server, n)
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8), 1 << 16)
+      out.write("{\"ingest\":true}\n")
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { out.write("events\t"); out.write(event); out.write('\n'); i += 1 }
+      out.flush()
+      subs.foreach(_.join(60000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      sock.close()
+      require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      println(s"""{"metric":"listen_throughput_socket","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
+    }
+  }
+}

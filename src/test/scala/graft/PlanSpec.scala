@@ -539,6 +539,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("ops_winnowing / ops_span_corrupt: pure in-row maps — zero Exchange") {
+    Seq("ops_winnowing", "ops_span_corrupt").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a narrow map:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q is a single-scan query:\n$p")
+    }
+  }
+
+  test("ops_semdedup: one grouping shuffle, centroid set as a single broadcast") {
+    val p = plan("ops_semdedup")
+    // bucket groupBy (+ AQE reads) — never a pair self-join Exchange storm
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"semdedup must shuffle on the cluster key only:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no pairwise self-join allowed:\n$p")
+  }
+
+  test("ops_url_dedup: canonicalize-then-collapse is scan + one hash agg") {
+    val p = plan("ops_url_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"one shuffle only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"group collapse must partial-aggregate:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
