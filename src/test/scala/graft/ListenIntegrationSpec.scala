@@ -1,0 +1,119 @@
+package graft
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.{DriverManager, Timestamp}
+import java.util.concurrent.{CopyOnWriteArrayList, TimeUnit}
+
+import graft.streaming.{CdcStream, Listen, ListenServer, ListenSink, PqsClient}
+import org.apache.spark.sql.functions._
+
+/** The WHOLE daemon composed — the reference's full architecture in one
+  * test: database commits → capture source (exactly-once offsets) →
+  * stateful prev-image pipeline (op mapping, RFC 7386 changes) → Event
+  * JSON → executor-socket ingest → fan-out hub → subscribed client.
+  * Reference equivalent: pg_notify → `HandleEvents` → `Listen` RPC →
+  * `pqs` stdout (`server.go:258-315`, `cmd/pqs/main.go`).
+  */
+class ListenIntegrationSpec extends SparkSuite {
+
+  private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def exec(url: String, sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute(sql) finally c.close()
+  }
+
+  private def insert(url: String, rows: (Long, Timestamp, Long, String, String)*): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+      rows.foreach { case (id, ts, uid, typ, props) =>
+        ps.setLong(1, id); ps.setTimestamp(2, ts); ps.setLong(3, uid)
+        ps.setString(4, typ); ps.setString(5, props)
+        ps.executeUpdate()
+      }
+    } finally c.close()
+  }
+
+  test("database commit -> CDC capture -> prev-image -> hub -> pqs client, end to end") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:listen_e2e;create=true"
+    DriverManager.getConnection(url).close()
+    exec(url, "CREATE TABLE events (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    insert(url,
+      (1L, t(0), 1L, "signup", """{"k":1}"""),
+      (2L, t(1), 1L, "purchase", """{"k":2}"""))
+
+    val server = new ListenServer()
+    val got = new CopyOnWriteArrayList[String]()
+    val client = new Thread(() =>
+      try PqsClient.run("127.0.0.1", server.boundPort, "even", got.add(_), maxEvents = 3)
+      catch { case _: Throwable => () })
+    client.setDaemon(true); client.start()
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+    while (server.subscriberCount < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+
+    val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", url).option("jdbcTable", "events")
+      .option("numPartitions", "2").load()
+    val events = CdcStream.withPrevState(raw.as[CdcStream.RawChange]).toDF()
+      .select(lit("events").as("table"),
+        Listen.eventJson(lit("public"), lit("events"), col("op"),
+          col("event_id"), col("payload"), col("changes")).as("event"))
+    val q = events.writeStream.outputMode("append")
+      .foreach(ListenSink.writer("127.0.0.1", server.boundPort)).start()
+    try {
+      q.processAllAvailable()
+      // a third commit AFTER the stream is live — the steady-state path
+      insert(url, (3L, t(2), 1L, "view", """{"k":5}"""))
+      q.processAllAvailable()
+      client.join(10000)
+      import scala.jdk.CollectionConverters._
+      val lines = got.asScala.toList
+      assert(lines.size == 3, s"client received: $lines")
+      assert(lines.contains(
+        """{"schema":"public","table":"events","op":"INSERT","id":"1","payload":{"k":1}}"""))
+      // the UPDATE carries the RFC 7386 changes (pre-update value), computed
+      // from state that crossed micro-batches for event 3
+      assert(lines.exists(l => l.contains("\"id\":\"2\"") &&
+        l.contains("\"changes\":{\"k\":1}")), s"update patch missing: $lines")
+      assert(lines.exists(l => l.contains("\"id\":\"3\"") &&
+        l.contains("\"changes\":{\"k\":2}")), s"cross-batch state patch missing: $lines")
+    } finally { q.stop(); server.close() }
+  }
+
+  test("subscriber churn: a disconnected client unregisters; the hub keeps serving") {
+    val server = new ListenServer()
+    try {
+      val s1 = new Socket("127.0.0.1", server.boundPort)
+      val w1 = new BufferedWriter(new OutputStreamWriter(s1.getOutputStream, UTF_8))
+      w1.write("{\"tableRegexp\":\".*\"}\n"); w1.flush()
+      val lines = new CopyOnWriteArrayList[String]()
+      val survivor = new Thread(() =>
+        try PqsClient.run("127.0.0.1", server.boundPort, ".*", lines.add(_), maxEvents = 2)
+        catch { case _: Throwable => () })
+      survivor.setDaemon(true); survivor.start()
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      while (server.subscriberCount < 2 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(server.subscriberCount == 2)
+
+      s1.close() // churn: first client drops without unsubscribing
+      server.publish("t", "{\"a\":1}")
+      server.publish("t", "{\"a\":2}")
+      survivor.join(10000)
+      import scala.jdk.CollectionConverters._
+      assert(lines.asScala.toList == List("{\"a\":1}", "{\"a\":2}"),
+        "survivor must receive everything after the other client dropped")
+      // the dead subscriber is eventually reaped (writer thread notices)
+      val reapDeadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      while (server.subscriberCount > 0 && System.nanoTime() < reapDeadline) {
+        server.publish("t", "{\"probe\":1}") // writes to the dead socket force the error
+        Thread.sleep(50)
+      }
+      assert(server.subscriberCount == 0, "dead subscribers must unregister")
+    } finally server.close()
+  }
+}
