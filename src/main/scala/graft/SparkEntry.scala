@@ -659,6 +659,7 @@ object SparkEntry {
     "ops_winnowing"     -> ((s: SparkSession, d: String) => TextStats.winnowing(s, d)),
     "ops_bpe_merge"     -> ((s: SparkSession, d: String) => TextStats.bpeMerges(s, d)),
     "ops_kn_lm"         -> ((s: SparkSession, d: String) => TextStats.knBigramLm(s, d)),
+    "ops_term_drift"    -> ((s: SparkSession, d: String) => TextStats.termDrift(s, d)),
     "ops_quantiles"     -> (TextStats.lengthQuantiles _),
     "ops_text_search"   -> ((s: SparkSession, d: String) => TextStats.textSearch(s, d)),
     "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),

@@ -598,6 +598,45 @@ object TextStats {
           .as("p_kn_micro"))
   }
 
+  /** Term-level distribution drift between two corpus halves — the
+    * train/validation contamination-and-shift check run before committing a
+    * split: documents are assigned to halves by seeded content-free hash
+    * (so the split is reproducible and unbiased), and every term with
+    * enough mass gets a 2×2 chi-square statistic against the halves'
+    * token totals. A clean random split should show no extreme scores; a
+    * term that concentrates in one half flags leakage or topical drift.
+    * (The numeric-column analog over events is `ops_ks_test`; this is the
+    * categorical/vocabulary side.)
+    *
+    * Shape: ONE corpus pass explodes tokens into a partial-agg per-term
+    * count (conditional sums give both halves in the same aggregation);
+    * the per-term table is checkpointed for its two consumers (the
+    * half totals reduce FROM it, not from a second corpus scan), and the
+    * totals ride back as a one-row broadcast. Chi-square is double math in
+    * a pinned operand order, rounded to 6 — the same float discipline as
+    * every ratio output here.
+    */
+  def termDrift(spark: SparkSession, sfDir: String, minCount: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val inA = Hashing.h60(concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 0
+    val perAll = docs
+      .select(inA.as("in_a"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint()
+    val tot = perAll.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val ea = (col("n_a") + col("n_b")).cast("double") * col("t_a") /
+      (col("t_a") + col("t_b")).cast("double")
+    val eb = (col("n_a") + col("n_b")).cast("double") * col("t_b") /
+      (col("t_a") + col("t_b")).cast("double")
+    perAll.filter(col("n_a") + col("n_b") >= minCount)
+      .join(broadcast(tot))
+      .select(col("term"), col("n_a"), col("n_b"),
+        round(pow(col("n_a").cast("double") - ea, 2) / ea +
+          pow(col("n_b").cast("double") - eb, 2) / eb, 6).as("chi2"))
+  }
+
   def heavyHitters(spark: SparkSession, sfDir: String,
                    capacity: Int = 64): DataFrame = {
     val toks = Tables.load(spark, sfDir, "documents")

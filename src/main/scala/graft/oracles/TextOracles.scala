@@ -149,6 +149,30 @@ private[graft] object TextOracles {
         |  FROM vocab)
         |SELECT pair, COUNT(*) AS n_positions, CAST(SUM(n) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair""".stripMargin,
+    // Term drift: seeded hash split, per-term 2x2 chi-square vs half totals;
+    // split key, min count, and double operand order pinned to
+    // TextStats.termDrift.
+    "ops_term_drift" ->
+      s"""WITH tk AS (
+         |  SELECT (${h60sql("'drift:' || CAST(doc_id AS VARCHAR)")} % 2 = 0) AS in_a,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |per AS (
+         |  SELECT term,
+         |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         |  FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+         |               CAST(SUM(n_b) AS BIGINT) AS t_b FROM per),
+         |j AS (
+         |  SELECT term, n_a, n_b,
+         |    (CAST(n_a + n_b AS DOUBLE) * t_a) / CAST(t_a + t_b AS DOUBLE) AS e_a,
+         |    (CAST(n_a + n_b AS DOUBLE) * t_b) / CAST(t_a + t_b AS DOUBLE) AS e_b
+         |  FROM per, tot WHERE n_a + n_b >= 20)
+         |SELECT term, n_a, n_b,
+         |  round(pow(CAST(n_a AS DOUBLE) - e_a, 2) / e_a
+         |      + pow(CAST(n_b AS DOUBLE) - e_b, 2) / e_b, 6) AS chi2
+         |FROM j""".stripMargin,
     // Interpolated Kneser-Ney bigram LM, D = 3/4 as the exact rational
     // numer/denom of TextStats.knBigramLm; HUGEINT carries the T*c12*1e6
     // product (the Spark side uses decimal(38,0)).

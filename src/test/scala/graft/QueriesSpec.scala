@@ -430,6 +430,19 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_term_drift: a random split shows no extreme drift; counts fill both halves") {
+    val out = SparkEntry.queries("ops_term_drift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) >= 20)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the hash split is content-free and the corpus synthetic-uniform: a
+    // chi2 above ~50 on any term would mean the seeded split itself leaks
+    assert(out.map(_.getDouble(3)).max < 50.0,
+      "seeded split produced implausible drift on uniform data")
+  }
+
   test("ops_bpe_merge: ranks sequential, applications positive and bounded by selection count") {
     val out = SparkEntry.queries("ops_bpe_merge")(spark, sf)
       .orderBy("merge_rank").collect()
