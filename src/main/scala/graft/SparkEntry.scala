@@ -633,6 +633,7 @@ object SparkEntry {
     "ops_dedup_cc"      -> (Dedup.dedupCc _),
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
+    "ops_content_chunks" -> ((s: SparkSession, d: String) => Dedup.contentChunks(s, d)),
     "ops_containment"   -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
     "ops_triangles"     -> (Dedup.triangles _),

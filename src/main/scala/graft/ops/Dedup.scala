@@ -592,6 +592,57 @@ object Dedup {
     * the band, [[cappedPairs]]-guarded against viral-boilerplate buckets),
     * never all-pairs.
     */
+  /** Content-defined chunking dedup (the FastCDC/LBFS rolling-window family,
+    * PAPERS.md): cut a document wherever the hash of the trailing `k`-char
+    * window hits `0 mod modulus` — cut points depend only on LOCAL content,
+    * so an insertion early in a document shifts ONE chunk instead of
+    * re-aligning every fixed-size block (the property that makes CDC the
+    * backbone of dedup storage, and of sub-document boilerplate detection
+    * in crawl corpora: shared chunks = shared template fragments, found
+    * WITHOUT any pairwise comparison). Expected chunk length ≈ `modulus`.
+    *
+    * Output: one row per chunk CONTENT seen in ≥ 2 places — its hash, copy
+    * count, distinct-document spread, and length. Shape: chunking is
+    * entirely IN-ROW (cut-point filter + boundary slicing over codegen'd
+    * higher-order functions — each position's verdict is independent, no
+    * sequential scan state); the only shuffle is the final hash groupBy,
+    * partial-aggregated. The 100 TB cost is one narrow pass + one
+    * chunk-keyed count — the exact-dedup plan at sub-document grain.
+    */
+  def contentChunks(spark: SparkSession, sfDir: String,
+                    k: Int = 4, modulus: Int = 32): DataFrame =
+    contentChunksDf(Tables.load(spark, sfDir, "documents"), k, modulus)
+
+  /** Per-chunk rows of [[contentChunks]] BEFORE the dedup rollup —
+    * (doc_id, chunk_hash, len); exposed so the shift-resilience property
+    * (an edit perturbs O(1) chunks) is spec-testable on arbitrary frames.
+    */
+  def chunkRows(docs: DataFrame, k: Int = 4, modulus: Int = 32): DataFrame = {
+    val cp = filter(sequence(lit(k), length(col("text"))),
+      i => Hashing.h60(col("text").substr(i - (k - 1), lit(k))) % modulus === 0)
+    val bounds = concat(array(lit(0)), cp, array(length(col("text"))))
+    docs.filter(length(col("text")) >= k)
+      .withColumn("b", bounds)
+      .select(col("doc_id"), explode(
+        filter(
+          transform(sequence(lit(1), size(col("b")) - 1), { j =>
+            val st = element_at(col("b"), j) + 1
+            val ln = element_at(col("b"), j + 1) - element_at(col("b"), j)
+            struct(Hashing.h60(col("text").substr(st, ln)).as("chunk_hash"),
+              ln.cast("long").as("len"))
+          }),
+          c => c("len") > 0)).as("c"))
+      .select(col("doc_id"), col("c.chunk_hash"), col("c.len"))
+  }
+
+  def contentChunksDf(docs: DataFrame, k: Int = 4, modulus: Int = 32): DataFrame =
+    chunkRows(docs, k, modulus)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("len")).as("chunk_len"))
+      .filter(col("n_copies") >= 2)
+
   def simhashPairs(spark: SparkSession, sfDir: String,
                    maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val bandBits = 15

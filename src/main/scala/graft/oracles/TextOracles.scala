@@ -281,6 +281,31 @@ private[graft] object TextOracles {
          |$rounds
          |SELECT doc_id, pr FROM p5""".stripMargin
     },
+    // Content-defined chunking (k=4 window, modulus 32), pinned to
+    // Dedup.contentChunks: local window hash picks cut points, boundary
+    // slicing builds chunks, shared-content groups only.
+    "ops_content_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
+         |cuts AS (
+         |  SELECT doc_id, text,
+         |    list_filter(range(4, length(text) + 1),
+         |      i -> ${h60sql("substr(text, CAST(i AS INTEGER) - 3, 4)")} % 32 = 0) AS cp
+         |  FROM d),
+         |bounds AS (SELECT doc_id, text,
+         |  list_concat(list_concat([0], cp), [CAST(length(text) AS BIGINT)]) AS b
+         |  FROM cuts),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(b)), j -> struct_pack(
+         |      chunk := substr(text, CAST(b[j] + 1 AS INTEGER), CAST(b[j+1] - b[j] AS INTEGER)),
+         |      len := b[j+1] - b[j]))) AS c
+         |  FROM bounds)
+         |SELECT ${h60sql("c.chunk")} AS chunk_hash,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MIN(c.len) AS BIGINT) AS chunk_len
+         |FROM chunks WHERE c.len > 0
+         |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     // twin of [[graft.ops.Dedup.substringDup]] (w = 5); coverage = interval
     // union of [pos, pos+5) via the sorted-gap identity, CAST on SUM guards
     // the DuckDB HUGEINT widening

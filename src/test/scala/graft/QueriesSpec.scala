@@ -430,6 +430,27 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_content_chunks: an insertion perturbs O(1) chunks — the CDC shift-resilience property") {
+    import spark.implicits._
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()._2
+    val edited = "INSERTED PREFIX >>> " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.chunkRows(docs).collect()
+    val h1 = rows.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    val h2 = rows.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    val shared = h1.intersect(h2).size
+    // a FIXED-size chunker would re-align every block after the insertion
+    // (near-zero sharing); content-defined cuts resynchronize within one
+    // window, so almost all original chunks survive verbatim
+    assert(shared >= h1.size - 2,
+      s"insertion destroyed chunk alignment: ${h1.size} base chunks, $shared shared")
+    // and the query itself returns only genuinely shared content
+    val out = SparkEntry.queries("ops_content_chunks")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) >= 2 && r.getLong(2) >= 1 && r.getLong(3) > 0))
+  }
+
   test("ops_term_drift: a random split shows no extreme drift; counts fill both halves") {
     val out = SparkEntry.queries("ops_term_drift")(spark, sf).collect()
     assert(out.nonEmpty)
