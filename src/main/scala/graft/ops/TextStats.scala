@@ -161,8 +161,14 @@ object TextStats {
     * same selection RELATIONALLY (explode grams, range self-join, window
     * rank) — two independent algorithm shapes agreeing cell-for-cell.
     */
-  def winnowing(spark: SparkSession, sfDir: String, k: Int = 3, w: Int = 4): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def winnowing(spark: SparkSession, sfDir: String, k: Int = 3, w: Int = 4): DataFrame =
+    winnowingDf(Tables.load(spark, sfDir, "documents"), k, w)
+
+  /** Core of [[winnowing]] over any (doc_id, text) frame — exposed so the
+    * detection guarantee (shared run of ≥ w+k-1 words ⇒ shared
+    * fingerprint) is property-testable on arbitrary inputs (`PropertySpec`).
+    */
+  def winnowingDf(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val toks = split(col("text"), " ")
     docs.filter(size(toks) >= w + k - 1)
       .withColumn("t", toks)

@@ -300,6 +300,32 @@ class PropertySpec extends SparkSuite {
     assert(got.map(_._3).distinct.length == pairs.length, "z values must be distinct")
   }
 
+  test("winnowing: a shared run of >= w+k-1 words guarantees a shared fingerprint") {
+    // the SIGMOD 2003 detection guarantee, exercised on random corpora: two
+    // documents with independent random words around a common (w+k-1)-word
+    // run MUST select at least one common fingerprint VALUE (positions may
+    // differ — the guarantee is position-independent)
+    val word = Gen.choose(0, 49).map(i => s"w$i")
+    val words = (n: Int) => Gen.listOfN(n, word)
+    val gen = for {
+      runLen <- Gen.choose(6, 10) // w + k - 1 = 6 with defaults (k=3, w=4)
+      run    <- words(runLen)
+      pre1   <- Gen.choose(0, 8).flatMap(words)
+      suf1   <- Gen.choose(0, 8).flatMap(words)
+      pre2   <- Gen.choose(0, 8).flatMap(words)
+      suf2   <- Gen.choose(0, 8).flatMap(words)
+    } yield (
+      (pre1 ++ run ++ suf1).mkString(" "),
+      (pre2 ++ run ++ suf2).mkString(" "))
+    check(Prop.forAll(gen) { case (a, b) =>
+      val rows = graft.ops.TextStats.winnowingDf(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text")).collect()
+      val f1 = rows.filter(_.getLong(0) == 1L).map(_.getLong(2)).toSet
+      val f2 = rows.filter(_.getLong(0) == 2L).map(_.getLong(2)).toSet
+      f1.intersect(f2).nonEmpty
+    })
+  }
+
   test("isSafeIdent: accepts exactly dot-joined ASCII identifier segments") {
     import graft.streaming.JdbcFeed.isSafeIdent
     assert(isSafeIdent("events") && isSafeIdent("app.events") && isSafeIdent("_x.y_2"))
