@@ -81,6 +81,12 @@ object Graft {
   def similarTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame =
     Similarity.topKDf(embeddings, queryId, k)
 
+  /** Sub-document boilerplate detection: content-defined chunking rollup —
+    * (chunk_hash, n_copies, n_docs, chunk_len) for chunk content appearing
+    * in ≥ 2 places. See [[Dedup.contentChunksDf]].
+    */
+  def sharedChunks(docs: DataFrame): DataFrame = Dedup.contentChunksDf(docs)
+
   // ===== CDC (column functions + streaming source) =====
 
   /** RFC 7386 JSON merge patch from `newDoc` to `oldDoc` (the reference's
