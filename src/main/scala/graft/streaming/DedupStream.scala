@@ -85,17 +85,33 @@ object DedupStream {
     bands.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
-          // deterministic within a micro-batch: the min doc_id claims an
-          // unclaimed bucket, everyone else pairs with the exemplar
-          val rs = rows.toSeq.sortBy(_.doc_id)
-          val exemplar = if (state.exists) state.get else {
-            state.update(rs.head.doc_id)
-            rs.head.doc_id
-          }
-          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
-          rs.iterator
-            .filter(_.doc_id != exemplar)
-            .map(r => Candidate(r.doc_id, exemplar, r.band_id))
+          onBucket(rows, state, stateTtl)
       }
   }
+
+  /** The per-bucket state transition, factored out so the TTL paths are
+    * unit-testable with `TestGroupState` — a live ProcessingTimeTimeout
+    * query runs micro-batches continuously to evaluate timers, so a
+    * wall-clock eviction test is nondeterministic by construction.
+    */
+  private[graft] def onBucket(rows: Iterator[BandRow], state: GroupState[Long],
+                              stateTtl: Option[String]): Iterator[Candidate] =
+    // TTL expiry fires the handler with an EMPTY iterator — remove and do
+    // NOT re-arm: re-arming a timed-out key writes the entry back and it
+    // re-fires forever, so the store never shrinks (the same trap
+    // documented at CdcStream.withPrevState)
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // deterministic within a micro-batch: the min doc_id claims an
+      // unclaimed bucket, everyone else pairs with the exemplar
+      val rs = rows.toSeq.sortBy(_.doc_id)
+      val exemplar = if (state.exists) state.get else {
+        state.update(rs.head.doc_id)
+        rs.head.doc_id
+      }
+      stateTtl.foreach(state.setTimeoutDuration)
+      rs.iterator
+        .filter(_.doc_id != exemplar)
+        .map(r => Candidate(r.doc_id, exemplar, r.band_id))
+    }
 }

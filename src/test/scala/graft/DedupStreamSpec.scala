@@ -69,6 +69,49 @@ class DedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("state TTL transition: expiry evicts without re-arming; live keys re-arm") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // expiry path: empty rows + hasTimedOut — the exemplar must be REMOVED
+    // and the timeout must NOT be re-armed (re-arming writes the entry back
+    // and the key re-fires forever; the store would never shrink)
+    val expired = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.of(10L),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = DedupStream.onBucket(Iterator.empty, expired, Some("1 hour")).toList
+    assert(out.isEmpty)
+    assert(expired.isRemoved, "expired exemplar must be evicted")
+    assert(!expired.isUpdated)
+
+    // live path: a new doc against an existing exemplar emits the edge and
+    // re-arms the retention window
+    val live = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.of(10L),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val emitted = DedupStream.onBucket(
+      Iterator(BandRow("k", 30L, 2)), live, Some("1 hour")).toList
+    assert(emitted == List(Candidate(30L, 10L, 2)))
+    assert(!live.isRemoved && live.getTimeoutTimestampMs.isPresent,
+      "live bucket must keep its exemplar and re-arm the TTL")
+
+    // claim path: an unclaimed bucket stores the min doc_id, emits the rest
+    val fresh = TestGroupState.create[Long](
+      optionalState = org.apache.spark.api.java.Optional.empty[Long](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val claimed = DedupStream.onBucket(
+      Iterator(BandRow("k", 7L, 1), BandRow("k", 3L, 1)), fresh, None).toList
+    assert(claimed == List(Candidate(7L, 3L, 1)))
+    assert(fresh.isUpdated && fresh.get == 3L)
+  }
+
   test("streamed corpus candidates cover the batch candidate pairs (star contract)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
