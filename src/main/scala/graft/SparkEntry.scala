@@ -634,6 +634,7 @@ object SparkEntry {
     "ops_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "ops_substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "ops_content_chunks" -> ((s: SparkSession, d: String) => Dedup.contentChunks(s, d)),
+    "ops_cross_split"    -> ((s: SparkSession, d: String) => Dedup.crossSplitLeaks(s, d)),
     "ops_containment"   -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
     "ops_pagerank"      -> (Dedup.pagerank _),
     "ops_triangles"     -> (Dedup.triangles _),

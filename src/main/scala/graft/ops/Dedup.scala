@@ -372,6 +372,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jaccard, 6).as("jaccard"))
   }
 
+  /** Train/test near-dup LEAKAGE AUDIT — the eval-integrity check every
+    * benchmark split needs (Lee et al. 2022 found benchmark answers
+    * near-duplicated in training corpora; PAPERS.md): assign documents to
+    * train/test by seeded content-free hash (90/10), then report every
+    * VERIFIED near-dup pair that STRADDLES the split — exactly the pairs
+    * that inflate eval scores. Composition of proven stages:
+    * [[dedupVerifyDf]] (banded candidates → exact Jaccard) + the split
+    * assignment — which derives IN-ROW from doc_id, so attaching it to both
+    * pair sides is a pure projection, zero shuffle beyond the dedup pass
+    * itself. At 100 TB this runs at the
+    * cost of the dedup pass you already run, and the output is the
+    * decontamination worklist (drop the train-side doc or re-assign it).
+    */
+  def crossSplitLeaks(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.2): DataFrame = {
+    val split = (id: Column) =>
+      when(Hashing.h60(concat(lit("split:"), id.cast("string"))) % 10 < 9, lit("train"))
+        .otherwise(lit("test"))
+    dedupVerifyDf(Tables.load(spark, sfDir, "documents"), threshold)
+      .withColumn("split_a", split(col("doc_a")))
+      .withColumn("split_b", split(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+  }
+
   /** Connected-components closure over near-dup candidate pairs — the
     * cluster-collapse step the candidate stages exist FOR: near-duplication
     * is transitive in practice (A~B, B~C → one cluster), so dedup must keep

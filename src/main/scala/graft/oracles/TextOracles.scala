@@ -281,6 +281,36 @@ private[graft] object TextOracles {
          |$rounds
          |SELECT doc_id, pr FROM p5""".stripMargin
     },
+    // Train/test leakage audit: the ops_dedup_verify pipeline + a seeded
+    // 90/10 hash split, keeping only straddling pairs. Split key pinned to
+    // Dedup.crossSplitLeaks.
+    "ops_cross_split" ->
+      s"""WITH $shinglesCte,
+         |$minhashCandsCte,
+         |hv AS (SELECT doc_id, ${h60sql("shingle")} AS h FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hv GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |  FROM cands c
+         |  JOIN hv a ON a.doc_id = c.doc_a
+         |  JOIN hv b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b),
+         |verified AS (
+         |  SELECT s.doc_a, s.doc_b,
+         |    round(CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+         |  FROM shared s
+         |  JOIN sizes na ON na.doc_id = s.doc_a
+         |  JOIN sizes nb ON nb.doc_id = s.doc_b
+         |  WHERE CAST(n_shared AS DOUBLE) / CAST(na.n + nb.n - n_shared AS DOUBLE) >= 0.2)
+         |SELECT doc_a, doc_b,
+         |  CASE WHEN ${h60sql("'split:' || CAST(doc_a AS VARCHAR)")} % 10 < 9
+         |       THEN 'train' ELSE 'test' END AS split_a,
+         |  CASE WHEN ${h60sql("'split:' || CAST(doc_b AS VARCHAR)")} % 10 < 9
+         |       THEN 'train' ELSE 'test' END AS split_b,
+         |  jaccard
+         |FROM verified
+         |WHERE (${h60sql("'split:' || CAST(doc_a AS VARCHAR)")} % 10 < 9)
+         |   <> (${h60sql("'split:' || CAST(doc_b AS VARCHAR)")} % 10 < 9)""".stripMargin,
     // Content-defined chunking (k=4 window, modulus 32), pinned to
     // Dedup.contentChunks: local window hash picks cut points, boundary
     // slicing builds chunks, shared-content groups only.
