@@ -56,7 +56,12 @@ object Bench {
       s"\"" + k + "\":" + times.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$ts,"sf":"$sfDir"}""")
+    // key order is deliberate: the big maps ("times", then "queries") come
+    // FIRST and the scalar summary (metric/value/unit/sf) LAST — the driver
+    // archives only the final 2000 chars of output, and the r6 artifact lost
+    // its headline "value" the moment per-rep times doubled the line length.
+    // JSON object key order is semantically free, so consumers are unmoved.
+    println(s"""{"times":$ts,"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

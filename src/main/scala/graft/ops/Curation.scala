@@ -525,6 +525,11 @@ object Curation {
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
     per.join(broadcast(tot))
       .withColumn("weight", weight)
+      // domains outside the target mixture are DROPPED, not carried at
+      // weight 0 — the oracle's inner join on the weight table does the
+      // same, so both engines agree on the row universe if `documents`
+      // ever grows a sixth lang (and no 0-rate row can ever surface)
+      .filter(col("weight") > 0)
       .withColumn("target_tokens", expr("(tot * weight) DIV 200"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
         col("target_tokens"),

@@ -530,7 +530,14 @@ object TextStats {
       .localCheckpoint()
     val perRound = (1 to rounds).map { r =>
       val marker = (0x0 + r).toChar.toString
+      // a prior round can collapse a 2-char type to the 1-char marker;
+      // sequence(1, length-1) on those is sequence(1, 0) = the DESCENDING
+      // [1, 0], which would emit two spurious single-char "pairs" — DuckDB's
+      // range(1, length) is simply empty there, so the per-round >= 2 guard
+      // keeps both engines on the same pair universe (round 0's vocab
+      // filter only covers the first iteration)
       val top = vocab
+        .filter(length(col("tok")) >= 2)
         .select(col("n"),
           explode(expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
             .as("pair"))
@@ -575,8 +582,19 @@ object TextStats {
     * grouping keys. No corpus-sized shuffle after the first count; vocab
     * tables follow Heaps' law.
     */
-  def knBigramLm(spark: SparkSession, sfDir: String, minCount: Int = 10): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def knBigramLm(spark: SparkSession, sfDir: String, minCount: Int = 10): DataFrame =
+    knScoredTable(Tables.load(spark, sfDir, "documents"))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST((c12 * 1000000) DIV c1 AS BIGINT)").as("p_mle_micro"),
+        expr("CAST((numer * 1000000) DIV denom AS BIGINT)").as("p_kn_micro"))
+
+  /** Shared KN scoring core: the full bigram-type table with the exact
+    * rational (numer, denom) per type. [[knBigramLm]] reads the micro-prob
+    * contract from it; [[knPerplexity]] consumes the UNfiltered table (a
+    * training-corpus bigram always has c12 >= 1, so scoring never misses).
+    */
+  private def knScoredTable(docs: DataFrame): DataFrame = {
     val bg = graft.functions.WordBigramsKernel.bigrams(col("text"))
     // the bigram-type table feeds FOUR consumers (the joined counts, both
     // continuation aggregations, and the type-count scalar) — checkpoint it
@@ -591,17 +609,90 @@ object TextStats {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
     val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
     val types = c12.agg(count(lit(1)).as("t_types"))
-    c12.filter(col("c12") >= minCount)
+    c12
       .join(left, Seq("w1"))
       .join(right, Seq("w2"))
       .join(broadcast(types))
+      // the FACTORS enter decimal before multiplying: t_types·c12 alone can
+      // clear int64 at the corpus scale this targets, and a BIGINT-evaluated
+      // numerator would wrap silently (non-ANSI) where DuckDB auto-promotes
+      // to HUGEINT — casting only the result would guard nothing
       .withColumn("numer",
-        (col("t_types") * greatest(col("c12") * 4 - 3, lit(0L)) +
-          col("n1p_w1") * col("n1p_w2") * 3L).cast("decimal(38,0)"))
-      .select(col("w1"), col("w2"), col("c12"),
-        expr("CAST((c12 * 1000000) DIV c1 AS BIGINT)").as("p_mle_micro"),
-        expr("CAST((numer * 1000000) DIV (CAST(4 * c1 AS DECIMAL(38,0)) * t_types) AS BIGINT)")
-          .as("p_kn_micro"))
+        col("t_types").cast("decimal(38,0)") * greatest(col("c12") * 4 - 3, lit(0L)) +
+          col("n1p_w1").cast("decimal(38,0)") * col("n1p_w2") * 3L)
+      .withColumn("denom",
+        col("c1").cast("decimal(38,0)") * col("t_types") * 4L)
+  }
+
+  /** Per-document perplexity under the trained KN bigram LM ([[knBigramLm]]
+    * at minCount = 1) — the standard LM-based quality filter: boilerplate
+    * and templated text scores low (its bigrams are corpus-frequent),
+    * keyword-stuffed noise scores high. Scoring the training corpus means
+    * every bigram occurrence HITS the type table (c12 >= 1 by definition),
+    * so no backoff branch and no OOV sentinel is ever needed.
+    *
+    * Numerics: each occurrence's negative log-prob is ln(denom) − ln(numer)
+    * over the LM's exact integers — no micro-truncation, no ln(0) risk
+    * (numer >= 3·N1+·N1+ >= 3). Floats enter only at the two ln calls; the
+    * per-doc accumulation is engine-exact via the [[tokenEntropy]]
+    * discipline — a LEFT fold over the SORTED addend list, identical
+    * sequence in both engines — and ppl = exp(mean) is one final float op,
+    * rounded to 6.
+    *
+    * Scale shape: the LM table is type-sized (Heaps-law); scoring is ONE
+    * corpus bigram explode shuffled against it on (w1, w2) — the standard
+    * LM-scoring join — then a per-doc partial agg whose collected list is
+    * bounded by document length, never corpus size.
+    */
+  def knPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lm = knScoredTable(docs)
+      .select(col("w1"), col("w2"),
+        (log(col("denom").cast("double")) - log(col("numer").cast("double"))).as("nll"))
+    val bg = graft.functions.WordBigramsKernel.bigrams(col("text"))
+    docs.select(col("doc_id"), explode(bg).as("b"))
+      .select(col("doc_id"), substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      .join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("nll"))).as("ls"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(aggregate(col("ls"), lit(0.0), (a, x) => a + x) /
+          col("n_bigrams").cast("double")), 6).as("ppl"))
+  }
+
+  /** BPE ENCODE — applies the merge table [[bpeMerges]] trains to the
+    * corpus, the consumer side of the tokenizer loop: each learned pair is
+    * replaced (in merge order — later merges may reference earlier markers)
+    * and the per-document symbol count before/after reports the achieved
+    * compression, the number a tokenizer-budget planner actually needs.
+    *
+    * Scale shape: training runs on the type vocabulary (Heaps-sublinear);
+    * the learned rules pivot into ONE broadcast row, and encoding is a
+    * single narrow corpus pass (token explode → nested codegen'd `replace`
+    * chain) into a per-doc partial agg. All-integer outputs plus one
+    * rounded ratio — engine-exact.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rules = bpeMerges(spark, sfDir, rounds)
+      .agg(max(when(col("merge_rank") === 1, col("pair"))).as("p1"),
+        (2 to rounds).map(r =>
+          max(when(col("merge_rank") === r, col("pair"))).as(s"p$r")): _*)
+    val applied = (1 to rounds).foldLeft(col("tok")) { (c, r) =>
+      call_function("replace", c, col(s"p$r"), lit((0x0 + r).toChar.toString))
+    }
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(rules))
+      .select(col("doc_id"), col("tok"), applied.as("enc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("n_symbols_raw"),
+        sum(length(col("enc")).cast("long")).as("n_symbols_bpe"))
+      .select(col("doc_id"), col("n_tokens"), col("n_symbols_raw"), col("n_symbols_bpe"),
+        round(col("n_symbols_raw").cast("double") / col("n_symbols_bpe").cast("double"), 6)
+          .as("compression"))
   }
 
   /** Term-level distribution drift between two corpus halves — the

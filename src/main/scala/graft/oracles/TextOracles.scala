@@ -525,9 +525,11 @@ private[graft] object TextOracles {
          |FROM cand
          |WHERE round(${cosineSql("va", "vb")}, 6) >= 0.3""".stripMargin,
     // SemDeDup: IVF assignment (same quantizer as ops_sim_ivf), within-cluster
-    // pairs, greedy keep-lowest-id; clones = scale-doubled every-7th vector
-    // (cosine scale-invariant -> exactly 1.0). Constants pinned to
-    // Similarity.semDedup defaults (nlist=16, tau=0.4, stride=7, id+100000).
+    // pairs, greedy keep-lowest-id vs the cluster's 256 lowest-id exemplars
+    // (the clusterCap bound — mirrored as rn <= 256 on the judging side);
+    // clones = scale-doubled every-7th vector (cosine scale-invariant ->
+    // exactly 1.0). Constants pinned to Similarity.semDedup defaults
+    // (nlist=16, tau=0.4, stride=7, id+100000, clusterCap=256).
     "ops_semdedup" ->
       s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |e AS (
@@ -542,10 +544,14 @@ private[graft] object TextOracles {
          |    SELECT vec_id, v, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
          |    FROM a) WHERE rk = 1),
+         |ranked AS (
+         |  SELECT vec_id, v, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM assign),
          |dropped AS (
          |  SELECT DISTINCT y.vec_id
-         |  FROM assign x JOIN assign y
-         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  FROM ranked x JOIN ranked y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id AND x.rn <= 256
          |  WHERE round(${cosineSql("x.v", "y.v")}, 6) >= 0.4)
          |SELECT s.vec_id, s.bucket, (d.vec_id IS NULL) AS kept
          |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin,

@@ -61,11 +61,28 @@ object Listen {
     * tier-dropped payload vanishes rather than appearing as null.
     * Pure codegen'd `concat`/`when` — runs distributed, never on the hub.
     */
+  /** JSON string-escape for the spliced envelope values: backslash, quote,
+    * and the control characters that would also break the newline-delimited
+    * framing. jsonpb escapes every string field unconditionally — a table
+    * named `a"b` must reach the wire as `a\"b`, not as invalid JSON. Pure
+    * codegen'd `regexp_replace` chain (backslash FIRST so later escapes
+    * aren't double-escaped).
+    */
+  private def jsonEscape(c: Column): Column = {
+    val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
+    val q  = regexp_replace(bs, "\"", "\\\\\"")
+    val n  = regexp_replace(q, "\n", "\\\\n")
+    val r  = regexp_replace(n, "\r", "\\\\r")
+    regexp_replace(r, "\t", "\\\\t")
+  }
+
   def eventJson(schema: Column, table: Column, op: Column, id: Column,
                 payload: Column, changes: Column): Column = {
     val head = concat(
-      lit("{\"schema\":\""), schema, lit("\",\"table\":\""), table,
-      lit("\",\"op\":\""), op, lit("\",\"id\":\""), id.cast("string"), lit("\""))
+      lit("{\"schema\":\""), jsonEscape(schema),
+      lit("\",\"table\":\""), jsonEscape(table),
+      lit("\",\"op\":\""), jsonEscape(op),
+      lit("\",\"id\":\""), jsonEscape(id.cast("string")), lit("\""))
     concat(
       head,
       when(payload.isNotNull, concat(lit(",\"payload\":"), payload)).otherwise(lit("")),

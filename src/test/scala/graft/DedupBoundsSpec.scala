@@ -227,6 +227,31 @@ class DedupBoundsSpec extends SparkSuite {
       s"tail doc never paired — fixture no longer collides: $out")
   }
 
+  test("semdedup: hot centroid judges against the capped exemplar set only") {
+    import spark.implicits._
+    // nlist = 1 forces EVERY vector into one hot cluster — the dead-centroid
+    // mass-concentration scenario. cap = 4 bounds the collected exemplar row
+    // to ids {0,1,2,3}. Basis vectors e0..e4 for ids 0..4 are mutually
+    // orthogonal; ids 9 and 10 are both e5 — an exact dup pair living
+    // ENTIRELY beyond the cap. Under the capped semantics 10 must be KEPT
+    // (no sub-cap exemplar clears tau), proving the judgment row really is
+    // truncated; under the old uncapped collect it would have dropped.
+    def basis(k: Int) = Array.tabulate(Similarity.Dim)(d => if (d == k) 1.0 else 0.0)
+    val emb = (Seq(0, 1, 2, 3, 4).map(i => (i.toLong, basis(i))) ++
+      Seq((9L, basis(5)), (10L, basis(5)))).toDF("vec_id", "v")
+    val out = Similarity.semDedupDf(emb, nlist = 1, tau = 0.4, clusterCap = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L, 10L))
+    assert(out.values.forall(_._1 == 0L), s"all members share the hot cluster: $out")
+    // orthogonal members never drop; the beyond-cap dup pair BOTH survive
+    // because neither is an exemplar — the bounded-row trade, explicit
+    assert(out.forall(_._2._2), s"capped judgment must keep all: $out")
+    // ... and with the cap above the cluster size the dup is caught again
+    val full = Similarity.semDedupDf(emb, nlist = 1, tau = 0.4, clusterCap = 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!full(10L) && full(9L), s"uncapped-regime semantics must drop the dup: $full")
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)

@@ -114,6 +114,27 @@ class ListenSpec extends SparkSuite {
     assert(out(2) == """{"schema":"public","table":"events","op":"DELETE","id":"9"}""")
   }
 
+  test("eventJson escapes hostile envelope strings — wire stays parseable JSON") {
+    import spark.implicits._
+    // a quoted-identifier table name ("a\"b" is legal in Postgres), plus a
+    // backslash and a newline — jsonpb escapes all of these unconditionally;
+    // the newline would otherwise also break the '\n'-delimited framing
+    val df = Seq(("pub\"lic", "ta\"ble\\x", "UP\nDATE", 7L,
+      """{"k":2}""", null.asInstanceOf[String]))
+      .toDF("schema", "table", "op", "id", "payload", "changes")
+    val out = df.select(Listen.eventJson(col("schema"), col("table"), col("op"),
+      col("id"), col("payload"), col("changes")).as("j")).as[String].collect()(0)
+    assert(!out.contains("\n"), s"framing must survive: $out")
+    // parse it back with Spark's own JSON reader — four intact fields
+    val parsed = Seq(out).toDF("j")
+      .select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "schema STRING, table STRING, op STRING, id STRING")).as("e"))
+      .select(col("e.schema"), col("e.table"), col("e.op"), col("e.id"))
+      .as[(String, String, String, String)].collect()(0)
+    assert(parsed == (("pub\"lic", "ta\"ble\\x", "UP\nDATE", "7")), s"got $parsed from $out")
+  }
+
   test("end-to-end: streaming query -> executor ingest sockets -> hub -> pqs client") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
