@@ -73,6 +73,19 @@ object Graft {
         .as[graft.streaming.DedupStream.BandRow], stateTtl)
   }
 
+  /** [[dedupStream]] with the exact-Jaccard VERIFY stage composed in-stream:
+    * edges leave already verified (≥ threshold, batch-parity jaccard), at
+    * the price of per-bucket exemplar hash-set state. See
+    * [[graft.streaming.DedupStream.verifiedCandidates]].
+    */
+  def dedupStreamVerified(docs: DataFrame, threshold: Double = 0.2,
+                          stateTtl: Option[String] = None): Dataset[graft.streaming.DedupStream.Verified] = {
+    import docs.sparkSession.implicits._
+    graft.streaming.DedupStream.verifiedCandidates(
+      graft.streaming.DedupStream.bandRowsWithSets(docs)
+        .as[graft.streaming.DedupStream.BandRowV], threshold, stateTtl)
+  }
+
   // ===== similarity (embeddings: (vec_id, embedding)) =====
 
   /** Brute-force cosine top-k neighbors of vector `queryId` (fused native

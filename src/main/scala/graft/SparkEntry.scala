@@ -660,7 +660,9 @@ object SparkEntry {
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
     "ops_winnowing"     -> ((s: SparkSession, d: String) => TextStats.winnowing(s, d)),
     "ops_bpe_merge"     -> ((s: SparkSession, d: String) => TextStats.bpeMerges(s, d)),
+    "ops_bpe_encode"    -> ((s: SparkSession, d: String) => TextStats.bpeEncode(s, d)),
     "ops_kn_lm"         -> ((s: SparkSession, d: String) => TextStats.knBigramLm(s, d)),
+    "ops_kn_perplexity" -> (TextStats.knPerplexity _),
     "ops_term_drift"    -> ((s: SparkSession, d: String) => TextStats.termDrift(s, d)),
     "ops_quantiles"     -> (TextStats.lengthQuantiles _),
     "ops_text_search"   -> ((s: SparkSession, d: String) => TextStats.textSearch(s, d)),
@@ -703,6 +705,7 @@ object SparkEntry {
     "ops_png_decode"   -> ((s: SparkSession, d: String) => Multimodal.pngDecodeDf(s, d).toDF()),
     "ops_wav_decode"   -> ((s: SparkSession, d: String) => Multimodal.wavDecodeDf(s, d).toDF()),
     "ops_png_resize"   -> ((s: SparkSession, d: String) => Multimodal.pngThumbFeatures(s, d).toDF()),
+    "ops_image_phash"  -> ((s: SparkSession, d: String) => Multimodal.imagePhashPairs(s, d)),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),

@@ -116,24 +116,37 @@ object StreamBench {
     // prev-image pipeline against the live Derby JDBC feed: single-row
     // commits spaced gapMs apart, commit timestamp → foreachBatch arrival.
     def latencyProbe(label: String, triggerMs: Int, nEvents: Int, gapMs: Long,
-                     conf: Map[String, String] = Map.empty): Unit = {
+                     conf: Map[String, String] = Map.empty,
+                     writerOpts: Map[String, String] = Map.empty,
+                     pipe: org.apache.spark.sql.Dataset[CdcStream.RawChange] =>
+                       org.apache.spark.sql.DataFrame =
+                       CdcStream.withPrevState(_).toDF()): Unit = {
       val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
-      try latencyProbeRun(label, triggerMs, nEvents, gapMs)
+      // one misconfigured probe must never silence the rest of the bench:
+      // record the failure as its own artifact line and keep going
+      try latencyProbeRun(label, triggerMs, nEvents, gapMs, writerOpts, pipe)
+      catch { case e: Throwable =>
+        println(s"""{"metric":"cdc_capture_latency","config":"$label","error":"${e.getClass.getSimpleName}"}""")
+        System.err.println(s"[latencyProbe] $label failed: $e")
+      }
       finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
     }
-    def latencyProbeRun(label: String, triggerMs: Int, nEvents: Int, gapMs: Long): Unit = {
+    def latencyProbeRun(label: String, triggerMs: Int, nEvents: Int, gapMs: Long,
+                        writerOpts: Map[String, String],
+                        pipe: org.apache.spark.sql.Dataset[CdcStream.RawChange] =>
+                          org.apache.spark.sql.DataFrame): Unit = {
       val arrivals = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
       val raw2 = spark.readStream.format("graft.streaming.CdcSourceProvider")
         .option("jdbcUrl", url).option("jdbcTable", "events")
         // single-row batches: 32 id-range splits per poll would be overhead
         .option("numPartitions", "4").load()
-      val writer = CdcStream.withPrevState(raw2.as[CdcStream.RawChange])
-        .writeStream.outputMode("append")
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[CdcStream.CdcEvent], _: Long) =>
+      val writer = pipe(raw2.as[CdcStream.RawChange])
+        .writeStream.outputMode("append").options(writerOpts)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
           val ids = df.select("event_id").as[Long].collect()
           val t = System.nanoTime()
           ids.foreach(id => arrivals.put(id, t))
@@ -183,6 +196,29 @@ object StreamBench {
       conf = Map("spark.sql.shuffle.partitions" -> "1"))
     latencyProbe("tuned1_t500", triggerMs = 500, nEvents = 40, gapMs = 120,
       conf = Map("spark.sql.shuffle.partitions" -> "1"))
+    // stateless fan-out-only subscriber (no prev-image state): one narrow
+    // projection per batch — no shuffle, no state commit — measuring how
+    // much of the stateful floor is the state machinery itself
+    latencyProbe("stateless1", triggerMs = 0, nEvents = 120, gapMs = 30,
+      conf = Map("spark.sql.shuffle.partitions" -> "1"),
+      pipe = ds => CdcStream.statelessEvents(ds))
+    // ... plus async progress tracking (legal only WITHOUT stateful ops):
+    // offset-log fsync leaves the batch critical path; delivery weakens to
+    // at-least-once — still stronger than the reference push path's
+    // at-most-once
+    // foreachBatch is not on the async-tracking allow-list (noop/Kafka/
+    // memory are) — the probe's collect-side IS idempotent, so the
+    // documented override flag is the honest way to measure the floor
+    // interval 0 = offset-log writes still leave the critical path but are
+    // issued per batch; the DEFAULT 1000 ms interval GATES batch cadence
+    // (measured p50 1.4 s — worse than synchronous) because an un-logged
+    // batch can't be followed until the interval elapses
+    latencyProbe("stateless1_async", triggerMs = 0, nEvents = 120, gapMs = 30,
+      conf = Map("spark.sql.shuffle.partitions" -> "1"),
+      writerOpts = Map("asyncProgressTrackingEnabled" -> "true",
+        "asyncProgressTrackingCheckpointIntervalMs" -> "0",
+        "_asyncProgressTrackingOverrideSinkSupportCheck" -> "true"),
+      pipe = ds => CdcStream.statelessEvents(ds))
 
     // ===== online near-dup dedup throughput =====
     // The document corpus replicated with disjoint ids (copies share TEXT,
@@ -214,6 +250,29 @@ object StreamBench {
       run() // cold: codegen + state-store setup
       val warmSec = run()
       println(s"""{"metric":"dedup_stream_throughput","docs":${docs.size},"warm_sec":$warmSec,"docs_per_sec":${(docs.size / warmSec).toLong},"sf":"$sfDir"}""")
+      // the composed candidate→verify stage (exemplar hash-set state +
+      // in-handler exact Jaccard) against the candidates-only line above:
+      // the price of edges leaving the stream already verified
+      def runVerified(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[graft.streaming.DedupStream.Doc]
+        val q = graft.streaming.DedupStream.verifiedCandidates(
+            graft.streaming.DedupStream.bandRowsWithSets(input.toDS().toDF())
+              .as[graft.streaming.DedupStream.BandRowV])
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("dedup_stream_verified").toString)
+          .start()
+        input.addData(docs: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runVerified()
+      val warmVSec = runVerified()
+      println(s"""{"metric":"dedup_stream_verified_throughput","docs":${docs.size},"warm_sec":$warmVSec,"docs_per_sec":${(docs.size / warmVSec).toLong},"sf":"$sfDir"}""")
     }
     spark.stop()
   }

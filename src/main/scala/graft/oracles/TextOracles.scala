@@ -219,6 +219,67 @@ private[graft] object TextOracles {
          |${round(3, "v2")}
          |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3""".stripMargin
     },
+    // Per-doc perplexity under the trained KN LM (minCount=1 — every
+    // training bigram hits the type table). nll = ln(denom) - ln(numer)
+    // over the exact rational; per-doc sum is the sorted-list left fold
+    // (tokenEntropy discipline), ppl = exp(mean) rounded to 6.
+    "ops_kn_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |         i -> [tk[i], tk[i+1]])) AS p
+        |      FROM t WHERE len(tk) >= 2),
+        |occ AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM b),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+        |lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_w1 FROM c12 GROUP BY w1),
+        |rgt AS (SELECT w2, COUNT(*) AS n1p_w2 FROM c12 GROUP BY w2),
+        |ty AS (SELECT COUNT(*) AS t_types FROM c12),
+        |lm AS (
+        |  SELECT c12.w1, c12.w2,
+        |    ln(CAST(4 * c1 * t_types AS DOUBLE)) -
+        |    ln(CAST(t_types * greatest(c12.c12 * 4 - 3, 0)
+        |            + n1p_w1 * n1p_w2 * 3 AS DOUBLE)) AS nll
+        |  FROM c12 JOIN lft ON c12.w1 = lft.w1
+        |  JOIN rgt ON c12.w2 = rgt.w2, ty),
+        |sc AS (SELECT doc_id, nll FROM occ
+        |       JOIN lm ON occ.w1 = lm.w1 AND occ.w2 = lm.w2),
+        |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         list_sort(list(nll)) AS ls
+        |       FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(exp(list_reduce(ls, (a, b) -> a + b) / CAST(n_bigrams AS DOUBLE)), 6)
+        |    AS ppl
+        |FROM ag""".stripMargin,
+    // BPE encode: the 3 trained merges (same unrolled loop as ops_bpe_merge)
+    // applied to every corpus token in merge order; per-doc symbol counts
+    // before/after + compression ratio.
+    "ops_bpe_encode" -> {
+      def round(r: Int, prev: String): String =
+        s"""t$r AS (SELECT pair FROM (
+           |  SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count FROM (
+           |    SELECT n, unnest(list_transform(range(1, length(tok)),
+           |      i -> substring(tok, CAST(i AS INTEGER), 2))) AS pair FROM $prev)
+           |  GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1)),
+           |v$r AS (SELECT replace(tok, (SELECT pair FROM t$r), chr($r)) AS tok, n FROM $prev)""".stripMargin
+      s"""WITH v0 AS (
+         |  SELECT tok, COUNT(*) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok HAVING length(tok) >= 2),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")},
+         |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |enc AS (SELECT doc_id, tok,
+         |  replace(replace(replace(tok,
+         |    (SELECT pair FROM t1), chr(1)),
+         |    (SELECT pair FROM t2), chr(2)),
+         |    (SELECT pair FROM t3), chr(3)) AS enc FROM tk)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(tok)) AS BIGINT) AS n_symbols_raw,
+         |  CAST(SUM(length(enc)) AS BIGINT) AS n_symbols_bpe,
+         |  round(CAST(SUM(length(tok)) AS DOUBLE) / CAST(SUM(length(enc)) AS DOUBLE), 6)
+         |    AS compression
+         |FROM enc GROUP BY doc_id""".stripMargin
+    },
     "ops_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
@@ -949,6 +1010,40 @@ private[graft] object TextOracles {
         |  CAST(doc_id * 31 % 256 AS INT) AS px_first,
         |  CAST((doc_id * 31 + 7 * ((7 * w) // 8) + 13 * ((7 * h) // 8)) % 256 AS INT) AS px_last
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // twin of [[graft.ops.Multimodal.imagePhashPairs]]: Spark decodes the
+    // REAL PNGs and dHashes the decoded rasters, collapses identical
+    // fingerprints to classes, then Hamming-bands the classes (4×14 bits —
+    // lossless at maxHamming 3 by pigeonhole); the oracle recomputes the
+    // 56-bit dHash from the closed-form thumbnail model and brute-forces
+    // CLASS pairs + within-class stars — agreement proves codec fidelity,
+    // banding losslessness, and the exact star factorization.
+    "ops_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(CASE WHEN
+        |        (d.doc_id * 31 + 7 * (((xs.x + 1) * d.w) // 8) + 13 * ((ys.y * d.h) // 8)) % 256
+        |      > (d.doc_id * 31 + 7 * ((xs.x * d.w) // 8) + 13 * ((ys.y * d.h) // 8)) % 256
+        |      THEN CAST(1 AS BIGINT) << CAST(ys.y * 7 + xs.x AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, 7)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) ys
+        |  GROUP BY d.doc_id),
+        |cls AS (SELECT phash, MIN(doc_id) AS rep FROM bits GROUP BY phash),
+        |cross_p AS (
+        |  SELECT a.rep AS doc_a, b.rep AS doc_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |star AS (
+        |  SELECT c.rep AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        |  FROM bits b JOIN cls c ON b.phash = c.phash AND b.doc_id <> c.rep)
+        |SELECT * FROM cross_p UNION ALL SELECT * FROM star""".stripMargin,
     // twin of [[graft.ops.Multimodal.wavDecodeDf]]: Spark decodes REAL
     // RIFF/WAVE PCM via javax.sound.sampled; the oracle recomputes the
     // sample model (n = 64 + id%64 frames, s_i = (id*131+17i) mod 65536

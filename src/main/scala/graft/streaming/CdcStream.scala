@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.cdc.Redactions
 import graft.functions.MergePatch
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -112,6 +113,38 @@ object CdcStream {
           if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
           out
       }
+  }
+
+  /** Stateless fan-out-only subscriber pipeline — the LOW-LATENCY delivery
+    * path. A tail-the-database subscriber that doesn't need `previous` /
+    * `changes` diffs (the common `pqs` CLI use: watch inserts scroll by) is
+    * exempt from the stateful micro-batch machinery entirely: regexp-scoped
+    * redaction + op mapping + the jsonpb Event envelope are ONE narrow
+    * codegen'd projection, so a micro-batch costs task-launch + scan — no
+    * shuffle, no state-store commit, no prev-image WAL. DELETEs omit
+    * `payload` (the reference ships `previous` there, which this path by
+    * design does not track; jsonpb omits the absent field). With no
+    * stateful operator the query also QUALIFIES for async progress
+    * tracking (`spark.sql.streaming.asyncProgressTrackingEnabled`), taking
+    * the offset-log fsync off the batch critical path — delivery weakens
+    * to at-least-once, which is still STRONGER than the reference push
+    * path's at-most-once. `StreamBench.latencyProbe("stateless*")`
+    * measures this floor; BASELINE.md records it against the stateful
+    * pipeline's.
+    */
+  def statelessEvents(ds: Dataset[RawChange],
+                      redactions: Redactions.FieldRedactions = Map.empty,
+                      schema: String = "public",
+                      table: String = "events"): DataFrame = {
+    val op = when(col("event_type") === "signup", lit("INSERT"))
+      .when(col("event_type") === "error", lit("DELETE"))
+      .when(col("event_type") === "truncate", lit("TRUNCATE"))
+      .otherwise(lit("UPDATE"))
+    val payload = when(op === "DELETE", lit(null).cast("string"))
+      .otherwise(Redactions.applyMap(col("props"), lit(schema), lit(table), redactions))
+    ds.toDF().select(col("event_id"), col("ts"),
+      Listen.eventJson(lit(schema), lit(table), op, col("event_id"),
+        payload, lit(null).cast("string")).as("event"))
   }
 
   /** Spark 4 `transformWithState` port of the prev-image tracker — the

@@ -47,6 +47,13 @@ object DedupStream {
   case class BandRow(key: String, doc_id: Long, band_id: Int)
   case class Candidate(doc_id: Long, dup_of: Long, band_id: Int)
 
+  /** Band row carrying the doc's sorted distinct shingle-hash set — the
+    * payload the VERIFY stage needs ([[BandRow]] plus `hs`).
+    */
+  case class BandRowV(key: String, doc_id: Long, band_id: Int, hs: Seq[Long])
+  case class Exemplar(doc_id: Long, hs: Seq[Long])
+  case class Verified(doc_id: Long, dup_of: Long, band_id: Int, jaccard: Double)
+
   /** In-row MinHash band rows for streaming documents: shingle → permuted
     * min per hash → band signature strings, all inside whole-stage codegen;
     * one output row per (doc, band). Documents too short to shingle pass
@@ -74,6 +81,102 @@ object DedupStream {
     sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("band.key").as("key"), col("doc_id"), col("band.band_id").as("band_id"))
   }
+
+  /** [[bandRows]] plus the per-doc sorted distinct shingle-hash set carried
+    * in-row — the payload the composed candidate→VERIFY stage needs. The
+    * set is EXACTLY the batch verify stage's per-doc table
+    * ([[Dedup.dedupVerifyDf]]'s `sort_array(collect_set(h60(shingle)))`),
+    * built here as one in-row projection so the stream stays a single
+    * narrow pass into the band shuffle.
+    */
+  def bandRowsWithSets(docs: DataFrame, numHashes: Int = Dedup.DefaultNumHashes,
+                       rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sh = Dedup.shingleArray(col("text"))
+    val perms = Hashing.permutations(numHashes)
+    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("sh"),
+        s => (Hashing.h60modP(s) * a + b) % Hashing.P)).as(s"m$j")
+    }
+    val sig = docs
+      .withColumn("sh", sh)
+      .filter(size(col("sh")) >= 1)
+      .withColumn("hs",
+        sort_array(array_distinct(transform(col("sh"), s => Hashing.h60(s)))))
+      .select(col("doc_id") +: col("hs") +: mins: _*)
+    val bands = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band_id"),
+        concat_ws("-", lit(b.toString) +: parts: _*).as("key"))
+    }
+    sig.select(col("doc_id"), col("hs"), explode(array(bands: _*)).as("band"))
+      .select(col("band.key").as("key"), col("doc_id"),
+        col("band.band_id").as("band_id"), col("hs"))
+  }
+
+  /** The composed candidate→VERIFY pipeline in ONE stateful stage: bucket
+    * state holds the exemplar's (doc_id, shingle-hash set), and every later
+    * arrival is exact-Jaccard-verified against it IN the state handler —
+    * no second corpus join, no separate verify job. Emitted edges are
+    * exactly the batch contract's verified pairs restricted to the star
+    * around each bucket exemplar ([[Candidate]]'s shape with the batch
+    * [[Dedup.dedupVerifyDf]] jaccard attached, same unrounded-threshold /
+    * round-6-output discipline — `DedupStreamSpec` pins edge-for-edge
+    * equality against the batch stage on a replayed corpus).
+    *
+    * The retention trade vs [[candidates]]: bucket state grows from one
+    * long to one doc's hash set (the batch verify stage's per-doc row — KB
+    * not bytes), in exchange for candidates leaving the stream already
+    * verified. The same `stateTtl` eviction bounds the store; at-least-once
+    * edges as before (verification is idempotent).
+    */
+  def verifiedCandidates(bands: Dataset[BandRowV], threshold: Double = 0.2,
+                         stateTtl: Option[String] = None): Dataset[Verified] = {
+    import bands.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[BandRowV], state: GroupState[Exemplar]) =>
+          onBucketVerified(rows, state, stateTtl, threshold)
+      }
+  }
+
+  /** Per-bucket transition of the verified path — same TTL discipline as
+    * [[onBucket]]; the jaccard math mirrors [[Dedup.dedupVerifyDf]] exactly
+    * (distinct-set intersection over union, threshold on the UNROUNDED
+    * value, HALF_UP round-6 on the output).
+    */
+  private[graft] def onBucketVerified(rows: Iterator[BandRowV],
+                                      state: GroupState[Exemplar],
+                                      stateTtl: Option[String],
+                                      threshold: Double): Iterator[Verified] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val rs = rows.toSeq.sortBy(_.doc_id)
+      val ex = if (state.exists) state.get else {
+        val e = Exemplar(rs.head.doc_id, rs.head.hs)
+        state.update(e)
+        e
+      }
+      stateTtl.foreach(state.setTimeoutDuration)
+      val exSet = ex.hs.toSet
+      rs.iterator
+        .filter(_.doc_id != ex.doc_id)
+        .flatMap { r =>
+          val inter = r.hs.count(exSet.contains)
+          val j = inter.toDouble / (r.hs.size + ex.hs.size - inter).toDouble
+          if (j >= threshold)
+            // BigDecimal.valueOf (the Double.toString path) — the same
+            // conversion Spark's Round uses for doubles; the raw binary
+            // `new BigDecimal(double)` constructor can round differently
+            Some(Verified(r.doc_id, ex.doc_id, r.band_id,
+              java.math.BigDecimal.valueOf(j)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+          else None
+        }
+    }
 
   /** First-writer-wins bucket state over the band-row stream. */
   def candidates(bands: Dataset[BandRow],

@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.Dedup
 import graft.streaming.DedupStream
-import graft.streaming.DedupStream.{BandRow, Candidate, Doc}
+import graft.streaming.DedupStream.{BandRow, BandRowV, Candidate, Doc, Verified}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -110,6 +110,47 @@ class DedupStreamSpec extends SparkSuite {
       Iterator(BandRow("k", 7L, 1), BandRow("k", 3L, 1)), fresh, None).toList
     assert(claimed == List(Candidate(7L, 3L, 1)))
     assert(fresh.isUpdated && fresh.get == 3L)
+  }
+
+  test("verified stream: edges equal batch dedupVerifyDf pairs; drop set matches keep-min") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // replay in ID order over TWO micro-batches: exemplars are then min-id
+    // (matching batch keep-min) and genuinely persist across batches
+    val docSeq = docs.as[Doc].collect().sortBy(_.doc_id).toSeq
+    val input = MemoryStream[Doc]
+    val q = DedupStream.verifiedCandidates(
+        DedupStream.bandRowsWithSets(input.toDS().toDF()).as[BandRowV])
+      .writeStream.format("memory").queryName("dedup_stream_verified")
+      .outputMode("append").start()
+    try {
+      input.addData(docSeq.take(docSeq.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(docSeq.drop(docSeq.size / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream_verified").as[Verified].collect()
+      assert(streamed.nonEmpty, "corpus has verified near-dups; stream found none")
+      val batch = Dedup.dedupVerifyDf(docs, 0.2, 16, 2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      // soundness: every streamed edge IS a batch-verified pair, with the
+      // identical rounded jaccard (exact-math parity of the two stages)
+      streamed.foreach { v =>
+        val k = (math.min(v.doc_id, v.dup_of), math.max(v.doc_id, v.dup_of))
+        assert(batch.contains(k), s"stream emitted a pair batch verify rejects: $v")
+        assert(batch(k) == v.jaccard,
+          s"jaccard drift on $k: batch ${batch(k)} vs stream ${v.jaccard}")
+      }
+      // drop-set parity: the docs the online pass drops are exactly the
+      // docs batch keep-min drops (the larger side of each verified pair)
+      val batchDropped = batch.keySet.map(_._2)
+      val streamDropped = streamed.map(_.doc_id).toSet
+      assert(streamDropped == batchDropped,
+        s"keep/drop divergence: stream-only ${streamDropped -- batchDropped}, " +
+          s"batch-only ${batchDropped -- streamDropped}")
+    } finally q.stop()
   }
 
   test("streamed corpus candidates cover the batch candidate pairs (star contract)") {

@@ -67,6 +67,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("phash: resize-invariant through a second real codec pass; model-exact; dup classes collide") {
+    import spark.implicits._
+    // dHash of the original == dHash of its real 8×8 thumbnail (thumb of an
+    // 8×8 image is the identity map) — the perceptual property that makes
+    // the hash a near-dup key, proven through TWO encode→decode passes
+    val direct = Multimodal.pngPhashDf(spark, sf).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    val viaThumb = Multimodal.pngTable(spark, sf)
+      .mapPartitions(Multimodal.pngResizeEncode(8, 8))
+      .mapPartitions(Multimodal.pngPhash).collect()
+    assert(viaThumb.length == 500)
+    viaThumb.foreach(r => assert(direct(r.doc_id) == r.phash,
+      s"doc ${r.doc_id}: phash not resize-invariant"))
+    // closed-form model agreement (the oracle's computation, in Scala)
+    direct.foreach { case (id, got) =>
+      val (w, h) = (Multimodal.pngWidth(id), Multimodal.pngHeight(id))
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (Multimodal.pngGray(id, (x + 1) * w / 8, y * h / 8) >
+            Multimodal.pngGray(id, x * w / 8, y * h / 8)) want |= 1L << (y * 7 + x)
+      assert(got == want, s"doc $id: phash $got != model $want")
+      assert(got >= 0L, "56-bit hash must stay a positive BIGINT")
+    }
+    // identical pixel functions (id ≡ id' mod 256) must collide exactly
+    direct.collect { case (id, ph) if id >= 256 && direct.contains(id - 256) =>
+      assert(ph == direct(id - 256), s"dup class $id broken")
+    }
+  }
+
   test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
     val blobs = Multimodal.wavTable(spark, sf).collect()
     assert(blobs.length == 500)

@@ -557,6 +557,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"no pairwise self-join allowed:\n$p")
   }
 
+  test("ops_kn_perplexity: type-sized LM table, scalar broadcast, no corpus-squared join") {
+    val p = plan("ops_kn_perplexity")
+    // the type-count scalar rides as a one-row broadcast; the scoring join
+    // is hash/merge on (w1, w2) — never a nested-loop over the corpus pair
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial"), "bigram counts must partial-aggregate")
+  }
+
+  test("ops_bpe_encode: learned rules ride as ONE broadcast row into a narrow corpus pass") {
+    val p = plan("ops_bpe_encode")
+    // the pivoted merge-rule row broadcasts (a one-row BNLJ, the scalar
+    // pattern); the encode itself must keep map-side combine
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial"), "per-doc symbol sums must partial-aggregate")
+    assert(!p.contains("SortMergeJoin"), "rules must never shuffle-join the corpus")
+  }
+
+  test("ops_image_phash: banding runs on distinct fingerprints; no corpus-side sort-merge storm") {
+    val p = plan("ops_image_phash")
+    // class table + banding + two expansion joins — bounded Exchange count
+    // (the naive per-doc banding shape exploded 15M candidates; see
+    // Multimodal.imagePhashPairs scaladoc)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6,
+      s"phash pipeline grew unexpected shuffles:\n$p")
+    assert(p.contains("partial"), "fingerprint-class collapse must partial-aggregate")
+  }
+
   test("ops_url_dedup: canonicalize-then-collapse is scan + one hash agg") {
     val p = plan("ops_url_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"one shuffle only:\n$p")

@@ -478,6 +478,65 @@ class QueriesSpec extends SparkSuite {
     assert(out.head.getString(1).forall(_ >= ' '))
   }
 
+  test("ops_kn_perplexity: ppl >= 1 (KN is normalized), finite, every multi-token doc scored") {
+    val out = SparkEntry.queries("ops_kn_perplexity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, ppl) = (r.getLong(1), r.getDouble(2))
+      assert(n >= 1, s"doc ${r.getLong(0)} scored with no bigrams")
+      // every conditional prob <= 1 (KN sums to 1 over continuations), so
+      // mean nll >= 0 and ppl = exp(mean) >= 1; finiteness = no ln(0) leak
+      assert(ppl >= 1.0 && !ppl.isInfinite && !ppl.isNaN,
+        s"doc ${r.getLong(0)}: improper ppl $ppl")
+    }
+    // scoring the training corpus: every doc with >= 2 tokens must appear
+    val expect = Tables.load(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.length.toLong == expect, s"${out.length} scored vs $expect eligible")
+  }
+
+  test("ops_bpe_encode: corpus symbol savings equal the training loop's application count") {
+    val enc = SparkEntry.queries("ops_bpe_encode")(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: encoding GREW the symbol count")
+      assert(r.getDouble(4) >= 1.0)
+    }
+    // cross-operator exactness: each application replaces 2 symbols with 1,
+    // so Σ_docs (raw - bpe) must equal Σ_rounds n_applications from the
+    // training loop (1-char tokens are no-ops on both sides)
+    val saved = enc.map(r => r.getLong(2) - r.getLong(3)).sum
+    val trained = SparkEntry.queries("ops_bpe_merge")(spark, sf)
+      .collect().map(_.getLong(3)).sum
+    assert(saved == trained, s"encode saved $saved symbols, training counted $trained")
+  }
+
+  test("ops_image_phash: identical-image classes star around min-id; cross pairs in (0, 3]") {
+    val out = SparkEntry.queries("ops_image_phash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, h) =>
+      assert(a < b, s"pair ($a, $b) not oriented")
+      assert(h >= 0 && h <= 3, s"hamming $h out of contract")
+    }
+    // the pixel model repeats every 256 ids: doc i+256 is an identical image
+    // of doc i, so it can never be a class representative — it must appear
+    // as a Hamming-0 star MEMBER (doc_b side, rep = its class minimum)
+    val starMembers = out.filter(_._3 == 0L).map(_._2).toSet
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    (256L until nDocs).foreach { i =>
+      assert(starMembers.contains(i),
+        s"identical-image doc $i missing from the star factorization")
+    }
+    // cross-class pairs link class REPRESENTATIVES only: every phash value
+    // occurs at some id < 256 (the model's period), so reps stay below it
+    out.filter(_._3 > 0L).foreach { case (a, b, _) =>
+      assert(a < 256 && b < 256,
+        s"cross pair ($a, $b) links non-representatives (model reps are ids < 256)")
+    }
+  }
+
   test("ops_url_dedup: canonical urls carry no scheme/www/tracking/fragment residue") {
     val out = SparkEntry.queries("ops_url_dedup")(spark, sf).collect()
     assert(out.nonEmpty)
