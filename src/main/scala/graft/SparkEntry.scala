@@ -706,6 +706,7 @@ object SparkEntry {
     "ops_wav_decode"   -> ((s: SparkSession, d: String) => Multimodal.wavDecodeDf(s, d).toDF()),
     "ops_png_resize"   -> ((s: SparkSession, d: String) => Multimodal.pngThumbFeatures(s, d).toDF()),
     "ops_image_phash"  -> ((s: SparkSession, d: String) => Multimodal.imagePhashPairs(s, d)),
+    "ops_audio_fp"     -> ((s: SparkSession, d: String) => Multimodal.wavFingerprintDf(s, d).toDF()),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),

@@ -220,6 +220,72 @@ object StreamBench {
         "_asyncProgressTrackingOverrideSinkSupportCheck" -> "true"),
       pipe = ds => CdcStream.statelessEvents(ds))
 
+    // ===== continuous-processing floor (Trigger.Continuous) =====
+    // The stateless subscriber again, but through the source's continuous
+    // reader: ONE long-lived task tail-polling the Derby log, epoch
+    // bookkeeping off the record path — the engine's structural counterpart
+    // of the reference's push loop. Expected to collapse the floor from the
+    // micro-batch quantum (~0.1 s) to poll + pipeline cost (ms-class).
+    def latencyProbeContinuous(label: String, nEvents: Int, gapMs: Long,
+                               pollMs: Int, epochInterval: String): Unit =
+      try {
+        val arrivals = ContinuousArrivals.map(label)
+        val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+          .option("jdbcUrl", url).option("jdbcTable", "events")
+          .option("continuousPollMs", pollMs.toString).load()
+        val q = CdcStream.statelessEvents(raw.as[CdcStream.RawChange])
+          .writeStream.outputMode("append")
+          .foreach(new ContinuousArrivalWriter(label))
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cont_probe").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Continuous(epochInterval))
+          .start()
+        val conn2 = java.sql.DriverManager.getConnection(url)
+        val commits = new scala.collection.mutable.HashMap[Long, Long]()
+        try {
+          val rs = conn2.createStatement().executeQuery("SELECT MAX(event_id) FROM events")
+          rs.next(); val maxId = rs.getLong(1)
+          val ps2 = conn2.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+          def insert(id: Long): Unit = {
+            ps2.setLong(1, id)
+            ps2.setTimestamp(2, new java.sql.Timestamp(System.currentTimeMillis()))
+            ps2.setLong(3, id % 97); ps2.setString(4, "purchase")
+            ps2.setString(5, s"""{"k": ${id % 997}}""")
+            ps2.execute() // autocommit: visible to the next poll immediately
+          }
+          // sentinel row: wait until the reader has streamed the whole table
+          // backlog and is tail-polling — only then is timing meaningful
+          // (processAllAvailable has no meaning under a continuous trigger)
+          insert(maxId + 1)
+          val warmup = System.nanoTime() + 120L * 1000000000L
+          while (!arrivals.containsKey(maxId + 1) && System.nanoTime() < warmup)
+            Thread.sleep(20)
+          require(arrivals.containsKey(maxId + 1), "backlog drain timed out")
+          (2 to nEvents + 1).foreach { i =>
+            val id = maxId + i
+            insert(id)
+            commits(id) = System.nanoTime()
+            Thread.sleep(gapMs)
+          }
+          val deadline = System.nanoTime() + 60L * 1000000000L
+          while (commits.keys.exists(id => !arrivals.containsKey(id)) &&
+                 System.nanoTime() < deadline)
+            Thread.sleep(20)
+        } finally conn2.close()
+        q.stop()
+        val lat = commits.toSeq.collect {
+          case (id, t0) if arrivals.containsKey(id) =>
+            (arrivals.get(id) - t0) / 1e6
+        }.sorted
+        def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+        println(s"""{"metric":"cdc_capture_latency","config":"$label","trigger_ms":-1,"events":${lat.size},"p50_ms":${pct(0.5).round},"p99_ms":${pct(0.99).round},"max_ms":${lat.last.round},"gap_ms":$gapMs}""")
+      } catch { case e: Throwable =>
+        println(s"""{"metric":"cdc_capture_latency","config":"$label","error":"${e.getClass.getSimpleName}"}""")
+        System.err.println(s"[latencyProbeContinuous] $label failed: $e")
+      }
+    latencyProbeContinuous("continuous_poll2", nEvents = 120, gapMs = 30,
+      pollMs = 2, epochInterval = "1 second")
+
     // ===== online near-dup dedup throughput =====
     // The document corpus replicated with disjoint ids (copies share TEXT,
     // so near-dup candidate volume is realistic — every copy collides with
@@ -276,4 +342,30 @@ object StreamBench {
     }
     spark.stop()
   }
+}
+
+/** JVM-wide arrival registry for the continuous-mode latency probe: a
+  * `ForeachWriter` is serialized to the (local-mode) task, so arrival
+  * nanotimes land here keyed by probe label, read back driver-side.
+  */
+object ContinuousArrivals {
+  private val all = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]]()
+  def map(label: String): java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long] =
+    all.computeIfAbsent(label,
+      _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]())
+}
+
+/** Named top-level class so serialization never drags an enclosing scope.
+  * Stamps arrival time the instant the record reaches the sink — the
+  * continuous-mode analog of the foreachBatch collect in the micro-batch
+  * probe (per-record here; continuous mode has no batches).
+  */
+final class ContinuousArrivalWriter(label: String)
+    extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+  override def open(partitionId: Long, epochId: Long): Boolean = true
+  override def process(row: org.apache.spark.sql.Row): Unit = {
+    ContinuousArrivals.map(label).put(row.getLong(0), System.nanoTime()); ()
+  }
+  override def close(errorOrNull: Throwable): Unit = ()
 }

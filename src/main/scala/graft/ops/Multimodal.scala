@@ -472,4 +472,52 @@ object Multimodal {
     import spark.implicits._
     wavTable(spark, sfDir).mapPartitions(wavDecode)
   }
+
+  /** 31-bit acoustic fingerprint of a REAL decoded WAV — the audio analog
+    * of [[pngPhash]], closing the same loop (real codec → content hash):
+    * the decoded signal is split into 32 time bands (band of sample i =
+    * i·32 div n — every band non-empty since n ≥ 64), band loudness =
+    * Σ|sample|, and bit f is set iff loudness rises from band f to f+1 —
+    * the energy-envelope gradient sign, the core of Haitsma-Kalker/
+    * Chromaprint-family audio hashing (robust to gain scaling, which
+    * preserves every comparison; 31 bits stays a positive BIGINT). Near-dup
+    * pairing on it is the proven Hamming-banding machinery
+    * ([[imagePhashPairs]], `Dedup.simhashPairs`) — the fingerprint is the
+    * codec-coupled piece, so that is what the oracle pins.
+    */
+  case class AudioFpRow(doc_id: Long, n_frames: Long, afp: Long)
+
+  def wavFingerprint(rows: Iterator[MediaRow]): Iterator[AudioFpRow] = {
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected format for doc ${r.doc_id}: $fmt")
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val n = pcm.length / 2
+      val energy = new Array[Long](32)
+      var i = 0
+      while (i + 1 < pcm.length) {
+        val (lo, hi) = if (fmt.isBigEndian) (pcm(i + 1), pcm(i)) else (pcm(i), pcm(i + 1))
+        val s = (hi.toInt << 8) | (lo.toInt & 0xff)
+        energy((i / 2) * 32 / n) += math.abs(s)
+        i += 2
+      }
+      var afp = 0L
+      var f = 0
+      while (f < 31) {
+        if (energy(f + 1) > energy(f)) afp |= 1L << f
+        f += 1
+      }
+      AudioFpRow(r.doc_id, n.toLong, afp)
+    }
+  }
+
+  /** Acoustic fingerprints of the real WAV table — codec in the loop. */
+  def wavFingerprintDf(spark: SparkSession, sfDir: String): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    wavTable(spark, sfDir).mapPartitions(wavFingerprint)
+  }
 }

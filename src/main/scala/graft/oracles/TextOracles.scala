@@ -1060,6 +1060,30 @@ private[graft] object TextOracles {
         |  CAST(SUM(samp) AS BIGINT) AS amp_sum,
         |  CAST(MAX(samp) AS INT) AS amp_max
         |FROM s GROUP BY doc_id, n_frames""".stripMargin,
+    // twin of [[graft.ops.Multimodal.wavFingerprintDf]]: Spark computes the
+    // 31-bit energy-envelope fingerprint from REAL javax.sound-decoded PCM;
+    // the oracle recomputes it from the closed-form sample model — 32 time
+    // bands (band = i*32 div n, all non-empty since n >= 64), band loudness
+    // Σ|s|, bit f = loudness(f+1) > loudness(f) via LEAD.
+    "ops_audio_fp" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.n, i.i,
+        |    (f.doc_id * 131 + 17 * i.i) % 65536 - 32768 AS samp
+        |  FROM f, LATERAL (SELECT unnest(range(0, f.n)) AS i) i),
+        |e AS (
+        |  SELECT doc_id, n, i * 32 // n AS band, SUM(ABS(samp)) AS energy
+        |  FROM s GROUP BY doc_id, n, band),
+        |g AS (
+        |  SELECT doc_id, n, band, energy,
+        |    LEAD(energy) OVER (PARTITION BY doc_id ORDER BY band) AS nxt
+        |  FROM e)
+        |SELECT doc_id, n AS n_frames,
+        |  CAST(COALESCE(SUM(CASE WHEN nxt > energy
+        |    THEN CAST(1 AS BIGINT) << band ELSE 0 END), 0) AS BIGINT) AS afp
+        |FROM g GROUP BY doc_id, n""".stripMargin,
     "ops_media_frames" ->
       """WITH v AS (
         |  SELECT doc_id, md5(text) AS chk,

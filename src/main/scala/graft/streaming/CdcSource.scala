@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -229,17 +229,142 @@ object CdcSource {
     override def createReaderFactory(): PartitionReaderFactory = new FeedReaderFactory
   }
 
+  /** Per-reader progress in continuous mode (one reader here, see
+    * [[CdcContinuousStream]]): the highest event_id the reader has EMITTED —
+    * never the id it has merely fetched into its buffer; the epoch
+    * coordinator snapshots this at epoch boundaries, and a restart must not
+    * skip buffered-but-unemitted rows.
+    */
+  case class CdcPartitionOffset(maxId: Long) extends PartitionOffset
+
+  case class ContinuousIdPartition(spec: FeedSpec, startExclusive: Long,
+                                   pollMs: Long) extends InputPartition
+
+  /** Continuous-processing counterpart of [[CdcMicroBatchStream]] — the
+    * LATENCY path (`Trigger.Continuous`). Where a micro-batch pays
+    * plan + task-launch + offset/commit-log writes per batch (measured floor
+    * ~100 ms p50, BASELINE.md r7), a continuous reader is ONE long-lived
+    * task holding its connection and polling the tail of the log at `pollMs`
+    * cadence — a row is emitted within poll + scan-pipeline cost of its
+    * commit, and epoch bookkeeping (offset snapshots every
+    * `Trigger.Continuous(interval)`) happens OFF the record path. This is
+    * the topology of the reference's listener loop itself (one LISTEN
+    * connection pushing rows as they commit, `server.go:98-109`) — which is
+    * why it is deliberately a SINGLE partition: the reference's subscriber
+    * is one connection, backlog catch-up is the micro-batch mode's job
+    * (id-range split across readers), and Spark restricts continuous
+    * queries to map-like stages anyway, so there is no shuffle a second
+    * reader could feed.
+    *
+    * Delivery: at-least-once at epoch grain (a crash between epoch commits
+    * replays the open epoch — Spark's continuous-mode contract), vs the
+    * micro-batch path's exactly-once and the reference's at-most-once.
+    * Same monotone-id visibility assumption as `rescanWindow = 0` (append
+    * -only single-writer log); continuous mode has no rescan hardening.
+    * Legal stages on top: projections/filters only — exactly the
+    * [[CdcStream.statelessEvents]] subscriber shape.
+    */
+  class CdcContinuousStream(spec: FeedSpec, pollMs: Long) extends ContinuousStream {
+    override def initialOffset(): Offset = CdcOffset(-1L)
+    override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+    override def planInputPartitions(start: Offset): Array[InputPartition] =
+      Array(ContinuousIdPartition(spec, start.asInstanceOf[CdcOffset].maxId, pollMs))
+    override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+      CdcOffset(offsets.map(_.asInstanceOf[CdcPartitionOffset].maxId).max)
+    override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+      new ContinuousFeedReaderFactory
+  }
+
+  class ContinuousFeedReaderFactory extends ContinuousPartitionReaderFactory {
+    override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] = {
+      val part = p.asInstanceOf[ContinuousIdPartition]
+      part.spec match {
+        case j: JdbcSpec => new JdbcContinuousReader(j, part.startExclusive, part.pollMs)
+        case other => new PollingContinuousReader(resolve(other), part.startExclusive, part.pollMs)
+      }
+    }
+  }
+
+  /** Tail poller over a [[ChangeFeed]] (memory/synthetic feeds — in-JVM, so
+    * per-poll fetch cost is negligible). `next()` blocks until a row is
+    * available: Spark's continuous engine runs it on a dedicated reader
+    * thread and injects epoch markers from outside, so blocking here is the
+    * intended idiom (the built-in rate source sleeps the same way); query
+    * stop interrupts the thread and ends the task.
+    */
+  final class PollingContinuousReader(feed: ChangeFeed, startExclusive: Long,
+                                      pollMs: Long)
+      extends ContinuousPartitionReader[InternalRow] {
+    private var emitted = startExclusive
+    private var fetchedTo = startExclusive
+    private var buf: Iterator[CdcStream.RawChange] = Iterator.empty
+    private var cur: CdcStream.RawChange = _
+    override def next(): Boolean = {
+      while (!buf.hasNext) {
+        val latest = feed.latestId()
+        if (latest > fetchedTo) {
+          buf = feed.fetch(fetchedTo, latest).iterator
+          fetchedTo = latest
+        } else Thread.sleep(pollMs)
+      }
+      cur = buf.next(); emitted = cur.event_id; true
+    }
+    override def get(): InternalRow = toInternalRow(cur)
+    override def getOffset: PartitionOffset = CdcPartitionOffset(emitted)
+    override def close(): Unit = ()
+  }
+
+  /** JDBC tail poller holding ONE connection + prepared statement for the
+    * life of the query — [[JdbcFeed]]'s connection-per-call shape is right
+    * for a few calls per micro-batch, wrong at ms poll cadence (a Derby/
+    * Postgres connection open costs more than the poll budget). One
+    * round-trip per poll: `WHERE event_id > last ORDER BY event_id` both
+    * detects and fetches new rows (no separate MAX() probe).
+    */
+  final class JdbcContinuousReader(spec: JdbcSpec, startExclusive: Long,
+                                   pollMs: Long)
+      extends ContinuousPartitionReader[InternalRow] {
+    private val conn = java.sql.DriverManager.getConnection(spec.url)
+    private val ps = conn.prepareStatement(
+      s"SELECT event_id, ts, user_id, event_type, props FROM ${spec.table}" +
+        " WHERE event_id > ? ORDER BY event_id")
+    private var emitted = startExclusive
+    private var buf: Iterator[CdcStream.RawChange] = Iterator.empty
+    private var cur: CdcStream.RawChange = _
+    override def next(): Boolean = {
+      while (!buf.hasNext) {
+        ps.setLong(1, emitted)
+        val rs = ps.executeQuery()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[CdcStream.RawChange]
+        while (rs.next())
+          rows += CdcStream.RawChange(rs.getLong(1), rs.getTimestamp(2),
+            rs.getLong(3), rs.getString(4), rs.getString(5))
+        rs.close()
+        if (rows.nonEmpty) buf = rows.iterator else Thread.sleep(pollMs)
+      }
+      cur = buf.next(); emitted = cur.event_id; true
+    }
+    override def get(): InternalRow = toInternalRow(cur)
+    override def getOffset: PartitionOffset = CdcPartitionOffset(emitted)
+    override def close(): Unit = conn.close()
+  }
+
   class CdcTable(spec: FeedSpec, numPartitions: Int,
-                 rescanWindow: Long = 0L) extends Table with SupportsRead {
+                 rescanWindow: Long = 0L, pollMs: Long = 2L)
+      extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       () => new Scan {
         override def readSchema(): StructType = CdcSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(spec, numPartitions, rescanWindow)
+        override def toContinuousStream(checkpointLocation: String): ContinuousStream =
+          new CdcContinuousStream(spec, pollMs)
       }
   }
 }
@@ -263,6 +388,10 @@ class CdcSourceProvider extends TableProvider {
     // with CdcStream.dedupeReplays downstream
     val rescan = Option(opts.get("rescanWindow")).map(_.toLong).getOrElse(0L)
     require(rescan >= 0L, s"rescanWindow must be >= 0, got $rescan")
+    // tail-poll cadence of the continuous reader (Trigger.Continuous only;
+    // micro-batch polling is trigger-driven and ignores this)
+    val pollMs = Option(opts.get("continuousPollMs")).map(_.toLong).getOrElse(2L)
+    require(pollMs >= 1L, s"continuousPollMs must be >= 1, got $pollMs")
     val spec: CdcSource.FeedSpec = Option(opts.get("jdbcUrl")) match {
       case Some(url) =>
         CdcSource.JdbcSpec(url,
@@ -276,6 +405,6 @@ class CdcSourceProvider extends TableProvider {
         case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
       }
     }
-    new CdcSource.CdcTable(spec, parts, rescan)
+    new CdcSource.CdcTable(spec, parts, rescan, pollMs)
   }
 }

@@ -154,9 +154,11 @@ object DedupStream {
                                       threshold: Double): Iterator[Verified] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val rs = rows.toSeq.sortBy(_.doc_id)
+      // O(n) min scan, not a sort — see onBucket
+      val rs = rows.toSeq
       val ex = if (state.exists) state.get else {
-        val e = Exemplar(rs.head.doc_id, rs.head.hs)
+        val m = rs.minBy(_.doc_id)
+        val e = Exemplar(m.doc_id, m.hs)
         state.update(e)
         e
       }
@@ -206,11 +208,16 @@ object DedupStream {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
       // deterministic within a micro-batch: the min doc_id claims an
-      // unclaimed bucket, everyone else pairs with the exemplar
-      val rs = rows.toSeq.sortBy(_.doc_id)
+      // unclaimed bucket, everyone else pairs with the exemplar. The batch
+      // must be buffered (each row emits an edge against the eventual
+      // exemplar), but an O(n) min scan replaces the O(n log n) sort — a
+      // boilerplate band concentrating a huge micro-batch pays only the
+      // buffer, not a sort of it
+      val rs = rows.toSeq
       val exemplar = if (state.exists) state.get else {
-        state.update(rs.head.doc_id)
-        rs.head.doc_id
+        val ex = rs.iterator.map(_.doc_id).min
+        state.update(ex)
+        ex
       }
       stateTtl.foreach(state.setTimeoutDuration)
       rs.iterator

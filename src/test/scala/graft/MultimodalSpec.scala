@@ -96,6 +96,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio fingerprint: model-exact through the real codec; gain-invariance of the comparison core") {
+    import spark.implicits._
+    val got = Multimodal.wavFingerprintDf(spark, sf).collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      val n = Multimodal.wavFrames(r.doc_id)
+      assert(r.n_frames == n.toLong, s"doc ${r.doc_id}: codec frame count drifted")
+      // closed-form model agreement (the oracle's computation, in Scala)
+      val e = new Array[Long](32)
+      (0 until n).foreach(i => e(i * 32 / n) += math.abs(Multimodal.wavSample(r.doc_id, i)))
+      var want = 0L
+      (0 until 31).foreach(f => if (e(f + 1) > e(f)) want |= 1L << f)
+      assert(r.afp == want, s"doc ${r.doc_id}: afp ${r.afp} != model $want")
+      assert(r.afp >= 0L, "31-bit fingerprint must stay a positive BIGINT")
+      // gain invariance — the perceptual property: scaling every band
+      // loudness preserves every rising-edge comparison, hence the hash
+      var scaled = 0L
+      (0 until 31).foreach(f => if (3 * e(f + 1) > 3 * e(f)) scaled |= 1L << f)
+      assert(scaled == want)
+    }
+    // the corpus must exercise both edge directions (hash isn't degenerate;
+    // the structured synthetic PCM yields ~80 distinct hashes on 500 docs)
+    assert(got.exists(_.afp != 0L) && got.map(_.afp).distinct.length > 50)
+  }
+
   test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
     val blobs = Multimodal.wavTable(spark, sf).collect()
     assert(blobs.length == 500)
