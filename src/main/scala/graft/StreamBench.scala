@@ -286,6 +286,79 @@ object StreamBench {
     latencyProbeContinuous("continuous_poll2", nEvents = 120, gapMs = 30,
       pollMs = 2, epochInterval = "1 second")
 
+    // ... and the WHOLE reference architecture at continuous grain:
+    // commit → tail-poll capture → jsonpb envelope → per-record-flush
+    // executor ingest socket → hub fan-out → subscribed pqs client.
+    // Measures commit→client-socket — the number a pqstream user feels.
+    def e2eProbeContinuous(label: String, nEvents: Int, gapMs: Long): Unit =
+      try {
+        val server = new graft.streaming.ListenServer()
+        val arrivals = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+        val idRe = java.util.regex.Pattern.compile("\"id\":\"(\\d+)\"")
+        val client = new Thread(() =>
+          try graft.streaming.PqsClient.run("127.0.0.1", server.boundPort, ".*", { l =>
+            val m = idRe.matcher(l)
+            if (m.find()) arrivals.put(java.lang.Long.valueOf(m.group(1)), System.nanoTime())
+            ()
+          }) catch { case _: Throwable => () })
+        client.setDaemon(true); client.start()
+        val subDeadline = System.nanoTime() + 10L * 1000000000L
+        while (server.subscriberCount < 1 && System.nanoTime() < subDeadline)
+          Thread.sleep(10)
+        val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+          .option("jdbcUrl", url).option("jdbcTable", "events")
+          .option("continuousPollMs", "2").load()
+        val events = CdcStream.statelessEvents(raw.as[CdcStream.RawChange])
+          .select(org.apache.spark.sql.functions.lit("events").as("table"),
+            org.apache.spark.sql.functions.col("event"))
+        val q = events.writeStream.outputMode("append")
+          .foreach(graft.streaming.ListenSink.continuousWriter("127.0.0.1", server.boundPort))
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("cont_e2e").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("5 seconds"))
+          .start()
+        val conn2 = java.sql.DriverManager.getConnection(url)
+        val commits = new scala.collection.mutable.HashMap[Long, Long]()
+        try {
+          val rs = conn2.createStatement().executeQuery("SELECT MAX(event_id) FROM events")
+          rs.next(); val maxId = rs.getLong(1)
+          val ps2 = conn2.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+          def insert(id: Long): Unit = {
+            ps2.setLong(1, id)
+            ps2.setTimestamp(2, new java.sql.Timestamp(System.currentTimeMillis()))
+            ps2.setLong(3, id % 97); ps2.setString(4, "purchase")
+            ps2.setString(5, s"""{"k": ${id % 997}}""")
+            ps2.execute()
+          }
+          insert(maxId + 1) // sentinel: backlog drained through hub AND client
+          val warmup = System.nanoTime() + 120L * 1000000000L
+          while (!arrivals.containsKey(maxId + 1) && System.nanoTime() < warmup)
+            Thread.sleep(20)
+          require(arrivals.containsKey(maxId + 1), "backlog drain timed out")
+          (2 to nEvents + 1).foreach { i =>
+            val id = maxId + i
+            insert(id)
+            commits(id) = System.nanoTime()
+            Thread.sleep(gapMs)
+          }
+          val deadline = System.nanoTime() + 60L * 1000000000L
+          while (commits.keys.exists(id => !arrivals.containsKey(id)) &&
+                 System.nanoTime() < deadline)
+            Thread.sleep(20)
+        } finally conn2.close()
+        q.stop(); server.close()
+        val lat = commits.toSeq.collect {
+          case (id, t0) if arrivals.containsKey(id) =>
+            (arrivals.get(id) - t0) / 1e6
+        }.sorted
+        def pct(p: Double) = lat((p * (lat.size - 1)).round.toInt)
+        println(s"""{"metric":"cdc_e2e_latency","config":"$label","events":${lat.size},"p50_ms":${pct(0.5).round},"p99_ms":${pct(0.99).round},"max_ms":${lat.last.round},"gap_ms":$gapMs}""")
+      } catch { case e: Throwable =>
+        println(s"""{"metric":"cdc_e2e_latency","config":"$label","error":"${e.getClass.getSimpleName}"}""")
+        System.err.println(s"[e2eProbeContinuous] $label failed: $e")
+      }
+    e2eProbeContinuous("continuous_listen_e2e", nEvents = 120, gapMs = 30)
+
     // ===== online near-dup dedup throughput =====
     // The document corpus replicated with disjoint ids (copies share TEXT,
     // so near-dup candidate volume is realistic — every copy collides with

@@ -216,13 +216,24 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
   */
 object ListenSink {
   def writer(host: String, port: Int): ForeachWriter[Row] =
-    new SocketEventWriter(host, port)
+    new SocketEventWriter(host, port, flushEach = false)
+
+  /** Continuous-trigger variant: flush per record. Under `Trigger.
+    * Continuous` the writer stays open for the WHOLE epoch (seconds),
+    * so batch-grain flushing (right for micro-batch, where close() follows
+    * the batch immediately) would buffer events for the full epoch and
+    * forfeit the ms-class record path. Tail traffic is single events —
+    * a flush per line IS the steady-state write shape.
+    */
+  def continuousWriter(host: String, port: Int): ForeachWriter[Row] =
+    new SocketEventWriter(host, port, flushEach = true)
 }
 
 /** Named top-level class (not an anonymous inner class) so the instance
   * serialized to executors carries only (host, port) — no outer reference.
   */
-final class SocketEventWriter(host: String, port: Int) extends ForeachWriter[Row] {
+final class SocketEventWriter(host: String, port: Int, flushEach: Boolean)
+    extends ForeachWriter[Row] {
   @transient private var socket: Socket = _
   @transient private var out: BufferedWriter = _
 
@@ -230,12 +241,14 @@ final class SocketEventWriter(host: String, port: Int) extends ForeachWriter[Row
     socket = new Socket(host, port)
     out = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
     out.write("{\"ingest\":true}\n")
+    if (flushEach) out.flush()
     true
   }
 
   override def process(row: Row): Unit = {
     out.write(row.getString(0)); out.write('\t')
     out.write(row.getString(1)); out.write('\n')
+    if (flushEach) out.flush()
   }
 
   override def close(errorOrNull: Throwable): Unit = {

@@ -60,4 +60,12 @@ class GraftFacadeSpec extends SparkSuite {
       assert(out.nonEmpty && out.forall(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
     } finally q.stop()
   }
+
+  test("liveTail is the stateless subscriber view (streaming, envelope schema)") {
+    // plan-time check: the DSv2 provider resolves lazily, so no database is
+    // needed to pin the facade's shape — isStreaming + the envelope columns
+    val df = Graft.liveTail(spark, "jdbc:derby:memory:facade_tail;create=true", "events")
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("event_id", "ts", "event"))
+  }
 }

@@ -85,6 +85,58 @@ class ListenIntegrationSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("continuous trigger end to end: commit -> tail-poll capture -> hub -> client, mid-epoch") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:listen_cont_e2e;create=true"
+    DriverManager.getConnection(url).close()
+    exec(url, "CREATE TABLE events (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    insert(url, (1L, t(0), 1L, "purchase", """{"k":1}"""))
+
+    val server = new ListenServer()
+    val got = new CopyOnWriteArrayList[(String, Long)]()
+    val client = new Thread(() =>
+      try PqsClient.run("127.0.0.1", server.boundPort, ".*",
+        l => { got.add(l -> System.nanoTime()); () }, maxEvents = 2)
+      catch { case _: Throwable => () })
+    client.setDaemon(true); client.start()
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+    while (server.subscriberCount < 1 && System.nanoTime() < deadline) Thread.sleep(10)
+
+    val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", url).option("jdbcTable", "events")
+      .option("continuousPollMs", "1").load()
+    val events = CdcStream.statelessEvents(raw.as[CdcStream.RawChange])
+      .select(lit("events").as("table"), col("event"))
+    val q = events.writeStream.outputMode("append")
+      // per-record flush: batch-grain flushing would hold events until the
+      // epoch closes — the continuous composition needs continuousWriter
+      .foreach(ListenSink.continuousWriter("127.0.0.1", server.boundPort))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("listen_cont").toString)
+      // LONG epoch on purpose: delivery must happen MID-epoch
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("30 seconds"))
+      .start()
+    try {
+      val d0 = System.nanoTime() + TimeUnit.SECONDS.toNanos(60)
+      while (got.size < 1 && System.nanoTime() < d0) Thread.sleep(5)
+      assert(got.size >= 1, "backlog row never reached the client")
+      // steady state: a commit AFTER the stream is live, timed
+      insert(url, (2L, t(1), 2L, "purchase", """{"k":2}"""))
+      val commitNs = System.nanoTime()
+      val d1 = System.nanoTime() + TimeUnit.SECONDS.toNanos(25)
+      while (got.size < 2 && System.nanoTime() < d1) Thread.sleep(2)
+      assert(got.size >= 2, "live commit never reached the client")
+      client.join(5000)
+      import scala.jdk.CollectionConverters._
+      val (line2, arriveNs) = got.asScala.find(_._1.contains("\"id\":\"2\"")).get
+      assert(line2.contains(""""op":"UPDATE"""") && line2.contains("""{"k":2}"""), line2)
+      // mid-epoch proof: arrival far inside the 30 s epoch, ms-class
+      val ms = (arriveNs - commitNs) / 1e6
+      assert(ms < 5000, s"commit->client took ${ms}ms — epoch-gated, not continuous")
+    } finally { q.stop(); server.close() }
+  }
+
   test("subscriber churn: a disconnected client unregisters; the hub keeps serving") {
     val server = new ListenServer()
     try {

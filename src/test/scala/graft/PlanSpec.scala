@@ -584,6 +584,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial"), "fingerprint-class collapse must partial-aggregate")
   }
 
+  test("ops_audio_fp: codec fingerprint is a pure narrow pass — zero shuffles") {
+    val p = plan("ops_audio_fp")
+    assert(!p.contains("Exchange"), s"encode+decode+hash must stay in one narrow chain:\n$p")
+  }
+
   test("ops_url_dedup: canonicalize-then-collapse is scan + one hash agg") {
     val p = plan("ops_url_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"one shuffle only:\n$p")
