@@ -520,4 +520,42 @@ object Multimodal {
     import spark.implicits._
     wavTable(spark, sfDir).mapPartitions(wavFingerprint)
   }
+
+  /** Audio near-duplicate graph over the acoustic fingerprint — the audio
+    * twin of [[imagePhashPairs]], same two scale rules (band DISTINCT
+    * fingerprints after exact-dup class collapse; emit the LOSSLESS star
+    * factorization, never the quadratic pair set — scaladoc there). The
+    * synthetic corpus makes the class collapse do real work: ~82 distinct
+    * fingerprints over 500 docs, so naive per-doc banding would
+    * quadratically re-derive what one class row carries. 4 bands over the
+    * 31 bits (8+8+8+7) — by pigeonhole lossless at `maxHamming` 3.
+    */
+  def audioFpPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
+    val bandBits = 8
+    val mask = (1L << bandBits) - 1
+    val fp = wavFingerprintDf(spark, sfDir).toDF()
+      .select(col("doc_id"), col("afp")).localCheckpoint()
+    val classes = fp.groupBy(col("afp")).agg(min(col("doc_id")).as("rep"))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("afp"), b * bandBits).bitwiseAND(mask).as("key"))
+    }
+    val classPairs = classes
+      .select(col("rep"), col("afp"), explode(array(bands: _*)).as("band"))
+      .groupBy(col("band.band_id"), col("band.key"))
+      .agg(sort_array(collect_list(struct(col("rep"), col("afp")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(Dedup.cappedPairs(col("xs"), bucketCap)).as("p"))
+      .select(col("p.doc_a.rep").as("doc_a"), col("p.doc_b.rep").as("doc_b"),
+        bit_count(col("p.doc_a.afp").bitwiseXOR(col("p.doc_b.afp")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val within = fp.join(classes, "afp")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    classPairs.unionAll(within)
+  }
 }

@@ -1084,6 +1084,41 @@ private[graft] object TextOracles {
         |  CAST(COALESCE(SUM(CASE WHEN nxt > energy
         |    THEN CAST(1 AS BIGINT) << band ELSE 0 END), 0) AS BIGINT) AS afp
         |FROM g GROUP BY doc_id, n""".stripMargin,
+    // twin of [[graft.ops.Multimodal.audioFpPairs]]: Spark bands DISTINCT
+    // fingerprints (4 bands over 31 bits — pigeonhole-lossless at Hamming
+    // <= 3) after exact-dup class collapse; the oracle brute-forces the
+    // class pairs (equivalent BY the pigeonhole argument) and rebuilds the
+    // same within-class star factorization.
+    "ops_audio_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT f.doc_id, f.n, i.i,
+        |    (f.doc_id * 131 + 17 * i.i) % 65536 - 32768 AS samp
+        |  FROM f, LATERAL (SELECT unnest(range(0, f.n)) AS i) i),
+        |e AS (
+        |  SELECT doc_id, n, i * 32 // n AS band, SUM(ABS(samp)) AS energy
+        |  FROM s GROUP BY doc_id, n, band),
+        |g AS (
+        |  SELECT doc_id, band, energy,
+        |    LEAD(energy) OVER (PARTITION BY doc_id ORDER BY band) AS nxt
+        |  FROM e),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN nxt > energy
+        |      THEN CAST(1 AS BIGINT) << band ELSE 0 END), 0) AS BIGINT) AS afp
+        |  FROM g GROUP BY doc_id),
+        |cls AS (SELECT afp, MIN(doc_id) AS rep FROM fp GROUP BY afp),
+        |cross_p AS (
+        |  SELECT a.rep AS doc_a, b.rep AS doc_b,
+        |    CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
+        |  WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+        |star AS (
+        |  SELECT c.rep AS doc_a, p.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+        |  FROM fp p JOIN cls c ON p.afp = c.afp AND p.doc_id <> c.rep)
+        |SELECT * FROM cross_p UNION ALL SELECT * FROM star""".stripMargin,
     "ops_media_frames" ->
       """WITH v AS (
         |  SELECT doc_id, md5(text) AS chk,

@@ -478,6 +478,21 @@ class QueriesSpec extends SparkSuite {
     assert(out.head.getString(1).forall(_ >= ' '))
   }
 
+  test("ops_audio_pairs: lossless star factorization — the full pair set is recoverable") {
+    val out = SparkEntry.queries("ops_audio_pairs")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair not oriented: $r")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 3L, s"hamming out of contract: $r")
+    }
+    // class collapse must be doing real work on this corpus (many exact-dup
+    // fingerprints): stars dominate, and every star's rep is the class min
+    val stars = out.filter(_.getLong(2) == 0L)
+    assert(stars.length > out.length / 2, "expected exact-dup mass to dominate")
+    val reps = stars.map(_.getLong(0)).toSet
+    assert(stars.forall(s => !reps.contains(s.getLong(1)) || s.getLong(0) < s.getLong(1)))
+  }
+
   test("ops_kn_perplexity: ppl >= 1 (KN is normalized), finite, every multi-token doc scored") {
     val out = SparkEntry.queries("ops_kn_perplexity")(spark, sf).collect()
     assert(out.nonEmpty)
