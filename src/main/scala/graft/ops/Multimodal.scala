@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extraction as a
   * per-partition batch operator.
   *
-  * Two paths are REAL end-to-end with zero extra dependencies: PNG via
-  * javax.imageio and WAV PCM via javax.sound.sampled (see "REAL CODECS"
-  * below) — genuine encode→decode round-trips whose decoded pixels/samples
-  * are oracle-checked. `decodeStub`/`resizeStub` remain as clearly-marked
-  * deterministic FAKES standing in for codecs the container lacks
-  * (ffmpeg-class video) — but even there the Spark-side plumbing is real: binary
+  * Three paths are REAL end-to-end with zero extra dependencies: PNG via
+  * javax.imageio, WAV PCM via javax.sound.sampled, and animated GIF via
+  * ImageIO's sequence API (the multi-FRAME container — frame-indexed
+  * seek-and-decode, the video pipeline's core access pattern, on a real
+  * format) — genuine encode→decode round-trips whose decoded
+  * pixels/samples/frames are oracle-checked. `decodeStub`/`resizeStub`
+  * remain as clearly-marked deterministic FAKES standing in only for
+  * ffmpeg-class containers (H.264 etc.) — and even there the Spark-side
+  * plumbing is real: binary
   * column schema, case-class encoders, `mapPartitions` batching (the Scala
   * analog of a vectorized/mapInPandas decode stage: one decoder instance per
   * partition, rows streamed through it), and metadata columns computed with
@@ -392,6 +395,109 @@ object Multimodal {
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
         lit(0L).as("hamming"))
     classPairs.unionAll(within)
+  }
+
+  // ===== animated GIF: the multi-FRAME (video-class) codec path, REAL =====
+  // ffmpeg-class containers stay environmental (no native codecs here), but
+  // the JDK ships a genuine multi-frame media codec: animated GIF via
+  // ImageIO's sequence writer/reader. That makes frame-sampling — the video
+  // pipeline's core op — runnable against a REAL container: encode N full
+  // frames per doc, decode every k-th by index without materializing the
+  // rest. Same closed-form pixel model family as PNG, extended by a frame
+  // term (shared with the oracle).
+
+  def gifNumFrames(id: Long): Int = 2 + (id % 7).toInt
+  def gifWidth(id: Long): Int = 8 + (id % 8).toInt
+  val GifHeight = 8
+  def gifGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + 29L * f + 7L * x + 13L * y) % 256).toInt
+
+  /** Explicit identity 256-gray palette: GIF is indexed color, and writing
+    * TYPE_BYTE_INDEXED over this palette makes the round trip LOSSLESS by
+    * construction (index i ⇔ gray i) — no writer-side quantization to
+    * second-guess.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Real animated-GIF encode: one ImageIO sequence writer per partition
+    * (the per-partition codec-state contract), full frames per doc.
+    */
+  def gifEncode(ids: Iterator[Long]): Iterator[MediaRow] = {
+    javax.imageio.ImageIO.setUseCache(false) // see pngEncode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    ids.map { id =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val (w, h) = (gifWidth(id), GifHeight)
+      var f = 0
+      while (f < gifNumFrames(id)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gifGray(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      MediaRow(id, bos.toByteArray, "image/gif")
+    }
+  }
+
+  /** A media table of REAL animated GIFs, one per document id. */
+  def gifTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions(gifEncode)
+  }
+
+  case class GifFrameRow(doc_id: Long, frame_idx: Int, width: Int, gray_sum: Long)
+
+  /** Real frame sampling over the animated container: the reader indexes
+    * frames (`getNumImages`/`read(i)`), so every k-th frame is decoded
+    * WITHOUT materializing the ones in between — the seek-and-decode shape
+    * an ffmpeg-backed video path uses, proven here on a real container.
+    */
+  def gifFrameSample(stride: Int)(rows: Iterator[MediaRow]): Iterator[GifFrameRow] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.flatMap { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n by stride).map { f =>
+        val img = reader.read(f)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        GifFrameRow(r.doc_id, f, img.getWidth, sum)
+      }
+      reader.dispose(); iis.close()
+      out
+    }
+  }
+
+  /** Sampled frames (stride 2) of the real GIF table — multi-frame codec in
+    * the loop, oracle-checked against the closed-form frame model.
+    */
+  def gifFramesDf(spark: SparkSession, sfDir: String, stride: Int = 2): Dataset[GifFrameRow] = {
+    import spark.implicits._
+    gifTable(spark, sfDir).mapPartitions(gifFrameSample(stride))
   }
 
   /** Deterministic PCM content for doc `id` (shared with the oracle):

@@ -1044,6 +1044,25 @@ private[graft] object TextOracles {
         |  SELECT c.rep AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
         |  FROM bits b JOIN cls c ON b.phash = c.phash AND b.doc_id <> c.rep)
         |SELECT * FROM cross_p UNION ALL SELECT * FROM star""".stripMargin,
+    // twin of [[graft.ops.Multimodal.gifFramesDf]]: Spark encodes REAL
+    // animated GIFs (indexed identity-gray palette — lossless by
+    // construction) and samples every 2nd frame through ImageIO's indexed
+    // reader; the oracle recomputes the closed-form frame model
+    // g(id,f,x,y) = (id*31 + 29f + 7x + 13y) mod 256.
+    "ops_gif_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS nf, 8 + doc_id % 8 AS w
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, unnest(range(0, nf, 2)) AS f FROM v),
+        |px AS (
+        |  SELECT fr.doc_id, fr.w, fr.f,
+        |    (fr.doc_id * 31 + 29 * fr.f + 7 * x.x + 13 * y.y) % 256 AS g
+        |  FROM fr,
+        |       LATERAL (SELECT unnest(range(0, fr.w)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) y)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |  CAST(SUM(g) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY doc_id, f, w""".stripMargin,
     // twin of [[graft.ops.Multimodal.wavDecodeDf]]: Spark decodes REAL
     // RIFF/WAVE PCM via javax.sound.sampled; the oracle recomputes the
     // sample model (n = 64 + id%64 frames, s_i = (id*131+17i) mod 65536

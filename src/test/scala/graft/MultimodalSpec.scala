@@ -121,6 +121,41 @@ class MultimodalSpec extends SparkSuite {
     assert(got.exists(_.afp != 0L) && got.map(_.afp).distinct.length > 50)
   }
 
+  test("animated GIF: real multi-frame container — per-pixel round trip, indexed sampling") {
+    val blobs = Multimodal.gifTable(spark, sf).collect()
+    assert(blobs.length == 500)
+    blobs.foreach(b =>
+      assert(new String(b.media.take(3), "US-ASCII") == "GIF", s"doc ${b.doc_id}: not a GIF"))
+    // decode EVERY frame of every doc pixel-for-pixel against the model —
+    // proves the indexed identity-gray palette makes the container lossless
+    blobs.foreach { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == Multimodal.gifNumFrames(r.doc_id),
+        s"doc ${r.doc_id}: frame count drifted")
+      for (f <- 0 until Multimodal.gifNumFrames(r.doc_id)) {
+        val img = reader.read(f)
+        assert(img.getWidth == Multimodal.gifWidth(r.doc_id) &&
+          img.getHeight == Multimodal.GifHeight)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert((img.getRGB(x, y) & 0xff) == Multimodal.gifGray(r.doc_id, f, x, y),
+            s"doc ${r.doc_id} frame $f pixel ($x,$y)")
+      }
+      reader.dispose(); iis.close()
+    }
+    // stride-2 sampling: exactly the even frame indices, ceil(n/2) rows/doc
+    val rows = Multimodal.gifFramesDf(spark, sf).collect()
+    val byDoc = rows.groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (id, rs) =>
+      val n = Multimodal.gifNumFrames(id)
+      assert(rs.map(_.frame_idx).sorted.toSeq == (0 until n by 2).toSeq,
+        s"doc $id: sampled frames ${rs.map(_.frame_idx).toSeq}")
+    }
+  }
+
   test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
     val blobs = Multimodal.wavTable(spark, sf).collect()
     assert(blobs.length == 500)
