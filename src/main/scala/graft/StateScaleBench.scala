@@ -84,6 +84,73 @@ object StateScaleBench {
         case None    => spark.conf.unset(confKey)
       }
     }
+
+    // ===== verified-dedup exemplar state at scale =====
+    // The prev-image probe above holds ~100 B per key; the streaming dedup
+    // VERIFY stage holds the exemplar's whole shingle-hash set (~40 longs
+    // here — KB-class with overheads), and each doc arms ~numBands bucket
+    // keys. This measures how the two providers behave when VALUES, not key
+    // count, carry the state mass — the retention trade the verifiedCandidates
+    // scaladoc names. Synthetic docs: 40 tokens drawn from a 200k-type
+    // space by a splitmix-style NON-LINEAR mix of (id, position). Both
+    // linear formulas tried first were corpus-degenerate in instructive
+    // ways: `(id*37+i*13) mod 5000` makes all ids congruent mod 5000 share
+    // one text (flat 4k-bucket state curve), and an LCG over a large space
+    // still shares WHOLE TOKEN RUNS between docs whenever
+    // (Δid·a + Δi·step) ≡ 0 mod V — the constant difference survives the
+    // final mod, so one token collision implies a full shingle-run
+    // collision and the corpus is secretly full of near-dups (measured:
+    // 800k band rows → 161k buckets, max bucket 22). The multiply-shift
+    // mix breaks the lattice; signatures are then unique per doc ⇒ bucket
+    // count ~ docs × bands — the adversarial, state-heaviest shape; real
+    // corpora collide buckets and hold LESS.
+    def docText(id: Long): String =
+      (0 until 40).map { i =>
+        val h = (id * 40 + i) * -7046029254386353131L
+        "tok" + ((h >>> 33) % 200000L)
+      }.mkString(" ")
+    def runDedup(n: Long): (Double, Long, Long) = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.streaming.DedupStream.Doc]
+      val q = graft.streaming.DedupStream.verifiedCandidates(
+          graft.streaming.DedupStream.bandRowsWithSets(input.toDS().toDF())
+            .as[graft.streaming.DedupStream.BandRowV])
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("dedup_state_scale").toString)
+        .start()
+      val t0 = System.nanoTime()
+      (1 to waves).foreach { w =>
+        val lo = n / waves * (w - 1); val hi = n / waves * w
+        input.addData((lo until hi).map(id =>
+          graft.streaming.DedupStream.Doc(id, docText(id))): _*)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val out = (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+      q.stop()
+      out
+    }
+    val dedupSizes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_SIZES", "25000,50000,100000")
+      .split(",").map(_.trim.toLong).toSeq
+    for ((provName, provClass) <- providers) {
+      val saved = spark.conf.getOption(confKey)
+      provClass.foreach(spark.conf.set(confKey, _))
+      try {
+        runDedup(5000L) // unrecorded warmup
+        for (n <- dedupSizes) {
+          val runs = (1 to reps).map(_ => runDedup(n))
+          val best = runs.minBy(_._1)
+          val times = runs.map(_._1).mkString("[", ",", "]")
+          println(s"""{"metric":"dedup_state_scale","provider":"$provName","docs":$n,"waves":$waves,"sec":${best._1},"times":$times,"docs_per_sec":${(n / best._1).toLong},"state_rows":${best._2},"state_mem_bytes":${best._3}}""")
+        }
+      } finally saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
     spark.stop()
   }
 }
