@@ -500,6 +500,53 @@ object Multimodal {
     gifTable(spark, sfDir).mapPartitions(gifFrameSample(stride))
   }
 
+  /** Per-frame 56-bit dHash over the REAL decoded GIF frames — the video
+    * fingerprint table, completing fingerprint symmetry across all three
+    * modalities (image [[pngPhash]], audio [[wavFingerprint]], video here):
+    * each sampled frame gets the same gradient-sign hash the image path
+    * uses (8×8 nearest-neighbor thumb; height is already 8, so thumb row y
+    * maps to raster row y), and a video near-dup candidate is two docs
+    * agreeing on (frame_idx, phash) — the per-frame-hash-sequence matching
+    * standard video fingerprinting uses, served by the SAME class-collapse
+    * + Hamming-banding machinery as the stills ([[imagePhashPairs]]).
+    */
+  case class GifPhashRow(doc_id: Long, frame_idx: Int, phash: Long)
+
+  def gifPhash(stride: Int)(rows: Iterator[MediaRow]): Iterator[GifPhashRow] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.flatMap { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n by stride).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        def thumb(x: Int, y: Int): Int = img.getRGB(x * w / 8, y) & 0xff
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if (thumb(x + 1, y) > thumb(x, y)) hash |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        GifPhashRow(r.doc_id, f, hash)
+      }
+      reader.dispose(); iis.close()
+      out
+    }
+  }
+
+  /** Frame fingerprints of the real GIF table — video codec in the loop. */
+  def gifPhashDf(spark: SparkSession, sfDir: String, stride: Int = 2): Dataset[GifPhashRow] = {
+    import spark.implicits._
+    gifTable(spark, sfDir).mapPartitions(gifPhash(stride))
+  }
+
   /** Deterministic PCM content for doc `id` (shared with the oracle):
     * 64 + id%64 mono 16-bit frames at 8 kHz, sample i =
     * ((id*131 + 17i) mod 65536) - 32768.

@@ -1063,6 +1063,24 @@ private[graft] object TextOracles {
         |SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
         |  CAST(SUM(g) AS BIGINT) AS gray_sum
         |FROM px GROUP BY doc_id, f, w""".stripMargin,
+    // twin of [[graft.ops.Multimodal.gifPhashDf]]: Spark computes per-frame
+    // dHash from REAL decoded GIF frames; the oracle recomputes the
+    // gradient-sign bits from the closed-form model (thumb(x,y) =
+    // g(id, f, x*w div 8, y) — height is already 8).
+    "ops_gif_phash" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS nf, 8 + doc_id % 8 AS w
+        |  FROM documents),
+        |fr AS (SELECT doc_id, w, unnest(range(0, nf, 2)) AS f FROM v)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(COALESCE(SUM(CASE WHEN
+        |      (doc_id * 31 + 29 * f + 7 * (((x.x + 1) * w) // 8) + 13 * y.y) % 256 >
+        |      (doc_id * 31 + 29 * f + 7 * ((x.x * w) // 8) + 13 * y.y) % 256
+        |    THEN CAST(1 AS BIGINT) << (y.y * 7 + x.x) ELSE 0 END), 0) AS BIGINT) AS phash
+        |FROM fr,
+        |     LATERAL (SELECT unnest(range(0, 7)) AS x) x,
+        |     LATERAL (SELECT unnest(range(0, 8)) AS y) y
+        |GROUP BY doc_id, f""".stripMargin,
     // twin of [[graft.ops.Multimodal.wavDecodeDf]]: Spark decodes REAL
     // RIFF/WAVE PCM via javax.sound.sampled; the oracle recomputes the
     // sample model (n = 64 + id%64 frames, s_i = (id*131+17i) mod 65536

@@ -154,6 +154,17 @@ class MultimodalSpec extends SparkSuite {
       assert(rs.map(_.frame_idx).sorted.toSeq == (0 until n by 2).toSeq,
         s"doc $id: sampled frames ${rs.map(_.frame_idx).toSeq}")
     }
+    // per-frame dHash (the video fingerprint): model-exact through the codec
+    val ph = Multimodal.gifPhashDf(spark, sf).collect()
+    assert(ph.length == rows.length)
+    ph.foreach { p =>
+      val w = Multimodal.gifWidth(p.doc_id)
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (Multimodal.gifGray(p.doc_id, p.frame_idx, (x + 1) * w / 8, y) >
+            Multimodal.gifGray(p.doc_id, p.frame_idx, x * w / 8, y)) want |= 1L << (y * 7 + x)
+      assert(p.phash == want, s"doc ${p.doc_id} frame ${p.frame_idx}")
+    }
   }
 
   test("real WAV codec: javax.sound round-trip recovers every PCM sample") {
