@@ -710,6 +710,7 @@ object SparkEntry {
     "ops_audio_pairs"  -> ((s: SparkSession, d: String) => Multimodal.audioFpPairs(s, d)),
     "ops_gif_frames"   -> ((s: SparkSession, d: String) => Multimodal.gifFramesDf(s, d).toDF()),
     "ops_gif_phash"    -> ((s: SparkSession, d: String) => Multimodal.gifPhashDf(s, d).toDF()),
+    "ops_phash_cc"     -> (Multimodal.imagePhashClusters _),
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),

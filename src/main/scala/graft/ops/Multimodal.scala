@@ -547,6 +547,17 @@ object Multimodal {
     gifTable(spark, sfDir).mapPartitions(gifPhash(stride))
   }
 
+  /** Connected components over the image near-dup graph — executing the
+    * composition the star factorization promises ([[imagePhashPairs]]
+    * scaladoc: "connectedComponents consumes the graph as-is"): clusters of
+    * visually identical/near images straight from the star+cross pair
+    * output, via the same star-alternation CC loop the text dedup path uses.
+    */
+  def imagePhashClusters(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      imagePhashPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("comp"))
+
   /** Deterministic PCM content for doc `id` (shared with the oracle):
     * 64 + id%64 mono 16-bit frames at 8 kHz, sample i =
     * ((id*131 + 17i) mod 65536) - 32768.
