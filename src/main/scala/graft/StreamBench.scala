@@ -227,11 +227,13 @@ object StreamBench {
     // of the reference's push loop. Expected to collapse the floor from the
     // micro-batch quantum (~0.1 s) to poll + pipeline cost (ms-class).
     def latencyProbeContinuous(label: String, nEvents: Int, gapMs: Long,
-                               pollMs: Int, epochInterval: String): Unit =
+                               pollMs: Int, epochInterval: String,
+                               partitions: Int = 1): Unit =
       try {
         val arrivals = ContinuousArrivals.map(label)
         val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
           .option("jdbcUrl", url).option("jdbcTable", "events")
+          .option("continuousPartitions", partitions.toString)
           .option("continuousPollMs", pollMs.toString).load()
         val q = CdcStream.statelessEvents(raw.as[CdcStream.RawChange])
           .writeStream.outputMode("append")
@@ -285,6 +287,10 @@ object StreamBench {
       }
     latencyProbeContinuous("continuous_poll2", nEvents = 120, gapMs = 30,
       pollMs = 2, epochInterval = "1 second")
+    // mod-4 readers: the scale-out shape must not tax the latency floor
+    // (four independent pollers, no coordination on the record path)
+    latencyProbeContinuous("continuous4_poll2", nEvents = 120, gapMs = 30,
+      pollMs = 2, epochInterval = "1 second", partitions = 4)
 
     // ... and the WHOLE reference architecture at continuous grain:
     // commit → tail-poll capture → jsonpb envelope → per-record-flush

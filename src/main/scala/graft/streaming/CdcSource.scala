@@ -229,16 +229,31 @@ object CdcSource {
     override def createReaderFactory(): PartitionReaderFactory = new FeedReaderFactory
   }
 
-  /** Per-reader progress in continuous mode (one reader here, see
-    * [[CdcContinuousStream]]): the highest event_id the reader has EMITTED —
-    * never the id it has merely fetched into its buffer; the epoch
-    * coordinator snapshots this at epoch boundaries, and a restart must not
-    * skip buffered-but-unemitted rows.
+  /** Per-reader progress in continuous mode: the highest event_id the
+    * reader has EMITTED — never the id it has merely fetched into its
+    * buffer; the epoch coordinator snapshots this at epoch boundaries, and
+    * a restart must not skip buffered-but-unemitted rows. `partition` is
+    * the reader's mod-class, so [[CdcContinuousStream.mergeOffsets]] can
+    * reassemble the per-partition map.
     */
-  case class CdcPartitionOffset(maxId: Long) extends PartitionOffset
+  case class CdcPartitionOffset(partition: Int, maxId: Long) extends PartitionOffset
+
+  /** Merged continuous offset: one high-water id per mod-partition. */
+  case class CdcContinuousOffset(maxIds: Map[Int, Long]) extends Offset {
+    override def json(): String =
+      maxIds.toSeq.sorted.map { case (p, id) => s""""$p":$id""" }
+        .mkString("{\"maxIds\":{", ",", "}}")
+  }
+  object CdcContinuousOffset {
+    private val Pair = """"(\d+)":(-?\d+)""".r
+    def fromJson(s: String): CdcContinuousOffset =
+      CdcContinuousOffset(
+        Pair.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+  }
 
   case class ContinuousIdPartition(spec: FeedSpec, startExclusive: Long,
-                                   pollMs: Long) extends InputPartition
+                                   pollMs: Long, partition: Int = 0,
+                                   numPartitions: Int = 1) extends InputPartition
 
   /** Continuous-processing counterpart of [[CdcMicroBatchStream]] — the
     * LATENCY path (`Trigger.Continuous`). Where a micro-batch pays
@@ -249,12 +264,15 @@ object CdcSource {
     * commit, and epoch bookkeeping (offset snapshots every
     * `Trigger.Continuous(interval)`) happens OFF the record path. This is
     * the topology of the reference's listener loop itself (one LISTEN
-    * connection pushing rows as they commit, `server.go:98-109`) — which is
-    * why it is deliberately a SINGLE partition: the reference's subscriber
-    * is one connection, backlog catch-up is the micro-batch mode's job
-    * (id-range split across readers), and Spark restricts continuous
-    * queries to map-like stages anyway, so there is no shuffle a second
-    * reader could feed.
+    * connection pushing rows as they commit, `server.go:98-109`) — the
+    * DEFAULT is therefore a single partition. For ingest scale-out past
+    * one connection's ceiling, `numPartitions = N > 1` splits the id space
+    * by mod-class: reader k consumes `event_id % N = k` with its own
+    * offset ([[CdcPartitionOffset]]), merged into a per-partition map
+    * ([[CdcContinuousOffset]]) at epoch boundaries — N independent tail
+    * pollers, no coordination on the record path (Spark restricts
+    * continuous queries to map-like stages, so there is no shuffle to
+    * feed; fan-out parallelism is exactly what the stage shape can use).
     *
     * Delivery: at-least-once at epoch grain (a crash between epoch commits
     * replays the open epoch — Spark's continuous-mode contract), vs the
@@ -264,15 +282,31 @@ object CdcSource {
     * Legal stages on top: projections/filters only — exactly the
     * [[CdcStream.statelessEvents]] subscriber shape.
     */
-  class CdcContinuousStream(spec: FeedSpec, pollMs: Long) extends ContinuousStream {
-    override def initialOffset(): Offset = CdcOffset(-1L)
-    override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+  class CdcContinuousStream(spec: FeedSpec, pollMs: Long,
+                            numPartitions: Int = 1) extends ContinuousStream {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    override def initialOffset(): Offset =
+      CdcContinuousOffset((0 until numPartitions).map(_ -> -1L).toMap)
+    override def deserializeOffset(json: String): Offset =
+      if (json.contains("maxIds")) CdcContinuousOffset.fromJson(json)
+      else CdcOffset.fromJson(json) // pre-partitioned (r7.0) checkpoint form
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
-    override def planInputPartitions(start: Offset): Array[InputPartition] =
-      Array(ContinuousIdPartition(spec, start.asInstanceOf[CdcOffset].maxId, pollMs))
+    override def planInputPartitions(start: Offset): Array[InputPartition] = {
+      // a legacy single-scalar offset is a correct start for EVERY
+      // mod-class: all ids <= maxId were emitted before the checkpoint
+      val starts: Int => Long = start match {
+        case c: CdcContinuousOffset => p => c.maxIds.getOrElse(p, -1L)
+        case o: CdcOffset           => _ => o.maxId
+      }
+      (0 until numPartitions).map { p =>
+        ContinuousIdPartition(spec, starts(p), pollMs, p, numPartitions): InputPartition
+      }.toArray
+    }
     override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
-      CdcOffset(offsets.map(_.asInstanceOf[CdcPartitionOffset].maxId).max)
+      CdcContinuousOffset(offsets.map { o =>
+        val c = o.asInstanceOf[CdcPartitionOffset]; c.partition -> c.maxId
+      }.toMap)
     override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
       new ContinuousFeedReaderFactory
   }
@@ -281,24 +315,24 @@ object CdcSource {
     override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] = {
       val part = p.asInstanceOf[ContinuousIdPartition]
       part.spec match {
-        case j: JdbcSpec => new JdbcContinuousReader(j, part.startExclusive, part.pollMs)
-        case other => new PollingContinuousReader(resolve(other), part.startExclusive, part.pollMs)
+        case j: JdbcSpec => new JdbcContinuousReader(j, part)
+        case other => new PollingContinuousReader(resolve(other), part)
       }
     }
   }
 
   /** Tail poller over a [[ChangeFeed]] (memory/synthetic feeds — in-JVM, so
-    * per-poll fetch cost is negligible). `next()` blocks until a row is
-    * available: Spark's continuous engine runs it on a dedicated reader
-    * thread and injects epoch markers from outside, so blocking here is the
-    * intended idiom (the built-in rate source sleeps the same way); query
-    * stop interrupts the thread and ends the task.
+    * per-poll fetch cost is negligible; the mod-class filter runs locally
+    * on the fetched slice). `next()` blocks until a row is available:
+    * Spark's continuous engine runs it on a dedicated reader thread and
+    * injects epoch markers from outside, so blocking here is the intended
+    * idiom (the built-in rate source sleeps the same way); query stop
+    * interrupts the thread and ends the task.
     */
-  final class PollingContinuousReader(feed: ChangeFeed, startExclusive: Long,
-                                      pollMs: Long)
+  final class PollingContinuousReader(feed: ChangeFeed, part: ContinuousIdPartition)
       extends ContinuousPartitionReader[InternalRow] {
-    private var emitted = startExclusive
-    private var fetchedTo = startExclusive
+    private var emitted = part.startExclusive
+    private var fetchedTo = part.startExclusive
     private var buf: Iterator[CdcStream.RawChange] = Iterator.empty
     private var cur: CdcStream.RawChange = _
     override def next(): Boolean = {
@@ -306,13 +340,15 @@ object CdcSource {
         val latest = feed.latestId()
         if (latest > fetchedTo) {
           buf = feed.fetch(fetchedTo, latest).iterator
+            .filter(r => part.numPartitions == 1 ||
+              r.event_id % part.numPartitions == part.partition)
           fetchedTo = latest
-        } else Thread.sleep(pollMs)
+        } else Thread.sleep(part.pollMs)
       }
       cur = buf.next(); emitted = cur.event_id; true
     }
     override def get(): InternalRow = toInternalRow(cur)
-    override def getOffset: PartitionOffset = CdcPartitionOffset(emitted)
+    override def getOffset: PartitionOffset = CdcPartitionOffset(part.partition, emitted)
     override def close(): Unit = ()
   }
 
@@ -321,16 +357,22 @@ object CdcSource {
     * for a few calls per micro-batch, wrong at ms poll cadence (a Derby/
     * Postgres connection open costs more than the poll budget). One
     * round-trip per poll: `WHERE event_id > last ORDER BY event_id` both
-    * detects and fetches new rows (no separate MAX() probe).
+    * detects and fetches new rows (no separate MAX() probe). In mod-N mode
+    * the class predicate is pushed into the SQL, so each reader's
+    * round-trips carry only its own rows (constants are validated ints —
+    * no injection surface).
     */
-  final class JdbcContinuousReader(spec: JdbcSpec, startExclusive: Long,
-                                   pollMs: Long)
+  final class JdbcContinuousReader(spec: JdbcSpec, part: ContinuousIdPartition)
       extends ContinuousPartitionReader[InternalRow] {
     private val conn = java.sql.DriverManager.getConnection(spec.url)
     private val ps = conn.prepareStatement(
       s"SELECT event_id, ts, user_id, event_type, props FROM ${spec.table}" +
-        " WHERE event_id > ? ORDER BY event_id")
-    private var emitted = startExclusive
+        " WHERE event_id > ?" +
+        (if (part.numPartitions > 1)
+           s" AND MOD(event_id, ${part.numPartitions}) = ${part.partition}"
+         else "") +
+        " ORDER BY event_id")
+    private var emitted = part.startExclusive
     private var buf: Iterator[CdcStream.RawChange] = Iterator.empty
     private var cur: CdcStream.RawChange = _
     override def next(): Boolean = {
@@ -342,17 +384,18 @@ object CdcSource {
           rows += CdcStream.RawChange(rs.getLong(1), rs.getTimestamp(2),
             rs.getLong(3), rs.getString(4), rs.getString(5))
         rs.close()
-        if (rows.nonEmpty) buf = rows.iterator else Thread.sleep(pollMs)
+        if (rows.nonEmpty) buf = rows.iterator else Thread.sleep(part.pollMs)
       }
       cur = buf.next(); emitted = cur.event_id; true
     }
     override def get(): InternalRow = toInternalRow(cur)
-    override def getOffset: PartitionOffset = CdcPartitionOffset(emitted)
+    override def getOffset: PartitionOffset = CdcPartitionOffset(part.partition, emitted)
     override def close(): Unit = conn.close()
   }
 
   class CdcTable(spec: FeedSpec, numPartitions: Int,
-                 rescanWindow: Long = 0L, pollMs: Long = 2L)
+                 rescanWindow: Long = 0L, pollMs: Long = 2L,
+                 contPartitions: Int = 1)
       extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
@@ -364,7 +407,7 @@ object CdcSource {
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(spec, numPartitions, rescanWindow)
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
-          new CdcContinuousStream(spec, pollMs)
+          new CdcContinuousStream(spec, pollMs, contPartitions)
       }
   }
 }
@@ -392,6 +435,12 @@ class CdcSourceProvider extends TableProvider {
     // micro-batch polling is trigger-driven and ignores this)
     val pollMs = Option(opts.get("continuousPollMs")).map(_.toLong).getOrElse(2L)
     require(pollMs >= 1L, s"continuousPollMs must be >= 1, got $pollMs")
+    // mod-class reader count for Trigger.Continuous (default 1 — the
+    // reference's one-LISTEN-connection topology); separate from the
+    // micro-batch "numPartitions" because the two modes parallelize
+    // DIFFERENT things (id-range backlog splits vs independent tail pollers)
+    val contParts = Option(opts.get("continuousPartitions")).map(_.toInt).getOrElse(1)
+    require(contParts >= 1, s"continuousPartitions must be >= 1, got $contParts")
     val spec: CdcSource.FeedSpec = Option(opts.get("jdbcUrl")) match {
       case Some(url) =>
         CdcSource.JdbcSpec(url,
@@ -405,6 +454,6 @@ class CdcSourceProvider extends TableProvider {
         case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
       }
     }
-    new CdcSource.CdcTable(spec, parts, rescan, pollMs)
+    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts)
   }
 }
