@@ -86,6 +86,24 @@ object Graft {
         .as[graft.streaming.DedupStream.BandRowV], threshold, stateTtl)
   }
 
+  /** Online SEMANTIC near-dup judgment — batch SemDeDup's greedy, streamed:
+    * nearest-centroid assignment against a static centroid broadcast, then
+    * per-cluster exemplar state with the rounded-cosine drop predicate.
+    * Row-for-row batch parity pinned by `SemDedupStreamSpec`. `vecs` is a
+    * streaming (vec_id, v: array<double>) frame; `staticCorpus` supplies
+    * the centroids (the batch rule: `nlist` lowest-id vectors).
+    */
+  def semDedupStream(vecs: DataFrame, staticCorpus: DataFrame, nlist: Int = 16,
+                     tau: Double = 0.4, clusterCap: Int = 256,
+                     stateTtl: Option[String] = None): Dataset[graft.streaming.SemDedupStream.Judged] = {
+    import vecs.sparkSession.implicits._
+    graft.streaming.SemDedupStream.judged(
+      graft.streaming.SemDedupStream.assign(vecs,
+        graft.streaming.SemDedupStream.centroids(staticCorpus, nlist))
+        .as[graft.streaming.SemDedupStream.VecRow],
+      tau, clusterCap, stateTtl)
+  }
+
   // ===== similarity (embeddings: (vec_id, embedding)) =====
 
   /** Brute-force cosine top-k neighbors of vector `queryId` (fused native

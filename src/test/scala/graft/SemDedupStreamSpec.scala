@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Similarity
+import graft.streaming.SemDedupStream
+import graft.streaming.SemDedupStream.{Judged, VecRow}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Online semantic dedup vs batch SemDeDup: the same corpus (embeddings +
+  * planted semantic clones, the `Similarity.semDedup` fixture) replayed as
+  * a stream in vec_id order must reproduce the batch (vec_id, bucket,
+  * kept) table row for row — assignment expression, exemplar-cap
+  * discipline, and the rounded-cosine greedy predicate all bit-parity.
+  */
+class SemDedupStreamSpec extends SparkSuite {
+
+  test("streamed semantic judgments equal batch semDedupDf row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+    val corpus = base.unionAll(planted)
+
+    val batch = Similarity.semDedupDf(corpus)
+      .select(col("vec_id"), col("bucket"), col("kept"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, b, k) => id -> (b, k) }.toMap
+
+    val cents = SemDedupStream.centroids(corpus)
+    val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val assigned = SemDedupStream.assign(
+      input.toDS().toDF("vec_id", "v"), cents).as[VecRow]
+    val q = SemDedupStream.judged(assigned)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semdedup_stream").as[Judged].collect()
+      assert(streamed.length == batch.size,
+        s"${streamed.length} streamed vs ${batch.size} batch rows")
+      streamed.foreach { j =>
+        val (b, k) = batch(j.vec_id)
+        assert(j.bucket == b, s"vec ${j.vec_id}: bucket ${j.bucket} != batch $b")
+        assert(j.kept == k, s"vec ${j.vec_id}: kept ${j.kept} != batch $k")
+      }
+      // the fixture must exercise real drops (planted clones read cos 1.0)
+      assert(streamed.exists(!_.kept), "no drops — fixture degenerate")
+    } finally q.stop()
+  }
+}
