@@ -76,6 +76,48 @@ object Dedup {
       .otherwise(transform(slice(sortedIds, lit(2), size(sortedIds)), y =>
         struct(element_at(sortedIds, 1).as("doc_a"), y.as("doc_b"))))
 
+  /** [[cappedPairs]] semantics WITHOUT the O(c) ids row for degenerate
+    * buckets. `rows` is (keys..., m) at member grain; output is one `p =
+    * (doc_a, doc_b)` struct column with exactly the pairs [[cappedPairs]]
+    * would emit — all pairs while the bucket is within `cap`, the min-hub
+    * star beyond it. The difference is WHERE the over-cap bucket lives:
+    * `cappedPairs` first collects every member into one array cell (an
+    * unspillable single-row aggregation buffer — 8-16 B/member is survivable
+    * at 10^6 but unbounded in principle), here the bucket census is a
+    * constant-size partial agg (`count` + `min` = the hub), and over-cap
+    * buckets emit their star as per-member ROWS off the census join — no
+    * task ever holds a row proportional to the bucket. In-cap buckets still
+    * collect (bounded by `cap` by construction, because the census filter
+    * runs BEFORE the collect). The one shuffle of `rows` by the bucket key
+    * is made explicit (`repartition`) so the census aggregate, the census
+    * join, and the in-cap collect all reuse the same exchange. The census
+    * side is corpus-derived — merge hint, never broadcast. The `c > 1`
+    * census cut also drops singleton buckets (the vast majority) before the
+    * join, so only collision rows flow downstream.
+    */
+  private[graft] def bucketedCappedPairs(rows: DataFrame, keys: Seq[String],
+                                         cap: Int): DataFrame = {
+    val ks = keys.map(col)
+    val part = rows.repartition(ks: _*)
+    val census = part.groupBy(ks: _*)
+      .agg(count(lit(1)).as("c"), min(col("m")).as("hub"))
+      .filter(col("c") > 1)
+    val joined = part.join(census.hint("merge"), keys)
+    // the hub.isNotNull residual is a semantic no-op (min over a non-empty
+    // group of non-null structs) but keeps `hub` referenced in this branch:
+    // without it column pruning specializes the census subtree per union
+    // branch into two DIFFERENT canonical exchanges, and the upstream
+    // band/fingerprint pass runs once per branch instead of once per query
+    // (pinned by PlanSpec's one-runtime-scan check)
+    val inCap = joined.filter(col("c") <= cap && col("hub").isNotNull)
+      .groupBy(ks: _*)
+      .agg(sort_array(collect_list(col("m"))).as("ids"))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+    val star = joined.filter(col("c") > cap && col("m") =!= col("hub"))
+      .select(struct(col("hub").as("doc_a"), col("m").as("doc_b")).as("p"))
+    inCap.unionByName(star)
+  }
+
   /** Distinct word 3-gram shingles per document: (doc_id, shingle) rows.
     * Narrow (no shuffle) until the downstream aggregation.
     */
@@ -188,20 +230,22 @@ object Dedup {
       numHashes, rowsPerBand, bucketCap)
 
   /** DataFrame-level core of [[minhashCandidates]]. `bucketCap` bounds
-    * per-bucket pair output via [[cappedPairs]] (star fallback): buckets are
-    * min-hash collisions, so a c-sized cluster of near-identical docs fills
-    * one bucket per band — without the cap that is numBands x O(c^2) pairs.
-    * The default cap is far above any natural bucket in the testdata (sf0.1
-    * has 5k docs total), so verified results are cap-invariant there.
+    * per-bucket pair output (star fallback, [[bucketedCappedPairs]]): buckets
+    * are min-hash collisions, so a c-sized cluster of near-identical docs
+    * fills one bucket per band — without the cap that is numBands x O(c^2)
+    * pairs, and without the census-first shape a viral bucket is also an
+    * O(c) unspillable aggregation row. The default cap is far above any
+    * natural bucket in the testdata (sf0.1 has 5k docs total), so verified
+    * results are cap-invariant there.
     */
   def minhashCandidatesDf(docs: DataFrame, numHashes: Int = DefaultNumHashes,
                           rowsPerBand: Int = DefaultRowsPerBand,
                           bucketCap: Int = 10000): DataFrame =
-    bandFrame(docs, numHashes, rowsPerBand)
-      .groupBy(col("band.band_id"), col("band.sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(cappedPairs(col("ids"), bucketCap)).as("p"))
+    bucketedCappedPairs(
+      bandFrame(docs, numHashes, rowsPerBand)
+        .select(col("band.band_id").as("band_id"), col("band.sig").as("sig"),
+          col("doc_id").as("m")),
+      Seq("band_id", "sig"), bucketCap)
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
 
@@ -221,6 +265,32 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
   }
 
+  /** Inverted-index posting lists (key, sorted doc ids) with a COUNT-FIRST
+    * document-frequency cut. Per-key frequencies come from a partial-agg
+    * `count` (constant-size counters, map-side combined) and keys outside
+    * (1, dfCap] are dropped via a key-local semi-join BEFORE any posting
+    * list is collected — a stop-shingle present in the whole corpus costs an
+    * 8-byte counter and a streamed merge-join drop, never an O(corpus)
+    * `collect_list` aggregation buffer (the single-task OOM a filter placed
+    * ABOVE the collect cannot prevent: the buffer fills before the row is
+    * discarded). Results are identical to filtering after the collect — the
+    * dropped keys were dropped anyway — so oracles are untouched. The semi
+    * side is corpus-derived (an agg output Catalyst can't size and that
+    * grows with the data) — merge hint, never broadcast, same rule as
+    * [[substringDupDf]]'s membership join. The surviving groupBy reuses the
+    * semi-join's key partitioning, so the big side shuffles once.
+    */
+  private[graft] def cappedPostings(keyed: DataFrame, key: String,
+                                    dfCap: Int): DataFrame = {
+    val inCap = keyed.groupBy(col(key))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= dfCap)
+      .select(col(key))
+    keyed.join(inCap.hint("merge"), Seq(key), "left_semi")
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
   /** Exact n-gram Jaccard similarity via inverted-index join: only pairs
     * sharing at least one shingle are generated; Jaccard from integer
     * intersection/union counts (deterministic double division).
@@ -234,8 +304,10 @@ object Dedup {
     * (a stop-shingle — boilerplate, license headers) is dropped from the index
     * entirely, because one n-doc posting list explodes into O(n^2) pairs while
     * contributing almost no discriminative signal. This is the standard df cut
-    * from near-dup literature; it bounds BOTH the posting-row size and the
-    * pair blowup. Jaccard for surviving pairs then underestimates by at most
+    * from near-dup literature; applied COUNT-FIRST ([[cappedPostings]]) it
+    * bounds BOTH the posting-row size and the pair blowup — the over-cap key
+    * is cut before its posting list ever aggregates, so no task buffers a
+    * corpus-scale row. Jaccard for surviving pairs then underestimates by at most
     * the dropped shingles' mass — with the default cap above the corpus size
     * at test SF, results are exact there.
     */
@@ -253,11 +325,9 @@ object Dedup {
     // shuffle bytes are the scale bottleneck; the oracle keys on the
     // identical hash, so a collision — ~1e-10 at this cardinality — cannot
     // break parity)
-    val shared = shingles(docs)
-      .select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle"))
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+    val shared = cappedPostings(
+        shingles(docs).select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle")),
+        "shingle", dfCap)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -297,11 +367,9 @@ object Dedup {
     val sizes = docs.select(col("doc_id"),
         size(shingleArray(col("text"))).cast("long").as("n_sh"))
       .filter(col("n_sh") > 0)
-    val shared = shingles(docs)
-      .select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle"))
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+    val shared = cappedPostings(
+        shingles(docs).select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle")),
+        "shingle", dfCap)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -614,7 +682,8 @@ object Dedup {
     * recall beyond). Candidates are verified in-row with the EXACT Hamming
     * distance — `bit_count(a XOR b)` — so precision is exact; like the other
     * generators, pair explosion is bucket-local (one groupBy shuffle keyed on
-    * the band, [[cappedPairs]]-guarded against viral-boilerplate buckets),
+    * the band, [[bucketedCappedPairs]]-guarded against viral-boilerplate
+    * buckets — census-first, so the viral bucket never collects),
     * never all-pairs.
     */
   /** Content-defined chunking dedup (the FastCDC/LBFS rolling-window family,
@@ -679,12 +748,13 @@ object Dedup {
     }
     val hamming = bit_count(col("p.doc_a.simhash").bitwiseXOR(col("p.doc_b.simhash")))
       .cast("long")
-    fp.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("band"))
-      .groupBy(col("band.band_id"), col("band.key"))
-      // struct sort orders by doc_id (first field) — deterministic pair ids
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(cappedPairs(col("xs"), bucketCap)).as("p"))
+    // struct member orders by doc_id (first field) — deterministic pair ids
+    // and a deterministic min-hub, same as the sorted-collect it replaces
+    bucketedCappedPairs(
+      fp.select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("band"))
+        .select(col("band.band_id").as("band_id"), col("band.key").as("key"),
+          struct(col("doc_id"), col("simhash")).as("m")),
+      Seq("band_id", "key"), bucketCap)
       .select(col("p.doc_a.doc_id").as("doc_a"), col("p.doc_b.doc_id").as("doc_b"),
         hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -864,10 +934,7 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val truth = hv
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= dfCap)
+    val truth = cappedPostings(hv, "h", dfCap)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -252,6 +252,59 @@ class DedupBoundsSpec extends SparkSuite {
     assert(!full(10L) && full(9L), s"uncapped-regime semantics must drop the dup: $full")
   }
 
+  /** (collect_list aggregates in the optimized plan, how many of them sit
+    * ABOVE a join). The census/count-first shape puts the membership join
+    * BELOW every posting/bucket collect, so the collect's input is already
+    * cut to the cap — the pre-r8 shape had no join under the aggregate and
+    * buffered the degenerate group before its filter could drop it.
+    */
+  private def collectAggGuards(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.toLowerCase.contains("collect_list")) => a
+    }
+    (aggs.length, aggs.count(_.collectFirst { case j: Join => j }.nonEmpty))
+  }
+
+  test("df cut is count-first: stop-shingle postings are cut before they aggregate") {
+    import spark.implicits._
+    // 12 docs share vocabulary A (every A-shingle has df 12 > cap -> the
+    // whole A index is cut), 5 docs share vocabulary B (df 5 <= cap -> kept)
+    val docs = ((0 until 12).map(i => (i.toLong, "a0 a1 a2 a3 a4")) ++
+      (0 until 5).map(i => (100L + i, "b0 b1 b2 b3 b4"))).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardDf(docs, threshold = 0.05, dfCap = 10)
+    // the A cluster contributes NOTHING; the B cluster pairs exactly
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 10 && pairs.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"expected only the C(5,2)=10 in-cap B pairs, got ${pairs.toSeq}")
+    // plan pin: the posting collect sits ABOVE the df-census semi-join, so
+    // the over-cap key is dropped before any posting buffer exists
+    val (nAgg, nGuarded) = collectAggGuards(out)
+    assert(nAgg >= 1 && nGuarded == nAgg,
+      s"every collect_list must be census-guarded: $nGuarded/$nAgg")
+    val (cAgg, cGuarded) = collectAggGuards(Dedup.containmentDf(docs, dfCap = 10))
+    assert(cAgg >= 1 && cGuarded == cAgg, s"containment: $cGuarded/$cAgg")
+    val (lAgg, lGuarded) = collectAggGuards(Dedup.lshCalibrationDf(docs, dfCap = 10))
+    assert(lAgg >= 1 && lGuarded == lAgg, s"lsh calibration: $lGuarded/$lAgg")
+  }
+
+  test("band buckets are census-first: a 100k-member degenerate bucket never collects") {
+    // the full viral-boilerplate scenario: every doc identical, so ONE bucket
+    // per band holds all 100k members. The census (count+min partial agg)
+    // routes the bucket to the star branch; the collect branch's input is
+    // filtered to c <= cap BEFORE the aggregate, so no task ever buffers an
+    // O(100k) ids row. Output is still the connectivity-preserving star.
+    val docs = identicalDocs(100000)
+    val out = Dedup.minhashCandidatesDf(docs, bucketCap = 100)
+    val (nAgg, nGuarded) = collectAggGuards(out)
+    assert(nAgg >= 1 && nGuarded == nAgg,
+      s"every bucket collect must be census-guarded: $nGuarded/$nAgg")
+    assert(out.count() == 99999L, "hub star: one pair per non-hub member")
+    val (sAgg, sGuarded) = collectAggGuards(Dedup.simhashPairs(spark, sf))
+    assert(sAgg >= 1 && sGuarded == sAgg, s"simhash: $sGuarded/$sAgg")
+  }
+
   test("ann lsh: oversized buckets are truncated to the cap before pairing") {
     import spark.implicits._
     val vec = Array.tabulate(Similarity.Dim)(d => (d + 1).toDouble)

@@ -245,13 +245,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("ops_simhash_pairs: band buckets via partial-agg'd groupBy, no self-join of the fingerprint subtree") {
+  test("ops_simhash_pairs: census-first banding shares ONE runtime fingerprint subtree") {
     val p = plan("ops_simhash_pairs")
-    // one scan of documents: the fingerprint feeds banding once; a self-join
-    // design would compute the simhash aggregation per join side
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"fingerprint subtree computed more than once:\n$p")
     assert(p.contains("partial_"), p)
+    // the census-first bucket shape references the band frame from the
+    // census aggregate, the census join, and both union branches — all of
+    // them must share the ONE explicit band-key repartition at runtime
+    // (ReusedExchange), so documents is scanned and fingerprinted once,
+    // not once per branch
+    val df = SparkEntry.queries("ops_simhash_pairs")(spark, sf)
+    df.collect()
+    // the adaptive plan prints Final Plan then Initial Plan — only the
+    // final section reflects what actually ran
+    val ran = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(ran.contains("ReusedExchange"), s"band frame rebuilt per branch:\n$ran")
+    val scans = ran.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly 1 runtime documents scan, got $scans:\n$ran")
   }
 
   test("ops_text_search: term prefilter pushed to the parquet scan; top-k heap, partial agg") {
