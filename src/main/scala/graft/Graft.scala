@@ -147,9 +147,13 @@ object Graft {
     * Event envelope) — wired for `Trigger.Continuous`. Start it with
     * {{{
     * Graft.liveTail(spark, url, "events")
+    *   .select(lit("events").as("table"), col("event")) // the (table, event) wire shape
     *   .writeStream.foreach(ListenSink.continuousWriter(host, port))
     *   .trigger(Trigger.Continuous("5 seconds")).start()
     * }}}
+    * ([[graft.streaming.ListenSink.continuousWriter]] reads rows as
+    * (table, event) strings — the select is the adapter between the tail's
+    * (event_id, ts, event) probe shape and the wire.)
     * Delivery is at-least-once at epoch grain; only projections/filters may
     * be added on top (Spark's continuous-mode restriction). Subscribers
     * that need `previous`/`changes` use [[cdcStream]] + [[withPrevImages]]

@@ -583,18 +583,24 @@ object TextStats {
     * tables follow Heaps' law.
     */
   def knBigramLm(spark: SparkSession, sfDir: String, minCount: Int = 10): DataFrame =
-    knScoredTable(Tables.load(spark, sfDir, "documents"))
-      .filter(col("c12") >= minCount)
+    knScoredTable(Tables.load(spark, sfDir, "documents"), minCount)
       .select(col("w1"), col("w2"), col("c12"),
         expr("CAST((c12 * 1000000) DIV c1 AS BIGINT)").as("p_mle_micro"),
         expr("CAST((numer * 1000000) DIV denom AS BIGINT)").as("p_kn_micro"))
 
-  /** Shared KN scoring core: the full bigram-type table with the exact
-    * rational (numer, denom) per type. [[knBigramLm]] reads the micro-prob
-    * contract from it; [[knPerplexity]] consumes the UNfiltered table (a
+  /** Shared KN scoring core: the bigram-type table with the exact rational
+    * (numer, denom) per type. [[knBigramLm]] reads the micro-prob contract
+    * from it; [[knPerplexity]] consumes the UNfiltered table (a
     * training-corpus bigram always has c12 >= 1, so scoring never misses).
+    * `minCount` prunes the JOIN INPUT, not just the output: the LM
+    * statistics (c1, continuation counts, type count) always aggregate the
+    * full type table — they define the model — but a reporting cut like
+    * knBigramLm's default 10 keeps only ~the head of the Zipf curve, so
+    * filtering the left side before the three joins shuffles a fraction of
+    * the types (results identical: the filter is on a left-side column, so
+    * it commutes with the equi-joins).
     */
-  private def knScoredTable(docs: DataFrame): DataFrame = {
+  private def knScoredTable(docs: DataFrame, minCount: Int = 1): DataFrame = {
     val bg = graft.functions.WordBigramsKernel.bigrams(col("text"))
     // the bigram-type table feeds FOUR consumers (the joined counts, both
     // continuation aggregations, and the type-count scalar) — checkpoint it
@@ -609,7 +615,7 @@ object TextStats {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
     val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
     val types = c12.agg(count(lit(1)).as("t_types"))
-    c12
+    (if (minCount > 1) c12.filter(col("c12") >= minCount) else c12)
       .join(left, Seq("w1"))
       .join(right, Seq("w2"))
       .join(broadcast(types))

@@ -365,13 +365,21 @@ object CdcSource {
   final class JdbcContinuousReader(spec: JdbcSpec, part: ContinuousIdPartition)
       extends ContinuousPartitionReader[InternalRow] {
     private val conn = java.sql.DriverManager.getConnection(spec.url)
+    // per-poll row cap: first start (or restart after long downtime) against
+    // a large table would otherwise pull the ENTIRE backlog into one
+    // in-memory buffer — the poll loop re-issues from the last emitted id
+    // until the tail is drained, so the cap bounds memory without changing
+    // what is delivered. FETCH FIRST is ANSI (Derby/Postgres/Oracle);
+    // setFetchSize streams each capped result in driver-side chunks too.
+    private val maxRowsPerPoll = 10000
     private val ps = conn.prepareStatement(
       s"SELECT event_id, ts, user_id, event_type, props FROM ${spec.table}" +
         " WHERE event_id > ?" +
         (if (part.numPartitions > 1)
            s" AND MOD(event_id, ${part.numPartitions}) = ${part.partition}"
          else "") +
-        " ORDER BY event_id")
+        s" ORDER BY event_id FETCH FIRST $maxRowsPerPoll ROWS ONLY")
+    ps.setFetchSize(1000)
     private var emitted = part.startExclusive
     private var buf: Iterator[CdcStream.RawChange] = Iterator.empty
     private var cur: CdcStream.RawChange = _
@@ -384,6 +392,8 @@ object CdcSource {
           rows += CdcStream.RawChange(rs.getLong(1), rs.getTimestamp(2),
             rs.getLong(3), rs.getString(4), rs.getString(5))
         rs.close()
+        // a FULL batch means backlog remains: loop again immediately (the
+        // next probe starts past this batch's last id) instead of sleeping
         if (rows.nonEmpty) buf = rows.iterator else Thread.sleep(part.pollMs)
       }
       cur = buf.next(); emitted = cur.event_id; true

@@ -62,18 +62,27 @@ object Listen {
     * Pure codegen'd `concat`/`when` — runs distributed, never on the hub.
     */
   /** JSON string-escape for the spliced envelope values: backslash, quote,
-    * and the control characters that would also break the newline-delimited
-    * framing. jsonpb escapes every string field unconditionally — a table
-    * named `a"b` must reach the wire as `a\"b`, not as invalid JSON. Pure
-    * codegen'd `regexp_replace` chain (backslash FIRST so later escapes
-    * aren't double-escaped).
+    * the short-form control escapes, and EVERY remaining U+0000–U+001F in
+    * backslash-u-XXXX form — jsonpb escapes string fields unconditionally,
+    * so a table named `a"b` must reach the wire as `a\"b` and an embedded
+    * U+0001 as its four-hex-digit escape, never as invalid JSON (or a
+    * broken newline-delimited frame).
+    * Pure codegen'd `regexp_replace` chain (backslash FIRST so later
+    * escapes aren't double-escaped); in practice schema/table are literals,
+    * so the whole chain constant-folds at plan time, and the per-row inputs
+    * (op, id) are short enum/number strings.
     */
   private def jsonEscape(c: Column): Column = {
-    val bs = regexp_replace(c, "\\\\", "\\\\\\\\")
-    val q  = regexp_replace(bs, "\"", "\\\\\"")
-    val n  = regexp_replace(q, "\n", "\\\\n")
-    val r  = regexp_replace(n, "\r", "\\\\r")
-    regexp_replace(r, "\t", "\\\\t")
+    val named = Seq(
+      "\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+      "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+    // the 29 control characters without a short escape, each to its
+    // four-hex-digit backslash-u escape
+    val rest = (0x00 to 0x1f).filterNot(Seq(0x09, 0x0a, 0x0d).contains)
+      .map(cp => "\\x%02x".format(cp) -> "\\\\u%04x".format(cp))
+    (named ++ rest).foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
   }
 
   def eventJson(schema: Column, table: Column, op: Column, id: Column,
