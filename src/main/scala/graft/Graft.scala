@@ -104,6 +104,28 @@ object Graft {
       tau, clusterCap, stateTtl)
   }
 
+  /** Online MEDIA near-dup — images/audio deduped as the crawl lands,
+    * completing the modality set (text [[dedupStreamVerified]], embeddings
+    * [[semDedupStream]]): real-codec fingerprints per arriving row, Hamming
+    * band buckets, and class-grain exemplar state that emits the batch
+    * twins' lossless star factorization online (pair-for-pair parity with
+    * `Multimodal.imagePhashPairs`/`audioFpPairs` pinned by
+    * `MediaDedupStreamSpec`). `media` is a streaming
+    * (doc_id, media: binary, media_type) frame of PNGs or WAVs.
+    */
+  def mediaDedupStream(media: Dataset[graft.ops.Multimodal.MediaRow],
+                       image: Boolean = true, maxHamming: Int = 3,
+                       stateTtl: Option[String] = None): Dataset[graft.streaming.DedupStream.FpEdge] = {
+    val fps =
+      if (image) graft.streaming.DedupStream.imageFingerprints(media)
+      else graft.streaming.DedupStream.audioFingerprints(media)
+    val banding =
+      if (image) graft.streaming.DedupStream.ImageBanding
+      else graft.streaming.DedupStream.AudioBanding
+    graft.streaming.DedupStream.fpVerifiedPairs(
+      graft.streaming.DedupStream.fpBandRows(fps, banding), maxHamming, stateTtl)
+  }
+
   // ===== similarity (embeddings: (vec_id, embedding)) =====
 
   /** Brute-force cosine top-k neighbors of vector `queryId` (fused native

@@ -180,6 +180,152 @@ object DedupStream {
         }
     }
 
+  // ===== media modality: fingerprint streams through the SAME machinery =====
+  // "Dedup the crawl as it lands" for images/audio: the batch side
+  // ([[graft.ops.Multimodal.imagePhashPairs]] / [[Multimodal.audioFpPairs]])
+  // is real-codec fingerprint -> Hamming banding; the streaming side runs
+  // the identical fingerprint kernels per arriving row (the codec pass is a
+  // narrow mapPartitions — exactly as batch) and reuses the bucket-exemplar
+  // state machine above. Media state is CHEAPER than the text verify stage:
+  // the exemplar carries one 64-bit fingerprint instead of a shingle-hash
+  // set, and verification in the handler is one XOR+popcount — so the
+  // verified edge stream costs what the text path's candidates-only mode
+  // costs. Like the batch twins, candidates are generated by pigeonhole
+  // banding (any pair within `maxHamming` shares >= 1 full band), so a
+  // near-dup of a bucket exemplar is never missed at the threshold.
+
+  case class FpRow(doc_id: Long, fp: Long)
+  case class FpBandRow(key: String, doc_id: Long, band_id: Int, fp: Long)
+  case class FpExemplar(doc_id: Long, fp: Long)
+  case class FpEdge(doc_id: Long, dup_of: Long, band_id: Int, hamming: Long)
+
+  /** A modality's Hamming banding: fingerprint width, bits per band, and a
+    * key prefix so image and audio buckets can share one state store
+    * without colliding. The configs mirror the batch pair generators
+    * bit-for-bit (image: 56-bit dHash in 4x14; audio: 31-bit energy
+    * envelope in 8+8+8+7).
+    */
+  final case class FpBanding(nBits: Int, bandBits: Int, prefix: String) {
+    def numBands: Int = (nBits + bandBits - 1) / bandBits
+  }
+  val ImageBanding: FpBanding = FpBanding(56, 14, "img")
+  val AudioBanding: FpBanding = FpBanding(31, 8, "aud")
+
+  /** Streaming fingerprint stage, image: the REAL PNG codec kernel
+    * ([[graft.ops.Multimodal.pngPhash]]) per arriving media row — identical
+    * bits to the batch fingerprint table by construction (same function).
+    */
+  def imageFingerprints(media: Dataset[graft.ops.Multimodal.MediaRow]): Dataset[FpRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(graft.ops.Multimodal.pngPhash)
+      .map(r => FpRow(r.doc_id, r.phash))
+  }
+
+  /** Streaming fingerprint stage, audio: the REAL WAV codec kernel
+    * ([[graft.ops.Multimodal.wavFingerprint]]).
+    */
+  def audioFingerprints(media: Dataset[graft.ops.Multimodal.MediaRow]): Dataset[FpRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(graft.ops.Multimodal.wavFingerprint)
+      .map(r => FpRow(r.doc_id, r.afp))
+  }
+
+  /** Hamming band rows for a fingerprint stream — one narrow codegen'd
+    * projection (shift/mask/concat), one row per (doc, band), feeding the
+    * band-key shuffle exactly like [[bandRows]] does for text.
+    */
+  def fpBandRows(fps: Dataset[FpRow], banding: FpBanding): Dataset[FpBandRow] = {
+    import fps.sparkSession.implicits._
+    val mask = (1L << banding.bandBits) - 1
+    val bands = (0 until banding.numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("-", lit(banding.prefix), lit(b.toString),
+          shiftright(col("fp"), b * banding.bandBits).bitwiseAND(mask).cast("string"))
+          .as("key"))
+    }
+    fps.toDF().select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("band"))
+      .select(col("band.key").as("key"), col("doc_id"),
+        col("band.band_id").as("band_id"), col("fp"))
+      .as[FpBandRow]
+  }
+
+  case class FpBucketState(exemplars: Seq[FpExemplar])
+
+  /** The media candidate→verify stage in ONE stateful pass, producing the
+    * batch twins' LOSSLESS STAR FACTORIZATION online. Bucket state is the
+    * list of distinct fingerprints seen in the bucket (one 16-byte entry
+    * per fingerprint CLASS — the r7 class-grain design rule applied to
+    * state: a viral image with 10^6 copies costs one entry, because exact
+    * dups match an exemplar at Hamming 0 and never join the list). An
+    * arriving row is XOR+popcount-verified against each stored exemplar:
+    *
+    *  - exact match (h = 0): emit ONLY the within-class edge to the class
+    *    rep — the member's other relations are implied via its rep,
+    *    exactly the batch factorization's within star;
+    *  - novel fingerprint: emit a verified edge per stored exemplar within
+    *    `maxHamming` (the batch's rep-level class pairs) and join the list.
+    *
+    * On an id-ordered replay this reproduces [[graft.ops.Multimodal
+    * .imagePhashPairs]]/`audioFpPairs` pair-for-pair (the parity spec pins
+    * set equality, hamming included). Exemplar-per-class (vs the text
+    * stages' single exemplar) is what makes the guarantee hold: a far
+    * fingerprint that happens to share a band can never occlude a later
+    * near-dup's true partner. `bucketCap` bounds the state row for
+    * degenerate buckets — beyond it new fingerprints still verify against
+    * the stored set (edges keep flowing) but stop enrolling, the streaming
+    * analog of the batch star fallback. At-least-once per band (a pair
+    * sharing k bands emits k copies — identical hamming, idempotent
+    * downstream); same TTL retention knob as the text stages.
+    */
+  def fpVerifiedPairs(bands: Dataset[FpBandRow], maxHamming: Int = 3,
+                      stateTtl: Option[String] = None,
+                      bucketCap: Int = 10000): Dataset[FpEdge] = {
+    import bands.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[FpBandRow], state: GroupState[FpBucketState]) =>
+          onFpBucket(rows, state, stateTtl, maxHamming, bucketCap)
+      }
+  }
+
+  /** Per-bucket transition of the media path — [[onBucket]]'s TTL
+    * discipline (no re-arm on expiry) with class-grain exemplar enrollment
+    * and the in-handler Hamming verify. Rows are processed in doc_id order
+    * for within-micro-batch determinism (min id claims each class, like
+    * the batch `min(doc_id)` rep).
+    */
+  private[graft] def onFpBucket(rows: Iterator[FpBandRow],
+                                state: GroupState[FpBucketState],
+                                stateTtl: Option[String],
+                                maxHamming: Int,
+                                bucketCap: Int): Iterator[FpEdge] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val rs = rows.toSeq.sortBy(_.doc_id)
+      var exs = (if (state.exists) state.get.exemplars else Seq.empty).toVector
+      val enrolled = exs.size
+      val out = Vector.newBuilder[FpEdge]
+      rs.foreach { r =>
+        exs.find(_.fp == r.fp) match {
+          case Some(rep) => // exact dup: the within-class star edge only
+            if (rep.doc_id != r.doc_id)
+              out += FpEdge(r.doc_id, rep.doc_id, r.band_id, 0L)
+          case None => // novel class: rep-level pairs + enrollment
+            exs.foreach { e =>
+              val h = java.lang.Long.bitCount(r.fp ^ e.fp).toLong
+              if (h <= maxHamming) out += FpEdge(r.doc_id, e.doc_id, r.band_id, h)
+            }
+            if (exs.size < bucketCap) exs = exs :+ FpExemplar(r.doc_id, r.fp)
+        }
+      }
+      if (exs.size != enrolled) state.update(FpBucketState(exs))
+      stateTtl.foreach(state.setTimeoutDuration)
+      out.result().iterator
+    }
+
   /** First-writer-wins bucket state over the band-row stream. */
   def candidates(bands: Dataset[BandRow],
                  stateTtl: Option[String] = None): Dataset[Candidate] = {
