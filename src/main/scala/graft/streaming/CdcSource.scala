@@ -200,11 +200,19 @@ object CdcSource {
     *   exactly-once pull contract for append-only single-writer logs, where
     *   id visibility is monotone and the race cannot occur.
     */
+  /** @param startAfterId resume handle for checkpoint MIGRATION (see
+    *   [[StateMigration]]): a FRESH checkpoint's first batch normally reads
+    *   the feed from the beginning (-1); a migrated query instead passes
+    *   the old checkpoint's committed offset here so delivery continues
+    *   exactly where the old query stopped. Ignored on restart of an
+    *   existing checkpoint (Spark then resumes from its own offset log).
+    */
   class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int,
-                            rescanWindow: Long = 0L) extends MicroBatchStream {
+                            rescanWindow: Long = 0L,
+                            startAfterId: Long = -1L) extends MicroBatchStream {
     private def feed = resolve(spec)
     override def latestOffset(): Offset = CdcOffset(feed.latestId())
-    override def initialOffset(): Offset = CdcOffset(-1L)
+    override def initialOffset(): Offset = CdcOffset(startAfterId)
     override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
@@ -405,7 +413,7 @@ object CdcSource {
 
   class CdcTable(spec: FeedSpec, numPartitions: Int,
                  rescanWindow: Long = 0L, pollMs: Long = 2L,
-                 contPartitions: Int = 1)
+                 contPartitions: Int = 1, startAfterId: Long = -1L)
       extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
@@ -415,7 +423,7 @@ object CdcSource {
       () => new Scan {
         override def readSchema(): StructType = CdcSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(spec, numPartitions, rescanWindow)
+          new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId)
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
           new CdcContinuousStream(spec, pollMs, contPartitions)
       }
@@ -464,6 +472,9 @@ class CdcSourceProvider extends TableProvider {
         case None => CdcSource.MemorySpec(Option(opts.get("feed")).getOrElse("default"))
       }
     }
-    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts)
+    // checkpoint-migration resume handle (StateMigration): fresh-checkpoint
+    // queries start the feed AFTER this id instead of from the beginning
+    val startAfter = Option(opts.get("startAfterId")).map(_.toLong).getOrElse(-1L)
+    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter)
   }
 }

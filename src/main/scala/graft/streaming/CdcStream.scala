@@ -5,7 +5,8 @@ import graft.functions.MergePatch
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Live-mode CDC pipeline: the reference's event loop (`server.go:258-281`)
   * re-expressed as Structured Streaming.
@@ -184,6 +185,107 @@ object CdcStream {
     val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(_.user_id)
       .transformWithState(new PrevImageProcessor(ttl), mode, OutputMode.Append())
+  }
+
+  /** [[PrevImageProcessor]] accepting MIGRATED initial state
+    * ([[StateMigration]]): each (user_id, prev) row read from an old
+    * checkpoint lands in the named ValueState before the first batch, so a
+    * resumed query continues emitting `previous`/`changes` exactly where
+    * the old one stopped.
+    */
+  class PrevImageProcessorWithInit(ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessorWithInitialState[Long, RawChange, CdcEvent, String] {
+    @transient private var prevState: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInitialState(key: Long, initial: String,
+                                    timerValues: TimerValues): Unit =
+      prevState.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[RawChange],
+                                 timerValues: TimerValues): Iterator[CdcEvent] = {
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val (out, p1) = foldChanges(rows, p0)
+      p1.foreach(prevState.update)
+      out.iterator
+    }
+  }
+
+  /** [[withPrevStateTws]] seeded with migrated state — the RESUME side of a
+    * flatMapGroupsWithState → transformWithState checkpoint migration.
+    */
+  def withPrevStateTwsFrom(ds: Dataset[RawChange],
+                           initial: Dataset[(Long, String)],
+                           ttl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PrevImageProcessorWithInit(ttl), mode,
+        OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** [[withPrevState]] seeded with migrated state — the reverse (rollback)
+    * direction: transformWithState → flatMapGroupsWithState.
+    */
+  def withPrevStateFrom(ds: Dataset[RawChange],
+                        initial: Dataset[(Long, String)],
+                        stateTtl: Option[String] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial.groupByKey(_._1).mapValues(_._2)) {
+        (k: Long, rows: Iterator[RawChange], state: GroupState[String]) =>
+          val out = processGroup(k, rows, state)
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
+          out
+      }
+  }
+
+  /** By-table twin of [[PrevImageProcessorWithInit]] — the RE-KEY target:
+    * single-table state migrated under a (table, user_id) key (see
+    * [[StateMigration.withTableKey]]).
+    */
+  class PrevImageProcessorByTableWithInit
+      extends StatefulProcessorWithInitialState[(String, Long), TableRawChange,
+        TableCdcEvent, String] {
+    @transient private var prevState: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInitialState(key: (String, Long), initial: String,
+                                    timerValues: TimerValues): Unit =
+      prevState.update(initial)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[TableRawChange],
+                                 timerValues: TimerValues): Iterator[TableCdcEvent] = {
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val raw = rows.map(r =>
+        RawChange(r.event_id, r.ts, r.user_id, r.event_type, r.props))
+      val (out, p1) = foldChanges(raw, p0)
+      p1.foreach(prevState.update)
+      out.iterator.map(e => TableCdcEvent(key._1, e.event_id, e.ts, e.user_id,
+        e.op, e.payload, e.previous, e.changes))
+    }
+  }
+
+  /** [[withPrevStateByTable]] semantics on transformWithState, seeded with
+    * re-keyed migrated state.
+    */
+  def withPrevStateByTableTwsFrom(ds: Dataset[TableRawChange],
+                                  initial: Dataset[((String, Long), String)]): Dataset[TableCdcEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.table, r.user_id))
+      .transformWithState(new PrevImageProcessorByTableWithInit, TimeMode.None(),
+        OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Multi-table variant of [[withPrevState]]: state keyed by

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint STATE MIGRATION for the prev-image pipeline (SURVEY §7.6 #3) —
+  * the operational gap a production user of this engine hits first: the two
+  * stateful APIs (`flatMapGroupsWithState`, the classic path, and Spark 4
+  * `transformWithState`, the RocksDB-native path) are semantically pinned
+  * equal (`CdcStreamSpec`), but their CHECKPOINT LAYOUTS differ, so a live
+  * deployment can't just restart one as the other. This module moves the
+  * state across using only public, cluster-safe machinery:
+  *
+  *  1. READ — Spark's State Data Source (`format("statestore")`) reads the
+  *     old checkpoint's keyed state as a DataFrame, distributed (one task
+  *     per state partition; no driver materialization).
+  *  2. RE-KEY — optional key-shape mapping ([[withTableKey]] /
+  *     [[dropTableKey]] for the single-table ↔ (table, id) move).
+  *  3. WRITE + RESUME — the new-API query starts on a FRESH checkpoint with
+  *     the state injected through the engine's own initial-state hooks
+  *     (`transformWithState(..., initialState)` /
+  *     `flatMapGroupsWithState(..., initialState)`) — the first batch
+  *     persists it in the NEW layout via the normal commit path, so the
+  *     write is atomic-with-the-batch rather than hand-crafted files —
+  *     and the SOURCE resumes where the old query stopped via
+  *     [[committedOffset]] + the source's `startAfterId` option.
+  *
+  * Delivery across the cut-over is exactly-once: the old query is stopped
+  * after commit N (its state reflects every event ≤ offset_N), and the new
+  * query's batch 0 begins at offset_N + 1 with that state preloaded.
+  * `StateMigrationSpec` runs the pipeline to a checkpoint on API A,
+  * migrates, resumes on API B, and pins row-for-row output parity against
+  * an uninterrupted run — in both directions, and through the re-key.
+  *
+  * 100 TB posture: every step is a distributed frame (state reader tasks →
+  * shuffle by the new key → state-store writes co-located with the key);
+  * nothing driver-side but the few-line offset-log read.
+  */
+object StateMigration {
+
+  /** State rows of a flatMapGroupsWithState prev-image checkpoint
+    * ([[CdcStream.withPrevState]]'s layout): (user_id, prev-payload JSON).
+    */
+  def readPrevImageState(spark: SparkSession,
+                         checkpointDir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").cast("long").as("_1"),
+        col("value.groupState.value").as("_2"))
+      .as[(Long, String)]
+  }
+
+  /** State rows of a transformWithState prev-image checkpoint
+    * ([[CdcStream.withPrevStateTws]]'s layout — named state variable
+    * "prev"): (user_id, prev-payload JSON). The reverse-migration reader.
+    */
+  def readPrevImageStateTws(spark: SparkSession,
+                            checkpointDir: String): Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir)
+      .option("stateVarName", "prev").load()
+      .select(col("key.value").cast("long").as("_1"),
+        col("value.value").as("_2"))
+      .as[(Long, String)]
+  }
+
+  /** The old checkpoint's last COMMITTED source offset — the resume handle
+    * to pass as the new query's `startAfterId`. Reads the offset entry of
+    * the highest batch in `commits/` (offsets of later, uncommitted batch
+    * attempts are deliberately ignored: their data was never delivered, so
+    * the new query must re-read it). Hadoop FS API — works on HDFS/S3
+    * checkpoints, not just local disk.
+    */
+  def committedOffset(spark: SparkSession, checkpointDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs.listStatus(new Path(dir, "commits"))
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    require(commits.nonEmpty, s"no committed batches under $checkpointDir")
+    val in = fs.open(new Path(dir, s"offsets/${commits.max}"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    // OffsetSeqLog layout: "v1", the metadata JSON, then ONE line per source
+    require(lines.length >= 3, s"unexpected offsets log shape: $lines")
+    CdcSource.CdcOffset.fromJson(lines(2)).maxId
+  }
+
+  /** Re-key single-table state under a (table, user_id) key — the
+    * single-table → multi-table migration direction.
+    */
+  def withTableKey(st: Dataset[(Long, String)],
+                   table: String): Dataset[((String, Long), String)] = {
+    import st.sparkSession.implicits._
+    st.map { case (uid, prev) => ((table, uid), prev) }
+  }
+
+  /** Drop the table component of (table, user_id) keyed state — the
+    * multi-table → single-table direction. Caller guarantees the retained
+    * table's keys are unique (i.e. filter to ONE table first); enforced
+    * here because two tables sharing a user_id would otherwise migrate a
+    * nondeterministic prev-image.
+    */
+  def dropTableKey(st: Dataset[((String, Long), String)],
+                   table: String): Dataset[(Long, String)] = {
+    import st.sparkSession.implicits._
+    st.filter(_._1._1 == table).map { case ((_, uid), prev) => (uid, prev) }
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import graft.streaming.{CdcSource, CdcStream, StateMigration}
+import graft.streaming.CdcStream.{CdcEvent, RawChange, TableRawChange}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Checkpoint state migration between the two stateful APIs: run the
+  * prev-image pipeline to a checkpoint on API A, migrate (state read +
+  * offset handoff + optional re-key), resume on API B, and pin row-for-row
+  * output parity against an uninterrupted run — in both directions.
+  */
+class StateMigrationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+
+  private val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocks[T](body: => T): T = {
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey, RocksProvider)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
+
+  // 15 events, 2 users, with UPDATE chains crossing the migration boundary
+  // (event 10's previous is event 8's payload, etc.) — prev-image parity
+  // after resume PROVES the state actually moved
+  private val all: Seq[RawChange] = (0L until 15L).map { i =>
+    RawChange(i, t(i), (i % 2) + 1,
+      if (i < 2) "signup" else "purchase", s"""{"k":$i}""")
+  }
+  private val firstHalf = all.take(10)
+  private val secondHalf = all.drop(10)
+
+  /** Uninterrupted classic run over both waves; the migrated query must
+    * reproduce its second-wave rows exactly.
+    */
+  private def referenceTail(name: String): Seq[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(in.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      in.addData(firstHalf: _*); q.processAllAvailable()
+      in.addData(secondHalf: _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy("event_id")
+      .filter(s"event_id >= ${secondHalf.head.event_id}")
+      .collect().map(_.toString).toSeq
+  }
+
+  test("fMGWS checkpoint -> TWS resume: state read, offset handoff, row-for-row parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // API A consumes the first wave from the DSv2 feed into a checkpoint
+    val feedName = "mig_feed_a"
+    val feed = CdcSource.FeedRegistry.get(feedName)
+    def src(startAfter: Long) = {
+      val r = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("feed", feedName).option("numPartitions", "2")
+      (if (startAfter >= 0) r.option("startAfterId", startAfter.toString) else r)
+        .load().as[RawChange]
+    }
+    val chkA = java.nio.file.Files.createTempDirectory("mig_chk_a").toString
+    feed.append(firstHalf: _*)
+    val qa = CdcStream.withPrevState(src(-1L))
+      .writeStream.format("memory").queryName("mig_out_a")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try qa.processAllAvailable() finally qa.stop()
+    assert(spark.table("mig_out_a").count() == firstHalf.size)
+
+    // MIGRATE: the checkpoint's state is the last payload per user, its
+    // committed offset is the last first-wave id
+    val st = StateMigration.readPrevImageState(spark, chkA)
+    val expectState = firstHalf.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.event_id).props }
+    assert(st.collect().toMap == expectState, "migrated state rows diverged")
+    val off = StateMigration.committedOffset(spark, chkA)
+    assert(off == firstHalf.last.event_id, s"committed offset $off")
+
+    // RESUME on API B: fresh checkpoint, initial state, source starts
+    // after the old offset — the second wave lands exactly once with
+    // prev-images chained across the cut-over
+    feed.append(secondHalf: _*)
+    val resumed = withRocks {
+      val chkB = java.nio.file.Files.createTempDirectory("mig_chk_b").toString
+      val qb = CdcStream.withPrevStateTwsFrom(src(off), st)
+        .writeStream.format("memory").queryName("mig_out_b")
+        .option("checkpointLocation", chkB).outputMode("append").start()
+      try qb.processAllAvailable() finally qb.stop()
+      spark.table("mig_out_b").orderBy("event_id").collect().map(_.toString).toSeq
+    }
+    assert(resumed == referenceTail("mig_ref_a"),
+      s"migrated tail diverged from the uninterrupted run:\n$resumed")
+  }
+
+  test("TWS checkpoint -> fMGWS resume (rollback direction): row-for-row parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val chkC = java.nio.file.Files.createTempDirectory("mig_chk_c").toString
+    val st = withRocks {
+      val in = MemoryStream[RawChange]
+      val q = CdcStream.withPrevStateTws(in.toDS())
+        .writeStream.format("memory").queryName("mig_out_c")
+        .option("checkpointLocation", chkC).outputMode("append").start()
+      try { in.addData(firstHalf: _*); q.processAllAvailable() } finally q.stop()
+      StateMigration.readPrevImageStateTws(spark, chkC)
+    }
+    val expectState = firstHalf.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.event_id).props }
+    assert(st.collect().toMap == expectState, "TWS state rows diverged")
+    // resume on the classic API with the migrated initial state
+    val in2 = MemoryStream[RawChange]
+    val q2 = CdcStream.withPrevStateFrom(in2.toDS(), st)
+      .writeStream.format("memory").queryName("mig_out_d")
+      .outputMode("append").start()
+    val resumed = try {
+      in2.addData(secondHalf: _*); q2.processAllAvailable()
+      spark.table("mig_out_d").orderBy("event_id").collect().map(_.toString).toSeq
+    } finally q2.stop()
+    assert(resumed == referenceTail("mig_ref_b"),
+      s"rollback tail diverged from the uninterrupted run:\n$resumed")
+  }
+
+  test("re-key migration: single-table state resumes under the (table, id) key") {
+    implicit val sqlCtx = spark.sqlContext
+    // API A: single-table classic checkpoint over the first wave
+    val chkE = java.nio.file.Files.createTempDirectory("mig_chk_e").toString
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(in.toDS())
+      .writeStream.format("memory").queryName("mig_out_e")
+      .option("checkpointLocation", chkE).outputMode("append").start()
+    try { in.addData(firstHalf: _*); q.processAllAvailable() } finally q.stop()
+    val st = StateMigration.readPrevImageState(spark, chkE)
+    // the re-key round-trips exactly
+    assert(StateMigration.dropTableKey(
+        StateMigration.withTableKey(st, "events"), "events")
+      .collect().toMap == st.collect().toMap)
+    // resume on the BY-TABLE TWS processor with the re-keyed state
+    val tagged = secondHalf.map(r =>
+      TableRawChange("events", r.event_id, r.ts, r.user_id, r.event_type, r.props))
+    val resumed = withRocks {
+      val in2 = MemoryStream[TableRawChange]
+      val q2 = CdcStream.withPrevStateByTableTwsFrom(in2.toDS(),
+          StateMigration.withTableKey(st, "events"))
+        .writeStream.format("memory").queryName("mig_out_f")
+        .outputMode("append").start()
+      try {
+        in2.addData(tagged: _*); q2.processAllAvailable()
+        spark.table("mig_out_f").orderBy("event_id").collect().map(_.toString).toSeq
+      } finally q2.stop()
+    }
+    // reference: uninterrupted BY-TABLE classic run, second-wave rows
+    val inRef = MemoryStream[TableRawChange]
+    val allTagged = all.map(r =>
+      TableRawChange("events", r.event_id, r.ts, r.user_id, r.event_type, r.props))
+    val qRef = CdcStream.withPrevStateByTable(inRef.toDS())
+      .writeStream.format("memory").queryName("mig_ref_c")
+      .outputMode("append").start()
+    val ref = try {
+      inRef.addData(allTagged.take(10): _*); qRef.processAllAvailable()
+      inRef.addData(allTagged.drop(10): _*); qRef.processAllAvailable()
+      spark.table("mig_ref_c").orderBy("event_id")
+        .filter(s"event_id >= ${secondHalf.head.event_id}")
+        .collect().map(_.toString).toSeq
+    } finally qRef.stop()
+    assert(resumed == ref,
+      s"re-keyed tail diverged from the uninterrupted by-table run:\n$resumed\nvs\n$ref")
+  }
+}
