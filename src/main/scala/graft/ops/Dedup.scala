@@ -265,30 +265,27 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
   }
 
-  /** Inverted-index posting lists (key, sorted doc ids) with a COUNT-FIRST
-    * document-frequency cut. Per-key frequencies come from a partial-agg
-    * `count` (constant-size counters, map-side combined) and keys outside
-    * (1, dfCap] are dropped via a key-local semi-join BEFORE any posting
-    * list is collected — a stop-shingle present in the whole corpus costs an
-    * 8-byte counter and a streamed merge-join drop, never an O(corpus)
-    * `collect_list` aggregation buffer (the single-task OOM a filter placed
-    * ABOVE the collect cannot prevent: the buffer fills before the row is
-    * discarded). Results are identical to filtering after the collect — the
-    * dropped keys were dropped anyway — so oracles are untouched. The semi
-    * side is corpus-derived (an agg output Catalyst can't size and that
-    * grows with the data) — merge hint, never broadcast, same rule as
-    * [[substringDupDf]]'s membership join. The surviving groupBy reuses the
-    * semi-join's key partitioning, so the big side shuffles once.
+  /** Inverted-index posting lists (key, sorted doc ids) with a
+    * BUFFER-BOUNDED document-frequency cut: the native capped collect
+    * ([[graft.functions.CollectCapped]]) stops appending at dfCap + 1
+    * elements, so a stop-shingle present in the whole corpus costs a
+    * (dfCap+1)-long buffer — never an O(corpus) `collect_list` cell (the
+    * single-task OOM a filter placed ABOVE a plain collect cannot prevent:
+    * that buffer fills before the row is discarded). The size filter then
+    * reads length dfCap+1 as "over cap" and drops the key, exactly the
+    * semantics of filtering a full collect — results identical, oracles
+    * untouched — while the plan stays the original ONE-shuffle
+    * ObjectHashAggregate (a count-first semi-join variant measured 2.3×
+    * slower at the x100 corpus: second pass over the keyed rows + the
+    * merge-join sort of the probe side; BASELINE.md r8).
     */
   private[graft] def cappedPostings(keyed: DataFrame, key: String,
                                     dfCap: Int): DataFrame = {
-    val inCap = keyed.groupBy(col(key))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1 && col("df") <= dfCap)
-      .select(col(key))
-    keyed.join(inCap.hint("merge"), Seq(key), "left_semi")
-      .groupBy(col(key))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val cc = graft.functions.CollectCapped.collect(dfCap)
+    keyed.groupBy(col(key))
+      .agg(cc(col("doc_id")).as("ids0"))
+      .filter(size(col("ids0")) > 1 && size(col("ids0")) <= dfCap)
+      .select(col(key), sort_array(col("ids0")).as("ids"))
   }
 
   /** Exact n-gram Jaccard similarity via inverted-index join: only pairs
@@ -304,10 +301,10 @@ object Dedup {
     * (a stop-shingle — boilerplate, license headers) is dropped from the index
     * entirely, because one n-doc posting list explodes into O(n^2) pairs while
     * contributing almost no discriminative signal. This is the standard df cut
-    * from near-dup literature; applied COUNT-FIRST ([[cappedPostings]]) it
-    * bounds BOTH the posting-row size and the pair blowup — the over-cap key
-    * is cut before its posting list ever aggregates, so no task buffers a
-    * corpus-scale row. Jaccard for surviving pairs then underestimates by at most
+    * from near-dup literature; applied BUFFER-BOUNDED ([[cappedPostings]]) it
+    * bounds BOTH the posting-row size and the pair blowup — the over-cap key's
+    * aggregation buffer is capped at dfCap+1 by construction, so no task ever
+    * holds a corpus-scale row. Jaccard for surviving pairs then underestimates by at most
     * the dropped shingles' mass — with the default cap above the corpus size
     * at test SF, results are exact there.
     */

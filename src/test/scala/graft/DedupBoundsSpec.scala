@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable.ArrayBuffer
+
 import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
@@ -267,26 +269,38 @@ class DedupBoundsSpec extends SparkSuite {
     (aggs.length, aggs.count(_.collectFirst { case j: Join => j }.nonEmpty))
   }
 
-  test("df cut is count-first: stop-shingle postings are cut before they aggregate") {
+  test("df cut is buffer-bounded: a stop-shingle never aggregates past cap+1") {
     import spark.implicits._
-    // 12 docs share vocabulary A (every A-shingle has df 12 > cap -> the
-    // whole A index is cut), 5 docs share vocabulary B (df 5 <= cap -> kept)
+    // the aggregation-level bound, unit-tested directly: reduce and merge
+    // both refuse to grow a buffer past cap + 1 elements, so the planted
+    // corpus-wide stop-shingle costs cap+1 longs, never O(corpus)
+    val agg = new graft.functions.CollectCapped.Agg(3)
+    val b = (0L until 100L).foldLeft(agg.zero)(agg.reduce)
+    assert(b.length == 4, s"reduce must stop at cap+1, got ${b.length}")
+    val m = agg.merge(
+      (0L until 100L).foldLeft(agg.zero)(agg.reduce),
+      (0L until 100L).foldLeft(agg.zero)(agg.reduce))
+    assert(m.length == 4, s"merge must stop at cap+1, got ${m.length}")
+    // within the cap nothing truncates: content equals a full collect
+    val small = Seq(5L, 1L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(small.sorted == ArrayBuffer(1L, 3L, 5L))
+
+    // end to end: 12 docs share vocabulary A (every A-shingle has df 12 >
+    // cap -> the whole A index is cut), 5 docs share vocabulary B (df 5 <=
+    // cap -> kept with exact pairs)
     val docs = ((0 until 12).map(i => (i.toLong, "a0 a1 a2 a3 a4")) ++
       (0 until 5).map(i => (100L + i, "b0 b1 b2 b3 b4"))).toDF("doc_id", "text")
     val out = Dedup.ngramJaccardDf(docs, threshold = 0.05, dfCap = 10)
-    // the A cluster contributes NOTHING; the B cluster pairs exactly
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.length == 10 && pairs.forall { case (a, b) => a >= 100L && b >= 100L },
       s"expected only the C(5,2)=10 in-cap B pairs, got ${pairs.toSeq}")
-    // plan pin: the posting collect sits ABOVE the df-census semi-join, so
-    // the over-cap key is dropped before any posting buffer exists
-    val (nAgg, nGuarded) = collectAggGuards(out)
-    assert(nAgg >= 1 && nGuarded == nAgg,
-      s"every collect_list must be census-guarded: $nGuarded/$nAgg")
-    val (cAgg, cGuarded) = collectAggGuards(Dedup.containmentDf(docs, dfCap = 10))
-    assert(cAgg >= 1 && cGuarded == cAgg, s"containment: $cGuarded/$cAgg")
-    val (lAgg, lGuarded) = collectAggGuards(Dedup.lshCalibrationDf(docs, dfCap = 10))
-    assert(lAgg >= 1 && lGuarded == lAgg, s"lsh calibration: $lGuarded/$lAgg")
+    // containment + calibration share cappedPostings — same cut, same result
+    assert(Dedup.containmentDf(docs, dfCap = 10).collect()
+      .forall(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L))
+    val calib = Dedup.lshCalibrationDf(docs, dfCap = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth sees only the B cluster: one decile bucket of 10 pairs
+    assert(calib.getOrElse(10L, 0L) == 10L, s"calib truth pairs: $calib")
   }
 
   test("band buckets are census-first: a 100k-member degenerate bucket never collects") {
