@@ -419,6 +419,38 @@ object StreamBench {
       val warmVSec = runVerified()
       println(s"""{"metric":"dedup_stream_verified_throughput","docs":${docs.size},"warm_sec":$warmVSec,"docs_per_sec":${(docs.size / warmVSec).toLong},"sf":"$sfDir"}""")
     }
+
+    // ===== online MEDIA near-dup throughput (the r8 modality) =====
+    // Real PNG blobs replicated with disjoint ids (copies share PIXELS, so
+    // every copy collides with the original's fingerprint class — the
+    // dominant dup mode) through codec fingerprint → Hamming banding →
+    // class-grain bucket state; the per-row PNG decode is INCLUDED — the
+    // honest cost of fingerprinting the crawl as it lands.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val pngRows = graft.ops.Multimodal.pngTable(spark, sfDir).collect()
+      val copies = 4
+      val media = (0 until copies).flatMap(c => pngRows.map(r =>
+        graft.ops.Multimodal.MediaRow(r.doc_id + c * 10000000L, r.media, r.media_type)))
+      def runMedia(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[graft.ops.Multimodal.MediaRow]
+        val q = graft.Graft.mediaDedupStream(input.toDS())
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("media_dedup_bench").toString)
+          .start()
+        input.addData(media: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runMedia()
+      val warmMSec = runMedia()
+      println(s"""{"metric":"media_dedup_stream_throughput","docs":${media.size},"warm_sec":$warmMSec,"docs_per_sec":${(media.size / warmMSec).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
