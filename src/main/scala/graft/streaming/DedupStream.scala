@@ -340,6 +340,27 @@ object DedupStream {
       }
   }
 
+  /** [[candidates]] seeded with MIGRATED bucket-exemplar state
+    * ([[StateMigration.readDedupBucketState]]): relocating a long-lived
+    * dedup store to a fresh checkpoint keeps its exemplar history, so the
+    * new query keeps flagging against the SAME exemplars instead of
+    * re-claiming buckets (which would silently re-admit every historical
+    * near-dup whose exemplar evicted).
+    */
+  def candidatesFrom(bands: Dataset[BandRow], initial: Dataset[(String, Long)],
+                     stateTtl: Option[String] = None): Dataset[Candidate] = {
+    import bands.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial.groupByKey(_._1).mapValues(_._2)) {
+        (_: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          onBucket(rows, state, stateTtl)
+      }
+  }
+
   /** The per-bucket state transition, factored out so the TTL paths are
     * unit-testable with `TestGroupState` — a live ProcessingTimeTimeout
     * query runs micro-batches continuously to evaluate timers, so a

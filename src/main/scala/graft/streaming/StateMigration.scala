@@ -87,6 +87,22 @@ object StateMigration {
     CdcSource.CdcOffset.fromJson(lines(2)).maxId
   }
 
+  /** Bucket-exemplar state of an online text-dedup checkpoint
+    * ([[DedupStream.candidates]]'s layout): (band key, exemplar doc_id).
+    * The same READ → initial-state RESUME recipe as the prev-image path —
+    * [[DedupStream.candidatesFrom]] is the resume side — so relocating a
+    * long-lived dedup store (new checkpoint volume, new cluster) keeps the
+    * exemplar history instead of re-flagging the whole corpus from scratch.
+    */
+  def readDedupBucketState(spark: SparkSession,
+                           checkpointDir: String): Dataset[(String, Long)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").as("_1"),
+        col("value.groupState.value").cast("long").as("_2"))
+      .as[(String, Long)]
+  }
+
   /** Re-key single-table state under a (table, user_id) key — the
     * single-table → multi-table migration direction.
     */

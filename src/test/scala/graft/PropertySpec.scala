@@ -41,6 +41,34 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("collect-capped: buffer bound + in-cap exactness under every merge tree") {
+    // the df-cut aggregation's two promises, property-checked over random
+    // inputs and random PARTITIONINGS (merge order is Spark's to choose):
+    //  1. no buffer — partial or merged — ever exceeds cap+1 elements;
+    //  2. keys within the cap collect the exact multiset a full
+    //     collect_list would (truncation is unobservable below the cut).
+    val gen = for {
+      cap <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.choose(0L, 50L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(xs.size, 1)))
+    } yield (cap, xs, cuts)
+    check(Prop.forAll(gen) { case (cap, xs, cuts) =>
+      val agg = new graft.functions.CollectCapped.Agg(cap)
+      // split xs at random cut points into partitions, reduce each, then
+      // merge left-to-right (arbitrary tree shapes reduce to this by the
+      // associativity the bound must survive)
+      val bounds = (cuts.sorted :+ xs.size).distinct
+      val parts = (0 +: bounds).zip(bounds).map { case (a, b) => xs.slice(a, b) }
+        .filter(_.nonEmpty)
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val partialOk = bufs.forall(_.length <= cap + 1)
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val mergedOk = merged.length <= cap + 1
+      val exactOk = xs.size > cap || merged.sorted == xs.sorted
+      partialOk && mergedOk && exactOk
+    })
+  }
+
   test("misra-gries: exact (and partitioning-invariant) when distinct keys fit capacity") {
     val mg = graft.functions.MisraGries.sketch(64)
     val stream = (0 until 3000).map(i => s"k${i % 20}")

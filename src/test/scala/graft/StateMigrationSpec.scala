@@ -126,6 +126,50 @@ class StateMigrationSpec extends SparkSuite {
       s"rollback tail diverged from the uninterrupted run:\n$resumed")
   }
 
+  test("dedup bucket-state migration: relocated exemplar store keeps flagging history") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.{BandRow, Candidate, Doc}
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+    val (wave1, wave2) = docs.splitAt(docs.size / 2)
+    def bands(in: MemoryStream[Doc]) =
+      DedupStream.bandRows(in.toDS().toDF()).as[BandRow]
+    // old store: wave 1 through a checkpointed query
+    val chk = java.nio.file.Files.createTempDirectory("mig_chk_dedup").toString
+    val in1 = MemoryStream[Doc]
+    val q1 = DedupStream.candidates(bands(in1))
+      .writeStream.format("memory").queryName("mig_dd_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+    // migrate the exemplar store, resume on a FRESH checkpoint
+    val st = StateMigration.readDedupBucketState(spark, chk)
+    assert(st.count() > 0, "wave 1 claimed no buckets — fixture too small")
+    val in2 = MemoryStream[Doc]
+    val q2 = DedupStream.candidatesFrom(bands(in2), st)
+      .writeStream.format("memory").queryName("mig_dd_b")
+      .outputMode("append").start()
+    val resumed = try {
+      in2.addData(wave2: _*); q2.processAllAvailable()
+      spark.table("mig_dd_b").as[Candidate].collect().toSet
+    } finally q2.stop()
+    // reference: uninterrupted run, wave-2 edges only
+    val inR = MemoryStream[Doc]
+    val qR = DedupStream.candidates(bands(inR))
+      .writeStream.format("memory").queryName("mig_dd_ref")
+      .outputMode("append").start()
+    val ref = try {
+      inR.addData(wave1: _*); qR.processAllAvailable()
+      val afterW1 = spark.table("mig_dd_ref").as[Candidate].collect().toSet
+      inR.addData(wave2: _*); qR.processAllAvailable()
+      spark.table("mig_dd_ref").as[Candidate].collect().toSet -- afterW1
+    } finally qR.stop()
+    assert(resumed == ref,
+      s"relocated store diverged: resumed-only ${resumed -- ref}, ref-only ${ref -- resumed}")
+  }
+
   test("re-key migration: single-table state resumes under the (table, id) key") {
     implicit val sqlCtx = spark.sqlContext
     // API A: single-table classic checkpoint over the first wave
