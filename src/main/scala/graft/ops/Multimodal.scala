@@ -378,13 +378,16 @@ object Multimodal {
       struct(lit(b).as("band_id"),
         shiftright(col("phash"), b * bandBits).bitwiseAND(mask).as("key"))
     }
-    // struct sort orders by rep (first field) — deterministic pair ids
-    val classPairs = classes
-      .select(col("rep"), col("phash"), explode(array(bands: _*)).as("band"))
-      .groupBy(col("band.band_id"), col("band.key"))
-      .agg(sort_array(collect_list(struct(col("rep"), col("phash")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(Dedup.cappedPairs(col("xs"), bucketCap)).as("p"))
+    // census-first bucket pairs (Dedup.bucketedCappedPairs): class rows are
+    // diversity-bounded already, but the census shape removes even that
+    // O(diversity) collected row for degenerate buckets — the struct member
+    // orders by rep (first field), so pair ids and the star hub stay
+    // deterministic
+    val classPairs = Dedup.bucketedCappedPairs(
+        classes.select(col("rep"), col("phash"), explode(array(bands: _*)).as("band"))
+          .select(col("band.band_id").as("band_id"), col("band.key").as("key"),
+            struct(col("rep"), col("phash")).as("m")),
+        Seq("band_id", "key"), bucketCap)
       .select(col("p.doc_a.rep").as("doc_a"), col("p.doc_b.rep").as("doc_b"),
         bit_count(col("p.doc_a.phash").bitwiseXOR(col("p.doc_b.phash")))
           .cast("long").as("hamming"))
@@ -705,12 +708,13 @@ object Multimodal {
       struct(lit(b).as("band_id"),
         shiftright(col("afp"), b * bandBits).bitwiseAND(mask).as("key"))
     }
-    val classPairs = classes
-      .select(col("rep"), col("afp"), explode(array(bands: _*)).as("band"))
-      .groupBy(col("band.band_id"), col("band.key"))
-      .agg(sort_array(collect_list(struct(col("rep"), col("afp")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(Dedup.cappedPairs(col("xs"), bucketCap)).as("p"))
+    // census-first bucket pairs — same shape and rationale as
+    // imagePhashPairs' classPairs
+    val classPairs = Dedup.bucketedCappedPairs(
+        classes.select(col("rep"), col("afp"), explode(array(bands: _*)).as("band"))
+          .select(col("band.band_id").as("band_id"), col("band.key").as("key"),
+            struct(col("rep"), col("afp")).as("m")),
+        Seq("band_id", "key"), bucketCap)
       .select(col("p.doc_a.rep").as("doc_a"), col("p.doc_b.rep").as("doc_b"),
         bit_count(col("p.doc_a.afp").bitwiseXOR(col("p.doc_b.afp")))
           .cast("long").as("hamming"))

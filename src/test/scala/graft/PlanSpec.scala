@@ -585,12 +585,18 @@ class PlanSpec extends SparkSuite {
 
   test("ops_image_phash: banding runs on distinct fingerprints; no corpus-side sort-merge storm") {
     val p = plan("ops_image_phash")
-    // class table + banding + two expansion joins — bounded Exchange count
-    // (the naive per-doc banding shape exploded 15M candidates; see
-    // Multimodal.imagePhashPairs scaladoc)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 6,
+    // class table + census-first banding + expansion joins — the STATIC
+    // count includes the census shape's per-branch repeats of the one
+    // band-key repartition (the naive per-doc banding shape exploded 15M
+    // candidates; see Multimodal.imagePhashPairs scaladoc)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 10,
       s"phash pipeline grew unexpected shuffles:\n$p")
     assert(p.contains("partial"), "fingerprint-class collapse must partial-aggregate")
+    // ... and at runtime the branches share ONE band-key exchange
+    val df = SparkEntry.queries("ops_image_phash")(spark, sf)
+    df.collect()
+    val ran = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(ran.contains("ReusedExchange"), s"band frame rebuilt per branch:\n$ran")
   }
 
   test("ops_audio_fp: codec fingerprint is a pure narrow pass — zero shuffles") {
