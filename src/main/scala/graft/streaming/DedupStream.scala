@@ -291,6 +291,28 @@ object DedupStream {
       }
   }
 
+  /** [[fpVerifiedPairs]] seeded with MIGRATED bucket state
+    * ([[StateMigration.readMediaDedupState]]) — relocating the media
+    * exemplar store keeps its class history, same rationale as
+    * [[candidatesFrom]].
+    */
+  def fpVerifiedPairsFrom(bands: Dataset[FpBandRow],
+                          initial: Dataset[(String, FpBucketState)],
+                          maxHamming: Int = 3,
+                          stateTtl: Option[String] = None,
+                          bucketCap: Int = 10000): Dataset[FpEdge] = {
+    import bands.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    bands.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial.groupByKey(_._1).mapValues(_._2)) {
+        (_: String, rows: Iterator[FpBandRow], state: GroupState[FpBucketState]) =>
+          onFpBucket(rows, state, stateTtl, maxHamming, bucketCap)
+      }
+  }
+
   /** Per-bucket transition of the media path — [[onBucket]]'s TTL
     * discipline (no re-arm on expiry) with class-grain exemplar enrollment
     * and the in-handler Hamming verify. Rows are processed in doc_id order

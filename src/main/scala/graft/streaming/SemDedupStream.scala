@@ -75,6 +75,27 @@ object SemDedupStream {
       }
   }
 
+  /** [[judged]] seeded with MIGRATED cluster state
+    * ([[StateMigration.readSemDedupState]]): relocating the semantic-dedup
+    * store keeps its exemplar sets, so resumed judgments stay consistent
+    * with history (a fresh store would re-admit every vector whose
+    * exemplar was lost).
+    */
+  def judgedFrom(assigned: Dataset[VecRow], initial: Dataset[(Long, ClusterState)],
+                 tau: Double = 0.4, clusterCap: Int = 256,
+                 stateTtl: Option[String] = None): Dataset[Judged] = {
+    import assigned.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    assigned.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial.groupByKey(_._1).mapValues(_._2)) {
+        (bucket: Long, rows: Iterator[VecRow], state: GroupState[ClusterState]) =>
+          onCluster(bucket, rows, state, stateTtl, tau, clusterCap)
+      }
+  }
+
   /** Sequential-accumulation cosine — bit-parity with the fused
     * [[graft.functions.VectorExprs]] kernel (`ab/sqrt(aa*bb)`, one pass).
     */

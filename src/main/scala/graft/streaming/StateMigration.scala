@@ -103,6 +103,31 @@ object StateMigration {
       .as[(String, Long)]
   }
 
+  /** Class-grain exemplar state of an online MEDIA-dedup checkpoint
+    * ([[DedupStream.fpVerifiedPairs]]'s layout): (band key, exemplar
+    * fingerprint set). Resume side: [[DedupStream.fpVerifiedPairsFrom]].
+    */
+  def readMediaDedupState(spark: SparkSession, checkpointDir: String)
+      : Dataset[(String, DedupStream.FpBucketState)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").as("_1"), col("value.groupState").as("_2"))
+      .as[(String, DedupStream.FpBucketState)]
+  }
+
+  /** Cluster-exemplar state of an online semantic-dedup checkpoint
+    * ([[SemDedupStream.judged]]'s layout): (bucket, exemplar set).
+    * Resume side: [[SemDedupStream.judgedFrom]].
+    */
+  def readSemDedupState(spark: SparkSession, checkpointDir: String)
+      : Dataset[(Long, SemDedupStream.ClusterState)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").cast("long").as("_1"),
+        col("value.groupState").as("_2"))
+      .as[(Long, SemDedupStream.ClusterState)]
+  }
+
   /** Re-key single-table state under a (table, user_id) key — the
     * single-table → multi-table migration direction.
     */

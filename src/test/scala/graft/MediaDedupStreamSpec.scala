@@ -115,6 +115,41 @@ class MediaDedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bucket-state migration: relocated media exemplar store keeps its classes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StateMigration
+    val fps = Multimodal.pngPhashDf(spark, sf).collect()
+      .map(r => FpRow(r.doc_id, r.phash)).sortBy(_.doc_id).toSeq
+    val (wave1, wave2) = fps.splitAt(fps.size / 2)
+    def bands(in: MemoryStream[FpRow]) =
+      DedupStream.fpBandRows(in.toDS(), DedupStream.ImageBanding)
+    val chk = java.nio.file.Files.createTempDirectory("media_mig_chk").toString
+    val in1 = MemoryStream[FpRow]
+    val q1 = DedupStream.fpVerifiedPairs(bands(in1))
+      .writeStream.format("memory").queryName("media_mig_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+    val st = StateMigration.readMediaDedupState(spark, chk)
+    assert(st.count() > 0, "wave 1 enrolled no exemplars")
+    val in2 = MemoryStream[FpRow]
+    val q2 = DedupStream.fpVerifiedPairsFrom(bands(in2), st)
+      .writeStream.format("memory").queryName("media_mig_b")
+      .outputMode("append").start()
+    val resumed = try {
+      in2.addData(wave2: _*); q2.processAllAvailable()
+      spark.table("media_mig_b").as[FpEdge].collect()
+        .map(e => (e.dup_of, e.doc_id, e.hamming)).toSet
+    } finally q2.stop()
+    // reference: uninterrupted replay's wave-2 edges
+    val all = runReplay(fps, DedupStream.ImageBanding, "media_mig_ref")
+    val wave2Ids = wave2.map(_.doc_id).toSet
+    val ref = all.filter(e => wave2Ids(e.doc_id))
+      .map(e => (e.dup_of, e.doc_id, e.hamming)).toSet
+    assert(resumed == ref,
+      s"relocated media store diverged: resumed-only ${resumed -- ref}, ref-only ${ref -- resumed}")
+  }
+
   test("state transitions: class enrollment, exact-dup star edge, verify gate, TTL expiry") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.DedupStream.FpBucketState

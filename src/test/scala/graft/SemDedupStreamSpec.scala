@@ -54,4 +54,47 @@ class SemDedupStreamSpec extends SparkSuite {
       assert(streamed.exists(!_.kept), "no drops — fixture degenerate")
     } finally q.stop()
   }
+
+  test("cluster-state migration: relocated exemplar store keeps judging history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StateMigration
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val planted = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+    val corpus = base.unionAll(planted)
+    val cents = SemDedupStream.centroids(corpus)
+    val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (wave1, wave2) = rows.splitAt(rows.length / 2)
+    def assigned(in: MemoryStream[(Long, Seq[Double])]) =
+      SemDedupStream.assign(in.toDS().toDF("vec_id", "v"), cents).as[VecRow]
+    // old store: wave 1 checkpointed
+    val chk = java.nio.file.Files.createTempDirectory("sem_mig_chk").toString
+    val in1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = SemDedupStream.judged(assigned(in1))
+      .writeStream.format("memory").queryName("sem_mig_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+    // migrate + resume; wave-2 judgments must equal the uninterrupted run's
+    val st = StateMigration.readSemDedupState(spark, chk)
+    assert(st.count() > 0, "wave 1 built no cluster state")
+    val in2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = SemDedupStream.judgedFrom(assigned(in2), st)
+      .writeStream.format("memory").queryName("sem_mig_b")
+      .outputMode("append").start()
+    val resumed = try {
+      in2.addData(wave2: _*); q2.processAllAvailable()
+      spark.table("sem_mig_b").as[Judged].collect().toSet
+    } finally q2.stop()
+    val batch = Similarity.semDedupDf(corpus)
+      .select(col("vec_id"), col("bucket"), col("kept"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, b, k) => Judged(id, b, k) }.toSet
+    val wave2Ids = wave2.map(_._1).toSet
+    assert(resumed == batch.filter(j => wave2Ids(j.vec_id)),
+      s"relocated semantic store diverged: ${resumed.take(5)}")
+    assert(resumed.exists(!_.kept), "wave 2 must exercise drops against wave-1 exemplars")
+  }
 }
