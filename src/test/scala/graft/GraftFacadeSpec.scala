@@ -61,6 +61,30 @@ class GraftFacadeSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mediaDedupStream facade runs the composed media pipeline end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two real PNG blobs from the media table: an exact copy under a new id
+    // must come back flagged against the original at hamming 0
+    val rows = graft.ops.Multimodal.pngTable(spark, sf).take(1)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      graft.ops.Multimodal.MediaRow]
+    val q = Graft.mediaDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("facade_media_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows(0),
+        graft.ops.Multimodal.MediaRow(rows(0).doc_id + 1000000L, rows(0).media,
+          rows(0).media_type))
+      q.processAllAvailable()
+      val out = spark.table("facade_media_stream")
+        .as[graft.streaming.DedupStream.FpEdge].collect()
+      assert(out.nonEmpty && out.forall(e =>
+        e.doc_id == rows(0).doc_id + 1000000L && e.dup_of == rows(0).doc_id &&
+          e.hamming == 0L), s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("liveTail is the stateless subscriber view (streaming, envelope schema)") {
     // plan-time check: the DSv2 provider resolves lazily, so no database is
     // needed to pin the facade's shape — isStreaming + the envelope columns
