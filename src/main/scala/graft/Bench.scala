@@ -71,13 +71,18 @@ object Bench {
     val line =
       s"""{"queries":$qs,"times":$ts,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
-    // the full untruncated line also lands in the repo, so per-rep evidence
-    // for EVERY query (not just the tail) is readable after the driver's
-    // stdout truncation — BENCH_FULL.json is overwritten per run
+    // the full untruncated line also lands next to the build (cwd, override
+    // via SPARK_GRAFT_BENCH_OUT), so per-rep evidence for EVERY query (not
+    // just the tail) is readable after the driver's stdout truncation —
+    // overwritten per run
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json")
+      val w = new java.io.PrintWriter(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
       try w.println(line) finally w.close()
-    } catch { case _: Throwable => () } // artifact write must never fail the bench
+    } catch { // the artifact is best-effort; only IO-class failures are benign
+      case e @ (_: java.io.IOException | _: SecurityException) =>
+        System.err.println(s"[bench] artifact write failed: $e")
+    }
     spark.stop()
   }
 }

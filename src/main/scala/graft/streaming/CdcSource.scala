@@ -221,9 +221,15 @@ object CdcSource {
       val to = end.asInstanceOf[CdcOffset].maxId
       if (to <= committed) return Array.empty
       // trailing-window rescan: reach BELOW the committed offset so a
-      // late-visible smaller id is still fetched (never below the log start —
-      // the initial backlog batch must not grow by W phantom ids)
-      val from = if (committed < 0) committed else math.max(-1L, committed - rescanWindow)
+      // late-visible smaller id is still fetched — but never below the log
+      // start (the initial backlog batch must not grow by W phantom ids)
+      // and never below the MIGRATION boundary: everything <= startAfterId
+      // was delivered by the old query and is folded into migrated state,
+      // so redelivering it would corrupt the resumed prev-image chains
+      // (StateMigration's exactly-once-across-the-cut-over contract)
+      val from =
+        if (committed < 0) committed
+        else math.max(startAfterId, committed - rescanWindow)
       // split the id range across readers — parallel backlog catch-up
       val span = to - from
       val n = math.min(numPartitions.toLong, span).toInt
@@ -290,11 +296,18 @@ object CdcSource {
     * Legal stages on top: projections/filters only — exactly the
     * [[CdcStream.statelessEvents]] subscriber shape.
     */
+  /** @param startAfterId migration resume handle, same contract as the
+    *   micro-batch path: a fresh checkpoint starts every mod-class reader
+    *   AFTER this id (a global high-water id is a correct start for every
+    *   class — the legacy-checkpoint-upgrade argument). Default -1 = from
+    *   the beginning.
+    */
   class CdcContinuousStream(spec: FeedSpec, pollMs: Long,
-                            numPartitions: Int = 1) extends ContinuousStream {
+                            numPartitions: Int = 1,
+                            startAfterId: Long = -1L) extends ContinuousStream {
     require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
     override def initialOffset(): Offset =
-      CdcContinuousOffset((0 until numPartitions).map(_ -> -1L).toMap)
+      CdcContinuousOffset((0 until numPartitions).map(_ -> startAfterId).toMap)
     override def deserializeOffset(json: String): Offset =
       if (json.contains("maxIds")) CdcContinuousOffset.fromJson(json)
       else CdcOffset.fromJson(json) // pre-partitioned (r7.0) checkpoint form
@@ -425,7 +438,7 @@ object CdcSource {
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId)
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
-          new CdcContinuousStream(spec, pollMs, contPartitions)
+          new CdcContinuousStream(spec, pollMs, contPartitions, startAfterId)
       }
   }
 }

@@ -159,13 +159,23 @@ object CdcStream {
     * 100 TB posture are unchanged: state lives with its shuffle key.
     */
   class PrevImageProcessor(ttl: Option[java.time.Duration] = None)
-      extends StatefulProcessor[Long, RawChange, CdcEvent] {
+      extends StatefulProcessorWithInitialState[Long, RawChange, CdcEvent, String] {
     @transient private var prevState: ValueState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       prevState = getHandle.getValueState[String]("prev",
         org.apache.spark.sql.Encoders.STRING,
         ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    /** Migration hook ([[StateMigration]]): each (user_id, prev) row read
+      * from an old checkpoint lands here before the first batch. A query
+      * started WITHOUT initial state never calls it — one class serves
+      * both [[withPrevStateTws]] and [[withPrevStateTwsFrom]], so the two
+      * paths cannot drift.
+      */
+    override def handleInitialState(key: Long, initial: String,
+                                    timerValues: TimerValues): Unit =
+      prevState.update(initial)
 
     override def handleInputRows(key: Long, rows: Iterator[RawChange],
                                  timerValues: TimerValues): Iterator[CdcEvent] = {
@@ -187,36 +197,10 @@ object CdcStream {
       .transformWithState(new PrevImageProcessor(ttl), mode, OutputMode.Append())
   }
 
-  /** [[PrevImageProcessor]] accepting MIGRATED initial state
-    * ([[StateMigration]]): each (user_id, prev) row read from an old
-    * checkpoint lands in the named ValueState before the first batch, so a
-    * resumed query continues emitting `previous`/`changes` exactly where
-    * the old one stopped.
-    */
-  class PrevImageProcessorWithInit(ttl: Option[java.time.Duration] = None)
-      extends StatefulProcessorWithInitialState[Long, RawChange, CdcEvent, String] {
-    @transient private var prevState: ValueState[String] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      prevState = getHandle.getValueState[String]("prev",
-        org.apache.spark.sql.Encoders.STRING,
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-
-    override def handleInitialState(key: Long, initial: String,
-                                    timerValues: TimerValues): Unit =
-      prevState.update(initial)
-
-    override def handleInputRows(key: Long, rows: Iterator[RawChange],
-                                 timerValues: TimerValues): Iterator[CdcEvent] = {
-      val p0 = if (prevState.exists()) Some(prevState.get()) else None
-      val (out, p1) = foldChanges(rows, p0)
-      p1.foreach(prevState.update)
-      out.iterator
-    }
-  }
-
   /** [[withPrevStateTws]] seeded with migrated state — the RESUME side of a
     * flatMapGroupsWithState → transformWithState checkpoint migration.
+    * Same [[PrevImageProcessor]] as the normal path, with its migration
+    * hook activated by the initial-state overload.
     */
   def withPrevStateTwsFrom(ds: Dataset[RawChange],
                            initial: Dataset[(Long, String)],
@@ -224,7 +208,7 @@ object CdcStream {
     import ds.sparkSession.implicits._
     val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(_.user_id)
-      .transformWithState(new PrevImageProcessorWithInit(ttl), mode,
+      .transformWithState(new PrevImageProcessor(ttl), mode,
         OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
@@ -248,7 +232,7 @@ object CdcStream {
       }
   }
 
-  /** By-table twin of [[PrevImageProcessorWithInit]] — the RE-KEY target:
+  /** By-table twin of [[PrevImageProcessor]] — the RE-KEY target:
     * single-table state migrated under a (table, user_id) key (see
     * [[StateMigration.withTableKey]]).
     */

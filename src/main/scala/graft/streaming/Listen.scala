@@ -69,29 +69,42 @@ object Listen {
     * broken newline-delimited frame).
     * Pure codegen'd `regexp_replace` chain (backslash FIRST so later
     * escapes aren't double-escaped); in practice schema/table are literals,
-    * so the whole chain constant-folds at plan time, and the per-row inputs
-    * (op, id) are short enum/number strings.
+    * so the whole chain constant-folds at plan time. Per-row columns whose
+    * domain excludes bare control characters take [[jsonEscapeBasic]]
+    * instead — see there.
     */
+  private val NamedEscapes = Seq(
+    "\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+    "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+
   private def jsonEscape(c: Column): Column = {
-    val named = Seq(
-      "\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
-      "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
     // the 29 control characters without a short escape, each to its
     // four-hex-digit backslash-u escape
     val rest = (0x00 to 0x1f).filterNot(Seq(0x09, 0x0a, 0x0d).contains)
       .map(cp => "\\x%02x".format(cp) -> "\\\\u%04x".format(cp))
-    (named ++ rest).foldLeft(c) { case (acc, (pat, rep)) =>
+    (NamedEscapes ++ rest).foldLeft(c) { case (acc, (pat, rep)) =>
       regexp_replace(acc, pat, rep)
     }
   }
+
+  /** The short chain for columns whose DOMAIN excludes bare control
+    * characters — `op` is a closed enum, `id` a rendered number — so the
+    * 29 per-row `backslash-u` passes of [[jsonEscape]] would be guaranteed
+    * no-ops on the latency-floor delivery path. Backslash/quote/named
+    * escapes still apply (defense in depth at ~zero cost).
+    */
+  private def jsonEscapeBasic(c: Column): Column =
+    NamedEscapes.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
 
   def eventJson(schema: Column, table: Column, op: Column, id: Column,
                 payload: Column, changes: Column): Column = {
     val head = concat(
       lit("{\"schema\":\""), jsonEscape(schema),
       lit("\",\"table\":\""), jsonEscape(table),
-      lit("\",\"op\":\""), jsonEscape(op),
-      lit("\",\"id\":\""), jsonEscape(id.cast("string")), lit("\""))
+      lit("\",\"op\":\""), jsonEscapeBasic(op),
+      lit("\",\"id\":\""), jsonEscapeBasic(id.cast("string")), lit("\""))
     concat(
       head,
       when(payload.isNotNull, concat(lit(",\"payload\":"), payload)).otherwise(lit("")),

@@ -88,12 +88,19 @@ class ListenSpec extends SparkSuite {
       val sw = new BufferedWriter(new OutputStreamWriter(slow.getOutputStream, UTF_8))
       sw.write("{\"tableRegexp\":\".*\"}\n"); sw.flush()
       awaitSubs(server, 1)
-      // stall its writer thread by closing the input abruptly? No — just flood:
-      // the writer drains to the OS buffer, so flood well past capacity + buffers.
+      // stall its writer thread by closing the input abruptly? No — just
+      // flood UNTIL a drop lands: the writer drains to the OS socket buffer,
+      // whose size varies with kernel autotuning and box load (a fixed
+      // 64-message burst intermittently fit entirely), but the buffer is
+      // finite — continuous publishing must eventually block the writer,
+      // fill the 4-slot queue, and drop.
       val payload = "x" * 65536
-      (1 to 64).foreach(i => server.publish("t", s"""{"i":$i,"pad":"$payload""" + "\"}"))
       val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
-      while (server.droppedCount == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      var i = 0
+      while (server.droppedCount == 0 && System.nanoTime() < deadline) {
+        i += 1
+        server.publish("t", s"""{"i":$i,"pad":"$payload""" + "\"}")
+      }
       assert(server.droppedCount > 0, "flooded non-reading subscriber never dropped")
       slow.close()
     } finally server.close()

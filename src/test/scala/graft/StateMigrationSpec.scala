@@ -126,6 +126,34 @@ class StateMigrationSpec extends SparkSuite {
       s"rollback tail diverged from the uninterrupted run:\n$resumed")
   }
 
+  test("migration boundary caps the rescan window; continuous readers honor startAfterId") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // rescanWindow reaches BELOW the committed offset in steady state, but
+    // must never cross the migration boundary: ids <= startAfterId were
+    // delivered by the OLD query and live in the migrated state already
+    val feedName = "mig_feed_rescan"
+    val feed = CdcSource.FeedRegistry.get(feedName)
+    feed.append(all: _*)
+    val df = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("feed", feedName).option("numPartitions", "2")
+      .option("rescanWindow", "5").option("startAfterId", "9")
+      .load().as[RawChange]
+    val q = df.writeStream.format("memory").queryName("mig_rescan_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("mig_rescan_out").select("event_id").as[Long].collect().toSet
+      assert(ids == (10L to 14L).toSet,
+        s"rescan crossed the migration boundary: got $ids")
+    } finally q.stop()
+    // the continuous path starts every mod-class reader after the handle too
+    val off = new CdcSource.CdcContinuousStream(
+        CdcSource.MemorySpec(feedName), 2L, numPartitions = 3, startAfterId = 7L)
+      .initialOffset().asInstanceOf[CdcSource.CdcContinuousOffset]
+    assert(off.maxIds == Map(0 -> 7L, 1 -> 7L, 2 -> 7L), s"got ${off.maxIds}")
+  }
+
   test("dedup bucket-state migration: relocated exemplar store keeps flagging history") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DedupStream
