@@ -715,6 +715,7 @@ object SparkEntry {
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
+    "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
   )
 
   // ===== DuckDB oracles =====

@@ -90,6 +90,13 @@ object TextFormats {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_bad")
       .json(ensureJsonDrop(spark, sfDir))
+    eventAggregate(raw)
+  }
+
+  /** The shared ingest aggregate: decoded rows grouped per event type with
+    * exact money sums, the quarantine as one `_corrupt` row.
+    */
+  private def eventAggregate(raw: DataFrame): DataFrame =
     raw.groupBy(
         when(col("_bad").isNotNull, lit("_corrupt"))
           .otherwise(col("event_type")).as("event_type"))
@@ -98,5 +105,73 @@ object TextFormats {
         sum(when(col("_bad").isNull, col("value").cast("decimal(18,2)")))
           .cast("double").as("sum_value"),
         countDistinct(when(col("_bad").isNull, col("user_id"))).as("n_users"))
+
+  /** One-time CSV conversion of the events table plus an RFC 4180 hostile
+    * part: three VALID rows exercising the quoting edge cases every real
+    * drop eventually contains — an embedded separator (`"a,b"`), a doubled
+    * quote (`"say ""hi"""`), an embedded NEWLINE inside a quoted field —
+    * and three undecodable lines. The hostile-valid rows carry sentinel
+    * event types and constant money values, so the oracle pins them as
+    * exact constant groups: a hash match proves the decoder handled each
+    * quoting case, not merely survived it.
+    *
+    * Fixture subtlety worth knowing before trusting PERMISSIVE CSV at
+    * 100 TB: with `spark.sql.csv.parser.columnPruning` (default ON) the
+    * parser only materializes the columns the query touches, so an
+    * ARITY-LONG row whose parsed prefix is clean is NOT flagged corrupt
+    * unless some touched column fails — quarantine judgments can differ
+    * between `select(*)` and a pruned projection. Each planted bad line
+    * therefore fails IN a column every consumer touches (unparseable
+    * numerics, arity-short), keeping the dead-letter count
+    * projection-invariant.
+    */
+  def ensureCsvDrop(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      Integer.toHexString(sfDir.hashCode).takeRight(8)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root)) fs.delete(root, true)
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").csv(dir)
+      val bad = fs.create(new org.apache.hadoop.fs.Path(dir, "part-hostile.csv"))
+      bad.write((
+        "7000001,999001,\"a,b\",1.5\n" +
+        "7000002,999002,\"say \"\"hi\"\"\",2.25\n" +
+        "7000003,999003,\"line\nbreak\",3.75\n" +
+        "7000004,yy,typebad,9.99\n" +
+        "only_one_field\n" +
+        "1,2,3,notanumber,5\n").getBytes("UTF-8"))
+      bad.close()
+      fs.create(marker).close()
+    }
+    dir
+  }
+
+  /** Declared query: the CSV twin of [[jsonEventIngest]] — same explicit
+    * schema, same PERMISSIVE dead-letter discipline, same aggregate, and
+    * the oracle again reads the parquet original (plus the hostile
+    * constants): format must not change answers.
+    *
+    * Two CSV-specific scale notes, both deliberate here:
+    *  - `multiLine=true` is REQUIRED for RFC 4180 embedded newlines, and it
+    *    makes each FILE one parse unit (no intra-file split points). A drop
+    *    that guarantees newline-free fields should leave it false and keep
+    *    per-line parallel splitting — at 100 TB that is the difference
+    *    between one task per 128 MB split and one per file.
+    *  - `escape="` selects RFC 4180 doubled-quote escaping (Spark's default
+    *    is backslash, which silently mis-reads standard CSV exports).
+    */
+  def csvEventIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read
+      .schema(eventWireSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(ensureCsvDrop(spark, sfDir))
+    eventAggregate(raw)
   }
 }

@@ -19,6 +19,21 @@ class TextFormatsSpec extends SparkSuite {
     assert(out(0).getLong(3) == 0L)
   }
 
+  test("csv ingest: RFC 4180 edge rows decode as exact groups; the corrupt lines quarantine") {
+    val out = TextFormats.csvEventIngest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))))
+      .toMap
+    // each quoting edge case must arrive as its OWN group with the exact
+    // planted money value — decoded, not merely survived
+    assert(out("a,b") == ((1L, Some(1.5), 1L)), s"embedded separator: ${out.get("a,b")}")
+    assert(out("say \"hi\"") == ((1L, Some(2.25), 1L)),
+      s"doubled quote: ${out.get("say \"hi\"")}")
+    assert(out("line\nbreak") == ((1L, Some(3.75), 1L)),
+      s"embedded newline: ${out.get("line\nbreak")}")
+    assert(out("_corrupt") == ((3L, None, 0L)), s"quarantine: ${out.get("_corrupt")}")
+  }
+
   test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
     // the measured semantics the fixture comment documents, pinned so a
     // Spark upgrade that changes them is caught here, not by a drifting
