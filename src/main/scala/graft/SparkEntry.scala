@@ -716,6 +716,7 @@ object SparkEntry {
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
     "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
+    "ops_gz_source"    -> (graft.sources.TextFormats.gzJsonEventIngest _),
   )
 
   // ===== DuckDB oracles =====

@@ -174,4 +174,54 @@ object TextFormats {
       .csv(ensureCsvDrop(spark, sfDir))
     eventAggregate(raw)
   }
+
+  /** GZIP copy of the JSON drop — the compressed form most real log drops
+    * arrive in. Spark decompresses `.gz` transparently, but gzip is NOT
+    * SPLITTABLE: each file is one task regardless of size, so a drop of
+    * four 25 GB gzip files runs four tasks where the uncompressed drop
+    * would run ~800 — at 100 TB the ingest must either re-chunk upstream
+    * (many small gz files), use a splittable codec (bzip2, or zstd via
+    * seekable frames), or pay one decompress-repartition pass first.
+    * `TextFormatsSpec` pins the contract: one input partition per gz file,
+    * and byte-identical aggregates to the uncompressed read.
+    */
+  def ensureGzJsonDrop(spark: SparkSession, sfDir: String): String = {
+    val src = ensureJsonDrop(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gz_" +
+      Integer.toHexString(sfDir.hashCode).takeRight(8)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root)) fs.delete(root, true)
+      fs.mkdirs(root)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .filter(s => s.getPath.getName.endsWith(".json"))
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        val out = new java.util.zip.GZIPOutputStream(
+          fs.create(new org.apache.hadoop.fs.Path(dir, p.getPath.getName + ".gz")))
+        try {
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally { in.close(); out.close() }
+      }
+      fs.create(marker).close()
+    }
+    dir
+  }
+
+  /** Declared query: the gzip'd drop through the identical reader and
+    * aggregate — compression must not change answers either, so the oracle
+    * is [[jsonEventIngest]]'s verbatim.
+    */
+  def gzJsonEventIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read
+      .schema(eventWireSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(ensureGzJsonDrop(spark, sfDir))
+    eventAggregate(raw)
+  }
 }

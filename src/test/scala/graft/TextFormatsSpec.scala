@@ -34,6 +34,22 @@ class TextFormatsSpec extends SparkSuite {
     assert(out("_corrupt") == ((3L, None, 0L)), s"quarantine: ${out.get("_corrupt")}")
   }
 
+  test("gzip drop: transparent decompression, identical aggregates, one task per gz file") {
+    val plain = TextFormats.jsonEventIngest(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val gz = TextFormats.gzJsonEventIngest(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(gz == plain, "compression changed answers")
+    // the non-splittable contract, made visible: every gz file is exactly
+    // one input partition no matter how Spark would split uncompressed text
+    val dir = TextFormats.ensureGzJsonDrop(spark, sf)
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".gz"))
+    val nParts = spark.read.schema(TextFormats.eventWireSchema)
+      .json(dir).rdd.getNumPartitions
+    assert(nFiles > 0 && nParts == nFiles,
+      s"expected 1 partition per gz file: $nParts partitions for $nFiles files")
+  }
+
   test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
     // the measured semantics the fixture comment documents, pinned so a
     // Spark upgrade that changes them is caught here, not by a drifting
