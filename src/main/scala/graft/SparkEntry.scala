@@ -717,6 +717,7 @@ object SparkEntry {
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
     "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
     "ops_gz_source"    -> (graft.sources.TextFormats.gzJsonEventIngest _),
+    "ops_orc_source"   -> (graft.sources.TextFormats.orcEventIngest _),
   )
 
   // ===== DuckDB oracles =====

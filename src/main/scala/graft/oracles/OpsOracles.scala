@@ -385,6 +385,13 @@ private[graft] object OpsOracles {
         |UNION ALL SELECT 'a,b', 1, CAST(1.5 AS DOUBLE), 1
         |UNION ALL SELECT 'say "hi"', 1, CAST(2.25 AS DOUBLE), 1
         |UNION ALL SELECT concat('line', chr(10), 'break'), 1, CAST(3.75 AS DOUBLE), 1""".stripMargin,
+    // columnar-to-columnar: the ORC round-trip's filtered aggregate from
+    // the parquet original
+    "ops_orc_source" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE value >= 100.0 GROUP BY event_type""".stripMargin,
     // compression must not change answers: the gzip drop's oracle is the
     // JSON drop's verbatim
     "ops_gz_source" ->

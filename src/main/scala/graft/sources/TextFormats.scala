@@ -224,4 +224,43 @@ object TextFormats {
       .json(ensureGzJsonDrop(spark, sfDir))
     eventAggregate(raw)
   }
+
+  /** One-time ORC conversion of the events table — the OTHER columnar
+    * format a lakehouse inherits (Hive estates standardized on ORC the way
+    * Spark ones did on parquet). No dead-letter axis here (columnar files
+    * are typed at write); the axis that matters is that the engine's
+    * scan-level machinery carries over: predicate pushdown and column
+    * pruning must reach the ORC reader exactly as they do the parquet one
+    * (`TextFormatsSpec` pins PushedFilters on the ORC scan).
+    */
+  def ensureOrcDrop(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      Integer.toHexString(sfDir.hashCode).takeRight(8)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root)) fs.delete(root, true)
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(dir)
+      fs.create(marker).close()
+    }
+    dir
+  }
+
+  /** Declared query: filtered aggregate over the ORC round-trip — the
+    * filter exists to ride the scan (pushdown proven in the spec), and the
+    * oracle computes the identical aggregate from the parquet original:
+    * columnar-to-columnar conversion must change neither answers nor the
+    * scan-level optimization story.
+    */
+  def orcEventIngest(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.orc(ensureOrcDrop(spark, sfDir))
+      .filter(col("value") >= 100.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
 }

@@ -50,6 +50,18 @@ class TextFormatsSpec extends SparkSuite {
       s"expected 1 partition per gz file: $nParts partitions for $nFiles files")
   }
 
+  test("orc round-trip: predicate pushdown reaches the ORC scan like the parquet one") {
+    val df = TextFormats.orcEventIngest(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Format: ORC") || p.contains("Scan orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(value,100.0)"),
+      s"value filter not pushed to the ORC scan:\n$p")
+    // column pruning: the scan must read only the four touched columns
+    assert(p.contains("ReadSchema: struct<user_id:bigint,event_type:string,value:double>")
+      || p.contains("ReadSchema: struct<event_id"),
+      s"scan reads more than the projection needs:\n$p")
+  }
+
   test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
     // the measured semantics the fixture comment documents, pinned so a
     // Spark upgrade that changes them is caught here, not by a drifting
