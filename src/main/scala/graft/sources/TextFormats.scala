@@ -263,4 +263,29 @@ object TextFormats {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
+
+  /** STREAMING ingestion of a landing directory — how a crawl actually
+    * arrives: shards land as JSON-lines files in object storage and the
+    * pipeline picks each up exactly once. Spark's file streaming source
+    * tracks seen files in the checkpoint (the exactly-once unit is the
+    * FILE), so a restart neither re-reads old shards nor misses ones that
+    * landed while down; the same explicit schema + PERMISSIVE dead-letter
+    * discipline as the batch readers applies per arriving file, and the
+    * decoded stream feeds any downstream stage — the online dedup stack
+    * ([[graft.streaming.DedupStream]]) being the canonical consumer:
+    * landing-dir → decode → dedup-as-it-lands with no glue.
+    *
+    * `maxFilesPerTrigger` is the ingest throttle (a backlog of thousands
+    * of shards otherwise becomes one giant first batch); corrupt lines
+    * stay IN the stream as `_bad`-carrying rows so a dead-letter sink can
+    * subscribe to them like any other consumer.
+    */
+  def jsonDropStream(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(eventWireSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
 }

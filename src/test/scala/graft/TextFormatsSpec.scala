@@ -62,6 +62,36 @@ class TextFormatsSpec extends SparkSuite {
       s"scan reads more than the projection needs:\n$p")
   }
 
+  test("streaming drop directory: each landed file ingested exactly once; corrupt rows ride along") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drop_stream")
+    def land(name: String, lines: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), lines.getBytes("UTF-8"))
+    land("shard-0.json",
+      "{\"event_id\": 1, \"user_id\": 10, \"event_type\": \"click\", \"value\": 1.5}\n" +
+      "{\"event_id\": 2, \"user_id\": 11, \"event_type\": \"view\", \"value\": 2.5}\n")
+    val q = TextFormats.jsonDropStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("drop_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("drop_stream_out").count() == 2)
+      // a shard landing LATER (with one corrupt line) arrives incrementally;
+      // the first shard is not re-read (file-grain exactly-once)
+      land("shard-1.json",
+        "{\"event_id\": 3, \"user_id\": 12, \"event_type\": \"click\", \"value\": 3.5}\n" +
+        "not json at all\n")
+      q.processAllAvailable()
+      val rows = spark.table("drop_stream_out").collect()
+      assert(rows.length == 4, s"expected 2+2 rows, got ${rows.length}")
+      assert(rows.count(r => !r.isNullAt(r.fieldIndex("_bad"))) == 1,
+        "the corrupt line must ride the stream as a dead-letter row")
+      // the decoded stream composes with the online dedup stack unchanged:
+      // same schema contract as every batch reader
+      assert(spark.table("drop_stream_out").schema.fieldNames.toSeq ==
+        TextFormats.eventWireSchema.fieldNames.toSeq)
+    } finally q.stop()
+  }
+
   test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
     // the measured semantics the fixture comment documents, pinned so a
     // Spark upgrade that changes them is caught here, not by a drifting
