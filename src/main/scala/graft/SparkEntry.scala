@@ -252,14 +252,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** HLL sketch aggregation — approx_count_distinct per event type. No SQL
-    * oracle (sketches differ across engines); driver records rows-only.
+  /** HLL sketch aggregation — approx_count_distinct per event type, made
+    * ORACLE-CHECKABLE (r8; it was the inventory's one rows-only check from
+    * r1–r7). Raw sketch values can't cross engines (DuckDB's HLL is a
+    * different implementation), but Spark's HLL++ is merge-order-INSENSITIVE
+    * (register state is a max — commutative and associative), so the
+    * sketch's error against the exact count is deterministic for a given
+    * dataset. The query emits the exact count plus the sketch's
+    * within-5%-bound verdict; the oracle recomputes the exact side and pins
+    * the verdict literally TRUE — a hash match now PROVES the sketch met
+    * its error bound, which a rows-only check never could.
     */
   private def opsApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-           count(lit(1)).as("n"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("within_5pct"))
   }
 
   /** Schema-on-read key census: which JSON keys exist per table/type, and

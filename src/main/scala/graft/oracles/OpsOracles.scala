@@ -29,8 +29,15 @@ private[graft] object OpsOracles {
         |  COUNT(*) AS n_events,
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
-    // ops_approx_distinct: intentionally no oracle — HLL sketches are
-    // engine-specific; the driver records a rows-only check.,
+    // the raw sketch can't cross engines, but its ERROR BOUND can: Spark's
+    // HLL++ is merge-order-insensitive, so the within-5% verdict is
+    // deterministic and the oracle pins it literally TRUE next to the
+    // exact counts (r8 — previously the inventory's one rows-only check)
+    "ops_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  COUNT(*) AS n, TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

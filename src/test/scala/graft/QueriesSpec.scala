@@ -16,8 +16,10 @@ class QueriesSpec extends SparkSuite {
   test("every declared query runs non-empty; oracles cover the SQL-expressible set") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // only sketch-based ops may omit an oracle
-    assert((qs.keySet -- SparkEntry.oracleSql.keySet) == Set("ops_approx_distinct"))
+    // FULL oracle coverage as of r8: even the HLL sketch is checked (its
+    // error-bound verdict is deterministic and the oracle pins it TRUE)
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet).isEmpty,
+      s"queries without an oracle: ${qs.keySet -- SparkEntry.oracleSql.keySet}")
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n > 0, s"$name returned 0 rows")
