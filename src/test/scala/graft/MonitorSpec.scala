@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.{CdcStream, Monitor}
+import graft.streaming.CdcStream.RawChange
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming observability: progress lands in the ring with the fields a
+  * retention decision needs (state rows/bytes), the ring bound holds, and
+  * detach stops collection.
+  */
+class MonitorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+
+  test("stateful query progress reports batches, rates, and state size; ring stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mon = Monitor.attach(spark, capacity = 2)
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(input.toDS())
+      .writeStream.format("memory").queryName("monitor_probe")
+      .outputMode("append").start()
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(RawChange(b.toLong, t(b), 1L, "purchase", s"""{"k":$b}"""))
+        q.processAllAvailable()
+      }
+      // listener delivery is async — wait for the ring to see progress
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      def snap() = mon.snapshot(spark).filter("query = 'monitor_probe'").collect()
+      while (snap().length < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val rows = snap()
+      // ring bound: 4 batches ran, at most 2 retained (shared with any
+      // concurrent suite queries, hence the query-name filter + <=)
+      assert(rows.nonEmpty && rows.length <= 2, s"ring bound broken: ${rows.length}")
+      val r = rows.maxBy(_.getAs[Long]("batchId"))
+      assert(r.getAs[Long]("numInputRows") == 1L)
+      assert(r.getAs[Long]("triggerMs") >= 0L, "trigger duration missing")
+      // the retention-decision fields: the prev-image query holds ONE key
+      assert(r.getAs[Long]("stateRows") == 1L,
+        s"state rows should be 1 (one user key): $r")
+      assert(r.getAs[Long]("stateBytes") > 0L, "state bytes not reported")
+    } finally {
+      q.stop()
+      Monitor.detach(spark, mon)
+    }
+  }
+
+  test("detach stops collection") {
+    implicit val sqlCtx = spark.sqlContext
+    val mon = Monitor.attach(spark)
+    Monitor.detach(spark, mon)
+    val input = MemoryStream[RawChange]
+    val q = input.toDS().toDF()
+      .writeStream.format("memory").queryName("monitor_detached")
+      .outputMode("append").start()
+    try {
+      input.addData(RawChange(1L, t(0), 1L, "signup", "{}"))
+      q.processAllAvailable()
+      Thread.sleep(200) // grace for any stray async delivery
+      assert(mon.snapshot(spark).filter("query = 'monitor_detached'").count() == 0)
+    } finally q.stop()
+  }
+}
