@@ -177,17 +177,63 @@ object CdcCatalog {
     * table so one probe covers all tables.
     */
   def readAll(spark: org.apache.spark.sql.SparkSession,
-              specs: Seq[CdcSource.JdbcSpec],
+              specs: Seq[CdcSource.FeedSpec],
               numPartitions: Int = 4,
-              rescanWindow: Long = 0L): org.apache.spark.sql.DataFrame = {
+              rescanWindow: Long = 0L): org.apache.spark.sql.DataFrame =
+    readAllFrom(spark, specs, specs.map(_ => -1L), numPartitions, rescanWindow)
+
+  /** [[readAll]] with a PER-TABLE migration resume handle — the multi-source
+    * counterpart of the single-feed `startAfterId` option. `startAfterIds`
+    * pairs positionally with `specs` (source ordinal i in the union = specs
+    * (i) — the order [[StateMigration.committedOffsets]] returns), so each
+    * table resumes at ITS OWN committed position: per-table id spaces are
+    * independent, and a shared scalar handle would re-deliver on tables
+    * behind it and lose events on tables ahead of it.
+    */
+  def readAllFrom(spark: org.apache.spark.sql.SparkSession,
+                  specs: Seq[CdcSource.FeedSpec],
+                  startAfterIds: Seq[Long],
+                  numPartitions: Int = 4,
+                  rescanWindow: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(specs.nonEmpty, "readAll needs at least one feed")
+    require(startAfterIds.length == specs.length,
+      s"${specs.length} feeds but ${startAfterIds.length} resume offsets — " +
+        "each source needs exactly one (pair specs with " +
+        "StateMigration.committedOffsets in the original order)")
     import org.apache.spark.sql.functions.lit
-    specs.map { s =>
-      spark.readStream.format("graft.streaming.CdcSourceProvider")
-        .option("jdbcUrl", s.url).option("jdbcTable", s.table)
+    specs.zip(startAfterIds).map { case (s, after) =>
+      val reader = spark.readStream.format("graft.streaming.CdcSourceProvider")
         .option("numPartitions", numPartitions.toString)
-        .option("rescanWindow", rescanWindow.toString).load()
-        .withColumn("table", lit(s.table))
+        .option("rescanWindow", rescanWindow.toString)
+        .option("startAfterId", after.toString)
+      val (withSpec, label) = s match {
+        case j: CdcSource.JdbcSpec =>
+          (reader.option("jdbcUrl", j.url).option("jdbcTable", j.table), j.table)
+        case m: CdcSource.MemorySpec => (reader.option("feed", m.name), m.name)
+        case y: CdcSource.SyntheticSpec =>
+          (reader.option("synthetic", y.name)
+             .option("syntheticUsers", y.numUsers.toString), y.name)
+      }
+      withSpec.load().withColumn("table", lit(label))
     }.reduce(_ unionByName _)
+  }
+
+  /** Checkpoint-migration resume of a multi-table capture: read the old
+    * [[readAll]] checkpoint's per-source committed offsets and rebuild the
+    * union with each table starting after its own position — exactly-once
+    * across the cut-over, per table. `specs` MUST be the same feeds in the
+    * same order as the query that wrote `oldCheckpointDir` (the offset log
+    * records positions by source ordinal, not by name).
+    */
+  def resumeAll(spark: org.apache.spark.sql.SparkSession,
+                specs: Seq[CdcSource.FeedSpec],
+                oldCheckpointDir: String,
+                numPartitions: Int = 4,
+                rescanWindow: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val offs = StateMigration.committedOffsets(spark, oldCheckpointDir)
+    require(offs.length == specs.length,
+      s"old checkpoint has ${offs.length} sources but ${specs.length} feeds " +
+        "were given — resume must list exactly the original tables in order")
+    readAllFrom(spark, specs, offs, numPartitions, rescanWindow)
   }
 }

@@ -64,14 +64,18 @@ object StateMigration {
       .as[(Long, String)]
   }
 
-  /** The old checkpoint's last COMMITTED source offset — the resume handle
-    * to pass as the new query's `startAfterId`. Reads the offset entry of
-    * the highest batch in `commits/` (offsets of later, uncommitted batch
-    * attempts are deliberately ignored: their data was never delivered, so
-    * the new query must re-read it). Hadoop FS API — works on HDFS/S3
-    * checkpoints, not just local disk.
+  /** The raw per-source offset lines of the highest COMMITTED batch, in
+    * SOURCE-ORDINAL order. OffsetSeqLog layout: line 0 = "v1", line 1 = the
+    * metadata JSON, then ONE line per source in the order the sources
+    * appear in the query plan — for [[CdcCatalog.readAll]] that is the
+    * order of the `specs` argument, which is why [[committedOffsets]] can
+    * be zipped back against the same spec list on resume. Offsets of
+    * later, uncommitted batch attempts are deliberately ignored: their
+    * data was never delivered, so the new query must re-read it. Hadoop FS
+    * API — works on HDFS/S3 checkpoints, not just local disk.
     */
-  def committedOffset(spark: SparkSession, checkpointDir: String): Long = {
+  private def committedOffsetLines(spark: SparkSession,
+                                   checkpointDir: String): Vector[String] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(checkpointDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,10 +86,38 @@ object StateMigration {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    // OffsetSeqLog layout: "v1", the metadata JSON, then ONE line per source
     require(lines.length >= 3, s"unexpected offsets log shape: $lines")
-    CdcSource.CdcOffset.fromJson(lines(2)).maxId
+    lines.drop(2)
   }
+
+  /** The old checkpoint's last COMMITTED source offset — the resume handle
+    * to pass as the new query's `startAfterId`. SINGLE-SOURCE checkpoints
+    * only: a multi-source checkpoint (e.g. a [[CdcCatalog.readAll]] union,
+    * one offset line per table with INDEPENDENT id spaces) is rejected
+    * rather than silently answered with the first table's offset — resuming
+    * every table at table 1's position would re-deliver on tables behind it
+    * and LOSE events on tables ahead of it. Use [[committedOffsets]] (and
+    * [[CdcCatalog.resumeAll]]) for those.
+    */
+  def committedOffset(spark: SparkSession, checkpointDir: String): Long = {
+    val src = committedOffsetLines(spark, checkpointDir)
+    require(src.length == 1,
+      s"checkpoint has ${src.length} sources — a per-source resume position is " +
+        "required; use committedOffsets / CdcCatalog.resumeAll instead of " +
+        "committedOffset (per-table id spaces are independent)")
+    CdcSource.CdcOffset.fromJson(src.head).maxId
+  }
+
+  /** Per-source committed offsets of a (possibly multi-source) checkpoint,
+    * in source-ordinal order — for a [[CdcCatalog.readAll]] checkpoint that
+    * is the order of the spec list the union was built from, so
+    * `specs.zip(committedOffsets(...))` pairs each table with its own
+    * resume handle. A source that never committed data yields -1 (the
+    * from-the-beginning sentinel), matching the fresh-start default.
+    */
+  def committedOffsets(spark: SparkSession, checkpointDir: String): Seq[Long] =
+    committedOffsetLines(spark, checkpointDir)
+      .map(CdcSource.CdcOffset.fromJson(_).maxId)
 
   /** Bucket-exemplar state of an online text-dedup checkpoint
     * ([[DedupStream.candidates]]'s layout): (band key, exemplar doc_id).

@@ -198,6 +198,62 @@ class StateMigrationSpec extends SparkSuite {
       s"relocated store diverged: resumed-only ${resumed -- ref}, ref-only ${ref -- resumed}")
   }
 
+  test("2-table readAll checkpoint: per-table offset handoff, zero loss / zero dup") {
+    import graft.streaming.CdcCatalog
+    import graft.streaming.CdcSource.MemorySpec
+    // two tables with DELIBERATELY SKEWED id spaces: t2's ids run far ahead
+    // of t1's — the exact shape where a shared scalar resume handle either
+    // re-delivers t2's backlog (resume at t1's offset) or silently loses
+    // t1's new rows (resume at t2's offset)
+    val f1 = CdcSource.FeedRegistry.get("mig_multi_t1")
+    val f2 = CdcSource.FeedRegistry.get("mig_multi_t2")
+    val t1w1 = (0L until 10L).map(i => RawChange(i, t(i), i % 3, "signup", s"""{"t":1,"k":$i}"""))
+    val t2w1 = (0L until 500L).map(i => RawChange(i, t(i), i % 7, "click", s"""{"t":2,"k":$i}"""))
+    f1.append(t1w1: _*); f2.append(t2w1: _*)
+    val specs = Seq(MemorySpec("mig_multi_t1"), MemorySpec("mig_multi_t2"))
+    val chk = java.nio.file.Files.createTempDirectory("mig_chk_multi").toString
+    val q1 = CdcCatalog.readAll(spark, specs, numPartitions = 2)
+      .writeStream.format("memory").queryName("mig_multi_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("mig_multi_a").count() == t1w1.size + t2w1.size)
+
+    // the scalar helper REFUSES a multi-source checkpoint instead of
+    // answering with table 1's offset
+    val ex = intercept[IllegalArgumentException] {
+      StateMigration.committedOffset(spark, chk)
+    }
+    assert(ex.getMessage.contains("committedOffsets"), ex.getMessage)
+    // per-source handles, in spec order, each table's OWN position
+    val offs = StateMigration.committedOffsets(spark, chk)
+    assert(offs == Seq(t1w1.last.event_id, t2w1.last.event_id), s"got $offs")
+
+    // wave 2 on both tables; resume the union on a FRESH checkpoint with
+    // per-table startAfterId — each table must land exactly its wave 2
+    val t1w2 = (10L until 15L).map(i => RawChange(i, t(i), i % 3, "purchase", s"""{"t":1,"k":$i}"""))
+    val t2w2 = (500L until 512L).map(i => RawChange(i, t(i), i % 7, "view", s"""{"t":2,"k":$i}"""))
+    f1.append(t1w2: _*); f2.append(t2w2: _*)
+    val chkB = java.nio.file.Files.createTempDirectory("mig_chk_multi_b").toString
+    val q2 = CdcCatalog.resumeAll(spark, specs, chk, numPartitions = 2)
+      .writeStream.format("memory").queryName("mig_multi_b")
+      .option("checkpointLocation", chkB).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table("mig_multi_b")
+      .select($"table", $"event_id").as[(String, Long)].collect().toSeq
+    val want = t1w2.map(r => ("mig_multi_t1", r.event_id)) ++
+      t2w2.map(r => ("mig_multi_t2", r.event_id))
+    // SET equality pins zero loss; length equality on the raw seq pins zero
+    // duplication (at-least-once redelivery would inflate the count)
+    assert(got.toSet == want.toSet,
+      s"lost ${want.toSet -- got.toSet}, phantom ${got.toSet -- want.toSet}")
+    assert(got.length == want.length, s"duplicated delivery: ${got.length} rows")
+
+    // mismatched resume shape is rejected loudly, not truncated
+    intercept[IllegalArgumentException] {
+      CdcCatalog.readAllFrom(spark, specs, Seq(9L))
+    }
+  }
+
   test("re-key migration: single-table state resumes under the (table, id) key") {
     implicit val sqlCtx = spark.sqlContext
     // API A: single-table classic checkpoint over the first wave
