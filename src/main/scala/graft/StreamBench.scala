@@ -451,6 +451,48 @@ object StreamBench {
       val warmMSec = runMedia()
       println(s"""{"metric":"media_dedup_stream_throughput","docs":${media.size},"warm_sec":$warmMSec,"docs_per_sec":${(media.size / warmMSec).toLong},"sf":"$sfDir"}""")
     }
+
+    // ===== DEGENERATE single-bucket media corpus =====
+    // Worst case for the bucket handler: thousands of distinct fingerprint
+    // CLASSES whose band keys all collide (identical low band bits), then a
+    // flood of exact copies probing that fully-loaded bucket. The exact-dup
+    // probe is a hash-map hit (r9), so throughput must hold at O(batch)
+    // here — a linear membership scan would pay O(batch × classes) in
+    // exactly this shape. Codec bypassed deliberately: the datapoint
+    // isolates the state handler, not the decode.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.DedupStream
+      val classes = 3000
+      val copies = 32
+      // fp_i = (i << 14) | C: band 0 (low 14 bits) identical across every
+      // class — one bucket holding all `classes` exemplars (bands 2-3
+      // degenerate too for i < 2^14; harsher, same point)
+      val fps = (0 until classes).flatMap { i =>
+        val fp = (i.toLong << 14) | 0x2AAAL
+        (0 until copies).map(k =>
+          DedupStream.FpRow(i.toLong + k.toLong * 10000000L, fp))
+      }
+      def runDegenerate(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[DedupStream.FpRow]
+        val q = DedupStream.fpVerifiedPairs(
+            DedupStream.fpBandRows(input.toDS(), DedupStream.ImageBanding))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("media_dedup_degen").toString)
+          .start()
+        input.addData(fps: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runDegenerate()
+      val warmDSec = runDegenerate()
+      println(s"""{"metric":"media_dedup_degenerate_throughput","docs":${fps.size},"classes":$classes,"warm_sec":$warmDSec,"docs_per_sec":${(fps.size / warmDSec).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -26,6 +26,44 @@ import org.apache.spark.sql.types._
   */
 object TextFormats {
 
+  /** Cheap content fingerprint of the source events table: row count + max
+    * event id, both answered from parquet footer statistics (no data scan).
+    * Folded into every drop cache's `_DROP_READY` marker so the cache keys
+    * on the DATA, not just the directory path — a regenerated testdata dir
+    * at the same path invalidates and rebuilds instead of silently serving
+    * stale rows to the format oracles.
+    */
+  private def eventsFingerprint(spark: SparkSession, sfDir: String): String = {
+    val r = graft.Tables.load(spark, sfDir, "events")
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("m")).head()
+    s"${r.getLong(0)}:${r.get(1)}"
+  }
+
+  /** Committed-marker cache discipline shared by the four drops: rebuild
+    * when the marker is missing (first run / interrupted prior write) OR
+    * its recorded fingerprint no longer matches the source table.
+    */
+  private def ensureDrop(spark: SparkSession, dir: String, fingerprint: String)
+                        (build: org.apache.hadoop.fs.FileSystem => Unit): String = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    if (!recorded.contains(fingerprint)) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(root)) fs.delete(root, true) // stale or interrupted
+      build(fs)
+      val out = fs.create(marker)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+    dir
+  }
+
   /** Explicit wire schema for the JSON event drop. `value` stays DOUBLE on
     * the wire (the driver parquet's type) and is money-cast only at
     * aggregation time, like every other query; the corrupt-record column
@@ -47,11 +85,7 @@ object TextFormats {
   def ensureJsonDrop(spark: SparkSession, sfDir: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
       Integer.toHexString(sfDir.hashCode).takeRight(8)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root)) fs.delete(root, true) // interrupted prior write
+    ensureDrop(spark, dir, eventsFingerprint(spark, sfDir)) { fs =>
       graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").json(dir)
@@ -70,9 +104,7 @@ object TextFormats {
       bad.write("{\"event_id\": 1, \"user_id\"\nnot json at all\n{\"event_id\": 1,,}\n"
         .getBytes("UTF-8"))
       bad.close()
-      fs.create(marker).close()
     }
-    dir
   }
 
   /** Declared query: ingest the JSON drop with the explicit schema, split
@@ -128,14 +160,14 @@ object TextFormats {
   def ensureCsvDrop(spark: SparkSession, sfDir: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
       Integer.toHexString(sfDir.hashCode).takeRight(8)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root)) fs.delete(root, true)
+    ensureDrop(spark, dir, eventsFingerprint(spark, sfDir)) { fs =>
       graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").csv(dir)
+        // writer shares the reader's RFC 4180 convention (escape = doubled
+        // quote) — Spark's default backslash escaping would round-trip only
+        // while no value happens to need quoting, then silently corrupt the
+        // first fixture value containing a quote or comma
+        .write.mode("overwrite").option("escape", "\"").csv(dir)
       val bad = fs.create(new org.apache.hadoop.fs.Path(dir, "part-hostile.csv"))
       bad.write((
         "7000001,999001,\"a,b\",1.5\n" +
@@ -145,9 +177,7 @@ object TextFormats {
         "only_one_field\n" +
         "1,2,3,notanumber,5\n").getBytes("UTF-8"))
       bad.close()
-      fs.create(marker).close()
     }
-    dir
   }
 
   /** Declared query: the CSV twin of [[jsonEventIngest]] — same explicit
@@ -186,14 +216,11 @@ object TextFormats {
     * and byte-identical aggregates to the uncompressed read.
     */
   def ensureGzJsonDrop(spark: SparkSession, sfDir: String): String = {
-    val src = ensureJsonDrop(spark, sfDir)
+    val src = ensureJsonDrop(spark, sfDir) // refreshes the json drop first
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gz_" +
       Integer.toHexString(sfDir.hashCode).takeRight(8)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    ensureDrop(spark, dir, eventsFingerprint(spark, sfDir)) { fs =>
       val root = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root)) fs.delete(root, true)
       fs.mkdirs(root)
       val parts = fs.listStatus(new org.apache.hadoop.fs.Path(src))
         .filter(s => s.getPath.getName.endsWith(".json"))
@@ -207,9 +234,7 @@ object TextFormats {
           while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
         } finally { in.close(); out.close() }
       }
-      fs.create(marker).close()
     }
-    dir
   }
 
   /** Declared query: the gzip'd drop through the identical reader and
@@ -236,17 +261,11 @@ object TextFormats {
   def ensureOrcDrop(spark: SparkSession, sfDir: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
       Integer.toHexString(sfDir.hashCode).takeRight(8)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(root)) fs.delete(root, true)
+    ensureDrop(spark, dir, eventsFingerprint(spark, sfDir)) { _ =>
       graft.Tables.load(spark, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(dir)
-      fs.create(marker).close()
     }
-    dir
   }
 
   /** Declared query: filtered aggregate over the ORC round-trip — the

@@ -328,19 +328,30 @@ object DedupStream {
     else {
       val rs = rows.toSeq.sortBy(_.doc_id)
       var exs = (if (state.exists) state.get.exemplars else Seq.empty).toVector
+      // O(1) exact-dup probe: exact matches are the DOMINANT arrival mode
+      // (every copy of a viral asset lands here), so class membership must
+      // not pay a linear sweep per row — one fp→rep hash map, built once
+      // per (bucket, batch) and maintained as classes enroll, makes the
+      // hot path O(batch) instead of O(batch × classes). The linear sweep
+      // below survives only where it is irreducible: a NOVEL fingerprint's
+      // Hamming verify genuinely compares against every stored class.
+      var reps = exs.iterator.map(e => e.fp -> e.doc_id).toMap
       val enrolled = exs.size
       val out = Vector.newBuilder[FpEdge]
       rs.foreach { r =>
-        exs.find(_.fp == r.fp) match {
-          case Some(rep) => // exact dup: the within-class star edge only
-            if (rep.doc_id != r.doc_id)
-              out += FpEdge(r.doc_id, rep.doc_id, r.band_id, 0L)
+        reps.get(r.fp) match {
+          case Some(repId) => // exact dup: the within-class star edge only
+            if (repId != r.doc_id)
+              out += FpEdge(r.doc_id, repId, r.band_id, 0L)
           case None => // novel class: rep-level pairs + enrollment
             exs.foreach { e =>
               val h = java.lang.Long.bitCount(r.fp ^ e.fp).toLong
               if (h <= maxHamming) out += FpEdge(r.doc_id, e.doc_id, r.band_id, h)
             }
-            if (exs.size < bucketCap) exs = exs :+ FpExemplar(r.doc_id, r.fp)
+            if (exs.size < bucketCap) {
+              exs = exs :+ FpExemplar(r.doc_id, r.fp)
+              reps = reps.updated(r.fp, r.doc_id)
+            }
         }
       }
       if (exs.size != enrolled) state.update(FpBucketState(exs))

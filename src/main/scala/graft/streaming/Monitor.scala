@@ -1,8 +1,9 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentLinkedDeque
+import java.util.concurrent.{ConcurrentLinkedDeque, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Streaming observability — the operational telemetry the reference never
@@ -26,6 +27,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Shape: attach once per session ([[attach]]), read [[Monitor.Listener
   * .snapshot]] anywhere (a tiny localized frame — rows = retained
   * progress entries, never the stream itself), detach via [[detach]].
+  *
+  * Durability: the ring dies with the driver — exactly when post-mortem
+  * telemetry matters most — so [[attach]] takes an optional parquet
+  * `sink`. Entries are spooled and appended in small batches (every
+  * `flushEvery` events, plus on [[detach]]/[[Listener.flush]]), so the
+  * steady-state cost is one tiny single-partition write per few hundred
+  * micro-batches, off the record path (the listener bus is async). A
+  * crash loses at most the unflushed tail — the bounded-staleness trade
+  * every metrics pipeline makes; a per-event write would put a Spark job
+  * on every micro-batch of every query.
   */
 object Monitor {
 
@@ -38,8 +49,17 @@ object Monitor {
                       inputRowsPerSec: Double, processedRowsPerSec: Double,
                       triggerMs: Long, stateRows: Long, stateBytes: Long)
 
-  final class Listener(capacity: Int = 1024) extends StreamingQueryListener {
+  final class Listener(capacity: Int = 1024,
+                       sink: Option[String] = None,
+                       flushEvery: Int = 256) extends StreamingQueryListener {
     private val ring = new ConcurrentLinkedDeque[Progress]()
+    // element count tracked separately: ConcurrentLinkedDeque.size() is
+    // O(n) (it walks the nodes), which would make every progress event pay
+    // a full-ring traversal just to decide whether to trim
+    private val count = new AtomicInteger(0)
+    private val pending = new ConcurrentLinkedQueue[Progress]()
+    private val pendingCount = new AtomicInteger(0)
+    @volatile private[Monitor] var session: SparkSession = _
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -47,7 +67,7 @@ object Monitor {
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val states = Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty)
-      ring.addLast(Progress(
+      val rec = Progress(
         Option(p.name).getOrElse(""),
         p.runId.toString,
         p.batchId,
@@ -58,8 +78,15 @@ object Monitor {
         Option(p.durationMs)
           .flatMap(m => Option(m.get("triggerExecution"))).map(_.toLong).getOrElse(-1L),
         states.map(_.numRowsTotal).sum,
-        states.map(_.memoryUsedBytes).sum))
-      while (ring.size() > capacity) ring.pollFirst()
+        states.map(_.memoryUsedBytes).sum)
+      ring.addLast(rec)
+      if (count.incrementAndGet() > capacity) {
+        if (ring.pollFirst() != null) count.decrementAndGet()
+      }
+      if (sink.isDefined) {
+        pending.add(rec)
+        if (pendingCount.incrementAndGet() >= flushEvery) flush()
+      }
     }
 
     private def zeroIfNaN(d: Double): Double = if (d.isNaN) 0.0 else d
@@ -72,15 +99,43 @@ object Monitor {
       import scala.jdk.CollectionConverters._
       ring.iterator().asScala.toSeq.toDF()
     }
+
+    /** Append every spooled entry to the sink. Synchronized so a
+      * threshold-triggered flush racing a detach-time flush can't write a
+      * record twice; drains the spool first, then writes once — one tiny
+      * single-partition file per flush, readable with a plain
+      * `spark.read.parquet(sink)` from ANY later session (the post-mortem
+      * path the in-memory ring cannot serve).
+      */
+    def flush(): Unit = sink.foreach { path =>
+      synchronized {
+        val drained = Vector.newBuilder[Progress]
+        var r = pending.poll()
+        while (r != null) { pendingCount.decrementAndGet(); drained += r; r = pending.poll() }
+        val rows = drained.result()
+        if (rows.nonEmpty && session != null) {
+          val s = session
+          import s.implicits._
+          rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+        }
+      }
+    }
   }
 
-  /** Attach a fresh listener to the session's stream manager. */
-  def attach(spark: SparkSession, capacity: Int = 1024): Listener = {
-    val l = new Listener(capacity)
+  /** Attach a fresh listener to the session's stream manager. `sink`: an
+    * optional parquet directory to persist progress into (see class note).
+    */
+  def attach(spark: SparkSession, capacity: Int = 1024,
+             sink: Option[String] = None, flushEvery: Int = 256): Listener = {
+    val l = new Listener(capacity, sink, flushEvery)
+    l.session = spark
     spark.streams.addListener(l)
     l
   }
 
-  def detach(spark: SparkSession, l: Listener): Unit =
+  /** Detach and flush any spooled telemetry to the sink. */
+  def detach(spark: SparkSession, l: Listener): Unit = {
     spark.streams.removeListener(l)
+    l.flush()
+  }
 }

@@ -46,6 +46,39 @@ class MonitorSpec extends SparkSuite {
     }
   }
 
+  test("sinked telemetry survives the session: flush on detach, read back fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val sinkDir = java.nio.file.Files.createTempDirectory("monitor_sink").toString + "/ring"
+    // flushEvery larger than the batch count: proves the DETACH flush path
+    // (the threshold path is the same write, just earlier)
+    val mon = Monitor.attach(spark, capacity = 8, sink = Some(sinkDir), flushEvery = 256)
+    val input = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(input.toDS())
+      .writeStream.format("memory").queryName("monitor_sinked")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(RawChange(b.toLong, t(b), 1L, "purchase", s"""{"k":$b}"""))
+        q.processAllAvailable()
+      }
+      // wait out the async listener bus before detaching
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (mon.snapshot(spark).filter("query = 'monitor_sinked'").count() < 3 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    } finally {
+      q.stop()
+      Monitor.detach(spark, mon) // flushes the spool
+    }
+    // read back through a FRESH session state — the post-mortem path: the
+    // parquet outlives the listener, the ring, and the session that wrote it
+    val back = spark.newSession().read.parquet(sinkDir)
+      .filter("query = 'monitor_sinked'")
+    assert(back.count() >= 3, s"persisted ring short: ${back.count()}")
+    val r = back.orderBy(org.apache.spark.sql.functions.desc("batchId")).head()
+    assert(r.getAs[Long]("stateRows") == 1L, s"state fields lost in the sink: $r")
+    assert(r.getAs[Long]("stateBytes") > 0L)
+  }
+
   test("detach stops collection") {
     implicit val sqlCtx = spark.sqlContext
     val mon = Monitor.attach(spark)

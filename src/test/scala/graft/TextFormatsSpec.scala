@@ -92,6 +92,38 @@ class TextFormatsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("drop cache invalidates when the source table changes under the same path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tf_invalidate").toString
+    def writeEvents(n: Long): Unit =
+      (0L until n).map(i => (i, new java.sql.Timestamp(1000L * (i + 1)), i % 3,
+          "click", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def decoded(drop: String): Long =
+      spark.read.schema(TextFormats.eventWireSchema)
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+        .json(drop).filter("_bad is null")
+        // count a DATA column: a query touching only the corrupt-record
+        // column is disallowed on raw json reads
+        .agg(count(col("event_id"))).head().getLong(0)
+    writeEvents(5)
+    assert(decoded(TextFormats.ensureJsonDrop(spark, dir)) == 5L)
+    // REGENERATE the source in place — same path, different content: the
+    // path-keyed cache of r8 would silently keep serving the 5-row drop
+    writeEvents(9)
+    assert(decoded(TextFormats.ensureJsonDrop(spark, dir)) == 9L,
+      "stale drop served after in-place source regeneration")
+    // unchanged source → cache hit (marker fingerprint matches, no rebuild):
+    // the marker's mtime must not move on the third call
+    val marker = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        Integer.toHexString(dir.hashCode).takeRight(8), "_DROP_READY")
+    val mtime = marker.lastModified()
+    assert(decoded(TextFormats.ensureJsonDrop(spark, dir)) == 9L)
+    assert(marker.lastModified() == mtime, "cache rebuilt without a source change")
+  }
+
   test("a wrong-TYPED field quarantines the row AND keeps siblings as partial results") {
     // the measured semantics the fixture comment documents, pinned so a
     // Spark upgrade that changes them is caught here, not by a drifting
