@@ -259,9 +259,16 @@ object SparkEntry {
     * (register state is a max — commutative and associative), so the
     * sketch's error against the exact count is deterministic for a given
     * dataset. The query emits the exact count plus the sketch's
-    * within-5%-bound verdict; the oracle recomputes the exact side and pins
+    * within-10%-bound verdict; the oracle recomputes the exact side and pins
     * the verdict literally TRUE — a hash match now PROVES the sketch met
     * its error bound, which a rows-only check never could.
+    *
+    * Why 10% and not 5% for an rsd-0.02 sketch: 5% is ~2.5σ — deterministic
+    * per dataset but legitimately exceedable by a regenerated fixture or a
+    * new scale factor (~1% per group), which would read as a correctness
+    * failure when nothing is wrong. 10% (5σ) cannot trip on any realistic
+    * fixture while still failing loudly on an actually-broken sketch (an
+    * implementation bug misses by multiples, not sigmas).
     */
   private def opsApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
@@ -271,8 +278,8 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
       .select(col("event_type"), col("exact_users"), col("n"),
-        (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
-          .as("within_5pct"))
+        (abs(col("approx_users") - col("exact_users")) * 10 <= col("exact_users"))
+          .as("within_10pct"))
   }
 
   /** Schema-on-read key census: which JSON keys exist per table/type, and

@@ -151,6 +151,120 @@ object StateScaleBench {
         case None    => spark.conf.unset(confKey)
       }
     }
+    // ===== media class-grain exemplar state at scale (r9) =====
+    // FpBucketState holds one 16-byte (doc_id, fp) entry per DISTINCT
+    // fingerprint class per band bucket — the "viral image costs one
+    // entry" design rule. This probes the claim at >= 1M distinct classes:
+    // uniform 56-bit fingerprints (splitmix mix — adversarial: nothing
+    // collides, every class enrolls in all 4 bands, so exemplar entries =
+    // classes x numBands, the state-heaviest shape; real corpora collide
+    // classes and hold LESS). Codec deliberately bypassed: the probe
+    // measures the STATE STORE, not the decode (StreamBench carries the
+    // codec-in-loop number).
+    def fp56(id: Long): Long = {
+      val h = (id + 1L) * -7046029254386353131L
+      (h >>> 8) & ((1L << 56) - 1)
+    }
+    def runMedia(n: Long): (Double, Long, Long) = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.streaming.DedupStream.FpRow]
+      val q = graft.streaming.DedupStream.fpVerifiedPairs(
+          graft.streaming.DedupStream.fpBandRows(input.toDS(),
+            graft.streaming.DedupStream.ImageBanding))
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("media_state_scale").toString)
+        .start()
+      val t0 = System.nanoTime()
+      (1 to waves).foreach { w =>
+        val lo = n / waves * (w - 1); val hi = n / waves * w
+        input.addData((lo until hi).map(id =>
+          graft.streaming.DedupStream.FpRow(id, fp56(id))): _*)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val out = (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+      q.stop()
+      out
+    }
+    val mediaSizes = sys.env.getOrElse("SPARK_GRAFT_MEDIA_SIZES", "250000,500000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val nBands = graft.streaming.DedupStream.ImageBanding.numBands
+    for ((provName, provClass) <- providers) {
+      val saved = spark.conf.getOption(confKey)
+      provClass.foreach(spark.conf.set(confKey, _))
+      try {
+        runMedia(20000L) // unrecorded warmup
+        for (n <- mediaSizes) {
+          val runs = (1 to reps).map(_ => runMedia(n))
+          val best = runs.minBy(_._1)
+          val times = runs.map(_._1).mkString("[", ",", "]")
+          val entries = n * nBands
+          println(s"""{"metric":"media_state_scale","provider":"$provName","classes":$n,"waves":$waves,"sec":${best._1},"times":$times,"docs_per_sec":${(n / best._1).toLong},"state_rows":${best._2},"state_mem_bytes":${best._3},"exemplar_entries":$entries,"bytes_per_entry":${if (best._3 > 0) best._3 / entries else -1}}""")
+        }
+      } finally saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+
+    // ===== semantic cluster-exemplar state at scale (r9) =====
+    // ClusterState holds up to clusterCap (vec_id, vector) exemplars per
+    // cluster — VALUES carry dim x 8 bytes each. The batch shape keeps
+    // cluster count at nlist (small); the STREAMING store has no such
+    // bound when assignment keys are external, so this probes >= 1M
+    // distinct clusters directly: 2 vectors per cluster (the second pays
+    // the judgment scan against the first), dim 16, deterministic
+    // pseudo-random components. State mass = clusters x 2 x dim doubles.
+    val semDim = 16
+    def semVec(id: Long): Seq[Double] =
+      (0 until semDim).map { i =>
+        val h = (id * semDim + i + 17L) * -7046029254386353131L
+        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+    def runSem(n: Long): (Double, Long, Long) = {
+      implicit val sqlCtx = spark.sqlContext
+      val clusters = math.max(1L, n / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.streaming.SemDedupStream.VecRow]
+      val q = graft.streaming.SemDedupStream.judged(input.toDS())
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sem_state_scale").toString)
+        .start()
+      val t0 = System.nanoTime()
+      (1 to waves).foreach { w =>
+        val lo = n / waves * (w - 1); val hi = n / waves * w
+        input.addData((lo until hi).map(id =>
+          graft.streaming.SemDedupStream.VecRow(id % clusters, id, semVec(id))): _*)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val out = (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+      q.stop()
+      out
+    }
+    val semSizes = sys.env.getOrElse("SPARK_GRAFT_SEM_SIZES", "500000,1000000,2000000")
+      .split(",").map(_.trim.toLong).toSeq
+    for ((provName, provClass) <- providers) {
+      val saved = spark.conf.getOption(confKey)
+      provClass.foreach(spark.conf.set(confKey, _))
+      try {
+        runSem(20000L) // unrecorded warmup
+        for (n <- semSizes) {
+          val runs = (1 to reps).map(_ => runSem(n))
+          val best = runs.minBy(_._1)
+          val times = runs.map(_._1).mkString("[", ",", "]")
+          println(s"""{"metric":"sem_state_scale","provider":"$provName","vecs":$n,"clusters":${math.max(1L, n / 2)},"dim":$semDim,"waves":$waves,"sec":${best._1},"times":$times,"vecs_per_sec":${(n / best._1).toLong},"state_rows":${best._2},"state_mem_bytes":${best._3}}""")
+        }
+      } finally saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
     spark.stop()
   }
 }

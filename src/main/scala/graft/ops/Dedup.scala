@@ -576,6 +576,89 @@ object Dedup {
     connectedComponents(minhashCandidates(spark, sfDir))
       .select(col("doc_id"), col("comp"))
 
+  /** Distributed ORACLE-FREE audit of a [[connectedComponents]] labeling —
+    * the verification path for corpora where the DuckDB recursive-CTE
+    * oracle cannot follow (it OOM'd at 32 GiB on the x100 phash graph,
+    * BASELINE.md r8). Every check is a join/agg over the edge and label
+    * frames — no collect, so the audit scales exactly as far as the
+    * operator it audits. Violation counts returned; all-zero = the
+    * labeling is a valid canonical CC assignment:
+    *
+    *  - `unlabeled` / `dup_labels`: every vertex of the graph has exactly
+    *    one label row.
+    *  - `edge_inconsistent`: endpoints of every edge share a component —
+    *    zero means NO UNDER-MERGE. Over-merge is structurally impossible
+    *    for the star-alternation algorithm (both phases only re-point
+    *    nodes at minima REACHED ALONG EDGES, so a label never crosses
+    *    between true components); under-merge is the failure mode a bug
+    *    would actually produce, and this catches it.
+    *  - `non_min_root`: each component's label is its minimum member id
+    *    (the canonical-rep contract downstream keep/drop lists rely on).
+    *  - `star_min_violation`: every member's component equals the minimum
+    *    component over its closed star — the fixpoint property of the
+    *    star forest, asserted directly.
+    *  - `count_identity_violation`: components = vertices − non-root rows
+    *    (each non-root contributes exactly one star-forest edge), as a
+    *    0/1 flag.
+    *
+    * Idempotence (re-running CC on the star forest reproduces the labels)
+    * is a frame comparison, exposed separately via [[ccIdempotenceDiff]].
+    */
+  def auditComponents(pairs: DataFrame, cc: DataFrame): Map[String, Long] = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val lab = cc.select(col("doc_id"), col("comp"))
+    val nLabels = lab.count()
+    val nVerts = lab.select(col("doc_id")).distinct().count()
+    val verts = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
+    val unlabeled = verts.join(lab, Seq("doc_id"), "left_anti").count()
+    val la = lab.select(col("doc_id").as("doc_a"), col("comp").as("comp_a"))
+    val lb = lab.select(col("doc_id").as("doc_b"), col("comp").as("comp_b"))
+    val inconsistent = edges.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("comp_a") =!= col("comp_b")).count()
+    val nonMinRoot = lab.groupBy(col("comp")).agg(min(col("doc_id")).as("mn"))
+      .filter(col("comp") =!= col("mn")).count()
+    // closed-star minimum: min over the member's own comp and every
+    // neighbor's comp must equal the member's comp
+    val neigh = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val starViol = neigh
+      .join(lab.select(col("doc_id").as("y"), col("comp").as("comp_y")), "y")
+      .groupBy(col("x")).agg(min(col("comp_y")).as("mn_n"))
+      .join(lab.select(col("doc_id").as("x"), col("comp")), "x")
+      .filter(least(col("comp"), col("mn_n")) =!= col("comp")).count()
+    val nComps = lab.select(col("comp")).distinct().count()
+    val nonRoots = lab.filter(col("doc_id") =!= col("comp")).count()
+    Map(
+      "vertices" -> nVerts,
+      "components" -> nComps,
+      "dup_labels" -> (nLabels - nVerts),
+      "unlabeled" -> unlabeled,
+      "edge_inconsistent" -> inconsistent,
+      "non_min_root" -> nonMinRoot,
+      "star_min_violation" -> starViol,
+      "count_identity_violation" -> (if (nComps == nVerts - nonRoots) 0L else 1L))
+  }
+
+  /** Idempotence probe: re-run the closure on the star forest the labeling
+    * IS (non-root rows as edges) and count label rows that changed in
+    * either direction. Zero = the labeling is a fixpoint of its own
+    * algorithm — the re-run pin for scale corpora with no oracle.
+    */
+  def ccIdempotenceDiff(cc: DataFrame): Long = {
+    val lab = cc.select(col("doc_id"), col("comp"))
+    val forest = lab.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("doc_a"), col("comp").as("doc_b"))
+    val rerun = connectedComponents(forest).select(col("doc_id"), col("comp"))
+    // isolated roots (comp == doc_id, no forest edge) legitimately vanish
+    // from the re-run's vertex set; compare over the forest's vertices
+    val base = lab.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"), col("comp"))
+      .union(lab.filter(col("doc_id") =!= col("comp"))
+        .select(col("comp").as("doc_id"), col("comp")).distinct())
+    base.exceptAll(rerun).count() + rerun.exceptAll(base).count()
+  }
+
   /** Quality-aware cluster collapse: for each near-dup cluster (CC over the
     * LSH candidate graph), keep the highest-QUALITY member instead of the
     * min-id one — the policy real curation pipelines want (among near-dups

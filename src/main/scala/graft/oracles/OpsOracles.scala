@@ -30,13 +30,16 @@ private[graft] object OpsOracles {
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     // the raw sketch can't cross engines, but its ERROR BOUND can: Spark's
-    // HLL++ is merge-order-insensitive, so the within-5% verdict is
+    // HLL++ is merge-order-insensitive, so the bound verdict is
     // deterministic and the oracle pins it literally TRUE next to the
-    // exact counts (r8 — previously the inventory's one rows-only check)
+    // exact counts (r8 — previously the inventory's one rows-only check).
+    // 10% = 5 sigma for the rsd-0.02 sketch: wide enough that no
+    // regenerated fixture can legitimately trip it, tight enough that a
+    // broken sketch (off by multiples) still fails the hash (r9)
     "ops_approx_distinct" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  COUNT(*) AS n, TRUE AS within_5pct
+        |  COUNT(*) AS n, TRUE AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -283,6 +283,51 @@ object TextFormats {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** The splittable-ingest ESCAPE HATCH for gzip drops — the operator the
+    * [[ensureGzJsonDrop]] scaladoc's trade analysis calls for: one
+    * decompress-repartition pass that converts a non-splittable gz landing
+    * into zstd parquet staging, after which every downstream scan is
+    * splittable, columnar-pruned, and stats-filtered.
+    *
+    * Cost model (why this pays at 100 TB):
+    *  - The staging pass itself CANNOT beat one-task-per-gz-file on the
+    *    read side (gzip streams have no split points — that is the problem
+    *    being escaped); it pays that cost exactly ONCE, decoding with the
+    *    same explicit-schema PERMISSIVE discipline so corrupt lines land in
+    *    the staging table as `_bad` rows, not exceptions mid-conversion.
+    *  - The write side re-chunks to `targetPartitions` zstd parquet files
+    *    (zstd ≈ gzip's ratio at several× the decode speed, and parquet row
+    *    groups are independently scannable), so a 4×25 GB gz drop that ran
+    *    4 tasks forever runs 4 slow tasks once and ~800 (`targetPartitions`
+    *    or size/maxPartitionBytes) thereafter.
+    *  - Break-even is therefore at the SECOND full read of the drop — any
+    *    pipeline that aggregates, joins, or dedups the same landing more
+    *    than once (i.e. all of them) should stage first. A drop read
+    *    exactly once end-to-end can skip staging and eat the file-grain
+    *    parallelism ceiling on its single pass.
+    *
+    * Returns `stagingDir`. `TextFormatsSpec` pins: staged file count =
+    * `targetPartitions` > gz file count, per-file scan parallelism once
+    * packing is neutralized, and byte-identical aggregates across the
+    * gz → staged boundary.
+    */
+  def stageGzDrop(spark: SparkSession, gzDir: String, stagingDir: String,
+                  targetPartitions: Int = 0): String = {
+    val parts =
+      if (targetPartitions > 0) targetPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.read
+      .schema(eventWireSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(gzDir)
+      .repartition(parts)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(stagingDir)
+    stagingDir
+  }
+
   /** STREAMING ingestion of a landing directory — how a crawl actually
     * arrives: shards land as JSON-lines files in object storage and the
     * pipeline picks each up exactly once. Spark's file streaming source

@@ -70,6 +70,42 @@ class DedupBoundsSpec extends SparkSuite {
       "every member must label to the hub doc 0")
   }
 
+  test("cc audit: invariants all-zero on the real phash graph AND agree with union-find") {
+    // the oracle-free audit that verifies the closure at corpus scales the
+    // DuckDB recursive CTE cannot reach (CcAudit runs it at x100); here it
+    // is cross-checked against a sequential union-find at spec scale, so
+    // the audit itself is known-sound before being trusted alone at x100
+    val pairs = graft.ops.Multimodal.imagePhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    assert(pairs.count() > 0, "fixture produced no phash pairs")
+    val cc = Dedup.connectedComponents(pairs).localCheckpoint()
+    val audit = Dedup.auditComponents(pairs, cc)
+    val violations = audit.view.filterKeys(k =>
+      k != "vertices" && k != "components").toMap.filter(_._2 != 0L)
+    assert(violations.isEmpty, s"audit violations: $violations")
+    assert(Dedup.ccIdempotenceDiff(cc) == 0L, "closure is not a fixpoint")
+    // independent ground truth: driver-side union-find over the same edges
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize to min-member labels
+    val truth = parent.keys.map(v => v -> find(v)).toMap
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth,
+      s"closure diverged from union-find on ${(got.toSet -- truth.toSet).take(5)}")
+  }
+
   test("ngram jaccard: stop-shingles beyond the df cap are cut from the index") {
     val docs = identicalDocs(1000)
     // every shingle appears in all 1000 docs > cap -> whole index cut -> 0 pairs

@@ -50,6 +50,45 @@ class TextFormatsSpec extends SparkSuite {
       s"expected 1 partition per gz file: $nParts partitions for $nFiles files")
   }
 
+  test("gz staging: splittable parquet, parallelism past the file-count ceiling, parity") {
+    val gzDir = TextFormats.ensureGzJsonDrop(spark, sf)
+    val nGz = new java.io.File(gzDir).listFiles().count(_.getName.endsWith(".gz"))
+    val staging = java.nio.file.Files.createTempDirectory("gz_staging").toString + "/events"
+    val target = nGz * 4 // the escape: 4x the gz drop's parallelism ceiling
+    TextFormats.stageGzDrop(spark, gzDir, staging, targetPartitions = target)
+    // the staged layout physically carries the parallelism: target zstd
+    // parquet files, each an independently scannable unit
+    val staged = new java.io.File(staging).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(staged == target && staged > nGz,
+      s"staging wrote $staged files for target $target (gz drop has $nGz)")
+    // with size-packing neutralized (tiny fixture files would otherwise
+    // bin-pack into one task), the scan actually RUNS wider than the gz
+    // drop's one-task-per-file ceiling
+    val saved = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", (64L << 20).toString)
+    try {
+      val nParts = spark.read.parquet(staging).rdd.getNumPartitions
+      assert(nParts > nGz, s"staged scan ran $nParts tasks, gz ceiling is $nGz")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
+      case None    => spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+    // the decompress-repartition pass changed no answers: same PERMISSIVE
+    // aggregate, same _corrupt quarantine, across the staging boundary
+    val viaGz = TextFormats.gzJsonEventIngest(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val viaStaged = spark.read.parquet(staging)
+      .groupBy(when(col("_bad").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_bad").isNull, col("value").cast("decimal(18,2)")))
+          .cast("double").as("sum_value"),
+        countDistinct(when(col("_bad").isNull, col("user_id"))).as("n_users"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaStaged == viaGz, "staging changed answers")
+  }
+
   test("orc round-trip: predicate pushdown reaches the ORC scan like the parquet one") {
     val df = TextFormats.orcEventIngest(spark, sf)
     val p = df.queryExecution.executedPlan.toString
