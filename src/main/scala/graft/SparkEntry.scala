@@ -282,6 +282,68 @@ object SparkEntry {
           .as("within_10pct"))
   }
 
+  /** GK quantile sketch with its rank-error bound ORACLE-GATED — the
+    * fourth sketch family (HLL, CMS, Misra-Gries, now quantiles), checked
+    * the same way as the HLL gate: the sketch value itself can't cross
+    * engines, but its CONTRACT can. `approx_percentile(value, 0.5, acc)`
+    * guarantees the returned element's rank is within n/acc of the target
+    * rank; the query recomputes that element's exact rank RANGE (ties
+    * matter: any rank in [count(<v)+1, count(<=v)] is the element's) and
+    * pins that the target lies inside the range widened by n/acc. The
+    * verdict is TRUE by the algorithm's deterministic guarantee — not
+    * probabilistically like a sigma bound — so the oracle pin can never
+    * false-fail on a regenerated fixture. Integer arithmetic throughout
+    * (multiplied through by 2·acc) so the comparison is hash-exact.
+    */
+  private def opsQuantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    quantileBoundCheck(
+      Tables.load(spark, sfDir, "events").select(col("event_type"), col("value")))
+
+  /** The bound-check core on any (event_type, value) frame — separated so
+    * the spec can drive it with tie-hostile corpora (a group that is 50%
+    * one value exercises the rank-RANGE form; a naive single-rank check
+    * would false-fail there).
+    */
+  private[graft] def quantileBoundCheck(ev: DataFrame, acc: Int = 100): DataFrame = {
+    val ap = ev.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile(value, 0.5D, $acc)").as("ap"),
+        count(lit(1)).as("n"))
+    ev.join(ap, "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sum(when(col("value") <= col("ap"), 1L).otherwise(0L)).as("le"),
+        sum(when(col("value") < col("ap"), 1L).otherwise(0L)).as("lt"))
+      // target rank n/2 within [lt+1 - n/acc, le + n/acc], x(2*acc):
+      .select(col("event_type"), col("n"),
+        ((lit(2L * acc) * (col("lt") + 1L) - lit(2L) * col("n") <= lit(acc.toLong) * col("n")) &&
+         (lit(acc.toLong) * col("n") <= lit(2L * acc) * col("le") + lit(2L) * col("n")))
+          .as("within_rank_bound"))
+  }
+
+  /** The CC AUDIT as an oracle-gated query: [[graft.ops.Dedup
+    * .auditComponents]]'s invariant counts over the real phash near-dup
+    * graph, emitted as one row next to the graph's vertex/component
+    * census. The oracle recomputes vertices and components independently
+    * (the recursive-CTE closure) and pins violations = 0 — so the audit
+    * harness that stands in for the oracle at x100 (where the CTE OOMs,
+    * `graft.CcAudit`) is itself hash-verified against that oracle at every
+    * scale the oracle CAN reach. Idempotence is deliberately not in the
+    * query (it would double the closure cost in the bench); the spec and
+    * the x100 run carry it.
+    */
+  private def opsCcAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Multimodal.imagePhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val cc = graft.ops.Dedup.connectedComponents(pairs).localCheckpoint()
+    val a = graft.ops.Dedup.auditComponents(pairs, cc)
+    import spark.implicits._
+    Seq((a("vertices"), a("components"),
+      a("dup_labels") + a("unlabeled") + a("edge_inconsistent") +
+        a("non_min_root") + a("star_min_violation") +
+        a("count_identity_violation")))
+      .toDF("vertices", "components", "violations")
+  }
+
   /** Schema-on-read key census: which JSON keys exist per table/type, and
     * how often — the introspection pass a CDC consumer runs to detect schema
     * drift in dynamic payloads (the reference's documents are arbitrary
@@ -580,6 +642,7 @@ object SparkEntry {
     "ops_set_ops"         -> (opsSetOps _),
     "ops_except_all"      -> (opsExceptAll _),
     "ops_approx_distinct" -> (opsApproxDistinct _),
+    "ops_quantile_sketch" -> (opsQuantileSketch _),
     "cdc_type_census"     -> (cdcTypeCensus _),
     // relational set
     "q1_pricing"            -> (Relational.pricingSummary _),
@@ -737,7 +800,9 @@ object SparkEntry {
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
     "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
     "ops_gz_source"    -> (graft.sources.TextFormats.gzJsonEventIngest _),
+    "ops_gz_staged"    -> (graft.sources.TextFormats.stagedGzEventIngest _),
     "ops_orc_source"   -> (graft.sources.TextFormats.orcEventIngest _),
+    "ops_cc_audit"     -> (opsCcAudit _),
   )
 
   // ===== DuckDB oracles =====

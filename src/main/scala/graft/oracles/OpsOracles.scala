@@ -41,6 +41,13 @@ private[graft] object OpsOracles {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  COUNT(*) AS n, TRUE AS within_10pct
         |FROM events GROUP BY event_type""".stripMargin,
+    // the quantile-sketch gate (r9): approx_percentile's rank-error bound
+    // is a DETERMINISTIC guarantee (not a sigma bound), so TRUE can never
+    // false-fail on a regenerated fixture — the Spark side recomputes the
+    // returned element's exact rank range and checks the contract
+    "ops_quantile_sketch" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS within_rank_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -405,6 +412,15 @@ private[graft] object OpsOracles {
     // compression must not change answers: the gzip drop's oracle is the
     // JSON drop's verbatim
     "ops_gz_source" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_corrupt', 3, CAST(NULL AS DOUBLE), 0""".stripMargin,
+    // the staging pass (gz -> repartitioned zstd parquet) must not change
+    // answers either: the staged aggregate's oracle is the drop's verbatim
+    "ops_gz_staged" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

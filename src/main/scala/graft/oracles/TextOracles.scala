@@ -1079,6 +1079,46 @@ private[graft] object TextOracles {
         |  UNION
         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
         |SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id""".stripMargin,
+    // twin of [[graft.SparkEntry.opsCcAudit]]: the SAME recursive closure,
+    // reduced to the vertex/component census, with the invariant-violation
+    // sum pinned to zero — the oracle certifying the audit harness that
+    // REPLACES the oracle at x100 (where this CTE OOMs, BASELINE.md r8/r9)
+    "ops_cc_audit" ->
+      """WITH RECURSIVE dims AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(CASE WHEN
+        |        (d.doc_id * 31 + 7 * (((xs.x + 1) * d.w) // 8) + 13 * ((ys.y * d.h) // 8)) % 256
+        |      > (d.doc_id * 31 + 7 * ((xs.x * d.w) // 8) + 13 * ((ys.y * d.h) // 8)) % 256
+        |      THEN CAST(1 AS BIGINT) << CAST(ys.y * 7 + xs.x AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, 7)) AS x) xs,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) ys
+        |  GROUP BY d.doc_id),
+        |cls AS (SELECT phash, MIN(doc_id) AS rep FROM bits GROUP BY phash),
+        |pairs AS (
+        |  SELECT a.rep AS doc_a, b.rep AS doc_b
+        |  FROM cls a JOIN cls b ON a.rep < b.rep
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |  UNION ALL
+        |  SELECT c.rep, b.doc_id
+        |  FROM bits b JOIN cls c ON b.phash = c.phash AND b.doc_id <> c.rep),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(doc_id, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |lab AS (SELECT doc_id, MIN(reach) AS comp FROM walk GROUP BY doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS vertices,
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) AS components,
+        |  CAST(0 AS BIGINT) AS violations
+        |FROM lab""".stripMargin,
     // twin of [[graft.ops.Multimodal.gifFramesDf]]: Spark encodes REAL
     // animated GIFs (indexed identity-gray palette — lossless by
     // construction) and samples every 2nd frame through ImageIO's indexed

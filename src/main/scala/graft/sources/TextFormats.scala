@@ -328,6 +328,24 @@ object TextFormats {
     stagingDir
   }
 
+  /** Declared query: the same event aggregate through the FULL staging
+    * path — gz landing → [[stageGzDrop]] → zstd parquet → aggregate. The
+    * oracle is the gz/json drop's verbatim (parquet original + constant
+    * quarantine row): a hash match proves the decompress-repartition pass
+    * changed nothing, including the dead-letter rows' survival as data
+    * across the staging boundary. The staging is cached under the same
+    * content-fingerprint discipline as the drops themselves.
+    */
+  def stagedGzEventIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val gz = ensureGzJsonDrop(spark, sfDir)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gzstage_" +
+      Integer.toHexString(sfDir.hashCode).takeRight(8)
+    ensureDrop(spark, dir, eventsFingerprint(spark, sfDir)) { _ =>
+      stageGzDrop(spark, gz, s"$dir/data", targetPartitions = 8)
+    }
+    eventAggregate(spark.read.parquet(s"$dir/data"))
+  }
+
   /** STREAMING ingestion of a landing directory — how a crawl actually
     * arrives: shards land as JSON-lines files in object storage and the
     * pipeline picks each up exactly once. Spark's file streaming source

@@ -55,6 +55,28 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("ops_quantile_sketch: rank bound holds on real data AND tie-hostile corpora") {
+    import spark.implicits._
+    // real fixture: every group's verdict TRUE (the oracle pins this too)
+    val real = SparkEntry.queries("ops_quantile_sketch")(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(_.getBoolean(2)),
+      s"bound violated on fixture: ${real.mkString(",")}")
+    // tie-hostile: 50% of a group one value (the median IS the tie run —
+    // a single-rank check would false-fail; the rank-RANGE form must not),
+    // plus a constant group (every value tied) and a two-point group
+    val hostile = (
+      (0 until 500).map(_ => ("half_tied", 10.0)) ++
+      (0 until 250).map(i => ("half_tied", i.toDouble)) ++
+      (0 until 250).map(i => ("half_tied", 1000.0 + i)) ++
+      (0 until 300).map(_ => ("all_tied", 7.0)) ++
+      Seq(("two_point", 1.0), ("two_point", 2.0))
+    ).toDF("event_type", "value")
+    val out = SparkEntry.quantileBoundCheck(hostile).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out == Map("half_tied" -> true, "all_tied" -> true, "two_point" -> true),
+      s"tie-hostile verdicts: $out")
+  }
+
   test("ops_train_prep: block manifest conserves the gated+deduped token mass") {
     import org.apache.spark.sql.expressions.Window
     val out = SparkEntry.queries("ops_train_prep")(spark, sf).collect()
