@@ -586,8 +586,10 @@ object Dedup {
     *
     *  - `unlabeled` / `dup_labels`: every vertex of the graph has exactly
     *    one label row.
-    *  - `edge_inconsistent`: endpoints of every edge share a component —
-    *    zero means NO UNDER-MERGE. Over-merge is structurally impossible
+    *  - `edge_inconsistent`: endpoints of every edge share a component
+    *    (counted at vertex grain — vertices with a violating incident
+    *    edge; zero iff the per-edge count is zero) — zero means NO
+    *    UNDER-MERGE. Over-merge is structurally impossible
     *    for the star-alternation algorithm (both phases only re-point
     *    nodes at minima REACHED ALONG EDGES, so a label never crosses
     *    between true components); under-merge is the failure mode a bug
@@ -607,36 +609,49 @@ object Dedup {
   def auditComponents(pairs: DataFrame, cc: DataFrame): Map[String, Long] = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
     val lab = cc.select(col("doc_id"), col("comp"))
-    val nLabels = lab.count()
-    val nVerts = lab.select(col("doc_id")).distinct().count()
-    val verts = edges.select(col("doc_a").as("doc_id"))
-      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
-    val unlabeled = verts.join(lab, Seq("doc_id"), "left_anti").count()
-    val la = lab.select(col("doc_id").as("doc_a"), col("comp").as("comp_a"))
-    val lb = lab.select(col("doc_id").as("doc_b"), col("comp").as("comp_b"))
-    val inconsistent = edges.join(la, "doc_a").join(lb, "doc_b")
-      .filter(col("comp_a") =!= col("comp_b")).count()
+    // job 1 — label-frame census in one pass: row count, distinct
+    // vertices, distinct components, non-root rows
+    val r1 = lab.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("verts"),
+      countDistinct(col("comp")).as("comps"),
+      sum(when(col("doc_id") =!= col("comp"), 1L).otherwise(0L)).as("nonroot"))
+      .first()
+    val (nLabels, nVerts, nComps, nonRoots) =
+      (r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+    // job 2 — per-component grouping: every component's label must be its
+    // minimum member id
     val nonMinRoot = lab.groupBy(col("comp")).agg(min(col("doc_id")).as("mn"))
       .filter(col("comp") =!= col("mn")).count()
-    // closed-star minimum: min over the member's own comp and every
-    // neighbor's comp must equal the member's comp
+    // job 3 — one symmetrized-neighborhood pass carries the three
+    // edge-facing checks together (counts are VERTEX-grain — vertices with
+    // a violating incident edge — zero iff the per-edge counts are zero):
+    // unlabeled endpoints, edge inconsistency (some neighbor's comp
+    // differs, caught as min != comp or max != comp — no under-merge), and
+    // the closed-star minimum fixpoint (a neighbor's comp below one's own)
     val neigh = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
-    val starViol = neigh
+    val r3 = neigh
       .join(lab.select(col("doc_id").as("y"), col("comp").as("comp_y")), "y")
-      .groupBy(col("x")).agg(min(col("comp_y")).as("mn_n"))
-      .join(lab.select(col("doc_id").as("x"), col("comp")), "x")
-      .filter(least(col("comp"), col("mn_n")) =!= col("comp")).count()
-    val nComps = lab.select(col("comp")).distinct().count()
-    val nonRoots = lab.filter(col("doc_id") =!= col("comp")).count()
+      .groupBy(col("x"))
+      .agg(min(col("comp_y")).as("mn_n"), max(col("comp_y")).as("mx_n"))
+      .join(lab.select(col("doc_id").as("x"), col("comp")), Seq("x"), "left")
+      .agg(
+        sum(when(col("comp").isNull, 1L).otherwise(0L)).as("unlabeled"),
+        sum(when(col("comp").isNotNull &&
+          (col("mn_n") =!= col("comp") || col("mx_n") =!= col("comp")), 1L)
+          .otherwise(0L)).as("inconsistent"),
+        sum(when(col("comp").isNotNull && col("mn_n") < col("comp"), 1L)
+          .otherwise(0L)).as("star_viol"))
+      .first()
     Map(
       "vertices" -> nVerts,
       "components" -> nComps,
       "dup_labels" -> (nLabels - nVerts),
-      "unlabeled" -> unlabeled,
-      "edge_inconsistent" -> inconsistent,
+      "unlabeled" -> r3.getLong(0),
+      "edge_inconsistent" -> r3.getLong(1),
       "non_min_root" -> nonMinRoot,
-      "star_min_violation" -> starViol,
+      "star_min_violation" -> r3.getLong(2),
       "count_identity_violation" -> (if (nComps == nVerts - nonRoots) 0L else 1L))
   }
 
