@@ -192,4 +192,17 @@ object Graft {
         .as[CdcStream.RawChange],
       redactions, table = table)
   }
+
+  /** Online schema-drift alerts over a dynamic-JSON payload stream: one
+    * alert per novel (group, key) pair, on the micro-batch where it first
+    * lands — the operational form of the batch key census
+    * (`cdc_key_first_seen`; replay-pinned equal in `SchemaDriftSpec`).
+    * `stream` needs (group, event_id, doc) columns — e.g.
+    * `cdcStream(...).select(lit("events").as("group"), col("event_id"),
+    * col("props").as("doc"))`.
+    */
+  def schemaDriftAlerts(stream: DataFrame, stateTtl: Option[String] = None)
+      : Dataset[graft.streaming.SchemaDrift.KeyAlert] =
+    graft.streaming.SchemaDrift.alerts(
+      graft.streaming.SchemaDrift.keyRows(stream), stateTtl)
 }

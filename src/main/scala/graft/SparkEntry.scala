@@ -367,6 +367,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Key FIRST-SEEN inventory — the batch ground truth for schema-drift
+    * detection ([[graft.streaming.SchemaDrift]] is the online form, pinned
+    * row-for-row against this query on replay): when did each (type, key)
+    * pair first appear in the log? Same synthesized heterogeneous-payload
+    * fixture as [[cdcKeyInventory]]; min(event_id) instead of a count.
+    */
+  private def cdcKeyFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val doc = concat(
+      lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+      when(col("event_type") === "purchase", lit(",\"amount\":1")).otherwise(lit("")),
+      when(col("event_type") === "error", lit(",\"code\":1")).otherwise(lit("")),
+      when(col("event_type") === "signup", lit(",\"plan\":\"p\"")).otherwise(lit("")),
+      lit("}"))
+    ev.select(col("event_type"), col("event_id"),
+        explode(json_object_keys(doc)).as("key"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) materialization from the change
     * log — the canonical CDC-consumer build: each change becomes a validity
     * interval [valid_from, valid_to) per key, closed by the NEXT change
@@ -658,6 +678,7 @@ object SparkEntry {
     "ops_scalar_subquery"   -> (Relational.partsAboveMeanPrice _),
     "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
     "cdc_key_inventory"     -> (cdcKeyInventory _),
+    "cdc_key_first_seen"    -> (cdcKeyFirstSeen _),
     "ops_funnel"            -> (Relational.funnel _),
     "ops_window_funnel"     -> (Relational.windowFunnel _),
     "ops_cohort_retention"  -> (Relational.cohortRetention _),

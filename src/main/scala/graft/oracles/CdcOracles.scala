@@ -249,6 +249,21 @@ private[graft] object CdcOracles {
         |SELECT event_type, k AS key, COUNT(*) AS n
         |FROM (SELECT event_type, unnest(json_keys(doc)) AS k FROM d)
         |GROUP BY event_type, k""".stripMargin,
+    // drift ground truth: when did each (type, key) first appear —
+    // the batch twin SchemaDrift.alerts is replay-pinned against
+    "cdc_key_first_seen" ->
+      """WITH d AS (
+        |  SELECT event_type, event_id,
+        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |    CASE WHEN event_type = 'purchase' THEN ',"amount":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'error' THEN ',"code":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'signup' THEN ',"plan":"p"' ELSE '' END ||
+        |    '}' AS doc
+        |  FROM events)
+        |SELECT event_type, k AS key,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id, COUNT(*) AS n
+        |FROM (SELECT event_type, event_id, unnest(json_keys(doc)) AS k FROM d)
+        |GROUP BY event_type, k""".stripMargin,
     "cdc_type_census" ->
       """WITH d AS (
         |  SELECT
