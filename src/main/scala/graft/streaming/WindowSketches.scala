@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketches inside streaming windows — the composition the mergeable-
+  * summary design exists FOR (Agarwal et al., PODS'12: a summary mergeable
+  * under arbitrary combine trees is exactly a summary that can live in
+  * streaming aggregation state, where Spark merges per-partition partial
+  * buffers into the store's running buffer at every micro-batch).
+  *
+  * [[windowedHeavyHitters]] runs the capacity-m Misra–Gries summary
+  * ([[graft.functions.MisraGries]]) per watermarked event-time window:
+  * the state per (window, group) is ONE capacity-m map — constant-size
+  * regardless of how many events or distinct keys the window sees — and
+  * the window closes (Append mode) with the summary carrying the sketch's
+  * full guarantee: every key with true in-window frequency > n/(m+1) is
+  * present, each estimate undercounts by at most n/(m+1).
+  *
+  * What this buys at 100 TB/day: "top talkers per 5-minute window" with
+  * per-window state of a few KB, no per-key state rows, no second pass —
+  * the batch path's exact-recount discipline
+  * ([[graft.ops.TextStats.heavyHitters]]) trades a rescan for
+  * determinism below the guarantee line; a closed streaming window cannot
+  * be rescanned, so the online form ships the summary itself and the
+  * consumer applies the θ-threshold the capacity was sized for
+  * (m ≥ 1/θ ⇒ everything above θ·n is in the map).
+  *
+  * `WindowSketchesSpec` pins the guarantee against exact per-window batch
+  * counts on a replay of the real fixture: presence of every true heavy
+  * hitter, the undercount bound on every estimate, the capacity bound,
+  * and window completeness.
+  */
+object WindowSketches {
+
+  /** Heavy-hitter summary per (event-time window[, extra group columns]).
+    *
+    * @param df        streaming frame with `tsCol` (timestamp) and `keyCol`
+    * @param windowDur tumbling window duration, e.g. "1 minute"
+    * @param watermark lateness bound; the window emits once it passes
+    * @param capacity  sketch capacity m — size as 1/θ for a θ·n threshold
+    * @param groupCols extra grouping columns next to the window (e.g.
+    *                  event_type), so each group gets its own summary
+    */
+  def windowedHeavyHitters(df: DataFrame, tsCol: String, keyCol: String,
+                           windowDur: String = "1 minute",
+                           watermark: String = "2 minutes",
+                           capacity: Int = graft.functions.MisraGries.DefaultCapacity,
+                           groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val mg = graft.functions.MisraGries.sketch(capacity)
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur) +: groupCols.map(col): _*)
+      .agg(
+        mg(col(keyCol).cast("string")).as("heavy"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.{CdcStream, WindowSketches}
+import graft.streaming.CdcStream.RawChange
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries inside streaming windows: the PODS'12 mergeable-summary
+  * guarantee must survive Spark's streaming aggregation state (partial
+  * buffers merged into the store at every micro-batch) — pinned against
+  * exact per-window batch counts on a replay of the real fixture.
+  */
+class WindowSketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("per-window summaries honor the sketch guarantee against exact batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 16
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "props")
+      .as[RawChange].collect().sortBy(_.event_id).toSeq
+    assert(ev.nonEmpty)
+    val (w1, w2) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[RawChange]
+    val q = WindowSketches.windowedHeavyHitters(in.toDS().toDF(),
+        tsCol = "ts", keyCol = "user_id",
+        windowDur = "1 hour", watermark = "0 seconds", capacity = capacity)
+      .writeStream.format("memory").queryName("ws_out")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(w1: _*); q.processAllAvailable()
+      in.addData(w2: _*); q.processAllAvailable()
+      // close every window: advance the watermark past the fixture's max ts
+      in.addData(RawChange(Long.MaxValue,
+        new java.sql.Timestamp(ev.map(_.ts.getTime).max + 24L * 3600 * 1000),
+        0L, "flush", "{}"))
+      q.processAllAvailable()
+      spark.table("ws_out")
+        .select(col("window.start").as("ws"), col("heavy"), col("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0),
+          r.getMap[String, Long](1).toMap, r.getLong(2))).toSeq
+    } finally q.stop()
+    // exact ground truth per hour window from the same rows (batch)
+    val exact = ev.groupBy(r => r.ts.getTime / 3600000L)
+      .map { case (h, rs) =>
+        new java.sql.Timestamp(h * 3600000L) ->
+          rs.groupBy(_.user_id.toString).map { case (u, g) => u -> g.size.toLong }
+      }
+    val emitted = got.filter { case (ws, _, _) => exact.contains(ws) }
+    assert(emitted.nonEmpty, s"no fixture windows emitted: ${got.take(3)}")
+    // window completeness: every emitted fixture window carries its exact n
+    emitted.foreach { case (ws, heavy, n) =>
+      val truth = exact(ws)
+      assert(n == truth.values.sum, s"window $ws lost rows: $n vs ${truth.values.sum}")
+      assert(heavy.size <= capacity, s"window $ws summary over capacity: ${heavy.size}")
+      val bound = truth.values.sum / (capacity + 1L)
+      truth.foreach { case (u, tc) =>
+        if (tc > bound)
+          assert(heavy.contains(u),
+            s"window $ws: true heavy hitter $u (count $tc > $bound) missing")
+      }
+      heavy.foreach { case (u, est) =>
+        val tc = truth.getOrElse(u, 0L)
+        assert(est <= tc && tc <= est + bound,
+          s"window $ws: estimate $est for $u violates bound (true $tc, slack $bound)")
+      }
+    }
+  }
+}
