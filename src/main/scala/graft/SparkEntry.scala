@@ -313,10 +313,16 @@ object SparkEntry {
       .agg(
         sum(when(col("value") <= col("ap"), 1L).otherwise(0L)).as("le"),
         sum(when(col("value") < col("ap"), 1L).otherwise(0L)).as("lt"))
-      // target rank n/2 within [lt+1 - n/acc, le + n/acc], x(2*acc):
+      // Spark's QuantileSummaries anchors on target rank T = ceil(q·n)
+      // (measured empirically: the returned element sits up to exactly
+      // ε·n = n/acc BELOW it, fractional slack included) — so the check is
+      // T ∈ [lt+1 − n/acc, le + n/acc] in EXACT integers, multiplied
+      // through by 2·acc with 2T = n + n%2:
       .select(col("event_type"), col("n"),
-        ((lit(2L * acc) * (col("lt") + 1L) - lit(2L) * col("n") <= lit(acc.toLong) * col("n")) &&
-         (lit(acc.toLong) * col("n") <= lit(2L * acc) * col("le") + lit(2L) * col("n")))
+        ((lit(2L * acc) * (col("lt") + 1L) - lit(2L) * col("n") <=
+            lit(acc.toLong) * (col("n") + col("n") % 2L)) &&
+         (lit(acc.toLong) * (col("n") + col("n") % 2L) <=
+            lit(2L * acc) * col("le") + lit(2L) * col("n")))
           .as("within_rank_bound"))
   }
 

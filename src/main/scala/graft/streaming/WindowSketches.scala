@@ -54,4 +54,31 @@ object WindowSketches {
         mg(col(keyCol).cast("string")).as("heavy"),
         count(lit(1)).as("n"))
   }
+
+  /** Per-window DATA PROFILE from the other two mergeable sketches the
+    * engine gates in batch (HLL for distincts, GK for quantiles — both
+    * Spark builtins whose aggregation buffers merge associatively, hence
+    * streaming-state safe like the MG summary above): row count, distinct
+    * cardinality of `idCol` (±2% rsd class), and the median of `valCol`
+    * (rank error ≤ n/accuracy). The streaming twin of what
+    * `ops_approx_distinct` + `ops_quantile_sketch` pin in batch;
+    * `WindowSketchesSpec` pins the same bounds per emitted window.
+    *
+    * This is observability OF THE DATA (vs [[Monitor]]'s observability of
+    * the queries): per-window cardinality and quantile drift is how a
+    * pipeline notices a producer melt-down — a constant-size summary per
+    * window, no per-key state.
+    */
+  def windowedProfile(df: DataFrame, tsCol: String, idCol: String,
+                      valCol: String,
+                      windowDur: String = "1 minute",
+                      watermark: String = "2 minutes",
+                      accuracy: Int = 100,
+                      groupCols: Seq[String] = Seq.empty): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur) +: groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col(idCol), 0.02).as("approx_ids"),
+        expr(s"approx_percentile($valCol, 0.5D, $accuracy)").as("p50"))
 }

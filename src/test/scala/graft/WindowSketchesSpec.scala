@@ -67,4 +67,54 @@ class WindowSketchesSpec extends SparkSuite {
       }
     }
   }
+
+  test("windowed profile: HLL and GK bounds hold per emitted window") {
+    implicit val sqlCtx = spark.sqlContext
+    val acc = 100
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "props")
+      .as[RawChange].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[RawChange]
+    // value proxy: user_id as the numeric column (RawChange carries no
+    // value; the bound math only needs SOME numeric distribution)
+    val q = WindowSketches.windowedProfile(
+        in.toDS().toDF().withColumn("v", col("user_id").cast("double")),
+        tsCol = "ts", idCol = "user_id", valCol = "v",
+        windowDur = "1 hour", watermark = "0 seconds", accuracy = acc)
+      .writeStream.format("memory").queryName("wp_out")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(ev: _*); q.processAllAvailable()
+      in.addData(RawChange(Long.MaxValue,
+        new java.sql.Timestamp(ev.map(_.ts.getTime).max + 24L * 3600 * 1000),
+        0L, "flush", "{}"))
+      q.processAllAvailable()
+      spark.table("wp_out")
+        .select(col("window.start").as("ws"), col("n"), col("approx_ids"), col("p50"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    } finally q.stop()
+    val byWindow = ev.groupBy(r => r.ts.getTime / 3600000L)
+      .map { case (h, rs) => new java.sql.Timestamp(h * 3600000L) -> rs }
+    val emitted = got.filter { case (ws, _, _, _) => byWindow.contains(ws) }
+    assert(emitted.nonEmpty)
+    emitted.foreach { case (ws, n, approxIds, p50) =>
+      val rs = byWindow(ws)
+      assert(n == rs.size.toLong, s"$ws: n $n vs ${rs.size}")
+      val exactIds = rs.map(_.user_id).distinct.size.toLong
+      assert(math.abs(approxIds - exactIds) * 10 <= math.max(exactIds, 1L),
+        s"$ws: HLL $approxIds vs exact $exactIds beyond 10%")
+      // GK rank bound, rank-range form (ties legal): target T = ceil(n/2)
+      // within [count(<p50)+1 - n/acc, count(<=p50) + n/acc], exact
+      // integers via 2T = n + n%2 (same formula as quantileBoundCheck)
+      val vals = rs.map(_.user_id.toDouble)
+      val le = vals.count(_ <= p50).toLong
+      val lt = vals.count(_ < p50).toLong
+      val t2 = n + n % 2
+      val ok = 2L * acc * (lt + 1) - 2 * n <= acc * t2 &&
+        acc * t2 <= 2L * acc * le + 2 * n
+      assert(ok, s"$ws: p50 $p50 violates rank bound (lt $lt, le $le, n $n)")
+    }
+  }
 }
