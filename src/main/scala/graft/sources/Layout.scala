@@ -48,6 +48,39 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
+  /** Retention sweep — the lifecycle step that completes the archive
+    * story (write → compact → EXPIRE): drop every `day=` partition older
+    * than `cutoffDay`, returning a (day, files, bytes) report of what was
+    * removed. METADATA-ONLY by design: the operator lists the top-level
+    * partition directories (bounded by retention length in days, never by
+    * file or row count) and deletes whole directories — at 100 TB a
+    * retention pass that scans data is a bug, and the (day, op) layout
+    * exists precisely so age-based deletion is a directory rm.
+    *
+    * Granularity note: this is PARTITION-grain retention (the common
+    * time-based policy). Entity-grain deletion (one user out of every
+    * partition) is a rewrite, not a delete — compose a filter with the
+    * [[compactDay]] dynamic-overwrite shape for the affected days.
+    */
+  def retentionSweep(spark: SparkSession, path: String,
+                     cutoffDay: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = java.time.LocalDate.parse(cutoffDay)
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => (s.getPath,
+        java.time.LocalDate.parse(s.getPath.getName.stripPrefix("day="))))
+      .filter { case (_, d) => d.isBefore(cutoff) }
+      .map { case (p, d) =>
+        val usage = fs.getContentSummary(p) // counted before the delete
+        require(fs.delete(p, true), s"failed to drop partition $p")
+        (d.toString, usage.getFileCount, usage.getLength)
+      }
+    dropped.toDF("day", "files", "bytes")
+  }
+
   /** Read one day's slice of one op — the probe whose plan must show
     * directory pruning (PartitionFilters), not a full-archive scan.
     */

@@ -81,6 +81,37 @@ class LayoutSpec extends SparkSuite {
       a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "in-file sort not restored")
   }
 
+  test("retentionSweep drops only expired partitions, metadata-only, answers intact") {
+    val dir = java.nio.file.Files.createTempDirectory("retention_archive").toString
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    Layout.writeEventArchive(ev, dir)
+    val days = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(days.length >= 3, s"fixture spans too few days: ${days.toSeq}")
+    val cutoff = days(days.length / 2)
+    // ground truth of the RETAINED range, read before the sweep
+    val retainedBefore = spark.read.parquet(dir)
+      .filter(col("day") >= lit(cutoff).cast("date"))
+      .agg(count(lit(1)), sum(col("event_id"))).collect().head
+    val report = Layout.retentionSweep(spark, dir, cutoff).collect()
+    // exactly the expired days reported, each with real file/byte counts
+    assert(report.map(_.getString(0)).sorted.toSeq == days.filter(_ < cutoff).toSeq,
+      s"report days: ${report.map(_.getString(0)).toSeq}")
+    assert(report.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0L))
+    val left = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(left.toSeq == days.filter(_ >= cutoff).toSeq, s"left: ${left.toSeq}")
+    // the retained range answers exactly as before the sweep
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("event_id"))).collect().head
+    assert(after == retainedBefore, s"retained answers changed: $after vs $retainedBefore")
+    // idempotent: a second sweep with the same cutoff drops nothing
+    assert(Layout.retentionSweep(spark, dir, cutoff).count() == 0L)
+  }
+
   test("z-order write clusters BOTH dimensions per file; a time sort clusters only time") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_archive").toString
     val ev = Tables.load(spark, sf, "events")
