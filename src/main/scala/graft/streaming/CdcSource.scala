@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -207,11 +207,41 @@ object CdcSource {
     *   exactly where the old query stopped. Ignored on restart of an
     *   existing checkpoint (Spark then resumes from its own offset log).
     */
+  /** @param maxIdsPerTrigger ADMISSION CONTROL (Spark's
+    *   `SupportsAdmissionControl`, the Kafka `maxOffsetsPerTrigger`
+    *   analog): cap each micro-batch's id RANGE at this many ids, so the
+    *   first trigger after downtime chews a month's backlog in bounded
+    *   bites instead of planning one giant catch-up batch (whose shuffle
+    *   and state updates must then fit memory all at once — the
+    *   micro-batch twin of the r8 continuous-reader poll cap). Equals a
+    *   row cap on dense logs; an upper bound on rows where ids have gaps.
+    *   0 (default) = unlimited, the original contract. Delivery remains
+    *   exactly-once: the cap only moves WHERE batch boundaries fall.
+    */
   class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int,
                             rescanWindow: Long = 0L,
-                            startAfterId: Long = -1L) extends MicroBatchStream {
+                            startAfterId: Long = -1L,
+                            maxIdsPerTrigger: Long = 0L)
+      extends MicroBatchStream with SupportsAdmissionControl {
     private def feed = resolve(spec)
     override def latestOffset(): Offset = CdcOffset(feed.latestId())
+    override def getDefaultReadLimit: ReadLimit =
+      if (maxIdsPerTrigger > 0L) ReadLimit.maxRows(maxIdsPerTrigger)
+      else ReadLimit.allAvailable()
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val latest = feed.latestId()
+      val from = start.asInstanceOf[CdcOffset].maxId
+      val capped = limit match {
+        case r: ReadMaxRows => math.min(latest, from + r.maxRows())
+        case _              => latest
+      }
+      CdcOffset(capped)
+    }
+    /** Progress reporting: the TRUE tail, so backlog (latest − committed)
+      * is visible in `StreamingQueryProgress` even while batches are
+      * capped — the number an operator watches during catch-up.
+      */
+    override def reportLatestOffset(): Offset = CdcOffset(feed.latestId())
     override def initialOffset(): Offset = CdcOffset(startAfterId)
     override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
     override def commit(end: Offset): Unit = ()
@@ -426,7 +456,8 @@ object CdcSource {
 
   class CdcTable(spec: FeedSpec, numPartitions: Int,
                  rescanWindow: Long = 0L, pollMs: Long = 2L,
-                 contPartitions: Int = 1, startAfterId: Long = -1L)
+                 contPartitions: Int = 1, startAfterId: Long = -1L,
+                 maxIdsPerTrigger: Long = 0L)
       extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = CdcSource.schema
@@ -436,7 +467,8 @@ object CdcSource {
       () => new Scan {
         override def readSchema(): StructType = CdcSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId)
+          new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId,
+            maxIdsPerTrigger)
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
           new CdcContinuousStream(spec, pollMs, contPartitions, startAfterId)
       }
@@ -488,6 +520,10 @@ class CdcSourceProvider extends TableProvider {
     // checkpoint-migration resume handle (StateMigration): fresh-checkpoint
     // queries start the feed AFTER this id instead of from the beginning
     val startAfter = Option(opts.get("startAfterId")).map(_.toLong).getOrElse(-1L)
-    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter)
+    // admission control: cap each micro-batch's id range (backlog catch-up
+    // in bounded bites — see CdcMicroBatchStream scaladoc); 0 = unlimited
+    val maxIds = Option(opts.get("maxIdsPerTrigger")).map(_.toLong).getOrElse(0L)
+    require(maxIds >= 0L, s"maxIdsPerTrigger must be >= 0, got $maxIds")
+    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter, maxIds)
   }
 }

@@ -67,6 +67,35 @@ class CdcSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("maxIdsPerTrigger: a backlog drains in bounded bites, exactly once") {
+    import spark.implicits._
+    val feed = CdcSource.FeedRegistry.get("spec_admission")
+    // a 100-row "downtime backlog" present BEFORE the query starts — the
+    // shape that, uncapped, becomes one giant first micro-batch
+    (0L until 100L).foreach(i =>
+      feed.append(RawChange(i, t(i), i % 5, "click", s"""{"k":$i}""")))
+    val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("feed", "spec_admission").option("numPartitions", "2")
+      .option("maxIdsPerTrigger", "30").load()
+      .writeStream.format("memory").queryName("src_capped")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // exactly-once over the whole backlog: the cap moves batch
+      // boundaries, never delivery
+      val ids = spark.table("src_capped").select("event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == (0L until 100L), s"delivery broken: ${ids.length} rows")
+      // and it really was bitten up: >= ceil(100/30) = 4 batches, none
+      // above the cap (first batch spans (-1, 29] = 31 ids — the range is
+      // exclusive-start, so allow cap+1 rows)
+      val progs = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .recentProgress.filter(_.numInputRows > 0)
+      assert(progs.length >= 4, s"backlog not capped: ${progs.length} batches")
+      assert(progs.forall(_.numInputRows <= 31),
+        s"a batch overflowed the cap: ${progs.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("composes with the stateful CDC pipeline end to end") {
     val feed = CdcSource.FeedRegistry.get("spec2")
     val raw = spark.readStream.format("graft.streaming.CdcSourceProvider")
