@@ -193,6 +193,59 @@ object Graft {
       redactions, table = table)
   }
 
+  /** Batch BOOTSTRAP → stream handoff — the day-one problem of every CDC
+    * deployment: the table already holds history, and "subscribe from
+    * now" loses it while "replay the log from id 0" may be impossible
+    * (the log is the table; there is no separate retained log). One call
+    * returns both halves of the standard answer:
+    *
+    *  - `snapshot`: a PARTITIONED batch read of everything up to the
+    *    cutoff (`MAX(event_id)` at call time) — `numPartitions` parallel
+    *    range scans, the plain Spark JDBC partitioning path, so a
+    *    billion-row backfill is a normal batch job with a normal plan;
+    *  - `tail`: the streaming source starting exactly AFTER the cutoff
+    *    (`startAfterId` — the same resume handle checkpoint migration
+    *    uses), so batch and stream compose to exactly-once over the
+    *    table's whole lifetime: every id ≤ cutoff in the snapshot, every
+    *    id > cutoff in the stream, no seam.
+    *
+    * Visibility caveat (the same monotone-id assumption as
+    * `rescanWindow = 0`): a transaction holding an id ≤ cutoff that
+    * COMMITS after the snapshot read is visible to neither half. For
+    * multi-writer logs pass `overlap > 0`: the tail then starts at
+    * `cutoff − overlap`, redelivering the boundary window (at-least-once
+    * there — compose with [[CdcStream.dedupeReplays]], or an idempotent
+    * sink keyed on event_id, to restore exactly-once).
+    */
+  def bootstrap(spark: SparkSession, jdbcUrl: String, table: String,
+                numPartitions: Int = 4, overlap: Long = 0L,
+                maxIdsPerTrigger: Long = 0L): (DataFrame, DataFrame) = {
+    require(graft.streaming.JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
+    require(overlap >= 0L, s"overlap must be >= 0, got $overlap")
+    val cutoff = new graft.streaming.JdbcFeed(jdbcUrl, table).latestId()
+    val snapshot =
+      if (cutoff < 0L) // empty table: nothing to backfill
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.streaming.CdcSource.schema)
+      else spark.read.format("jdbc")
+        .option("url", jdbcUrl)
+        .option("dbtable",
+          s"(SELECT event_id, ts, user_id, event_type, props FROM $table" +
+            s" WHERE event_id <= $cutoff) snap")
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", "0")
+        .option("upperBound", math.max(cutoff, 1L).toString)
+        .option("numPartitions", numPartitions.toString)
+        .load()
+    val tail = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", jdbcUrl).option("jdbcTable", table)
+      .option("numPartitions", numPartitions.toString)
+      .option("startAfterId", math.max(cutoff - overlap, -1L).toString)
+      .option("maxIdsPerTrigger", maxIdsPerTrigger.toString)
+      .load()
+    (snapshot, tail)
+  }
+
   /** Online schema-drift alerts over a dynamic-JSON payload stream: one
     * alert per novel (group, key) pair, on the micro-batch where it first
     * lands — the operational form of the batch key census

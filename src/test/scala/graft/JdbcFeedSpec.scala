@@ -330,6 +330,43 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("bootstrap: partitioned snapshot + tail from the cutoff, no seam, no overlap dup") {
+    withDb("bootstrap_db") { url =>
+      import spark.implicits._
+      createEvents(url, "events")
+      insert(url, "events", (1L to 50L).map(i =>
+        (i, t(i), i % 7, "click", s"""{"k":$i}""")): _*)
+      val (snapshot, tail) = graft.Graft.bootstrap(spark, url, "events",
+        numPartitions = 3)
+      // the backfill half: all 50 historic rows, via a PARTITIONED scan
+      assert(snapshot.rdd.getNumPartitions == 3, "snapshot not range-partitioned")
+      assert(snapshot.select("event_id").as[Long].collect().sorted.toSeq ==
+        (1L to 50L), "snapshot missed history")
+      // the tail half: only rows AFTER the cutoff, streamed
+      val q = tail.writeStream.format("memory").queryName("bootstrap_tail")
+        .outputMode("append").start()
+      try {
+        insert(url, "events", (51L to 60L).map(i =>
+          (i, t(i), i % 7, "view", s"""{"k":$i}""")): _*)
+        q.processAllAvailable()
+        val got = spark.table("bootstrap_tail").select("event_id").as[Long]
+          .collect().sorted.toSeq
+        assert(got == (51L to 60L), s"tail seam broken: $got")
+      } finally q.stop()
+      // overlap mode: the boundary window is REdelivered (at-least-once
+      // there by design — the multi-writer visibility hedge)
+      val (_, tailOv) = graft.Graft.bootstrap(spark, url, "events", overlap = 5L)
+      val q2 = tailOv.writeStream.format("memory").queryName("bootstrap_tail_ov")
+        .outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.table("bootstrap_tail_ov").select("event_id").as[Long]
+          .collect().sorted.toSeq
+        assert(got == (56L to 60L), s"overlap window wrong: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
