@@ -493,6 +493,71 @@ object StreamBench {
       val warmDSec = runDegenerate()
       println(s"""{"metric":"media_dedup_degenerate_throughput","docs":${fps.size},"classes":$classes,"warm_sec":$warmDSec,"docs_per_sec":${(fps.size / warmDSec).toLong},"sf":"$sfDir"}""")
     }
+
+    // ===== schema-drift alert throughput (r9) =====
+    // The full events fixture through json_object_keys explode + the
+    // (group, key)-keyed first-sight state — the state is a handful of
+    // rows (payload vocabulary), so this measures the explode + keyed
+    // shuffle cost class of running drift detection permanently inline.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val drift = Tables.load(spark, sfDir, "events")
+        .selectExpr("event_type as group", "event_id", "props as doc")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      def runDrift(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[(String, Long, String)]
+        val q = graft.streaming.SchemaDrift.alerts(
+            graft.streaming.SchemaDrift.keyRows(
+              input.toDS().toDF("group", "event_id", "doc")))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("drift_bench").toString)
+          .start()
+        input.addData(drift.toIndexedSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runDrift()
+      val warmDr = runDrift()
+      println(s"""{"metric":"schema_drift_throughput","events":${drift.length},"warm_sec":$warmDr,"events_per_sec":${(drift.length / warmDr).toLong},"sf":"$sfDir"}""")
+    }
+
+    // ===== windowed sketch profile throughput (r9) =====
+    // count + HLL + GK per hour window over the events fixture — the cost
+    // class of permanently profiling the data inline (constant-size state
+    // per window).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val evs = Tables.load(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "props")
+        .as[CdcStream.RawChange].collect()
+      def runProfile(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[CdcStream.RawChange]
+        val q = graft.streaming.WindowSketches.windowedProfile(
+            input.toDS().toDF().withColumn(
+              "v", org.apache.spark.sql.functions.col("user_id").cast("double")),
+            tsCol = "ts", idCol = "user_id", valCol = "v",
+            windowDur = "1 hour", watermark = "0 seconds")
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("profile_bench").toString)
+          .start()
+        input.addData(evs.toIndexedSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runProfile()
+      val warmPr = runProfile()
+      println(s"""{"metric":"window_profile_throughput","events":${evs.length},"warm_sec":$warmPr,"events_per_sec":${(evs.length / warmPr).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
