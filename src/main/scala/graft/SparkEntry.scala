@@ -252,6 +252,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** TYPE first-seen inventory — [[cdcTypeCensus]]'s drift ground truth
+    * (the streaming twin is [[graft.streaming.SchemaDrift.typeRows]] →
+    * `alerts`, replay-pinned in `SchemaDriftSpec`): when did each
+    * (key, value-type) PAIR first appear — a type flip on an old key is a
+    * new pair, which is exactly what a downstream consumer needs to hear
+    * about before its casts start poisoning.
+    */
+  private def cdcTypeFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val k = get_json_object(col("props"), "$.k")
+    val m = col("event_id") % 6
+    val vJson = when(m === 0, k)
+      .when(m === 1, concat(lit("\""), k, lit("\"")))
+      .when(m === 2, lit("true"))
+      .when(m === 3, concat(lit("{\"n\":"), k, lit("}")))
+      .when(m === 4, concat(lit("["), k, lit("]")))
+      .otherwise(lit("null"))
+    val doc = concat(lit("{\"k\":"), k, lit(",\"v\":"), vJson, lit("}"))
+    val st = schema_of_variant(col("value"))
+    val label = when(st.startsWith("OBJECT"), "object")
+      .when(st.startsWith("ARRAY"), "array")
+      .when(st === "VOID", "null")
+      .when(st === "STRING", "string")
+      .when(st === "BOOLEAN", "bool")
+      .otherwise("number")
+    ev.withColumn("doc", doc).select(col("event_id"), col("doc"))
+      .lateralJoin(spark.tvf.variant_explode(parse_json(col("doc").outer())))
+      .select(col("event_id"), col("key"), label.as("vtype"))
+      .groupBy(col("key"), col("vtype"))
+      .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
+  }
+
   /** HLL sketch aggregation — approx_count_distinct per event type, made
     * ORACLE-CHECKABLE (r8; it was the inventory's one rows-only check from
     * r1–r7). Raw sketch values can't cross engines (DuckDB's HLL is a
@@ -685,6 +717,7 @@ object SparkEntry {
     "ops_order_count_dist"  -> (Relational.orderCountDistribution _),
     "cdc_key_inventory"     -> (cdcKeyInventory _),
     "cdc_key_first_seen"    -> (cdcKeyFirstSeen _),
+    "cdc_type_first_seen"   -> (cdcTypeFirstSeen _),
     "ops_funnel"            -> (Relational.funnel _),
     "ops_window_funnel"     -> (Relational.windowFunnel _),
     "ops_cohort_retention"  -> (Relational.cohortRetention _),

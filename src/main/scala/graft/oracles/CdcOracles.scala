@@ -286,5 +286,31 @@ private[graft] object CdcOracles {
         |       ELSE 'number' END AS vtype,
         |  COUNT(*) AS n
         |FROM typed GROUP BY key, vtype""".stripMargin,
+    // type-drift ground truth: first sight of each (key, vtype) PAIR —
+    // a type flip on an old key is a new pair (streaming twin:
+    // SchemaDrift.typeRows -> alerts, replay-pinned)
+    "cdc_type_first_seen" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || ',"v":' ||
+        |    CASE WHEN event_id % 6 = 0 THEN CAST(json_extract(props, '$.k') AS VARCHAR)
+        |         WHEN event_id % 6 = 1 THEN '"' || CAST(json_extract(props, '$.k') AS VARCHAR) || '"'
+        |         WHEN event_id % 6 = 2 THEN 'true'
+        |         WHEN event_id % 6 = 3 THEN '{"n":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+        |         WHEN event_id % 6 = 4 THEN '[' || CAST(json_extract(props, '$.k') AS VARCHAR) || ']'
+        |         ELSE 'null' END || '}' AS doc
+        |  FROM events),
+        |kv AS (SELECT event_id, doc, unnest(json_keys(doc)) AS key FROM d),
+        |typed AS (SELECT event_id, key, json_type(doc::JSON, '$.' || key) AS jt FROM kv)
+        |SELECT key,
+        |  CASE WHEN jt IS NULL OR jt = 'NULL' THEN 'null'
+        |       WHEN jt = 'OBJECT' THEN 'object'
+        |       WHEN jt = 'ARRAY' THEN 'array'
+        |       WHEN jt = 'VARCHAR' THEN 'string'
+        |       WHEN jt = 'BOOLEAN' THEN 'bool'
+        |       ELSE 'number' END AS vtype,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+        |  COUNT(*) AS n
+        |FROM typed GROUP BY key, vtype""".stripMargin,
   )
 }

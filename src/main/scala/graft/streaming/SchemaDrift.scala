@@ -49,6 +49,35 @@ object SchemaDrift {
       .as[KeyRow]
   }
 
+  /** TYPE-drift rows — the second drift mode: a producer keeping the key
+    * but CHANGING ITS VALUE TYPE (the "amount" that was a number and is
+    * suddenly a string — silent downstream cast poison). Same Variant
+    * walk as the batch type census (`cdc_type_census`): one lateral
+    * `variant_explode` per doc, the value's Variant schema folded to the
+    * six JSON type labels, and the composite `key:vtype` fed through the
+    * SAME first-sight state as [[keyRows]] — a novel (key, type) PAIR
+    * alerts, so both a brand-new key and a type flip on an old key
+    * surface as one alert each. State stays bounded by the payload's
+    * (key × type) vocabulary.
+    */
+  def typeRows(df: DataFrame): Dataset[KeyRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val st = schema_of_variant(col("value"))
+    val label = when(st.startsWith("OBJECT"), "object")
+      .when(st.startsWith("ARRAY"), "array")
+      .when(st === "VOID", "null")
+      .when(st === "STRING", "string")
+      .when(st === "BOOLEAN", "bool")
+      .otherwise("number") // BIGINT / DECIMAL(p,s) / DOUBLE
+    df.select(col("group"), col("event_id"), col("doc"))
+      .lateralJoin(spark.tvf.variant_explode(parse_json(col("doc").outer())))
+      .select(col("group"),
+        concat(col("key"), lit(":"), label).as("key"),
+        col("event_id"))
+      .as[KeyRow]
+  }
+
   /** First-sight alerts: one [[KeyAlert]] per (group, key) lifetime (or
     * per TTL window), carrying the smallest event id of the micro-batch
     * that introduced it — on id-ordered replay, the global first id.

@@ -46,6 +46,55 @@ class SchemaDriftSpec extends SparkSuite {
       s"drift alerts diverged: missing ${want -- got}, phantom ${got -- want}")
   }
 
+  test("type drift: (key, vtype) alerts replay-equal to the batch first-seen; a flip alerts") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch census's synthesized heterogeneous docs, replayed
+    val k = get_json_object(col("props"), "$.k")
+    val m = col("event_id") % 6
+    val vJson = when(m === 0, k)
+      .when(m === 1, concat(lit("\""), k, lit("\"")))
+      .when(m === 2, lit("true"))
+      .when(m === 3, concat(lit("{\"n\":"), k, lit("}")))
+      .when(m === 4, concat(lit("["), k, lit("]")))
+      .otherwise(lit("null"))
+    val docs = Tables.load(spark, sf, "events")
+      .select(lit("events").as("group"), col("event_id"),
+        concat(lit("{\"k\":"), k, lit(",\"v\":"), vJson, lit("}")).as("doc"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val (w1, w2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(String, Long, String)]
+    val q = SchemaDrift.alerts(
+        SchemaDrift.typeRows(in.toDS().toDF("group", "event_id", "doc")))
+      .writeStream.format("memory").queryName("tdrift_out")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(w2.toIndexedSeq); q.processAllAvailable()
+      spark.table("tdrift_out").as[KeyAlert].collect().toSet
+    } finally q.stop()
+    val want = SparkEntry.queries("cdc_type_first_seen")(spark, sf)
+      .collect().map(r => KeyAlert("events",
+        s"${r.getString(0)}:${r.getString(1)}", r.getLong(2))).toSet
+    assert(got == want,
+      s"type alerts diverged: missing ${want -- got}, phantom ${got -- want}")
+    // and the canonical drift event — an old key flipping type — alerts
+    val in2 = MemoryStream[(String, Long, String)]
+    val q2 = SchemaDrift.alerts(
+        SchemaDrift.typeRows(in2.toDS().toDF("group", "event_id", "doc")))
+      .writeStream.format("memory").queryName("tdrift_flip")
+      .outputMode("append").start()
+    try {
+      in2.addData(("t", 1L, """{"amount":5}"""), ("t", 2L, """{"amount":7}"""))
+      q2.processAllAvailable()
+      in2.addData(("t", 3L, """{"amount":"7.50"}""")) // the poison flip
+      q2.processAllAvailable()
+      val rows = spark.table("tdrift_flip").as[KeyAlert].collect().toSet
+      assert(rows == Set(KeyAlert("t", "amount:number", 1L),
+        KeyAlert("t", "amount:string", 3L)), s"got $rows")
+    } finally q2.stop()
+  }
+
   test("a key alerts exactly once; a novel mid-stream key alerts on arrival") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, String)]
