@@ -524,6 +524,29 @@ object StreamBench {
       runDrift()
       val warmDr = runDrift()
       println(s"""{"metric":"schema_drift_throughput","events":${drift.length},"warm_sec":$warmDr,"events_per_sec":${(drift.length / warmDr).toLong},"sf":"$sfDir"}""")
+      // TYPE-drift variant: same state machinery but the per-doc Variant
+      // walk (parse_json + lateral variant_explode + schema_of_variant)
+      // replaces the key explode — the cost of typing every value inline
+      def runTypeDrift(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[(String, Long, String)]
+        val q = graft.streaming.SchemaDrift.alerts(
+            graft.streaming.SchemaDrift.typeRows(
+              input.toDS().toDF("group", "event_id", "doc")))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("tdrift_bench").toString)
+          .start()
+        input.addData(drift.toIndexedSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runTypeDrift()
+      val warmTd = runTypeDrift()
+      println(s"""{"metric":"type_drift_throughput","events":${drift.length},"warm_sec":$warmTd,"events_per_sec":${(drift.length / warmTd).toLong},"sf":"$sfDir"}""")
     }
 
     // ===== windowed sketch profile throughput (r9) =====
