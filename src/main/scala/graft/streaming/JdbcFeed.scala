@@ -218,6 +218,48 @@ object CdcCatalog {
     }.reduce(_ unionByName _)
   }
 
+  /** Multi-table batch BOOTSTRAP → stream handoff — [[Graft.bootstrap]]'s
+    * contract extended to a whole capture set: one partitioned JDBC
+    * snapshot per table (each up to ITS OWN `MAX(event_id)` cutoff,
+    * unioned with the `table` envelope column the daemon path attaches)
+    * plus the [[readAllFrom]] union starting each table exactly after its
+    * cutoff. Per-table cutoffs matter for the same reason per-table
+    * migration offsets do: id spaces are independent, and one shared
+    * cutoff would re-deliver on tables behind it and lose history on
+    * tables ahead of it. Same `overlap` visibility hedge, applied per
+    * table.
+    */
+  def bootstrapAll(spark: org.apache.spark.sql.SparkSession,
+                   specs: Seq[CdcSource.JdbcSpec],
+                   numPartitions: Int = 4,
+                   overlap: Long = 0L)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(specs.nonEmpty, "bootstrapAll needs at least one feed")
+    import org.apache.spark.sql.functions.lit
+    val cutoffs = specs.map(s => new JdbcFeed(s.url, s.table).latestId())
+    val snapshots = specs.zip(cutoffs).map { case (s, cutoff) =>
+      val snap =
+        if (cutoff < 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            CdcSource.schema)
+        else spark.read.format("jdbc")
+          .option("url", s.url)
+          .option("dbtable",
+            s"(SELECT event_id, ts, user_id, event_type, props FROM ${s.table}" +
+              s" WHERE event_id <= $cutoff) snap")
+          .option("partitionColumn", "event_id")
+          .option("lowerBound", "0")
+          .option("upperBound", math.max(cutoff, 1L).toString)
+          .option("numPartitions", numPartitions.toString)
+          .load()
+      snap.withColumn("table", lit(s.table))
+    }
+    val tail = readAllFrom(spark, specs,
+      cutoffs.map(c => math.max(c - overlap, -1L)), numPartitions)
+    (snapshots.reduce(_ unionByName _), tail)
+  }
+
   /** Checkpoint-migration resume of a multi-table capture: read the old
     * [[readAll]] checkpoint's per-source committed offsets and rebuild the
     * union with each table starting after its own position — exactly-once

@@ -367,6 +367,41 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("bootstrapAll: per-table cutoffs on skewed id spaces, no seam on either table") {
+    withDb("bootstrap_all_db") { url =>
+      import spark.implicits._
+      // deliberately skewed id spaces — the shape a shared cutoff corrupts
+      createEvents(url, "t_small")
+      createEvents(url, "t_big")
+      insert(url, "t_small", (1L to 10L).map(i =>
+        (i, t(i), i % 3, "click", s"""{"k":$i}""")): _*)
+      insert(url, "t_big", (1L to 400L).map(i =>
+        (i, t(i), i % 7, "view", s"""{"k":$i}""")): _*)
+      val specs = Seq(CdcSource.JdbcSpec(url, "t_small"), CdcSource.JdbcSpec(url, "t_big"))
+      val (snapshot, tail) = CdcCatalog.bootstrapAll(spark, specs, numPartitions = 2)
+      // both histories, tagged with their table
+      val snapCounts = snapshot.groupBy("table").count()
+        .as[(String, Long)].collect().toMap
+      assert(snapCounts == Map("t_small" -> 10L, "t_big" -> 400L), s"$snapCounts")
+      // the tail starts after EACH table's own cutoff
+      val q = tail.writeStream.format("memory").queryName("bootstrap_all_tail")
+        .outputMode("append").start()
+      try {
+        insert(url, "t_small", (11L to 13L).map(i =>
+          (i, t(i), i % 3, "click", s"""{"k":$i}""")): _*)
+        insert(url, "t_big", (401L to 405L).map(i =>
+          (i, t(i), i % 7, "view", s"""{"k":$i}""")): _*)
+        q.processAllAvailable()
+        val got = spark.table("bootstrap_all_tail")
+          .select("table", "event_id").as[(String, Long)].collect().toSet
+        val want = (11L to 13L).map(("t_small", _)).toSet ++
+          (401L to 405L).map(("t_big", _)).toSet
+        assert(got == want,
+          s"seam broken: missing ${want -- got}, phantom/redelivered ${got -- want}")
+      } finally q.stop()
+    }
+  }
+
   test("unsafe table identifiers are rejected (reference Sprintf injection surface, not copied)") {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
