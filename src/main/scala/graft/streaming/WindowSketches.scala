@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Sketches inside streaming windows — the composition the mergeable-
   * summary design exists FOR (Agarwal et al., PODS'12: a summary mergeable
@@ -81,4 +82,63 @@ object WindowSketches {
         count(lit(1)).as("n"),
         approx_count_distinct(col(idCol), 0.02).as("approx_ids"),
         expr(s"approx_percentile($valCol, 0.5D, $accuracy)").as("p50"))
+
+  /** One observation of a per-group series — e.g. a window's row count or
+    * median off [[windowedProfile]]'s output. `seq` orders observations
+    * within a micro-batch (window start epoch, day index, …).
+    */
+  case class SeriesPoint(group: String, seq: Long, x: Long)
+  /** A level-shift alarm: the side that fired (+1 up / -1 down), the
+    * statistic at the crossing, and the observation that tripped it.
+    */
+  case class CusumAlert(group: String, seq: Long, side: Int, stat: Long)
+  /** Page's two one-sided statistics — the entire per-group state. */
+  case class CusumState(sPos: Long, sNeg: Long)
+
+  /** ONLINE CUSUM (Page 1954) over a per-group series — the streaming
+    * twin of the batch retrospective changepoint (`ops_cusum`): the batch
+    * form scans the COMPLETE series for the argmax of the centered
+    * cumulative sum (it needs the global total, so it cannot run online);
+    * the online form carries Page's one-sided statistics
+    * `S⁺ = max(0, S⁺ + (x − μ₀ − k))`, `S⁻ = max(0, S⁻ + (μ₀ − x − k))`
+    * and alarms when either crosses `h`, then resets that side — the
+    * classic quickest-detection sequential test. All-integer arithmetic
+    * (μ₀, k, h in the series' own units), so replay is hash-exact and the
+    * spec can pin alarms against a scalar reference fold.
+    *
+    * State per group: two longs — constant, forever. Within-batch order
+    * is by `seq` (window outputs of one micro-batch arrive unordered);
+    * across batches the watermark discipline of the upstream window agg
+    * already delivers windows in order. Compose:
+    * `windowedProfile(...)` → map to [[SeriesPoint]] (`seq` = window
+    * start epoch, `x` = n or p50-scaled) → `cusumAlerts` — data-health
+    * paging on cardinality or latency-distribution shifts, end to end
+    * inside the engine.
+    */
+  def cusumAlerts(points: Dataset[SeriesPoint], mu0: Long, k: Long, h: Long,
+                  stateTtl: Option[String] = None): Dataset[CusumAlert] = {
+    import points.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (g: String, rows: Iterator[SeriesPoint], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = if (state.exists) state.get else CusumState(0L, 0L)
+            val out = Vector.newBuilder[CusumAlert]
+            rows.toSeq.sortBy(_.seq).foreach { p =>
+              var sPos = math.max(0L, st.sPos + (p.x - mu0 - k))
+              var sNeg = math.max(0L, st.sNeg + (mu0 - p.x - k))
+              if (sPos > h) { out += CusumAlert(g, p.seq, 1, sPos); sPos = 0L }
+              if (sNeg > h) { out += CusumAlert(g, p.seq, -1, sNeg); sNeg = 0L }
+              st = CusumState(sPos, sNeg)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -68,6 +68,45 @@ class WindowSketchesSpec extends SparkSuite {
     }
   }
 
+  test("online cusum: alarms match the scalar reference fold; resets; two-sided; batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.WindowSketches.{CusumAlert, SeriesPoint}
+    val (mu0, k, h) = (100L, 5L, 30L)
+    // level 100 → upward shift to 120 at t=20 → back → downward dip to 70
+    // at t=45; deterministic, integer
+    val series = (0L until 60L).map { t =>
+      val x = if (t >= 20 && t < 30) 120L else if (t >= 45 && t < 52) 70L else 100L
+      SeriesPoint("m", t, x + (t % 3) - 1) // ±1 jitter, mean-preserving
+    }
+    // scalar reference fold — the textbook recursion, independently coded
+    def reference(ps: Seq[SeriesPoint]): Seq[CusumAlert] = {
+      var (sp, sn) = (0L, 0L)
+      val out = Seq.newBuilder[CusumAlert]
+      ps.sortBy(_.seq).foreach { p =>
+        sp = math.max(0L, sp + (p.x - mu0 - k)); sn = math.max(0L, sn + (mu0 - p.x - k))
+        if (sp > h) { out += CusumAlert("m", p.seq, 1, sp); sp = 0L }
+        if (sn > h) { out += CusumAlert("m", p.seq, -1, sn); sn = 0L }
+      }
+      out.result()
+    }
+    val want = reference(series)
+    assert(want.exists(_.side == 1) && want.exists(_.side == -1),
+      s"fixture must trip both sides: $want")
+    // streamed in three arbitrary batch splits — the state must make the
+    // fold batch-boundary invariant
+    val in = MemoryStream[SeriesPoint]
+    val q = graft.streaming.WindowSketches.cusumAlerts(in.toDS(), mu0, k, h)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(series.take(25): _*); q.processAllAvailable()
+      in.addData(series.slice(25, 48): _*); q.processAllAvailable()
+      in.addData(series.drop(48): _*); q.processAllAvailable()
+      spark.table("cusum_out").as[CusumAlert].collect().toSeq.sortBy(_.seq)
+    } finally q.stop()
+    assert(got == want, s"streamed alarms diverged:\n got $got\nwant $want")
+  }
+
   test("windowed profile: HLL and GK bounds hold per emitted window") {
     implicit val sqlCtx = spark.sqlContext
     val acc = 100
