@@ -313,6 +313,100 @@ object DedupStream {
       }
   }
 
+  /** Spark 4 `transformWithState` twin of [[fpVerifiedPairs]] — same
+    * semantics (the parity spec replays both), better STATE SHAPE: the
+    * classic path serializes each bucket's whole exemplar list as one
+    * blob per key (every update rewrites the bucket); here the class
+    * store is a native `MapState[fp → rep]`, so RocksDB holds ONE ENTRY
+    * PER FINGERPRINT CLASS — an exact-dup arrival reads a single map key
+    * (no bucket-blob deserialization), enrollment writes one entry, and
+    * per-state-variable TTL is declarative. The novel-fingerprint Hamming
+    * sweep iterates the map — the same irreducible O(classes-in-bucket)
+    * the classic path pays, without the blob rewrite after it.
+    */
+  class FpBucketProcessor(maxHamming: Int, bucketCap: Int,
+                          ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, FpBandRow, FpEdge, FpBucketState] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+    @transient private var reps: MapState[Long, Long] = _
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      reps = getHandle.getMapState[Long, Long]("reps",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+      count = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+    }
+
+    /** Migration hook: a classic-layout bucket ([[StateMigration
+      * .readMediaDedupState]]) lands as per-class map entries — the
+      * blob-to-entries conversion IS the migration.
+      */
+    override def handleInitialState(key: String, initial: FpBucketState,
+                                    timerValues: TimerValues): Unit = {
+      initial.exemplars.foreach(e => reps.updateValue(e.fp, e.doc_id))
+      count.update(initial.exemplars.size.toLong)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[FpBandRow],
+                                 timerValues: TimerValues): Iterator[FpEdge] = {
+      val out = Vector.newBuilder[FpEdge]
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        if (reps.containsKey(r.fp)) {
+          val rep = reps.getValue(r.fp)
+          if (rep != r.doc_id) out += FpEdge(r.doc_id, rep, r.band_id, 0L)
+        } else {
+          reps.iterator().foreach { kv =>
+            val h = java.lang.Long.bitCount(r.fp ^ kv._1).toLong
+            if (h <= maxHamming) out += FpEdge(r.doc_id, kv._2, r.band_id, h)
+          }
+          val n = if (count.exists()) count.get() else 0L
+          if (n < bucketCap) {
+            reps.updateValue(r.fp, r.doc_id)
+            count.update(n + 1L)
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[fpVerifiedPairs]] on the transformWithState API — see
+    * [[FpBucketProcessor]] for the state-shape upgrade. Run under the
+    * RocksDB provider for the per-entry layout to pay off.
+    */
+  def fpVerifiedPairsTws(bands: Dataset[FpBandRow], maxHamming: Int = 3,
+                         stateTtl: Option[java.time.Duration] = None,
+                         bucketCap: Int = 10000): Dataset[FpEdge] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.groupByKey(_.key)
+      .transformWithState(new FpBucketProcessor(maxHamming, bucketCap, stateTtl),
+        mode, OutputMode.Append())
+  }
+
+  /** [[fpVerifiedPairsTws]] seeded with a MIGRATED classic-layout store —
+    * the flatMapGroupsWithState → transformWithState direction for the
+    * media dedup state, same recipe as the prev-image pipeline's.
+    */
+  def fpVerifiedPairsTwsFrom(bands: Dataset[FpBandRow],
+                             initial: Dataset[(String, FpBucketState)],
+                             maxHamming: Int = 3,
+                             stateTtl: Option[java.time.Duration] = None,
+                             bucketCap: Int = 10000): Dataset[FpEdge] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.groupByKey(_.key)
+      .transformWithState(new FpBucketProcessor(maxHamming, bucketCap, stateTtl),
+        mode, OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   /** Per-bucket transition of the media path — [[onBucket]]'s TTL
     * discipline (no re-arm on expiry) with class-grain exemplar enrollment
     * and the in-handler Hamming verify. Rows are processed in doc_id order

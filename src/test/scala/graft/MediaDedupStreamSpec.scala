@@ -150,6 +150,64 @@ class MediaDedupStreamSpec extends SparkSuite {
       s"relocated media store diverged: resumed-only ${resumed -- ref}, ref-only ${ref -- resumed}")
   }
 
+  test("transformWithState twin: edge-for-edge parity on RocksDB; classic store migrates in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val fps = Multimodal.pngPhashDf(spark, sf).collect()
+        .map(r => FpRow(r.doc_id, r.phash)).sortBy(_.doc_id).toSeq
+      // same two-batch id-ordered replay as the classic path's runReplay
+      val input = MemoryStream[FpRow]
+      val q = DedupStream.fpVerifiedPairsTws(
+          DedupStream.fpBandRows(input.toDS(), DedupStream.ImageBanding))
+        .writeStream.format("memory").queryName("media_tws")
+        .outputMode("append").start()
+      val tws = try {
+        input.addData(fps.take(fps.size / 2): _*); q.processAllAvailable()
+        input.addData(fps.drop(fps.size / 2): _*); q.processAllAvailable()
+        spark.table("media_tws").as[FpEdge].collect()
+      } finally q.stop()
+      val classic = runReplay(fps, DedupStream.ImageBanding, "media_tws_ref")
+      assert(tws.map(e => (e.dup_of, e.doc_id, e.hamming)).toSet ==
+        classic.map(e => (e.dup_of, e.doc_id, e.hamming)).toSet,
+        "TWS twin diverged from the classic path")
+      // classic-layout store migrates into the MapState layout: wave-1
+      // blob state becomes per-class entries, wave 2 resumes seamlessly
+      val (wave1, wave2) = fps.splitAt(fps.size / 2)
+      val chk = java.nio.file.Files.createTempDirectory("media_tws_mig").toString
+      val in1 = MemoryStream[FpRow]
+      val q1 = DedupStream.fpVerifiedPairs(
+          DedupStream.fpBandRows(in1.toDS(), DedupStream.ImageBanding))
+        .writeStream.format("memory").queryName("media_tws_mig_a")
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+      val st = graft.streaming.StateMigration.readMediaDedupState(spark, chk)
+      val in2 = MemoryStream[FpRow]
+      val q2 = DedupStream.fpVerifiedPairsTwsFrom(
+          DedupStream.fpBandRows(in2.toDS(), DedupStream.ImageBanding), st)
+        .writeStream.format("memory").queryName("media_tws_mig_b")
+        .outputMode("append").start()
+      val resumed = try {
+        in2.addData(wave2: _*); q2.processAllAvailable()
+        spark.table("media_tws_mig_b").as[FpEdge].collect()
+          .map(e => (e.dup_of, e.doc_id, e.hamming)).toSet
+      } finally q2.stop()
+      val wave2Ids = wave2.map(_.doc_id).toSet
+      val ref = classic.filter(e => wave2Ids(e.doc_id))
+        .map(e => (e.dup_of, e.doc_id, e.hamming)).toSet
+      assert(resumed == ref,
+        s"classic→TWS migration diverged: resumed-only ${resumed -- ref}, " +
+          s"ref-only ${ref -- resumed}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
+
   test("state transitions: class enrollment, exact-dup star edge, verify gate, TTL expiry") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.DedupStream.FpBucketState
