@@ -180,6 +180,111 @@ object DedupStream {
         }
     }
 
+  // ===== transformWithState twins for the text stores (r9) =====
+  // Same semantics as candidates/verifiedCandidates (parity spec-pinned);
+  // the modern API buys declarative per-variable TTL and the RocksDB-
+  // native layout, and handleInitialState makes the classic-checkpoint
+  // migration a first-class path — completing the dual-API matrix the
+  // prev-image pipeline and the media store already have.
+
+  /** [[candidates]]' processor: state = the exemplar id, one long. */
+  class BucketProcessor(ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, BandRow, Candidate, Long] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var exemplar: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      exemplar = getHandle.getValueState[Long]("exemplar",
+        org.apache.spark.sql.Encoders.scalaLong,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInitialState(key: String, initial: Long,
+                                    timerValues: TimerValues): Unit =
+      exemplar.update(initial)
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+                                 timerValues: TimerValues): Iterator[Candidate] = {
+      val rs = rows.toSeq
+      val ex = if (exemplar.exists()) exemplar.get() else {
+        val m = rs.iterator.map(_.doc_id).min
+        exemplar.update(m)
+        m
+      }
+      rs.iterator.filter(_.doc_id != ex).map(r => Candidate(r.doc_id, ex, r.band_id))
+    }
+  }
+
+  /** [[candidates]] on transformWithState. */
+  def candidatesTws(bands: Dataset[BandRow],
+                    ttl: Option[java.time.Duration] = None): Dataset[Candidate] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.groupByKey(_.key)
+      .transformWithState(new BucketProcessor(ttl), mode, OutputMode.Append())
+  }
+
+  /** [[candidatesTws]] seeded with a migrated classic store
+    * ([[StateMigration.readDedupBucketState]]).
+    */
+  def candidatesTwsFrom(bands: Dataset[BandRow], initial: Dataset[(String, Long)],
+                        ttl: Option[java.time.Duration] = None): Dataset[Candidate] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.groupByKey(_.key)
+      .transformWithState(new BucketProcessor(ttl), mode, OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** [[verifiedCandidates]]' processor: state = the exemplar's
+    * (doc_id, shingle-hash set); the in-handler exact Jaccard mirrors
+    * [[onBucketVerified]] (same unrounded threshold / HALF_UP round-6).
+    */
+  class VerifyBucketProcessor(threshold: Double,
+                              ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, BandRowV, Verified, Exemplar] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var ex: ValueState[Exemplar] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ex = getHandle.getValueState[Exemplar]("exemplar",
+        org.apache.spark.sql.Encoders.product[Exemplar],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInitialState(key: String, initial: Exemplar,
+                                    timerValues: TimerValues): Unit =
+      ex.update(initial)
+    override def handleInputRows(key: String, rows: Iterator[BandRowV],
+                                 timerValues: TimerValues): Iterator[Verified] = {
+      val rs = rows.toSeq
+      val e = if (ex.exists()) ex.get() else {
+        val m = rs.minBy(_.doc_id)
+        val v = Exemplar(m.doc_id, m.hs)
+        ex.update(v)
+        v
+      }
+      val exSet = e.hs.toSet
+      rs.iterator.filter(_.doc_id != e.doc_id).flatMap { r =>
+        val inter = r.hs.count(exSet.contains)
+        val j = inter.toDouble / (r.hs.size + e.hs.size - inter).toDouble
+        if (j >= threshold)
+          Some(Verified(r.doc_id, e.doc_id, r.band_id,
+            java.math.BigDecimal.valueOf(j)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+        else None
+      }
+    }
+  }
+
+  /** [[verifiedCandidates]] on transformWithState. */
+  def verifiedCandidatesTws(bands: Dataset[BandRowV], threshold: Double = 0.2,
+                            ttl: Option[java.time.Duration] = None): Dataset[Verified] = {
+    import bands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    bands.groupByKey(_.key)
+      .transformWithState(new VerifyBucketProcessor(threshold, ttl), mode,
+        OutputMode.Append())
+  }
+
   // ===== media modality: fingerprint streams through the SAME machinery =====
   // "Dedup the crawl as it lands" for images/audio: the batch side
   // ([[graft.ops.Multimodal.imagePhashPairs]] / [[Multimodal.audioFpPairs]])

@@ -96,6 +96,88 @@ object SemDedupStream {
       }
   }
 
+  /** Spark 4 `transformWithState` twin of [[judged]] — the exemplar set as
+    * a native `ListState[Exemplar]`: RocksDB holds one entry per exemplar
+    * VECTOR (the classic path rewrites the whole cluster's serialized
+    * vector list on every enrollment — the heaviest blob of any store
+    * here, cap × dim doubles), enrollment is an O(1) list append, and the
+    * greedy scan iterates entries in insertion order = the vec_id order
+    * the in-handler sort enforces. The cap rides a ValueState counter.
+    * Semantics identical to [[onCluster]] by construction; parity pinned
+    * in `SemDedupStreamSpec`.
+    */
+  class ClusterProcessor(tau: Double, clusterCap: Int,
+                         ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, VecRow, Judged, ClusterState] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var ex: ListState[Exemplar] = _
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      ex = getHandle.getListState[Exemplar]("exemplars",
+        org.apache.spark.sql.Encoders.product[Exemplar], ttlConf)
+      count = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+    }
+    override def handleInitialState(bucket: Long, initial: ClusterState,
+                                    timerValues: TimerValues): Unit = {
+      initial.ex.foreach(ex.appendValue)
+      count.update(initial.ex.size.toLong)
+    }
+    override def handleInputRows(bucket: Long, rows: Iterator[VecRow],
+                                 timerValues: TimerValues): Iterator[Judged] = {
+      val rs = rows.toSeq.sortBy(_.vec_id)
+      // one read of the current entries; within-batch enrollments append
+      // to the local view AND the state list
+      var cur = ex.get().toVector
+      var n = if (count.exists()) count.get() else cur.size.toLong
+      val out = rs.map { r =>
+        val dropped = cur.exists(e =>
+          e.vec_id < r.vec_id && round6(cosine(e.v, r.v)) >= tau)
+        if (n < clusterCap) {
+          val e = Exemplar(r.vec_id, r.v)
+          ex.appendValue(e)
+          cur = cur :+ e
+          n += 1L
+        }
+        Judged(r.vec_id, bucket, !dropped)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  /** [[judged]] on transformWithState — see [[ClusterProcessor]]. */
+  def judgedTws(assigned: Dataset[VecRow], tau: Double = 0.4,
+                clusterCap: Int = 256,
+                ttl: Option[java.time.Duration] = None): Dataset[Judged] = {
+    import assigned.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    assigned.groupByKey(_.bucket)
+      .transformWithState(new ClusterProcessor(tau, clusterCap, ttl), mode,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** [[judgedTws]] seeded with a migrated classic-layout store
+    * ([[StateMigration.readSemDedupState]]) — the blob-to-entries
+    * conversion is the `handleInitialState` hook.
+    */
+  def judgedTwsFrom(assigned: Dataset[VecRow],
+                    initial: Dataset[(Long, ClusterState)],
+                    tau: Double = 0.4, clusterCap: Int = 256,
+                    ttl: Option[java.time.Duration] = None): Dataset[Judged] = {
+    import assigned.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    assigned.groupByKey(_.bucket)
+      .transformWithState(new ClusterProcessor(tau, clusterCap, ttl), mode,
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   /** Sequential-accumulation cosine — bit-parity with the fused
     * [[graft.functions.VectorExprs]] kernel (`ab/sqrt(aa*bb)`, one pass).
     */

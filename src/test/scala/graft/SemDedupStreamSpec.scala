@@ -55,6 +55,65 @@ class SemDedupStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState twin: judgments equal classic on RocksDB; classic store migrates in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * lit(2.0)).as("v"))
+      val corpus = base.unionAll(planted)
+      val cents = SemDedupStream.centroids(corpus)
+      val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      def assigned(in: MemoryStream[(Long, Seq[Double])]) =
+        SemDedupStream.assign(in.toDS().toDF("vec_id", "v"), cents).as[VecRow]
+      val batch = Similarity.semDedupDf(corpus)
+        .select(col("vec_id"), col("bucket"), col("kept"))
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (id, b, k) => Judged(id, b, k) }.toSet
+      // full replay on the TWS path (ListState entry per exemplar vector)
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = SemDedupStream.judgedTws(assigned(in))
+        .writeStream.format("memory").queryName("sem_tws")
+        .outputMode("append").start()
+      val tws = try {
+        in.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+        in.addData(rows.drop(rows.length / 2): _*); q.processAllAvailable()
+        spark.table("sem_tws").as[Judged].collect().toSet
+      } finally q.stop()
+      assert(tws == batch, s"TWS judgments diverged: ${(tws -- batch).take(5)}")
+      // classic wave-1 store migrates into the per-entry layout
+      val (wave1, wave2) = rows.splitAt(rows.length / 2)
+      val chk = java.nio.file.Files.createTempDirectory("sem_tws_mig").toString
+      val in1 = MemoryStream[(Long, Seq[Double])]
+      val q1 = SemDedupStream.judged(assigned(in1))
+        .writeStream.format("memory").queryName("sem_tws_mig_a")
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+      val st = graft.streaming.StateMigration.readSemDedupState(spark, chk)
+      val in2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = SemDedupStream.judgedTwsFrom(assigned(in2), st)
+        .writeStream.format("memory").queryName("sem_tws_mig_b")
+        .outputMode("append").start()
+      val resumed = try {
+        in2.addData(wave2: _*); q2.processAllAvailable()
+        spark.table("sem_tws_mig_b").as[Judged].collect().toSet
+      } finally q2.stop()
+      val wave2Ids = wave2.map(_._1).toSet
+      assert(resumed == batch.filter(j => wave2Ids(j.vec_id)),
+        s"classic→TWS semantic migration diverged: ${resumed.take(5)}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
+
   test("cluster-state migration: relocated exemplar store keeps judging history") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
