@@ -492,6 +492,39 @@ object StreamBench {
       runDegenerate()
       val warmDSec = runDegenerate()
       println(s"""{"metric":"media_dedup_degenerate_throughput","docs":${fps.size},"classes":$classes,"warm_sec":$warmDSec,"docs_per_sec":${(fps.size / warmDSec).toLong},"sf":"$sfDir"}""")
+      // the transformWithState MapState layout on the SAME exact-dup-heavy
+      // corpus (RocksDB required): this is the layout's WIN case — an
+      // exact dup reads one map key instead of deserializing the loaded
+      // bucket blob (StateScaleBench carries its LOSS case: all-novel
+      // corpora pay entry-by-entry iteration for the Hamming sweep)
+      val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorProv = spark.conf.getOption(RocksKey)
+      spark.conf.set(RocksKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def runDegenerateTws(): Double = {
+          implicit val sqlCtx = spark.sqlContext
+          val input = MemoryStream[DedupStream.FpRow]
+          val q = DedupStream.fpVerifiedPairsTws(
+              DedupStream.fpBandRows(input.toDS(), DedupStream.ImageBanding))
+            .writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory("media_degen_tws").toString)
+            .start()
+          input.addData(fps: _*)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          sec
+        }
+        runDegenerateTws()
+        val warmT = runDegenerateTws()
+        println(s"""{"metric":"media_dedup_degenerate_tws_throughput","docs":${fps.size},"classes":$classes,"warm_sec":$warmT,"docs_per_sec":${(fps.size / warmT).toLong},"sf":"$sfDir"}""")
+      } finally priorProv match {
+        case Some(v) => spark.conf.set(RocksKey, v)
+        case None    => spark.conf.unset(RocksKey)
+      }
     }
 
     // ===== schema-drift alert throughput (r9) =====

@@ -481,8 +481,10 @@ object DedupStream {
   }
 
   /** [[fpVerifiedPairs]] on the transformWithState API — see
-    * [[FpBucketProcessor]] for the state-shape upgrade. Run under the
-    * RocksDB provider for the per-entry layout to pay off.
+    * [[FpBucketProcessor]] for the state-shape upgrade. REQUIRES the
+    * RocksDB state-store provider (TWS state variables are column
+    * families, which the HDFS-backed heap provider does not support —
+    * Spark's own restriction, true of every TWS operator here).
     */
   def fpVerifiedPairsTws(bands: Dataset[FpBandRow], maxHamming: Int = 3,
                          stateTtl: Option[java.time.Duration] = None,
