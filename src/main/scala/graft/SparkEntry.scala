@@ -378,7 +378,7 @@ object SparkEntry {
     Seq((a("vertices"), a("components"),
       a("dup_labels") + a("unlabeled") + a("edge_inconsistent") +
         a("non_min_root") + a("star_min_violation") +
-        a("count_identity_violation")))
+        a("spurious_labels") + a("count_identity_violation")))
       .toDF("vertices", "components", "violations")
   }
 

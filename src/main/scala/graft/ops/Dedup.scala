@@ -584,8 +584,12 @@ object Dedup {
     * operator it audits. Violation counts returned; all-zero = the
     * labeling is a valid canonical CC assignment:
     *
-    *  - `unlabeled` / `dup_labels`: every vertex of the graph has exactly
-    *    one label row.
+    *  - `unlabeled` / `dup_labels` / `spurious_labels`: the label frame's
+    *    vertex set IS the edge frame's, with exactly one label row per
+    *    vertex — `unlabeled` counts edge vertices with no label (including
+    *    entire components the labeling omitted: the neighbor join is a
+    *    left join precisely so those surface), `spurious_labels` counts
+    *    label rows for vertices no edge touches.
     *  - `edge_inconsistent`: endpoints of every edge share a component
     *    (counted at vertex grain — vertices with a violating incident
     *    edge; zero iff the per-edge count is zero) — zero means NO
@@ -623,26 +627,40 @@ object Dedup {
     // minimum member id
     val nonMinRoot = lab.groupBy(col("comp")).agg(min(col("doc_id")).as("mn"))
       .filter(col("comp") =!= col("mn")).count()
-    // job 3 — one symmetrized-neighborhood pass carries the three
-    // edge-facing checks together (counts are VERTEX-grain — vertices with
-    // a violating incident edge — zero iff the per-edge counts are zero):
-    // unlabeled endpoints, edge inconsistency (some neighbor's comp
-    // differs, caught as min != comp or max != comp — no under-merge), and
-    // the closed-star minimum fixpoint (a neighbor's comp below one's own)
+    // job 3 — one symmetrized-neighborhood pass carries the edge-facing
+    // checks together (counts are VERTEX-grain — vertices with a violating
+    // incident edge — zero iff the per-edge counts are zero). The neighbor
+    // label join is a LEFT join so a vertex whose every neighbor is
+    // unlabeled still surfaces (an inner join here would let a labeling
+    // that omits an entire component pass all-zero), and the final join is
+    // FULL OUTER so the edge-frame vertex set and the label-frame vertex
+    // set reconcile both ways: a grouped row with no label is `unlabeled`,
+    // a label row with no incident edge is `spurious_labels`.
     val neigh = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(edges.select(col("doc_b").as("x"), col("doc_a").as("y")))
     val r3 = neigh
-      .join(lab.select(col("doc_id").as("y"), col("comp").as("comp_y")), "y")
+      .join(lab.select(col("doc_id").as("y"), col("comp").as("comp_y")),
+        Seq("y"), "left")
       .groupBy(col("x"))
-      .agg(min(col("comp_y")).as("mn_n"), max(col("comp_y")).as("mx_n"))
-      .join(lab.select(col("doc_id").as("x"), col("comp")), Seq("x"), "left")
+      .agg(min(col("comp_y")).as("mn_n"), max(col("comp_y")).as("mx_n"),
+        // non-null on every grouped row — doubles as the edge-side
+        // presence marker after the full outer join below
+        max(when(col("comp_y").isNull, 1L).otherwise(0L)).as("null_neigh"))
+      .join(lab.select(col("doc_id").as("x"), col("comp")), Seq("x"), "full_outer")
       .agg(
-        sum(when(col("comp").isNull, 1L).otherwise(0L)).as("unlabeled"),
-        sum(when(col("comp").isNotNull &&
-          (col("mn_n") =!= col("comp") || col("mx_n") =!= col("comp")), 1L)
+        sum(when(col("null_neigh").isNotNull && col("comp").isNull, 1L)
+          .otherwise(0L)).as("unlabeled"),
+        // inconsistent: an endpoint unlabeled (own or any neighbor), or a
+        // labeled neighbor's comp differing — every disjunct is non-null
+        // in its failure case, so nulls from min/max-over-empty are safe
+        sum(when(col("null_neigh").isNotNull &&
+          (col("comp").isNull || col("null_neigh") === 1L ||
+            col("mn_n") =!= col("comp") || col("mx_n") =!= col("comp")), 1L)
           .otherwise(0L)).as("inconsistent"),
         sum(when(col("comp").isNotNull && col("mn_n") < col("comp"), 1L)
-          .otherwise(0L)).as("star_viol"))
+          .otherwise(0L)).as("star_viol"),
+        sum(when(col("null_neigh").isNull, 1L).otherwise(0L))
+          .as("spurious"))
       .first()
     Map(
       "vertices" -> nVerts,
@@ -652,6 +670,7 @@ object Dedup {
       "edge_inconsistent" -> r3.getLong(1),
       "non_min_root" -> nonMinRoot,
       "star_min_violation" -> r3.getLong(2),
+      "spurious_labels" -> r3.getLong(3),
       "count_identity_violation" -> (if (nComps == nVerts - nonRoots) 0L else 1L))
   }
 

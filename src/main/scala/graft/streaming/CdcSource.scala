@@ -37,6 +37,18 @@ object CdcSource {
     StructField("event_type", StringType, nullable = true),
     StructField("props", StringType, nullable = true)))
 
+  /** Capture envelope of the SCHEMA-GENERIC mode ([[GenericJdbcSpec]]):
+    * the monotone sequence id that drives offsets, plus the whole row as
+    * one JSON document ([[RowJson]] — the `row_to_json(NEW)` analog,
+    * reference `queries.go:17-21`). Everything else about the row —
+    * including its real primary key, its timestamps, its op column if the
+    * table is an outbox — travels INSIDE the payload, schema-on-read,
+    * exactly like the reference's `protobuf.Struct` payloads.
+    */
+  val genericSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+
   /** A pollable append-only change log keyed by a monotone id. */
   trait ChangeFeed extends Serializable {
     def latestId(): Long
@@ -65,6 +77,32 @@ object CdcSource {
     require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
     override def describe: String = s"jdbc:$table"
   }
+  /** SCHEMA-GENERIC live capture — the reference's core value prop
+    * (`row_to_json(NEW)` serializes ANY row shape, `queries.go:17-24`)
+    * made real at the JDBC capture edge: no per-table column list, no
+    * fixed row type. `idColumn` names the monotone sequence that drives
+    * offsets (the reference at least intends a parameterized id too —
+    * `server.go:26` `fallbackIDColumnType` TODO); a table whose natural
+    * key is a UUID/string needs such a column for exactly-once polling —
+    * the honest contract of id-ranged CDC — and carries the natural key
+    * INSIDE the payload. `columns` optionally narrows the projection
+    * (e.g. to skip a huge blob column); empty = `*`, the full row.
+    */
+  case class GenericJdbcSpec(url: String, table: String,
+                             idColumn: String = "event_id",
+                             columns: Seq[String] = Nil) extends FeedSpec {
+    require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
+    require(JdbcFeed.isSafeIdent(idColumn), s"unsafe column identifier: $idColumn")
+    columns.foreach(c => require(JdbcFeed.isSafeIdent(c), s"unsafe column identifier: $c"))
+    /** The SQL projection: explicit columns (id column always included so
+      * the reader can extract the offset) or `*`.
+      */
+    def selectList: String =
+      if (columns.isEmpty) "*"
+      else (if (columns.exists(_.equalsIgnoreCase(idColumn))) columns
+            else idColumn +: columns).mkString(", ")
+    override def describe: String = s"jdbc-generic:$table($idColumn)"
+  }
   /** Bench/test fixture for state-at-scale probes: rows are a deterministic
     * pure function of the id, generated in the partition reader — no
     * materialized backlog anywhere, so the STATE under test is the only
@@ -80,6 +118,18 @@ object CdcSource {
     case MemorySpec(n)          => FeedRegistry.get(n)
     case JdbcSpec(url, table)   => new JdbcFeed(url, table)
     case SyntheticSpec(n, u)    => SyntheticRegistry.get(n, u)
+    case g: GenericJdbcSpec => throw new IllegalArgumentException(
+      s"${g.describe} has no typed ChangeFeed: generic rows exist only " +
+        "inside the DSv2 partition reader (GenericJdbcRowReader)")
+  }
+
+  /** Driver-side tail probe, spec-shaped: the generic capture has no
+    * [[ChangeFeed]] (its rows never materialize as `RawChange`), so the
+    * offset poll dispatches here instead of through [[resolve]].
+    */
+  private[streaming] def latestIdOf(spec: FeedSpec): Long = spec match {
+    case g: GenericJdbcSpec => JdbcFeed.maxId(g.url, g.table, g.idColumn)
+    case other              => resolve(other).latestId()
   }
 
   /** In-memory feed registry (the test/demo stand-in for a JDBC feed — same
@@ -161,6 +211,7 @@ object CdcSource {
         // span a whole table, and buffering it (a Seq-returning fetch) would
         // OOM the executor before the first row is emitted
         case j: JdbcSpec => new JdbcRowReader(j, part.from, part.to)
+        case g: GenericJdbcSpec => new GenericJdbcRowReader(g, part.from, part.to)
         case m: MemorySpec =>
           val it = FeedRegistry.get(m.name).fetch(part.from, part.to).iterator
           new PartitionReader[InternalRow] {
@@ -223,13 +274,12 @@ object CdcSource {
                             startAfterId: Long = -1L,
                             maxIdsPerTrigger: Long = 0L)
       extends MicroBatchStream with SupportsAdmissionControl {
-    private def feed = resolve(spec)
-    override def latestOffset(): Offset = CdcOffset(feed.latestId())
+    override def latestOffset(): Offset = CdcOffset(latestIdOf(spec))
     override def getDefaultReadLimit: ReadLimit =
       if (maxIdsPerTrigger > 0L) ReadLimit.maxRows(maxIdsPerTrigger)
       else ReadLimit.allAvailable()
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-      val latest = feed.latestId()
+      val latest = latestIdOf(spec)
       val from = start.asInstanceOf[CdcOffset].maxId
       val capped = limit match {
         case r: ReadMaxRows => math.min(latest, from + r.maxRows())
@@ -241,7 +291,7 @@ object CdcSource {
       * is visible in `StreamingQueryProgress` even while batches are
       * capped — the number an operator watches during catch-up.
       */
-    override def reportLatestOffset(): Offset = CdcOffset(feed.latestId())
+    override def reportLatestOffset(): Offset = CdcOffset(latestIdOf(spec))
     override def initialOffset(): Offset = CdcOffset(startAfterId)
     override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
     override def commit(end: Offset): Unit = ()
@@ -366,7 +416,8 @@ object CdcSource {
     override def createReader(p: InputPartition): ContinuousPartitionReader[InternalRow] = {
       val part = p.asInstanceOf[ContinuousIdPartition]
       part.spec match {
-        case j: JdbcSpec => new JdbcContinuousReader(j, part)
+        case j: JdbcSpec        => new JdbcContinuousReader(j, part)
+        case g: GenericJdbcSpec => new GenericJdbcContinuousReader(g, part)
         case other => new PollingContinuousReader(resolve(other), part)
       }
     }
@@ -460,12 +511,15 @@ object CdcSource {
                  maxIdsPerTrigger: Long = 0L)
       extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
-    override def schema(): StructType = CdcSource.schema
+    override def schema(): StructType = spec match {
+      case _: GenericJdbcSpec => CdcSource.genericSchema
+      case _                  => CdcSource.schema
+    }
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       () => new Scan {
-        override def readSchema(): StructType = CdcSource.schema
+        override def readSchema(): StructType = CdcTable.this.schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId,
             maxIdsPerTrigger)
@@ -480,9 +534,16 @@ object CdcSource {
   *   .option("feed", "myfeed").option("numPartitions", "4").load()`
   * JDBC (production shape — any DB with a monotone id column):
   * `.option("jdbcUrl", "jdbc:...").option("jdbcTable", "events")`
+  * Schema-generic JDBC (ANY table shape — the `row_to_json` capture):
+  * `.option("jdbcUrl", "jdbc:...").option("jdbcTable", "widgets")
+  *  .option("capture", "generic").option("idColumn", "seq_id")`
+  * with optional `.option("columns", "a,b,c")` to narrow the projection.
   */
 class CdcSourceProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if ("generic".equalsIgnoreCase(options.getOrDefault("capture", "")))
+      CdcSource.genericSchema
+    else CdcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     // getTable receives the ORIGINAL-case option keys (asCaseSensitiveMap) —
@@ -506,9 +567,14 @@ class CdcSourceProvider extends TableProvider {
     require(contParts >= 1, s"continuousPartitions must be >= 1, got $contParts")
     val spec: CdcSource.FeedSpec = Option(opts.get("jdbcUrl")) match {
       case Some(url) =>
-        CdcSource.JdbcSpec(url,
-          Option(opts.get("jdbcTable")).getOrElse(
-            throw new IllegalArgumentException("jdbcUrl requires jdbcTable")))
+        val table = Option(opts.get("jdbcTable")).getOrElse(
+          throw new IllegalArgumentException("jdbcUrl requires jdbcTable"))
+        if ("generic".equalsIgnoreCase(opts.getOrDefault("capture", "")))
+          CdcSource.GenericJdbcSpec(url, table,
+            Option(opts.get("idColumn")).getOrElse("event_id"),
+            Option(opts.get("columns")).map(_.split(",").map(_.trim).toSeq
+              .filter(_.nonEmpty)).getOrElse(Nil))
+        else CdcSource.JdbcSpec(url, table)
       case None => Option(opts.get("synthetic")) match {
         case Some(name) =>
           CdcSource.SyntheticSpec(name,

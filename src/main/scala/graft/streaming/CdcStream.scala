@@ -298,6 +298,110 @@ object CdcStream {
       }
   }
 
+  // ===== schema-generic pipeline (GenericJdbcSpec capture) =====
+
+  /** One row of the schema-generic capture envelope
+    * ([[CdcSource.genericSchema]]): the monotone sequence id and the whole
+    * source row as a JSON document.
+    */
+  case class GenericChange(event_id: Long, payload: String)
+
+  /** Generic CDC event: the reference `Event` shape (`pqstream.proto:
+    * 37-47`) without a fixed payload schema — `row_key` is the row's
+    * identity (extracted from the payload, typically the primary key;
+    * string-typed like the proto's `id`), `previous` the last payload seen
+    * for that key, `changes` the RFC 7386 merge patch on UPDATE.
+    */
+  case class GenericCdcEvent(event_id: Long, row_key: String, op: String,
+                             payload: String, previous: String, changes: String)
+
+  // not `private`: the Dataset encoder's generated projection must be able
+  // to access the class from outside this object
+  case class KeyedGenericChange(row_key: String, op_hint: String,
+                                event_id: Long, payload: String)
+
+  /** Prev-image tracking for ARBITRARY captured schemas — [[withPrevState]]
+    * with the entity key read out of the dynamic payload instead of a
+    * typed column. `keyPath` is a JSON path fragment naming the row's
+    * identity (e.g. `"sku"` or `"order.id"`); extraction is a codegen'd
+    * `get_json_object` BEFORE the stateful handler (the SchemaDrift
+    * pattern: narrow JSON work outside the per-key fold), so the shuffle
+    * key and the state key are the row identity — at 100 TB each row's
+    * prev-image lives with its shuffle partition exactly like the typed
+    * path's per-user state.
+    *
+    * Op semantics: an id-polled capture observes an append-only log, so by
+    * default the first payload per key is INSERT and every later one
+    * UPDATE (with `changes` = new→old merge patch, the reference's
+    * argument order, `patch.go:32`/`server.go:236`). If the captured
+    * table is an outbox/changelog carrying its own op column, name it via
+    * `opPath`: its value (uppercased) overrides the inference, and a
+    * DELETE clears the key's state — the next event for that key is a
+    * fresh INSERT, matching the trigger lifecycle (`queries.go:17-21`:
+    * OLD is serialized for DELETE and the row then no longer exists).
+    *
+    * Rows whose payload lacks the key (null extraction) group under the
+    * empty key rather than being dropped — the one-bad-row contract.
+    */
+  def withPrevStateByRowKey(ds: Dataset[GenericChange], keyPath: String,
+                            opPath: Option[String] = None,
+                            stateTtl: Option[String] = None): Dataset[GenericCdcEvent] = {
+    import ds.sparkSession.implicits._
+    val opCol = opPath.map(p => upper(get_json_object(col("payload"), s"$$.$p")))
+      .getOrElse(lit(null).cast("string"))
+    val keyed = ds.toDF().select(
+      coalesce(get_json_object(col("payload"), s"$$.$keyPath"), lit("")).as("row_key"),
+      opCol.as("op_hint"), col("event_id"), col("payload"))
+      .as[KeyedGenericChange]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_.row_key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (k: String, rows: Iterator[KeyedGenericChange], state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sequence order IS event order for a generic capture — the id
+            // is the log position; there is no typed ts column to consult
+            val ordered = rows.toSeq.sortBy(_.event_id)
+            var prev: Option[String] = state.getOption
+            val out = ordered.map { r =>
+              val op = Option(r.op_hint).getOrElse(
+                if (prev.isEmpty) "INSERT" else "UPDATE")
+              val changes =
+                if (op == "UPDATE" && prev.isDefined)
+                  MergePatch.createMergePatch(r.payload, prev.get)
+                else null
+              val ev = GenericCdcEvent(r.event_id, k, op, r.payload,
+                prev.orNull, changes)
+              if (op == "DELETE") prev = None else prev = Some(r.payload)
+              ev
+            }
+            prev match {
+              case Some(p) =>
+                state.update(p)
+                stateTtl.foreach(state.setTimeoutDuration)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** The generic events in the reference's jsonpb `Event` envelope
+    * ([[Listen.eventJson]]) — `id` carries the row key (the proto's `id`
+    * is the row identity as a string, `pqstream.proto:41`), ready for the
+    * Listen hub or any JSON sink. DELETEs ship `previous` in the payload
+    * slot exactly like the reference trigger does (`queries.go:19-21`).
+    */
+  def genericEvents(ds: Dataset[GenericCdcEvent],
+                    schema: String = "public",
+                    table: String = "events"): DataFrame =
+    ds.toDF().select(col("event_id"),
+      Listen.eventJson(lit(schema), lit(table), col("op"), col("row_key"),
+        when(col("op") === "DELETE", col("previous")).otherwise(col("payload")),
+        col("changes")).as("event"))
+
   /** Exactly-once-ify an at-least-once upstream: drop replayed event ids
     * within the watermark horizon. The offset-tracked JDBC source is
     * exactly-once by construction, but a NOTIFY-shaped transport (the

@@ -465,11 +465,19 @@ object DedupStream {
           val rep = reps.getValue(r.fp)
           if (rep != r.doc_id) out += FpEdge(r.doc_id, rep, r.band_id, 0L)
         } else {
+          // the Hamming sweep walks every live entry anyway, so counting
+          // them here is free — and with TTL it is the only correct count:
+          // map entries expire per-entry while the counter's TTL re-arms
+          // on every enrollment, so a counter-led cap would keep blocking
+          // enrollment long after the exemplars expired
+          var live = 0L
           reps.iterator().foreach { kv =>
+            live += 1L
             val h = java.lang.Long.bitCount(r.fp ^ kv._1).toLong
             if (h <= maxHamming) out += FpEdge(r.doc_id, kv._2, r.band_id, h)
           }
-          val n = if (count.exists()) count.get() else 0L
+          val n = if (ttl.isDefined) live
+                  else if (count.exists()) count.get() else 0L
           if (n < bucketCap) {
             reps.updateValue(r.fp, r.doc_id)
             count.update(n + 1L)

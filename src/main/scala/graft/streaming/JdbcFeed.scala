@@ -41,13 +41,7 @@ import graft.streaming.CdcStream.RawChange
 final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
   require(JdbcFeed.isSafeIdent(table), s"unsafe table identifier: $table")
 
-  override def latestId(): Long = {
-    val conn = DriverManager.getConnection(url)
-    try {
-      val rs = conn.createStatement().executeQuery(s"SELECT MAX(event_id) FROM $table")
-      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
-    } finally conn.close()
-  }
+  override def latestId(): Long = JdbcFeed.maxId(url, table, "event_id")
 
   override def fetch(fromExclusive: Long, toInclusive: Long): Seq[RawChange] = {
     val conn = DriverManager.getConnection(url)
@@ -74,6 +68,170 @@ object JdbcFeed {
     * no leading/trailing/doubled dots, no quoting, no unicode.
     */
   def isSafeIdent(s: String): Boolean = IdentRe.matches(s)
+
+  /** Driver-side `MAX(idColumn)` probe — the wake-up poll shared by the
+    * typed feed and the schema-generic capture (which has no [[JdbcFeed]]
+    * instance; its rows exist only inside its partition reader).
+    */
+  def maxId(url: String, table: String, idColumn: String): Long = {
+    require(isSafeIdent(table), s"unsafe table identifier: $table")
+    require(isSafeIdent(idColumn), s"unsafe column identifier: $idColumn")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MAX($idColumn) FROM $table")
+      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
+    } finally conn.close()
+  }
+}
+
+/** ResultSet-row → JSON-object serializer — the engine-side analog of the
+  * reference trigger's `row_to_json(NEW)` (`/root/reference/queries.go:
+  * 17-21`): the capture edge declares NO schema; whatever columns the
+  * table has at fetch time become keys of a JSON document, typed by their
+  * JDBC type the way `row_to_json` types them by their Postgres type —
+  * numbers and booleans bare, everything temporal/textual as a string
+  * (the reference's payloads carry timestamps as JSON strings too,
+  * SURVEY §1.2), binary as lowercase hex, SQL NULL as JSON null. Key
+  * order is the table's column order, matching `row_to_json`.
+  *
+  * Runs executor-side per row (this is ingest serialization, not a query
+  * operator — the downstream pipeline parses it with codegen'd JSON
+  * expressions exactly as it parses the reference's notifications).
+  */
+private[streaming] object RowJson {
+
+  /** Same escape set as the Listen hub's wire encoder ([[Listen]]
+    * `jsonEscape`), JVM-side: backslash and quote, short-form control
+    * escapes, remaining U+0000–U+001F as `\u00XX`.
+    */
+  def escape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case _ if c < 0x20 => b.append("\\u%04x".format(c.toInt))
+        case _ => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** One column's JSON value (never the key), `null` SQL → `null` JSON. */
+  def value(rs: java.sql.ResultSet, i: Int, sqlType: Int): String = {
+    import java.sql.Types._
+    sqlType match {
+      case TINYINT | SMALLINT | INTEGER | BIGINT =>
+        val v = rs.getLong(i); if (rs.wasNull()) "null" else v.toString
+      case NUMERIC | DECIMAL =>
+        val v = rs.getBigDecimal(i)
+        if (rs.wasNull() || v == null) "null" else v.toPlainString
+      case FLOAT | REAL | DOUBLE =>
+        val v = rs.getDouble(i)
+        if (rs.wasNull()) "null"
+        // JSON has no NaN/Infinity literal; quote them (row_to_json does too)
+        else if (v.isNaN || v.isInfinite) "\"" + v.toString + "\""
+        else v.toString
+      case BOOLEAN | BIT =>
+        val v = rs.getBoolean(i); if (rs.wasNull()) "null" else v.toString
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB =>
+        val v = rs.getBytes(i)
+        if (rs.wasNull() || v == null) "null"
+        else {
+          val b = new java.lang.StringBuilder(v.length * 2 + 2)
+          b.append('"')
+          v.foreach(x => b.append(hex((x >> 4) & 0xf)).append(hex(x & 0xf)))
+          b.append('"').toString
+        }
+      case _ =>
+        // CHAR/VARCHAR/CLOB/DATE/TIME/TIMESTAMP/anything-else: the driver's
+        // text rendering, escaped — timestamps arrive as strings exactly
+        // like the reference's payloads
+        val v = rs.getString(i)
+        if (rs.wasNull() || v == null) "null" else "\"" + escape(v) + "\""
+    }
+  }
+
+  /** Per-partition column plan, read once from `ResultSetMetaData` (names
+    * pre-escaped and pre-quoted into key prefixes so the per-row loop only
+    * appends).
+    */
+  final class Cols(meta: java.sql.ResultSetMetaData) {
+    val n: Int = meta.getColumnCount
+    val keys: Array[String] = (1 to n).map(i =>
+      "\"" + escape(meta.getColumnLabel(i).toLowerCase(java.util.Locale.ROOT)) + "\":").toArray
+    val types: Array[Int] = (1 to n).map(meta.getColumnType).toArray
+  }
+
+  def obj(rs: java.sql.ResultSet, cols: Cols): String = {
+    val b = new java.lang.StringBuilder(64)
+    b.append('{')
+    var i = 0
+    while (i < cols.n) {
+      if (i > 0) b.append(',')
+      b.append(cols.keys(i)).append(value(rs, i + 1, cols.types(i)))
+      i += 1
+    }
+    b.append('}').toString
+  }
+}
+
+/** Executor-side streaming reader for the SCHEMA-GENERIC capture
+  * ([[CdcSource.GenericJdbcSpec]]): `SELECT *` (or the configured
+  * projection) over the id range, each row folded into the two-column
+  * capture envelope `(event_id, payload)` with payload = the
+  * [[RowJson]] document — ANY table with a monotone sequence column
+  * streams through the same offset/partition machinery as the typed feed,
+  * no per-table code. Same cursor discipline as [[JdbcRowReader]].
+  */
+final class GenericJdbcRowReader(spec: CdcSource.GenericJdbcSpec,
+                                 fromExclusive: Long, toInclusive: Long)
+    extends org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val conn = {
+    val c = DriverManager.getConnection(spec.url)
+    c.setAutoCommit(false)
+    c
+  }
+  private val rs = {
+    val ps = conn.prepareStatement(
+      s"SELECT ${spec.selectList} FROM ${spec.table}" +
+        s" WHERE ${spec.idColumn} > ? AND ${spec.idColumn} <= ?" +
+        s" ORDER BY ${spec.idColumn}")
+    ps.setFetchSize(1000)
+    ps.setLong(1, fromExclusive)
+    ps.setLong(2, toInclusive)
+    ps.executeQuery()
+  }
+  private val cols = new RowJson.Cols(rs.getMetaData)
+  // the id column's position inside the projection (label match is
+  // case-insensitive — JDBC metadata upcases unquoted identifiers)
+  private val idIdx = {
+    val i = (1 to cols.n).indexWhere(j =>
+      rs.getMetaData.getColumnLabel(j).equalsIgnoreCase(spec.idColumn)) + 1
+    require(i > 0, s"id column ${spec.idColumn} missing from projection")
+    i
+  }
+
+  override def next(): Boolean = rs.next()
+  override def get(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(
+      rs.getLong(idIdx),
+      org.apache.spark.unsafe.types.UTF8String.fromString(RowJson.obj(rs, cols)))
+  override def close(): Unit = {
+    try conn.rollback() catch { case _: Throwable => () }
+    conn.close()
+  }
 }
 
 /** Executor-side STREAMING partition reader over the ranged fetch — rows are
@@ -113,6 +271,50 @@ final class JdbcRowReader(spec: CdcSource.JdbcSpec, fromExclusive: Long, toInclu
     try conn.rollback() catch { case _: Throwable => () }
     conn.close()
   }
+}
+
+/** Continuous-mode twin of [[GenericJdbcRowReader]] — the
+  * [[JdbcContinuousReader]] tail-poll loop (one connection + prepared
+  * statement for the query's life, capped per-poll fetch, mod-N class
+  * predicate in SQL) emitting the generic `(event_id, payload)` envelope.
+  */
+final class GenericJdbcContinuousReader(spec: CdcSource.GenericJdbcSpec,
+                                        part: CdcSource.ContinuousIdPartition)
+    extends org.apache.spark.sql.connector.read.streaming.ContinuousPartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  private val conn = DriverManager.getConnection(spec.url)
+  private val maxRowsPerPoll = 10000
+  private val ps = conn.prepareStatement(
+    s"SELECT ${spec.selectList} FROM ${spec.table}" +
+      s" WHERE ${spec.idColumn} > ?" +
+      (if (part.numPartitions > 1)
+         s" AND MOD(${spec.idColumn}, ${part.numPartitions}) = ${part.partition}"
+       else "") +
+      s" ORDER BY ${spec.idColumn} FETCH FIRST $maxRowsPerPoll ROWS ONLY")
+  ps.setFetchSize(1000)
+  private var emitted = part.startExclusive
+  private var buf: Iterator[(Long, String)] = Iterator.empty
+  private var cur: (Long, String) = _
+  override def next(): Boolean = {
+    while (!buf.hasNext) {
+      ps.setLong(1, emitted)
+      val rs = ps.executeQuery()
+      val cols = new RowJson.Cols(rs.getMetaData)
+      val idIdx = (1 to cols.n).indexWhere(j =>
+        rs.getMetaData.getColumnLabel(j).equalsIgnoreCase(spec.idColumn)) + 1
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (rs.next()) rows += ((rs.getLong(idIdx), RowJson.obj(rs, cols)))
+      rs.close()
+      if (rows.nonEmpty) buf = rows.iterator else Thread.sleep(part.pollMs)
+    }
+    cur = buf.next(); emitted = cur._1; true
+  }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(cur._1,
+      org.apache.spark.unsafe.types.UTF8String.fromString(cur._2))
+  override def getOffset: org.apache.spark.sql.connector.read.streaming.PartitionOffset =
+    CdcSource.CdcPartitionOffset(part.partition, emitted)
+  override def close(): Unit = conn.close()
 }
 
 /** Live catalog discovery — the reference's `information_schema.tables`
@@ -159,6 +361,23 @@ object CdcCatalog {
     require(tables.nonEmpty,
       s"no tables match regexp '$tableRegexp' (reference server.go:143-145 errors here too)")
     tables.map(t => CdcSource.JdbcSpec(url, t))
+  }
+
+  /** [[install]] in SCHEMA-GENERIC mode: one [[CdcSource.GenericJdbcSpec]]
+    * per surviving table — the discovered tables may each have a DIFFERENT
+    * column set (the reference's normal case: its trigger installs on
+    * whatever tables match, `server.go:168-172`, and `row_to_json`
+    * serializes each one's own shape). All tables must share the monotone
+    * `idColumn` name; a capture set mixing id column names builds its
+    * specs directly. The generic envelope is shape-homogeneous by
+    * construction, so [[readAll]] unions any set of them.
+    */
+  def installGeneric(url: String, schemaPattern: String, tableRegexp: String,
+                     idColumn: String = "event_id"): Seq[CdcSource.GenericJdbcSpec] = {
+    val tables = discoverTables(url, schemaPattern, tableRegexp)
+    require(tables.nonEmpty,
+      s"no tables match regexp '$tableRegexp' (reference server.go:143-145 errors here too)")
+    tables.map(t => CdcSource.GenericJdbcSpec(url, t, idColumn))
   }
 
   /** The daemon composition (reference `cmd/pqsd/main.go:95-109`): every
@@ -209,6 +428,13 @@ object CdcCatalog {
       val (withSpec, label) = s match {
         case j: CdcSource.JdbcSpec =>
           (reader.option("jdbcUrl", j.url).option("jdbcTable", j.table), j.table)
+        // generic specs union cleanly with each other (the envelope is the
+        // same two columns whatever each table's shape is) but NOT with
+        // typed specs — a capture set must be all-generic or all-typed
+        case g: CdcSource.GenericJdbcSpec =>
+          (reader.option("jdbcUrl", g.url).option("jdbcTable", g.table)
+             .option("capture", "generic").option("idColumn", g.idColumn)
+             .option("columns", g.columns.mkString(",")), g.table)
         case m: CdcSource.MemorySpec => (reader.option("feed", m.name), m.name)
         case y: CdcSource.SyntheticSpec =>
           (reader.option("synthetic", y.name)

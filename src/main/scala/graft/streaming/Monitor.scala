@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.{ConcurrentLinkedDeque, ConcurrentLinkedQueue}
+import java.util.concurrent.{ConcurrentLinkedDeque, ConcurrentLinkedQueue, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -33,7 +33,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `sink`. Entries are spooled and appended in small batches (every
   * `flushEvery` events, plus on [[detach]]/[[Listener.flush]]), so the
   * steady-state cost is one tiny single-partition write per few hundred
-  * micro-batches, off the record path (the listener bus is async). A
+  * micro-batches, off the record path AND off the listener bus (writes run
+  * on a dedicated flush thread — the bus is one shared async thread for
+  * all queries, and a write stalling it would delay every listener). A
   * crash loses at most the unflushed tail — the bounded-staleness trade
   * every metrics pipeline makes; a per-event write would put a Spark job
   * on every micro-batch of every query.
@@ -59,6 +61,13 @@ object Monitor {
     private val count = new AtomicInteger(0)
     private val pending = new ConcurrentLinkedQueue[Progress]()
     private val pendingCount = new AtomicInteger(0)
+    // Sink writes run here, NOT on the listener-bus thread: the bus is one
+    // shared async thread for every query's events, so a slow parquet
+    // write inline would stall progress delivery session-wide (and a flush
+    // racing session shutdown would throw from the listener callback).
+    private val flusher = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-monitor-flush"); t.setDaemon(true); t
+    }
     @volatile private[Monitor] var session: SparkSession = _
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -85,7 +94,13 @@ object Monitor {
       }
       if (sink.isDefined) {
         pending.add(rec)
-        if (pendingCount.incrementAndGet() >= flushEvery) flush()
+        if (pendingCount.incrementAndGet() >= flushEvery) {
+          // hand the write to the dedicated thread; the bus callback
+          // returns immediately. Rejected-after-shutdown just leaves the
+          // spool for the detach-time flush.
+          try flusher.execute(() => flush())
+          catch { case _: java.util.concurrent.RejectedExecutionException => }
+        }
       }
     }
 
@@ -113,12 +128,23 @@ object Monitor {
         var r = pending.poll()
         while (r != null) { pendingCount.decrementAndGet(); drained += r; r = pending.poll() }
         val rows = drained.result()
-        if (rows.nonEmpty && session != null) {
-          val s = session
+        val s = session
+        // isStopped guard: a threshold flush can race session shutdown;
+        // skipping (rather than throwing) loses only the unflushed tail —
+        // the same bounded-staleness trade a crash already implies
+        if (rows.nonEmpty && s != null && !s.sparkContext.isStopped) {
           import s.implicits._
-          rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+          try rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+          catch {
+            case e: Exception if s.sparkContext.isStopped => () // lost race
+          }
         }
       }
+    }
+
+    private[Monitor] def shutdown(): Unit = {
+      flusher.shutdown()
+      flusher.awaitTermination(10, TimeUnit.SECONDS)
     }
   }
 
@@ -133,9 +159,13 @@ object Monitor {
     l
   }
 
-  /** Detach and flush any spooled telemetry to the sink. */
+  /** Detach and flush any spooled telemetry to the sink. The final flush
+    * is synchronous on the caller's thread (after draining any in-flight
+    * async flush), so the sink is complete when this returns.
+    */
   def detach(spark: SparkSession, l: Listener): Unit = {
     spark.streams.removeListener(l)
+    l.shutdown()
     l.flush()
   }
 }

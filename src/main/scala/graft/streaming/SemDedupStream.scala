@@ -132,7 +132,12 @@ object SemDedupStream {
       // one read of the current entries; within-batch enrollments append
       // to the local view AND the state list
       var cur = ex.get().toVector
-      var n = if (count.exists()) count.get() else cur.size.toLong
+      // with TTL, list entries expire per-entry while the counter's TTL is
+      // refreshed by every update below — a counter-led cap would stay
+      // pinned at clusterCap forever after the exemplars expired. The live
+      // entry count is authoritative (and free: `cur` is already read).
+      var n = if (ttl.isDefined) cur.size.toLong
+              else if (count.exists()) count.get() else cur.size.toLong
       val out = rs.map { r =>
         val dropped = cur.exists(e =>
           e.vec_id < r.vec_id && round6(cosine(e.v, r.v)) >= tau)

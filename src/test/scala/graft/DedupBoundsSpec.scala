@@ -106,6 +106,40 @@ class DedupBoundsSpec extends SparkSuite {
       s"closure diverged from union-find on ${(got.toSet -- truth.toSet).take(5)}")
   }
 
+  test("cc audit: catches an omitted component, spurious labels, and unlabeled neighbors") {
+    // the audit's adversarial cases: a labeling that silently DROPS an
+    // entire component (the x100 failure mode the oracle can't check) must
+    // NOT pass all-zero, and label rows for vertices no edge touches must
+    // surface too. Graph: component {1,2} and component {10,11,12}.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    // case 1 — component {10,11,12} entirely missing from the labels
+    val dropped = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "comp")
+    val a1 = Dedup.auditComponents(pairs, dropped)
+    assert(a1("unlabeled") == 3L, s"expected 3 unlabeled vertices, got $a1")
+    assert(a1("edge_inconsistent") == 3L,
+      s"edges into the dropped component must flag, got $a1")
+    // case 2 — labels for vertices that are not in the graph at all
+    val extra = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L),
+      (99L, 99L), (100L, 99L)).toDF("doc_id", "comp")
+    val a2 = Dedup.auditComponents(pairs, extra)
+    assert(a2("spurious_labels") == 2L, s"expected 2 spurious labels, got $a2")
+    assert(a2("unlabeled") == 0L && a2("edge_inconsistent") == 0L, s"got $a2")
+    // case 3 — one endpoint of an edge unlabeled: both the unlabeled vertex
+    // and its labeled neighbor (whose incident edge is broken) must flag
+    val partial = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "comp")
+    val a3 = Dedup.auditComponents(pairs, partial)
+    assert(a3("unlabeled") == 1L && a3("edge_inconsistent") == 2L, s"got $a3")
+    // and the true labeling still passes all-zero
+    val good = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("doc_id", "comp")
+    val a4 = Dedup.auditComponents(pairs, good)
+    val viol = a4.view.filterKeys(k => k != "vertices" && k != "components")
+      .toMap.filter(_._2 != 0L)
+    assert(viol.isEmpty, s"true labeling flagged: $viol")
+  }
+
   test("ngram jaccard: stop-shingles beyond the df cap are cut from the index") {
     val docs = identicalDocs(1000)
     // every shingle appears in all 1000 docs > cap -> whole index cut -> 0 pairs

@@ -406,5 +406,136 @@ class JdbcFeedSpec extends SparkSuite {
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "events; DROP TABLE t") }
     intercept[IllegalArgumentException] { new JdbcFeed("jdbc:derby:memory:x", "ev'il") }
     assert(JdbcFeed.isSafeIdent("app.events"))
+    intercept[IllegalArgumentException] {
+      CdcSource.GenericJdbcSpec("jdbc:derby:memory:x", "widgets", "id; DROP TABLE t")
+    }
+  }
+
+  test("schema-generic capture: arbitrary column set end to end through prev-state and the envelope") {
+    // the reference's core value prop (row_to_json(NEW) serializes ANY row,
+    // queries.go:17-24): a table whose shape the engine has never seen —
+    // different columns, different types, a VARCHAR business key — streams
+    // through the same offset machinery, payload-folded executor-side
+    withDb("generic") { url =>
+      exec(url, "CREATE TABLE widgets (seq BIGINT PRIMARY KEY, " +
+        "sku VARCHAR(32), price DECIMAL(8,2), qty INT, flag BOOLEAN, note VARCHAR(200))")
+      exec(url, "INSERT INTO widgets VALUES " +
+        "(1, 'A-1', 6.50, 3, true, 'plain'), " +
+        "(2, 'B-2', 19.99, 1, false, NULL), " +
+        """(3, 'A-1', 7.25, 4, true, 'has "quote" and tab	end')""")
+      val changes = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", url).option("jdbcTable", "widgets")
+        .option("capture", "generic").option("idColumn", "seq")
+        .option("numPartitions", "2").load()
+        .as[graft.streaming.CdcStream.GenericChange]
+      val events = graft.streaming.CdcStream.withPrevStateByRowKey(changes, "sku")
+      val q = events.writeStream.format("memory").queryName("generic_ev")
+        .outputMode("append").start()
+      val got = try {
+        q.processAllAvailable()
+        spark.table("generic_ev")
+          .as[graft.streaming.CdcStream.GenericCdcEvent]
+          .collect().sortBy(_.event_id)
+      } finally q.stop()
+      assert(got.map(_.event_id).toSeq == Seq(1L, 2L, 3L))
+      // payload is the row_to_json analog: every column a key, typed —
+      // numbers/booleans bare, strings escaped, SQL NULL → JSON null
+      val p1 = got(0).payload
+      import org.apache.spark.sql.functions.{col, get_json_object, lit, schema_of_json}
+      def js(doc: String, path: String): String =
+        spark.range(1).select(get_json_object(lit(doc), path)).head.getString(0)
+      assert(js(p1, "$.sku") == "A-1" &&
+        js(p1, "$.qty") == "3" && js(p1, "$.flag") == "true" &&
+        js(p1, "$.seq") == "1", s"payload mis-serialized: $p1")
+      // decimal scale is preserved verbatim (get_json_object would
+      // normalize 6.50 → 6.5, so pin the raw serialization instead)
+      assert(p1.contains("\"price\":6.50"), s"decimal mis-serialized: $p1")
+      assert(js(got(1).payload, "$.note") == null, "SQL NULL must become JSON null")
+      assert(js(got(2).payload, "$.note") == "has \"quote\" and tab\tend",
+        s"escaping broke round-trip: ${got(2).payload}")
+      // prev-image keyed on the VARCHAR business key from inside the payload
+      assert(got(0).op == "INSERT" && got(0).previous == null)
+      assert(got(1).op == "INSERT" && got(1).row_key == "B-2")
+      assert(got(2).op == "UPDATE" && got(2).row_key == "A-1" &&
+        got(2).previous == got(0).payload,
+        s"row 3 must carry row 1's image as previous, got ${got(2).previous}")
+      assert(got(2).changes ==
+        graft.functions.MergePatch.createMergePatch(got(2).payload, got(2).previous),
+        "changes must be the reference-direction merge patch")
+      // and the jsonpb Event envelope carries the business key as `id`
+      val env = graft.streaming.CdcStream
+        .genericEvents(spark.table("generic_ev")
+          .as[graft.streaming.CdcStream.GenericCdcEvent], table = "widgets")
+        .orderBy(col("event_id"))
+        .select(get_json_object(col("event"), "$.id"),
+          get_json_object(col("event"), "$.op"),
+          get_json_object(col("event"), "$.payload.price"))
+        .collect()
+      assert(env(2).getString(0) == "A-1" && env(2).getString(1) == "UPDATE" &&
+        env(2).getString(2) == "7.25", s"envelope wrong: ${env.toSeq}")
+    }
+  }
+
+  test("string-PK table: exactly-once capture via its sequence column, including restart") {
+    // the non-integer-key contract: the natural key is a UUID-ish VARCHAR;
+    // the monotone sequence column drives offsets, the natural key rides
+    // inside the payload — delivery stays exactly-once across a restart
+    withDb("stringpk") { url =>
+      exec(url, "CREATE TABLE orders (seq BIGINT PRIMARY KEY, " +
+        "order_uuid VARCHAR(36), status VARCHAR(16))")
+      val ckpt = java.nio.file.Files.createTempDirectory("gen_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("gen_out").toString
+      def start() = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", url).option("jdbcTable", "orders")
+        .option("capture", "generic").option("idColumn", "seq")
+        .option("numPartitions", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      exec(url, "INSERT INTO orders VALUES (1, 'aa-11', 'open'), (2, 'bb-22', 'open')")
+      val q1 = start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      // rows landing while the query is down deliver exactly once on restart
+      exec(url, "INSERT INTO orders VALUES (3, 'aa-11', 'shipped'), (4, 'cc-33', 'open')")
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      val rows = spark.read.parquet(out)
+        .select(col("event_id"),
+          get_json_object(col("payload"), "$.order_uuid").as("u"),
+          get_json_object(col("payload"), "$.status").as("s"))
+        .orderBy("event_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+        s"exactly-once across restart broken: ${rows.toSeq}")
+      assert(rows(2).getString(1) == "aa-11" && rows(2).getString(2) == "shipped")
+    }
+  }
+
+  test("generic multi-table capture: differently-shaped tables union into one envelope stream") {
+    withDb("genmulti") { url =>
+      exec(url, "CREATE TABLE g_users (seq BIGINT PRIMARY KEY, name VARCHAR(32), age INT)")
+      exec(url, "CREATE TABLE g_items (seq BIGINT PRIMARY KEY, label VARCHAR(32), " +
+        "weight DOUBLE, active BOOLEAN)")
+      exec(url, "INSERT INTO g_users VALUES (1, 'ann', 34), (2, 'bo', 27)")
+      exec(url, "INSERT INTO g_items VALUES (1, 'bolt', 0.25, true)")
+      val specs = CdcCatalog.installGeneric(url, "APP", "(?i)^g_", idColumn = "seq")
+      assert(specs.map(_.table) == Seq("APP.G_ITEMS", "APP.G_USERS"), s"got ${specs.map(_.table)}")
+      val q = CdcCatalog.readAll(spark, specs, numPartitions = 2)
+        .writeStream.format("memory").queryName("gen_multi")
+        .outputMode("append").start()
+      val got = try {
+        q.processAllAvailable()
+        spark.table("gen_multi").collect()
+          .map(r => (r.getAs[String]("table"), r.getAs[Long]("event_id"),
+            r.getAs[String]("payload"))).sortBy(t => (t._1, t._2))
+      } finally q.stop()
+      assert(got.length == 3, s"expected 3 rows, got ${got.toSeq}")
+      // each table's payload carries ITS OWN shape — the union is over the
+      // envelope, not over any shared column set
+      assert(got(0)._1 == "APP.G_ITEMS" && got(0)._3.contains("\"label\":\"bolt\"") &&
+        got(0)._3.contains("\"weight\":0.25") && got(0)._3.contains("\"active\":true"),
+        s"item payload: ${got(0)._3}")
+      assert(got(1)._1 == "APP.G_USERS" && got(1)._3.contains("\"name\":\"ann\"") &&
+        got(1)._3.contains("\"age\":34"), s"user payload: ${got(1)._3}")
+    }
   }
 }

@@ -254,4 +254,43 @@ class MediaDedupStreamSpec extends SparkSuite {
     val out = DedupStream.onFpBucket(Iterator.empty, expired, Some("1 hour"), 3, 100).toList
     assert(out.isEmpty && expired.isRemoved && !expired.isUpdated)
   }
+
+  test("TWS TTL: expired fingerprint classes re-admit enrollment (cap counts live entries)") {
+    // the TTL drift scenario: map entries expire per-entry while the
+    // counter's TTL re-arms on every enrollment — a counter-led cap would
+    // block enrollment long after the exemplars expired. The fix derives
+    // the cap from the live entries the Hamming sweep walks anyway.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FpBandRow]
+      def row(id: Long, fp: Long) = FpBandRow("ttl-0", id, 0, fp)
+      val q = DedupStream.fpVerifiedPairsTws(in.toDS(), maxHamming = 3,
+          stateTtl = Some(java.time.Duration.ofSeconds(3)), bucketCap = 2)
+        .writeStream.format("memory").queryName("media_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      try {
+        // all fingerprints pairwise > maxHamming apart, so the ONLY edge
+        // the run can produce is the within-class one asserted at the end
+        in.addData(row(1L, 0L)); awaitSourceOffset(q, 0)       // enroll fp 0
+        Thread.sleep(2000)
+        in.addData(row(2L, 15L)); awaitSourceOffset(q, 1)      // enroll fp 15 — cap full, counter re-armed
+        Thread.sleep(2500) // fp 0 expired (age ≥ 4.5 s); fp 15 + counter alive
+        in.addData(row(3L, 0xFF00L)); awaitSourceOffset(q, 2)  // 1 live entry < cap → must enroll
+        in.addData(row(4L, 0xFF00L)); awaitSourceOffset(q, 3)  // exact dup of doc 4's class
+        val edges = spark.table("media_ttl").as[FpEdge].collect()
+          .map(e => (e.doc_id, e.dup_of, e.hamming)).toSet
+        assert(edges.contains((4L, 3L, 0L)),
+          s"doc 4 must hit doc 3's re-enrolled class at hamming 0; got $edges")
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
 }

@@ -156,4 +156,50 @@ class SemDedupStreamSpec extends SparkSuite {
       s"relocated semantic store diverged: ${resumed.take(5)}")
     assert(resumed.exists(!_.kept), "wave 2 must exercise drops against wave-1 exemplars")
   }
+
+  test("TWS TTL: expired exemplars re-admit enrollment (cap counts live entries)") {
+    // the TTL drift scenario: ListState entries expire per-entry while the
+    // counter ValueState is refreshed every batch — a counter-led cap
+    // would pin the cluster at clusterCap forever after its exemplars
+    // expired. The fix derives the cap from the live entries (free: the
+    // greedy scan reads them anyway).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def vec(i: Int) = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+      val in = MemoryStream[VecRow]
+      val q = SemDedupStream.judgedTws(in.toDS(), tau = 0.4, clusterCap = 2,
+          ttl = Some(java.time.Duration.ofSeconds(3)))
+        .writeStream.format("memory").queryName("sem_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      try {
+        // batch 1: two orthogonal exemplars fill the cap
+        in.addData(VecRow(7L, 1L, vec(0)), VecRow(7L, 2L, vec(1)))
+        awaitSourceOffset(q, 0)
+        Thread.sleep(2000)
+        // batch 2: cap full — row 3 is judged but not enrolled; this batch
+        // refreshes the old counter's TTL (the drift setup: entries will
+        // expire while the counter survives)
+        in.addData(VecRow(7L, 3L, vec(2))); awaitSourceOffset(q, 1)
+        Thread.sleep(2500) // exemplars 1,2 expired (age ≥ 4.5 s); counter alive
+        // the store is empty again — enrollment must re-admit
+        in.addData(VecRow(7L, 4L, vec(3))); awaitSourceOffset(q, 2)
+        // a clone of row 4 must be DROPPED — the proof row 4 enrolled
+        in.addData(VecRow(7L, 5L, vec(3))); awaitSourceOffset(q, 3)
+        val got = spark.table("sem_ttl").as[Judged].collect()
+          .map(j => j.vec_id -> j.kept).toMap
+        assert(got(4L), "row 4 arrived into an expired cluster and must be kept")
+        assert(!got(5L),
+          s"row 5 clones row 4; dropping it proves re-enrollment after expiry (got $got)")
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
 }
