@@ -159,6 +159,44 @@ object Monitor {
     l
   }
 
+  /** SELF-MONITORING: the engine paging on its own degradation — the
+    * telemetry ring fed through the auto-calibrated CUSUM
+    * ([[WindowSketches.autoCusumAlerts]]). Each query contributes two
+    * per-batch series: `<query>|trigger_ms` (the latency budget — a
+    * drifting host or a growing state store shows up here first; the r9
+    * closing bench documented exactly this signature, found by hand) and
+    * `<query>|state_bytes` (leak detection: state that should be
+    * TTL-bounded but only grows). The first `warmup` batches of each
+    * series calibrate (μ₀ = median, so the cold-start outlier batch
+    * doesn't skew the center), then any sustained shift pages.
+    *
+    * Pure batch composition over the snapshot/sink frame — call it
+    * periodically, or point it at a persisted sink from ANY session for
+    * post-mortems. Continuous-mode entries (trigger duration -1) are
+    * excluded from the latency series rather than poisoning it.
+    */
+  def healthAlerts(telemetry: DataFrame, warmup: Int = 20,
+                   kSigma: Double = 0.5, hSigma: Double = 5.0)
+      : org.apache.spark.sql.Dataset[WindowSketches.CusumAlert] = {
+    import org.apache.spark.sql.functions._
+    val spark = telemetry.sparkSession
+    import spark.implicits._
+    val trig = telemetry.filter(col("triggerMs") >= 0L)
+      .select(concat(col("query"), lit("|trigger_ms")).as("group"),
+        col("batchId").as("seq"), col("triggerMs").as("x"))
+    val state = telemetry.filter(col("stateBytes") > 0L)
+      .select(concat(col("query"), lit("|state_bytes")).as("group"),
+        col("batchId").as("seq"), col("stateBytes").as("x"))
+    WindowSketches.autoCusumAlerts(
+      trig.unionByName(state).as[WindowSketches.SeriesPoint],
+      warmup, kSigma, hSigma)
+  }
+
+  /** [[healthAlerts]] straight off a live listener's ring. */
+  def healthAlerts(l: Listener, spark: SparkSession)
+      : org.apache.spark.sql.Dataset[WindowSketches.CusumAlert] =
+    healthAlerts(l.snapshot(spark))
+
   /** Detach and flush any spooled telemetry to the sink. The final flush
     * is synchronous on the caller's thread (after draining any in-flight
     * async flush), so the sink is complete when this returns.

@@ -81,7 +81,12 @@ object WindowSketches {
       .agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col(idCol), 0.02).as("approx_ids"),
-        expr(s"approx_percentile($valCol, 0.5D, $accuracy)").as("p50"))
+        expr(s"approx_percentile($valCol, 0.5D, $accuracy)").as("p50"),
+        // the fourth profile column: within-window dispersion (an exact
+        // mergeable moment — (n, Σx, Σx²) buffers — not a sketch). Feeds
+        // [[autoCusumAlerts]]' σ-scaled calibration and catches
+        // variance-only regime changes the median hides
+        stddev_pop(col(valCol)).as("sd"))
 
   /** One observation of a per-group series — e.g. a window's row count or
     * median off [[windowedProfile]]'s output. `seq` orders observations
@@ -115,6 +120,98 @@ object WindowSketches {
     * paging on cardinality or latency-distribution shifts, end to end
     * inside the engine.
     */
+  /** Calibration derived from a reference prefix of the series — the
+    * textbook CUSUM tuning (μ₀ = reference median, k = σ/2 for optimal
+    * detection of a 1σ shift, h = 5σ for the standard ARL trade), made a
+    * value so [[autoCusumAlerts]] state and specs can inspect it.
+    */
+  case class CusumParams(mu0: Long, k: Long, h: Long)
+  /** Auto-calibrating state: observations collected during warmup, then
+    * the frozen params and Page's two statistics.
+    */
+  case class AutoCusumState(obs: Seq[Long], params: Option[CusumParams],
+                            sPos: Long, sNeg: Long)
+
+  /** Derive (μ₀, k, h) from a reference sample: μ₀ = lower median
+    * (robust to cold-start outliers — the first trigger of a Spark query
+    * IS one), σ = population stddev, k = max(1, ⌈kSigma·σ⌉),
+    * h = max(1, ⌈hSigma·σ⌉). Deterministic in the sample, so replay and
+    * micro-batch splits calibrate identically.
+    */
+  def calibrate(obs: Seq[Long], kSigma: Double = 0.5,
+                hSigma: Double = 5.0): CusumParams = {
+    require(obs.nonEmpty, "calibration needs at least one observation")
+    val sorted = obs.sorted
+    val mu0 = sorted((sorted.size - 1) / 2)
+    val mean = obs.map(_.toDouble).sum / obs.size
+    val sigma = math.sqrt(obs.map(x => (x - mean) * (x - mean)).sum / obs.size)
+    CusumParams(mu0,
+      math.max(1L, math.ceil(kSigma * sigma).toLong),
+      math.max(1L, math.ceil(hSigma * sigma).toLong))
+  }
+
+  /** [[cusumAlerts]] WITHOUT hand-picked parameters — the deploy-without-
+    * thinking form of data-health paging: the first `warmup` observations
+    * per group (in `seq` order) form the reference window, (μ₀, k, h)
+    * freeze from it via [[calibrate]], and Page's test runs from the next
+    * observation on. Alarms are suppressed during warmup (no test exists
+    * yet); a group whose series never reaches `warmup` observations never
+    * alarms — size warmup to the series' cadence.
+    *
+    * A ZERO-VARIANCE reference (constant series) calibrates to
+    * k = h = 1: any deviation beyond ±1 unit pages on the next
+    * observation — the correct quickest-detection behavior for a series
+    * that never moved; scale the series' units (e.g. feed p50·1000) if
+    * unit-level jitter is expected but absent from the reference window.
+    *
+    * State per group: the warmup sample while calibrating (bounded by
+    * `warmup`), then params + two longs forever. Batch-split invariant
+    * exactly like [[cusumAlerts]]: the calibration set is the first
+    * `warmup` points in seq order no matter how micro-batches cut the
+    * series (`WindowSketchesSpec` pins it). Also runs on a BATCH dataset
+    * (one group = one fold) — [[Monitor.healthAlerts]] uses that to page
+    * on the engine's own telemetry ring.
+    */
+  def autoCusumAlerts(points: Dataset[SeriesPoint], warmup: Int = 20,
+                      kSigma: Double = 0.5, hSigma: Double = 5.0,
+                      stateTtl: Option[String] = None): Dataset[CusumAlert] = {
+    import points.sparkSession.implicits._
+    require(warmup >= 1, s"warmup must be >= 1, got $warmup")
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (g: String, rows: Iterator[SeriesPoint], state: GroupState[AutoCusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = if (state.exists) state.get
+                     else AutoCusumState(Vector.empty, None, 0L, 0L)
+            val out = Vector.newBuilder[CusumAlert]
+            rows.toSeq.sortBy(_.seq).foreach { p =>
+              st.params match {
+                case None =>
+                  val obs = st.obs :+ p.x
+                  st =
+                    if (obs.size >= warmup)
+                      AutoCusumState(Vector.empty,
+                        Some(calibrate(obs, kSigma, hSigma)), 0L, 0L)
+                    else st.copy(obs = obs)
+                case Some(ps) =>
+                  var sPos = math.max(0L, st.sPos + (p.x - ps.mu0 - ps.k))
+                  var sNeg = math.max(0L, st.sNeg + (ps.mu0 - p.x - ps.k))
+                  if (sPos > ps.h) { out += CusumAlert(g, p.seq, 1, sPos); sPos = 0L }
+                  if (sNeg > ps.h) { out += CusumAlert(g, p.seq, -1, sNeg); sNeg = 0L }
+                  st = st.copy(sPos = sPos, sNeg = sNeg)
+              }
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   def cusumAlerts(points: Dataset[SeriesPoint], mu0: Long, k: Long, h: Long,
                   stateTtl: Option[String] = None): Dataset[CusumAlert] = {
     import points.sparkSession.implicits._

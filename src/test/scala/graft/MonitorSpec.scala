@@ -94,4 +94,50 @@ class MonitorSpec extends SparkSuite {
       assert(mon.snapshot(spark).filter("query = 'monitor_detached'").count() == 0)
     } finally q.stop()
   }
+
+  test("self-monitoring: a latency regression pages; bounded telemetry doesn't") {
+    // the auto-calibrated CUSUM over synthetic telemetry — the exact
+    // host-drift signature the r9 closing bench caught BY HAND: trigger
+    // time drifts up 30 batches in, state stays flat
+    val rows =
+      (0L until 30L).map(b => ("q1", "r", b, "", 1L, 0.0, 0.0, 100L + (b % 5), 10L, 4096L)) ++
+      (30L until 40L).map(b => ("q1", "r", b, "", 1L, 0.0, 0.0, 1100L + (b % 5), 10L, 4096L))
+    val df = rows.toDF("query", "runId", "batchId", "timestamp", "numInputRows",
+      "inputRowsPerSec", "processedRowsPerSec", "triggerMs", "stateRows", "stateBytes")
+    val alerts = Monitor.healthAlerts(df).collect()
+    assert(alerts.exists(a => a.group == "q1|trigger_ms" && a.side == 1 && a.seq >= 30L),
+      s"latency regression must page: ${alerts.toSeq}")
+    assert(!alerts.exists(a => a.group == "q1|trigger_ms" && a.seq < 30L),
+      s"paged before the regression: ${alerts.toSeq}")
+    assert(!alerts.exists(_.group == "q1|state_bytes"),
+      s"flat state series paged: ${alerts.toSeq}")
+  }
+
+  test("self-monitoring end to end: injected slowdown pages from the query's own telemetry") {
+    implicit val sqlCtx = spark.sqlContext
+    val mon = Monitor.attach(spark, capacity = 128)
+    val in = MemoryStream[Long]
+    // rows >= the marker sleep inside the task — a real per-batch slowdown
+    // visible only through the engine's own progress telemetry
+    val marker = 1000000L
+    val q = in.toDS().map { x => if (x >= marker) Thread.sleep(1000); x }
+      .writeStream.format("memory").queryName("health_probe")
+      .outputMode("append").start()
+    try {
+      (0 until 25).foreach { i => in.addData(i.toLong); q.processAllAvailable() }
+      (0 until 6).foreach { i => in.addData(marker + i); q.processAllAvailable() }
+      // listener delivery is async — wait for all 31 batches to land
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      def n() = mon.snapshot(spark).filter("query = 'health_probe'").count()
+      while (n() < 31 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(n() >= 31, s"telemetry incomplete: ${n()} of 31 batches")
+      val alerts = Monitor.healthAlerts(mon, spark).collect()
+        .filter(_.group == "health_probe|trigger_ms")
+      assert(alerts.exists(a => a.side == 1 && a.seq >= 25L),
+        s"injected slowdown must page from own telemetry: ${alerts.toSeq}")
+    } finally {
+      q.stop()
+      Monitor.detach(spark, mon)
+    }
+  }
 }

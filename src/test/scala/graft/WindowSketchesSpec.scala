@@ -129,17 +129,24 @@ class WindowSketchesSpec extends SparkSuite {
         0L, "flush", "{}"))
       q.processAllAvailable()
       spark.table("wp_out")
-        .select(col("window.start").as("ws"), col("n"), col("approx_ids"), col("p50"))
+        .select(col("window.start").as("ws"), col("n"), col("approx_ids"),
+          col("p50"), col("sd"))
         .collect()
-        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
         .toSeq
     } finally q.stop()
     val byWindow = ev.groupBy(r => r.ts.getTime / 3600000L)
       .map { case (h, rs) => new java.sql.Timestamp(h * 3600000L) -> rs }
-    val emitted = got.filter { case (ws, _, _, _) => byWindow.contains(ws) }
+    val emitted = got.filter { case (ws, _, _, _, _) => byWindow.contains(ws) }
     assert(emitted.nonEmpty)
-    emitted.foreach { case (ws, n, approxIds, p50) =>
+    emitted.foreach { case (ws, n, approxIds, p50, sd) =>
       val rs = byWindow(ws)
+      // the dispersion column is an exact mergeable moment, not a sketch
+      val m = rs.map(_.user_id.toDouble).sum / rs.size
+      val exactSd = math.sqrt(rs.map(r => (r.user_id - m) * (r.user_id - m)).sum / rs.size)
+      assert(math.abs(sd - exactSd) <= 1e-6 * math.max(1.0, exactSd),
+        s"$ws: sd $sd vs exact $exactSd")
       assert(n == rs.size.toLong, s"$ws: n $n vs ${rs.size}")
       val exactIds = rs.map(_.user_id).distinct.size.toLong
       assert(math.abs(approxIds - exactIds) * 10 <= math.max(exactIds, 1L),
@@ -155,5 +162,53 @@ class WindowSketchesSpec extends SparkSuite {
         acc * t2 <= 2L * acc * le + 2 * n
       assert(ok, s"$ws: p50 $p50 violates rank bound (lt $lt, le $le, n $n)")
     }
+  }
+
+  test("auto-calibrated cusum: planted shift pages, stable series doesn't, split-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import WindowSketches.{CusumAlert, SeriesPoint}
+    // deterministic ±3 jitter; the shifted series jumps 100 → 140 at t=30
+    def jitter(t: Long): Long = (t % 7) - 3
+    val shifted = (0L until 45L).map(t =>
+      SeriesPoint("shifted", t, (if (t >= 30) 140L else 100L) + jitter(t)))
+    val stable = (0L until 45L).map(t => SeriesPoint("stable", t, 100L + jitter(t)))
+    // interleave groups so every micro-batch carries both series
+    val series = (shifted ++ stable).sortBy(p => (p.seq, p.group))
+    // scalar reference: calibrate on the first 20 obs per group with the
+    // SAME derivation, then the independently-coded Page fold
+    def reference(ps: Seq[SeriesPoint]): Seq[CusumAlert] = {
+      val (warm, rest) = ps.sortBy(_.seq).splitAt(20)
+      val cal = WindowSketches.calibrate(warm.map(_.x))
+      var (sp, sn) = (0L, 0L)
+      val out = Seq.newBuilder[CusumAlert]
+      rest.foreach { p =>
+        sp = math.max(0L, sp + (p.x - cal.mu0 - cal.k))
+        sn = math.max(0L, sn + (cal.mu0 - p.x - cal.k))
+        if (sp > cal.h) { out += CusumAlert(p.group, p.seq, 1, sp); sp = 0L }
+        if (sn > cal.h) { out += CusumAlert(p.group, p.seq, -1, sn); sn = 0L }
+      }
+      out.result()
+    }
+    val want = (reference(shifted) ++ reference(stable)).sortBy(a => (a.group, a.seq))
+    // the behavioral contract, asserted independently of the fold: the
+    // planted shift pages (and not before it lands), the stable twin never
+    assert(want.exists(a => a.group == "shifted" && a.side == 1 && a.seq >= 30),
+      s"planted shift must page: $want")
+    assert(!want.exists(a => a.group == "shifted" && a.seq < 30), s"paged early: $want")
+    assert(!want.exists(_.group == "stable"), s"stable series paged: $want")
+    // streamed in three arbitrary splits: calibration set and alarms must
+    // be batch-boundary invariant
+    val in = MemoryStream[SeriesPoint]
+    val q = WindowSketches.autoCusumAlerts(in.toDS(), warmup = 20)
+      .writeStream.format("memory").queryName("auto_cusum_out")
+      .outputMode("append").start()
+    val got = try {
+      in.addData(series.take(17): _*); q.processAllAvailable()
+      in.addData(series.slice(17, 66): _*); q.processAllAvailable()
+      in.addData(series.drop(66): _*); q.processAllAvailable()
+      spark.table("auto_cusum_out").as[CusumAlert].collect()
+        .toSeq.sortBy(a => (a.group, a.seq))
+    } finally q.stop()
+    assert(got == want, s"auto-cusum diverged:\n got $got\nwant $want")
   }
 }
