@@ -81,5 +81,55 @@ object ListenBench {
       require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
       println(s"""{"metric":"listen_throughput_socket","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
     }
+
+    // slow-consumer overflow: the loss/freshness trade between the two
+    // subscriber policies. One reader pacing 1 ms/event against a burst it
+    // cannot absorb; both policies lose events (at-most-once either way) —
+    // what differs is WHICH events survive: tail_lag is how far behind the
+    // stream's end the subscriber's final delivered event was. The
+    // reference default keeps the oldest backlog (large lag); drop-oldest
+    // keeps the freshest (lag → 0 once the backlog drains).
+    Seq("drop-newest", "drop-oldest").foreach { policy =>
+      val server = new ListenServer(queueCapacity = 64)
+      try {
+        val nSlow = 20000
+        val pad = "y" * 2048
+        val got = new AtomicLong(0)
+        val last = new AtomicLong(-1)
+        val reader = new Thread(() => {
+          try {
+            val sock = new Socket("127.0.0.1", server.boundPort)
+            val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+            w.write(s"""{"tableRegexp":".*","policy":"$policy","buffer":64}""" + "\n")
+            w.flush()
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+            var line = in.readLine()
+            while (line != null) {
+              val seq = line.substring(line.indexOf(":") + 1, line.indexOf(",")).toLong
+              got.incrementAndGet(); last.set(seq)
+              Thread.sleep(1)
+              line = in.readLine()
+            }
+          } catch { case _: Throwable => () }
+        })
+        reader.setDaemon(true); reader.start()
+        val deadline = System.nanoTime() + 5_000_000_000L
+        while (server.subscriberCount < 1 && System.nanoTime() < deadline) Thread.sleep(5)
+        var i = 0
+        while (i < nSlow) {
+          server.publish("events", s"""{"seq":$i,"pad":"$pad"}"""); i += 1
+        }
+        // let the reader drain whatever survived (socket buffer + queue)
+        var prev = -1L
+        var stable = 0
+        while (stable < 15 && System.nanoTime() < deadline + 20_000_000_000L) {
+          Thread.sleep(100)
+          val g = got.get
+          if (g == prev) stable += 1 else { stable = 0; prev = g }
+        }
+        println(s"""{"metric":"listen_slow_consumer","policy":"$policy","events":$nSlow,"delivered":${got.get},"dropped":${server.droppedCount},"tail_lag":${nSlow - 1 - last.get}}""")
+      } finally server.close()
+    }
   }
 }

@@ -59,8 +59,7 @@ object Layout {
     *
     * Granularity note: this is PARTITION-grain retention (the common
     * time-based policy). Entity-grain deletion (one user out of every
-    * partition) is a rewrite, not a delete — compose a filter with the
-    * [[compactDay]] dynamic-overwrite shape for the affected days.
+    * partition) is a rewrite, not a delete — [[eraseEntity]].
     */
   def retentionSweep(spark: SparkSession, path: String,
                      cutoffDay: String): DataFrame = {
@@ -112,6 +111,79 @@ object Layout {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** ENTITY-GRAIN deletion — the GDPR erasure operator: remove ONE user's
+    * rows from the whole archive. Where [[retentionSweep]] is a metadata-
+    * only directory drop (age is a partition column), an entity is spread
+    * across every partition, so erasure is necessarily a REWRITE — but a
+    * bounded one: only the (day, op) partitions that actually hold the
+    * user's rows are rewritten (one dynamic-overwrite job over just those
+    * days, the [[compactDay]] shape), every other partition stays
+    * byte-untouched, and the rewrite restores the (user_id, ts) in-file
+    * sort contract. The locate scan is row-group-pruned by the layout's
+    * own min/max key stats (the in-file sort exists for exactly this
+    * point-lookup shape).
+    *
+    * A (day, op) directory whose EVERY row belongs to the erased user is
+    * deleted outright — dynamic overwrite only rewrites partitions
+    * present in the written data, so an empty survivor set would
+    * otherwise leave the old files (and the user's data) in place; the
+    * census that drives the report catches those directories before the
+    * write.
+    *
+    * Returns the audit report (day, rows_removed) — the record an erasure
+    * request needs. The `days`-grain driver list is bounded by retention
+    * length, same argument as [[retentionSweep]].
+    */
+  def eraseEntity(spark: SparkSession, path: String, userId: Long): DataFrame = {
+    import spark.implicits._
+    // one pass over the archive locates the user (row-group pruned);
+    // one more over just the affected days takes the (day, op) census
+    val days = spark.read.parquet(path)
+      .filter(col("user_id") <=> userId)
+      .select(col("day")).distinct().collect().map(_.getDate(0)).toSeq
+    if (days.isEmpty) return Seq.empty[(java.sql.Date, Long)].toDF("day", "rows_removed")
+    val census = spark.read.parquet(path)
+      .filter(col("day").isin(days: _*))
+      .groupBy(col("day"), col("op"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("user_id") <=> userId, 1L).otherwise(0L)).as("gone"))
+      .collect()
+    val emptied = census.filter(r => r.getAs[Long]("total") == r.getAs[Long]("gone"))
+    // survivors of the affected days, rewritten in place (null-safe
+    // inequality: a null user_id row must SURVIVE an erasure, not vanish)
+    val slice = spark.read.parquet(path)
+      .filter(col("day").isin(days: _*))
+      .filter(!(col("user_id") <=> userId))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try slice
+      .repartition(col("day"), col("op"))
+      .sortWithinPartitions(col("day"), col("op"), col("user_id"), col("ts"))
+      .write.partitionBy("day", "op").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { r =>
+      val dir = new org.apache.hadoop.fs.Path(path,
+        s"day=${r.getDate(0)}/op=${r.getString(1)}")
+      if (fs.exists(dir)) require(fs.delete(dir, true), s"failed to drop $dir")
+      // a day whose every op directory emptied leaves a hollow day= shell
+      val parent = dir.getParent
+      if (fs.exists(parent) &&
+          !fs.listStatus(parent).exists(s => s.isDirectory &&
+            s.getPath.getName.startsWith("op=")))
+        fs.delete(parent, true)
+    }
+    census.map(r => (r.getDate(0), r.getAs[Long]("gone")))
+      .filter(_._2 > 0L).groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toString)
+      .toDF("day", "rows_removed")
   }
 
   // ===== Z-order (space-filling curve) clustering =====

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,6 +54,21 @@ object CdcSource {
     def latestId(): Long
     /** rows with fromExclusive < event_id <= toInclusive */
     def fetch(fromExclusive: Long, toInclusive: Long): Seq[CdcStream.RawChange]
+    /** Mean serialized row size over the id range, for the byte-budget
+      * admission cap ([[CdcMicroBatchStream]] `maxBytesPerTrigger`):
+      * payload + type string lengths plus the fixed envelope. ≤ 0 = no
+      * estimate (empty range). Default measures a FETCHED sample — fine
+      * in-JVM; a remote feed should override with a server-side probe
+      * ([[JdbcFeed]] does, via SQL AVG) so sizing never double-reads.
+      */
+    def avgRowBytes(fromExclusive: Long, toInclusive: Long): Double = {
+      val rows = fetch(fromExclusive, toInclusive)
+      if (rows.isEmpty) -1.0
+      else rows.iterator.map(r =>
+        (if (r.props == null) 0 else r.props.length) +
+          (if (r.event_type == null) 0 else r.event_type.length) + 28).sum
+        .toDouble / rows.size
+    }
   }
 
   /** How a reader (re)connects to the log: a serializable SPEC, not a live
@@ -269,23 +284,60 @@ object CdcSource {
     *   0 (default) = unlimited, the original contract. Delivery remains
     *   exactly-once: the cap only moves WHERE batch boundaries fall.
     */
+  /** @param maxBytesPerTrigger BYTE-budget admission cap for PAYLOAD-
+    *   SKEWED feeds, where row count ≠ memory (one fat-document table can
+    *   carry MB rows next to KB rows — an id cap alone admits an unbounded
+    *   byte volume). The id span each batch admits is
+    *   `maxBytes / avgRowBytes`, with the average measured over the HEAD
+    *   of the pending range ([[ChangeFeed.avgRowBytes]] — the data this
+    *   batch is about to read, so a fat region immediately shrinks the
+    *   bite). A SOFT target like Kafka's `maxPartitionBytes`, not a hard
+    *   bound: skew within the sampled head can overshoot one batch.
+    *   Composes with `maxIdsPerTrigger` (both set → the smaller bite
+    *   wins, `ReadLimit.compositeLimit`). 0 = no byte cap.
+    */
   class CdcMicroBatchStream(spec: FeedSpec, numPartitions: Int,
                             rescanWindow: Long = 0L,
                             startAfterId: Long = -1L,
-                            maxIdsPerTrigger: Long = 0L)
-      extends MicroBatchStream with SupportsAdmissionControl {
+                            maxIdsPerTrigger: Long = 0L,
+                            maxBytesPerTrigger: Long = 0L)
+      extends MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+    /** `Trigger.AvailableNow` bound: the tail recorded at query start —
+      * batches drain up to HERE (in admission-capped bites) and the query
+      * then stops on its own, the bounded-drain-then-stop contract of a
+      * scheduled backfill. Long.MaxValue = normal unbounded trigger.
+      */
+    @volatile private var availableNowTail: Long = Long.MaxValue
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTail = latestIdOf(spec)
     override def latestOffset(): Offset = CdcOffset(latestIdOf(spec))
     override def getDefaultReadLimit: ReadLimit =
-      if (maxIdsPerTrigger > 0L) ReadLimit.maxRows(maxIdsPerTrigger)
-      else ReadLimit.allAvailable()
-    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-      val latest = latestIdOf(spec)
-      val from = start.asInstanceOf[CdcOffset].maxId
-      val capped = limit match {
-        case r: ReadMaxRows => math.min(latest, from + r.maxRows())
-        case _              => latest
+      (maxIdsPerTrigger > 0L, maxBytesPerTrigger > 0L) match {
+        case (true, true) => ReadLimit.compositeLimit(Array(
+          ReadLimit.maxRows(maxIdsPerTrigger), ReadLimit.maxBytes(maxBytesPerTrigger)))
+        case (true, false) => ReadLimit.maxRows(maxIdsPerTrigger)
+        case (false, true) => ReadLimit.maxBytes(maxBytesPerTrigger)
+        case _             => ReadLimit.allAvailable()
       }
-      CdcOffset(capped)
+    /** Resolve a limit to an id cap. Byte limits size the bite from the
+      * pending head's mean row size (max 1000 ids sampled); an unavailable
+      * estimate admits everything rather than stalling the query.
+      */
+    private def capFor(limit: ReadLimit, from: Long, latest: Long): Long = limit match {
+      case r: ReadMaxRows => math.min(latest, from + r.maxRows())
+      case b: ReadMaxBytes =>
+        val avg = resolve(spec).avgRowBytes(from, math.min(from + 1000L, latest))
+        if (avg <= 0) latest
+        else math.min(latest, from + math.max(1L, (b.maxBytes() / avg).toLong))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(l => capFor(l, from, latest)).min
+      case _ => latest
+    }
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val latest = math.min(latestIdOf(spec), availableNowTail)
+      val from = start.asInstanceOf[CdcOffset].maxId
+      CdcOffset(capFor(limit, from, latest))
     }
     /** Progress reporting: the TRUE tail, so backlog (latest − committed)
       * is visible in `StreamingQueryProgress` even while batches are
@@ -508,7 +560,8 @@ object CdcSource {
   class CdcTable(spec: FeedSpec, numPartitions: Int,
                  rescanWindow: Long = 0L, pollMs: Long = 2L,
                  contPartitions: Int = 1, startAfterId: Long = -1L,
-                 maxIdsPerTrigger: Long = 0L)
+                 maxIdsPerTrigger: Long = 0L,
+                 maxBytesPerTrigger: Long = 0L)
       extends Table with SupportsRead {
     override def name(): String = s"cdc_feed(${spec.describe})"
     override def schema(): StructType = spec match {
@@ -522,7 +575,7 @@ object CdcSource {
         override def readSchema(): StructType = CdcTable.this.schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcMicroBatchStream(spec, numPartitions, rescanWindow, startAfterId,
-            maxIdsPerTrigger)
+            maxIdsPerTrigger, maxBytesPerTrigger)
         override def toContinuousStream(checkpointLocation: String): ContinuousStream =
           new CdcContinuousStream(spec, pollMs, contPartitions, startAfterId)
       }
@@ -590,6 +643,13 @@ class CdcSourceProvider extends TableProvider {
     // in bounded bites — see CdcMicroBatchStream scaladoc); 0 = unlimited
     val maxIds = Option(opts.get("maxIdsPerTrigger")).map(_.toLong).getOrElse(0L)
     require(maxIds >= 0L, s"maxIdsPerTrigger must be >= 0, got $maxIds")
-    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter, maxIds)
+    // byte-budget admission cap for payload-skewed feeds; soft target
+    val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L)
+    require(maxBytes >= 0L, s"maxBytesPerTrigger must be >= 0, got $maxBytes")
+    require(maxBytes == 0L || !spec.isInstanceOf[CdcSource.GenericJdbcSpec],
+      "maxBytesPerTrigger needs a typed row-size probe; the schema-generic " +
+        "capture has none — use maxIdsPerTrigger to bound its batches")
+    new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter,
+      maxIds, maxBytes)
   }
 }

@@ -43,6 +43,24 @@ final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
 
   override def latestId(): Long = JdbcFeed.maxId(url, table, "event_id")
 
+  /** Server-side row-size probe for the byte-budget admission cap — one
+    * `AVG(LENGTH(...))` over the sampled range instead of the default's
+    * fetch-and-measure (sizing must never double-read the feed).
+    */
+  override def avgRowBytes(fromExclusive: Long, toInclusive: Long): Double = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        "SELECT AVG(CAST(COALESCE(LENGTH(props), 0) + " +
+          s"COALESCE(LENGTH(event_type), 0) + 28 AS DOUBLE)) FROM $table" +
+          " WHERE event_id > ? AND event_id <= ?")
+      ps.setLong(1, fromExclusive)
+      ps.setLong(2, toInclusive)
+      val rs = ps.executeQuery()
+      if (rs.next() && rs.getObject(1) != null) rs.getDouble(1) else -1.0
+    } finally conn.close()
+  }
+
   override def fetch(fromExclusive: Long, toInclusive: Long): Seq[RawChange] = {
     val conn = DriverManager.getConnection(url)
     try {

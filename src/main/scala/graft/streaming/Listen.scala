@@ -126,20 +126,52 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
   def boundPort: Int = server.getLocalPort
   def droppedCount: Long = dropped.get
   def subscriberCount: Int = subs.size
+  /** Per-subscriber loss, keyed by overflow policy — the observability a
+    * shared total can't give (with mixed policies on one hub, the global
+    * counter can't say WHOSE queue overflowed).
+    */
+  def dropsByPolicy: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    subs.keySet.asScala.toSeq
+      .groupBy(s => if (s.dropOldest) "drop-oldest" else "drop-newest")
+      .map { case (k, ss) => k -> ss.map(_.drops.get).sum }
+  }
 
-  /** In-process publish — the same path ingest connections take. */
+  /** In-process publish — the same path ingest connections take.
+    *
+    * Overflow policy per subscriber: the default drops the NEW event
+    * (faithful to the reference's non-blocking send, `server.go:249-253` —
+    * its own TODO at `:291` anticipates buffering); a `drop-oldest`
+    * subscriber instead evicts the STALEST queued event to admit the new
+    * one — same at-most-once loss accounting, but a slow tail-watcher
+    * keeps the freshest events (what a dashboard wants) at the price of
+    * holes earlier in the stream. Loss counts land in [[droppedCount]]
+    * either way; the trade is measured in `ListenBench`.
+    */
   def publish(table: String, eventJson: String): Unit = {
     val it = subs.keySet.iterator
     while (it.hasNext) {
       val s = it.next()
       if (s.pattern.matcher(table).find()) { // Go RE2 MatchString: unanchored
-        if (!s.queue.offer(eventJson)) dropped.incrementAndGet() // at-most-once
+        if (!s.queue.offer(eventJson)) {
+          if (s.dropOldest) {
+            var admitted = false
+            while (!admitted) {
+              // evict the stalest (races the writer: a null poll means the
+              // writer freed the slot itself — nothing was lost)
+              if (s.queue.poll() != null) { dropped.incrementAndGet(); s.drops.incrementAndGet() }
+              admitted = s.queue.offer(eventJson)
+            }
+          } else { dropped.incrementAndGet(); s.drops.incrementAndGet() } // at-most-once on the new event
+        }
       }
     }
   }
 
-  private final class Subscriber(val pattern: Pattern, socket: Socket) {
-    val queue = new ArrayBlockingQueue[String](queueCapacity)
+  private final class Subscriber(val pattern: Pattern, socket: Socket,
+                                 capacity: Int, val dropOldest: Boolean) {
+    val queue = new ArrayBlockingQueue[String](capacity)
+    val drops = new AtomicLong(0)
     val ready = new CountDownLatch(1) // registration visible before first event
     private val gone = new AtomicBoolean(false)
     val writerThread: Thread = daemon(s"listen-sub-writer") {
@@ -192,7 +224,14 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
         case Some(re) =>
           try {
             val p = Pattern.compile(re)
-            val s = new Subscriber(p, socket)
+            // opt-in per-subscriber buffer tuning in the ListenRequest:
+            // "buffer" overrides the queue capacity, "policy":"drop-oldest"
+            // keeps the freshest events under overflow (see publish)
+            val cap = handshakeField(first, "buffer")
+              .flatMap(v => scala.util.Try(v.toInt).toOption)
+              .filter(_ > 0).getOrElse(queueCapacity)
+            val dropOldest = handshakeField(first, "policy").contains("drop-oldest")
+            val s = new Subscriber(p, socket, cap, dropOldest)
             subs.put(s, java.lang.Boolean.TRUE)
             s.ready.await(5, TimeUnit.SECONDS)
             // reader side: only used to detect client disconnect

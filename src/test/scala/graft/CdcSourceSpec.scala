@@ -112,4 +112,57 @@ class CdcSourceSpec extends SparkSuite {
       assert(rows(1).getAs[String]("changes") == """{"k":1}""")
     } finally q.stop()
   }
+
+  test("maxBytesPerTrigger: fat-payload backlog drains in byte-bounded bites, exactly once") {
+    import spark.implicits._
+    val feed = CdcSource.FeedRegistry.get("spec_bytecap")
+    // ~1 KB payloads: an id cap sized for normal rows would admit MBs here;
+    // the byte budget sizes the bite from the pending head's mean row size
+    val pad = "x" * 1000
+    (0L until 100L).foreach(i =>
+      feed.append(RawChange(i, t(i), i % 5, "click", s"""{"pad":"$pad"}""")))
+    val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("feed", "spec_bytecap").option("numPartitions", "2")
+      .option("maxBytesPerTrigger", "5200").load()
+      .writeStream.format("memory").queryName("src_bytecap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("src_bytecap").select("event_id").as[Long].collect()
+      assert(ids.sorted.toSeq == (0L until 100L), s"delivery broken: ${ids.length} rows")
+      // ~1043 B/row against a 5200 B budget ≈ 4-5 ids per bite (+1 on the
+      // exclusive-start first batch)
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progs.length >= 15, s"byte cap did not bite: ${progs.length} batches")
+      assert(progs.forall(_.numInputRows <= 6),
+        s"a batch overflowed the byte budget: ${progs.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow: drains the backlog in capped bites, then stops at the recorded tail") {
+    import spark.implicits._
+    val feed = CdcSource.FeedRegistry.get("spec_availnow")
+    (0L until 100L).foreach(i =>
+      feed.append(RawChange(i, t(i), i % 5, "click", s"""{"k":$i}""")))
+    val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("feed", "spec_availnow").option("numPartitions", "2")
+      .option("maxIdsPerTrigger", "30").load()
+      .writeStream.format("memory").queryName("src_availnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    // bounded-drain-then-STOP: the query terminates on its own once the
+    // tail recorded at prepare time is reached — the scheduled-backfill
+    // contract (no operator intervention, no manual stop)
+    assert(q.awaitTermination(120000), "AvailableNow query must stop by itself")
+    val ids = spark.table("src_availnow").select("event_id").as[Long].collect()
+    assert(ids.sorted.toSeq == (0L until 100L), s"delivery broken: ${ids.length} rows")
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progs.length >= 4, s"backlog not drained in bites: ${progs.length} batches")
+    assert(progs.forall(_.numInputRows <= 31),
+      s"a bite overflowed the cap: ${progs.map(_.numInputRows).toSeq}")
+    // rows landing after the drain belong to the NEXT scheduled run
+    feed.append(RawChange(100L, t(100), 0L, "click", """{"k":100}"""))
+    assert(spark.table("src_availnow").count() == 100L,
+      "a stopped AvailableNow query must not deliver post-tail rows")
+  }
 }

@@ -112,6 +112,75 @@ class LayoutSpec extends SparkSuite {
     assert(Layout.retentionSweep(spark, dir, cutoff).count() == 0L)
   }
 
+  test("eraseEntity: one user vanishes everywhere, only affected days rewritten, emptied dirs dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("erase_archive").toString
+    val base = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    // the erased user: someone active on >= 2 fixture days
+    val target = base.withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id")).agg(countDistinct(col("day")).as("d"))
+      .filter(col("d") >= 2).orderBy(col("user_id")).head.getLong(0)
+    // plus a planted day the user owns EXCLUSIVELY — the dynamic-overwrite
+    // blind spot: no survivors means nothing rewrites that partition, so
+    // erasure must delete the directory outright
+    import spark.implicits._
+    val planted = Seq(
+      (9000001L, java.sql.Timestamp.valueOf("2030-01-01 10:00:00"), target, "INSERT", "{}"),
+      (9000002L, java.sql.Timestamp.valueOf("2030-01-01 11:00:00"), target, "UPDATE", "{}"))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    Layout.writeEventArchive(base.unionByName(planted), dir)
+
+    val before = spark.read.parquet(dir)
+    val userRows = before.filter(col("user_id") === target).count()
+    assert(userRows > 2, "fixture user too quiet — test is vacuous")
+    val affectedDays = before.filter(col("user_id") === target)
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val allDays = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted.toSeq
+    val untouchedDays = allDays.filterNot(affectedDays.contains)
+    assert(untouchedDays.nonEmpty, "every day affected — untouched check is vacuous")
+    // byte-level fingerprint of the untouched days, taken before the erase
+    def fingerprint(day: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir, s"day=$day"))
+        .map(f => (f.getPath, f.length, f.lastModified)).toSet
+    }
+    val untouchedBefore = untouchedDays.map(d => d -> fingerprint(d)).toMap
+    val expect = before.filter(!(col("user_id") <=> target))
+      .agg(count(lit(1)), sum(col("event_id"))).collect().head
+
+    val report = Layout.eraseEntity(spark, dir, target).collect()
+
+    assert(report.map(_.getDate(0).toString).sorted.toSeq == affectedDays,
+      s"report days ${report.map(_.getDate(0)).toSeq} vs $affectedDays")
+    assert(report.map(_.getLong(1)).sum == userRows, "audit row count wrong")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("user_id") === target).count() == 0L, "user survived erasure")
+    assert(after.agg(count(lit(1)), sum(col("event_id"))).collect().head == expect,
+      "erasure changed other users' answers")
+    untouchedDays.foreach(d => assert(fingerprint(d) == untouchedBefore(d),
+      s"untouched day $d was rewritten"))
+    // the exclusively-owned day is GONE, directory and all
+    assert(!new java.io.File(dir, "day=2030-01-01").exists(),
+      "fully-emptied partition left on disk")
+    // a rewritten day keeps the in-file (user_id, ts) sort contract
+    val someDay = affectedDays.filterNot(_ == "2030-01-01").head
+    val opDir = new java.io.File(dir, s"day=$someDay").listFiles()
+      .filter(_.isDirectory).head
+    val oneFile = opDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val seq = spark.read.parquet(oneFile.toString)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    assert(seq.zip(seq.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) },
+      "in-file sort not restored on rewritten day")
+    // idempotent: erasing an absent user touches nothing
+    assert(Layout.eraseEntity(spark, dir, target).count() == 0L)
+  }
+
   test("z-order write clusters BOTH dimensions per file; a time sort clusters only time") {
     val dir = java.nio.file.Files.createTempDirectory("zorder_archive").toString
     val ev = Tables.load(spark, sf, "events")

@@ -106,6 +106,69 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("drop-oldest subscriber keeps the freshest events under overflow; default drops them") {
+    val server = new ListenServer(queueCapacity = 4)
+    try {
+      def slowSub(handshake: String): (Socket, BufferedReader) = {
+        val s = new Socket("127.0.0.1", server.boundPort)
+        val w = new BufferedWriter(new OutputStreamWriter(s.getOutputStream, UTF_8))
+        w.write(handshake + "\n"); w.flush()
+        (s, new BufferedReader(new InputStreamReader(s.getInputStream, UTF_8)))
+      }
+      // neither client reads during the flood: both writer threads wedge in
+      // a blocked socket write, both 4-slot queues overflow — the only
+      // difference is the overflow POLICY
+      val (defSock, defIn) = slowSub("""{"tableRegexp":".*"}""")
+      val (oldSock, oldIn) = slowSub("""{"tableRegexp":".*","policy":"drop-oldest","buffer":4}""")
+      awaitSubs(server, 2)
+      val payload = "x" * 65536
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(15)
+      var i = 0
+      def drops = server.dropsByPolicy.withDefaultValue(0L)
+      while ((drops("drop-newest") < 50 || drops("drop-oldest") < 50) &&
+             System.nanoTime() < deadline) {
+        i += 1
+        server.publish("t", s"""{"i":$i,"pad":"$payload""" + "\"}")
+      }
+      // precondition, not contract: on a heavily-loaded box the flood may
+      // not saturate kernel buffers in time — cancel rather than fail
+      assume(drops("drop-newest") >= 50 && drops("drop-oldest") >= 50,
+        "queues never overflowed")
+      // four tagged events into the saturated hub: the drop-oldest queue
+      // evicts stale entries to admit them — GUARANTEED delivery of the
+      // freshest; the default queue admits them only if its wedged writer
+      // happened to free slots (usually it didn't)
+      (1 to 4).foreach(k => server.publish("t", s"""{"tag":$k}"""))
+      def drain(sock: Socket, in: BufferedReader): List[String] = {
+        sock.setSoTimeout(5000)
+        val buf = List.newBuilder[String]
+        try { var l = in.readLine(); while (l != null) { buf += l; l = in.readLine() } }
+        catch { case _: Throwable => () }
+        buf.result()
+      }
+      val oldLines = drain(oldSock, oldIn)
+      val defLines = drain(defSock, defIn)
+      val tags = (1 to 4).map(k => s"""{"tag":$k}""")
+      // freshest-events contract: all four tags delivered, the newest last
+      assert(tags.forall(oldLines.contains),
+        s"drop-oldest lost fresh events: ${oldLines.takeRight(6)}")
+      assert(oldLines.last == tags.last,
+        s"drop-oldest tail is stale: ${oldLines.last}")
+      // reference default: overflow LOSES the new event — per-subscriber
+      // drop accounting proves this subscriber personally rejected ≥50
+      // fresh arrivals (how many tags slip into late-freed slots is a
+      // kernel-buffer race; the LOSS is the deterministic contract), and
+      // no eviction means delivery order is exactly admission order
+      assert(drops("drop-newest") >= 50,
+        s"default subscriber never dropped: ${server.dropsByPolicy}")
+      val stale = defLines.filterNot(tags.contains).map(l =>
+        l.substring(l.indexOf(":") + 1, l.indexOf(",")).toLong)
+      assert(stale == stale.sorted,
+        s"default policy reordered admitted events: ${stale.take(10)}")
+      defSock.close(); oldSock.close()
+    } finally server.close()
+  }
+
   test("eventJson matches the jsonpb Event shape; absent fields omitted") {
     import spark.implicits._
     val df = Seq(
