@@ -302,21 +302,36 @@ final class GenericJdbcContinuousReader(spec: CdcSource.GenericJdbcSpec,
       org.apache.spark.sql.catalyst.InternalRow] {
   private val conn = DriverManager.getConnection(spec.url)
   private val maxRowsPerPoll = 10000
-  private val ps = conn.prepareStatement(
-    s"SELECT ${spec.selectList} FROM ${spec.table}" +
-      s" WHERE ${spec.idColumn} > ?" +
-      (if (part.numPartitions > 1)
-         s" AND MOD(${spec.idColumn}, ${part.numPartitions}) = ${part.partition}"
-       else "") +
-      s" ORDER BY ${spec.idColumn} FETCH FIRST $maxRowsPerPoll ROWS ONLY")
-  ps.setFetchSize(1000)
+  private def prepare() = {
+    val p = conn.prepareStatement(
+      s"SELECT ${spec.selectList} FROM ${spec.table}" +
+        s" WHERE ${spec.idColumn} > ?" +
+        (if (part.numPartitions > 1)
+           s" AND MOD(${spec.idColumn}, ${part.numPartitions}) = ${part.partition}"
+         else "") +
+        s" ORDER BY ${spec.idColumn} FETCH FIRST $maxRowsPerPoll ROWS ONLY")
+    p.setFetchSize(1000)
+    p
+  }
+  private var ps = prepare()
   private var emitted = part.startExclusive
   private var buf: Iterator[(Long, String)] = Iterator.empty
   private var cur: (Long, String) = _
   override def next(): Boolean = {
     while (!buf.hasNext) {
       ps.setLong(1, emitted)
-      val rs = ps.executeQuery()
+      // schema evolution mid-stream: metadata is re-read per poll (so a
+      // recompiling driver like Derby picks up ALTER TABLE transparently),
+      // but drivers that pin a prepared statement's result shape reject the
+      // poll after DDL (Postgres: "cached plan must not change result
+      // type") — re-prepare once and retry before giving up
+      val rs = try ps.executeQuery() catch {
+        case _: java.sql.SQLException =>
+          try ps.close() catch { case _: Throwable => () }
+          ps = prepare()
+          ps.setLong(1, emitted)
+          ps.executeQuery()
+      }
       val cols = new RowJson.Cols(rs.getMetaData)
       val idIdx = (1 to cols.n).indexWhere(j =>
         rs.getMetaData.getColumnLabel(j).equalsIgnoreCase(spec.idColumn)) + 1
