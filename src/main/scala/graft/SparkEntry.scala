@@ -857,6 +857,7 @@ object SparkEntry {
     // storage layout
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
+    "ops_erase_entity" -> (graft.sources.Layout.eraseEntityAudit _),
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
     "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
     "ops_gz_source"    -> (graft.sources.TextFormats.gzJsonEventIngest _),

@@ -427,6 +427,18 @@ private[graft] object OpsOracles {
         |FROM events GROUP BY event_type
         |UNION ALL
         |SELECT '_corrupt', 3, CAST(NULL AS DOUBLE), 0""".stripMargin,
+    // entity erasure: per-day kept/removed recomputed from the raw table —
+    // null-key rows must SURVIVE an erasure (IS NULL OR <>), and the
+    // audit's removed count must equal exactly the target's per-day rows
+    "ops_erase_entity" ->
+      """WITH tgt AS (SELECT MIN(user_id) AS u FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(COUNT(CASE WHEN user_id IS NULL
+        |    OR user_id <> (SELECT u FROM tgt) THEN 1 END) AS BIGINT) AS kept_n,
+        |  CAST(SUM(CASE WHEN user_id IS NULL
+        |    OR user_id <> (SELECT u FROM tgt) THEN event_id END) AS BIGINT) AS kept_sum,
+        |  CAST(COUNT(CASE WHEN user_id = (SELECT u FROM tgt) THEN 1 END) AS BIGINT) AS removed_n
+        |FROM events GROUP BY 1""".stripMargin,
     // the oracle joins the UNBUCKETED parquet: bucketing is layout, and
     // layout must never change answers
     "ops_bucket_join" ->

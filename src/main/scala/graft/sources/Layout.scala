@@ -186,6 +186,37 @@ object Layout {
       .toDF("day", "rows_removed")
   }
 
+  /** Oracle-gated erasure proof (`ops_erase_entity`): stage a FRESH
+    * (day, op) archive from the events table (fresh every run — erasure
+    * mutates it, so the drop-cache discipline the read-only stagings use
+    * would poison rep 2), erase the MIN user id (deterministic, oracle-
+    * expressible), and return per-day (kept_n, kept_sum, removed_n) —
+    * kept aggregates read back from the REWRITTEN archive, removed counts
+    * from the erasure's own audit report. DuckDB recomputes both sides
+    * from the raw table, so the gate catches a row lost from the wrong
+    * partition, a survivor dropped (including null-key rows, which must
+    * SURVIVE an erasure), and an audit that miscounts what it removed.
+    */
+  def eraseEntityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.cdc.EventLog.normalize(graft.Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    // scalar one-row witness (documented pattern): the erasure target
+    val target = ev.agg(min(col("user_id"))).first().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("erase_archive").toString
+    writeEventArchive(ev, dir)
+    val report = eraseEntity(spark, dir, target)
+    val kept = spark.read.parquet(dir)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("kept_n"),
+           sum(col("event_id")).cast("long").as("kept_sum"))
+    kept.join(report.withColumnRenamed("rows_removed", "removed_n"),
+        Seq("day"), "full_outer")
+      .select(col("day").cast("string").as("day"), // string: DATE renders
+        coalesce(col("kept_n"), lit(0L)).as("kept_n"), // differently across
+        col("kept_sum"),                               // arrow readers
+        coalesce(col("removed_n"), lit(0L)).cast("long").as("removed_n"))
+  }
+
   // ===== Z-order (space-filling curve) clustering =====
 
   /** Bit-interleave two already-quantized `bits`-wide non-negative columns
