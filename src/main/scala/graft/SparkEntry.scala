@@ -812,6 +812,7 @@ object SparkEntry {
     "ops_bigram_lm"     -> (TextStats.bigramFamiliarity _),
     "ops_tfidf_terms"   -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)),
     "ops_cms_freq"      -> (TextStats.cmsFrequency _),
+    "ops_kmv_overlap"   -> ((s: SparkSession, d: String) => TextStats.kmvDumpOverlap(s, d)),
     "ops_skipgram_pmi"  -> ((s: SparkSession, d: String) => TextStats.skipgramPmi(s, d)),
     "ops_bm25"          -> ((s: SparkSession, d: String) => TextStats.bm25Search(s, d)),
     "ops_entropy"       -> (TextStats.tokenEntropy _),

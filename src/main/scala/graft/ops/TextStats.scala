@@ -298,6 +298,70 @@ object TextStats {
         col("cms_est"))
   }
 
+  /** KMV overlap between two "dumps" of the corpus — the cross-crawl
+    * question every recurring ingest asks BEFORE paying for a dedup join:
+    * how much of dump B is already in dump A? Two deterministic overlapping
+    * dumps (doc_id mod-3 split: A = residues {0,1}, B = {1,2} — residue 1
+    * shared), one [[graft.functions.KMinValues]] bottom-k sketch per dump
+    * over `xxhash64(text)`, cardinalities and the θ-cut intersection
+    * estimated from 2·k longs.
+    *
+    * Shape at 100 TB: ONE scan per dump, k longs per map partition riding
+    * each shuffle (partial-agg merge = the union sketch), estimates
+    * combined driver-side from two k-long arrays — the exact-join
+    * alternative shuffles both dumps by content hash. The exact recompute
+    * below exists for the GATE (and is the sf-scale oracle's arithmetic);
+    * the production path is the sketch alone.
+    *
+    * Gate: exact counts cross-engine-hashed, plus `within_bounds` — the
+    * 5σ KMV contract (σ/|S| ≈ 1/√(k-2); intersection adds the binomial
+    * θ-cut term) — literally TRUE in the oracle, same discipline as the
+    * HLL and GK gates. At sf0.01 (500 docs < k) the sketch is in its
+    * exact regime; sf0.1 (5000 docs, dumps > k) estimates for real.
+    * `KMinValuesSpec` pins content equality to the brute-force bottom-k,
+    * merge-invariance under repartitioning, and estimation error at 40×k.
+    */
+  def kmvDumpOverlap(spark: SparkSession, sfDir: String, k: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import graft.functions.KMinValues
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kmv = KMinValues.sketch(k)
+    def dumpSketch(cond: org.apache.spark.sql.Column): KMinValues.Buf =
+      docs.filter(cond).select(xxhash64(col("text")).as("h"))
+        .agg(kmv(col("h"))).as[Array[Long]].head() // k longs — bounded scalar witness
+    val inA = col("doc_id") % 3 <= 1
+    val inB = col("doc_id") % 3 >= 1
+    val skA = dumpSketch(inA)
+    val skB = dumpSketch(inB)
+    val estA = KMinValues.estimateDistinct(skA, k)
+    val estB = KMinValues.estimateDistinct(skB, k)
+    val (estUnion, estInter) = KMinValues.estimateOverlap(skA, skB, k)
+    // exact recompute at distinct-TEXT grain (set semantics — a text
+    // appearing in both dumps under different doc_ids is one shared item)
+    val ex = docs.groupBy(col("text"))
+      .agg(max(when(inA, 1).otherwise(0)).as("in_a"),
+           max(when(inB, 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).cast("long").as("a"),
+           sum(col("in_b")).cast("long").as("b"),
+           sum(col("in_a") * col("in_b")).cast("long").as("i"))
+      .head()
+    val (exactA, exactB, exactInter) = (ex.getLong(0), ex.getLong(1), ex.getLong(2))
+    val exactUnion = exactA + exactB - exactInter
+    val tolCard = 5.0 / math.sqrt((k - 2).toDouble)
+    def okCard(est: Double, exact: Long): Boolean =
+      math.abs(est - exact) <= tolCard * exact
+    // θ-cut binomial term: common-below-θ ~ Binomial(k, ρ), so the
+    // intersection estimate carries 5·√(ρ(1-ρ)/k)·|A∪B| on top of the
+    // union's own cardinality error
+    val rho = exactInter.toDouble / exactUnion
+    val tolInter = 5.0 * math.sqrt(rho * (1 - rho) / k) * exactUnion +
+      tolCard * exactInter
+    val within = okCard(estA, exactA) && okCard(estB, exactB) &&
+      okCard(estUnion, exactUnion) && math.abs(estInter - exactInter) <= tolInter
+    Seq((exactA, exactB, exactInter, within))
+      .toDF("exact_a", "exact_b", "exact_inter", "within_bounds")
+  }
+
   /** Corpus word-association mining: skip-gram co-occurrence counts within a
     * ±`window` token distance, scored by a PMI-proxy kept RATIONAL —
     * cxy·T·1000 div (cx·cy), the argument of the PMI log as a milli-scaled

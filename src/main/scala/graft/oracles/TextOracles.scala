@@ -115,6 +115,20 @@ private[graft] object TextOracles {
          |SELECT e.term, COALESCE(exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt, cms_est
          |FROM est e LEFT JOIN exact x ON e.term = x.term""".stripMargin
     },
+    // twin of [[graft.ops.TextStats.kmvDumpOverlap]]: exact dump
+    // cardinalities/intersection at distinct-text grain; the KMV bound
+    // verdict is literal TRUE (HLL/GK gate discipline — the sketch can't
+    // cross engines, its CONTRACT can)
+    "ops_kmv_overlap" ->
+      """WITH m AS (SELECT text,
+        |    MAX(CASE WHEN doc_id % 3 <= 1 THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM documents GROUP BY text)
+        |SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+        |  CAST(SUM(in_b) AS BIGINT) AS exact_b,
+        |  CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter,
+        |  TRUE AS within_bounds
+        |FROM m""".stripMargin,
     // twin of [[graft.ops.Dedup.pagerank]] (5 rounds): the same integer-math
     // power iteration, one CTE per round; SUM runs in HUGEINT, the 17*(s//20)
     // damping and final CAST land back in BIGINT exactly as Spark's long math
