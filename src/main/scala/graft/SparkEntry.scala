@@ -799,6 +799,7 @@ object SparkEntry {
     "ops_text_stats"    -> (TextStats.corpusStats _),
     "ops_lang_id"       -> (TextStats.langId _),
     "ops_text_quality"  -> (TextStats.qualityScore _),
+    "ops_quality_logit" -> (TextStats.qualityLogit _),
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
     "ops_winnowing"     -> ((s: SparkSession, d: String) => TextStats.winnowing(s, d)),

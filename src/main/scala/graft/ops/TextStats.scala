@@ -93,6 +93,48 @@ object TextStats {
         round(col("tok_chars").cast("double") / col("n_tokens").cast("double"), 6).as("mean_tok_len"))
   }
 
+  /** Logistic quality scoring with FIXED weights — the SCORING half of a
+    * fastText-style quality classifier (the FineWeb/CCNet pattern: train a
+    * tiny linear model offline, ship its weights, score the whole corpus
+    * with one narrow pass; training + distillation-to-integers live in
+    * [[QualityModel]], because learned float weights can't cross engines —
+    * published integer weights can). Kept INTEGER-RATIONAL end to end, the
+    * PMI discipline: features are per-mille integer ratios, the score is
+    * one integer dot product, and `keep ⇔ z > 0 ⇔ σ(z) > 1/2` because the
+    * logistic is monotone — so the decision and the ranking are bit-exact
+    * in any engine, with none of the exp() libm risk.
+    *
+    * Shape at 100 TB: same as [[qualityScore]] — per-row token-array
+    * arithmetic, no explode, no shuffle, nothing but a scan.
+    */
+  def qualityLogit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val en = markers.filter(_._1 == "en").map(_._2)
+    val toks = split(lower(col("text")), " ")
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .select(col("doc_id"),
+        expr("n_types * 1000 div n_tokens").as("ttr_milli"),
+        expr("n_stop * 1000 div n_tokens").as("stop_milli"),
+        expr("tok_chars * 1000 div n_tokens").as("mlen_milli"),
+        col("n_tokens"))
+      // w·x in micro-units: diversity + stopword density + a capped length
+      // reward − distance from the ~4.5-char natural-language mean token
+      // length − bias. Weights are the PUBLISHED MODEL, not magic: swap in
+      // a retrained LangModel's (rounded) weights without touching the plan.
+      .select(col("doc_id"),
+        (col("ttr_milli") * 1000L + col("stop_milli") * 3000L +
+          least(col("n_tokens"), lit(500L)) * 800L -
+          abs(col("mlen_milli") - 4500L) * 40L - 600000L).as("logit_micro"))
+      .select(col("doc_id"), col("logit_micro"),
+        (col("logit_micro") > 0L).as("keep"))
+  }
+
   /** BPE-ish regex token counting: alpha runs, digit runs, and single
     * non-alnum marks counted separately (pattern kept in the RE2/Java common
     * subset — SURVEY §7.4 #2).

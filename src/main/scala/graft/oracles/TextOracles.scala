@@ -684,6 +684,31 @@ private[graft] object TextOracles {
          |  round(CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len
          |FROM agg""".stripMargin
     },
+    // twin of [[graft.ops.TextStats.qualityLogit]]: the same integer dot
+    // product over per-mille features — bit-exact cross-engine because
+    // nothing transcendental ever runs (keep ⇔ z > 0 ⇔ σ(z) > 1/2)
+    "ops_quality_logit" -> {
+      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
+         |    SUM(length(tok)) AS tok_chars
+         |  FROM toks GROUP BY doc_id),
+         |f AS (
+         |  SELECT doc_id, n_types * 1000 // n_tokens AS ttr_milli,
+         |    n_stop * 1000 // n_tokens AS stop_milli,
+         |    tok_chars * 1000 // n_tokens AS mlen_milli, n_tokens
+         |  FROM agg)
+         |SELECT doc_id,
+         |  CAST(ttr_milli * 1000 + stop_milli * 3000 +
+         |    LEAST(n_tokens, 500) * 800 -
+         |    ABS(mlen_milli - 4500) * 40 - 600000 AS BIGINT) AS logit_micro,
+         |  (ttr_milli * 1000 + stop_milli * 3000 +
+         |    LEAST(n_tokens, 500) * 800 -
+         |    ABS(mlen_milli - 4500) * 40 - 600000) > 0 AS keep
+         |FROM f""".stripMargin
+    },
     "ops_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
