@@ -238,4 +238,63 @@ object WindowSketches {
           }
       }
   }
+
+  /** One arrival for the novelty monitor: a per-group content hash
+    * (`xxhash64(text)` upstream — the same fingerprint the batch overlap
+    * estimator sketches).
+    */
+  case class HashRow(group: String, h: Long)
+  /** Per-(group, micro-batch) novelty report: rows seen, estimated
+    * all-time distinct before/after, and the estimated NOVEL distinct
+    * this batch introduced (the telescoped delta).
+    */
+  case class NoveltyPoint(group: String, n_rows: Long, est_before: Double,
+                          est_after: Double, est_novel: Double)
+
+  /** ONLINE corpus-novelty monitor — [[graft.ops.TextStats.kmvDumpOverlap]]
+    * asked continuously: how much of what is arriving NOW has the stream
+    * already seen? State per group is one k-minimum-values sketch
+    * ([[graft.functions.KMinValues]]) — k longs FOREVER, regardless of how
+    * many billions of documents pass. This is the deliberate other end of
+    * the dedup trade: [[DedupStream]] keeps per-item state because it must
+    * say WHICH arrivals are duplicates; the monitor only says HOW MANY are
+    * novel, at ~10⁻⁶ of the state.
+    *
+    * Per micro-batch and group: fold the batch's hashes into a batch
+    * sketch (O(1) per row after warm-up — the reject fast path), merge
+    * into the state sketch, emit the estimated distinct before/after and
+    * their delta. Two exact invariants make this verifiable rather than
+    * merely plausible (`WindowSketchesSpec`):
+    *
+    *   - merge-invariance: the final state sketch is BIT-EXACT the batch
+    *     sketch of the whole history, however the stream was micro-batched
+    *     (KMV is a set function — same reason the batch estimator's
+    *     partial aggregation is safe);
+    *   - telescoping: est_novel sums to est_after exactly, so per-batch
+    *     novelty deltas can never drift from the all-time estimate.
+    *
+    * `est_novel / n_rows` fed into [[cusumAlerts]] pages on novelty
+    * collapse — the stuck-crawler-refetching-the-same-pages signature —
+    * closing the loop with the data-health family above.
+    */
+  def kmvNovelty(rows: Dataset[HashRow],
+                 k: Int = graft.functions.KMinValues.DefaultK)
+      : Dataset[NoveltyPoint] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.KMinValues
+    val agg = new KMinValues.Sketch(k)
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[HashRow], state: GroupState[Array[Long]]) =>
+          var n = 0L
+          var batch = agg.zero
+          it.foreach { r => n += 1; batch = agg.reduce(batch, r.h) }
+          val before = state.getOption.getOrElse(agg.zero)
+          val after = agg.merge(before, batch)
+          state.update(after)
+          val eb = KMinValues.estimateDistinct(before, k)
+          val ea = KMinValues.estimateDistinct(after, k)
+          Iterator.single(NoveltyPoint(g, n, eb, ea, ea - eb))
+      }
+  }
 }

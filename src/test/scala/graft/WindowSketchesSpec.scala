@@ -211,4 +211,44 @@ class WindowSketchesSpec extends SparkSuite {
     } finally q.stop()
     assert(got == want, s"auto-cusum diverged:\n got $got\nwant $want")
   }
+
+  test("kmv novelty monitor: exact regime, telescoping, micro-batch merge-invariance") {
+    implicit val sqlCtx = spark.sqlContext
+    import WindowSketches.{HashRow, NoveltyPoint}
+    // deterministic 64-bit fingerprints (any injective scramble works —
+    // estimator ACCURACY is KMinValuesSpec's job; here we pin semantics)
+    def fp(id: Long): Long = scala.util.hashing.byteswap64(id)
+    def wave(r: Range): Seq[HashRow] = r.map(i => HashRow("docs", fp(i.toLong)))
+    val waves = Seq(wave(0 until 1000), wave(500 until 1500), wave(0 until 500))
+
+    def run(k: Int, batches: Seq[Seq[HashRow]]): Seq[NoveltyPoint] = {
+      val in = MemoryStream[HashRow]
+      val name = s"kmv_nov_${k}_${batches.length}"
+      val q = WindowSketches.kmvNovelty(in.toDS(), k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[NoveltyPoint].collect().toSeq
+      } finally q.stop()
+    }
+
+    // exact regime (k > all-time distinct): per-batch novelty is EXACT —
+    // 1000 new, then 500 new of 1000 arriving, then 0 new of 500 re-sent
+    val pts = run(2048, waves)
+    assert(pts.map(_.n_rows) == Seq(1000L, 1000L, 500L))
+    assert(pts.map(_.est_novel) == Seq(1000.0, 500.0, 0.0), s"novelty: $pts")
+    assert(pts.map(_.est_after) == Seq(1000.0, 1500.0, 1500.0))
+    // telescoping: deltas sum to the all-time estimate by construction
+    assert(pts.map(_.est_novel).sum == pts.last.est_after)
+
+    // estimation regime (k = 64 << 1500 distinct): however the stream is
+    // micro-batched, the state sketch — hence every estimate derived from
+    // it — lands bit-identical (KMV is a set function)
+    val oneShot = run(64, Seq(waves.flatten))
+    val split = run(64, waves)
+    assert(oneShot.last.est_after == split.last.est_after,
+      s"micro-batching changed the sketch: ${oneShot.last} vs ${split.last}")
+    assert(math.abs(split.map(_.est_novel).sum - split.last.est_after) < 1e-9)
+  }
 }
