@@ -614,6 +614,40 @@ object StreamBench {
       val warmPr = runProfile()
       println(s"""{"metric":"window_profile_throughput","events":${evs.length},"warm_sec":$warmPr,"events_per_sec":${(evs.length / warmPr).toLong},"sf":"$sfDir"}""")
     }
+
+    // ===== kmv novelty monitor throughput (r10) =====
+    // documents' content hashes through the per-group all-time KMV state —
+    // the cost class of running the novelty monitor permanently inline
+    // (state = k longs per group, FOREVER; replayed 5x so later reps hit
+    // the saturated-sketch O(1) reject fast path like a long-lived stream).
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val hs = Tables.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("source").as("group"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("text")).as("h"))
+        .as[graft.streaming.WindowSketches.HashRow].collect()
+      val replayed = (0 until 5).flatMap(rep =>
+        hs.map(r => r.copy(h = r.h + rep % 2))) // a re-sent/novel mix
+      def runNovelty(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[graft.streaming.WindowSketches.HashRow]
+        val q = graft.streaming.WindowSketches.kmvNovelty(input.toDS())
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("novelty_bench").toString)
+          .start()
+        input.addData(replayed)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runNovelty()
+      val warmNv = runNovelty()
+      println(s"""{"metric":"novelty_monitor_throughput","docs":${replayed.length},"warm_sec":$warmNv,"docs_per_sec":${(replayed.length / warmNv).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
