@@ -800,6 +800,8 @@ object SparkEntry {
     "ops_lang_id"       -> (TextStats.langId _),
     "ops_text_quality"  -> (TextStats.qualityScore _),
     "ops_quality_logit" -> (TextStats.qualityLogit _),
+    "ops_quality_distilled" -> ((s: SparkSession, d: String) =>
+      graft.ops.QualityModel.scoreDistilled(graft.ops.QualityModel.Published, s, d)),
     "ops_token_counts"  -> (TextStats.tokenCounts _),
     "ops_fingerprints"  -> ((s: SparkSession, d: String) => TextStats.fingerprints(s, d)),
     "ops_winnowing"     -> ((s: SparkSession, d: String) => TextStats.winnowing(s, d)),

@@ -42,6 +42,24 @@ object QualityModel {
     */
   case class Distilled(weights: Array[Long], bias: Long)
 
+  /** The PUBLISHED model — `train ∘ distill` run once on the sf0.01
+    * fixture (round 10) and frozen as constants, the way a fastText
+    * `.bin` or the FineWeb-edu classifier checkpoint ships: training is
+    * an offline event, the artifact is data. This is what makes the
+    * trained path oracle-gateable (`ops_quality_distilled`): the QUERY's
+    * contract is "score exactly per the published weights" — integer
+    * arithmetic DuckDB replicates literally — while `QualityModelSpec`
+    * separately proves the TRAINING still produces weights of this shape
+    * on the current fixture (ratio pins), so a regenerated fixture can
+    * never invalidate the published artifact's determinism, only date it.
+    * Weight ratios vs the labeling rule's 1 : 3 : 0.8 : −0.04 — here
+    * 0.333 : 1 : 0.275 : −0.0174 ≡ 1 : 3.0 : 0.825 : −0.052 (the mlen
+    * weight runs slightly hot: the fit trades it against the correlated
+    * length cap, the usual collinearity wobble of a linear fit).
+    */
+  val Published: Distilled =
+    Distilled(Array(333382L, 1000000L, 275039L, -17393L), -200518862L)
+
   /** The four engineered per-mille features, one narrow pass — the same
     * integer statistics [[TextStats.qualityLogit]] scores (doubles here
     * only because MLlib vectors are doubles; values are integral).

@@ -709,6 +709,34 @@ private[graft] object TextOracles {
          |    ABS(mlen_milli - 4500) * 40 - 600000) > 0 AS keep
          |FROM f""".stripMargin
     },
+    // twin of [[graft.ops.QualityModel.scoreDistilled]] under the
+    // PUBLISHED weights (train ∘ distill frozen as constants — the model
+    // artifact is data, so the trained path gates the HLL-free way: the
+    // oracle replicates the integer dot product literally)
+    "ops_quality_distilled" -> {
+      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
+      val w = graft.ops.QualityModel.Published
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
+         |    SUM(length(tok)) AS tok_chars
+         |  FROM toks GROUP BY doc_id),
+         |f AS (
+         |  SELECT doc_id, n_types * 1000 // n_tokens AS ttr,
+         |    n_stop * 1000 // n_tokens AS stp,
+         |    LEAST(n_tokens, 500) AS len_cap,
+         |    ABS(tok_chars * 1000 // n_tokens - 4500) AS mlen_dev
+         |  FROM agg)
+         |SELECT doc_id,
+         |  CAST(ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
+         |    len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
+         |    ${w.bias} AS BIGINT) AS z_int,
+         |  (ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
+         |    len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
+         |    ${w.bias}) > 0 AS keep
+         |FROM f""".stripMargin
+    },
     "ops_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,

@@ -244,12 +244,17 @@ object WindowSketches {
     * estimator sketches).
     */
   case class HashRow(group: String, h: Long)
-  /** Per-(group, micro-batch) novelty report: rows seen, estimated
-    * all-time distinct before/after, and the estimated NOVEL distinct
-    * this batch introduced (the telescoped delta).
+  /** Per-(group, micro-batch) novelty report: the group's batch ordinal
+    * (`seq` — the ready-made [[SeriesPoint]] ordering for downstream
+    * paging), rows seen, estimated all-time distinct before/after, and
+    * the estimated NOVEL distinct this batch introduced (the telescoped
+    * delta).
     */
-  case class NoveltyPoint(group: String, n_rows: Long, est_before: Double,
-                          est_after: Double, est_novel: Double)
+  case class NoveltyPoint(group: String, seq: Long, n_rows: Long,
+                          est_before: Double, est_after: Double,
+                          est_novel: Double)
+  /** kmvNovelty's per-group state: the all-time sketch + batch counter. */
+  case class NoveltyState(sk: Array[Long], batches: Long)
 
   /** ONLINE corpus-novelty monitor — [[graft.ops.TextStats.kmvDumpOverlap]]
     * asked continuously: how much of what is arriving NOW has the stream
@@ -285,16 +290,29 @@ object WindowSketches {
     val agg = new KMinValues.Sketch(k)
     rows.groupByKey(_.group)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (g: String, it: Iterator[HashRow], state: GroupState[Array[Long]]) =>
+        (g: String, it: Iterator[HashRow], state: GroupState[NoveltyState]) =>
           var n = 0L
           var batch = agg.zero
           it.foreach { r => n += 1; batch = agg.reduce(batch, r.h) }
-          val before = state.getOption.getOrElse(agg.zero)
-          val after = agg.merge(before, batch)
-          state.update(after)
-          val eb = KMinValues.estimateDistinct(before, k)
+          val prev = state.getOption.getOrElse(NoveltyState(agg.zero, 0L))
+          val after = agg.merge(prev.sk, batch)
+          state.update(NoveltyState(after, prev.batches + 1))
+          val eb = KMinValues.estimateDistinct(prev.sk, k)
           val ea = KMinValues.estimateDistinct(after, k)
-          Iterator.single(NoveltyPoint(g, n, eb, ea, ea - eb))
+          Iterator.single(NoveltyPoint(g, prev.batches, n, eb, ea, ea - eb))
       }
+  }
+
+  /** The paging composition, ready-made: [[kmvNovelty]]'s per-batch NOVEL
+    * estimate as a [[SeriesPoint]] series (x = est_novel, ordered by the
+    * group's batch ordinal) — feed to [[cusumAlerts]] /
+    * [[autoCusumAlerts]] to page on novelty collapse, the
+    * stuck-crawler-refetching-the-same-pages signature.
+    * `WindowSketchesSpec` runs the loop end to end: planted collapse
+    * pages, the stable twin never does.
+    */
+  def noveltySeries(points: Dataset[NoveltyPoint]): Dataset[SeriesPoint] = {
+    import points.sparkSession.implicits._
+    points.map(p => SeriesPoint(p.group, p.seq, math.round(p.est_novel)))
   }
 }

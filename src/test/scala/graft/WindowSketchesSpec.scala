@@ -250,5 +250,51 @@ class WindowSketchesSpec extends SparkSuite {
     assert(oneShot.last.est_after == split.last.est_after,
       s"micro-batching changed the sketch: ${oneShot.last} vs ${split.last}")
     assert(math.abs(split.map(_.est_novel).sum - split.last.est_after) < 1e-9)
+    assert(split.map(_.seq) == Seq(0L, 1L, 2L), "per-group batch ordinal")
+  }
+
+  test("novelty collapse pages end to end: kmvNovelty -> cusumAlerts") {
+    implicit val sqlCtx = spark.sqlContext
+    import WindowSketches.{HashRow, NoveltyPoint, SeriesPoint, CusumAlert}
+    def fp(id: Long): Long = scala.util.hashing.byteswap64(id)
+    // a crawler delivering 200 genuinely-new pages per batch for 25
+    // batches, then wedging and re-fetching batch 1's pages forever
+    def fresh(b: Int) = (0 until 200).map(i => HashRow("crawl", fp(b * 200L + i)))
+    val healthy = (0 until 25).map(fresh)
+    val wedged = (25 until 40).map(_ => fresh(0))
+    // the stable twin keeps delivering new pages — must never page
+    val stable = (0 until 40).map(fresh)
+
+    def noveltyPoints(batches: Seq[Seq[HashRow]]): Seq[NoveltyPoint] = {
+      val in = MemoryStream[HashRow]
+      val name = s"nov_e2e_${batches.hashCode.abs}"
+      val q = WindowSketches.kmvNovelty(in.toDS(), k = 2048)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[NoveltyPoint].collect().toSeq.sortBy(_.seq)
+      } finally q.stop()
+    }
+    def alarms(points: Seq[NoveltyPoint]): Seq[CusumAlert] = {
+      val in = MemoryStream[NoveltyPoint]
+      val name = s"nov_cusum_${points.hashCode.abs}"
+      // μ₀ = the healthy 200-new-per-batch rate; k = 20 slack absorbs
+      // estimation noise (KMV at k=2048 over ≤5000 distinct is ~±3%)
+      val q = WindowSketches.cusumAlerts(
+          WindowSketches.noveltySeries(in.toDS()), mu0 = 200L, k = 20L, h = 300L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // telemetry replayed in two chunks — the Monitor.healthAlerts shape
+        points.grouped(17).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        spark.table(name).as[CusumAlert].collect().toSeq.sortBy(_.seq)
+      } finally q.stop()
+    }
+
+    val collapsed = alarms(noveltyPoints(healthy ++ wedged))
+    assert(collapsed.nonEmpty, "novelty collapse never paged")
+    assert(collapsed.head.side == -1, s"collapse must page DOWNWARD: ${collapsed.head}")
+    assert(collapsed.head.seq >= 25, s"paged before the wedge: ${collapsed.head}")
+    assert(collapsed.head.seq <= 28, s"paged too slowly: ${collapsed.head}")
+    assert(alarms(noveltyPoints(stable)).isEmpty, "stable crawler paged")
   }
 }
