@@ -718,6 +718,7 @@ object SparkEntry {
     "cdc_key_inventory"     -> (cdcKeyInventory _),
     "cdc_key_first_seen"    -> (cdcKeyFirstSeen _),
     "cdc_type_first_seen"   -> (cdcTypeFirstSeen _),
+    "cdc_generic_roundtrip" -> (graft.streaming.GenericRoundtrip.stagedGenericCapture _),
     "ops_funnel"            -> (Relational.funnel _),
     "ops_window_funnel"     -> (Relational.windowFunnel _),
     "ops_cohort_retention"  -> (Relational.cohortRetention _),

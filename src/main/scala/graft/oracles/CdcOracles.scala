@@ -264,6 +264,14 @@ private[graft] object CdcOracles {
         |  CAST(MIN(event_id) AS BIGINT) AS first_event_id, COUNT(*) AS n
         |FROM (SELECT event_type, event_id, unnest(json_keys(doc)) AS k FROM d)
         |GROUP BY event_type, k""".stripMargin,
+    // twin of [[graft.streaming.GenericRoundtrip.stagedGenericCapture]]:
+    // the raw table IS the truth the live generic capture must round-trip
+    // (exactly-once delivery, byte-exact escape round-trip of the nested
+    // props document, the full column set folded — n_keys = 5)
+    "cdc_generic_roundtrip" ->
+      """SELECT event_id, user_id, event_type, props,
+        |  CAST(5 AS BIGINT) AS n_keys
+        |FROM events""".stripMargin,
     "cdc_type_census" ->
       """WITH d AS (
         |  SELECT

@@ -33,7 +33,7 @@ object TextFormats {
     * at the same path invalidates and rebuilds instead of silently serving
     * stale rows to the format oracles.
     */
-  private def eventsFingerprint(spark: SparkSession, sfDir: String): String = {
+  private[graft] def eventsFingerprint(spark: SparkSession, sfDir: String): String = {
     val r = graft.Tables.load(spark, sfDir, "events")
       .agg(count(lit(1)).as("n"), max(col("event_id")).as("m")).head()
     s"${r.getLong(0)}:${r.get(1)}"
@@ -43,7 +43,7 @@ object TextFormats {
     * when the marker is missing (first run / interrupted prior write) OR
     * its recorded fingerprint no longer matches the source table.
     */
-  private def ensureDrop(spark: SparkSession, dir: String, fingerprint: String)
+  private[graft] def ensureDrop(spark: SparkSession, dir: String, fingerprint: String)
                         (build: org.apache.hadoop.fs.FileSystem => Unit): String = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_DROP_READY")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
