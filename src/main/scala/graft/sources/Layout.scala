@@ -48,6 +48,63 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
+  /** One micro-batch's append into the (day, op) layout, gated by a
+    * batch-id marker so a REPLAYED batch commits exactly once — the
+    * shared core of [[archiveStream]], exposed because the idempotency
+    * claim is only testable at this grain (a real foreachBatch replay
+    * happens on crash recovery, not on demand). Plain `mode(append)`
+    * parquet — deliberately NOT the file-streaming sink: its
+    * `_spark_metadata` transaction log would pin the file list forever,
+    * making [[compactDay]] / [[retentionSweep]] / [[eraseEntity]]
+    * rewrites invisible (or corrupting) to metadata-log readers. The
+    * marker closes most of the gap instead: a batch is re-appended only
+    * if the crash lands BETWEEN data commit and marker commit (the
+    * two-phase window every file sink has) — that residual window is
+    * at-least-once, documented, and a [[compactDay]] pass after recovery
+    * restores the one-file contract the duplicates disturb (dedup on
+    * (event_id) downstream composes via the CDC path's `dedupeReplays`).
+    */
+  def appendArchiveBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, s"_batches/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      batch
+        .withColumn("day", to_date(col("ts")))
+        .repartition(col("day"), col("op"))
+        .sortWithinPartitions(col("day"), col("op"), col("user_id"), col("ts"))
+        .write.partitionBy("day", "op").mode("append").parquet(path)
+      val out = fs.create(marker)
+      out.close()
+      true
+    }
+  }
+
+  /** STREAMING writer into the archive — the live form of
+    * [[writeEventArchive]]: each micro-batch appends its slice of the
+    * (day, op) tree with the same partition-prefixed in-file sort, so the
+    * layout contracts (directory pruning, row-group key stats) hold from
+    * the first batch. Appends leave multiple files per (day, op) — that
+    * is [[compactDay]]'s job, run nightly; [[retentionSweep]] and
+    * [[eraseEntity]] compose because the sink is plain parquet (see
+    * [[appendArchiveBatch]] for why not the `_spark_metadata` sink, and
+    * for the replay contract). Erasure against a LIVE archive: quiesce
+    * the writer (stop, or between triggers), erase, resume from the same
+    * checkpoint — spec'd end to end in `LayoutSpec`; a concurrent erase
+    * racing an append into the same day could resurrect the entity in
+    * files the census never saw, so the quiesced recipe is the contract.
+    */
+  def archiveStream(events: DataFrame, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        appendArchiveBatch(batch.toDF(), path, batchId); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Retention sweep — the lifecycle step that completes the archive
     * story (write → compact → EXPIRE): drop every `day=` partition older
     * than `cutoffDay`, returning a (day, files, bytes) report of what was
