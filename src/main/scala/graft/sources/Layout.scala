@@ -195,24 +195,49 @@ object Layout {
     */
   def eraseEntity(spark: SparkSession, path: String, userId: Long): DataFrame = {
     import spark.implicits._
-    // one pass over the archive locates the user (row-group pruned);
-    // one more over just the affected days takes the (day, op) census
+    eraseEntities(spark, path, Seq(userId))
+      .groupBy(col("day")).agg(sum(col("rows_removed")).as("rows_removed"))
+      .orderBy(col("day"))
+  }
+
+  /** BATCHED erasure — the GDPR-backlog form: N entities in ONE locate
+    * pass and ONE rewrite cycle over the union of their affected
+    * (day, op) partitions (per-entity loops would rewrite shared days N
+    * times). Returns the per-(user, day) audit so each request gets its
+    * own record. Same null-safety contract as the single form: a null
+    * key survives any erasure.
+    */
+  def eraseEntities(spark: SparkSession, path: String,
+                    userIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(userIds.nonEmpty, "eraseEntities needs at least one entity")
+    val hit = col("user_id").isNotNull && col("user_id").isin(userIds: _*)
+    // one pass over the archive locates the union of targets (row-group
+    // pruned); one more over just the affected days takes the census
     val days = spark.read.parquet(path)
-      .filter(col("user_id") <=> userId)
+      .filter(hit)
       .select(col("day")).distinct().collect().map(_.getDate(0)).toSeq
-    if (days.isEmpty) return Seq.empty[(java.sql.Date, Long)].toDF("day", "rows_removed")
+    if (days.isEmpty)
+      return Seq.empty[(Long, java.sql.Date, Long)].toDF("user_id", "day", "rows_removed")
+    // the per-request audit, materialized BEFORE the rewrite mutates the
+    // data (bounded: entities x retention days)
+    val audit = spark.read.parquet(path)
+      .filter(col("day").isin(days: _*)).filter(hit)
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("rows_removed"))
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2))).toSeq
     val census = spark.read.parquet(path)
       .filter(col("day").isin(days: _*))
       .groupBy(col("day"), col("op"))
       .agg(count(lit(1)).as("total"),
-        sum(when(col("user_id") <=> userId, 1L).otherwise(0L)).as("gone"))
+        sum(when(hit, 1L).otherwise(0L)).as("gone"))
       .collect()
     val emptied = census.filter(r => r.getAs[Long]("total") == r.getAs[Long]("gone"))
-    // survivors of the affected days, rewritten in place (null-safe
-    // inequality: a null user_id row must SURVIVE an erasure, not vanish)
+    // survivors of the affected days, rewritten in place (null-safe: a
+    // null user_id row must SURVIVE an erasure, not vanish — `hit` is
+    // null-proof by construction, so its negation keeps null keys)
     val slice = spark.read.parquet(path)
       .filter(col("day").isin(days: _*))
-      .filter(!(col("user_id") <=> userId))
+      .filter(!hit)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
@@ -237,10 +262,8 @@ object Layout {
             s.getPath.getName.startsWith("op=")))
         fs.delete(parent, true)
     }
-    census.map(r => (r.getDate(0), r.getAs[Long]("gone")))
-      .filter(_._2 > 0L).groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-      .sortBy(_._1.toString)
-      .toDF("day", "rows_removed")
+    audit.sortBy(t => (t._1, t._2.toString))
+      .toDF("user_id", "day", "rows_removed")
   }
 
   /** Oracle-gated erasure proof (`ops_erase_entity`): stage a FRESH

@@ -261,6 +261,45 @@ class LayoutSpec extends SparkSuite {
       "second call must not rewrite the layout")
   }
 
+  test("eraseEntities: three users, one locate pass, one rewrite cycle, per-user audit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("multi_erase").toString
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    Layout.writeEventArchive(ev, dir)
+    val targets = ev.select("user_id").distinct().orderBy("user_id")
+      .limit(3).as[Long].collect().toSeq
+    val wantPerUser = ev.filter(col("user_id").isin(targets: _*))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = spark.read.parquet(dir).count()
+    // capture directory mtimes of UNAFFECTED days to pin the rewrite bound
+    val affectedDays = ev.filter(col("user_id").isin(targets: _*))
+      .select(to_date(col("ts")).cast("string")).distinct().as[String].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+    val untouchedBefore = dayDirs
+      .filterNot(s => affectedDays.contains(s.getPath.getName.stripPrefix("day=")))
+      .map(s => s.getPath.getName -> fs.getContentSummary(s.getPath).getLength).toMap
+
+    val report = Layout.eraseEntities(spark, dir, targets).collect()
+    // per-user audit sums to each user's true row count
+    val gotPerUser = report.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(gotPerUser == wantPerUser, s"audit: $gotPerUser vs $wantPerUser")
+    // all three gone, everyone else intact
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("user_id").isin(targets: _*)).count() == 0)
+    assert(after.count() == before - wantPerUser.values.sum)
+    // rewrite bound: unaffected days byte-untouched
+    val untouchedAfter = dayDirs
+      .filterNot(s => affectedDays.contains(s.getPath.getName.stripPrefix("day=")))
+      .map(s => s.getPath.getName -> fs.getContentSummary(s.getPath).getLength).toMap
+    assert(untouchedAfter == untouchedBefore, "unaffected days were rewritten")
+  }
+
   test("live archive: streaming writer, quiesced erasure mid-stream, replay idempotency") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
