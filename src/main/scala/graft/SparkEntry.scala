@@ -425,6 +425,57 @@ object SparkEntry {
       .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n"))
   }
 
+  /** Hot-key promotion ADVISOR — the schema-on-read → schema-on-write
+    * bridge real consumers build by hand: which payload keys are
+    * ubiquitous enough to deserve typed columns? Per key: doc coverage
+    * (count + exact permille), the MAJORITY value-type label (the batch
+    * type census's Variant walk — a key that's number in 99% of docs and
+    * string in 1% promotes as number with a quarantine for the rest),
+    * and the promotion rank (coverage desc, key asc). Same synthesized
+    * heterogeneous-payload fixture as [[cdcKeyInventory]]. The
+    * MATERIALIZATION half — actually producing the typed columns from
+    * this advice — is [[graft.cdc.Promotion.materialize]], spec-gated
+    * (its output shape is data-dependent, the advisor's is not).
+    *
+    * Shape at 100 TB: one Variant lateral walk (the type census's cost,
+    * paid once), partial-agged to key × type-label cardinality; every
+    * window here moves key-cardinality rows, never the corpus.
+    */
+  private def cdcKeyPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val doc = concat(
+      lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+      when(col("event_type") === "purchase", lit(",\"amount\":1")).otherwise(lit("")),
+      when(col("event_type") === "error", lit(",\"code\":1")).otherwise(lit("")),
+      when(col("event_type") === "signup", lit(",\"plan\":\"p\"")).otherwise(lit("")),
+      lit("}"))
+    val kv = ev.select(col("event_id"), doc.as("doc"))
+      .lateralJoin(spark.tvf.variant_explode(parse_json(col("doc").outer())))
+    val st = schema_of_variant(col("value"))
+    val label = when(st.startsWith("OBJECT"), "object")
+      .when(st.startsWith("ARRAY"), "array")
+      .when(st === "VOID", "null")
+      .when(st === "STRING", "string")
+      .when(st === "BOOLEAN", "bool")
+      .otherwise("number")
+    val byLabel = kv.select(col("key"), label.as("vtype"))
+      .groupBy(col("key"), col("vtype")).agg(count(lit(1)).as("n"))
+    val wMaj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc, col("vtype"))
+    val majority = byLabel.withColumn("rk", row_number().over(wMaj))
+      .filter(col("rk") === 1).select(col("key"), col("vtype"))
+    val censusByKey = kv.groupBy(col("key")).agg(count(lit(1)).as("n_docs"))
+    val tot = ev.agg(count(lit(1)).as("total")) // one-row scalar broadcast
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs").desc, col("key"))
+    censusByKey.join(majority, "key")
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_docs"),
+        expr("n_docs * 1000 div total").as("coverage_permille"),
+        col("vtype"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) materialization from the change
     * log — the canonical CDC-consumer build: each change becomes a validity
     * interval [valid_from, valid_to) per key, closed by the NEXT change
@@ -719,6 +770,7 @@ object SparkEntry {
     "cdc_key_first_seen"    -> (cdcKeyFirstSeen _),
     "cdc_type_first_seen"   -> (cdcTypeFirstSeen _),
     "cdc_generic_roundtrip" -> (graft.streaming.GenericRoundtrip.stagedGenericCapture _),
+    "cdc_key_promotion"     -> (cdcKeyPromotion _),
     "ops_funnel"            -> (Relational.funnel _),
     "ops_window_funnel"     -> (Relational.windowFunnel _),
     "ops_cohort_retention"  -> (Relational.cohortRetention _),

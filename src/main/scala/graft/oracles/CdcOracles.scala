@@ -272,6 +272,40 @@ private[graft] object CdcOracles {
       """SELECT event_id, user_id, event_type, props,
         |  CAST(5 AS BIGINT) AS n_keys
         |FROM events""".stripMargin,
+    // twin of [[graft.SparkEntry.cdcKeyPromotion]]: coverage census,
+    // majority type label (DuckDB json_type folded to the six JSON
+    // labels), and the promotion rank
+    "cdc_key_promotion" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+        |    CASE WHEN event_type = 'purchase' THEN ',"amount":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'error' THEN ',"code":1' ELSE '' END ||
+        |    CASE WHEN event_type = 'signup' THEN ',"plan":"p"' ELSE '' END ||
+        |    '}' AS doc
+        |  FROM events),
+        |kv AS (SELECT event_id, doc, unnest(json_keys(doc)) AS key FROM d),
+        |lab AS (SELECT key,
+        |    CASE WHEN json_type(doc, '$.' || key)
+        |           IN ('UBIGINT', 'BIGINT', 'DOUBLE', 'HUGEINT') THEN 'number'
+        |         WHEN json_type(doc, '$.' || key) = 'VARCHAR' THEN 'string'
+        |         WHEN json_type(doc, '$.' || key) = 'BOOLEAN' THEN 'bool'
+        |         WHEN json_type(doc, '$.' || key) = 'OBJECT' THEN 'object'
+        |         WHEN json_type(doc, '$.' || key) = 'ARRAY' THEN 'array'
+        |         ELSE 'null' END AS vtype
+        |  FROM kv),
+        |pl AS (SELECT key, vtype, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+        |mj AS (SELECT key, vtype FROM (
+        |    SELECT key, vtype,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY n DESC, vtype) AS rk
+        |    FROM pl) WHERE rk = 1),
+        |c AS (SELECT key, COUNT(*) AS n_docs FROM kv GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT c.key, CAST(c.n_docs AS BIGINT) AS n_docs,
+        |  CAST(c.n_docs * 1000 // tot.total AS BIGINT) AS coverage_permille,
+        |  mj.vtype,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY c.n_docs DESC, c.key) AS BIGINT) AS rnk
+        |FROM c JOIN mj ON c.key = mj.key, tot""".stripMargin,
     "cdc_type_census" ->
       """WITH d AS (
         |  SELECT

@@ -31,7 +31,11 @@ final class CdcDaemon(
     url: String,
     schemaPattern: String,
     tableRegexp: String,
-    attach: CdcSource.JdbcSpec => StreamingQuery) {
+    attach: (String, CdcSource.FeedSpec) => StreamingQuery,
+    specFor: String => CdcSource.FeedSpec = null) {
+
+  private val mkSpec: String => CdcSource.FeedSpec =
+    if (specFor != null) specFor else t => CdcSource.JdbcSpec(url, t)
 
   private val attached = scala.collection.mutable.LinkedHashMap.empty[String, StreamingQuery]
   private var timer: Option[ScheduledExecutorService] = None
@@ -51,7 +55,7 @@ final class CdcDaemon(
   def rescan(): Seq[String] = synchronized {
     val found = CdcCatalog.discoverTables(url, schemaPattern, tableRegexp)
     val fresh = found.filterNot(attached.contains)
-    fresh.foreach { t => attached(t) = attach(CdcSource.JdbcSpec(url, t)) }
+    fresh.foreach { t => attached(t) = attach(t, mkSpec(t)) }
     fresh
   }
 
@@ -77,4 +81,22 @@ final class CdcDaemon(
     timer = None
     attached.values.foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
   }
+}
+
+object CdcDaemon {
+
+  /** GENERIC-MODE daemon — the zero-config composition: a table of ANY
+    * shape appearing after install is attached through the schema-generic
+    * capture ([[CdcSource.GenericJdbcSpec]] — `SELECT *` payload-folded,
+    * no per-table code), so "new producer starts writing a brand-new
+    * table" needs nothing but the table carrying the monotone `idColumn`.
+    * Downstream, the drift census starts cold on the new table's payloads
+    * and inventories its schema as data — discovery, capture, and schema
+    * observation all without an engine change.
+    */
+  def generic(url: String, schemaPattern: String, tableRegexp: String,
+              idColumn: String,
+              attach: (String, CdcSource.FeedSpec) => StreamingQuery): CdcDaemon =
+    new CdcDaemon(url, schemaPattern, tableRegexp, attach,
+      specFor = t => CdcSource.GenericJdbcSpec(url, t, idColumn))
 }

@@ -226,9 +226,9 @@ class JdbcFeedSpec extends SparkSuite {
     withDb("rediscover") { url =>
       createEvents(url, "notes")
       def sinkName(table: String) = "redisc_" + table.replace(".", "_").toLowerCase
-      val daemon = new CdcDaemon(url, "APP", "(?i)note|user", spec =>
+      val daemon = new CdcDaemon(url, "APP", "(?i)note|user", (table, spec) =>
         CdcCatalog.readAll(spark, Seq(spec))
-          .writeStream.format("memory").queryName(sinkName(spec.table))
+          .writeStream.format("memory").queryName(sinkName(table))
           .outputMode("append").start())
       try {
         assert(daemon.rescan() == Seq("APP.NOTES"))
@@ -261,6 +261,44 @@ class JdbcFeedSpec extends SparkSuite {
         while (!daemon.tables.contains("APP.USER_AUDIT") && System.nanoTime() < deadline)
           Thread.sleep(50)
         assert(daemon.tables.contains("APP.USER_AUDIT"), "poll cadence must attach the new table")
+      } finally daemon.stop()
+    }
+  }
+
+  test("generic daemon: a table of ANY shape created mid-stream is captured without restart") {
+    import graft.streaming.CdcDaemon
+    withDb("genredisc") { url =>
+      exec(url, "CREATE TABLE g_orders (seq BIGINT PRIMARY KEY, " +
+        "order_ref VARCHAR(24), total DECIMAL(8,2))")
+      exec(url, "INSERT INTO g_orders VALUES (1, 'ord-1', 12.50)")
+      def sinkName(table: String) = "genred_" + table.replace(".", "_").toLowerCase
+      val daemon = CdcDaemon.generic(url, "APP", "(?i)^g_", idColumn = "seq",
+        (table, spec) => CdcCatalog.readAll(spark, Seq(spec))
+          .writeStream.format("memory").queryName(sinkName(table))
+          .outputMode("append").start())
+      try {
+        assert(daemon.rescan() == Seq("APP.G_ORDERS"))
+        daemon.queries.foreach(_.processAllAvailable())
+        assert(spark.table(sinkName("APP.G_ORDERS")).count() == 1)
+
+        // the zero-config story: a producer starts writing a BRAND-NEW
+        // table with a shape the engine has never seen — the next poll
+        // attaches generic capture, payload folded, no restart anywhere
+        exec(url, "CREATE TABLE g_sensors (seq BIGINT PRIMARY KEY, " +
+          "device VARCHAR(16), reading DOUBLE, ok BOOLEAN)")
+        exec(url, "INSERT INTO g_sensors VALUES (1, 'dev-a', 21.75, true)")
+        assert(daemon.rescan() == Seq("APP.G_SENSORS"))
+        daemon.queries.foreach(_.processAllAvailable())
+        val got = spark.table(sinkName("APP.G_SENSORS"))
+          .select("payload").as[String].collect()
+        assert(got.length == 1)
+        assert(got(0).contains("\"device\":\"dev-a\"") &&
+          got(0).contains("\"reading\":21.75") && got(0).contains("\"ok\":true"),
+          s"generic payload wrong: ${got(0)}")
+        // and the established capture kept flowing untouched
+        exec(url, "INSERT INTO g_orders VALUES (2, 'ord-2', 8.25)")
+        daemon.queries.foreach(_.processAllAvailable())
+        assert(spark.table(sinkName("APP.G_ORDERS")).count() == 2)
       } finally daemon.stop()
     }
   }
