@@ -65,12 +65,25 @@ object Layout {
     * (event_id) downstream composes via the CDC path's `dedupeReplays`).
     */
   def appendArchiveBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(path, s"_batches/$batchId")
     if (fs.exists(marker)) false
     else {
-      batch
+      // erasure tombstones: a replayed old batch must not resurrect an
+      // erased entity (see [[eraseEntities]] — cutoff-scoped, so an
+      // entity's genuinely NEW rows still flow)
+      val guarded =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_tombstones"))) batch
+        else {
+          val tomb = spark.read.parquet(s"$path/_tombstones")
+            .groupBy(col("t_user")).agg(max(col("cutoff_id")).as("cutoff_id"))
+          batch.join(broadcast(tomb),
+            batch("user_id") === tomb("t_user") &&
+              batch("event_id") <= tomb("cutoff_id"), "left_anti")
+        }
+      guarded
         .withColumn("day", to_date(col("ts")))
         .repartition(col("day"), col("op"))
         .sortWithinPartitions(col("day"), col("op"), col("user_id"), col("ts"))
@@ -262,6 +275,17 @@ object Layout {
             s.getPath.getName.startsWith("op=")))
         fs.delete(parent, true)
     }
+    // TOMBSTONES close the resurrection hole: a crash in
+    // [[appendArchiveBatch]]'s data-vs-marker window replays a whole old
+    // batch — including this user's just-erased rows. Each erasure
+    // records (user_id, cutoff = the archive's max event_id at erasure):
+    // replayed rows carry ids ≤ cutoff (their batch was committed before
+    // the erasure) and are dropped on append; the user's GENUINELY NEW
+    // rows carry higher ids and flow — erasure stays point-in-time.
+    val cutoff = spark.read.parquet(path)
+      .agg(max(col("event_id"))).head.getLong(0)
+    userIds.map(u => (u, cutoff)).toDF("t_user", "cutoff_id")
+      .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
     audit.sortBy(t => (t._1, t._2.toString))
       .toDF("user_id", "day", "rows_removed")
   }

@@ -335,12 +335,30 @@ class LayoutSpec extends SparkSuite {
       w2.count(_._3 == target), "point-in-time: wave-2 rows of the target survive")
     // replay idempotency at the batch grain: a committed batch id is a no-op
     val n0 = spark.read.parquet(dir).count()
-    val replay = Seq(w1.head).toDF("event_id", "ts", "user_id", "op", "props")
+    val other = w1.find(_._3 != target).get
+    val replay = Seq(other).toDF("event_id", "ts", "user_id", "op", "props")
     assert(!Layout.appendArchiveBatch(replay, dir, 0L), "batch 0 must be marker-gated")
     assert(spark.read.parquet(dir).count() == n0, "replayed batch appended twice")
     // and a genuinely new batch id commits exactly once
     assert(Layout.appendArchiveBatch(replay, dir, 99L))
     assert(!Layout.appendArchiveBatch(replay, dir, 99L))
     assert(spark.read.parquet(dir).count() == n0 + 1)
+    // the resurrection hole is CLOSED: a marker-gap replay carrying the
+    // erased user's pre-erasure rows appends everything EXCEPT them...
+    val erased = w1.find(_._3 == target).get
+    val ghost = Seq(erased, other.copy(_1 = other._1 + 1000000L))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    assert(Layout.appendArchiveBatch(ghost, dir, 100L))
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id") === target && col("event_id") === erased._1).count() == 0,
+      "tombstone must drop the erased user's replayed rows")
+    // ...while rows ABOVE the erasure cutoff still flow (point-in-time:
+    // the entity returning later is new data, not resurrection)
+    val future = Seq(erased.copy(_1 = erased._1 + 5000000L))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    assert(Layout.appendArchiveBatch(future, dir, 101L))
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id") === target && col("event_id") === erased._1 + 5000000L)
+      .count() == 1, "post-cutoff rows of the entity must still flow")
   }
 }
