@@ -147,6 +147,20 @@ object CdcSource {
     case other              => resolve(other).latestId()
   }
 
+  /** Spec-shaped row-size probe for the byte-budget cap — the generic
+    * capture's probe folds a BOUNDED sample of the pending head through
+    * the ACTUAL [[RowJson]] serializer and measures the payload it will
+    * really ship (type-agnostic, exact — where the typed feed's SQL AVG
+    * is column-specific; the price is a ≤`sampleRows` double-read of the
+    * head, bounded and documented).
+    */
+  private[streaming] def avgRowBytesOf(spec: FeedSpec, fromExclusive: Long,
+                                       toInclusive: Long): Double = spec match {
+    case g: GenericJdbcSpec =>
+      GenericProbe.avgRowBytes(g, fromExclusive, toInclusive)
+    case other => resolve(other).avgRowBytes(fromExclusive, toInclusive)
+  }
+
   /** In-memory feed registry (the test/demo stand-in for a JDBC feed — same
     * contract, no database in this environment).
     */
@@ -327,7 +341,7 @@ object CdcSource {
     private def capFor(limit: ReadLimit, from: Long, latest: Long): Long = limit match {
       case r: ReadMaxRows => math.min(latest, from + r.maxRows())
       case b: ReadMaxBytes =>
-        val avg = resolve(spec).avgRowBytes(from, math.min(from + 1000L, latest))
+        val avg = avgRowBytesOf(spec, from, math.min(from + 1000L, latest))
         if (avg <= 0) latest
         else math.min(latest, from + math.max(1L, (b.maxBytes() / avg).toLong))
       case c: CompositeReadLimit =>
@@ -644,11 +658,10 @@ class CdcSourceProvider extends TableProvider {
     val maxIds = Option(opts.get("maxIdsPerTrigger")).map(_.toLong).getOrElse(0L)
     require(maxIds >= 0L, s"maxIdsPerTrigger must be >= 0, got $maxIds")
     // byte-budget admission cap for payload-skewed feeds; soft target
+    // (the generic capture sizes from a bounded RowJson fold of the
+    // pending head — see CdcSource.avgRowBytesOf)
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(0L)
     require(maxBytes >= 0L, s"maxBytesPerTrigger must be >= 0, got $maxBytes")
-    require(maxBytes == 0L || !spec.isInstanceOf[CdcSource.GenericJdbcSpec],
-      "maxBytesPerTrigger needs a typed row-size probe; the schema-generic " +
-        "capture has none — use maxIdsPerTrigger to bound its batches")
     new CdcSource.CdcTable(spec, parts, rescan, pollMs, contParts, startAfter,
       maxIds, maxBytes)
   }

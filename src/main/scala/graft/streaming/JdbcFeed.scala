@@ -87,19 +87,44 @@ object JdbcFeed {
     */
   def isSafeIdent(s: String): Boolean = IdentRe.matches(s)
 
+  /** Bounded retry for TRANSIENT lock failures on the capture's JDBC
+    * touchpoints: a live table under concurrent DDL (schema migration) or
+    * bulk writes can pick the capture's transaction as the deadlock/
+    * timeout victim — that must cost one retried round-trip, never the
+    * streaming query (a killed query is a restart + checkpoint recovery
+    * for what a 100 ms backoff absorbs). Non-SQLException errors
+    * propagate immediately; the last attempt's failure propagates too.
+    */
+  def withRetry[T](attempts: Int = 5, backoffMs: Long = 100L)(f: => T): T = {
+    var i = 0
+    while (true) {
+      i += 1
+      try return f
+      catch {
+        case e: java.sql.SQLException =>
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Driver-side `MAX(idColumn)` probe — the wake-up poll shared by the
     * typed feed and the schema-generic capture (which has no [[JdbcFeed]]
-    * instance; its rows exist only inside its partition reader).
+    * instance; its rows exist only inside its partition reader). Retried:
+    * losing a lock fight with concurrent DDL must not kill the query.
     */
   def maxId(url: String, table: String, idColumn: String): Long = {
     require(isSafeIdent(table), s"unsafe table identifier: $table")
     require(isSafeIdent(idColumn), s"unsafe column identifier: $idColumn")
-    val conn = DriverManager.getConnection(url)
-    try {
-      val rs = conn.createStatement().executeQuery(
-        s"SELECT MAX($idColumn) FROM $table")
-      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
-    } finally conn.close()
+    withRetry() {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MAX($idColumn) FROM $table")
+        if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else -1L
+      } finally conn.close()
+    }
   }
 }
 
@@ -203,6 +228,33 @@ private[streaming] object RowJson {
   }
 }
 
+object GenericProbe {
+  /** Bounded row-size probe for the generic capture's byte-budget cap:
+    * fold up to `sampleRows` of the pending head through the real
+    * [[RowJson]] serializer and average the payload bytes actually
+    * shipped (+ the fixed envelope). Exact and type-agnostic; the ≤
+    * `sampleRows` double-read of the head is the documented price.
+    */
+  def avgRowBytes(spec: CdcSource.GenericJdbcSpec, fromExclusive: Long,
+                  toInclusive: Long, sampleRows: Int = 256): Double = {
+    val conn = DriverManager.getConnection(spec.url)
+    try {
+      val ps = conn.prepareStatement(
+        s"SELECT ${spec.selectList} FROM ${spec.table}" +
+          s" WHERE ${spec.idColumn} > ? AND ${spec.idColumn} <= ?" +
+          s" ORDER BY ${spec.idColumn} FETCH FIRST $sampleRows ROWS ONLY")
+      ps.setLong(1, fromExclusive)
+      ps.setLong(2, toInclusive)
+      val rs = ps.executeQuery()
+      val cols = new RowJson.Cols(rs.getMetaData)
+      var n = 0L
+      var bytes = 0L
+      while (rs.next()) { n += 1; bytes += RowJson.obj(rs, cols).length + 16 }
+      if (n == 0) -1.0 else bytes.toDouble / n
+    } finally conn.close()
+  }
+}
+
 /** Executor-side streaming reader for the SCHEMA-GENERIC capture
   * ([[CdcSource.GenericJdbcSpec]]): `SELECT *` (or the configured
   * projection) over the id range, each row folded into the two-column
@@ -221,7 +273,7 @@ final class GenericJdbcRowReader(spec: CdcSource.GenericJdbcSpec,
     c.setAutoCommit(false)
     c
   }
-  private val rs = {
+  private val rs = JdbcFeed.withRetry() {
     val ps = conn.prepareStatement(
       s"SELECT ${spec.selectList} FROM ${spec.table}" +
         s" WHERE ${spec.idColumn} > ? AND ${spec.idColumn} <= ?" +
@@ -269,7 +321,7 @@ final class JdbcRowReader(spec: CdcSource.JdbcSpec, fromExclusive: Long, toInclu
     c.setAutoCommit(false)
     c
   }
-  private val rs = {
+  private val rs = JdbcFeed.withRetry() {
     val ps = conn.prepareStatement(
       s"SELECT event_id, ts, user_id, event_type, props FROM ${spec.table}" +
         " WHERE event_id > ? AND event_id <= ? ORDER BY event_id")

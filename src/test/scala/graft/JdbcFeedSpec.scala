@@ -612,6 +612,43 @@ class JdbcFeedSpec extends SparkSuite {
     }
   }
 
+  test("generic capture honors maxBytesPerTrigger: RowJson-fold probe sizes the bites") {
+    // the byte budget on a table the engine has never seen: the probe
+    // folds the pending head through the REAL serializer, so the cap is
+    // sized from the payload bytes actually shipped — no typed column
+    // knowledge anywhere
+    withDb("genbytes") { url =>
+      exec(url, "CREATE TABLE fat (seq BIGINT PRIMARY KEY, blob_ish VARCHAR(2000))")
+      val pad = "y" * 1000
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val ps = conn.prepareStatement("INSERT INTO fat VALUES (?, ?)")
+        (0L until 100L).foreach { i =>
+          ps.setLong(1, i); ps.setString(2, pad); ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
+        .option("jdbcUrl", url).option("jdbcTable", "fat")
+        .option("capture", "generic").option("idColumn", "seq")
+        .option("numPartitions", "2")
+        .option("maxBytesPerTrigger", "5300").load()
+        .writeStream.format("memory").queryName("gen_bytecap")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val ids = spark.table("gen_bytecap").select("event_id").as[Long].collect()
+        assert(ids.sorted.toSeq == (0L until 100L), s"delivery broken: ${ids.length} rows")
+        // payload ≈ {"seq":N,"blob_ish":"y…"} ≈ 1030 B (+16 envelope)
+        // against a 5300 B budget ≈ 5 ids per bite
+        val progs = q.recentProgress.filter(_.numInputRows > 0)
+        assert(progs.length >= 15, s"byte cap did not bite: ${progs.length} batches")
+        assert(progs.forall(_.numInputRows <= 6),
+          s"a batch overflowed the byte budget: ${progs.map(_.numInputRows).toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("generic multi-table capture: differently-shaped tables union into one envelope stream") {
     withDb("genmulti") { url =>
       exec(url, "CREATE TABLE g_users (seq BIGINT PRIMARY KEY, name VARCHAR(32), age INT)")
