@@ -303,6 +303,53 @@ object WindowSketches {
       }
   }
 
+  /** Sliding-window novelty report: distinct estimate over the previous
+    * `windows` batches, and the arrivals novel vs THAT horizon. */
+  case class SlidingNoveltyPoint(group: String, seq: Long, n_rows: Long,
+                                 est_recent: Double, est_novel: Double)
+  /** Ring of the last N per-batch sketches (newest last) + batch counter. */
+  case class SlidingNoveltyState(ring: Seq[Array[Long]], batches: Long)
+
+  /** SLIDING novelty — "novel vs the last N batches", where [[kmvNovelty]]
+    * is "novel vs all time". KMV supports no deletion, so the window is a
+    * RING of per-batch sketches merged on demand (merge IS the sketch of
+    * the union, so N small sketches answer any suffix-window question);
+    * state per group = N × k longs, still row-count-free. An item re-sent
+    * after its window expired counts novel AGAIN — the recency semantics
+    * a re-crawl monitor wants (the all-time monitor would call a monthly
+    * re-crawl 0% novel forever; this one distinguishes "new content" from
+    * "content we saw this window").
+    *
+    * Deliberate contract: windows are MICRO-BATCHES (processing-time
+    * grain, like trigger-based rates) — batch boundaries define the
+    * horizon, so unlike [[kmvNovelty]]'s all-time estimates this report
+    * is trigger-cadence-dependent by design; the event-time alternative
+    * is [[windowedProfile]]'s watermarked `approx_count_distinct`.
+    */
+  def kmvNoveltySliding(rows: Dataset[HashRow], windows: Int = 24,
+                        k: Int = graft.functions.KMinValues.DefaultK)
+      : Dataset[SlidingNoveltyPoint] = {
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    import rows.sparkSession.implicits._
+    import graft.functions.KMinValues
+    val agg = new KMinValues.Sketch(k)
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[HashRow], state: GroupState[SlidingNoveltyState]) =>
+          var n = 0L
+          var batch = agg.zero
+          it.foreach { r => n += 1; batch = agg.reduce(batch, r.h) }
+          val prev = state.getOption.getOrElse(SlidingNoveltyState(Nil, 0L))
+          val recent = prev.ring.foldLeft(agg.zero)(agg.merge)
+          val eRecent = KMinValues.estimateDistinct(recent, k)
+          val eWith = KMinValues.estimateDistinct(agg.merge(recent, batch), k)
+          state.update(SlidingNoveltyState(
+            (prev.ring :+ batch).takeRight(windows), prev.batches + 1))
+          Iterator.single(SlidingNoveltyPoint(
+            g, prev.batches, n, eRecent, eWith - eRecent))
+      }
+  }
+
   /** The paging composition, ready-made: [[kmvNovelty]]'s per-batch NOVEL
     * estimate as a [[SeriesPoint]] series (x = est_novel, ordered by the
     * group's batch ordinal) — feed to [[cusumAlerts]] /

@@ -253,6 +253,42 @@ class WindowSketchesSpec extends SparkSuite {
     assert(split.map(_.seq) == Seq(0L, 1L, 2L), "per-group batch ordinal")
   }
 
+  test("sliding novelty: an item re-sent after its window expired counts novel again") {
+    implicit val sqlCtx = spark.sqlContext
+    import WindowSketches.{HashRow, NoveltyPoint, SlidingNoveltyPoint}
+    def fp(id: Long): Long = scala.util.hashing.byteswap64(id)
+    def wave(r: Range): Seq[HashRow] = r.map(i => HashRow("docs", fp(i.toLong)))
+    // A, B, C fresh; D re-sends A's items — 3 batches after they were seen
+    val batches = Seq(wave(0 until 100), wave(100 until 200),
+      wave(200 until 300), wave(0 until 100))
+
+    val in = MemoryStream[HashRow]
+    val q = WindowSketches.kmvNoveltySliding(in.toDS(), windows = 2, k = 2048)
+      .writeStream.format("memory").queryName("slide_nov")
+      .outputMode("append").start()
+    val slide = try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      spark.table("slide_nov").as[SlidingNoveltyPoint].collect().toSeq.sortBy(_.seq)
+    } finally q.stop()
+    // exact regime: ring of {B, C} at batch D -> A's 100 items are novel
+    // again vs the 2-batch horizon
+    assert(slide.map(_.est_novel) == Seq(100.0, 100.0, 100.0, 100.0),
+      s"sliding novelty: $slide")
+    assert(slide.map(_.est_recent) == Seq(0.0, 100.0, 200.0, 200.0))
+
+    // the all-time twin disagrees on D — by design
+    val in2 = MemoryStream[HashRow]
+    val q2 = WindowSketches.kmvNovelty(in2.toDS(), k = 2048)
+      .writeStream.format("memory").queryName("alltime_nov")
+      .outputMode("append").start()
+    val allTime = try {
+      batches.foreach { b => in2.addData(b: _*); q2.processAllAvailable() }
+      spark.table("alltime_nov").as[NoveltyPoint].collect().toSeq.sortBy(_.seq)
+    } finally q2.stop()
+    assert(allTime.map(_.est_novel) == Seq(100.0, 100.0, 100.0, 0.0),
+      s"all-time twin: $allTime")
+  }
+
   test("novelty collapse pages end to end: kmvNovelty -> cusumAlerts") {
     implicit val sqlCtx = spark.sqlContext
     import WindowSketches.{HashRow, NoveltyPoint, SeriesPoint, CusumAlert}
