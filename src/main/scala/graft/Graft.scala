@@ -246,6 +246,42 @@ object Graft {
     (snapshot, tail)
   }
 
+  /** Day-one CDC for a table of ANY shape — [[bootstrap]]'s schema-generic
+    * sibling, built from the machinery the generic path already has
+    * instead of a typed JDBC snapshot read: the backfill IS the generic
+    * capture under `Trigger.AvailableNow` (history drained to the tail
+    * recorded at start, in admission-capped bites, through the SAME
+    * RowJson serializer as live capture — so snapshot payloads and tail
+    * payloads are byte-compatible BY CONSTRUCTION, where a separate typed
+    * read would re-implement the serialization and drift), landed as
+    * parquet at `snapshotPath`; the returned live tail starts exactly
+    * after the drained offset (read back from the drain's own checkpoint
+    * commit — the [[graft.streaming.StateMigration.committedOffset]]
+    * handoff), so the table's lifetime is exactly-once end to end with no
+    * seam. Returns (snapshot DataFrame re-read from parquet, live tail).
+    */
+  def bootstrapGeneric(spark: SparkSession, jdbcUrl: String, table: String,
+                       idColumn: String, snapshotPath: String,
+                       checkpointPath: String, numPartitions: Int = 4,
+                       maxIdsPerTrigger: Long = 0L,
+                       maxBytesPerTrigger: Long = 0L): (DataFrame, DataFrame) = {
+    def reader = spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", jdbcUrl).option("jdbcTable", table)
+      .option("capture", "generic").option("idColumn", idColumn)
+      .option("numPartitions", numPartitions.toString)
+      .option("maxIdsPerTrigger", maxIdsPerTrigger.toString)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger.toString)
+    val drain = reader.load()
+      .writeStream.format("parquet").option("path", snapshotPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    drain.awaitTermination()
+    val cutoff = graft.streaming.StateMigration.committedOffset(spark, checkpointPath)
+    val tail = reader.option("startAfterId", cutoff.toString).load()
+    (spark.read.parquet(snapshotPath), tail)
+  }
+
   /** Online schema-drift alerts over a dynamic-JSON payload stream: one
     * alert per novel (group, key) pair, on the micro-batch where it first
     * lands — the operational form of the batch key census

@@ -118,6 +118,46 @@ object Layout {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Small-file census — the ADVISOR half of the compaction loop: which
+    * (day, op) directories exceed `maxFiles` parquet files? Metadata-only
+    * (a directory listing bounded by retention days × the op enum; at
+    * 100 TB a compaction decision that scans data is a bug, same argument
+    * as [[retentionSweep]]). The streaming writer ([[archiveStream]])
+    * accrues exactly this debt batch by batch; feed the report to
+    * [[compactWhereNeeded]] — or page on it via the Monitor family.
+    */
+  def compactionAdvisor(spark: SparkSession, path: String,
+                        maxFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val report = for {
+      day <- fs.listStatus(root).toSeq
+        if day.isDirectory && day.getPath.getName.startsWith("day=")
+      op <- fs.listStatus(day.getPath).toSeq
+        if op.isDirectory && op.getPath.getName.startsWith("op=")
+      files = fs.listStatus(op.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if files.length > maxFiles
+    } yield (day.getPath.getName.stripPrefix("day="),
+      op.getPath.getName.stripPrefix("op="),
+      files.length.toLong, files.map(_.getLen).sum)
+    report.sortBy(t => (t._1, t._2)).toDF("day", "op", "files", "bytes")
+  }
+
+  /** The closed loop: census → [[compactDay]] each day carrying debt →
+    * the post-state report (empty = contract restored). The nightly
+    * maintenance job as one call; answers never change (compaction is
+    * layout, pinned in `LayoutSpec`).
+    */
+  def compactWhereNeeded(spark: SparkSession, path: String,
+                         maxFiles: Int = 4): DataFrame = {
+    val days = compactionAdvisor(spark, path, maxFiles)
+      .select(col("day")).distinct().collect().map(_.getString(0))
+    days.foreach(d => compactDay(spark, path, d))
+    compactionAdvisor(spark, path, maxFiles)
+  }
+
   /** Retention sweep — the lifecycle step that completes the archive
     * story (write → compact → EXPIRE): drop every `day=` partition older
     * than `cutoffDay`, returning a (day, files, bytes) report of what was

@@ -261,6 +261,39 @@ class LayoutSpec extends SparkSuite {
       "second call must not rewrite the layout")
   }
 
+  test("compaction loop: streaming appends accrue debt, advisor flags it, one call clears it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("compact_loop").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("compact_loop_ck").toString
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val q = Layout.archiveStream(
+      in.toDS().toDF("event_id", "ts", "user_id", "op", "props"), dir, ckpt)
+    try {
+      // six interleaved micro-batches (each spans every day) -> up to six
+      // files per (day, op): real debt
+      (0 until 6).foreach { r =>
+        in.addData(ev.zipWithIndex.collect { case (e, i) if i % 6 == r => e }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val answerBefore = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val flagged = Layout.compactionAdvisor(spark, dir, maxFiles = 2).collect()
+    assert(flagged.nonEmpty, "streaming appends must accrue small-file debt")
+    assert(flagged.forall(_.getLong(2) > 2), s"advisor flagged below threshold: ${flagged.toSeq}")
+    val residual = Layout.compactWhereNeeded(spark, dir, maxFiles = 2)
+    assert(residual.isEmpty, "one call must clear the debt")
+    // compaction is layout: answers byte-identical
+    assert(spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("event_id"))).head == answerBefore)
+  }
+
   test("eraseEntities: three users, one locate pass, one rewrite cycle, per-user audit") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("multi_erase").toString
