@@ -350,6 +350,82 @@ object WindowSketches {
       }
   }
 
+  /** One arrival for the event-time novelty monitor. */
+  case class TimedHashRow(group: String, ts: java.sql.Timestamp, h: Long)
+  /** Finalized event-time window: rows, distinct estimate, and the
+    * estimate of content NOVEL vs the immediately preceding window. */
+  case class EventWindowNovelty(group: String, window_start: java.sql.Timestamp,
+                                n_rows: Long, est_window: Double,
+                                est_novel_vs_prev: Double)
+  /** Per-window ledger: (start, sketch, rows, emitted). */
+  case class EvtNovState(wins: Seq[(Long, Array[Long], Long, Boolean)])
+
+  /** EVENT-TIME novelty — the recency horizon defined by the DATA, not
+    * the trigger cadence ([[kmvNoveltySliding]]'s documented limitation):
+    * arrivals fold into tumbling event-time windows of `windowMs`, each
+    * window FINALIZES when the watermark passes its end (late rows inside
+    * the lateness bound land in their window whichever micro-batch they
+    * arrive in; rows later than an emitted window drop — standard
+    * watermark semantics), and the finalized report compares the window
+    * against its PREDECESSOR's sketch: `est_novel_vs_prev` is the content
+    * this window introduced over the previous one — the cross-window
+    * question a watermarked aggregation cannot ask (aggregation state is
+    * per-window; the comparison needs two windows side by side, which is
+    * exactly what the per-group ledger here holds). State per group:
+    * open windows + one finalized predecessor, each k longs — bounded by
+    * lateness, not stream length.
+    */
+  def kmvNoveltyByEventTime(rows: Dataset[TimedHashRow], windowMs: Long,
+                            watermark: String = "0 seconds",
+                            k: Int = graft.functions.KMinValues.DefaultK)
+      : Dataset[EventWindowNovelty] = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    import rows.sparkSession.implicits._
+    import graft.functions.KMinValues
+    val agg = new KMinValues.Sketch(k)
+    rows.toDF().withWatermark("ts", watermark).as[TimedHashRow]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[TimedHashRow], state: GroupState[EvtNovState]) =>
+          var wins = state.getOption.getOrElse(EvtNovState(Nil)).wins
+            .map(w => (w._1, w._2, w._3, w._4)).toVector
+          def idx(start: Long): Int = wins.indexWhere(_._1 == start)
+          val wm = state.getCurrentWatermarkMs()
+          it.foreach { r =>
+            val start = r.ts.getTime - Math.floorMod(r.ts.getTime, windowMs)
+            // rows later than the watermark's window drop, standard
+            // semantics (their window is already final — or never opened)
+            if (start + windowMs > wm) {
+              val i = idx(start)
+              if (i >= 0) {
+                val w = wins(i)
+                wins = wins.updated(i, (w._1, agg.reduce(w._2, r.h), w._3 + 1, w._4))
+              } else wins = (wins :+ ((start, agg.reduce(agg.zero, r.h), 1L, false)))
+            }
+          }
+          // finalize closed windows in event-time order, each against its
+          // immediate predecessor (gap ⇒ no predecessor ⇒ all novel)
+          val out = Vector.newBuilder[EventWindowNovelty]
+          wins = wins.sortBy(_._1)
+          wins.zipWithIndex.foreach { case (w, i) =>
+            if (!w._4 && w._1 + windowMs <= wm) {
+              val prev = wins.lift(i - 1)
+                .filter(p => p._1 == w._1 - windowMs && p._4).map(_._2)
+                .getOrElse(agg.zero)
+              val eP = KMinValues.estimateDistinct(prev, k)
+              val eU = KMinValues.estimateDistinct(agg.merge(prev, w._2), k)
+              out += EventWindowNovelty(g, new java.sql.Timestamp(w._1),
+                w._3, KMinValues.estimateDistinct(w._2, k), eU - eP)
+              wins = wins.updated(i, (w._1, w._2, w._3, true))
+            }
+          }
+          // evict emitted windows that can no longer serve as a predecessor
+          val keepFrom = wm - 2 * windowMs
+          state.update(EvtNovState(wins.filter(w => !w._4 || w._1 >= keepFrom)))
+          out.result().iterator
+      }
+  }
+
   /** The paging composition, ready-made: [[kmvNovelty]]'s per-batch NOVEL
     * estimate as a [[SeriesPoint]] series (x = est_novel, ordered by the
     * group's batch ordinal) — feed to [[cusumAlerts]] /

@@ -289,6 +289,44 @@ class WindowSketchesSpec extends SparkSuite {
       s"all-time twin: $allTime")
   }
 
+  test("event-time novelty: windows close by watermark, compared against their predecessor") {
+    implicit val sqlCtx = spark.sqlContext
+    import WindowSketches.{TimedHashRow, EventWindowNovelty}
+    def fp(id: Long): Long = scala.util.hashing.byteswap64(id)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:10:00").getTime
+    val hour = 3600000L
+    def at(h: Int) = new java.sql.Timestamp(base + h * hour)
+    def wave(h: Int, r: Range) = r.map(i => TimedHashRow("crawl", at(h), fp(i.toLong)))
+    val in = MemoryStream[TimedHashRow]
+    val q = WindowSketches.kmvNoveltyByEventTime(in.toDS(), windowMs = hour, k = 2048)
+      .writeStream.format("memory").queryName("evt_nov")
+      .outputMode("append").start()
+    val got = try {
+      // hour 0 and hour 1 share half their content; hour 3 re-sends hour
+      // 0's — with a GAP at hour 2, so it has NO predecessor
+      in.addData(wave(0, 0 until 100) ++ wave(1, 50 until 150): _*)
+      q.processAllAvailable()
+      in.addData(wave(3, 0 until 100): _*); q.processAllAvailable()
+      // two flush ticks: the watermark advances between batches
+      in.addData(TimedHashRow("crawl", at(10), fp(999999L))); q.processAllAvailable()
+      in.addData(TimedHashRow("crawl", at(11), fp(999998L))); q.processAllAvailable()
+      // a row later than its (already-final) window must drop silently
+      in.addData(TimedHashRow("crawl", at(0), fp(777777L))); q.processAllAvailable()
+      spark.table("evt_nov").as[EventWindowNovelty].collect().toSeq
+        .sortBy(_.window_start.getTime)
+    } finally q.stop()
+    val hours = got.map(p => (p.window_start.getTime - (base - 600000L)) / hour)
+    assert(hours.take(3) == Seq(0L, 1L, 3L), s"windows finalized: $got")
+    // exact regime: hour 0 all novel (no predecessor), hour 1 introduces
+    // its 50 fresh ids over hour 0, hour 3 all novel (gap = no predecessor)
+    assert(got(0).n_rows == 100 && got(0).est_window == 100.0 &&
+      got(0).est_novel_vs_prev == 100.0, s"h0: ${got(0)}")
+    assert(got(1).n_rows == 100 && got(1).est_novel_vs_prev == 50.0, s"h1: ${got(1)}")
+    assert(got(2).n_rows == 100 && got(2).est_novel_vs_prev == 100.0, s"h3: ${got(2)}")
+    // the late at(0) row neither re-emitted hour 0 nor opened a window
+    assert(got.count(_.window_start.getTime == base - 600000L) == 1)
+  }
+
   test("novelty collapse pages end to end: kmvNovelty -> cusumAlerts") {
     implicit val sqlCtx = spark.sqlContext
     import WindowSketches.{HashRow, NoveltyPoint, SeriesPoint, CusumAlert}
