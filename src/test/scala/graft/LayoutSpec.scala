@@ -294,6 +294,50 @@ class LayoutSpec extends SparkSuite {
       .agg(count(lit(1)), sum(col("event_id"))).head == answerBefore)
   }
 
+  test("storage-debt paging: the compaction census series pages through cusumAlerts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.WindowSketches
+    // the self-operation loop pointed at storage: nightly censuses of
+    // total indebted files form a per-archive series; a writer that stops
+    // getting compacted shows as a level shift and pages
+    val dir = java.nio.file.Files.createTempDirectory("debt_page").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("debt_page_ck").toString
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val q = Layout.archiveStream(
+      in.toDS().toDF("event_id", "ts", "user_id", "op", "props"), dir, ckpt)
+    // 12 "nights": batches land continuously; compaction runs the first 6
+    // nights, then the maintenance job silently stops
+    val series = try {
+      (0 until 12).map { night =>
+        in.addData(ev.zipWithIndex.collect { case (e, i) if i % 12 == night => e }: _*)
+        q.processAllAvailable()
+        if (night < 6) Layout.compactWhereNeeded(spark, dir, maxFiles = 1)
+        val debt = Layout.compactionAdvisor(spark, dir, maxFiles = 1)
+          .agg(coalesce(sum(col("files")), lit(0L))).head.getLong(0)
+        WindowSketches.SeriesPoint("archive", night.toLong, debt)
+      }
+    } finally q.stop()
+    assert(series.take(6).forall(_.x == 0L), s"compacted nights must be debt-free: $series")
+    assert(series.drop(6).map(_.x).max > 0L, "uncompacted nights must accrue debt")
+    val sIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[WindowSketches.SeriesPoint]
+    val alertQ = WindowSketches.cusumAlerts(sIn.toDS(), mu0 = 0L, k = 5L, h = 60L)
+      .writeStream.format("memory").queryName("debt_alerts")
+      .outputMode("append").start()
+    val alarms = try {
+      sIn.addData(series: _*); alertQ.processAllAvailable()
+      spark.table("debt_alerts").as[WindowSketches.CusumAlert].collect().toSeq
+    } finally alertQ.stop()
+    assert(alarms.nonEmpty && alarms.head.side == 1 && alarms.head.seq >= 6,
+      s"storage-debt growth must page upward after night 6: $alarms")
+  }
+
   test("eraseEntities: three users, one locate pass, one rewrite cycle, per-user audit") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("multi_erase").toString
