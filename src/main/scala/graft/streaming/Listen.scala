@@ -169,18 +169,44 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
   }
 
   private final class Subscriber(val pattern: Pattern, socket: Socket,
-                                 capacity: Int, val dropOldest: Boolean) {
+                                 capacity: Int, val dropOldest: Boolean,
+                                 protoFrames: Boolean = false) {
     val queue = new ArrayBlockingQueue[String](capacity)
     val drops = new AtomicLong(0)
     val ready = new CountDownLatch(1) // registration visible before first event
     private val gone = new AtomicBoolean(false)
     val writerThread: Thread = daemon(s"listen-sub-writer") {
-      val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
       try {
-        ready.countDown()
-        while (!closed.get && !gone.get) {
-          val line = queue.poll(200, TimeUnit.MILLISECONDS)
-          if (line != null) { w.write(line); w.write('\n'); w.flush() }
+        if (protoFrames) {
+          // BINARY mode ("format":"proto" in the handshake): each event as
+          // a varint-length-prefixed pqs.Event protobuf frame — the proven
+          // ProtoWire bytes to a plain socket, the last engine-side step
+          // short of gRPC itself. Conversion happens HERE, per subscriber,
+          // so the hub's hot path and JSON subscribers are untouched.
+          val out = new java.io.BufferedOutputStream(socket.getOutputStream)
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          ready.countDown()
+          while (!closed.get && !gone.get) {
+            val line = queue.poll(200, TimeUnit.MILLISECONDS)
+            if (line != null) {
+              val n = om.readTree(line)
+              def s(f: String) = Option(n.get(f)).map(_.asText()).getOrElse("")
+              def doc(f: String) = Option(n.get(f)).map(_.toString).orNull
+              val frame = ProtoWire.eventBytes(s("schema"), s("table"),
+                s("op"), s("id"), doc("payload"), doc("changes"))
+              var v = frame.length
+              while ((v & ~0x7F) != 0) { out.write((v & 0x7F) | 0x80); v >>>= 7 }
+              out.write(v)
+              out.write(frame); out.flush()
+            }
+          }
+        } else {
+          val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+          ready.countDown()
+          while (!closed.get && !gone.get) {
+            val line = queue.poll(200, TimeUnit.MILLISECONDS)
+            if (line != null) { w.write(line); w.write('\n'); w.flush() }
+          }
         }
       } catch { case _: Throwable => () } // client went away: unregister below
       finally remove()
@@ -231,7 +257,9 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
               .flatMap(v => scala.util.Try(v.toInt).toOption)
               .filter(_ > 0).getOrElse(queueCapacity)
             val dropOldest = handshakeField(first, "policy").contains("drop-oldest")
-            val s = new Subscriber(p, socket, cap, dropOldest)
+            // "format":"proto" = varint-length-prefixed pqs.Event frames
+            val proto = handshakeField(first, "format").contains("proto")
+            val s = new Subscriber(p, socket, cap, dropOldest, proto)
             subs.put(s, java.lang.Boolean.TRUE)
             s.ready.await(5, TimeUnit.SECONDS)
             // reader side: only used to detect client disconnect

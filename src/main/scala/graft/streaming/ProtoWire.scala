@@ -104,6 +104,123 @@ object ProtoWire {
         r.getString(3), r.getString(4), r.getString(5)))
   }
 
+  /** Decoded `pqs.Event` — op back as its name, structs back as JSON
+    * text (the engine's payload currency). */
+  case class Event(schema: String, table: String, op: String, id: String,
+                   payload: String, changes: String)
+
+  private val opNames = Array("UNKNOWN", "INSERT", "UPDATE", "DELETE", "TRUNCATE")
+
+  private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val x = b(pos); pos += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def lenDelim(): Reader = {
+      val n = varint().toInt
+      val r = new Reader(b, pos, pos + n); pos += n; r
+    }
+    def str(): String = {
+      val n = varint().toInt
+      val s = new String(b, pos, n, "UTF-8"); pos += n; s
+    }
+    def fixed64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (b(pos).toLong & 0xFF) << (8 * i); pos += 1; i += 1 }
+      v
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case 2 => val n = varint().toInt; pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+  }
+
+  private def readValue(r: Reader): com.fasterxml.jackson.databind.JsonNode = {
+    val nf = mapper.getNodeFactory
+    var out: com.fasterxml.jackson.databind.JsonNode = nf.nullNode()
+    while (r.hasMore) {
+      val t = r.varint()
+      ((t >>> 3).toInt, (t & 7).toInt) match {
+        case (1, 0) => r.varint(); out = nf.nullNode()
+        case (2, 1) => out = nf.numberNode(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (3, 2) => out = nf.textNode(r.str())
+        case (4, 0) => out = nf.booleanNode(r.varint() != 0L)
+        case (5, 2) => out = readStruct(r.lenDelim())
+        case (6, 2) =>
+          val arr = mapper.createArrayNode()
+          val lv = r.lenDelim()
+          while (lv.hasMore) {
+            val lt = lv.varint()
+            if ((lt >>> 3).toInt == 1) arr.add(readValue(lv.lenDelim()))
+            else lv.skip((lt & 7).toInt)
+          }
+          out = arr
+        case (_, w) => r.skip(w)
+      }
+    }
+    out
+  }
+
+  private def readStruct(r: Reader): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val obj = mapper.createObjectNode()
+    while (r.hasMore) {
+      val t = r.varint()
+      if ((t >>> 3).toInt == 1 && (t & 7).toInt == 2) {
+        val e = r.lenDelim()
+        var key: String = null
+        var value: com.fasterxml.jackson.databind.JsonNode = mapper.nullNode()
+        while (e.hasMore) {
+          val et = e.varint()
+          ((et >>> 3).toInt, (et & 7).toInt) match {
+            case (1, 2) => key = e.str()
+            case (2, 2) => value = readValue(e.lenDelim())
+            case (_, w) => e.skip(w)
+          }
+        }
+        if (key != null) obj.set[com.fasterxml.jackson.databind.JsonNode](key, value)
+      } else r.skip((t & 7).toInt)
+    }
+    obj
+  }
+
+  /** DECODER — the consuming direction: the engine can now ingest a
+    * pqstream `Event` feed, not only produce one (pqstream-to-pqstream
+    * bridging; unknown fields skipped per proto3 forward-compatibility).
+    * Built hand-rolled like the encoder, but NOT trusted on its own
+    * word: `ProtoWireSpec` pins the encode→decode round trip AND both
+    * directions against the real protobuf runtime.
+    */
+  def decodeEvent(bytes: Array[Byte]): Event = {
+    val r = new Reader(bytes, 0, bytes.length)
+    var schema = ""; var table = ""; var op = "UNKNOWN"; var id = ""
+    var payload: String = null; var changes: String = null
+    while (r.hasMore) {
+      val t = r.varint()
+      ((t >>> 3).toInt, (t & 7).toInt) match {
+        case (1, 2) => schema = r.str()
+        case (2, 2) => table = r.str()
+        case (3, 0) =>
+          val c = r.varint().toInt
+          op = if (c >= 0 && c < opNames.length) opNames(c) else "UNKNOWN"
+        case (4, 2) => id = r.str()
+        case (5, 2) => payload = readStruct(r.lenDelim()).toString
+        case (6, 2) => changes = readStruct(r.lenDelim()).toString
+        case (_, w) => r.skip(w)
+      }
+    }
+    Event(schema, table, op, id, payload, changes)
+  }
+
   /** `message Event` bytes: schema=1, table=2, op=3 (enum), id=4,
     * payload=5 (Struct), changes=6 (Struct). Null/empty JSON docs omit
     * their field (proto3 absence, matching the jsonpb envelope's

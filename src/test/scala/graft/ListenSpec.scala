@@ -169,6 +169,45 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("binary subscriber: varint-framed pqs.Event protobuf over the same hub") {
+    val server = new ListenServer()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+      w.write("""{"tableRegexp":"events","format":"proto"}""" + "\n"); w.flush()
+      awaitSubs(server, 1)
+      server.publish("events",
+        """{"schema":"public","table":"events","op":"UPDATE","id":"42",""" +
+          """"payload":{"k":2,"tag":"café"},"changes":{"k":1}}""")
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      sock.setSoTimeout(5000)
+      def varint(): Int = {
+        var shift = 0; var v = 0
+        while (true) {
+          val x = in.read(); assert(x >= 0, "stream closed mid-varint")
+          v |= (x & 0x7F) << shift
+          if ((x & 0x80) == 0) return v
+          shift += 7
+        }
+        v
+      }
+      val frame = new Array[Byte](varint())
+      var off = 0
+      while (off < frame.length) {
+        val n = in.read(frame, off, frame.length - off)
+        assert(n > 0, "stream closed mid-frame"); off += n
+      }
+      val ev = graft.streaming.ProtoWire.decodeEvent(frame)
+      assert(ev.schema == "public" && ev.table == "events" &&
+        ev.op == "UPDATE" && ev.id == "42")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      assert(om.readTree(ev.payload).get("k").asDouble() == 2.0)
+      assert(om.readTree(ev.payload).get("tag").asText() == "café")
+      assert(om.readTree(ev.changes).get("k").asDouble() == 1.0)
+      sock.close()
+    } finally server.close()
+  }
+
   test("eventJson matches the jsonpb Event shape; absent fields omitted") {
     import spark.implicits._
     val df = Seq(

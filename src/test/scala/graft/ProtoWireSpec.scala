@@ -125,6 +125,27 @@ class ProtoWireSpec extends SparkSuite {
       .map(ProtoWire.opCode) == Seq(0, 1, 2, 3, 4))
   }
 
+  test("decoder round trip: encode -> decode preserves every field and payload tree") {
+    val payload = """{"k": 7, "s": "héllo\n", "arr": [1, null, {"d": true}], "o": {"x": 1.25}}"""
+    val changes = """{"k": 9}"""
+    val ev = ProtoWire.decodeEvent(
+      ProtoWire.eventBytes("public", "events", "UPDATE", "42", payload, changes))
+    assert(ev.schema == "public" && ev.table == "events" &&
+      ev.op == "UPDATE" && ev.id == "42")
+    assert(mapper.readTree(ev.payload) == normNum(mapper.readTree(payload)))
+    assert(mapper.readTree(ev.changes) == normNum(mapper.readTree(changes)))
+    // omission decodes to proto3 defaults / absent structs
+    val d = ProtoWire.decodeEvent(ProtoWire.eventBytes("", "t", "DELETE", "9", null, null))
+    assert(d.schema == "" && d.op == "DELETE" && d.payload == null && d.changes == null)
+    // forward compatibility: a decoder must skip unknown fields — splice
+    // an unknown field 9 (varint) + field 10 (len-delimited) in front
+    val base = ProtoWire.eventBytes("s", "t", "INSERT", "1", """{"a":1}""", null)
+    val spliced = Array[Byte]((9 << 3).toByte, 5, ((10 << 3) | 2).toByte, 2, 1, 2) ++ base
+    val f = ProtoWire.decodeEvent(spliced)
+    assert(f.table == "t" && f.op == "INSERT" &&
+      mapper.readTree(f.payload) == normNum(mapper.readTree("""{"a":1}""")))
+  }
+
   test("eventFrames: envelope columns to wire-ready frames, distributed") {
     import spark.implicits._
     val df = Seq(
