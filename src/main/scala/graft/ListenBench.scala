@@ -82,6 +82,51 @@ object ListenBench {
       println(s"""{"metric":"listen_throughput_socket","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
     }
 
+    // binary subscriber: the proto path pays one Jackson parse + one
+    // ProtoWire encode per DELIVERED event at the subscriber edge —
+    // measure that cost next to the JSON line path above
+    withHub { server =>
+      val done = new AtomicLong(0)
+      val readers = (1 to nSubs).map { _ =>
+        val t = new Thread(() => {
+          try {
+            val sock = new Socket("127.0.0.1", server.boundPort)
+            val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+            w.write("""{"tableRegexp":".*","format":"proto"}""" + "\n"); w.flush()
+            val in = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
+            var got = 0
+            var open = true
+            while (open && got < n) {
+              var shift = 0; var len = 0; var more = true
+              while (more) {
+                val x = in.read()
+                if (x < 0) { open = false; more = false }
+                else {
+                  len |= (x & 0x7F) << shift
+                  if ((x & 0x80) == 0) more = false else shift += 7
+                }
+              }
+              if (open && in.readNBytes(len).length == len) got += 1
+              else open = false
+            }
+            done.addAndGet(got.toLong)
+            sock.close()
+          } catch { case _: Throwable => () }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (server.subscriberCount < nSubs && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { server.publish("events", event); i += 1 }
+      readers.foreach(_.join(120000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      println(s"""{"metric":"listen_throughput_proto","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
+    }
+
     // slow-consumer overflow: the loss/freshness trade between the two
     // subscriber policies. One reader pacing 1 ms/event against a burst it
     // cannot absorb; both policies lose events (at-most-once either way) —
