@@ -3,7 +3,7 @@ package graft
 import graft.ops.{Dedup, Similarity}
 import graft.streaming.CdcStream
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Public API facade — the library's front door for use OUTSIDE the driver
   * harness. Everything here is a thin delegate to the operator objects
@@ -294,4 +294,54 @@ object Graft {
       : Dataset[graft.streaming.SchemaDrift.KeyAlert] =
     graft.streaming.SchemaDrift.alerts(
       graft.streaming.SchemaDrift.keyRows(stream), stateTtl)
+
+  /** Online corpus-novelty monitor over a streaming frame with (group,
+    * content) columns: per micro-batch and group, the estimated all-time
+    * distinct before/after and the novel delta — k longs of state per
+    * group forever ([[graft.streaming.WindowSketches.kmvNovelty]]; feed
+    * `est_novel` to [[graft.streaming.WindowSketches.cusumAlerts]] via
+    * `noveltySeries` to page on novelty collapse).
+    */
+  def noveltyMonitor(stream: DataFrame, groupCol: String = "group",
+                     contentCol: String = "text")
+      : Dataset[graft.streaming.WindowSketches.NoveltyPoint] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.streaming.WindowSketches.kmvNovelty(
+      stream.select(col(groupCol).cast("string").as("group"),
+        xxhash64(col(contentCol)).as("h"))
+        .as[graft.streaming.WindowSketches.HashRow])
+  }
+
+  /** Integer-logit quality gate over a documents frame: (doc_id,
+    * logit_micro, keep) under the published fixed weights — bit-exact at
+    * any parallelism, one narrow scan
+    * ([[graft.ops.TextStats.qualityLogit]] / the trained loop in
+    * [[graft.ops.QualityModel]]).
+    */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TextStats.qualityLogit(spark, sfDir)
+
+  /** GDPR erasure against a (day, op) archive: remove the entities'
+    * history (only affected partitions rewritten, null keys survive,
+    * tombstones block replay resurrection) and return the per-(user,
+    * day) audit ([[graft.sources.Layout.eraseEntities]]).
+    */
+  def erase(spark: SparkSession, archivePath: String, userIds: Seq[Long]): DataFrame =
+    graft.sources.Layout.eraseEntities(spark, archivePath, userIds)
+
+  /** Hot-key promotion, both halves: advise with the `cdc_key_promotion`
+    * census, then materialize advisor rows into typed columns
+    * ([[graft.cdc.Promotion.materialize]]).
+    */
+  def promoteKeys(docs: DataFrame, docCol: String,
+                  keys: Seq[(String, String)]): DataFrame =
+    graft.cdc.Promotion.materialize(docs, docCol, keys)
+
+  /** Wire-ready `pqs.Event` protobuf frames from the jsonpb envelope
+    * columns ([[graft.streaming.ProtoWire.eventFrames]]); decode a
+    * pqstream feed with [[graft.streaming.ProtoWire.decodeEvent]].
+    */
+  def protoFrames(envelope: DataFrame): Dataset[Array[Byte]] =
+    graft.streaming.ProtoWire.eventFrames(envelope)
 }

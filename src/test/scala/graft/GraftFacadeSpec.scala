@@ -92,4 +92,45 @@ class GraftFacadeSpec extends SparkSuite {
     assert(df.isStreaming)
     assert(df.schema.fieldNames.toSeq == Seq("event_id", "ts", "event"))
   }
+
+  test("r10 facade entries delegate to the registry-verified operators") {
+    import org.apache.spark.sql.functions._
+    // qualityGate == the oracle-gated query, row-for-row
+    val gate = Graft.qualityGate(spark, sf)
+    val direct = graft.ops.TextStats.qualityLogit(spark, sf)
+    assert(gate.exceptAll(direct).isEmpty && direct.exceptAll(gate).isEmpty)
+    // promoteKeys == Promotion.materialize
+    import spark.implicits._
+    val docs = Seq((1L, """{"k": 5, "plan": "pro"}""")).toDF("id", "payload")
+    val p = Graft.promoteKeys(docs, "payload", Seq("k" -> "number")).select("k").head
+    assert(p.getDouble(0) == 5.0)
+    // protoFrames round-trips through the decoder
+    val env = Seq(("s", "t", "INSERT", "1", """{"a":1}""", null.asInstanceOf[String]))
+      .toDF("schema", "table", "op", "id", "payload", "changes")
+    val ev = graft.streaming.ProtoWire.decodeEvent(Graft.protoFrames(env).head())
+    assert(ev.op == "INSERT" && ev.table == "t")
+    // noveltyMonitor is the kmvNovelty pipeline on hashed content
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = Graft.noveltyMonitor(in.toDS().toDF("group", "text"))
+      .writeStream.format("memory").queryName("facade_nov")
+      .outputMode("append").start()
+    val pts = try {
+      in.addData(("g", "alpha"), ("g", "beta"), ("g", "alpha"))
+      q.processAllAvailable()
+      spark.table("facade_nov")
+        .as[graft.streaming.WindowSketches.NoveltyPoint].collect().toSeq
+    } finally q.stop()
+    assert(pts.head.n_rows == 3 && pts.head.est_novel == 2.0, s"got $pts")
+    // erase delegates to eraseEntities (shape check on a tiny archive)
+    val adir = java.nio.file.Files.createTempDirectory("facade_erase").toString
+    graft.sources.Layout.writeEventArchive(
+      graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+        .limit(500), adir)
+    val target = spark.read.parquet(adir).agg(min("user_id")).head.getLong(0)
+    val audit = Graft.erase(spark, adir, Seq(target))
+    assert(audit.columns.toSeq == Seq("user_id", "day", "rows_removed"))
+    assert(spark.read.parquet(adir).filter(col("user_id") === target).count() == 0)
+  }
 }
