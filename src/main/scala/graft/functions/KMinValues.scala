@@ -101,7 +101,14 @@ object KMinValues {
     */
   def estimateDistinct(sk: Buf, k: Int): Double =
     if (sk.length < k) sk.length.toDouble
-    else (k - 1).toDouble / frac(sk(k - 1))
+    else {
+      // frac() can be exactly 0.0 only for the degenerate kth minimum of
+      // raw hash 0 (flipped Long.MinValue) — a representable, if planted,
+      // input. Clamp the denominator to one ulp of the hash range so the
+      // estimate stays finite instead of Infinity.
+      val f = math.max(frac(sk(k - 1)), 1.0 / TwoPow64)
+      (k - 1).toDouble / f
+    }
 
   /** (|A∪B| estimate, |A∩B| estimate) from two sketches built with the
     * same k and hash. θ-cut: combine to the union sketch, count common

@@ -278,6 +278,17 @@ object Layout {
       .filter(col("day").isin(days: _*)).filter(hit)
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("rows_removed"))
       .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2))).toSeq
+    // cutoff for the tombstones, taken BEFORE the rewrite: the erased
+    // user may hold the archive's highest event_ids, and a survivors-only
+    // max would then sit BELOW them — a replayed batch carrying those
+    // rows would pass the `event_id <= cutoff_id` guard and resurrect
+    // erased data. Pre-rewrite max covers every id any replayable batch
+    // can carry. Non-null by construction here: days.nonEmpty implies the
+    // archive holds at least the located rows.
+    val cutoffRow = spark.read.parquet(path).agg(max(col("event_id"))).head
+    require(!cutoffRow.isNullAt(0),
+      "archive row located but max(event_id) is null — corrupt archive")
+    val cutoff = cutoffRow.getLong(0)
     val census = spark.read.parquet(path)
       .filter(col("day").isin(days: _*))
       .groupBy(col("day"), col("op"))
@@ -322,8 +333,8 @@ object Layout {
     // replayed rows carry ids ≤ cutoff (their batch was committed before
     // the erasure) and are dropped on append; the user's GENUINELY NEW
     // rows carry higher ids and flow — erasure stays point-in-time.
-    val cutoff = spark.read.parquet(path)
-      .agg(max(col("event_id"))).head.getLong(0)
+    // (cutoff was measured pre-rewrite, above, so it bounds the erased
+    // user's own ids too.)
     userIds.map(u => (u, cutoff)).toDF("t_user", "cutoff_id")
       .coalesce(1).write.mode("append").parquet(s"$path/_tombstones")
     audit.sortBy(t => (t._1, t._2.toString))

@@ -47,7 +47,7 @@ final class JdbcFeed(url: String, table: String) extends CdcSource.ChangeFeed {
     * `AVG(LENGTH(...))` over the sampled range instead of the default's
     * fetch-and-measure (sizing must never double-read the feed).
     */
-  override def avgRowBytes(fromExclusive: Long, toInclusive: Long): Double = {
+  override def avgRowBytes(fromExclusive: Long, toInclusive: Long): Double = JdbcFeed.withRetry() {
     val conn = DriverManager.getConnection(url)
     try {
       val ps = conn.prepareStatement(
@@ -236,7 +236,7 @@ object GenericProbe {
     * `sampleRows` double-read of the head is the documented price.
     */
   def avgRowBytes(spec: CdcSource.GenericJdbcSpec, fromExclusive: Long,
-                  toInclusive: Long, sampleRows: Int = 256): Double = {
+                  toInclusive: Long, sampleRows: Int = 256): Double = JdbcFeed.withRetry() {
     val conn = DriverManager.getConnection(spec.url)
     try {
       val ps = conn.prepareStatement(

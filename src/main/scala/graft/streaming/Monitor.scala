@@ -65,13 +65,41 @@ object Monitor {
     // shared async thread for every query's events, so a slow parquet
     // write inline would stall progress delivery session-wide (and a flush
     // racing session shutdown would throw from the listener callback).
-    private val flusher = Executors.newSingleThreadExecutor { r =>
-      val t = new Thread(r, "graft-monitor-flush"); t.setDaemon(true); t
+    // Created LAZILY and only on the sink path: a sink-less listener (the
+    // common in-memory-ring use) must not cost a thread, and a session
+    // that attaches repeatedly without detaching must not accumulate
+    // idle flusher threads.
+    private[this] val flusherRef =
+      new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.ExecutorService]()
+    private def flusher: java.util.concurrent.ExecutorService = {
+      val cur = flusherRef.get()
+      if (cur != null) cur
+      else {
+        val fresh = Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r, "graft-monitor-flush"); t.setDaemon(true); t
+        }
+        if (flusherRef.compareAndSet(null, fresh)) fresh
+        else { fresh.shutdown(); flusherRef.get() }
+      }
     }
     @volatile private[Monitor] var session: SparkSession = _
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      // idle-reap: when the LAST streaming query of the session ends, the
+      // flusher thread has nothing left to serve — drain the spool and
+      // release it (it re-creates lazily if another query starts). This
+      // keeps a never-detached sink-ful listener from pinning a thread
+      // for the session's lifetime.
+      val s = session
+      if (s != null && s.streams.active.isEmpty) {
+        val f = flusherRef.getAndSet(null)
+        if (f != null) {
+          f.execute(() => flush())
+          f.shutdown()
+        }
+      }
+    }
 
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
@@ -143,8 +171,13 @@ object Monitor {
     }
 
     private[Monitor] def shutdown(): Unit = {
-      flusher.shutdown()
-      flusher.awaitTermination(10, TimeUnit.SECONDS)
+      // do NOT force the lazy executor just to stop it — a sink-less (or
+      // never-flushed) listener has no thread to reap
+      val f = flusherRef.getAndSet(null)
+      if (f != null) {
+        f.shutdown()
+        f.awaitTermination(10, TimeUnit.SECONDS)
+      }
     }
   }
 

@@ -438,4 +438,57 @@ class LayoutSpec extends SparkSuite {
       .filter(col("user_id") === target && col("event_id") === erased._1 + 5000000L)
       .count() == 1, "post-cutoff rows of the entity must still flow")
   }
+
+  test("tombstone cutoff is pre-rewrite: erased user holding the max event_id stays erased under replay") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("erase_maxid").toString
+    // target (user 7) OWNS the archive's highest event_id — a survivors-only
+    // cutoff would sit below id 5 and let a replay resurrect it
+    val rows = Seq(
+      (1L, ts("2030-01-01 10:00:00"), 7L, "INSERT", "{}"),
+      (2L, ts("2030-01-01 11:00:00"), 8L, "INSERT", "{}"),
+      (3L, ts("2030-01-02 10:00:00"), 8L, "UPDATE", "{}"),
+      (5L, ts("2030-01-02 11:00:00"), 7L, "UPDATE", "{}"))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    Layout.writeEventArchive(rows, dir)
+    Layout.eraseEntity(spark, dir, 7L)
+    val cutoff = spark.read.parquet(s"$dir/_tombstones")
+      .agg(max(col("cutoff_id"))).head.getLong(0)
+    assert(cutoff == 5L, s"cutoff must be the PRE-rewrite max (5), got $cutoff")
+    // marker-gap replay carrying the target's own max-id row: must be dropped
+    val ghost = Seq((5L, ts("2030-01-02 11:00:00"), 7L, "UPDATE", "{}"))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    assert(Layout.appendArchiveBatch(ghost, dir, 42L))
+    assert(spark.read.parquet(dir).filter(col("user_id") === 7L).count() == 0,
+      "replayed max-id row resurrected the erased user")
+  }
+
+  test("erasure that empties the archive entirely neither NPEs nor loses the tombstone") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("erase_all").toString
+    val rows = Seq(
+      (1L, ts("2030-01-01 10:00:00"), 7L, "INSERT", "{}"),
+      (2L, ts("2030-01-02 11:00:00"), 7L, "UPDATE", "{}"))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    Layout.writeEventArchive(rows, dir)
+    val audit = Layout.eraseEntity(spark, dir, 7L).collect()
+    assert(audit.map(_.getLong(1)).sum == 2L)
+    val cutoff = spark.read.parquet(s"$dir/_tombstones")
+      .agg(max(col("cutoff_id"))).head.getLong(0)
+    assert(cutoff == 2L, s"empty-archive erasure must still record pre-rewrite max, got $cutoff")
+    // replay into the now-empty archive: tombstone still guards it (the
+    // extra user-8 row keeps the post-replay archive readable — an
+    // all-dropped append writes no data files)
+    val ghost = Seq(
+      (1L, ts("2030-01-01 10:00:00"), 7L, "INSERT", "{}"),
+      (10L, ts("2030-01-03 10:00:00"), 8L, "INSERT", "{}"))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    assert(Layout.appendArchiveBatch(ghost, dir, 43L))
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("user_id") === 7L && col("event_id") <= 2L).count() == 0,
+      "tombstone must survive an erase-all and guard the empty archive")
+    assert(back.count() == 1L, "the non-erased replay row must land")
+  }
 }
