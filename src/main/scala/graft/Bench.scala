@@ -21,29 +21,42 @@ object Bench {
     val wanted =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
-    // each query is timed REPS times and the min reported: a single timed
+    // Each query is timed REPS times and the min reported: a single timed
     // pass is hostage to whatever else the box is doing (BENCH_r04 recorded
     // 26.3 s for a query two clean runs measure at 1.15 s — one contended
-    // driver run distorted the round's headline artifact by >2×). min-of-2
-    // keeps the driver contract (same JSON line) while making the number
-    // reproducible; a real regression slows BOTH passes, so nothing hides.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = wanted.map { case (name, fn) =>
+    // driver run distorted the round's headline artifact by >2×).
+    // PASS-MAJOR interleaving (the r10 verdict's fix): the full query sweep
+    // runs REPS times and the min is taken ACROSS passes. Query-major
+    // back-to-back reps put both samples of one query inside the same
+    // minutes-long host-contention window, so min-of-N couldn't filter it
+    // (r10's artifact: ops_term_drift [0.96, 1.96] — both reps inside the
+    // window, 3.3× apparent regression on untouched code). With a full
+    // sweep (~minutes) between a query's samples, a drift window inflates
+    // each query in at most ONE pass, and the min recovers the quiet
+    // number by construction. Default raised to 3 passes per the same
+    // verdict. A real regression slows EVERY pass, so nothing hides.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val order = wanted.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; name <- order) {
+      val fn = wanted(name)
       // noop sink forces FULL materialization of every output column;
       // count() would let Spark prune projection work (an aggregation-only
       // count is not the query) — honest timing for projection-heavy ops
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); false }
-        // a failed query records -1, NOT its (near-zero) elapsed time — a
-        // breakage must never improve the headline number
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> ((if (times.exists(_ < 0)) -1.0 else times.min, times))
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false }
+      // a failed query records -1, NOT its (near-zero) elapsed time — a
+      // breakage must never improve the headline number
+      samples(name) = samples(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = order.map { name =>
+      val times = samples(name)
+      name -> ((if (times.exists(_ < 0)) -1.0 else times.min, times))
+    }.toMap
     // ms-grain rounding keeps the artifact line short enough that the
     // driver's 2000-char stdout tail reaches past dozens of per-rep arrays
     // into the scalar summary; sub-ms digits are noise at these runtimes
