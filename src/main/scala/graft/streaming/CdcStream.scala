@@ -197,6 +197,113 @@ object CdcStream {
       .transformWithState(new PrevImageProcessor(ttl), mode, OutputMode.Append())
   }
 
+  /** Erasure-aware twin of [[PrevImageProcessor]] — GDPR erasure REACHING
+    * STREAMING STATE (the r10 verdict's top gap: archive tombstones,
+    * `Layout.eraseEntities`, cannot touch the prev-image payload a
+    * checkpoint holds durably for an erased user). `erased` is the
+    * broadcast erasure set the archive already writes — (user_id →
+    * cutoff event_id), see [[StateErasure.erasureSet]] — shipped in the
+    * processor closure (bounded by erasure-request count, not key count).
+    *
+    * Per erased key, ON FIRST ENCOUNTER after the erasure: the "prev"
+    * payload state is cleared, so the next genuine event emits
+    * `previous = null` (first-sight semantics — erasure is point-in-time,
+    * the entity returning later is new data). A second state variable
+    * ("erasedAt", the cutoff already applied) makes the clear
+    * RESTART-IDEMPOTENT: a query bounced with the same erasure config
+    * must not re-clear state a post-erasure event legitimately rebuilt.
+    * Input rows at `event_id <= cutoff` are DROPPED — the same
+    * point-in-time guard the archive's tombstone anti-join applies
+    * ([[graft.sources.Layout.appendArchiveBatch]]), so a replayed
+    * pre-erasure batch cannot resurrect the payload through the state
+    * path either; this is the end-to-end composition with
+    * [[dedupeReplays]]' replay discipline the tombstone contract needs.
+    *
+    * A key held in state but NEVER seen again would otherwise keep its
+    * payload forever (handlers only fire for keys with input) —
+    * [[StateErasure.eraseSentinels]] closes that: one synthetic command
+    * row per erased key (event_id = cutoff, so the row itself is dropped
+    * by the cutoff guard after forcing the handler invocation).
+    *
+    * State-var layout stays backward-compatible with
+    * [[PrevImageProcessor]] ("prev" unchanged; "erasedAt" is additive),
+    * so an EXISTING checkpoint resumes under this processor with no
+    * migration — the targeted-removal deployment shape.
+    */
+  class ErasingPrevImageProcessor(erased: Map[Long, Long],
+                                  ttl: Option[java.time.Duration] = None)
+      extends StatefulProcessorWithInitialState[Long, RawChange, CdcEvent, String] {
+    @transient private var prevState: ValueState[String] = _
+    @transient private var erasedAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+      // deliberately TTL-free: the erasure receipt must outlive idle-state
+      // eviction, or a bounced query would re-clear a rebuilt payload
+      erasedAt = getHandle.getValueState[Long]("erasedAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Fresh-checkpoint resume (migration + erasure in one step): erased
+      * keys are not seeded, and their receipt is stamped so later
+      * restarts stay idempotent.
+      */
+    override def handleInitialState(key: Long, initial: String,
+                                    timerValues: TimerValues): Unit =
+      erased.get(key) match {
+        case Some(cutoff) => erasedAt.update(cutoff)
+        case None         => prevState.update(initial)
+      }
+
+    override def handleInputRows(key: Long, rows: Iterator[RawChange],
+                                 timerValues: TimerValues): Iterator[CdcEvent] = {
+      // sentinels are commands, never data — dropped unconditionally, so a
+      // stray one (erasure config trimmed between restarts) can't fold a
+      // null payload into the image
+      val data = rows.filter(_.event_type != "erase")
+      val live = erased.get(key) match {
+        case Some(cutoff) =>
+          val applied = erasedAt.exists() && erasedAt.get() >= cutoff
+          if (!applied) { prevState.clear(); erasedAt.update(cutoff) }
+          data.filter(_.event_id > cutoff)
+        case None => data
+      }
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val (out, p1) = foldChanges(live, p0)
+      p1.foreach(prevState.update)
+      out.iterator
+    }
+  }
+
+  /** [[withPrevStateTws]] under the erasure-aware processor — resume an
+    * EXISTING checkpoint with this (same source, same checkpoint dir) to
+    * apply targeted key removal in place; see [[StateErasure]] for the
+    * full recipe including the sentinel injection.
+    */
+  def withPrevStateTwsErasing(ds: Dataset[RawChange], erased: Map[Long, Long],
+                              ttl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ErasingPrevImageProcessor(erased, ttl), mode,
+        OutputMode.Append())
+  }
+
+  /** Fresh-checkpoint twin of [[withPrevStateTwsErasing]]: migrated
+    * initial state with the erasure applied at seed time.
+    */
+  def withPrevStateTwsErasingFrom(ds: Dataset[RawChange], erased: Map[Long, Long],
+                                  initial: Dataset[(Long, String)],
+                                  ttl: Option[java.time.Duration] = None): Dataset[CdcEvent] = {
+    import ds.sparkSession.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ErasingPrevImageProcessor(erased, ttl), mode,
+        OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   /** [[withPrevStateTws]] seeded with migrated state — the RESUME side of a
     * flatMapGroupsWithState → transformWithState checkpoint migration.
     * Same [[PrevImageProcessor]] as the normal path, with its migration

@@ -28,31 +28,48 @@ object GenericRoundtrip {
       Integer.toHexString(sfDir.hashCode).takeRight(8)
     graft.sources.TextFormats.ensureDrop(spark, dir,
       graft.sources.TextFormats.eventsFingerprint(spark, sfDir)) { _ =>
-      val rows = graft.Tables.load(spark, sfDir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("props"))
-        .collect() // staging fixture load: bounded by the sf events table
       val db = "gencap" + Integer.toHexString(sfDir.hashCode).takeRight(8)
       val url = s"jdbc:derby:memory:$db;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        conn.createStatement().execute(
-          "CREATE TABLE gen_events (seq BIGINT PRIMARY KEY, ts TIMESTAMP, " +
-            "user_id BIGINT, event_type VARCHAR(64), props VARCHAR(32000))")
-        val ps = conn.prepareStatement("INSERT INTO gen_events VALUES (?,?,?,?,?)")
-        var i = 0
-        rows.foreach { r =>
-          ps.setLong(1, r.getLong(0))
-          ps.setTimestamp(2, r.getTimestamp(1))
-          ps.setLong(3, r.getLong(2))
-          ps.setString(4, r.getString(3))
-          ps.setString(5, r.getString(4))
-          ps.addBatch()
-          i += 1
-          if (i % 1000 == 0) ps.executeBatch()
+      try conn.createStatement().execute(
+        "CREATE TABLE gen_events (seq BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+          "user_id BIGINT, event_type VARCHAR(64), props VARCHAR(32000))")
+      finally conn.close()
+      // EXECUTOR-SIDE fixture load (the CdcSink delivery shape): each
+      // partition streams its rows straight into JDBC batch inserts — no
+      // driver materialization, so an x100 staging (10M rows) never holds
+      // the table in driver heap. The embedded in-memory Derby confines
+      // THIS fixture to one JVM (local[n] satisfies that); against a
+      // server-grade JDBC URL the identical code is cluster-correct.
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("props"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.nonEmpty) {
+            val c = java.sql.DriverManager.getConnection(url)
+            try {
+              c.setAutoCommit(false)
+              val ps = c.prepareStatement("INSERT INTO gen_events VALUES (?,?,?,?,?)")
+              var pending = 0
+              rows.foreach { r =>
+                ps.setLong(1, r.getLong(0))
+                ps.setTimestamp(2, r.getTimestamp(1))
+                ps.setLong(3, r.getLong(2))
+                ps.setString(4, r.getString(3))
+                ps.setString(5, r.getString(4))
+                ps.addBatch()
+                pending += 1
+                if (pending >= 1000) { ps.executeBatch(); pending = 0 }
+              }
+              if (pending > 0) ps.executeBatch()
+              c.commit()
+            } catch {
+              case e: Throwable =>
+                try c.rollback() catch { case r: Throwable => e.addSuppressed(r) }
+                throw e
+            } finally c.close()
+          }
         }
-        ps.executeBatch()
-      } finally conn.close()
       val q = spark.readStream.format("graft.streaming.CdcSourceProvider")
         .option("jdbcUrl", url).option("jdbcTable", "gen_events")
         .option("capture", "generic").option("idColumn", "seq")
