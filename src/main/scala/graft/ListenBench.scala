@@ -127,6 +127,83 @@ object ListenBench {
       println(s"""{"metric":"listen_throughput_proto","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
     }
 
+    // encode-once hoist: the SAME binary fan-out with the frame
+    // pre-encoded (the pipeline-column shape, ProtoWire.eventFrames) —
+    // per-subscriber cost drops to base64-decode + socket write, so the
+    // line should sit within ~1.5× of the JSON path at equal fan-out
+    withHub { server =>
+      val frame = graft.streaming.ProtoWire.framedEventBase64(event)
+      val done = new AtomicLong(0)
+      val readers = (1 to nSubs).map { _ =>
+        val t = new Thread(() => {
+          try {
+            val sock = new Socket("127.0.0.1", server.boundPort)
+            val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+            w.write("""{"tableRegexp":".*","format":"proto"}""" + "\n"); w.flush()
+            val in = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
+            var got = 0
+            var open = true
+            while (open && got < n) {
+              var shift = 0; var len = 0; var more = true
+              while (more) {
+                val x = in.read()
+                if (x < 0) { open = false; more = false }
+                else {
+                  len |= (x & 0x7F) << shift
+                  if ((x & 0x80) == 0) more = false else shift += 7
+                }
+              }
+              if (open && in.readNBytes(len).length == len) got += 1
+              else open = false
+            }
+            done.addAndGet(got.toLong)
+            sock.close()
+          } catch { case _: Throwable => () }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (server.subscriberCount < nSubs && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { server.publish("events", event, frame); i += 1 }
+      readers.foreach(_.join(120000))
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      println(s"""{"metric":"listen_throughput_proto_hoisted","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
+    }
+
+    // resume path: a reconnecting subscriber drains an N-event archive gap
+    // (Layout tail replay) — the cost of catching up vs tailing live
+    {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").appName("listen-bench-resume")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val nGap = math.min(n, 100000)
+      val dir = java.nio.file.Files.createTempDirectory("listen_resume_bench").toString
+      val batch = (0 until nGap).map(i => (i.toLong,
+          new java.sql.Timestamp(1700000000000L + i), i.toLong % 97, "INSERT",
+          s"""{"k":$i,"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props")
+      graft.sources.Layout.writeEventArchive(batch, dir)
+      val server = new ListenServer(
+        replaySource = Some(graft.streaming.ListenResume.archiveReplay(spark, dir)))
+      try {
+        val got = new AtomicLong(0)
+        val t0 = System.nanoTime()
+        PqsClient.runFrom("127.0.0.1", server.boundPort, "events", -1L,
+          _ => got.incrementAndGet(), maxEvents = nGap)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(got.get == nGap, s"resume replay delivered ${got.get}/$nGap")
+        println(s"""{"metric":"listen_resume_replay","events":$nGap,"sec":$sec,"events_per_sec":${(nGap / sec).toLong}}""")
+      } finally { server.close(); spark.stop() }
+    }
+
     // slow-consumer overflow: the loss/freshness trade between the two
     // subscriber policies. One reader pacing 1 ms/event against a burst it
     // cannot absorb; both policies lose events (at-most-once either way) —

@@ -115,8 +115,25 @@ object Listen {
 
 /** The fan-out hub. `port = 0` binds an ephemeral port ([[boundPort]]).
   * All threads are daemons; [[close]] tears everything down.
+  *
+  * `replaySource` (opt-in) upgrades disconnected subscribers from
+  * at-most-once to AT-LEAST-ONCE: a reconnect presenting
+  * `"resumeAfter": <last delivered event id>` first receives the gap
+  * replayed from the archive tail (`afterId => event JSON lines`, see
+  * [[ListenResume.archiveReplay]]), then rejoins the live feed. The
+  * guarantee needs the pipeline to COMMIT each batch to the archive
+  * BEFORE publishing it to the hub (the [[graft.sources.Layout
+  * .appendArchiveBatch]]-then-publish order): the resumed subscriber's
+  * queue registers before the archive scan starts, so every event is
+  * either already archived (covered by the scan) or published after
+  * registration (covered by the queue) — events in both windows arrive
+  * twice, which is the bounded duplication at-least-once admits; clients
+  * needing exactly-once dedup on the event id they already track as the
+  * resume token.
   */
-class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseable {
+class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
+                   replaySource: Option[Long => Iterator[String]] = None)
+    extends AutoCloseable {
 
   private val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
   private val closed = new AtomicBoolean(false)
@@ -148,19 +165,37 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
     * holes earlier in the stream. Loss counts land in [[droppedCount]]
     * either way; the trade is measured in `ListenBench`.
     */
-  def publish(table: String, eventJson: String): Unit = {
+  def publish(table: String, eventJson: String): Unit =
+    publish(table, eventJson, null)
+
+  /** Publish with a PRE-ENCODED proto frame (varint-framed `pqs.Event`,
+    * base64 — [[ProtoWire.eventFrames]] computes it executor-side as a
+    * pipeline column). Proto subscribers enqueue the shared frame as-is;
+    * without one the hub encodes it LAZILY, at most once per published
+    * event — either way the per-DELIVERED Jackson parse + proto encode of
+    * the pre-r11 subscriber edge is gone (it cost ~4× the JSON line path
+    * at 4 subscribers; ListenBench's `listen_throughput_proto_hoisted`
+    * tracks the hoisted number).
+    */
+  def publish(table: String, eventJson: String, protoFrameB64: String): Unit = {
+    var frame = protoFrameB64
+    def frameOnce(): String = {
+      if (frame == null) frame = ProtoWire.framedEventBase64(eventJson)
+      frame
+    }
     val it = subs.keySet.iterator
     while (it.hasNext) {
       val s = it.next()
       if (s.pattern.matcher(table).find()) { // Go RE2 MatchString: unanchored
-        if (!s.queue.offer(eventJson)) {
+        val item = if (s.protoFrames) frameOnce() else eventJson
+        if (!s.queue.offer(item)) {
           if (s.dropOldest) {
             var admitted = false
             while (!admitted) {
               // evict the stalest (races the writer: a null poll means the
               // writer freed the slot itself — nothing was lost)
               if (s.queue.poll() != null) { dropped.incrementAndGet(); s.drops.incrementAndGet() }
-              admitted = s.queue.offer(eventJson)
+              admitted = s.queue.offer(item)
             }
           } else { dropped.incrementAndGet(); s.drops.incrementAndGet() } // at-most-once on the new event
         }
@@ -170,43 +205,50 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
 
   private final class Subscriber(val pattern: Pattern, socket: Socket,
                                  capacity: Int, val dropOldest: Boolean,
-                                 protoFrames: Boolean = false) {
+                                 val protoFrames: Boolean = false,
+                                 replay: () => Iterator[String] = () => Iterator.empty) {
     val queue = new ArrayBlockingQueue[String](capacity)
     val drops = new AtomicLong(0)
     val ready = new CountDownLatch(1) // registration visible before first event
+    // resume ordering: the writer must not START the archive scan until the
+    // queue is registered for live events, or a publish between scan and
+    // registration would be lost (neither archived-at-scan-time nor queued)
+    val registered = new CountDownLatch(1)
     private val gone = new AtomicBoolean(false)
     val writerThread: Thread = daemon(s"listen-sub-writer") {
       try {
-        if (protoFrames) {
-          // BINARY mode ("format":"proto" in the handshake): each event as
-          // a varint-length-prefixed pqs.Event protobuf frame — the proven
-          // ProtoWire bytes to a plain socket, the last engine-side step
-          // short of gRPC itself. Conversion happens HERE, per subscriber,
-          // so the hub's hot path and JSON subscribers are untouched.
+        val emit: String => Unit = if (protoFrames) {
+          // BINARY mode ("format":"proto" in the handshake): queue items
+          // arrive ALREADY ENCODED as varint-framed pqs.Event bytes
+          // (base64) — pre-computed executor-side by the pipeline
+          // ([[ProtoWire.eventFrames]]) or at most once per published
+          // event by the hub; this edge only base64-decodes and writes,
+          // so N proto subscribers share one encode instead of paying
+          // Jackson parse + proto encode per delivery (the pre-r11 shape).
           val out = new java.io.BufferedOutputStream(socket.getOutputStream)
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          ready.countDown()
-          while (!closed.get && !gone.get) {
-            val line = queue.poll(200, TimeUnit.MILLISECONDS)
-            if (line != null) {
-              val n = om.readTree(line)
-              def s(f: String) = Option(n.get(f)).map(_.asText()).getOrElse("")
-              def doc(f: String) = Option(n.get(f)).map(_.toString).orNull
-              val frame = ProtoWire.eventBytes(s("schema"), s("table"),
-                s("op"), s("id"), doc("payload"), doc("changes"))
-              var v = frame.length
-              while ((v & ~0x7F) != 0) { out.write((v & 0x7F) | 0x80); v >>>= 7 }
-              out.write(v)
-              out.write(frame); out.flush()
-            }
+          item => {
+            val bytes = java.util.Base64.getDecoder.decode(item)
+            out.write(bytes); out.flush()
           }
         } else {
           val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
-          ready.countDown()
-          while (!closed.get && !gone.get) {
-            val line = queue.poll(200, TimeUnit.MILLISECONDS)
-            if (line != null) { w.write(line); w.write('\n'); w.flush() }
-          }
+          line => { w.write(line); w.write('\n'); w.flush() }
+        }
+        ready.countDown()
+        registered.await(5, TimeUnit.SECONDS)
+        // gap replay first (empty for plain subscribers), live queue after;
+        // live events arriving DURING the replay buffer in the queue (size
+        // the reconnect's "buffer" accordingly — overflow falls back to the
+        // subscriber's drop policy, same as any slow consumer). Replay
+        // lines are envelope JSON (the archive's durable form); a proto
+        // subscriber's replay converts per line — resume is the cold path.
+        replay().foreach { line =>
+          if (!closed.get && !gone.get)
+            emit(if (protoFrames) ProtoWire.framedEventBase64(line) else line)
+        }
+        while (!closed.get && !gone.get) {
+          val line = queue.poll(200, TimeUnit.MILLISECONDS)
+          if (line != null) emit(line)
         }
       } catch { case _: Throwable => () } // client went away: unregister below
       finally remove()
@@ -237,11 +279,20 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
     val first = in.readLine()
     if (first == null) { socket.close(); return }
     if (handshakeField(first, "ingest").isDefined) {
-      // ingest: executor partitions stream `table \t json` lines at us
+      // ingest: executor partitions stream `table \t json [\t frameB64]`
+      // lines at us (a bare tab cannot appear inside the JSON — it is
+      // always escaped as \t there — so the split is unambiguous); the
+      // optional third field is the pipeline's pre-encoded proto frame
       var line = in.readLine()
       while (line != null && !closed.get) {
         val tab = line.indexOf('\t')
-        if (tab > 0) publish(line.substring(0, tab), line.substring(tab + 1))
+        if (tab > 0) {
+          val tab2 = line.indexOf('\t', tab + 1)
+          if (tab2 > 0)
+            publish(line.substring(0, tab), line.substring(tab + 1, tab2),
+              line.substring(tab2 + 1))
+          else publish(line.substring(0, tab), line.substring(tab + 1))
+        }
         line = in.readLine()
       }
       socket.close()
@@ -259,8 +310,22 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
             val dropOldest = handshakeField(first, "policy").contains("drop-oldest")
             // "format":"proto" = varint-length-prefixed pqs.Event frames
             val proto = handshakeField(first, "format").contains("proto")
-            val s = new Subscriber(p, socket, cap, dropOldest, proto)
+            // "resumeAfter": at-least-once reconnect — replay the archive
+            // gap above the token, then rejoin live (see class doc)
+            val resumeAfter = handshakeField(first, "resumeAfter")
+              .flatMap(v => scala.util.Try(v.toLong).toOption)
+            if (resumeAfter.isDefined && replaySource.isEmpty) {
+              val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+              w.write("{\"error\":\"resumeAfter requires a hub with a replay source\"}\n")
+              w.flush(); socket.close(); return
+            }
+            val replay: () => Iterator[String] = resumeAfter match {
+              case Some(after) => () => replaySource.get(after)
+              case None        => () => Iterator.empty
+            }
+            val s = new Subscriber(p, socket, cap, dropOldest, proto, replay)
             subs.put(s, java.lang.Boolean.TRUE)
+            s.registered.countDown()
             s.ready.await(5, TimeUnit.SECONDS)
             // reader side: only used to detect client disconnect
             try { while (in.readLine() != null) () } catch { case _: Throwable => () }
@@ -296,6 +361,30 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024) extends AutoCloseab
   override def close(): Unit = if (closed.compareAndSet(false, true)) {
     try server.close() catch { case _: Throwable => () }
     subs.keySet.forEach(_.remove())
+  }
+}
+
+/** Gap replay for resumable subscribers: the archive tail
+  * ([[graft.sources.Layout.archiveStream]]'s (day, op) parquet layout) as
+  * event JSON lines above a resume token. The scan is filtered to
+  * `event_id > afterId` (row-group pruned by the layout's key stats) and
+  * streamed to the single consumer via `toLocalIterator` — one partition
+  * in flight, never the whole gap in hub heap. Replay carries what the
+  * archive durably stores (op + payload); the stateful products
+  * (`previous`/`changes`) are per-LIVE-delivery artifacts, exactly like a
+  * reference client that reconnects and re-reads its own WAL.
+  */
+object ListenResume {
+  def archiveReplay(spark: org.apache.spark.sql.SparkSession, path: String,
+                    schema: String = "public", table: String = "events")
+      : Long => Iterator[String] = afterId => {
+    import scala.jdk.CollectionConverters._
+    spark.read.parquet(path)
+      .filter(col("event_id") > afterId)
+      .orderBy(col("event_id"))
+      .select(Listen.eventJson(lit(schema), lit(table), col("op"),
+        col("event_id"), col("props"), lit(null).cast("string")).as("event"))
+      .toLocalIterator().asScala.map(_.getString(0))
   }
 }
 
@@ -336,7 +425,13 @@ final class SocketEventWriter(host: String, port: Int, flushEach: Boolean)
 
   override def process(row: Row): Unit = {
     out.write(row.getString(0)); out.write('\t')
-    out.write(row.getString(1)); out.write('\n')
+    out.write(row.getString(1))
+    // optional third column: the pipeline's pre-encoded proto frame
+    // (ProtoWire.eventFrames) — forwarded so the hub never re-encodes
+    if (row.length > 2 && !row.isNullAt(2)) {
+      out.write('\t'); out.write(row.getString(2))
+    }
+    out.write('\n')
     if (flushEach) out.flush()
   }
 
@@ -370,6 +465,39 @@ object PqsClient {
         line = if (maxEvents > 0 && n >= maxEvents) null else in.readLine()
       }
     } finally socket.close()
+  }
+
+  /** Resumable connection: presents the at-least-once resume token
+    * (`resumeAfter` = the last event id this client saw; -1 for a fresh
+    * subscription against a resume-capable hub). The client's own token
+    * tracking is one JSON field read per line — [[eventId]].
+    */
+  def runFrom(host: String, port: Int, tableRegexp: String, resumeAfter: Long,
+              sink: String => Unit, maxEvents: Int = -1,
+              buffer: Int = 0): Unit = {
+    val socket = new Socket(host, port)
+    try {
+      val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+      val buf = if (buffer > 0) s""","buffer":"$buffer"""" else ""
+      w.write("{\"tableRegexp\":" + jsonQuote(tableRegexp) +
+        s""","resumeAfter":"$resumeAfter"$buf}""" + "\n")
+      w.flush()
+      val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
+      var n = 0
+      var line = in.readLine()
+      while (line != null && (maxEvents <= 0 || n < maxEvents)) {
+        sink(line); n += 1
+        line = if (maxEvents > 0 && n >= maxEvents) null else in.readLine()
+      }
+    } finally socket.close()
+  }
+
+  /** The `"id"` field of an Event JSON line as a Long (-1 if absent/bad) —
+    * what a resumable client tracks as its token.
+    */
+  def eventId(line: String): Long = {
+    val m = java.util.regex.Pattern.compile("\"id\":\"(\\d+)\"").matcher(line)
+    if (m.find()) m.group(1).toLong else -1L
   }
 
   private def jsonQuote(s: String): String =

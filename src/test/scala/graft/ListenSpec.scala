@@ -279,4 +279,115 @@ class ListenSpec extends SparkSuite {
       assert(lines.exists(l => l.contains("\"op\":\"UPDATE\"") && l.contains("\"id\":\"2\"")))
     } finally { q.stop(); server.close() }
   }
+
+  test("resumable subscriber: kill mid-stream, reconnect with token, at-least-once") {
+    import graft.streaming.ListenResume
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("listen_resume").toString
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, t(i), i.toLong % 3, "INSERT", s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    // the deployment order the at-least-once contract needs: archive THE
+    // BATCH first, publish after (every published event is already durable)
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    def archiveThenPublish(ids: Range, batchId: Long): Unit = {
+      assert(graft.sources.Layout.appendArchiveBatch(batch(ids), dir, batchId))
+      ids.foreach(i => server.publish("events",
+        s"""{"schema":"public","table":"events","op":"INSERT","id":"$i","payload":{"k":$i}}"""))
+    }
+    try {
+      // wave 1: a live subscriber takes the first 10 events then dies
+      val got1 = new CopyOnWriteArrayList[String]()
+      val c1 = new Thread(() => PqsClient.run("127.0.0.1", server.boundPort, "events",
+        got1.add(_), maxEvents = 10))
+      c1.setDaemon(true); c1.start()
+      awaitSubs(server, 1)
+      archiveThenPublish(0 until 20, 0L)
+      c1.join(10000)
+      assert(got1.size == 10, s"control subscriber got ${got1.size}")
+      val token = got1.toArray(Array.empty[String]).map(PqsClient.eventId).max
+      assert(token == 9L, s"token $token")
+      // the gap widens while the subscriber is gone
+      archiveThenPublish(20 until 40, 1L)
+
+      // reconnect with the token: the archive gap (10..39) replays first,
+      // then live events (40..49) flow — every event after the token is
+      // delivered at least once
+      val got2 = new CopyOnWriteArrayList[String]()
+      @volatile var done = false
+      val c2 = new Thread(() => {
+        PqsClient.runFrom("127.0.0.1", server.boundPort, "events", token,
+          got2.add(_), maxEvents = 40)
+        done = true
+      })
+      c2.setDaemon(true); c2.start()
+      // wait until the replay has caught up to the archive tail before
+      // publishing wave 3, so its delivery path (live queue) is deterministic
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(15)
+      while (!Option(got2.toArray(Array.empty[String]))
+               .exists(_.exists(l => PqsClient.eventId(l) == 39L)) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      archiveThenPublish(40 until 50, 2L)
+      c2.join(15000)
+      assert(done, s"resumed subscriber stalled at ${got2.size} events")
+      val ids = got2.toArray(Array.empty[String]).map(PqsClient.eventId).toSeq
+      assert(ids.toSet == (10L until 50L).toSet,
+        s"gap not covered: missing ${(10L until 50L).toSet -- ids.toSet}")
+      assert(ids.size == 40, s"unexpected duplication in this sequencing: ${ids.size}")
+      // replayed segment arrives in id order (archive scan is ordered)
+      assert(ids.take(30) == (10L until 40L).toSeq, "replay out of order")
+    } finally server.close()
+  }
+
+  test("3-field ingest forwards the pre-encoded frame: proto subs get it verbatim, JSON subs the line") {
+    import graft.streaming.ProtoWire
+    val server = new ListenServer()
+    try {
+      val json = """{"schema":"public","table":"events","op":"INSERT","id":"5","payload":{"k":5}}"""
+      val frame = ProtoWire.framedEventBase64(json)
+      // one JSON subscriber, one proto subscriber
+      val jsonSub = new Sub(server.boundPort, ".*")
+      val protoGot = new CopyOnWriteArrayList[Array[Byte]]()
+      val protoSock = new Socket("127.0.0.1", server.boundPort)
+      val pw = new BufferedWriter(new OutputStreamWriter(protoSock.getOutputStream, UTF_8))
+      pw.write("""{"tableRegexp":".*","format":"proto"}""" + "\n"); pw.flush()
+      val protoReader = new Thread(() => {
+        try {
+          val in = new java.io.BufferedInputStream(protoSock.getInputStream)
+          var shift = 0; var len = 0; var more = true
+          while (more) {
+            val x = in.read()
+            len |= (x & 0x7F) << shift
+            if ((x & 0x80) == 0) more = false else shift += 7
+          }
+          protoGot.add(in.readNBytes(len))
+        } catch { case _: Throwable => () }
+      })
+      protoReader.setDaemon(true); protoReader.start()
+      awaitSubs(server, 2)
+      // ingest with the optional third field
+      val ing = new Socket("127.0.0.1", server.boundPort)
+      val iw = new BufferedWriter(new OutputStreamWriter(ing.getOutputStream, UTF_8))
+      iw.write("{\"ingest\":true}\n")
+      iw.write(s"events\t$json\t$frame\n"); iw.flush()
+      jsonSub.await(1); protoReader.join(5000)
+      assert(jsonSub.lines.size == 1 && jsonSub.lines.get(0) == json)
+      assert(protoGot.size == 1, "proto subscriber got no frame")
+      val ev = ProtoWire.decodeEvent(protoGot.get(0))
+      assert(ev.table == "events" && ev.op == "INSERT" && ev.id == "5")
+      ing.close(); jsonSub.close(); protoSock.close()
+    } finally server.close()
+  }
+
+  test("resumeAfter against a hub without a replay source is refused loudly") {
+    val server = new ListenServer()
+    try {
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFrom("127.0.0.1", server.boundPort, ".*", 7L, got.add(_), maxEvents = 1)
+      assert(got.size == 1 && got.get(0).contains("error") &&
+        got.get(0).contains("replay source"), s"got $got")
+    } finally server.close()
+  }
 }

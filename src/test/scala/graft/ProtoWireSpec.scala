@@ -158,4 +158,34 @@ class ProtoWireSpec extends SparkSuite {
     assert(e1(3) == 2 && e1(6).asInstanceOf[ObjectNode] ==
       normNum(mapper.readTree("""{"k":1}""")))
   }
+
+  test("eventFrames column (encode-once hoist) matches the hub's lazy encoder byte-for-byte") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("public", "events", "UPDATE", 7L, """{"k":2}""", """{"k":1}"""),
+      ("public", "users", "INSERT", 8L, """{"a":true}""", null),
+      ("s", "t", "DELETE", 9L, null, null))
+      .toDF("schema", "table", "op", "id", "payload", "changes")
+    val frames = df.select(ProtoWire.eventFrames(col("schema"), col("table"),
+        col("op"), col("id"), col("payload"), col("changes")).as("f"))
+      .as[String].collect().toSeq
+    // the lazy path starts from the envelope JSON line the hub sees
+    val lines = df.select(graft.streaming.Listen.eventJson(col("schema"),
+        col("table"), col("op"), col("id"), col("payload"), col("changes")))
+      .as[String].collect().toSeq
+    assert(frames == lines.map(ProtoWire.framedEventBase64),
+      "pipeline-column frames diverge from hub-side lazy encoding")
+    // and the framed bytes decode back to the event (strip the varint prefix)
+    val raw = java.util.Base64.getDecoder.decode(frames.head)
+    var i = 0; var len = 0; var shift = 0
+    var more = true
+    while (more) {
+      len |= (raw(i) & 0x7F) << shift
+      more = (raw(i) & 0x80) != 0; shift += 7; i += 1
+    }
+    assert(raw.length - i == len, "varint length prefix wrong")
+    val ev = ProtoWire.decodeEvent(java.util.Arrays.copyOfRange(raw, i, raw.length))
+    assert(ev.table == "events" && ev.op == "UPDATE" && ev.id == "7")
+  }
 }
