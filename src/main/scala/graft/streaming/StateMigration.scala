@@ -160,6 +160,45 @@ object StateMigration {
       .as[(Long, SemDedupStream.ClusterState)]
   }
 
+  /** Scope a STATE-PARTITION-COUNT change for an offline repartition —
+    * the operational lever the r6 latency study surfaced: shuffle
+    * partition count is the 10× trigger-latency knob, but a streaming
+    * query PINS its state partition count into the checkpoint at batch 0
+    * and ignores later conf changes, so a deployed query could never
+    * move without state loss. The repartition recipe is the migration
+    * one under a different conf: read the old checkpoint's state
+    * ([[readPrevImageState]] / [[readPrevImageStateTws]] — one task per
+    * OLD partition), then START the resume-side query (`withPrevStateFrom`
+    * / `withPrevStateTwsFrom` + [[committedOffset]]) inside this scope —
+    * its batch 0 shuffles the initial state by key into the NEW layout
+    * and pins `n` into the NEW checkpoint. Distributed end to end: the
+    * only driver-side piece is the conf set/restore. Works in both
+    * directions (scale-out for state too big per task, scale-in for the
+    * latency floor); `StateMigrationSpec` pins 4→32→4 with outputs
+    * identical to an uninterrupted run and the on-disk partition count
+    * verified via [[statePartitionCount]].
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The state partition count a checkpoint actually pinned — counted
+    * from the state store's on-disk layout (`state/0/<partitionId>/`),
+    * the ground truth the conf can drift from.
+    */
+  def statePartitionCount(spark: SparkSession, checkpointDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(checkpointDir, "state/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).count(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
+  }
+
   /** Re-key single-table state under a (table, user_id) key — the
     * single-table → multi-table migration direction.
     */

@@ -254,6 +254,60 @@ class StateMigrationSpec extends SparkSuite {
     }
   }
 
+  test("offline state repartition: 4 -> 32 -> 4, outputs identical to an uninterrupted run") {
+    implicit val sqlCtx = spark.sqlContext
+    // stage A: classic prev-image checkpoint at the suite's default 4
+    // shuffle partitions over wave 1
+    val chkA = java.nio.file.Files.createTempDirectory("rep_chk_a").toString
+    val inA = MemoryStream[RawChange]
+    val qA = CdcStream.withPrevState(inA.toDS())
+      .writeStream.format("memory").queryName("rep_out_a")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try { inA.addData(firstHalf: _*); qA.processAllAvailable() } finally qA.stop()
+    assert(StateMigration.statePartitionCount(spark, chkA) == 4,
+      s"stage A pinned ${StateMigration.statePartitionCount(spark, chkA)}")
+
+    // repartition OUT to 32: read state (4 tasks), resume on a fresh
+    // checkpoint started under the new conf — batch 0 shuffles the seeded
+    // state into 32 partitions and pins the count
+    val stA = StateMigration.readPrevImageState(spark, chkA)
+    val midPoint = secondHalf.splitAt(3)
+    val chkB = java.nio.file.Files.createTempDirectory("rep_chk_b").toString
+    val inB = MemoryStream[RawChange]
+    StateMigration.withStatePartitions(spark, 32) {
+      val qB = CdcStream.withPrevStateFrom(inB.toDS(), stA)
+        .writeStream.format("memory").queryName("rep_out_b")
+        .option("checkpointLocation", chkB).outputMode("append").start()
+      try { inB.addData(midPoint._1: _*); qB.processAllAvailable() } finally qB.stop()
+    }
+    assert(StateMigration.statePartitionCount(spark, chkB) == 32,
+      s"stage B pinned ${StateMigration.statePartitionCount(spark, chkB)}")
+
+    // and back IN to 4 (the latency-floor direction), continuing the tail
+    val stB = StateMigration.readPrevImageState(spark, chkB)
+    val chkC = java.nio.file.Files.createTempDirectory("rep_chk_c").toString
+    val inC = MemoryStream[RawChange]
+    val outC = StateMigration.withStatePartitions(spark, 4) {
+      val qC = CdcStream.withPrevStateFrom(inC.toDS(), stB)
+        .writeStream.format("memory").queryName("rep_out_c")
+        .option("checkpointLocation", chkC).outputMode("append").start()
+      try {
+        inC.addData(midPoint._2: _*); qC.processAllAvailable()
+        spark.table("rep_out_c").orderBy("event_id").collect().map(_.toString).toSeq
+      } finally qC.stop()
+    }
+    assert(StateMigration.statePartitionCount(spark, chkC) == 4,
+      s"stage C pinned ${StateMigration.statePartitionCount(spark, chkC)}")
+
+    // output parity: the twice-repartitioned chain's final-leg rows match
+    // the uninterrupted single-query run row for row (prev-images chained
+    // through BOTH repartitions), and the middle leg saw its slice
+    val wantC = referenceTail("rep_ref").drop(midPoint._1.size)
+    assert(outC == wantC,
+      s"repartitioned chain diverged:\n$outC\nvs\n$wantC")
+    assert(spark.table("rep_out_b").count() == midPoint._1.size)
+  }
+
   test("re-key migration: single-table state resumes under the (table, id) key") {
     implicit val sqlCtx = spark.sqlContext
     // API A: single-table classic checkpoint over the first wave
