@@ -344,4 +344,22 @@ object Graft {
     */
   def protoFrames(envelope: DataFrame): Dataset[Array[Byte]] =
     graft.streaming.ProtoWire.eventFrames(envelope)
+
+  /** ENCODE-ONCE proto frame as a codegen'd pipeline column (varint-framed
+    * base64) — ship as the Listen ingest line's third field so N proto
+    * subscribers fan out one shared encode
+    * ([[graft.streaming.ProtoWire.eventFrames]], the Column overload).
+    */
+  def protoFrameColumn(schema: Column, table: Column, op: Column, id: Column,
+                       payload: Column, changes: Column): Column =
+    graft.streaming.ProtoWire.eventFrames(schema, table, op, id, payload, changes)
+
+  /** The archive's recorded erasure set (user → cutoff event id) — feeds
+    * [[CdcStream.withPrevStateTwsErasing]] (in-place targeted key removal
+    * on an existing transformWithState checkpoint) and the offline
+    * rewrites in [[graft.streaming.StateErasure]]; see that object for
+    * the complete erase-to-durable-state recipe both stateful APIs get.
+    */
+  def erasureSet(spark: SparkSession, archivePath: String): Map[Long, Long] =
+    graft.streaming.StateErasure.erasureSet(spark, archivePath)
 }

@@ -96,6 +96,28 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("op"), col("props"), col("prev_props"))
   }
 
+  /** Point-in-time erasure SEMANTICS in batch — the oracle-expressible twin
+    * of the streaming state erasure ([[graft.streaming.StateErasure]] /
+    * `ErasingPrevImageProcessor`): the erased entity's rows at or below the
+    * tombstone cutoff are gone, its first post-cutoff event sees
+    * `previous = null` (first-sight), every other user's prev-image chain
+    * is untouched, and null-key rows survive (the `<=>` null-proofing the
+    * archive erasure also guarantees). Target/cutoff are scalar one-row
+    * witnesses broadcast into the filter — no collect.
+    */
+  private def cdcEraseReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventLog.normalize(Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    val witness = ev.agg(min(col("user_id")).as("tgt"),
+      expr("max(event_id) div 2").as("cutoff"))
+    val survivors = ev.crossJoin(broadcast(witness))
+      .filter(!(col("user_id") <=> col("tgt") && col("event_id") <= col("cutoff")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    survivors.select(col("event_id"), col("user_id"), col("op"),
+      lag(col("props"), 1).over(w).as("previous"))
+  }
+
   private def cdcTableFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     // unanchored substring match — Go RE2 MatchString semantics (F1/F2)
@@ -735,6 +757,7 @@ object SparkEntry {
     "cdc_changes"       -> (cdcChanges _),
     "cdc_changes_nested" -> (cdcChangesNested _),
     "cdc_prev_image"    -> (cdcPrevImage _),
+    "cdc_erase_replay"  -> (cdcEraseReplay _),
     "cdc_table_filter"  -> (cdcTableFilter _),
     "cdc_redact"        -> (cdcRedact _),
     "cdc_redact_map"    -> (cdcRedactMap _),
@@ -915,6 +938,7 @@ object SparkEntry {
     "ops_zorder"       -> (graft.sources.Layout.zorderStats _),
     "ops_bucket_join"  -> (graft.sources.Layout.bucketedJoinRevenue _),
     "ops_erase_entity" -> (graft.sources.Layout.eraseEntityAudit _),
+    "ops_erase_batch"  -> (graft.sources.Layout.eraseEntitiesAudit _),
     "ops_json_source"  -> (graft.sources.TextFormats.jsonEventIngest _),
     "ops_csv_source"   -> (graft.sources.TextFormats.csvEventIngest _),
     "ops_gz_source"    -> (graft.sources.TextFormats.gzJsonEventIngest _),

@@ -170,6 +170,16 @@ private[graft] object CdcOracles {
       s"""SELECT event_id, user_id, $opCase AS op, props,
          |  LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
          |FROM events""".stripMargin,
+    // point-in-time erasure semantics: the erased entity's rows at or
+    // below the cutoff vanish, its first post-cutoff event has
+    // previous = NULL (first-sight — the lag window runs over SURVIVORS),
+    // null-key rows survive (IS NOT DISTINCT FROM is the <=> analog)
+    "cdc_erase_replay" ->
+      s"""WITH s AS (SELECT MIN(user_id) AS tgt, MAX(event_id) // 2 AS cutoff FROM events)
+         |SELECT event_id, user_id, $opCase AS op,
+         |  LAG(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS previous
+         |FROM events, s
+         |WHERE NOT (user_id IS NOT DISTINCT FROM tgt AND event_id <= cutoff)""".stripMargin,
     "cdc_table_filter" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE regexp_matches(event_type, 'sign|pur')",
     "cdc_redact" ->

@@ -439,6 +439,25 @@ private[graft] object OpsOracles {
         |    OR user_id <> (SELECT u FROM tgt) THEN event_id END) AS BIGINT) AS kept_sum,
         |  CAST(COUNT(CASE WHEN user_id = (SELECT u FROM tgt) THEN 1 END) AS BIGINT) AS removed_n
         |FROM events GROUP BY 1""".stripMargin,
+    // batched erasure: per-(user, day) removal audit for the three
+    // smallest entities plus the day's survivor census — the shared-day
+    // rewrite must keep exactly the other users' rows
+    "ops_erase_batch" ->
+      """WITH tgt AS (
+        |  SELECT DISTINCT user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 3),
+        |rem AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS removed_n
+        |  FROM events WHERE user_id IN (SELECT u FROM tgt)
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE user_id IS NULL OR user_id NOT IN (SELECT u FROM tgt)
+        |  GROUP BY 1)
+        |SELECT r.user_id, CAST(r.d AS VARCHAR) AS day, r.removed_n,
+        |  CAST(COALESCE(k.n, 0) AS BIGINT) AS day_kept_n
+        |FROM rem r LEFT JOIN kept k ON r.d = k.d""".stripMargin,
     // the oracle joins the UNBUCKETED parquet: bucketing is layout, and
     // layout must never change answers
     "ops_bucket_join" ->

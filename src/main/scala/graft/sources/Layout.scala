@@ -372,6 +372,35 @@ object Layout {
         coalesce(col("removed_n"), lit(0L)).cast("long").as("removed_n"))
   }
 
+  /** Oracle-gated BATCHED erasure proof (`ops_erase_batch`): one
+    * [[eraseEntities]] call over the three smallest user ids (the GDPR
+    * backlog shape — N entities, ONE locate pass and ONE rewrite cycle),
+    * returning the per-(user, day) audit joined with the post-rewrite
+    * per-day survivor census. DuckDB recomputes both sides from the raw
+    * table, so the gate proves each request's own removal count AND that
+    * the shared-day rewrite kept exactly the other users' rows (a day all
+    * three targets dominate must census to its true survivor count, not
+    * to a per-entity-loop multiple).
+    */
+  def eraseEntitiesAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.cdc.EventLog.normalize(graft.Tables.load(spark, sfDir, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    // scalar witnesses (documented pattern): the three erasure targets
+    val targets = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().orderBy(col("user_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("erase_batch_archive").toString
+    writeEventArchive(ev, dir)
+    val report = eraseEntities(spark, dir, targets)
+    val kept = spark.read.parquet(dir)
+      .groupBy(col("day")).agg(count(lit(1)).cast("long").as("day_kept_n"))
+    report.join(kept, Seq("day"), "left")
+      .select(col("user_id"),
+        col("day").cast("string").as("day"),
+        col("rows_removed").cast("long").as("removed_n"),
+        coalesce(col("day_kept_n"), lit(0L)).as("day_kept_n"))
+  }
+
   // ===== Z-order (space-filling curve) clustering =====
 
   /** Bit-interleave two already-quantized `bits`-wide non-negative columns
