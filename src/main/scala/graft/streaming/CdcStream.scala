@@ -464,35 +464,67 @@ object CdcStream {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     keyed.groupByKey(_.row_key)
-      .flatMapGroupsWithState(OutputMode.Append, timeout) {
-        (k: String, rows: Iterator[KeyedGenericChange], state: GroupState[String]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // sequence order IS event order for a generic capture — the id
-            // is the log position; there is no typed ts column to consult
-            val ordered = rows.toSeq.sortBy(_.event_id)
-            var prev: Option[String] = state.getOption
-            val out = ordered.map { r =>
-              val op = Option(r.op_hint).getOrElse(
-                if (prev.isEmpty) "INSERT" else "UPDATE")
-              val changes =
-                if (op == "UPDATE" && prev.isDefined)
-                  MergePatch.createMergePatch(r.payload, prev.get)
-                else null
-              val ev = GenericCdcEvent(r.event_id, k, op, r.payload,
-                prev.orNull, changes)
-              if (op == "DELETE") prev = None else prev = Some(r.payload)
-              ev
-            }
-            prev match {
-              case Some(p) =>
-                state.update(p)
-                stateTtl.foreach(state.setTimeoutDuration)
-              case None => if (state.exists) state.remove()
-            }
-            out.iterator
-          }
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        processGenericGroup(stateTtl))
+  }
+
+  /** Shared per-row-key fold of the generic capture — one body for the
+    * plain, resumed ([[withPrevStateByRowKeyFrom]]) and erasure paths, so
+    * their semantics cannot drift.
+    */
+  private def processGenericGroup(stateTtl: Option[String])(
+      k: String, rows: Iterator[KeyedGenericChange],
+      state: GroupState[String]): Iterator[GenericCdcEvent] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // sequence order IS event order for a generic capture — the id
+      // is the log position; there is no typed ts column to consult
+      val ordered = rows.toSeq.sortBy(_.event_id)
+      var prev: Option[String] = state.getOption
+      val out = ordered.map { r =>
+        val op = Option(r.op_hint).getOrElse(
+          if (prev.isEmpty) "INSERT" else "UPDATE")
+        val changes =
+          if (op == "UPDATE" && prev.isDefined)
+            MergePatch.createMergePatch(r.payload, prev.get)
+          else null
+        val ev = GenericCdcEvent(r.event_id, k, op, r.payload,
+          prev.orNull, changes)
+        if (op == "DELETE") prev = None else prev = Some(r.payload)
+        ev
       }
+      prev match {
+        case Some(p) =>
+          state.update(p)
+          stateTtl.foreach(state.setTimeoutDuration)
+        case None => if (state.exists) state.remove()
+      }
+      out.iterator
+    }
+
+  /** [[withPrevStateByRowKey]] seeded with migrated (or erasure-filtered)
+    * state — the resume side of a generic-capture checkpoint relocation
+    * and of [[StateErasure.erasePrevImageStateByRowKey]]'s offline
+    * rewrite. Same fold as the plain path by construction.
+    */
+  def withPrevStateByRowKeyFrom(ds: Dataset[GenericChange], keyPath: String,
+                                initial: Dataset[(String, String)],
+                                opPath: Option[String] = None,
+                                stateTtl: Option[String] = None): Dataset[GenericCdcEvent] = {
+    import ds.sparkSession.implicits._
+    val opCol = opPath.map(p => upper(get_json_object(col("payload"), s"$$.$p")))
+      .getOrElse(lit(null).cast("string"))
+    val keyed = ds.toDF().select(
+      coalesce(get_json_object(col("payload"), s"$$.$keyPath"), lit("")).as("row_key"),
+      opCol.as("op_hint"), col("event_id"), col("payload"))
+      .as[KeyedGenericChange]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    keyed.groupByKey(_.row_key)
+      .flatMapGroupsWithState(OutputMode.Append, timeout,
+        initial.groupByKey(_._1).mapValues(_._2))(
+        processGenericGroup(stateTtl))
   }
 
   /** The generic events in the reference's jsonpb `Event` envelope

@@ -102,6 +102,18 @@ object StateErasure {
     StateMigration.readPrevImageStateTws(spark, checkpointDir)
       .filter(r => !erased.contains(r._1))
 
+  /** Offline rewrite for the GENERIC capture's prev-image state
+    * ([[CdcStream.withPrevStateByRowKey]] — string row keys from a JSON
+    * path into the dynamic payload): the erased entity is named by its
+    * ROW KEY values (e.g. the natural-key strings of the user's rows
+    * across captured tables). Resume side:
+    * [[CdcStream.withPrevStateByRowKeyFrom]].
+    */
+  def erasePrevImageStateByRowKey(spark: SparkSession, checkpointDir: String,
+                                  erasedKeys: Set[String]): Dataset[(String, String)] =
+    StateMigration.readPrevImageStateByRowKey(spark, checkpointDir)
+      .filter(r => !erasedKeys.contains(r._1))
+
   /** Text-dedup bucket store minus buckets whose EXEMPLAR is an erased
     * document: the stored doc_id is the erased user's fingerprintable
     * artifact, so the bucket entry goes; the band's next document simply

@@ -119,6 +119,20 @@ object StateMigration {
     committedOffsetLines(spark, checkpointDir)
       .map(CdcSource.CdcOffset.fromJson(_).maxId)
 
+  /** State rows of a GENERIC-capture prev-image checkpoint
+    * ([[CdcStream.withPrevStateByRowKey]]'s layout — string row key from a
+    * JSON path into the dynamic payload): (row_key, prev-payload JSON).
+    * Resume side: [[CdcStream.withPrevStateByRowKeyFrom]].
+    */
+  def readPrevImageStateByRowKey(spark: SparkSession,
+                                 checkpointDir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").as("_1"),
+        col("value.groupState.value").as("_2"))
+      .as[(String, String)]
+  }
+
   /** Bucket-exemplar state of an online text-dedup checkpoint
     * ([[DedupStream.candidates]]'s layout): (band key, exemplar doc_id).
     * The same READ → initial-state RESUME recipe as the prev-image path —

@@ -268,6 +268,73 @@ class StateErasureSpec extends SparkSuite {
       s"erased exemplar still matching: $withErased")
   }
 
+  test("generic row-key state: offline rewrite, first-sight resume, other keys chained") {
+    implicit val sqlCtx = spark.sqlContext
+    import CdcStream.{GenericChange, GenericCdcEvent}
+    val chk = java.nio.file.Files.createTempDirectory("erase_gen_chk").toString
+    val w1 = Seq(
+      GenericChange(1L, """{"sku":"a-1","qty":1}"""),
+      GenericChange(2L, """{"sku":"b-2","qty":5}"""),
+      GenericChange(3L, """{"sku":"a-1","qty":2}"""))
+    val in1 = MemoryStream[GenericChange]
+    val q1 = CdcStream.withPrevStateByRowKey(in1.toDS(), "sku")
+      .writeStream.format("memory").queryName("erase_gen_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(w1: _*); q1.processAllAvailable() } finally q1.stop()
+    // the checkpoint holds the erased entity's last payload under its
+    // NATURAL key (the generic capture has no typed user column)
+    val st = StateMigration.readPrevImageStateByRowKey(spark, chk)
+    assert(st.collect().toMap ==
+      Map("a-1" -> """{"sku":"a-1","qty":2}""", "b-2" -> """{"sku":"b-2","qty":5}"""))
+    val stE = StateErasure.erasePrevImageStateByRowKey(spark, chk, Set("a-1"))
+    assert(stE.collect().toMap == Map("b-2" -> """{"sku":"b-2","qty":5}"""))
+    // resume with the erased layout: a-1's next event is a fresh INSERT
+    // (first-sight), b-2 chains as an UPDATE with its previous intact
+    val in2 = MemoryStream[GenericChange]
+    val q2 = CdcStream.withPrevStateByRowKeyFrom(in2.toDS(), "sku", stE)
+      .writeStream.format("memory").queryName("erase_gen_b")
+      .outputMode("append").start()
+    val out = try {
+      in2.addData(
+        GenericChange(10L, """{"sku":"a-1","qty":9}"""),
+        GenericChange(11L, """{"sku":"b-2","qty":6}"""))
+      q2.processAllAvailable()
+      spark.table("erase_gen_b").as[GenericCdcEvent]
+        .collect().sortBy(_.event_id).toSeq
+    } finally q2.stop()
+    val a = out.find(_.event_id == 10L).get
+    assert(a.op == "INSERT" && a.previous == null && a.changes == null,
+      s"erased row key must restart first-sight: $a")
+    val b = out.find(_.event_id == 11L).get
+    assert(b.op == "UPDATE" && b.previous == """{"sku":"b-2","qty":5}""", s"$b")
+  }
+
+  test("erasure composes with Listen resume: the archive gap replay excludes erased rows") {
+    import graft.streaming.{ListenResume, ListenServer, PqsClient}
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("erase_resume").toString
+    val rows = (0 until 12).map(i =>
+      (i.toLong, t(i), (i % 3).toLong, "INSERT", s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    graft.sources.Layout.writeEventArchive(rows, dir)
+    // GDPR request lands while the subscriber is disconnected
+    graft.sources.Layout.eraseEntity(spark, dir, 1L)
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    try {
+      val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      PqsClient.runFrom("127.0.0.1", server.boundPort, "events", -1L,
+        got.add(_), maxEvents = 8)
+      val ids = got.toArray(Array.empty[String]).map(PqsClient.eventId).toSeq
+      // user 1 owned ids 1,4,7,10 — the replay must deliver everyone else
+      // and NOTHING of the erased entity (the replay reads the post-erasure
+      // archive, so the composition is automatic, and now pinned)
+      assert(ids == Seq(0L, 2L, 3L, 5L, 6L, 8L, 9L, 11L),
+        s"gap replay leaked erased rows: $ids")
+    } finally server.close()
+  }
+
   test("media and semantic store erasure filter inside buckets and drop emptied ones") {
     import DedupStream.{FpBucketState, FpExemplar}
     val media = Seq(
