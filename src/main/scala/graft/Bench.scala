@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // size the codegen cache for the workload: the default 100 entries
+      // thrash under a 183-query pass-major sweep (every query codegen-cold
+      // every pass — the query-major harness got back-to-back cache hits),
+      // which taxed short queries ~0.2-0.5 s/pass of re-compile+re-JIT that
+      // says nothing about the plans being measured
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor/codegen machinery so the first timed query doesn't

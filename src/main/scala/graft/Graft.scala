@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions.{col, xxhash64}
 object Graft {
 
   /** A SparkSession builder preconfigured for this engine: native SQL
-    * functions registered, ANSI semantics (the oracle contract assumes it).
+    * functions registered, ANSI semantics (the oracle contract assumes it),
+    * and a codegen cache sized for a many-query workload — Spark's default
+    * 100 entries thrash when a session cycles through hundreds of distinct
+    * plans (an analytics service, a scheduled sweep), re-compiling and
+    * re-JITting generated classes that were hot minutes ago; measured 21%
+    * across the full 183-query inventory at sf0.1 (BASELINE.md r11).
     * `spark.sql.shuffle.partitions` is left to the caller/cluster defaults —
     * size it to your core count (the harness uses 32 on local[32]).
     */
@@ -30,6 +35,7 @@ object Graft {
     SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
 
   // ===== dedup (docs: (doc_id, text)) =====
 
