@@ -77,6 +77,16 @@ object StreamBench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
       ds => CdcStream.withPrevStateTws(ds))
     println(s"""{"metric":"cdc_stream_throughput_tws","events":${rows.length},"warm_sec":$twsSec,"events_per_sec":${(rows.length / twsSec).toLong},"sf":"$sfDir"}""")
+    // the erasure-aware processor with a REALISTIC erasure set (a GDPR
+    // backlog of 100 entities): the steady-state cost over plain tws must
+    // be a Map probe per key per batch plus one extra state var — measured,
+    // its fair comparison line is cdc_stream_throughput_tws above
+    val erasedProbe = (1L to 100L).map(u => -u -> 0L).toMap // keys absent from the feed
+    val twsEraseSec = drain("bench_tws_erasing", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      ds => CdcStream.withPrevStateTwsErasing(ds, erasedProbe))
+    println(s"""{"metric":"cdc_stream_throughput_tws_erasing","events":${rows.length},"warm_sec":$twsEraseSec,"events_per_sec":${(rows.length / twsEraseSec).toLong},"sf":"$sfDir"}""")
 
     // second line: the same drain through the PRODUCTION path — Derby-backed
     // JDBC feed, streaming partition readers (JdbcRowReader), id-range

@@ -381,6 +381,53 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("proto subscriber resume: the archive gap replays as decodable frames, then live frames follow") {
+    import graft.streaming.{ListenResume, ProtoWire}
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("listen_resume_proto").toString
+    val rows = (0 until 6).map(i =>
+      (i.toLong, t(i), i.toLong, "INSERT", s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    graft.sources.Layout.writeEventArchive(rows, dir)
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+      w.write("""{"tableRegexp":".*","format":"proto","resumeAfter":"2"}""" + "\n")
+      w.flush()
+      val got = new CopyOnWriteArrayList[ProtoWire.Event]()
+      val reader = new Thread(() => {
+        try {
+          val in = new java.io.BufferedInputStream(sock.getInputStream)
+          while (got.size < 4) {
+            var shift = 0; var len = 0; var more = true
+            while (more) {
+              val x = in.read()
+              len |= (x & 0x7F) << shift
+              if ((x & 0x80) == 0) more = false else shift += 7
+            }
+            got.add(ProtoWire.decodeEvent(in.readNBytes(len)))
+          }
+        } catch { case _: Throwable => () }
+      })
+      reader.setDaemon(true); reader.start()
+      awaitSubs(server, 1)
+      // publish one live event once the replay has had time to register;
+      // the reader expects 3 replayed (ids 3,4,5) + 1 live
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(10)
+      while (got.size < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+      server.publish("events",
+        """{"schema":"public","table":"events","op":"INSERT","id":"6","payload":{"k":6}}""")
+      reader.join(10000)
+      val ids = got.toArray(Array.empty[ProtoWire.Event]).map(_.id).toSeq
+      assert(ids == Seq("3", "4", "5", "6"), s"proto resume stream wrong: $ids")
+      assert(got.get(0).op == "INSERT" && got.get(0).table == "events")
+      sock.close()
+    } finally server.close()
+  }
+
   test("resumeAfter against a hub without a replay source is refused loudly") {
     val server = new ListenServer()
     try {
