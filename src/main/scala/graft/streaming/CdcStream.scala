@@ -379,6 +379,69 @@ object CdcStream {
         OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
+  /** By-table twin of [[ErasingPrevImageProcessor]]: the erasure set is
+    * ENTITY-grain (user → cutoff) and applies across EVERY captured table
+    * the entity appears in — a GDPR request names the person, not the
+    * table, so one config entry must clear the user's prev-image in all
+    * (table, user) keys. Same contract otherwise: restart-idempotent via
+    * the additive per-key "erasedAt" var, rows ≤ cutoff dropped, state-var
+    * layout backward-compatible with [[PrevImageProcessorByTableWithInit]]
+    * so an existing multi-table checkpoint resumes in place.
+    */
+  class ErasingPrevImageProcessorByTable(erased: Map[Long, Long])
+      extends StatefulProcessorWithInitialState[(String, Long), TableRawChange,
+        TableCdcEvent, String] {
+    @transient private var prevState: ValueState[String] = _
+    @transient private var erasedAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+      erasedAt = getHandle.getValueState[Long]("erasedAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: (String, Long), initial: String,
+                                    timerValues: TimerValues): Unit =
+      erased.get(key._2) match {
+        case Some(cutoff) => erasedAt.update(cutoff)
+        case None         => prevState.update(initial)
+      }
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[TableRawChange],
+                                 timerValues: TimerValues): Iterator[TableCdcEvent] = {
+      val data = rows.filter(_.event_type != "erase")
+      val live = erased.get(key._2) match {
+        case Some(cutoff) =>
+          val applied = erasedAt.exists() && erasedAt.get() >= cutoff
+          if (!applied) { prevState.clear(); erasedAt.update(cutoff) }
+          data.filter(_.event_id > cutoff)
+        case None => data
+      }
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val raw = live.map(r =>
+        RawChange(r.event_id, r.ts, r.user_id, r.event_type, r.props))
+      val (out, p1) = foldChanges(raw, p0)
+      p1.foreach(prevState.update)
+      out.iterator.map(e => TableCdcEvent(key._1, e.event_id, e.ts, e.user_id,
+        e.op, e.payload, e.previous, e.changes))
+    }
+  }
+
+  /** [[withPrevStateByTable]] under the erasure-aware by-table processor —
+    * resume an existing multi-table tws checkpoint with this to erase an
+    * entity across every captured table in place. Sentinels for a
+    * multi-table feed: one [[StateErasure.eraseSentinels]] row per
+    * (table, user) the entity is known in, tagged with the table.
+    */
+  def withPrevStateByTableTwsErasing(ds: Dataset[TableRawChange],
+                                     erased: Map[Long, Long]): Dataset[TableCdcEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.table, r.user_id))
+      .transformWithState(new ErasingPrevImageProcessorByTable(erased),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Multi-table variant of [[withPrevState]]: state keyed by
     * (table, user_id), because the reference's OLD image is PER TABLE
     * (`queries.go:22-24` — the trigger fires per table; `previous` can never

@@ -98,6 +98,18 @@ object Listen {
       regexp_replace(acc, pat, rep)
     }
 
+  /** The `"table"` field of an Event JSON line (empty if absent) — the
+    * replay path's filter key; one regex probe, no document parse (the
+    * value is always [[jsonEscape]]d, so a bare quote cannot terminate it
+    * early).
+    */
+  private[streaming] val TableField =
+    java.util.regex.Pattern.compile("\"table\":\"((?:[^\"\\\\]|\\\\.)*)\"")
+  private[streaming] def tableOf(line: String): String = {
+    val m = TableField.matcher(line)
+    if (m.find()) m.group(1) else ""
+  }
+
   def eventJson(schema: Column, table: Column, op: Column, id: Column,
                 payload: Column, changes: Column): Column = {
     val head = concat(
@@ -242,8 +254,12 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
         // subscriber's drop policy, same as any slow consumer). Replay
         // lines are envelope JSON (the archive's durable form); a proto
         // subscriber's replay converts per line — resume is the cold path.
+        // The subscription's table regexp applies to REPLAYED events
+        // exactly as publish() applies it to live ones — a narrow
+        // subscriber must not receive the whole archive tail on reconnect.
         replay().foreach { line =>
-          if (!closed.get && !gone.get)
+          if (!closed.get && !gone.get &&
+              pattern.matcher(Listen.tableOf(line)).find())
             emit(if (protoFrames) ProtoWire.framedEventBase64(line) else line)
         }
         while (!closed.get && !gone.get) {

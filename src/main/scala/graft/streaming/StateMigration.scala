@@ -119,6 +119,21 @@ object StateMigration {
     committedOffsetLines(spark, checkpointDir)
       .map(CdcSource.CdcOffset.fromJson(_).maxId)
 
+  /** State rows of a BY-TABLE transformWithState prev-image checkpoint
+    * ([[CdcStream.withPrevStateByTableTwsFrom]]'s layout — (table, user)
+    * tuple key, named state variable "prev"): ((table, user_id), prev).
+    */
+  def readPrevImageStateByTableTws(spark: SparkSession, checkpointDir: String)
+      : Dataset[((String, Long), String)] = {
+    import spark.implicits._
+    spark.read.format("statestore").option("path", checkpointDir)
+      .option("stateVarName", "prev").load()
+      .select(col("key._1").as("t"), col("key._2").cast("long").as("u"),
+        col("value.value").as("p"))
+      .as[(String, Long, String)]
+      .map { case (t, u, p) => ((t, u), p) }
+  }
+
   /** State rows of a GENERIC-capture prev-image checkpoint
     * ([[CdcStream.withPrevStateByRowKey]]'s layout — string row key from a
     * JSON path into the dynamic payload): (row_key, prev-payload JSON).

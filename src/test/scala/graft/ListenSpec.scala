@@ -428,6 +428,35 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("resume honors the subscription regexp: a narrow subscriber gets none of the archive tail") {
+    import graft.streaming.ListenResume
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("listen_resume_narrow").toString
+    val rows = (0 until 5).map(i =>
+      (i.toLong, t(i), i.toLong, "INSERT", s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    graft.sources.Layout.writeEventArchive(rows, dir)
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    try {
+      val got = new CopyOnWriteArrayList[String]()
+      val c = new Thread(() => PqsClient.runFrom("127.0.0.1", server.boundPort,
+        "^other$", -1L, got.add(_), maxEvents = 1))
+      c.setDaemon(true); c.start()
+      awaitSubs(server, 1)
+      // give the replay a moment; all archived rows are table "events",
+      // which the narrow regexp must filter — the FIRST line the client
+      // sees must be the live "other" event
+      Thread.sleep(500)
+      server.publish("other", """{"table":"other","id":"99"}""")
+      c.join(10000)
+      val lines = got.toArray(Array.empty[String]).toSeq
+      assert(lines.size == 1 && lines.head.contains("\"id\":\"99\""),
+        s"replay leaked past the subscription regexp: $lines")
+    } finally server.close()
+  }
+
   test("resumeAfter against a hub without a replay source is refused loudly") {
     val server = new ListenServer()
     try {

@@ -268,6 +268,58 @@ class StateErasureSpec extends SparkSuite {
       s"erased exemplar still matching: $withErased")
   }
 
+  test("by-table tws: one entity-grain erasure clears the user across EVERY captured table, in place") {
+    implicit val sqlCtx = spark.sqlContext
+    import CdcStream.{TableCdcEvent, TableRawChange}
+    val chk = java.nio.file.Files.createTempDirectory("erase_bytable_chk").toString
+    def r(tab: String, id: Long, u: Long, k: Int) =
+      TableRawChange(tab, id, t(id), u, "purchase", s"""{"k":$k}""")
+    val w1 = Seq(r("t1", 1L, 1L, 1), r("t1", 2L, 2L, 2),
+      r("t2", 3L, 1L, 3), r("t2", 4L, 2L, 4))
+    val in = MemoryStream[TableRawChange]
+    // memory sink refuses checkpoint recovery — foreachBatch buffer, as in
+    // the single-table in-place test
+    val got = scala.collection.mutable.ArrayBuffer.empty[TableCdcEvent]
+    def run(events: org.apache.spark.sql.Dataset[TableCdcEvent]): Seq[TableCdcEvent] = {
+      got.synchronized(got.clear())
+      val q = events.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TableCdcEvent], _: Long) =>
+          val rows = b.collect(); got.synchronized { got ++= rows }; ()
+        }
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      got.synchronized(got.sortBy(_.event_id).toVector)
+    }
+    withRocks {
+      in.addData(w1: _*)
+      run(CdcStream.withPrevStateByTableTwsFrom(in.toDS(),
+        spark.emptyDataset[((String, Long), String)]))
+    }
+    assert(StateMigration.readPrevImageStateByTableTws(spark, chk).collect().toMap ==
+      Map(("t1", 1L) -> """{"k":1}""", ("t1", 2L) -> """{"k":2}""",
+          ("t2", 1L) -> """{"k":3}""", ("t2", 2L) -> """{"k":4}"""))
+    // erase user 1 (cutoff 4): resume the SAME checkpoint erasing; sentinels
+    // tagged per table reach both of the user's keys
+    val erasedBT = Map(1L -> 4L)
+    val sent = Seq(TableRawChange("t1", 4L, null, 1L, "erase", null),
+      TableRawChange("t2", 4L, null, 1L, "erase", null))
+    val w2 = Seq(r("t1", 10L, 1L, 10), r("t2", 11L, 1L, 11), r("t1", 12L, 2L, 12))
+    val out = withRocks {
+      in.addData(sent ++ w2: _*)
+      run(CdcStream.withPrevStateByTableTwsErasing(in.toDS(), erasedBT))
+    }
+    assert(out.map(_.event_id) == Seq(10L, 11L, 12L))
+    assert(out.find(_.event_id == 10L).get.previous == null,
+      "t1 prev-image must be erased")
+    assert(out.find(_.event_id == 11L).get.previous == null,
+      "t2 prev-image must be erased too — the request is entity-grain")
+    assert(out.find(_.event_id == 12L).get.previous == """{"k":2}""",
+      "other users' chains survive")
+    val after = StateMigration.readPrevImageStateByTableTws(spark, chk).collect().toMap
+    assert(after == Map(("t1", 1L) -> """{"k":10}""", ("t2", 1L) -> """{"k":11}""",
+      ("t1", 2L) -> """{"k":12}""", ("t2", 2L) -> """{"k":4}"""), s"$after")
+  }
+
   test("generic row-key state: offline rewrite, first-sight resume, other keys chained") {
     implicit val sqlCtx = spark.sqlContext
     import CdcStream.{GenericChange, GenericCdcEvent}
