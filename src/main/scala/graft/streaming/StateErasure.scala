@@ -84,6 +84,23 @@ object StateErasure {
       CdcStream.RawChange(id, null, user, "erase", null)
     }
 
+  /** By-table sentinels: one command row per (table, erased user) — a
+    * multi-table capture's handler fires per (table, user) key, so each
+    * table the entity is known in needs its own nudge
+    * ([[CdcStream.withPrevStateByTableTwsErasing]]).
+    */
+  def eraseSentinelsByTable(erased: Map[Long, Long], tables: Seq[String],
+                            firstId: Long = -1L): Seq[CdcStream.TableRawChange] = {
+    val flat = for {
+      t <- tables.sorted
+      (user, cutoff) <- erased.toSeq.sortBy(_._1)
+    } yield (t, user, cutoff)
+    flat.zipWithIndex.map { case ((t, user, cutoff), i) =>
+      val id = if (firstId < 0) cutoff else firstId + i
+      CdcStream.TableRawChange(t, id, null, user, "erase", null)
+    }
+  }
+
   /** Offline rewrite, classic prev-image layout: the old checkpoint's
     * state minus the erased keys — the initial-state frame for
     * `withPrevStateFrom` on a fresh checkpoint.
