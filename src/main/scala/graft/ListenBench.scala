@@ -124,6 +124,10 @@ object ListenBench {
       readers.foreach(_.join(120000))
       val sec = (System.nanoTime() - t0) / 1e9
       require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      // droppedCount can't see a reader that died and UNREGISTERED (publish
+      // then skips it) — the delivered total is the honest gate
+      require(done.get == n.toLong * nSubs,
+        s"delivered ${done.get} of ${n.toLong * nSubs} — a reader died mid-run")
       println(s"""{"metric":"listen_throughput_proto","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
     }
 
@@ -171,6 +175,10 @@ object ListenBench {
       readers.foreach(_.join(120000))
       val sec = (System.nanoTime() - t0) / 1e9
       require(server.droppedCount == 0, s"dropped ${server.droppedCount} — resize the probe queue")
+      // droppedCount can't see a reader that died and UNREGISTERED (publish
+      // then skips it) — the delivered total is the honest gate
+      require(done.get == n.toLong * nSubs,
+        s"delivered ${done.get} of ${n.toLong * nSubs} — a reader died mid-run")
       println(s"""{"metric":"listen_throughput_proto_hoisted","events":$n,"subscribers":$nSubs,"sec":$sec,"events_per_sec":${(n / sec).toLong},"delivered_per_sec":${(n.toLong * nSubs / sec).toLong}}""")
     }
 

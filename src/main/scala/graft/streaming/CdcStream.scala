@@ -490,6 +490,26 @@ object CdcStream {
   case class KeyedGenericChange(row_key: String, op_hint: String,
                                 event_id: Long, payload: String)
 
+  /** Shared keying projection + timeout mapping of the generic capture —
+    * one body for the plain and resumed paths, same anti-drift argument
+    * as [[processGenericGroup]].
+    */
+  private def keyedGeneric(ds: Dataset[GenericChange], keyPath: String,
+                           opPath: Option[String], stateTtl: Option[String])
+      : (Dataset[KeyedGenericChange], GroupStateTimeout) = {
+    import ds.sparkSession.implicits._
+    val opCol = opPath.map(p => upper(get_json_object(col("payload"), s"$$.$p")))
+      .getOrElse(lit(null).cast("string"))
+    val keyed = ds.toDF().select(
+      coalesce(get_json_object(col("payload"), s"$$.$keyPath"), lit("")).as("row_key"),
+      opCol.as("op_hint"), col("event_id"), col("payload"))
+      .as[KeyedGenericChange]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    (keyed, timeout)
+  }
+
   /** Prev-image tracking for ARBITRARY captured schemas — [[withPrevState]]
     * with the entity key read out of the dynamic payload instead of a
     * typed column. `keyPath` is a JSON path fragment naming the row's
@@ -517,15 +537,7 @@ object CdcStream {
                             opPath: Option[String] = None,
                             stateTtl: Option[String] = None): Dataset[GenericCdcEvent] = {
     import ds.sparkSession.implicits._
-    val opCol = opPath.map(p => upper(get_json_object(col("payload"), s"$$.$p")))
-      .getOrElse(lit(null).cast("string"))
-    val keyed = ds.toDF().select(
-      coalesce(get_json_object(col("payload"), s"$$.$keyPath"), lit("")).as("row_key"),
-      opCol.as("op_hint"), col("event_id"), col("payload"))
-      .as[KeyedGenericChange]
-    val timeout =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val (keyed, timeout) = keyedGeneric(ds, keyPath, opPath, stateTtl)
     keyed.groupByKey(_.row_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         processGenericGroup(stateTtl))
@@ -575,15 +587,7 @@ object CdcStream {
                                 opPath: Option[String] = None,
                                 stateTtl: Option[String] = None): Dataset[GenericCdcEvent] = {
     import ds.sparkSession.implicits._
-    val opCol = opPath.map(p => upper(get_json_object(col("payload"), s"$$.$p")))
-      .getOrElse(lit(null).cast("string"))
-    val keyed = ds.toDF().select(
-      coalesce(get_json_object(col("payload"), s"$$.$keyPath"), lit("")).as("row_key"),
-      opCol.as("op_hint"), col("event_id"), col("payload"))
-      .as[KeyedGenericChange]
-    val timeout =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+    val (keyed, timeout) = keyedGeneric(ds, keyPath, opPath, stateTtl)
     keyed.groupByKey(_.row_key)
       .flatMapGroupsWithState(OutputMode.Append, timeout,
         initial.groupByKey(_._1).mapValues(_._2))(

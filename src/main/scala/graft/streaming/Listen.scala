@@ -101,13 +101,36 @@ object Listen {
   /** The `"table"` field of an Event JSON line (empty if absent) — the
     * replay path's filter key; one regex probe, no document parse (the
     * value is always [[jsonEscape]]d, so a bare quote cannot terminate it
-    * early).
+    * early). UNESCAPED before returning, so the replay filter matches the
+    * same raw table string `publish()` matches live — a table named with
+    * a quote or backslash must filter identically on both paths.
     */
   private[streaming] val TableField =
     java.util.regex.Pattern.compile("\"table\":\"((?:[^\"\\\\]|\\\\.)*)\"")
   private[streaming] def tableOf(line: String): String = {
     val m = TableField.matcher(line)
-    if (m.find()) m.group(1) else ""
+    if (m.find()) jsonUnescape(m.group(1)) else ""
+  }
+
+  /** Inverse of [[jsonEscape]] for a single extracted string value. */
+  private[streaming] def jsonUnescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => b.append('\n'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => b.append(other); i += 2 // \" \\ \/ and friends
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   def eventJson(schema: Column, table: Column, op: Column, id: Column,
@@ -191,8 +214,16 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     */
   def publish(table: String, eventJson: String, protoFrameB64: String): Unit = {
     var frame = protoFrameB64
+    var frameFailed = false
+    // the lazy encode must never throw OUT of publish: a malformed event
+    // JSON (passthrough props from an external source) would otherwise
+    // kill the whole ingest connection — every subscriber's feed — for
+    // one proto subscriber's sake. Encode failure = that event drops for
+    // proto subscribers only (counted), JSON subscribers still get it.
     def frameOnce(): String = {
-      if (frame == null) frame = ProtoWire.framedEventBase64(eventJson)
+      if (frame == null && !frameFailed)
+        try frame = ProtoWire.framedEventBase64(eventJson)
+        catch { case _: Exception => frameFailed = true }
       frame
     }
     val it = subs.keySet.iterator
@@ -200,7 +231,8 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
       val s = it.next()
       if (s.pattern.matcher(table).find()) { // Go RE2 MatchString: unanchored
         val item = if (s.protoFrames) frameOnce() else eventJson
-        if (!s.queue.offer(item)) {
+        if (item == null) { dropped.incrementAndGet(); s.drops.incrementAndGet() }
+        else if (!s.queue.offer(item)) {
           if (s.dropOldest) {
             var admitted = false
             while (!admitted) {
@@ -247,7 +279,12 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
           line => { w.write(line); w.write('\n'); w.flush() }
         }
         ready.countDown()
-        registered.await(5, TimeUnit.SECONDS)
+        // registration-before-scan is the at-least-once guarantee; a
+        // timeout must FAIL the subscriber loudly (caught below → socket
+        // closed → client retries), never silently start the scan early
+        // and lose the events in the gap
+        require(registered.await(5, TimeUnit.SECONDS),
+          "subscriber registration timed out before replay")
         // gap replay first (empty for plain subscribers), live queue after;
         // live events arriving DURING the replay buffer in the queue (size
         // the reconnect's "buffer" accordingly — overflow falls back to the
@@ -296,17 +333,20 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     if (first == null) { socket.close(); return }
     if (handshakeField(first, "ingest").isDefined) {
       // ingest: executor partitions stream `table \t json [\t frameB64]`
-      // lines at us (a bare tab cannot appear inside the JSON — it is
-      // always escaped as \t there — so the split is unambiguous); the
-      // optional third field is the pipeline's pre-encoded proto frame
+      // lines at us. VALID event JSON cannot carry a bare tab (string
+      // values escape it as \t), but passthrough props from an external
+      // source can be garbage — so a third field is honored only when it
+      // LOOKS like a frame (non-empty, base64 alphabet; a JSON remainder
+      // always ends in '}', which is not base64, so garbage keeps the
+      // pre-r11 first-tab-only delivery instead of being corrupted)
       var line = in.readLine()
       while (line != null && !closed.get) {
         val tab = line.indexOf('\t')
         if (tab > 0) {
-          val tab2 = line.indexOf('\t', tab + 1)
-          if (tab2 > 0)
-            publish(line.substring(0, tab), line.substring(tab + 1, tab2),
-              line.substring(tab2 + 1))
+          val tab2 = line.lastIndexOf('\t')
+          val candidate = if (tab2 > tab) line.substring(tab2 + 1) else ""
+          if (candidate.nonEmpty && candidate.forall(ListenServer.isBase64Char))
+            publish(line.substring(0, tab), line.substring(tab + 1, tab2), candidate)
           else publish(line.substring(0, tab), line.substring(tab + 1))
         }
         line = in.readLine()
@@ -378,6 +418,12 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     try server.close() catch { case _: Throwable => () }
     subs.keySet.forEach(_.remove())
   }
+}
+
+object ListenServer {
+  private[streaming] def isBase64Char(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '='
 }
 
 /** Gap replay for resumable subscribers: the archive tail
@@ -509,10 +555,12 @@ object PqsClient {
   }
 
   /** The `"id"` field of an Event JSON line as a Long (-1 if absent/bad) —
-    * what a resumable client tracks as its token.
+    * what a resumable client tracks as its token. Called once per
+    * delivered line, so the pattern is compiled once.
     */
+  private val IdField = java.util.regex.Pattern.compile("\"id\":\"(\\d+)\"")
   def eventId(line: String): Long = {
-    val m = java.util.regex.Pattern.compile("\"id\":\"(\\d+)\"").matcher(line)
+    val m = IdField.matcher(line)
     if (m.find()) m.group(1).toLong else -1L
   }
 

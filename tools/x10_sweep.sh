@@ -24,7 +24,15 @@ fi
 
 SKIP="ops_dedup_cc,ops_dedup_keep_best,ops_embed_cluster,ops_phash_cc,ops_cc_audit"
 
-sbt -batch "runMain graft.Verify $DIR $OUT" 2>&1 | grep '\[verify\]' || true
+# fresh output dir + hard Verify gate: a crashed Verify must never let
+# compare.py bless the PREVIOUS sweep's stale dumps into the artifact
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $DIR $OUT" > /tmp/x10_verify_$TAG.log 2>&1 || {
+  echo "Verify FAILED — see /tmp/x10_verify_$TAG.log (no artifact written)"
+  grep '\[verify\]' /tmp/x10_verify_$TAG.log || true
+  exit 1
+}
+grep '\[verify\]' /tmp/x10_verify_$TAG.log || true
 SKIP_ORACLE=$SKIP COMPARE_JSON_OUT=X10_PARITY_$TAG.json \
   python3 tools/compare.py "$DIR" "$OUT" | tee /tmp/x10_sweep_$TAG.log
 echo "artifact: X10_PARITY_$TAG.json"
