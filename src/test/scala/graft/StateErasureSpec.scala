@@ -301,8 +301,9 @@ class StateErasureSpec extends SparkSuite {
     // erase user 1 (cutoff 4): resume the SAME checkpoint erasing; sentinels
     // tagged per table reach both of the user's keys
     val erasedBT = Map(1L -> 4L)
-    val sent = Seq(TableRawChange("t1", 4L, null, 1L, "erase", null),
-      TableRawChange("t2", 4L, null, 1L, "erase", null))
+    val sent = StateErasure.eraseSentinelsByTable(erasedBT, Seq("t1", "t2"))
+    assert(sent == Seq(TableRawChange("t1", 4L, null, 1L, "erase", null),
+      TableRawChange("t2", 4L, null, 1L, "erase", null)))
     val w2 = Seq(r("t1", 10L, 1L, 10), r("t2", 11L, 1L, 11), r("t1", 12L, 2L, 12))
     val out = withRocks {
       in.addData(sent ++ w2: _*)
