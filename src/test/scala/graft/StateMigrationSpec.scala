@@ -308,6 +308,56 @@ class StateMigrationSpec extends SparkSuite {
     assert(spark.table("rep_out_b").count() == midPoint._1.size)
   }
 
+  test("offline repartition of a fingerprint store: dedup exemplars move 4 -> 32 with verdicts intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.{BandRow, Candidate, Doc}
+    val docs = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[Doc].collect().sortBy(_.doc_id).toSeq
+    val (wave1, wave2) = docs.splitAt(docs.size / 2)
+    def bands(in: MemoryStream[Doc]) =
+      DedupStream.bandRows(in.toDS().toDF()).as[BandRow]
+    // old store at the suite default (4 partitions)
+    val chk = java.nio.file.Files.createTempDirectory("rep_dd_chk").toString
+    val in1 = MemoryStream[Doc]
+    val q1 = DedupStream.candidates(bands(in1))
+      .writeStream.format("memory").queryName("rep_dd_a")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(StateMigration.statePartitionCount(spark, chk) == 4)
+    // move the exemplar store to 32 partitions; flagging history must
+    // survive the move exactly (same contract as the relocation test)
+    val st = StateMigration.readDedupBucketState(spark, chk)
+    val chkB = java.nio.file.Files.createTempDirectory("rep_dd_chk_b").toString
+    val in2 = MemoryStream[Doc]
+    val resumed = StateMigration.withStatePartitions(spark, 32) {
+      val q2 = DedupStream.candidatesFrom(bands(in2), st)
+        .writeStream.format("memory").queryName("rep_dd_b")
+        .option("checkpointLocation", chkB).outputMode("append").start()
+      try {
+        in2.addData(wave2: _*); q2.processAllAvailable()
+        spark.table("rep_dd_b").as[Candidate].collect().toSet
+      } finally q2.stop()
+    }
+    assert(StateMigration.statePartitionCount(spark, chkB) == 32,
+      s"pinned ${StateMigration.statePartitionCount(spark, chkB)}")
+    // reference: uninterrupted run at the ORIGINAL partitioning
+    val inR = MemoryStream[Doc]
+    val qR = DedupStream.candidates(bands(inR))
+      .writeStream.format("memory").queryName("rep_dd_ref")
+      .outputMode("append").start()
+    val ref = try {
+      inR.addData(wave1: _*); qR.processAllAvailable()
+      val afterW1 = spark.table("rep_dd_ref").as[Candidate].collect().toSet
+      inR.addData(wave2: _*); qR.processAllAvailable()
+      spark.table("rep_dd_ref").as[Candidate].collect().toSet -- afterW1
+    } finally qR.stop()
+    assert(resumed == ref,
+      s"repartitioned store changed verdicts: only-resumed ${resumed -- ref}, only-ref ${ref -- resumed}")
+  }
+
   test("re-key migration: single-table state resumes under the (table, id) key") {
     implicit val sqlCtx = spark.sqlContext
     // API A: single-table classic checkpoint over the first wave
