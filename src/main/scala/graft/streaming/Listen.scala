@@ -167,7 +167,8 @@ object Listen {
   * resume token.
   */
 class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
-                   replaySource: Option[Long => Iterator[String]] = None)
+                   replaySource: Option[Long => Iterator[String]] = None,
+                   replaySourceByTable: Option[Map[String, Long] => Iterator[String]] = None)
     extends AutoCloseable {
 
   private val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
@@ -327,6 +328,20 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     } catch { case _: Throwable => None }
   }
 
+  /** An OBJECT-valued handshake field as (key → text value) pairs — the
+    * multi-table resume token's shape.
+    */
+  private def handshakeObjectField(line: String,
+                                   field: String): Option[Map[String, String]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      Option(om.readTree(line).get(field)).filter(_.isObject).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+    } catch { case _: Throwable => None }
+  }
+
   private def handleConnection(socket: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
     val first = in.readLine()
@@ -367,17 +382,26 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
             // "format":"proto" = varint-length-prefixed pqs.Event frames
             val proto = handshakeField(first, "format").contains("proto")
             // "resumeAfter": at-least-once reconnect — replay the archive
-            // gap above the token, then rejoin live (see class doc)
+            // gap above the token, then rejoin live (see class doc).
+            // "resumeAfterByTable" is the MULTI-TABLE form: per-table id
+            // spaces are independent (the committedOffsets lesson — one
+            // scalar token would re-deliver tables behind it and LOSE
+            // events on tables ahead), so the token is a JSON object of
+            // per-table last-delivered ids.
             val resumeAfter = handshakeField(first, "resumeAfter")
               .flatMap(v => scala.util.Try(v.toLong).toOption)
-            if (resumeAfter.isDefined && replaySource.isEmpty) {
+            val resumeByTable = handshakeObjectField(first, "resumeAfterByTable")
+              .map(_.map { case (t, v) => t -> v.toLong })
+            if ((resumeAfter.isDefined && replaySource.isEmpty) ||
+                (resumeByTable.isDefined && replaySourceByTable.isEmpty)) {
               val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
               w.write("{\"error\":\"resumeAfter requires a hub with a replay source\"}\n")
               w.flush(); socket.close(); return
             }
-            val replay: () => Iterator[String] = resumeAfter match {
-              case Some(after) => () => replaySource.get(after)
-              case None        => () => Iterator.empty
+            val replay: () => Iterator[String] = (resumeAfter, resumeByTable) match {
+              case (Some(after), _)   => () => replaySource.get(after)
+              case (None, Some(toks)) => () => replaySourceByTable.get(toks)
+              case _                  => () => Iterator.empty
             }
             val s = new Subscriber(p, socket, cap, dropOldest, proto, replay)
             subs.put(s, java.lang.Boolean.TRUE)
@@ -447,6 +471,31 @@ object ListenResume {
       .select(Listen.eventJson(lit(schema), lit(table), col("op"),
         col("event_id"), col("props"), lit(null).cast("string")).as("event"))
       .toLocalIterator().asScala.map(_.getString(0))
+  }
+
+  /** MULTI-TABLE gap replay (a [[CdcCatalog]]-shaped deployment: N captured
+    * tables, N archives): each table's gap is replayed above ITS OWN token
+    * — per-table id spaces are independent, so a shared scalar would
+    * re-deliver tables behind it and lose events on tables ahead (the
+    * `StateMigration.committedOffsets` discipline at the push edge).
+    * Tables replay sequentially, each in id order; CROSS-table ordering is
+    * deliberately unspecified — the reference's per-table trigger streams
+    * never had one, and the live feed interleaves arbitrarily too. A table
+    * the client presents no token for replays nothing (it subscribes
+    * fresh); a token naming a table with no configured archive is a
+    * config error — the require below fails the subscriber (socket
+    * closed, client retries against a corrected config) rather than
+    * silently replaying nothing for it.
+    */
+  def multiArchiveReplay(spark: org.apache.spark.sql.SparkSession,
+                         archives: Map[String, String],
+                         schema: String = "public")
+      : Map[String, Long] => Iterator[String] = tokens => {
+    val unknown = tokens.keySet -- archives.keySet
+    require(unknown.isEmpty, s"no archive configured for table(s): $unknown")
+    tokens.toSeq.sortBy(_._1).iterator.flatMap { case (table, after) =>
+      archiveReplay(spark, archives(table), schema, table)(after)
+    }
   }
 }
 
@@ -554,6 +603,32 @@ object PqsClient {
     } finally socket.close()
   }
 
+  /** Multi-table resumable connection: per-table tokens (the
+    * `resumeAfterByTable` handshake) against a hub built with
+    * [[ListenResume.multiArchiveReplay]]. Track tokens per table with
+    * [[eventId]] + [[Listen.tableOf]].
+    */
+  def runFromTables(host: String, port: Int, tableRegexp: String,
+                    resumeAfter: Map[String, Long],
+                    sink: String => Unit, maxEvents: Int = -1): Unit = {
+    val socket = new Socket(host, port)
+    try {
+      val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+      val toks = resumeAfter.toSeq.sortBy(_._1)
+        .map { case (t, v) => jsonQuote(t) + s""":"$v"""" }.mkString("{", ",", "}")
+      w.write("{\"tableRegexp\":" + jsonQuote(tableRegexp) +
+        s""","resumeAfterByTable":$toks}""" + "\n")
+      w.flush()
+      val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
+      var n = 0
+      var line = in.readLine()
+      while (line != null && (maxEvents <= 0 || n < maxEvents)) {
+        sink(line); n += 1
+        line = if (maxEvents > 0 && n >= maxEvents) null else in.readLine()
+      }
+    } finally socket.close()
+  }
+
   /** The `"id"` field of an Event JSON line as a Long (-1 if absent/bad) —
     * what a resumable client tracks as its token. Called once per
     * delivered line, so the pattern is compiled once.
@@ -563,6 +638,11 @@ object PqsClient {
     val m = IdField.matcher(line)
     if (m.find()) m.group(1).toLong else -1L
   }
+
+  /** The `"table"` field of an Event JSON line — the other half of a
+    * multi-table client's per-table token map.
+    */
+  def eventTable(line: String): String = Listen.tableOf(line)
 
   private def jsonQuote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

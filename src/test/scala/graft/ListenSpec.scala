@@ -457,6 +457,42 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("multi-table resume: per-table tokens over SKEWED id spaces, each gap exact") {
+    import graft.streaming.{ListenResume, PqsClient}
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    // two archives with deliberately skewed id spaces (the shape where a
+    // shared scalar token either re-delivers t2's backlog or loses t1's
+    // new rows — the committedOffsets lesson at the push edge)
+    def archive(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("listen_multi").toString
+      val rows = (0 until n).map(i =>
+        (i.toLong, t(i), i.toLong % 3, "INSERT", s"""{"k":$i}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props")
+      graft.sources.Layout.writeEventArchive(rows, dir)
+      dir
+    }
+    val dirT1 = archive(8)    // t1 ids 0..7
+    val dirT2 = archive(500)  // t2 ids 0..499 — far ahead of t1
+    val server = new ListenServer(replaySourceByTable = Some(
+      ListenResume.multiArchiveReplay(spark,
+        Map("t1" -> dirT1, "t2" -> dirT2))))
+    try {
+      // the disconnected client saw t1 through id 5 and t2 through id 490
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFromTables("127.0.0.1", server.boundPort, ".*",
+        Map("t1" -> 5L, "t2" -> 490L), got.add(_), maxEvents = 11)
+      val byTable = got.toArray(Array.empty[String])
+        .groupBy(PqsClient.eventTable).view
+        .mapValues(_.map(PqsClient.eventId).toSeq).toMap
+      assert(byTable.keySet == Set("t1", "t2"), s"got ${byTable.keySet}")
+      assert(byTable("t1") == Seq(6L, 7L),
+        s"t1 gap wrong: ${byTable("t1")}")
+      assert(byTable("t2") == (491L to 499L),
+        s"t2 gap wrong: ${byTable("t2")}")
+    } finally server.close()
+  }
+
   test("resumeAfter against a hub without a replay source is refused loudly") {
     val server = new ListenServer()
     try {
