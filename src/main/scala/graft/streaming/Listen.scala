@@ -295,10 +295,23 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
         // The subscription's table regexp applies to REPLAYED events
         // exactly as publish() applies it to live ones — a narrow
         // subscriber must not receive the whole archive tail on reconnect.
+        // One bad archive line (a malformed \u escape breaking tableOf, a
+        // proto re-encode failure) must not abort the WHOLE replay — a
+        // persistently bad line would make resume permanently impossible
+        // (every reconnect re-hits it). Per-line failures are counted as
+        // drops and skipped; an IOException is the CLIENT disappearing and
+        // still aborts (rethrown into the blanket catch → unregister).
         replay().foreach { line =>
-          if (!closed.get && !gone.get &&
-              pattern.matcher(Listen.tableOf(line)).find())
-            emit(if (protoFrames) ProtoWire.framedEventBase64(line) else line)
+          if (!closed.get && !gone.get) {
+            try {
+              if (pattern.matcher(Listen.tableOf(line)).find())
+                emit(if (protoFrames) ProtoWire.framedEventBase64(line) else line)
+            } catch {
+              case e: java.io.IOException => throw e
+              case _: Exception =>
+                dropped.incrementAndGet(); drops.incrementAndGet()
+            }
+          }
         }
         while (!closed.get && !gone.get) {
           val line = queue.poll(200, TimeUnit.MILLISECONDS)
@@ -362,7 +375,17 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
           val candidate = if (tab2 > tab) line.substring(tab2 + 1) else ""
           if (candidate.nonEmpty && candidate.forall(ListenServer.isBase64Char))
             publish(line.substring(0, tab), line.substring(tab + 1, tab2), candidate)
-          else publish(line.substring(0, tab), line.substring(tab + 1))
+          else {
+            // trailing-tab lines ('table\tjson\t'): an EMPTY third field
+            // must not deliver its separator tab as trailing garbage
+            // inside the published event — strip trailing tabs; a
+            // non-empty non-base64 remainder keeps the pre-r11
+            // first-tab-only delivery unchanged (see comment above)
+            var end = line.length
+            if (candidate.isEmpty)
+              while (end > tab + 1 && line.charAt(end - 1) == '\t') end -= 1
+            publish(line.substring(0, tab), line.substring(tab + 1, end))
+          }
         }
         line = in.readLine()
       }
@@ -388,10 +411,26 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
             // scalar token would re-deliver tables behind it and LOSE
             // events on tables ahead), so the token is a JSON object of
             // per-table last-delivered ids.
-            val resumeAfter = handshakeField(first, "resumeAfter")
+            // Token parse failures distinguish ABSENT (a plain live
+            // subscription) from UNPARSEABLE: a client that presented a
+            // garbage token asked for at-least-once and must be refused
+            // loudly (error line + close, same posture as the
+            // missing-replay-source case below) — never silently joined
+            // live-only, and never left hanging on a leaked socket by an
+            // exception escaping this handshake.
+            val resumeAfterRaw = handshakeField(first, "resumeAfter")
+            val resumeAfter = resumeAfterRaw
               .flatMap(v => scala.util.Try(v.toLong).toOption)
-            val resumeByTable = handshakeObjectField(first, "resumeAfterByTable")
-              .map(_.map { case (t, v) => t -> v.toLong })
+            val resumeByTableRaw = handshakeObjectField(first, "resumeAfterByTable")
+            val resumeByTable = resumeByTableRaw.flatMap { toks =>
+              scala.util.Try(toks.map { case (t, v) => t -> v.toLong }).toOption
+            }
+            if ((resumeAfterRaw.isDefined && resumeAfter.isEmpty) ||
+                (resumeByTableRaw.isDefined && resumeByTable.isEmpty)) {
+              val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
+              w.write("{\"error\":\"unparseable resume token (expected a numeric id)\"}\n")
+              w.flush(); socket.close(); return
+            }
             if ((resumeAfter.isDefined && replaySource.isEmpty) ||
                 (resumeByTable.isDefined && replaySourceByTable.isEmpty)) {
               val w = new BufferedWriter(new OutputStreamWriter(socket.getOutputStream, UTF_8))
@@ -433,7 +472,13 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     try {
       while (!closed.get) {
         val s = server.accept()
-        daemon(s"listen-conn") { try handleConnection(s) catch { case _: Throwable => () } }
+        // any failure escaping the handshake must CLOSE the socket — a
+        // swallowed exception with the socket left open hangs the client
+        // forever with no error response and leaks the fd
+        daemon(s"listen-conn") {
+          try handleConnection(s)
+          catch { case _: Throwable => try s.close() catch { case _: Throwable => () } }
+        }
       }
     } catch { case _: Throwable => () } // server socket closed
   }

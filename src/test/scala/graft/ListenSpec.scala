@@ -502,4 +502,95 @@ class ListenSpec extends SparkSuite {
         got.get(0).contains("replay source"), s"got $got")
     } finally server.close()
   }
+
+  /** Sends a raw handshake, returns (first response line or null, whether the
+    * server then closed the stream) — the refusal contract is BOTH: an error
+    * line AND a close, never a silent live-only join and never a hang.
+    */
+  private def rawHandshake(port: Int, handshake: String): (String, Boolean) = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(5000)
+      val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+      w.write(handshake + "\n"); w.flush()
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val first = in.readLine()
+      val closed = if (first == null) true else in.readLine() == null
+      (first, closed)
+    } finally sock.close()
+  }
+
+  test("unparseable scalar resumeAfter is refused loudly, not silently joined live-only") {
+    import graft.streaming.ListenResume
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("listen_badtok").toString
+    graft.sources.Layout.writeEventArchive(
+      Seq((0L, new java.sql.Timestamp(1000), 0L, "INSERT", """{"k":0}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), dir)
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    try {
+      val (line, closed) = rawHandshake(server.boundPort,
+        """{"tableRegexp":".*","resumeAfter":"not-a-number"}""")
+      assert(line != null && line.contains("error") && line.contains("resume"),
+        s"expected an error line, got: $line")
+      assert(closed, "server must close after refusing the bad token")
+      assert(server.subscriberCount == 0, "bad-token client must not be registered")
+    } finally server.close()
+  }
+
+  test("unparseable resumeAfterByTable token is refused with an error and a close — no socket hang") {
+    // pre-fix: the NumberFormatException escaped the handshake catch, the
+    // conn daemon swallowed it, and the client hung forever on a leaked
+    // socket with no response at all
+    val server = new ListenServer()
+    try {
+      val (line, closed) = rawHandshake(server.boundPort,
+        """{"tableRegexp":".*","resumeAfterByTable":{"t1":"garbage"}}""")
+      assert(line != null && line.contains("error"), s"expected an error line, got: $line")
+      assert(closed, "server must close after refusing the bad token map")
+      assert(server.subscriberCount == 0)
+    } finally server.close()
+  }
+
+  test("one bad archive line skips with drop accounting — replay survives, resume stays possible") {
+    // a malformed \u escape in the table field makes tableOf throw; the
+    // replay must count-and-skip it, not kill the resumed subscriber (a
+    // persistently bad line would otherwise make resume permanently
+    // impossible — every reconnect re-hits it)
+    val bad = "{\"schema\":\"public\",\"table\":\"ev\\u00ZZents\",\"op\":\"INSERT\",\"id\":\"1\"}"
+    val good = """{"schema":"public","table":"events","op":"INSERT","id":"2","payload":{"k":2}}"""
+    val server = new ListenServer(
+      replaySource = Some((_: Long) => Iterator(bad, good)))
+    try {
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFrom("127.0.0.1", server.boundPort, ".*", 0L, got.add(_), maxEvents = 1)
+      assert(got.size == 1 && got.get(0) == good,
+        s"replay died on the bad line instead of skipping it: $got")
+      assert(server.droppedCount == 1,
+        s"skipped line must be accounted as a drop: ${server.droppedCount}")
+    } finally server.close()
+  }
+
+  test("trailing-tab ingest line publishes the event without the separator tab") {
+    val server = new ListenServer()
+    try {
+      val sub = new Sub(server.boundPort, ".*")
+      try {
+        awaitSubs(server, 1)
+        val ing = new Socket("127.0.0.1", server.boundPort)
+        val iw = new BufferedWriter(new OutputStreamWriter(ing.getOutputStream, UTF_8))
+        iw.write("{\"ingest\":true}\n")
+        // an empty third field ('table\tjson\t') must not deliver its
+        // separator tab as trailing garbage inside the published event
+        iw.write("events\t{\"table\":\"events\",\"id\":\"1\"}\t\n")
+        iw.flush()
+        sub.await(1)
+        assert(sub.lines.size == 1, s"got ${sub.lines}")
+        assert(sub.lines.get(0) == """{"table":"events","id":"1"}""",
+          s"trailing garbage delivered: [${sub.lines.get(0)}]")
+        ing.close()
+      } finally sub.close()
+    } finally server.close()
+  }
 }
