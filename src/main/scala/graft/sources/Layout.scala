@@ -364,12 +364,13 @@ object Layout {
       .groupBy(col("day"))
       .agg(count(lit(1)).cast("long").as("kept_n"),
            sum(col("event_id")).cast("long").as("kept_sum"))
-    kept.join(report.withColumnRenamed("rows_removed", "removed_n"),
+    val out = kept.join(report.withColumnRenamed("rows_removed", "removed_n"),
         Seq("day"), "full_outer")
       .select(col("day").cast("string").as("day"), // string: DATE renders
         coalesce(col("kept_n"), lit(0L)).as("kept_n"), // differently across
         col("kept_sum"),                               // arrow readers
         coalesce(col("removed_n"), lit(0L)).cast("long").as("removed_n"))
+    materializeAndDropStaging(spark, out, dir)
   }
 
   /** Oracle-gated BATCHED erasure proof (`ops_erase_batch`): one
@@ -394,11 +395,30 @@ object Layout {
     val report = eraseEntities(spark, dir, targets)
     val kept = spark.read.parquet(dir)
       .groupBy(col("day")).agg(count(lit(1)).cast("long").as("day_kept_n"))
-    report.join(kept, Seq("day"), "left")
+    val out = report.join(kept, Seq("day"), "left")
       .select(col("user_id"),
         col("day").cast("string").as("day"),
         col("rows_removed").cast("long").as("removed_n"),
         coalesce(col("day_kept_n"), lit(0L)).as("day_kept_n"))
+    materializeAndDropStaging(spark, out, dir)
+  }
+
+  /** The erase-audit staging dirs are mutated by the erasure under test, so
+    * they must be FRESH per invocation (the read-only stagings' fingerprint
+    * cache would poison rep 2) — and therefore deleted per invocation, or a
+    * multi-rep bench session accumulates staged archives in /tmp. The audit
+    * result is bounded (entities × retention days), so eager
+    * materialization into a local relation lets the staging go immediately;
+    * same rows, same schema, hash-identical to the lazy form.
+    */
+  private def materializeAndDropStaging(spark: SparkSession, out: DataFrame,
+                                        dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    spark.createDataFrame(rows.asJava, out.schema)
   }
 
   // ===== Z-order (space-filling curve) clustering =====
