@@ -368,4 +368,22 @@ object Graft {
     */
   def erasureSet(spark: SparkSession, archivePath: String): Map[Long, Long] =
     graft.streaming.StateErasure.erasureSet(spark, archivePath)
+
+  /** ONE-CALL entity erasure across the archive and EVERY configured
+    * durable state store, with a completeness report — archive erase →
+    * tombstone/erasure-set publication → sentinel insertion through the
+    * real feed → per-store recipe dispatch (in-place transformWithState;
+    * offline rewrites for classic/generic; fingerprint-store filters) →
+    * a verification pass reading every target. Returns one row per
+    * target: (store, found_before, found_after); all-zero `found_after`
+    * is the done signal, and a re-call is a no-op reporting (0, 0).
+    * Store constructors: [[graft.streaming.EraseEverywhere.TwsInPlace]],
+    * `ClassicOffline`, `GenericOffline`, `DedupBuckets`, `MediaDedup`,
+    * `SemDedup` — see [[graft.streaming.EraseEverywhere]] for each
+    * recipe's contract.
+    */
+  def eraseEverywhere(spark: SparkSession, archivePath: String,
+                      userIds: Seq[Long],
+                      stores: Seq[graft.streaming.EraseEverywhere.Store]): DataFrame =
+    graft.streaming.EraseEverywhere.run(spark, archivePath, userIds, stores)
 }
