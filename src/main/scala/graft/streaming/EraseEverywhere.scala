@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *     (day, op) partitions rewritten, null keys survive, tombstones
   *     recorded with a pre-rewrite cutoff (replay resurrection blocked).
   *  1. Erasure-set publication — the tombstones read back as
-  *     (user → cutoff); a requested user the archive never held gets the
-  *     archive's max event id as a synthesized cutoff (nothing of theirs
-  *     is replayable, so any cutoff at-or-above live ids is safe).
+  *     (user → cutoff); a requested user the archive never held gets a
+  *     synthesized cutoff of max(archive top id, every live feed's top
+  *     id) — the live floor matters because the live table runs ahead of
+  *     the archive, and a cutoff below live ids would let a restart
+  *     replay of not-yet-archived rows rebuild the erased state.
   *  1. Per-store recipe dispatch — each [[Store]] applies ITS deployment's
   *     recipe (see the subtypes); in-place stores get sentinels inserted
   *     through the REAL feed first so never-recurring keys are reached.
@@ -37,11 +39,17 @@ import org.apache.spark.sql.functions._
   *     found_after). `found_after` must be all-zero; a non-zero row names
   *     exactly which copy survived.
   *
-  * Restart idempotence: a re-call finds zero artifacts everywhere, the
-  * archive locate pass finds nothing to rewrite, re-injected sentinels are
-  * dropped by the handlers unconditionally, and the erasure receipts
-  * (`erasedAt`) keep rebuilt post-erasure payloads intact — the report
-  * reads (0, 0) per store.
+  * Restart idempotence is keyed on a RECEIPT LEDGER
+  * (`<archive>/_erasure_receipts`, one (store, user) row per VERIFIED
+  * store erasure), NOT on the before-census: `found()` only proves the
+  * LATEST committed state version lacks the keys — older delta/snapshot
+  * files in an offline store's checkpoint can still hold the payload
+  * bytes (e.g. the key was cleared organically by business logic or TTL
+  * before the request landed), so a first call runs every store's recipe
+  * even when its before-census reads zero. A receipt is recorded only
+  * after that store's after-census verifies zero; a re-call for receipted
+  * users is then STRUCTURALLY a no-op — no sentinel insert, no offline
+  * rewrite, no checkpoint churn — and the report reads (0, 0) per store.
   *
   * 100 TB posture: inherited from the pieces — the erasure set is bounded
   * by compliance requests (broadcast, not a join); the archive rewrite
@@ -218,8 +226,13 @@ object EraseEverywhere {
     * delivers them), `event_type = 'erase'`, null ts/props. The handler
     * drops them unconditionally, so they never become events — they exist
     * to make the stateful handler FIRE for keys that would otherwise never
-    * recur. Retry-wrapped: the insert races the capture's own poller for
-    * row locks, same as every other write to a live feed.
+    * recur. Retry-wrapped AND single-transaction: the insert races the
+    * capture's own poller for row locks, and a lock-victim retry must not
+    * leave a partial sentinel set behind (the retry re-probes the max id,
+    * so a partially-committed first attempt would otherwise leave
+    * duplicate sentinel rows in the user's table — harmless to state, the
+    * handlers drop them unconditionally, but observable to the user).
+    * All-or-nothing per attempt makes the retry exact.
     */
   private[graft] def insertSentinels(url: String, table: String,
                                      erased: Map[Long, Long]): Unit = {
@@ -230,6 +243,7 @@ object EraseEverywhere {
       val sentinels = StateErasure.eraseSentinels(erased, firstId)
       val conn = java.sql.DriverManager.getConnection(url)
       try {
+        conn.setAutoCommit(false)
         val ps = conn.prepareStatement(
           s"INSERT INTO $table (event_id, ts, user_id, event_type, props)" +
             " VALUES (?, ?, ?, ?, ?)")
@@ -241,19 +255,62 @@ object EraseEverywhere {
           ps.setNull(5, java.sql.Types.VARCHAR)
           ps.executeUpdate()
         }
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
       } finally conn.close()
     }
+  }
+
+  /** The receipt ledger: one (store, user_id) row per VERIFIED store
+    * erasure, appended under the archive (the one shared durable location
+    * every deployment already has — same placement as `_tombstones`). The
+    * idempotence key for [[run]]; see the class doc for why the
+    * before-census cannot be that key.
+    */
+  private[graft] def receipts(spark: SparkSession,
+                              archivePath: String): Set[(String, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else spark.read.parquet(dir.toString)
+      .select(col("store"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  private def recordReceipts(spark: SparkSession, archivePath: String,
+                             store: String, users: Seq[Long]): Unit = {
+    val sq = spark
+    import sq.implicits._
+    users.map(u => (store, u)).toDF("store", "user_id")
+      .coalesce(1).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts").toString)
   }
 
   /** Offline-rewrite decommission: the OLD checkpoint's files still hold
     * the erased payload bytes after the resumed query commits on the
     * fresh one — deleting them is part of the erasure, not housekeeping.
+    * The resumeFrom contract ("return only after the first batch COMMITS
+    * on the fresh checkpoint") is ENFORCED, not trusted: a callback that
+    * returns early would otherwise lose the store — the old dir deleted,
+    * the new one holding nothing durable — so an empty commit log on the
+    * fresh side refuses the delete.
     */
   private def decommission(spark: SparkSession, oldDir: String,
                            newDir: String): Unit = {
     require(newDir != oldDir,
       "offline-rewrite resume must land on a FRESH checkpoint " +
         s"(resumeFrom returned the old dir: $oldDir)")
+    val np = new org.apache.hadoop.fs.Path(newDir)
+    val nfs = np.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(np, "commits")
+    require(nfs.exists(commits) &&
+        nfs.listStatus(commits).exists(_.getPath.getName.forall(_.isDigit)),
+      s"fresh checkpoint $newDir has no committed batch — refusing to " +
+        s"decommission $oldDir (the rewritten state is not durable yet; " +
+        "resumeFrom must return only after its first batch commits)")
     val p = new org.apache.hadoop.fs.Path(oldDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) require(fs.delete(p, true), s"failed to decommission $oldDir")
@@ -263,18 +320,38 @@ object EraseEverywhere {
     * store, verify every copy, return the completeness report —
     * one row per target: (store, found_before, found_after), `"archive"`
     * first. All-zero `found_after` = the erasure is complete; a re-call
-    * is a no-op reporting (0, 0) everywhere.
+    * is a structural no-op reporting (0, 0) everywhere (receipt-keyed —
+    * see the class doc).
     */
   def run(spark: SparkSession, archivePath: String, userIds: Seq[Long],
-          stores: Seq[Store]): DataFrame = {
+          stores: Seq[Store]): DataFrame =
+    runDetailed(spark, archivePath, userIds, stores)._1
+
+  /** [[run]] plus the POST-erasure store configs: the offline-rewrite
+    * recipes move each store to the fresh checkpoint its resumed query
+    * committed on (the old one is decommissioned), so a deployment that
+    * wants to re-verify later must address the moved stores — this is the
+    * handle. In-place stores come back unchanged.
+    */
+  def runDetailed(spark: SparkSession, archivePath: String, userIds: Seq[Long],
+                  stores: Seq[Store]): (DataFrame, Seq[Store]) = {
     require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
     require(stores.map(_.name).distinct.size == stores.size,
       s"store names must be unique: ${stores.map(_.name)}")
     val users = userIds.distinct.sorted
-    def archiveFound(): Long =
-      spark.read.parquet(archivePath)
-        .filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
-        .count()
+    // a fully-erased archive has no data files left (every day=/op=
+    // partition deleted, only _tombstones/_SUCCESS remain), so the bare
+    // parquet read throws instead of counting zero — guard every census
+    // and the max-id fallback read
+    def archiveRead(): Option[DataFrame] =
+      try Some(spark.read.parquet(archivePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def archiveFound(): Long = archiveRead() match {
+      case Some(df) =>
+        df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
+          .count()
+      case None => 0L
+    }
 
     // BEFORE census (cutoffs don't matter to found(); 0L placeholders)
     val preSet = users.map(_ -> 0L).toMap
@@ -286,29 +363,54 @@ object EraseEverywhere {
       graft.sources.Layout.eraseEntities(spark, archivePath, users)
 
     // erasure-set publication: recorded cutoffs; a user the archive never
-    // held gets the archive's max id (nothing of theirs is replayable)
+    // held gets a synthesized cutoff. The synthesized value is the MAX of
+    // the archive's top event id and every live feed's top id: the live
+    // table typically runs AHEAD of the archive, and a restart replay of
+    // not-yet-archived rows above an archive-only cutoff could rebuild
+    // the erased user's prev-image state after the erasing bounce — the
+    // live floor closes that window (rows committed after this probe are
+    // post-erasure data, legitimately kept).
     val recorded = StateErasure.erasureSet(spark, archivePath)
-    val maxRow = spark.read.parquet(archivePath).agg(max(col("event_id"))).head()
-    val fallback = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val archiveMax = archiveRead() match {
+      case Some(df) =>
+        val maxRow = df.agg(max(col("event_id"))).head()
+        if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      case None => 0L
+    }
+    val liveMax = stores.collect { case t: TwsInPlace =>
+      JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id")
+    }
+    val fallback = (0L +: archiveMax +: liveMax).max
     val set = users.map(u => u -> recorded.getOrElse(u, fallback)).toMap
 
     // per-store recipes, then the AFTER census on each store's verified
-    // form. A store whose before-census found nothing is SKIPPED (after
-    // re-read proves it stayed clean): the recipe's only purpose is
-    // removing the requested entities' artifacts, so on a re-call no
-    // checkpoint churns, no offline rewrite runs, and no extra sentinel
-    // rows land in the live table — the no-op is structural, not just
-    // observational.
-    val afterStores = stores.zip(beforeStores).map { case (s, before) =>
-      val verified = if (before == 0L) s else s.erase(spark, set)
-      verified.found(spark, set)
-    }
+    // form. Dispatch is keyed on the receipt ledger, NOT the before-census:
+    // a first call runs the recipe even when found() reads zero (older
+    // checkpoint files can still hold the payload bytes — class doc), and
+    // passes only the UNRECEIPTED users so a grown request set cannot
+    // re-insert sentinels for already-erased ones. A receipt is recorded
+    // only once the store's after-census verifies zero, so a failed
+    // erasure re-runs on the next call; once receipted, a re-call is
+    // structurally a no-op — no checkpoint churn, no offline rewrite, no
+    // extra sentinel rows in the live table.
+    val done = receipts(spark, archivePath)
+    val (afterStores, movedStores) = stores.map { s =>
+      val pending = users.filterNot(u => done((s.name, u)))
+      val verified =
+        if (pending.isEmpty) s
+        else s.erase(spark, set.filter { case (u, _) => pending.contains(u) })
+      val after = verified.found(spark, set)
+      if (pending.nonEmpty && after == 0L)
+        recordReceipts(spark, archivePath, s.name, pending)
+      (after, verified)
+    }.unzip
 
     val sq = spark
     import sq.implicits._
-    (("archive", beforeArchive, archiveFound()) +:
+    val report = (("archive", beforeArchive, archiveFound()) +:
       stores.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
         (s.name, b, a)
       }).toDF("store", "found_before", "found_after")
+    (report, movedStores)
   }
 }

@@ -337,7 +337,11 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     try {
       val node = om.readTree(line)
-      Option(node.get(field)).map(_.asText())
+      // explicit JSON null == absent: clients whose serializers emit
+      // optional fields as null ("resumeAfter":null) mean "no token", not
+      // "a token you must refuse" — NullNode.asText() is the string
+      // "null", which would otherwise trip the unparseable-token refusal
+      Option(node.get(field)).filter(n => !n.isNull).map(_.asText())
     } catch { case _: Throwable => None }
   }
 

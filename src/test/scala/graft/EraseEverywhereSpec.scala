@@ -1,0 +1,348 @@
+package graft
+
+import java.sql.{DriverManager, Timestamp}
+
+import graft.streaming.{CdcStream, DedupStream, EraseEverywhere, StateMigration}
+import graft.streaming.CdcStream.RawChange
+import graft.streaming.EraseEverywhere.{ClassicOffline, DedupBuckets, TwsInPlace}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The ONE-CALL erasure orchestrator ([[EraseEverywhere.run]] /
+  * `Graft.eraseEverywhere`) end to end — the r11/r12 done-criterion: a
+  * LIVE Derby capture + the parquet archive + an in-place
+  * transformWithState prev-image store + a dedup fingerprint store, erased
+  * and VERIFIED in one call; the re-call is structurally a no-op (no
+  * sentinel rows added to the live table, no checkpoint churn, no bounce);
+  * the decommission contract is enforced, not trusted (same-dir refusal +
+  * no-commit refusal); a clean before-census does NOT skip the first call
+  * (older checkpoint files can still hold payload bytes — idempotence is
+  * keyed on the receipt ledger); a fully-emptied archive reports zero
+  * instead of throwing; and a user the archive never held gets a cutoff
+  * floored at the LIVE feed's max id (the live table runs ahead of the
+  * archive). Closes the blind spot of the reference's pipeline-only
+  * redaction (`/root/reference/redactions.go:33-52`): erasure must reach
+  * every DURABLE copy, and the report must prove it did.
+  */
+class EraseEverywhereSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(i: Long) = new Timestamp(1000L * (i + 1))
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def withRocks[T](body: => T): T = {
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey, RocksProvider)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
+
+  private def exec(url: String, sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute(sql) finally c.close()
+  }
+  private def createEvents(url: String): Unit = {
+    DriverManager.getConnection(url).close()
+    exec(url, "CREATE TABLE events (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+  }
+  private def insert(url: String, rows: (Long, Timestamp, Long, String, String)*): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement("INSERT INTO events VALUES (?, ?, ?, ?, ?)")
+      rows.foreach { case (id, ts, uid, typ, props) =>
+        ps.setLong(1, id); ps.setTimestamp(2, ts); ps.setLong(3, uid)
+        ps.setString(4, typ); ps.setString(5, props)
+        ps.executeUpdate()
+      }
+    } finally c.close()
+  }
+  private def countSql(url: String, sql: String): Long = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+  private def fileCount(dir: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try s.count() finally s.close()
+  }
+  private def exists(dir: String): Boolean = new java.io.File(dir).exists()
+  private def reportMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  // 20 distinct words per doc — enough shingles for the minhash bands
+  private def docText(seed: String): String =
+    (0 until 20).map(i => s"${seed}word$i").mkString(" ")
+
+  private def jdbcSrc(url: String) =
+    spark.readStream.format("graft.streaming.CdcSourceProvider")
+      .option("jdbcUrl", url).option("jdbcTable", "events")
+      .option("numPartitions", "2").load().as[RawChange]
+  // memory sink refuses checkpoint RECOVERY; foreachBatch is the
+  // recoverable test-grade sink for same-checkpoint restarts
+  private def runTws(events: Dataset[CdcStream.CdcEvent], chk: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (b: Dataset[CdcStream.CdcEvent], _: Long) => b.collect(); () }
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+  private def erasedAtReceipts(chk: String): Map[Long, Long] =
+    spark.read.format("statestore").option("path", chk)
+      .option("stateVarName", "erasedAt").load()
+      .select(col("key.value").cast("long").as("_1"),
+        col("value.value").cast("long").as("_2"))
+      .as[(Long, Long)].collect().toMap
+
+  test("one call erases archive + live tws store + dedup store; the receipted re-call is structurally a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:erase_e2e;create=true"
+    createEvents(url)
+    val wave = Seq(
+      (1L, t(0), 1L, "signup",   """{"k":1}"""),
+      (2L, t(1), 2L, "signup",   """{"k":2}"""),
+      (3L, t(2), 3L, "signup",   """{"k":3}"""), // user 3 never recurs
+      (4L, t(3), 1L, "purchase", """{"k":4}"""),
+      (5L, t(4), 2L, "purchase", """{"k":5}"""))
+    insert(url, wave: _*)
+
+    // live capture builds the tws prev-image store on its checkpoint
+    val chkTws = tmp("erase_e2e_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chkTws) }
+    assert(StateMigration.readPrevImageStateTws(spark, chkTws).collect().toMap ==
+      Map(1L -> """{"k":4}""", 2L -> """{"k":5}""", 3L -> """{"k":3}"""))
+
+    // the archive holds the same events (day-partitioned parquet)
+    val adir = tmp("erase_e2e_archive")
+    graft.sources.Layout.writeEventArchive(
+      wave.toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    // the dedup fingerprint store: docs keyed by user id (docsOf identity)
+    val chkDd = tmp("erase_e2e_dd_a")
+    val docs = Seq(DedupStream.Doc(1L, docText("alpha")),
+      DedupStream.Doc(2L, docText("beta")), DedupStream.Doc(3L, docText("gamma")))
+    def bands(in: MemoryStream[DedupStream.Doc]) =
+      DedupStream.bandRows(in.toDS().toDF()).as[DedupStream.BandRow]
+    val in1 = MemoryStream[DedupStream.Doc]
+    val q1 = DedupStream.candidates(bands(in1)).writeStream
+      .foreachBatch { (b: Dataset[DedupStream.Candidate], _: Long) => b.collect(); () }
+      .option("checkpointLocation", chkDd).outputMode("append").start()
+    try { in1.addData(docs: _*); q1.processAllAvailable() } finally q1.stop()
+
+    var bounces = 0
+    val stores = Seq(
+      TwsInPlace("tws", chkTws, url, "events", erased => {
+        bounces += 1
+        withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chkTws) }
+      }),
+      DedupBuckets("dedup", chkDd, { filtered =>
+        val fresh = tmp("erase_e2e_dd_b")
+        val in2 = MemoryStream[DedupStream.Doc]
+        val q2 = DedupStream.candidatesFrom(bands(in2), filtered).writeStream
+          .foreachBatch { (b: Dataset[DedupStream.Candidate], _: Long) => b.collect(); () }
+          .option("checkpointLocation", fresh).outputMode("append").start()
+        // the first batch COMMITS the rewritten state on the fresh
+        // checkpoint before resumeFrom returns — the decommission contract
+        try { in2.addData(DedupStream.Doc(99L, docText("delta"))); q2.processAllAvailable() }
+        finally q2.stop()
+        fresh
+      }))
+
+    val (report, moved) =
+      EraseEverywhere.runDetailed(spark, adir, Seq(1L, 3L), stores)
+    val rep = reportMap(report)
+    assert(rep.keySet == Set("archive", "tws", "dedup"), s"got $rep")
+    assert(rep("archive") == (3L, 0L), s"archive: ${rep("archive")}")
+    assert(rep("tws") == (2L, 0L), s"tws: ${rep("tws")}")
+    assert(rep("dedup")._1 > 0L && rep("dedup")._2 == 0L, s"dedup: ${rep("dedup")}")
+
+    // durable copies verified DIRECTLY, not just through the report
+    val st = StateMigration.readPrevImageStateTws(spark, chkTws).collect().toMap
+    assert(st == Map(2L -> """{"k":5}"""), s"tws checkpoint still leaks: $st")
+    // the only other state var is the erasure receipt — a bare cutoff id
+    // (the pre-rewrite archive max, 5), no payload bytes
+    assert(erasedAtReceipts(chkTws) == Map(1L -> 5L, 3L -> 5L))
+    val movedDd = moved.collect { case d: DedupBuckets => d }.head
+    assert(!exists(chkDd), "old dedup checkpoint must be decommissioned")
+    assert(movedDd.checkpointDir != chkDd && exists(movedDd.checkpointDir))
+    assert(!StateMigration.readDedupBucketState(spark, movedDd.checkpointDir)
+      .collect().exists(kv => kv._2 == 1L || kv._2 == 3L))
+    // exactly one sentinel per erased user landed in the live table, once
+    assert(countSql(url,
+      "SELECT COUNT(*) FROM events WHERE event_type = 'erase'") == 2L)
+    assert(bounces == 1)
+
+    // re-call with the post-erasure stores: structurally a no-op — report
+    // (0,0) everywhere, no bounce, no new sentinels, no checkpoint churn
+    val ddFiles = fileCount(movedDd.checkpointDir)
+    val (report2, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L, 3L), moved)
+    assert(reportMap(report2).values.toSet == Set((0L, 0L)), s"${reportMap(report2)}")
+    assert(bounces == 1, "re-call must not bounce the tws store")
+    assert(countSql(url,
+      "SELECT COUNT(*) FROM events WHERE event_type = 'erase'") == 2L,
+      "re-call must not insert sentinel rows")
+    assert(fileCount(movedDd.checkpointDir) == ddFiles,
+      "re-call must not churn the dedup checkpoint")
+  }
+
+  test("decommission is enforced, not trusted: no-commit and same-dir resumes are refused, the store survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val chkA = tmp("erase_cls_a")
+    val in = MemoryStream[RawChange]
+    val q1 = CdcStream.withPrevState(in.toDS()).writeStream
+      .format("memory").queryName("ee_cls_seed")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try {
+      in.addData(RawChange(1L, t(0), 1L, "signup", """{"k":1}"""),
+        RawChange(2L, t(1), 2L, "signup", """{"k":2}"""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val adir = tmp("erase_cls_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    // (a) a callback returning before its first batch commits loses the
+    // store if the old dir is deleted — the empty commit log refuses it
+    val e1 = intercept[IllegalArgumentException] {
+      EraseEverywhere.run(spark, adir, Seq(1L),
+        Seq(ClassicOffline("cls", chkA, _ => tmp("erase_cls_early"))))
+    }
+    assert(e1.getMessage.contains("no committed batch"), e1.getMessage)
+    assert(exists(chkA), "old checkpoint must survive a refused decommission")
+    assert(StateMigration.readPrevImageState(spark, chkA).collect().toMap
+      .contains(1L), "state must be untouched after the refusal")
+
+    // (b) a resume that lands on the OLD dir is refused before any delete
+    val e2 = intercept[IllegalArgumentException] {
+      EraseEverywhere.run(spark, adir, Seq(1L),
+        Seq(ClassicOffline("cls", chkA, _ => chkA)))
+    }
+    assert(e2.getMessage.contains("FRESH checkpoint"), e2.getMessage)
+    assert(exists(chkA))
+
+    // (c) the honest resume: first batch commits on the fresh checkpoint,
+    // THEN the old one is decommissioned; the moved store verifies clean
+    var freshDir: String = null
+    val (rep, moved) = EraseEverywhere.runDetailed(spark, adir, Seq(1L),
+      Seq(ClassicOffline("cls", chkA, { filtered =>
+        val fresh = tmp("erase_cls_b"); freshDir = fresh
+        val in2 = MemoryStream[RawChange]
+        val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+          .format("memory").queryName("ee_cls_resume")
+          .option("checkpointLocation", fresh).outputMode("append").start()
+        try {
+          in2.addData(RawChange(50L, t(50), 2L, "purchase", """{"k":50}"""))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        fresh
+      })))
+    assert(reportMap(rep)("cls") == (1L, 0L))
+    assert(!exists(chkA), "the old checkpoint's payload bytes must be gone")
+    assert(moved.head.asInstanceOf[ClassicOffline].checkpointDir == freshDir)
+    assert(StateMigration.readPrevImageState(spark, freshDir).collect().toMap ==
+      Map(2L -> """{"k":50}"""))
+  }
+
+  test("a clean before-census does not skip the first call: idempotence is receipt-keyed, not found()==0") {
+    implicit val sqlCtx = spark.sqlContext
+    // the latest committed state never held user 1 — but older checkpoint
+    // delta/snapshot files COULD (a key cleared organically by TTL or
+    // business logic before the request landed), so the first call must
+    // run the rewrite+decommission anyway; only the receipt makes the
+    // re-call a structural no-op
+    val chkA = tmp("erase_clean_a")
+    val in = MemoryStream[RawChange]
+    val q1 = CdcStream.withPrevState(in.toDS()).writeStream
+      .format("memory").queryName("ee_clean_seed")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try {
+      in.addData(RawChange(1L, t(0), 2L, "signup", """{"k":1}"""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val adir = tmp("erase_clean_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 2L, "INSERT", """{"k":1}"""), (2L, t(1), 1L, "INSERT", """{"k":9}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    var calls = 0
+    def store(chk: String) = ClassicOffline("cls0", chk, { filtered =>
+      calls += 1
+      val fresh = tmp("erase_clean_b")
+      val in2 = MemoryStream[RawChange]
+      val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+        .format("memory").queryName(s"ee_clean_resume_$calls")
+        .option("checkpointLocation", fresh).outputMode("append").start()
+      try {
+        in2.addData(RawChange(60L, t(60), 2L, "purchase", """{"k":60}"""))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      fresh
+    })
+    val (rep, moved) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), Seq(store(chkA)))
+    assert(reportMap(rep)("cls0") == (0L, 0L))
+    assert(calls == 1,
+      "a clean latest-version census must NOT skip the first call — " +
+        "older checkpoint files can still hold the payload bytes")
+    assert(!exists(chkA), "the historical files must be decommissioned")
+
+    val (rep2, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), moved)
+    assert(reportMap(rep2)("cls0") == (0L, 0L))
+    assert(calls == 1, "the receipted re-call must be a structural no-op")
+  }
+
+  test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
+    val adir = tmp("erase_empty_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 3L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    // every row belongs to an erased user and there are no null keys: the
+    // rewrite deletes every day=/op= partition, leaving only _tombstones
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 3L), Seq.empty))
+    assert(rep == Map("archive" -> (2L, 0L)), s"got $rep")
+    val rep2 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 3L), Seq.empty))
+    assert(rep2 == Map("archive" -> (0L, 0L)), s"got $rep2")
+  }
+
+  test("a user the archive never held gets a cutoff floored at the LIVE feed's max id, not the archive's") {
+    val url = "jdbc:derby:memory:erase_floor;create=true"
+    createEvents(url)
+    // the live table runs AHEAD of the archive: user 1 exists only in the
+    // not-yet-archived rows (ids 3-4, above the archive's max of 2)
+    insert(url,
+      (1L, t(0), 2L, "signup",   """{"k":1}"""),
+      (2L, t(1), 2L, "purchase", """{"k":2}"""),
+      (3L, t(2), 1L, "signup",   """{"k":3}"""),
+      (4L, t(3), 1L, "purchase", """{"k":4}"""))
+    val adir = tmp("erase_floor_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 2L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "UPDATE", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    val chkT = tmp("erase_floor_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chkT) }
+    assert(StateMigration.readPrevImageStateTws(spark, chkT).collect().toMap ==
+      Map(1L -> """{"k":4}""", 2L -> """{"k":2}"""))
+
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L),
+      Seq(TwsInPlace("twsf", chkT, url, "events", erased => {
+        withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chkT) }
+      }))))
+    assert(rep("archive") == (0L, 0L) && rep("twsf") == (1L, 0L), s"got $rep")
+    // the stamped cutoff must be the LIVE max (4): an archive-max cutoff
+    // (2) would let a restart replay of rows 3-4 rebuild the erased state
+    assert(erasedAtReceipts(chkT) == Map(1L -> 4L),
+      s"cutoff not floored at the live feed's max id: ${erasedAtReceipts(chkT)}")
+    assert(StateMigration.readPrevImageStateTws(spark, chkT).collect().toMap ==
+      Map(2L -> """{"k":2}"""))
+  }
+}

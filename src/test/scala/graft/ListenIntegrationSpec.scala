@@ -137,6 +137,86 @@ class ListenIntegrationSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("bootstrapAll -> multi-table daemon -> per-table resume: exactly-once per table across a disconnect") {
+    import graft.streaming.{CdcCatalog, CdcSource, ListenResume, PqsClient}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:listen_bootall;create=true"
+    DriverManager.getConnection(url).close()
+    def mk(table: String): Unit =
+      exec(url, s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    def ins(table: String, ids: Range): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+        ids.foreach { i =>
+          ps.setLong(1, i.toLong); ps.setTimestamp(2, t(i.toLong))
+          ps.setLong(3, i.toLong % 3); ps.setString(4, "INSERT")
+          ps.setString(5, s"""{"k":$i}"""); ps.executeUpdate()
+        }
+      } finally c.close()
+    }
+    // skewed id spaces — the shape where one shared token either
+    // re-delivers the big table's backlog or loses the small table's rows
+    mk("orders"); mk("clicks")
+    ins("orders", 1 to 4); ins("clicks", 1 to 9)
+
+    val specs = Seq(CdcSource.JdbcSpec(url, "orders"), CdcSource.JdbcSpec(url, "clicks"))
+    val (snapshot, tail) = CdcCatalog.bootstrapAll(spark, specs, numPartitions = 2)
+
+    // per-table archives seeded from the bootstrap snapshot — per-table id
+    // spaces are independent, so each table gets its own replay store
+    def toArchive(df: DataFrame): DataFrame =
+      df.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type").as("op"), col("props"))
+    val dirs = Map(
+      "orders" -> java.nio.file.Files.createTempDirectory("boot_res_orders").toString,
+      "clicks" -> java.nio.file.Files.createTempDirectory("boot_res_clicks").toString)
+    dirs.foreach { case (tab, d) =>
+      graft.sources.Layout.writeEventArchive(
+        toArchive(snapshot.filter(col("table") === tab)), d)
+    }
+
+    // the client consumed the bootstrap mid-stream and died holding
+    // PER-TABLE tokens (orders through 3, clicks through 7); new commits
+    // land on both tables while it is gone, and the daemon tail archives
+    // each batch per table before anything is published (the at-least-once
+    // deployment order)
+    val tokens = Map("orders" -> 3L, "clicks" -> 7L)
+    ins("orders", 5 to 6); ins("clicks", 10 to 12)
+    val server = new ListenServer(replaySourceByTable = Some(
+      ListenResume.multiArchiveReplay(spark, dirs)))
+    val q = tail.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val rows = b.persist()
+        try dirs.foreach { case (tab, d) =>
+          graft.sources.Layout.appendArchiveBatch(
+            toArchive(rows.filter(col("table") === tab)), d, id)
+        } finally rows.unpersist()
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("boot_res_chk").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // reconnect with the per-table tokens: each table's gap replays
+      // above ITS OWN token — exactly once per table, no cross-table bleed
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFromTables("127.0.0.1", server.boundPort, ".*", tokens,
+        got.add(_), maxEvents = 8)
+      import scala.jdk.CollectionConverters._
+      val byTable = got.asScala.toSeq.groupBy(PqsClient.eventTable)
+        .view.mapValues(_.map(PqsClient.eventId)).toMap
+      assert(byTable.keySet == Set("orders", "clicks"), s"got ${byTable.keySet}")
+      assert(byTable("orders") == Seq(4L, 5L, 6L),
+        s"orders gap not exactly-once: ${byTable("orders")}")
+      assert(byTable("clicks") == Seq(8L, 9L, 10L, 11L, 12L),
+        s"clicks gap not exactly-once: ${byTable("clicks")}")
+    } finally { q.stop(); server.close() }
+  }
+
   test("subscriber churn: a disconnected client unregisters; the hub keeps serving") {
     val server = new ListenServer()
     try {

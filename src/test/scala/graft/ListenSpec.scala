@@ -553,6 +553,73 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("explicit JSON null resume token means live-only — not a refusal") {
+    // clients whose serializers emit optional fields as null
+    // ("resumeAfter":null) mean "no token", not "a token you must refuse":
+    // NullNode.asText() is the string "null", which pre-fix tripped the
+    // defined-but-unparseable refusal (and, on a replay-capable hub, the
+    // missing-replay-source refusal never applied either way)
+    val server = new ListenServer()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+        w.write("""{"tableRegexp":".*","resumeAfter":null,"resumeAfterByTable":null}""" + "\n")
+        w.flush()
+        awaitSubs(server, 1) // registered as a plain live subscriber
+        server.publish("t", """{"a":1}""")
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+        assert(in.readLine() == """{"a":1}""",
+          "null-token subscriber must join live-only, not be refused")
+      } finally sock.close()
+    } finally server.close()
+  }
+
+  test("resume across an erasure gap excludes the erased rows, and a replayed batch cannot resurrect them") {
+    import graft.streaming.ListenResume
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("listen_erase_gap").toString
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, t(i), i.toLong % 3, "INSERT", s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "op", "props")
+    val server = new ListenServer(
+      replaySource = Some(ListenResume.archiveReplay(spark, dir)))
+    try {
+      // the subscriber died holding token 5; while it is gone the gap
+      // widens AND the GDPR request lands: user 1 (ids ≡ 1 mod 3) erased
+      assert(graft.sources.Layout.appendArchiveBatch(batch(0 until 12), dir, 0L))
+      val token = 5L
+      assert(graft.sources.Layout.appendArchiveBatch(batch(12 until 24), dir, 1L))
+      graft.sources.Layout.eraseEntity(spark, dir, 1L)
+
+      val erased = Set(7L, 10L, 13L, 16L, 19L, 22L) // user 1 above the token
+      val want = (6L until 24L).filterNot(erased)
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFrom("127.0.0.1", server.boundPort, "events", token,
+        got.add(_), maxEvents = want.size)
+      val ids = got.toArray(Array.empty[String]).map(PqsClient.eventId).toSeq
+      assert(ids == want, s"erasure-gap replay wrong: $ids (want $want)")
+
+      // a replayed batch carrying ONLY the erased user's pre-cutoff rows
+      // (an upstream crash re-delivery under a NEW batch id, so the marker
+      // dedup does not catch it) is dropped by the tombstone guard:
+      // nothing lands, and a second resume stays clean
+      val replayRows = Seq(1L, 4L, 7L, 10L).map(i =>
+        (i, t(i), 1L, "INSERT", s"""{"k":$i}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props")
+      assert(graft.sources.Layout.appendArchiveBatch(replayRows, dir, 99L))
+      assert(spark.read.parquet(dir).filter(col("user_id") === 1L).count() == 0,
+        "tombstone guard let a replayed batch resurrect the erased entity")
+      val got2 = new CopyOnWriteArrayList[String]()
+      PqsClient.runFrom("127.0.0.1", server.boundPort, "events", token,
+        got2.add(_), maxEvents = want.size)
+      assert(got2.toArray(Array.empty[String]).map(PqsClient.eventId).toSeq == want,
+        "post-replay resume must still exclude the erased rows")
+    } finally server.close()
+  }
+
   test("one bad archive line skips with drop accounting — replay survives, resume stays possible") {
     // a malformed \u escape in the table field makes tableOf throw; the
     // replay must count-and-skip it, not kill the resumed subscriber (a
