@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,6 +16,15 @@ object Bench {
       // which taxed short queries ~0.2-0.5 s/pass of re-compile+re-JIT that
       // says nothing about the plans being measured
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+    // builder-side conf A/B hook (session-conf audits): comma-separated
+    // k=v pairs layered over the pinned session — builder-level so static
+    // confs (codegen cache, state provider) can be varied too
+    val spark = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor/codegen machinery so the first timed query doesn't

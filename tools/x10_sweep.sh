@@ -24,6 +24,15 @@ fi
 
 SKIP="ops_dedup_cc,ops_dedup_keep_best,ops_embed_cluster,ops_phash_cc,ops_cc_audit"
 
+# The x100 section (folded in r13): the queries proven hash-exact at the
+# 100x corpus in r10/r11 (erasure, generic capture / key promotion,
+# quality, KMV) re-verified each round against /tmp/graft_scale/x100 —
+# a filtered Verify run, merged into the same artifact under "x100".
+X100_DIR=${SPARK_GRAFT_X100_DIR:-/tmp/graft_scale/x100}
+X100_QUERIES="ops_erase_entity ops_erase_batch cdc_erase_replay \
+cdc_generic_roundtrip cdc_key_promotion ops_kmv_overlap \
+ops_quality_logit ops_quality_distilled"
+
 # fresh output dir + hard Verify gate: a crashed Verify must never let
 # compare.py bless the PREVIOUS sweep's stale dumps into the artifact
 rm -rf "$OUT"
@@ -35,4 +44,27 @@ sbt -batch "runMain graft.Verify $DIR $OUT" > /tmp/x10_verify_$TAG.log 2>&1 || {
 grep '\[verify\]' /tmp/x10_verify_$TAG.log || true
 SKIP_ORACLE=$SKIP COMPARE_JSON_OUT=X10_PARITY_$TAG.json \
   python3 tools/compare.py "$DIR" "$OUT" | tee /tmp/x10_sweep_$TAG.log
+
+if [ -d "$X100_DIR" ]; then
+  OUT100=/tmp/x100_sweep_out_$TAG
+  rm -rf "$OUT100"
+  sbt -batch "runMain graft.Verify $X100_DIR $OUT100 $X100_QUERIES" \
+      > /tmp/x100_verify_$TAG.log 2>&1 || {
+    echo "x100 Verify FAILED — see /tmp/x100_verify_$TAG.log (artifact keeps x10 only)"
+    grep '\[verify\]' /tmp/x100_verify_$TAG.log || true
+    exit 1
+  }
+  grep '\[verify\]' /tmp/x100_verify_$TAG.log || true
+  COMPARE_JSON_OUT=/tmp/x100_parity_$TAG.json \
+    python3 tools/compare.py "$X100_DIR" "$OUT100" | tee /tmp/x100_sweep_$TAG.log
+  python3 - "$TAG" <<'PY'
+import json, sys
+tag = sys.argv[1]
+art = json.load(open(f"X10_PARITY_{tag}.json"))
+art["x100"] = json.load(open(f"/tmp/x100_parity_{tag}.json"))
+json.dump(art, open(f"X10_PARITY_{tag}.json", "w"), indent=1)
+PY
+else
+  echo "x100 dir $X100_DIR missing — artifact carries the x10 section only"
+fi
 echo "artifact: X10_PARITY_$TAG.json"
