@@ -16,12 +16,20 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // conf A/B hook for session-conf audits (same contract as Bench):
+    // builder-level so static confs (RocksDB block cache) can vary too
+    val spark = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
