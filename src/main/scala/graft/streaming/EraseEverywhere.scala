@@ -83,6 +83,15 @@ object EraseEverywhere {
     * (in production a config flip + restart; the handler drops sentinels
     * unconditionally and stamps `erasedAt` receipts, so the bounce is
     * idempotent).
+    *
+    * Scope caveat, stated loudly: in-place clearing rewrites the LATEST
+    * state version — RocksDB snapshot/changelog files from earlier
+    * committed versions keep the payload bytes on disk until checkpoint
+    * maintenance purges them (`spark.sql.streaming.minBatchesToRetain`
+    * versions back). When the request's scope includes historical
+    * checkpoint files, use [[TwsOffline]] — the fresh-checkpoint rewrite
+    * that decommissions every old file — at the full-store reshuffle cost
+    * `EraseScaleBench` measured.
     */
   final case class TwsInPlace(name: String, checkpointDir: String,
                               jdbcUrl: String, table: String,
@@ -95,6 +104,35 @@ object EraseEverywhere {
       insertSentinels(jdbcUrl, table, erased)
       resumeErasing(erased)
       this
+    }
+  }
+
+  /** transformWithState prev-image state erased by OFFLINE REWRITE onto a
+    * fresh checkpoint — the deep-clean twin of [[TwsInPlace]] for requests
+    * where HISTORICAL checkpoint files are in scope: in-place clearing
+    * rewrites the latest state version, but RocksDB snapshot/changelog
+    * files from earlier committed versions keep the payload bytes until
+    * checkpoint maintenance purges them (bounded by
+    * `spark.sql.streaming.minBatchesToRetain`, but present on disk until
+    * then). The rewrite reads the state, anti-joins the erased keys, hands
+    * the filtered frame to `resumeFrom` (the deployment's
+    * "[[CdcStream.withPrevStateTwsFrom]] on a FRESH checkpoint" action),
+    * then decommissions the old directory whole — no version of any file
+    * survives. Costs the full-store reshuffle `EraseScaleBench` measured
+    * (grows with key count, vs in-place staying flat) — use [[TwsInPlace]]
+    * unless historical-file bytes are in the request's scope.
+    */
+  final case class TwsOffline(name: String, checkpointDir: String,
+                              resumeFrom: Dataset[(Long, String)] => String)
+      extends Store {
+    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
+      StateMigration.readPrevImageStateTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+      val filtered = StateErasure.erasePrevImageStateTws(spark, checkpointDir, erased.keySet)
+      val fresh = resumeFrom(filtered)
+      decommission(spark, checkpointDir, fresh)
+      copy(checkpointDir = fresh)
     }
   }
 

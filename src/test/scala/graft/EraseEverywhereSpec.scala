@@ -300,6 +300,52 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(calls == 1, "the receipted re-call must be a structural no-op")
   }
 
+  test("TwsOffline deep clean: the fresh-checkpoint rewrite erases historical file bytes the in-place path retains") {
+    implicit val sqlCtx = spark.sqlContext
+    // in-place clearing rewrites the LATEST version only; older RocksDB
+    // snapshot files keep the payload until maintenance — TwsOffline moves
+    // the store to a fresh checkpoint and decommissions every old file
+    val chkA = tmp("erase_twsoff_a")
+    val in = MemoryStream[RawChange]
+    withRocks {
+      val q1 = CdcStream.withPrevStateTws(in.toDS()).writeStream
+        .format("memory").queryName("ee_twsoff_seed")
+        .option("checkpointLocation", chkA).outputMode("append").start()
+      try {
+        in.addData(RawChange(1L, t(0), 1L, "signup", """{"k":1}"""),
+          RawChange(2L, t(1), 2L, "signup", """{"k":2}"""))
+        q1.processAllAvailable()
+      } finally q1.stop()
+    }
+    val adir = tmp("erase_twsoff_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    var freshDir: String = null
+    val (rep, moved) = EraseEverywhere.runDetailed(spark, adir, Seq(1L),
+      Seq(EraseEverywhere.TwsOffline("twsoff", chkA, { filtered =>
+        val fresh = tmp("erase_twsoff_b"); freshDir = fresh
+        withRocks {
+          val in2 = MemoryStream[RawChange]
+          val q2 = CdcStream.withPrevStateTwsFrom(in2.toDS(), filtered).writeStream
+            .format("memory").queryName("ee_twsoff_resume")
+            .option("checkpointLocation", fresh).outputMode("append").start()
+          try {
+            in2.addData(RawChange(50L, t(50), 2L, "purchase", """{"k":50}"""))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        }
+        fresh
+      })))
+    assert(reportMap(rep)("twsoff") == (1L, 0L))
+    assert(!exists(chkA),
+      "every old checkpoint file (including historical state versions) must be gone")
+    assert(moved.head.asInstanceOf[EraseEverywhere.TwsOffline].checkpointDir == freshDir)
+    assert(StateMigration.readPrevImageStateTws(spark, freshDir).collect().toMap ==
+      Map(2L -> """{"k":50}"""), "survivor state must chain on the fresh checkpoint")
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
