@@ -107,6 +107,35 @@ object EraseEverywhere {
     }
   }
 
+  /** BY-TABLE transformWithState prev-image state — the multi-table
+    * daemon's (table, user) key ([[CdcStream.withPrevStateByTableTwsFrom]]
+    * over a [[CdcCatalog.readAll]] union): erased IN PLACE like
+    * [[TwsInPlace]], but the entity must be reached in EVERY captured
+    * table it is known in, so sentinels are inserted into EACH listed
+    * table (each insert allocates ids above THAT table's own live max —
+    * per-table id spaces are independent) and the bounce runs
+    * [[CdcStream.withPrevStateByTableTwsErasing]]. The erasure set's
+    * cutoffs are applied in every table's id space, so they must be
+    * globally valid — deployments whose tables share the archive's id
+    * space get that from the tombstones; otherwise the archive-absent
+    * fallback (max over the archive AND every listed table's live max)
+    * is the safe cutoff. Same latest-version scope caveat as
+    * [[TwsInPlace]].
+    */
+  final case class TwsInPlaceByTable(name: String, checkpointDir: String,
+                                     jdbcUrl: String, tables: Seq[String],
+                                     resumeErasing: Map[Long, Long] => Unit)
+      extends Store {
+    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
+      StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1._2)).count()
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+      tables.foreach(t => insertSentinels(jdbcUrl, t, erased))
+      resumeErasing(erased)
+      this
+    }
+  }
+
   /** transformWithState prev-image state erased by OFFLINE REWRITE onto a
     * fresh checkpoint — the deep-clean twin of [[TwsInPlace]] for requests
     * where HISTORICAL checkpoint files are in scope: in-place clearing
@@ -415,8 +444,10 @@ object EraseEverywhere {
         if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
       case None => 0L
     }
-    val liveMax = stores.collect { case t: TwsInPlace =>
-      JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id")
+    val liveMax = stores.flatMap {
+      case t: TwsInPlace        => Seq(JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id"))
+      case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
+      case _                    => Nil
     }
     val fallback = (0L +: archiveMax +: liveMax).max
     val set = users.map(u => u -> recorded.getOrElse(u, fallback)).toMap

@@ -300,6 +300,89 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(calls == 1, "the receipted re-call must be a structural no-op")
   }
 
+  test("TwsInPlaceByTable: one entity-grain call clears the user across EVERY captured table of a multi-table daemon") {
+    import graft.streaming.{CdcCatalog, CdcSource}
+    import CdcStream.{TableCdcEvent, TableRawChange}
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:erase_bytable_e2e;create=true"
+    DriverManager.getConnection(url).close()
+    def mk(table: String): Unit =
+      exec(url, s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    def ins(table: String, rows: (Long, Long, Int)*): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+        rows.foreach { case (id, uid, k) =>
+          ps.setLong(1, id); ps.setTimestamp(2, t(id)); ps.setLong(3, uid)
+          ps.setString(4, "purchase"); ps.setString(5, s"""{"k":$k}""")
+          ps.executeUpdate()
+        }
+      } finally c.close()
+    }
+    // disjoint id ranges so the shared archive id space (and so the
+    // tombstone cutoffs) are valid in both tables
+    mk("t1"); mk("t2")
+    ins("t1", (1L, 1L, 1), (2L, 2L, 2))
+    ins("t2", (101L, 1L, 3), (102L, 2L, 4))
+
+    val specs = Seq(CdcSource.JdbcSpec(url, "t1"), CdcSource.JdbcSpec(url, "t2"))
+    def raw() = CdcCatalog.readAll(spark, specs, numPartitions = 2).as[TableRawChange]
+    val chk = tmp("erase_bt_tws")
+    def runBt(events: Dataset[TableCdcEvent]): Unit = {
+      val q = events.writeStream
+        .foreachBatch { (b: Dataset[TableCdcEvent], _: Long) => b.collect(); () }
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    withRocks {
+      runBt(CdcStream.withPrevStateByTableTwsFrom(raw(),
+        spark.emptyDataset[((String, Long), String)]))
+    }
+    assert(StateMigration.readPrevImageStateByTableTws(spark, chk).collect().toMap ==
+      Map(("t1", 1L) -> """{"k":1}""", ("t1", 2L) -> """{"k":2}""",
+          ("t2", 1L) -> """{"k":3}""", ("t2", 2L) -> """{"k":4}"""))
+
+    val adir = tmp("erase_bt_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(1), 1L, "INSERT", """{"k":1}"""), (2L, t(2), 2L, "INSERT", """{"k":2}"""),
+        (101L, t(101), 1L, "INSERT", """{"k":3}"""), (102L, t(102), 2L, "INSERT", """{"k":4}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    var bounces = 0
+    val stores = Seq(EraseEverywhere.TwsInPlaceByTable("bytable", chk, url,
+      Seq("t1", "t2"), erased => {
+        bounces += 1
+        withRocks { runBt(CdcStream.withPrevStateByTableTwsErasing(raw(), erased)) }
+      }))
+    val (rep, moved) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), stores)
+    assert(reportMap(rep)("bytable") == (2L, 0L),
+      s"user 1 held state in BOTH tables: ${reportMap(rep)}")
+    assert(reportMap(rep)("archive") == (2L, 0L))
+    val after = StateMigration.readPrevImageStateByTableTws(spark, chk).collect().toMap
+    assert(after == Map(("t1", 2L) -> """{"k":2}""", ("t2", 2L) -> """{"k":4}"""),
+      s"entity-grain erasure must clear the user in every table: $after")
+    // one sentinel per (table, erased user), each above ITS table's max id
+    def sentinels(table: String): Seq[Long] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT event_id FROM $table WHERE event_type = 'erase'")
+        val b = Seq.newBuilder[Long]
+        while (rs.next()) b += rs.getLong(1)
+        b.result()
+      } finally c.close()
+    }
+    assert(sentinels("t1") == Seq(3L), s"t1 sentinels: ${sentinels("t1")}")
+    assert(sentinels("t2") == Seq(103L), s"t2 sentinels: ${sentinels("t2")}")
+    assert(bounces == 1)
+
+    // receipted re-call: no new sentinels in either table, no bounce
+    val (rep2, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), moved)
+    assert(reportMap(rep2).values.toSet == Set((0L, 0L)))
+    assert(bounces == 1 && sentinels("t1").size == 1 && sentinels("t2").size == 1)
+  }
+
   test("TwsOffline deep clean: the fresh-checkpoint rewrite erases historical file bytes the in-place path retains") {
     implicit val sqlCtx = spark.sqlContext
     // in-place clearing rewrites the LATEST version only; older RocksDB
