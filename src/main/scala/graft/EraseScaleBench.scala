@@ -107,14 +107,14 @@ object EraseScaleBench {
     }
 
     // ===== shape 2: offline rewrite to a fresh checkpoint =====
-    locally {
-      val stride = math.max(1L, users / nErased)
+    val stride = math.max(1L, users / nErased)
+    val driverId = n + 2L * nErased
+    val chkB = {
       // distinct keys, none of them the single driver row's user
-      val driverId = n + 2L * nErased
       val erased2: Map[Long, Long] = (0 until nErased)
         .map(i => (i * stride) -> driverId)
         .filterNot(_._1 == driverId % users).toMap
-      val chkB = java.nio.file.Files.createTempDirectory("erase_scale_chk_b").toString
+      val dir = java.nio.file.Files.createTempDirectory("erase_scale_chk_b").toString
       val t0 = System.nanoTime()
       val stE = StateErasure.erasePrevImageStateTws(spark, chk, erased2.keySet)
       // fresh checkpoint: the source must resume AFTER everything the old
@@ -123,14 +123,65 @@ object EraseScaleBench {
       val q = CdcStream.withPrevStateTwsErasingFrom(
           src(startAfter = n + 2L * nErased - 1), erased2, stE)
         .writeStream.format("noop")
-        .option("checkpointLocation", chkB).outputMode("append").start()
+        .option("checkpointLocation", dir).outputMode("append").start()
       feed.advanceTo(driverId); q.processAllAvailable() // batch 0 persists the seed
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
-      val after = StateMigration.readPrevImageStateTws(spark, chkB).count()
+      val after = StateMigration.readPrevImageStateTws(spark, dir).count()
       val want = users - erased2.size
       require(after == want, s"offline rewrite left $after rows, want $want")
       println(s"""{"metric":"erase_scale_offline","state_rows_before":$users,"erased":${erased2.size},"state_rows_after":$after,"sec":$sec}""")
+      dir
+    }
+
+    // ===== shape 3: the ONE-CALL orchestrator at the same scale =====
+    // Graft.eraseEverywhere over a REAL day-partitioned archive of the
+    // full history plus the (users − 10k)-key store shape 2 produced:
+    // before/after censuses, archive locate + affected-partition rewrite,
+    // tombstone + receipt publication, and the offline store recipe, all
+    // in one timed call with the report verified all-zero. The archive
+    // staging is fixture cost, reported separately.
+    locally {
+      import org.apache.spark.sql.functions._
+      val adir = java.nio.file.Files.createTempDirectory("erase_scale_archive").toString
+      val tStage = System.nanoTime()
+      // the synthetic generator's rows, reconstructed declaratively:
+      // event_id 0..n-1, user = id % users, payload k = id % 997; 30
+      // distinct day partitions
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1767225600L) + (col("id") % 30) * 86400L).as("ts"),
+        (col("id") % users).as("user_id"),
+        lit("INSERT").as("op"),
+        concat(lit("""{"k": """), col("id") % 997, lit("}")).as("props"))
+        .transform(df => { graft.sources.Layout.writeEventArchive(df, adir); df })
+      val stageSec = (System.nanoTime() - tStage) / 1e9
+      println(s"""{"metric":"erase_everywhere_archive_stage","rows":$n,"sec":$stageSec}""")
+
+      // a fresh 10k backlog: offset by 1 from shape 2's keys so every one
+      // is still present in chkB; exclude the commit-driver row's user so
+      // the after-census cannot be polluted by its legitimate new payload
+      val driver2 = driverId + 1
+      val backlog = (0 until nErased).map(i => i * stride + 1L)
+        .filter(u => u < users && u != driver2 % users).distinct
+      val chkC = java.nio.file.Files.createTempDirectory("erase_scale_chk_c").toString
+      val store = graft.streaming.EraseEverywhere.TwsOffline("tws", chkB, { filtered =>
+        val q = CdcStream.withPrevStateTwsFrom(src(startAfter = driverId), filtered)
+          .writeStream.format("noop")
+          .option("checkpointLocation", chkC).outputMode("append").start()
+        feed.advanceTo(driver2); q.processAllAvailable() // batch 0 commits the seed
+        q.stop()
+        chkC
+      })
+      val t0 = System.nanoTime()
+      val report = Graft.eraseEverywhere(spark, adir, backlog, Seq(store)).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bad = report.filter(_.getLong(2) != 0L)
+      require(bad.isEmpty, s"one-call erasure left artifacts: ${bad.mkString(",")}")
+      val found = report.map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(found("archive") > 0 && found("tws") > 0,
+        s"backlog must be present before the call: $found")
+      println(s"""{"metric":"erase_everywhere_total","archive_rows":$n,"state_rows":${users - nErased},"erased":${backlog.size},"archive_found":${found("archive")},"state_found":${found("tws")},"sec":$sec}""")
     }
     spark.stop()
   }
