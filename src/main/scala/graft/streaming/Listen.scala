@@ -346,7 +346,10 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
   }
 
   /** An OBJECT-valued handshake field as (key → text value) pairs — the
-    * multi-table resume token's shape.
+    * multi-table resume token's shape. Per-table null values mean "no
+    * token for this table" (the table subscribes fresh, nothing replays
+    * for it) — the same null-is-absent contract as the scalar field, not
+    * a refusal.
     */
   private def handshakeObjectField(line: String,
                                    field: String): Option[Map[String, String]] = {
@@ -354,7 +357,8 @@ class ListenServer(port: Int = 0, queueCapacity: Int = 1024,
     try {
       Option(om.readTree(line).get(field)).filter(_.isObject).map { n =>
         import scala.jdk.CollectionConverters._
-        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        n.properties().asScala.filter(!_.getValue.isNull)
+          .map(e => e.getKey -> e.getValue.asText()).toMap
       }
     } catch { case _: Throwable => None }
   }

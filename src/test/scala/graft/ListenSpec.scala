@@ -576,6 +576,32 @@ class ListenSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("per-table null tokens mean no-token-for-that-table: the rest of the map still replays") {
+    import graft.streaming.ListenResume
+    import spark.implicits._
+    def t(i: Long) = new java.sql.Timestamp(1000L * (i + 1))
+    val dir = java.nio.file.Files.createTempDirectory("listen_nulltab").toString
+    graft.sources.Layout.writeEventArchive(
+      (0 until 6).map(i => (i.toLong, t(i), 0L, "INSERT", s"""{"k":$i}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), dir)
+    val server = new ListenServer(replaySourceByTable = Some(
+      ListenResume.multiArchiveReplay(spark, Map("t1" -> dir))))
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      try {
+        sock.setSoTimeout(5000)
+        val w = new BufferedWriter(new OutputStreamWriter(sock.getOutputStream, UTF_8))
+        // t2's serializer emitted null — that table subscribes fresh; t1's
+        // real token still replays its gap (ids 4..5)
+        w.write("""{"tableRegexp":".*","resumeAfterByTable":{"t1":"3","t2":null}}""" + "\n")
+        w.flush()
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+        val got = Seq(in.readLine(), in.readLine()).map(PqsClient.eventId)
+        assert(got == Seq(4L, 5L), s"t1 gap must replay despite t2's null token: $got")
+      } finally sock.close()
+    } finally server.close()
+  }
+
   test("resume across an erasure gap excludes the erased rows, and a replayed batch cannot resurrect them") {
     import graft.streaming.ListenResume
     import spark.implicits._
