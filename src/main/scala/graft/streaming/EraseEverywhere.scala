@@ -464,13 +464,13 @@ object EraseEverywhere {
     // extra sentinel rows in the live table.
     val done = receipts(spark, archivePath)
     val (afterStores, movedStores) = stores.map { s =>
-      val pending = users.filterNot(u => done((s.name, u)))
+      val pending = users.filterNot(u => done((s.name, u))).toSet
       val verified =
         if (pending.isEmpty) s
         else s.erase(spark, set.filter { case (u, _) => pending.contains(u) })
       val after = verified.found(spark, set)
       if (pending.nonEmpty && after == 0L)
-        recordReceipts(spark, archivePath, s.name, pending)
+        recordReceipts(spark, archivePath, s.name, pending.toSeq.sorted)
       (after, verified)
     }.unzip
 
