@@ -386,4 +386,18 @@ object Graft {
                       userIds: Seq[Long],
                       stores: Seq[graft.streaming.EraseEverywhere.Store]): DataFrame =
     graft.streaming.EraseEverywhere.run(spark, archivePath, userIds, stores)
+
+  /** [[eraseEverywhere]] for MULTI-ARCHIVE deployments (one archive per
+    * captured table, per-table id spaces independent): cutoffs are
+    * published per (table, user) so a tombstone from one table's archive
+    * never resurrects data in — or blocks the entity's future rows from —
+    * another table's id space. Store constructor:
+    * [[graft.streaming.EraseEverywhere.TwsInPlacePerTable]]; see
+    * [[graft.streaming.EraseEverywhere.runMultiArchive]] for the contract.
+    */
+  def eraseEverywhereMultiArchive(spark: SparkSession,
+                                  archives: Map[String, String],
+                                  userIds: Seq[Long],
+                                  stores: Seq[graft.streaming.EraseEverywhere.ByTableStore]): DataFrame =
+    graft.streaming.EraseEverywhere.runMultiArchive(spark, archives, userIds, stores)._1
 }

@@ -428,6 +428,55 @@ object CdcStream {
     }
   }
 
+  /** [[ErasingPrevImageProcessorByTable]] at (table, user) CUTOFF grain —
+    * for multi-archive deployments whose per-table id spaces are
+    * INDEPENDENT: one user's cutoff in table A says nothing about table
+    * B, and a merged max-cutoff applied across tables would silently drop
+    * the entity's FUTURE rows in every table whose ids run lower (erasure
+    * must never block future data — the tombstone contract). Identical
+    * state layout to the entity-grain twin, so either can resume the
+    * other's checkpoint.
+    */
+  class ErasingPrevImageProcessorByTableKeys(erased: Map[(String, Long), Long])
+      extends StatefulProcessorWithInitialState[(String, Long), TableRawChange,
+        TableCdcEvent, String] {
+    @transient private var prevState: ValueState[String] = _
+    @transient private var erasedAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      prevState = getHandle.getValueState[String]("prev",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+      erasedAt = getHandle.getValueState[Long]("erasedAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: (String, Long), initial: String,
+                                    timerValues: TimerValues): Unit =
+      erased.get(key) match {
+        case Some(cutoff) => erasedAt.update(cutoff)
+        case None         => prevState.update(initial)
+      }
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[TableRawChange],
+                                 timerValues: TimerValues): Iterator[TableCdcEvent] = {
+      val data = rows.filter(_.event_type != "erase")
+      val live = erased.get(key) match {
+        case Some(cutoff) =>
+          val applied = erasedAt.exists() && erasedAt.get() >= cutoff
+          if (!applied) { prevState.clear(); erasedAt.update(cutoff) }
+          data.filter(_.event_id > cutoff)
+        case None => data
+      }
+      val p0 = if (prevState.exists()) Some(prevState.get()) else None
+      val raw = live.map(r =>
+        RawChange(r.event_id, r.ts, r.user_id, r.event_type, r.props))
+      val (out, p1) = foldChanges(raw, p0)
+      p1.foreach(prevState.update)
+      out.iterator.map(e => TableCdcEvent(key._1, e.event_id, e.ts, e.user_id,
+        e.op, e.payload, e.previous, e.changes))
+    }
+  }
+
   /** [[withPrevStateByTable]] under the erasure-aware by-table processor —
     * resume an existing multi-table tws checkpoint with this to erase an
     * entity across every captured table in place. Sentinels for a
@@ -439,6 +488,19 @@ object CdcStream {
     import ds.sparkSession.implicits._
     ds.groupByKey(r => (r.table, r.user_id))
       .transformWithState(new ErasingPrevImageProcessorByTable(erased),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[withPrevStateByTableTwsErasing]] with PER-(table, user) cutoffs —
+    * the multi-archive form (independent per-table id spaces; see
+    * [[ErasingPrevImageProcessorByTableKeys]]).
+    */
+  def withPrevStateByTableTwsErasingKeys(ds: Dataset[TableRawChange],
+                                         erased: Map[(String, Long), Long])
+      : Dataset[TableCdcEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.table, r.user_id))
+      .transformWithState(new ErasingPrevImageProcessorByTableKeys(erased),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -482,4 +482,128 @@ object EraseEverywhere {
       }).toDF("store", "found_before", "found_after")
     (report, movedStores)
   }
+
+  // ===== multi-archive form (independent per-table id spaces) =====
+
+  /** One durable store of a MULTI-ARCHIVE deployment (N captured tables,
+    * N archives, per-table id spaces independent): recipes receive
+    * (table, user) → cutoff, because a user's cutoff in one table says
+    * nothing about another's id space.
+    */
+  sealed trait ByTableStore {
+    def name: String
+    private[graft] def found(spark: SparkSession,
+                             erased: Map[(String, Long), Long]): Long
+    private[graft] def erase(spark: SparkSession,
+                             erased: Map[(String, Long), Long]): ByTableStore
+  }
+
+  /** By-table transformWithState prev-image state erased in place with
+    * PER-(table, user) cutoffs: sentinels are inserted into each table the
+    * erasure set names (ids above THAT table's own live max), then the
+    * bounce runs [[CdcStream.withPrevStateByTableTwsErasingKeys]]. Same
+    * latest-version scope caveat as [[TwsInPlace]].
+    */
+  final case class TwsInPlacePerTable(name: String, checkpointDir: String,
+                                      jdbcUrl: String,
+                                      resumeErasing: Map[(String, Long), Long] => Unit)
+      extends ByTableStore {
+    private[graft] def found(spark: SparkSession,
+                             erased: Map[(String, Long), Long]): Long =
+      StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def erase(spark: SparkSession,
+                             erased: Map[(String, Long), Long]): ByTableStore = {
+      erased.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (table, keys) =>
+        insertSentinels(jdbcUrl, table,
+          keys.map { case ((_, u), cutoff) => u -> cutoff })
+      }
+      resumeErasing(erased)
+      this
+    }
+  }
+
+  /** [[run]] for multi-archive deployments: each captured table has its
+    * OWN archive and its OWN id space, so cutoffs are published per
+    * (table, user) — a recorded tombstone from table t's archive applies
+    * only to t, and a user absent from t's archive falls back to
+    * max(t's archive top id, t's live top id). A merged cross-table
+    * cutoff would either resurrect (too low for the table ahead) or
+    * block the entity's future rows (too high for the table behind) —
+    * the committedOffsets lesson applied to erasure.
+    *
+    * The receipt ledger lives under `ledgerPath` (default: the archive of
+    * the lexicographically first table — pass an explicit shared path
+    * when archives can be re-homed). Report: one `archive:<table>` row
+    * per archive plus one row per store; re-call contract identical to
+    * [[run]].
+    */
+  def runMultiArchive(spark: SparkSession, archives: Map[String, String],
+                      userIds: Seq[Long], stores: Seq[ByTableStore],
+                      ledgerPath: Option[String] = None)
+      : (DataFrame, Seq[ByTableStore]) = {
+    require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
+    require(archives.nonEmpty, "multi-archive erasure needs at least one archive")
+    require(stores.map(_.name).distinct.size == stores.size,
+      s"store names must be unique: ${stores.map(_.name)}")
+    val users = userIds.distinct.sorted
+    val tables = archives.keys.toSeq.sorted
+    val ledger = ledgerPath.getOrElse(archives(tables.head))
+
+    def archiveRead(path: String): Option[DataFrame] =
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    def archiveFound(path: String): Long = archiveRead(path) match {
+      case Some(df) =>
+        df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
+          .count()
+      case None => 0L
+    }
+
+    val preSet = (for { t <- tables; u <- users } yield (t, u) -> 0L).toMap
+    val beforeArch = tables.map(t => archiveFound(archives(t)))
+    val beforeStores = stores.map(_.found(spark, preSet))
+
+    tables.zip(beforeArch).foreach { case (t, before) =>
+      if (before > 0) graft.sources.Layout.eraseEntities(spark, archives(t), users)
+    }
+
+    // per-table cutoff publication: recorded tombstones per archive;
+    // fallback per table floored at that table's live max across stores
+    val set: Map[(String, Long), Long] = tables.flatMap { t =>
+      val recorded = StateErasure.erasureSet(spark, archives(t))
+      val archiveMax = archiveRead(archives(t)) match {
+        case Some(df) =>
+          val m = df.agg(max(col("event_id"))).head()
+          if (m.isNullAt(0)) 0L else m.getLong(0)
+        case None => 0L
+      }
+      val liveMax = stores.collect { case s: TwsInPlacePerTable =>
+        JdbcFeed.maxId(s.jdbcUrl, t, "event_id")
+      }
+      val fallback = (0L +: archiveMax +: liveMax).max
+      users.map(u => (t, u) -> recorded.getOrElse(u, fallback))
+    }.toMap
+
+    val done = receipts(spark, ledger)
+    val (afterStores, movedStores) = stores.map { s =>
+      val pending = users.filterNot(u => done((s.name, u))).toSet
+      val verified =
+        if (pending.isEmpty) s
+        else s.erase(spark, set.filter { case ((_, u), _) => pending.contains(u) })
+      val after = verified.found(spark, set)
+      if (pending.nonEmpty && after == 0L)
+        recordReceipts(spark, ledger, s.name, pending.toSeq.sorted)
+      (after, verified)
+    }.unzip
+
+    val sq = spark
+    import sq.implicits._
+    val report = (tables.zip(beforeArch).map { case (t, b) =>
+      (s"archive:$t", b, archiveFound(archives(t)))
+    } ++ stores.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
+      (s.name, b, a)
+    }).toDF("store", "found_before", "found_after")
+    (report, movedStores)
+  }
 }

@@ -383,6 +383,109 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(bounces == 1 && sentinels("t1").size == 1 && sentinels("t2").size == 1)
   }
 
+  test("multi-archive form: per-(table,user) cutoffs — independent id spaces neither resurrect nor block future rows") {
+    import graft.streaming.{CdcCatalog, CdcSource}
+    import CdcStream.{TableCdcEvent, TableRawChange}
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:erase_multiarch;create=true"
+    DriverManager.getConnection(url).close()
+    def mk(table: String): Unit =
+      exec(url, s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    def ins(table: String, rows: (Long, Long, Int)*): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+        rows.foreach { case (id, uid, k) =>
+          ps.setLong(1, id); ps.setTimestamp(2, t(id)); ps.setLong(3, uid)
+          ps.setString(4, "purchase"); ps.setString(5, s"""{"k":$k}""")
+          ps.executeUpdate()
+        }
+      } finally c.close()
+    }
+    // OVERLAPPING id spaces — the shape the single-archive form cannot
+    // express: m1 tops out at 4 while m2 reaches 9 with the same low ids
+    mk("m1"); mk("m2")
+    ins("m1", (1L, 1L, 1), (2L, 2L, 2), (3L, 1L, 3), (4L, 2L, 4))
+    ins("m2", (1L, 1L, 10), (2L, 2L, 20), (3L, 1L, 30), (4L, 2L, 40),
+      (5L, 1L, 50), (6L, 2L, 60), (7L, 1L, 70), (8L, 2L, 80), (9L, 1L, 90))
+
+    val specs = Seq(CdcSource.JdbcSpec(url, "m1"), CdcSource.JdbcSpec(url, "m2"))
+    def raw() = CdcCatalog.readAll(spark, specs, numPartitions = 2).as[TableRawChange]
+    val chk = tmp("erase_ma_tws")
+    val got = scala.collection.mutable.ArrayBuffer.empty[TableCdcEvent]
+    def runBt(events: Dataset[TableCdcEvent]): Seq[TableCdcEvent] = {
+      got.synchronized(got.clear())
+      val q = events.writeStream
+        .foreachBatch { (b: Dataset[TableCdcEvent], _: Long) =>
+          val rows = b.collect(); got.synchronized { got ++= rows }; ()
+        }
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      got.synchronized(got.sortBy(e => (e.table, e.event_id)).toVector)
+    }
+    withRocks {
+      runBt(CdcStream.withPrevStateByTableTwsFrom(raw(),
+        spark.emptyDataset[((String, Long), String)]))
+    }
+
+    // one archive per table, ids overlapping across archives
+    def arch(table: String, rows: Seq[(Long, Long, Int)]): String = {
+      val d = tmp(s"erase_ma_$table")
+      graft.sources.Layout.writeEventArchive(
+        rows.map { case (id, uid, k) => (id, t(id), uid, "INSERT", s"""{"k":$k}""") }
+          .toDF("event_id", "ts", "user_id", "op", "props"), d)
+      d
+    }
+    val archives = Map(
+      "m1" -> arch("m1", Seq((1L, 1L, 1), (2L, 2L, 2), (3L, 1L, 3), (4L, 2L, 4))),
+      "m2" -> arch("m2", Seq((1L, 1L, 10), (2L, 2L, 20), (3L, 1L, 30), (4L, 2L, 40),
+        (5L, 1L, 50), (6L, 2L, 60), (7L, 1L, 70), (8L, 2L, 80), (9L, 1L, 90))))
+
+    var bounces = 0
+    var lastErased: Map[(String, Long), Long] = Map.empty
+    val stores = Seq(EraseEverywhere.TwsInPlacePerTable("pertable", chk, url, erased => {
+      bounces += 1; lastErased = erased
+      withRocks { runBt(CdcStream.withPrevStateByTableTwsErasingKeys(raw(), erased)) }
+    }))
+    val (rep, moved) = EraseEverywhere.runMultiArchive(spark, archives, Seq(1L), stores)
+    val r = reportMap(rep)
+    assert(r("archive:m1") == (2L, 0L) && r("archive:m2") == (5L, 0L), s"got $r")
+    assert(r("pertable") == (2L, 0L), s"got $r")
+    // the published cutoffs are PER TABLE: m1's from its own archive (4),
+    // m2's from its own (9) — a merged max (9) applied to m1 is exactly
+    // the bug this form exists to prevent
+    assert(lastErased == Map(("m1", 1L) -> 4L, ("m2", 1L) -> 9L), s"$lastErased")
+    assert(StateMigration.readPrevImageStateByTableTws(spark, chk).collect().toMap ==
+      Map(("m1", 2L) -> """{"k":4}""", ("m2", 2L) -> """{"k":80}"""))
+
+    // receipted re-call FIRST (before any post-erasure data): (0,0)
+    // everywhere, no new sentinels, no bounce
+    def sentinelCount(table: String): Long = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT COUNT(*) FROM $table WHERE event_type = 'erase'")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(sentinelCount("m1") == 1L && sentinelCount("m2") == 1L)
+    val (rep2, _) = EraseEverywhere.runMultiArchive(spark, archives, Seq(1L), moved)
+    assert(reportMap(rep2).values.toSet == Set((0L, 0L)), s"${reportMap(rep2)}")
+    assert(bounces == 1 && sentinelCount("m1") == 1L && sentinelCount("m2") == 1L)
+
+    // future rows must FLOW in m1's low id space: id 6 is above m1's
+    // cutoff (4) but below m2's (9) — a merged cutoff would drop it
+    ins("m1", (6L, 1L, 100))
+    val out = withRocks {
+      runBt(CdcStream.withPrevStateByTableTwsErasingKeys(raw(), lastErased))
+    }
+    val e6 = out.find(e => e.table == "m1" && e.event_id == 6L)
+    assert(e6.isDefined,
+      "the entity's future row in the low-id table was dropped — cross-table cutoff bleed")
+    assert(e6.get.previous == null, "post-erasure first-sight must have no previous")
+  }
+
   test("TwsOffline deep clean: the fresh-checkpoint rewrite erases historical file bytes the in-place path retains") {
     implicit val sqlCtx = spark.sqlContext
     // in-place clearing rewrites the LATEST version only; older RocksDB
