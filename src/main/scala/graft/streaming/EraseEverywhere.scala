@@ -356,6 +356,33 @@ object EraseEverywhere {
       .parquet(new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts").toString)
   }
 
+  /** Receipt-ledger compaction: every verified store erasure appends one
+    * small file, so a long-lived deployment's ledger accumulates files at
+    * compliance-request rate. Receipts are EVIDENCE — compaction dedupes
+    * and rewrites them as one sorted file (same one-file contract as
+    * `Layout.compactDay`), never drops a (store, user) fact. Returns the
+    * receipt count. Write-then-swap: the rewrite lands in a staging dir
+    * and replaces the ledger only after it is fully written, so a crash
+    * mid-compaction leaves the original ledger intact.
+    */
+  def compactReceipts(spark: SparkSession, archivePath: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val staging = new org.apache.hadoop.fs.Path(archivePath,
+      "_erasure_receipts_compacting")
+    if (fs.exists(staging)) require(fs.delete(staging, true),
+      s"failed to clear stale compaction staging $staging")
+    val compacted = spark.read.parquet(dir.toString)
+      .select(col("store"), col("user_id")).distinct()
+      .orderBy(col("store"), col("user_id"))
+    compacted.coalesce(1).write.parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    require(fs.delete(dir, true), s"failed to replace ledger $dir")
+    require(fs.rename(staging, dir), s"failed to swap compacted ledger into $dir")
+    n
+  }
+
   /** Offline-rewrite decommission: the OLD checkpoint's files still hold
     * the erased payload bytes after the resumed query commits on the
     * fresh one — deleting them is part of the erasure, not housekeeping.

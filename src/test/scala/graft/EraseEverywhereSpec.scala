@@ -532,6 +532,70 @@ class EraseEverywhereSpec extends SparkSuite {
       Map(2L -> """{"k":50}"""), "survivor state must chain on the fresh checkpoint")
   }
 
+  test("receipt-ledger compaction dedupes to one file without dropping a fact; idempotence survives it") {
+    implicit val sqlCtx = spark.sqlContext
+    val adir = tmp("erase_ledger")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""),
+        (3L, t(2), 3L, "INSERT", """{"k":3}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    // two erasure calls on a store that starts clean: each verified call
+    // appends its own receipt file
+    var calls = 0
+    def mkStore(chk: String) = ClassicOffline("led", chk, { filtered =>
+      calls += 1
+      val fresh = tmp("erase_ledger_b")
+      val in2 = MemoryStream[RawChange]
+      val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+        .format("memory").queryName(s"ee_ledger_resume_$calls")
+        .option("checkpointLocation", fresh).outputMode("append").start()
+      try {
+        in2.addData(RawChange(90L + calls, t(90L + calls), 5L, "purchase", """{"k":9}"""))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      fresh
+    })
+    def seed(): String = {
+      val chk = tmp("erase_ledger_a")
+      val in = MemoryStream[RawChange]
+      val q = CdcStream.withPrevState(in.toDS()).writeStream
+        .format("memory").queryName(s"ee_ledger_seed_$calls")
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try {
+        in.addData(RawChange(80L, t(80), 5L, "signup", """{"k":8}"""))
+        q.processAllAvailable()
+      } finally q.stop()
+      chk
+    }
+    val (_, m1) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), Seq(mkStore(seed())))
+    val (_, m2) = EraseEverywhere.runDetailed(spark, adir, Seq(2L, 3L),
+      Seq(m1.head.asInstanceOf[ClassicOffline]))
+    assert(calls == 2)
+    val before = EraseEverywhere.receipts(spark, adir)
+    assert(before == Set(("led", 1L), ("led", 2L), ("led", 3L)), s"$before")
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get(adir, "_erasure_receipts"))
+    val nFilesBefore = try files.filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).count() finally files.close()
+    assert(nFilesBefore >= 2, s"two calls should have appended two files: $nFilesBefore")
+
+    assert(EraseEverywhere.compactReceipts(spark, adir) == 3L)
+    assert(EraseEverywhere.receipts(spark, adir) == before,
+      "compaction must never drop a receipt fact")
+    val files2 = java.nio.file.Files.list(
+      java.nio.file.Paths.get(adir, "_erasure_receipts"))
+    val nFilesAfter = try files2.filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).count() finally files2.close()
+    assert(nFilesAfter == 1, s"compaction must leave ONE data file: $nFilesAfter")
+
+    // idempotence still keyed on the compacted ledger: a re-call for the
+    // receipted users runs no recipe
+    val (rep3, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L, 2L, 3L),
+      Seq(m2.head.asInstanceOf[ClassicOffline]))
+    assert(reportMap(rep3).values.toSet == Set((0L, 0L)))
+    assert(calls == 2, "receipted users must not re-run after compaction")
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
