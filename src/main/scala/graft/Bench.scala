@@ -16,16 +16,9 @@ object Bench {
       // which taxed short queries ~0.2-0.5 s/pass of re-compile+re-JIT that
       // says nothing about the plans being measured
       .config("spark.sql.codegen.cache.maxEntries", "4000")
-    // builder-side conf A/B hook (session-conf audits): comma-separated
-    // k=v pairs layered over the pinned session — builder-level so static
-    // confs (codegen cache, state provider) can be varied too
-    val spark = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').filter(_.nonEmpty))
-      .getOrElse(Array.empty[String])
-      .foldLeft(builder) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
-      }
-      .getOrCreate()
+    // conf A/B hook for session-conf audits (shared parser, loud on a
+    // malformed entry): see Graft.confOverrides
+    val spark = Graft.confOverrides(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor/codegen machinery so the first timed query doesn't
     // absorb one-time session init (~6 s)

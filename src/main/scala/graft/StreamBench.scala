@@ -22,15 +22,9 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-    // conf A/B hook for session-conf audits (same contract as Bench):
-    // builder-level so static confs (RocksDB block cache) can vary too
-    val spark = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').filter(_.nonEmpty))
-      .getOrElse(Array.empty[String])
-      .foldLeft(builder) { (b, kv) =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
-      }
-      .getOrCreate()
+    // conf A/B hook for session-conf audits (shared parser, loud on a
+    // malformed entry): see Graft.confOverrides
+    val spark = Graft.confOverrides(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 

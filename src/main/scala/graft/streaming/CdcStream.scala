@@ -389,55 +389,21 @@ object CdcStream {
     * so an existing multi-table checkpoint resumes in place.
     */
   class ErasingPrevImageProcessorByTable(erased: Map[Long, Long])
-      extends StatefulProcessorWithInitialState[(String, Long), TableRawChange,
-        TableCdcEvent, String] {
-    @transient private var prevState: ValueState[String] = _
-    @transient private var erasedAt: ValueState[Long] = _
+      extends ErasingPrevImageProcessorByTableKeys(k => erased.get(k._2))
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      prevState = getHandle.getValueState[String]("prev",
-        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
-      erasedAt = getHandle.getValueState[Long]("erasedAt",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-    }
-
-    override def handleInitialState(key: (String, Long), initial: String,
-                                    timerValues: TimerValues): Unit =
-      erased.get(key._2) match {
-        case Some(cutoff) => erasedAt.update(cutoff)
-        case None         => prevState.update(initial)
-      }
-
-    override def handleInputRows(key: (String, Long), rows: Iterator[TableRawChange],
-                                 timerValues: TimerValues): Iterator[TableCdcEvent] = {
-      val data = rows.filter(_.event_type != "erase")
-      val live = erased.get(key._2) match {
-        case Some(cutoff) =>
-          val applied = erasedAt.exists() && erasedAt.get() >= cutoff
-          if (!applied) { prevState.clear(); erasedAt.update(cutoff) }
-          data.filter(_.event_id > cutoff)
-        case None => data
-      }
-      val p0 = if (prevState.exists()) Some(prevState.get()) else None
-      val raw = live.map(r =>
-        RawChange(r.event_id, r.ts, r.user_id, r.event_type, r.props))
-      val (out, p1) = foldChanges(raw, p0)
-      p1.foreach(prevState.update)
-      out.iterator.map(e => TableCdcEvent(key._1, e.event_id, e.ts, e.user_id,
-        e.op, e.payload, e.previous, e.changes))
-    }
-  }
-
-  /** [[ErasingPrevImageProcessorByTable]] at (table, user) CUTOFF grain —
-    * for multi-archive deployments whose per-table id spaces are
-    * INDEPENDENT: one user's cutoff in table A says nothing about table
-    * B, and a merged max-cutoff applied across tables would silently drop
-    * the entity's FUTURE rows in every table whose ids run lower (erasure
-    * must never block future data — the tombstone contract). Identical
-    * state layout to the entity-grain twin, so either can resume the
-    * other's checkpoint.
+  /** The by-table erasing processor, parameterized by a cutoff LOOKUP so
+    * both grains share one implementation (checkpoint-compatible by
+    * construction): [[ErasingPrevImageProcessorByTable]] passes entity
+    * grain (`k => erased.get(k._2)` — one cutoff across tables, the
+    * single-archive shape), [[withPrevStateByTableTwsErasingKeys]] passes
+    * (table, user) grain for multi-archive deployments whose per-table id
+    * spaces are INDEPENDENT: one user's cutoff in table A says nothing
+    * about table B, and a merged max-cutoff applied across tables would
+    * silently drop the entity's FUTURE rows in every table whose ids run
+    * lower (erasure must never block future data — the tombstone
+    * contract).
     */
-  class ErasingPrevImageProcessorByTableKeys(erased: Map[(String, Long), Long])
+  class ErasingPrevImageProcessorByTableKeys(cutoffOf: ((String, Long)) => Option[Long])
       extends StatefulProcessorWithInitialState[(String, Long), TableRawChange,
         TableCdcEvent, String] {
     @transient private var prevState: ValueState[String] = _
@@ -452,7 +418,7 @@ object CdcStream {
 
     override def handleInitialState(key: (String, Long), initial: String,
                                     timerValues: TimerValues): Unit =
-      erased.get(key) match {
+      cutoffOf(key) match {
         case Some(cutoff) => erasedAt.update(cutoff)
         case None         => prevState.update(initial)
       }
@@ -460,7 +426,7 @@ object CdcStream {
     override def handleInputRows(key: (String, Long), rows: Iterator[TableRawChange],
                                  timerValues: TimerValues): Iterator[TableCdcEvent] = {
       val data = rows.filter(_.event_type != "erase")
-      val live = erased.get(key) match {
+      val live = cutoffOf(key) match {
         case Some(cutoff) =>
           val applied = erasedAt.exists() && erasedAt.get() >= cutoff
           if (!applied) { prevState.clear(); erasedAt.update(cutoff) }
@@ -500,7 +466,7 @@ object CdcStream {
       : Dataset[TableCdcEvent] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(r => (r.table, r.user_id))
-      .transformWithState(new ErasingPrevImageProcessorByTableKeys(erased),
+      .transformWithState(new ErasingPrevImageProcessorByTableKeys(erased.get _),
         TimeMode.None(), OutputMode.Append())
   }
 

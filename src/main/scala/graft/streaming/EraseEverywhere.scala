@@ -69,7 +69,19 @@ object EraseEverywhere {
   sealed trait Store {
     def name: String
     private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store
+    /** Applies this store's recipe; `ledger` is where offline moves are
+      * journaled before an old checkpoint is deleted (see
+      * [[forwardedDir]]). Returns the store to VERIFY — offline-rewrite
+      * stores move to the fresh checkpoint their resumed query committed.
+      */
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store
+    /** The checkpoint this store's config names, when the recipe can MOVE
+      * it (offline rewrites) — the forwarding key. In-place stores: None.
+      */
+    private[graft] def chk: Option[String] = None
+    /** This store re-addressed at a forwarded checkpoint dir. */
+    private[graft] def at(dir: String): Store = this
   }
 
   /** transformWithState prev-image state, erased IN PLACE on its existing
@@ -100,7 +112,8 @@ object EraseEverywhere {
     private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
       StateMigration.readPrevImageStateTws(spark, checkpointDir)
         .filter(kv => erased.contains(kv._1)).count()
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       insertSentinels(jdbcUrl, table, erased)
       resumeErasing(erased)
       this
@@ -129,7 +142,8 @@ object EraseEverywhere {
     private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
       StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
         .filter(kv => erased.contains(kv._1._2)).count()
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       tables.foreach(t => insertSentinels(jdbcUrl, t, erased))
       resumeErasing(erased)
       this
@@ -157,12 +171,15 @@ object EraseEverywhere {
     private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
       StateMigration.readPrevImageStateTws(spark, checkpointDir)
         .filter(kv => erased.contains(kv._1)).count()
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageStateTws(spark, checkpointDir, erased.keySet)
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Classic flatMapGroupsWithState prev-image state: the offline-rewrite
@@ -182,12 +199,15 @@ object EraseEverywhere {
     private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
       StateMigration.readPrevImageState(spark, checkpointDir)
         .filter(kv => erased.contains(kv._1)).count()
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageState(spark, checkpointDir, erased.keySet)
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Generic row-key prev-image state ([[CdcStream.withPrevStateByRowKey]]):
@@ -205,13 +225,16 @@ object EraseEverywhere {
       StateMigration.readPrevImageStateByRowKey(spark, checkpointDir)
         .filter(kv => keys.contains(kv._1)).count()
     }
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageStateByRowKey(
         spark, checkpointDir, rowKeysOf(erased.keySet))
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Text-dedup band-bucket store ([[DedupStream.candidates]]): exemplar
@@ -231,13 +254,16 @@ object EraseEverywhere {
       StateMigration.readDedupBucketState(spark, checkpointDir)
         .filter(kv => docs.contains(kv._2)).count()
     }
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.eraseDedupBucketState(
         StateMigration.readDedupBucketState(spark, checkpointDir), docsOf(erased.keySet))
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Media-dedup fingerprint store ([[DedupStream.fpVerifiedPairs]]):
@@ -254,13 +280,16 @@ object EraseEverywhere {
         .flatMap(_._2.exemplars.map(_.doc_id))(org.apache.spark.sql.Encoders.scalaLong)
         .filter(d => docs.contains(d)).count()
     }
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.eraseMediaDedupState(
         StateMigration.readMediaDedupState(spark, checkpointDir), docsOf(erased.keySet))
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Semantic-dedup cluster-exemplar store ([[SemDedupStream.judged]]):
@@ -278,13 +307,16 @@ object EraseEverywhere {
         .flatMap(_._2.ex.map(_.vec_id))(org.apache.spark.sql.Encoders.scalaLong)
         .filter(v => vecs.contains(v)).count()
     }
-    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long]): Store = {
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
       val filtered = StateErasure.eraseSemDedupState(
         StateMigration.readSemDedupState(spark, checkpointDir), vecsOf(erased.keySet))
       val fresh = resumeFrom(filtered)
-      decommission(spark, checkpointDir, fresh)
+      decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
     }
+    override private[graft] def chk: Option[String] = Some(checkpointDir)
+    override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
   /** Sentinel command rows inserted into the CAPTURED TABLE ITSELF — the
@@ -339,6 +371,7 @@ object EraseEverywhere {
     */
   private[graft] def receipts(spark: SparkSession,
                               archivePath: String): Set[(String, Long)] = {
+    recoverLedger(spark, archivePath)
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Set.empty
@@ -349,6 +382,7 @@ object EraseEverywhere {
 
   private def recordReceipts(spark: SparkSession, archivePath: String,
                              store: String, users: Seq[Long]): Unit = {
+    recoverLedger(spark, archivePath)
     val sq = spark
     import sq.implicits._
     users.map(u => (store, u)).toDF("store", "user_id")
@@ -356,16 +390,35 @@ object EraseEverywhere {
       .parquet(new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts").toString)
   }
 
+  /** Crash recovery for the compaction swap: [[compactReceipts]] retires
+    * the live ledger by RENAME before renaming the compacted copy into
+    * place — a crash between the two renames leaves the truth under the
+    * retired name and nothing under the live one. Every ledger touchpoint
+    * restores it first, so no crash window can make receipts() read empty
+    * (which would re-run every store's recipe for already-erased users).
+    */
+  private def recoverLedger(spark: SparkSession, archivePath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
+    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) && fs.exists(retired))
+      require(fs.rename(retired, dir),
+        s"failed to recover the receipt ledger from $retired")
+  }
+
   /** Receipt-ledger compaction: every verified store erasure appends one
     * small file, so a long-lived deployment's ledger accumulates files at
     * compliance-request rate. Receipts are EVIDENCE — compaction dedupes
     * and rewrites them as one sorted file (same one-file contract as
     * `Layout.compactDay`), never drops a (store, user) fact. Returns the
-    * receipt count. Write-then-swap: the rewrite lands in a staging dir
-    * and replaces the ledger only after it is fully written, so a crash
-    * mid-compaction leaves the original ledger intact.
+    * receipt count. Crash-safe swap: the compacted copy is fully written
+    * to a staging dir, the live ledger is RETIRED by rename (never
+    * deleted while it is the only copy), the staging dir renamed into
+    * place, and only then is the retired original deleted — a crash at
+    * any point leaves a complete ledger recoverable by [[recoverLedger]].
     */
   def compactReceipts(spark: SparkSession, archivePath: String): Long = {
+    recoverLedger(spark, archivePath)
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
@@ -373,14 +426,53 @@ object EraseEverywhere {
       "_erasure_receipts_compacting")
     if (fs.exists(staging)) require(fs.delete(staging, true),
       s"failed to clear stale compaction staging $staging")
-    val compacted = spark.read.parquet(dir.toString)
+    spark.read.parquet(dir.toString)
       .select(col("store"), col("user_id")).distinct()
       .orderBy(col("store"), col("user_id"))
-    compacted.coalesce(1).write.parquet(staging.toString)
+      .coalesce(1).write.parquet(staging.toString)
     val n = spark.read.parquet(staging.toString).count()
-    require(fs.delete(dir, true), s"failed to replace ledger $dir")
+    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
+    if (fs.exists(retired)) require(fs.delete(retired, true),
+      s"failed to clear stale retired ledger $retired")
+    require(fs.rename(dir, retired), s"failed to retire ledger $dir")
     require(fs.rename(staging, dir), s"failed to swap compacted ledger into $dir")
+    require(fs.delete(retired, true), s"failed to drop retired ledger $retired")
     n
+  }
+
+  /** Offline-move journal: (store, old_dir, new_dir) appended BEFORE an
+    * old checkpoint is deleted. If the driver dies between that delete
+    * and the receipt write, the caller's config still names a directory
+    * that no longer exists — the journal lets the next [[run]] forward
+    * the stale checkpointDir to its successor ([[forwardedDir]]) instead
+    * of crashing on the missing path, so the retry is graceful with the
+    * ORIGINAL store config.
+    */
+  private def recordMove(spark: SparkSession, ledger: String, store: String,
+                         oldDir: String, newDir: String): Unit = {
+    val sq = spark
+    import sq.implicits._
+    Seq((store, oldDir, newDir)).toDF("store", "old_dir", "new_dir")
+      .coalesce(1).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(ledger, "_erasure_moves").toString)
+  }
+
+  /** Resolve a store's configured checkpoint dir through the move journal
+    * (walking chains across multiple erasures; cycle-guarded).
+    */
+  private[graft] def forwardedDir(spark: SparkSession, ledger: String,
+                                  store: String, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(ledger, "_erasure_moves")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return dir
+    val moves = spark.read.parquet(p.toString)
+      .filter(col("store") === store)
+      .select(col("old_dir"), col("new_dir")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    var cur = dir
+    val seen = scala.collection.mutable.Set.empty[String]
+    while (moves.contains(cur) && seen.add(cur)) cur = moves(cur)
+    cur
   }
 
   /** Offline-rewrite decommission: the OLD checkpoint's files still hold
@@ -390,10 +482,12 @@ object EraseEverywhere {
     * on the fresh checkpoint") is ENFORCED, not trusted: a callback that
     * returns early would otherwise lose the store — the old dir deleted,
     * the new one holding nothing durable — so an empty commit log on the
-    * fresh side refuses the delete.
+    * fresh side refuses the delete. The move is journaled BEFORE the
+    * delete (see [[recordMove]]).
     */
   private def decommission(spark: SparkSession, oldDir: String,
-                           newDir: String): Unit = {
+                           newDir: String, ledger: String,
+                           store: String): Unit = {
     require(newDir != oldDir,
       "offline-rewrite resume must land on a FRESH checkpoint " +
         s"(resumeFrom returned the old dir: $oldDir)")
@@ -405,9 +499,102 @@ object EraseEverywhere {
       s"fresh checkpoint $newDir has no committed batch — refusing to " +
         s"decommission $oldDir (the rewritten state is not durable yet; " +
         "resumeFrom must return only after its first batch commits)")
+    recordMove(spark, ledger, store, oldDir, newDir)
     val p = new org.apache.hadoop.fs.Path(oldDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) require(fs.delete(p, true), s"failed to decommission $oldDir")
+  }
+
+  /** An unreadable ARCHIVE PATH must never read as "already erased": a
+    * typo'd path would otherwise produce an all-zero compliance report
+    * against nothing while the real archive keeps the data.
+    */
+  private def requireArchiveDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"archive path does not exist: $path — refusing to report an " +
+        "absent directory as erased")
+  }
+
+  /** A fully-erased archive has no data files left (every day=/op=
+    * partition deleted, only hidden dirs remain), so the bare parquet
+    * read throws instead of counting zero — every census and max-id read
+    * goes through this guard. [[requireArchiveDir]] has already ruled out
+    * the path itself being missing.
+    */
+  private def archiveDf(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def archiveCount(spark: SparkSession, path: String,
+                           users: Seq[Long]): Long = archiveDf(spark, path) match {
+    case Some(df) =>
+      df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
+        .count()
+    case None => 0L
+  }
+
+  /** Cutoff publication for ONE archive: the recorded tombstones, floored
+    * at max(the archive's top id, every relevant live feed's top id) —
+    * and the floor made DURABLE. The live table runs ahead of the
+    * archive, so without the floor two resurrection paths stay open for
+    * every user whose recorded cutoff (the archive's pre-rewrite max)
+    * sits below the live max: a restart replay of not-yet-archived rows
+    * rebuilds the erased prev-image state, and the daemon's next archived
+    * batch lands the user's pre-request rows in the archive AFTER the
+    * report said complete. Publishing a (user, floor) tombstone row
+    * raises the effective cutoff everywhere the guard reads it
+    * (`appendArchiveBatch`, the erasing processors) — point-in-time
+    * semantics hold because rows above the floor were committed after
+    * this orchestration began.
+    */
+  private def publishCutoffs(spark: SparkSession, archivePath: String,
+                             users: Seq[Long],
+                             liveMax: Seq[Long]): Map[Long, Long] = {
+    val recorded = StateErasure.erasureSet(spark, archivePath)
+    val archiveMax = archiveDf(spark, archivePath) match {
+      case Some(df) =>
+        val m = df.agg(max(col("event_id"))).head()
+        if (m.isNullAt(0)) 0L else m.getLong(0)
+      case None => 0L
+    }
+    val floor = (0L +: archiveMax +: liveMax).max
+    val needsFloor = users.filter(u => recorded.getOrElse(u, -1L) < floor)
+    if (needsFloor.nonEmpty) {
+      val sq = spark
+      import sq.implicits._
+      needsFloor.map(u => (u, floor)).toDF("t_user", "cutoff_id")
+        .coalesce(1).write.mode("append")
+        .parquet(new org.apache.hadoop.fs.Path(archivePath, "_tombstones").toString)
+    }
+    users.map(u => u -> math.max(recorded.getOrElse(u, 0L), floor)).toMap
+  }
+
+  /** The receipt-keyed recipe dispatch both run() forms share: a first
+    * call runs the recipe even when the before-census read zero (older
+    * checkpoint files can still hold the payload bytes — class doc), and
+    * passes only the UNRECEIPTED users so a grown request set cannot
+    * re-insert sentinels for already-erased ones. A receipt is recorded
+    * only once the store's after-census verifies zero, so a failed
+    * erasure re-runs on the next call; once receipted, a re-call is
+    * structurally a no-op — no checkpoint churn, no offline rewrite, no
+    * extra sentinel rows in the live table.
+    */
+  private def dispatch[S](spark: SparkSession, ledger: String,
+                          users: Seq[Long], stores: Seq[S])(
+      nameOf: S => String,
+      foundOf: S => Long,
+      eraseOf: (S, Set[Long]) => S): (Seq[Long], Seq[S]) = {
+    val done = receipts(spark, ledger)
+    stores.map { s =>
+      val pending = users.filterNot(u => done((nameOf(s), u))).toSet
+      val verified = if (pending.isEmpty) s else eraseOf(s, pending)
+      val after = foundOf(verified)
+      if (pending.nonEmpty && after == 0L)
+        recordReceipts(spark, ledger, nameOf(s), pending.toSeq.sorted)
+      (after, verified)
+    }.unzip
   }
 
   /** The one call: erase `userIds` from the archive and every configured
@@ -425,86 +612,55 @@ object EraseEverywhere {
     * recipes move each store to the fresh checkpoint its resumed query
     * committed on (the old one is decommissioned), so a deployment that
     * wants to re-verify later must address the moved stores — this is the
-    * handle. In-place stores come back unchanged.
+    * handle. In-place stores come back unchanged. A config still naming a
+    * PAST checkpoint (a crash lost the moved handles) is forwarded
+    * through the move journal instead of crashing on the deleted path.
     */
   def runDetailed(spark: SparkSession, archivePath: String, userIds: Seq[Long],
                   stores: Seq[Store]): (DataFrame, Seq[Store]) = {
     require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
     require(stores.map(_.name).distinct.size == stores.size,
       s"store names must be unique: ${stores.map(_.name)}")
+    requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
-    // a fully-erased archive has no data files left (every day=/op=
-    // partition deleted, only _tombstones/_SUCCESS remain), so the bare
-    // parquet read throws instead of counting zero — guard every census
-    // and the max-id fallback read
-    def archiveRead(): Option[DataFrame] =
-      try Some(spark.read.parquet(archivePath))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    def archiveFound(): Long = archiveRead() match {
-      case Some(df) =>
-        df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
-          .count()
-      case None => 0L
+    // forward any stale offline checkpointDir through the move journal
+    val live = stores.map { s =>
+      s.chk.map { dir =>
+        val fwd = forwardedDir(spark, archivePath, s.name, dir)
+        if (fwd != dir) s.at(fwd) else s
+      }.getOrElse(s)
     }
 
     // BEFORE census (cutoffs don't matter to found(); 0L placeholders)
     val preSet = users.map(_ -> 0L).toMap
-    val beforeArchive = archiveFound()
-    val beforeStores = stores.map(s => s.found(spark, preSet))
+    val beforeArchive = archiveCount(spark, archivePath, users)
+    val beforeStores = live.map(s => s.found(spark, preSet))
 
     // archive erasure + tombstones (point-in-time cutoffs, replay guard)
     if (beforeArchive > 0)
       graft.sources.Layout.eraseEntities(spark, archivePath, users)
 
-    // erasure-set publication: recorded cutoffs; a user the archive never
-    // held gets a synthesized cutoff. The synthesized value is the MAX of
-    // the archive's top event id and every live feed's top id: the live
-    // table typically runs AHEAD of the archive, and a restart replay of
-    // not-yet-archived rows above an archive-only cutoff could rebuild
-    // the erased user's prev-image state after the erasing bounce — the
-    // live floor closes that window (rows committed after this probe are
-    // post-erasure data, legitimately kept).
-    val recorded = StateErasure.erasureSet(spark, archivePath)
-    val archiveMax = archiveRead() match {
-      case Some(df) =>
-        val maxRow = df.agg(max(col("event_id"))).head()
-        if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      case None => 0L
-    }
-    val liveMax = stores.flatMap {
+    // cutoff publication, floored at every live feed's top id (durable —
+    // see publishCutoffs for why the floor must reach the tombstones)
+    val liveMax = live.flatMap {
       case t: TwsInPlace        => Seq(JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id"))
       case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
       case _                    => Nil
     }
-    val fallback = (0L +: archiveMax +: liveMax).max
-    val set = users.map(u => u -> recorded.getOrElse(u, fallback)).toMap
+    val set = publishCutoffs(spark, archivePath, users, liveMax)
 
-    // per-store recipes, then the AFTER census on each store's verified
-    // form. Dispatch is keyed on the receipt ledger, NOT the before-census:
-    // a first call runs the recipe even when found() reads zero (older
-    // checkpoint files can still hold the payload bytes — class doc), and
-    // passes only the UNRECEIPTED users so a grown request set cannot
-    // re-insert sentinels for already-erased ones. A receipt is recorded
-    // only once the store's after-census verifies zero, so a failed
-    // erasure re-runs on the next call; once receipted, a re-call is
-    // structurally a no-op — no checkpoint churn, no offline rewrite, no
-    // extra sentinel rows in the live table.
-    val done = receipts(spark, archivePath)
-    val (afterStores, movedStores) = stores.map { s =>
-      val pending = users.filterNot(u => done((s.name, u))).toSet
-      val verified =
-        if (pending.isEmpty) s
-        else s.erase(spark, set.filter { case (u, _) => pending.contains(u) })
-      val after = verified.found(spark, set)
-      if (pending.nonEmpty && after == 0L)
-        recordReceipts(spark, archivePath, s.name, pending.toSeq.sorted)
-      (after, verified)
-    }.unzip
+    val (afterStores, movedStores) =
+      dispatch(spark, archivePath, users, live)(
+        _.name,
+        (s: Store) => s.found(spark, set),
+        (s: Store, pending: Set[Long]) =>
+          s.erase(spark, set.filter { case (u, _) => pending.contains(u) },
+            archivePath))
 
     val sq = spark
     import sq.implicits._
-    val report = (("archive", beforeArchive, archiveFound()) +:
-      stores.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
+    val report = (("archive", beforeArchive, archiveCount(spark, archivePath, users)) +:
+      live.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
         (s.name, b, a)
       }).toDF("store", "found_before", "found_after")
     (report, movedStores)
@@ -553,17 +709,17 @@ object EraseEverywhere {
   /** [[run]] for multi-archive deployments: each captured table has its
     * OWN archive and its OWN id space, so cutoffs are published per
     * (table, user) — a recorded tombstone from table t's archive applies
-    * only to t, and a user absent from t's archive falls back to
-    * max(t's archive top id, t's live top id). A merged cross-table
-    * cutoff would either resurrect (too low for the table ahead) or
-    * block the entity's future rows (too high for the table behind) —
-    * the committedOffsets lesson applied to erasure.
+    * only to t, floored at t's own archive/live max and made durable in
+    * t's tombstones. A merged cross-table cutoff would either resurrect
+    * (too low for the table ahead) or block the entity's future rows (too
+    * high for the table behind) — the committedOffsets lesson applied to
+    * erasure.
     *
-    * The receipt ledger lives under `ledgerPath` (default: the archive of
-    * the lexicographically first table — pass an explicit shared path
-    * when archives can be re-homed). Report: one `archive:<table>` row
-    * per archive plus one row per store; re-call contract identical to
-    * [[run]].
+    * The receipt ledger lives under `ledgerPath`; with none given, an
+    * EXISTING ledger among the archives wins (so the default stays stable
+    * when the captured table set grows — a map-order default would
+    * silently move the idempotence key), falling back to the first
+    * table's archive; multiple existing ledgers refuse loudly.
     */
   def runMultiArchive(spark: SparkSession, archives: Map[String, String],
                       userIds: Seq[Long], stores: Seq[ByTableStore],
@@ -575,59 +731,54 @@ object EraseEverywhere {
       s"store names must be unique: ${stores.map(_.name)}")
     val users = userIds.distinct.sorted
     val tables = archives.keys.toSeq.sorted
-    val ledger = ledgerPath.getOrElse(archives(tables.head))
-
-    def archiveRead(path: String): Option[DataFrame] =
-      try Some(spark.read.parquet(path))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-    def archiveFound(path: String): Long = archiveRead(path) match {
-      case Some(df) =>
-        df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
-          .count()
-      case None => 0L
+    tables.foreach(t => requireArchiveDir(spark, archives(t)))
+    val ledger = ledgerPath.getOrElse {
+      val existing = tables.map(archives).distinct.filter { p =>
+        val d = new org.apache.hadoop.fs.Path(p, "_erasure_receipts")
+        val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.exists(d) ||
+          f.exists(new org.apache.hadoop.fs.Path(p, "_erasure_receipts_retired"))
+      }
+      require(existing.size <= 1,
+        s"multiple receipt ledgers found under ${existing.mkString(", ")} — " +
+          "pass ledgerPath explicitly")
+      existing.headOption.getOrElse(archives(tables.head))
     }
 
     val preSet = (for { t <- tables; u <- users } yield (t, u) -> 0L).toMap
-    val beforeArch = tables.map(t => archiveFound(archives(t)))
+    val beforeArch = tables.map(t => archiveCount(spark, archives(t), users))
     val beforeStores = stores.map(_.found(spark, preSet))
 
     tables.zip(beforeArch).foreach { case (t, before) =>
       if (before > 0) graft.sources.Layout.eraseEntities(spark, archives(t), users)
     }
 
-    // per-table cutoff publication: recorded tombstones per archive;
-    // fallback per table floored at that table's live max across stores
+    // per-table cutoff publication, each floored at ITS archive/live max
     val set: Map[(String, Long), Long] = tables.flatMap { t =>
-      val recorded = StateErasure.erasureSet(spark, archives(t))
-      val archiveMax = archiveRead(archives(t)) match {
-        case Some(df) =>
-          val m = df.agg(max(col("event_id"))).head()
-          if (m.isNullAt(0)) 0L else m.getLong(0)
-        case None => 0L
+      val liveMax = stores.flatMap {
+        case s: TwsInPlacePerTable =>
+          // a deployment may split tables across databases: a store whose
+          // DB lacks table t contributes no floor for t (the probe is
+          // Try-wrapped rather than fatal; withRetry absorbs transient
+          // lock losses first)
+          scala.util.Try(JdbcFeed.maxId(s.jdbcUrl, t, "event_id")).toOption
+        case _ => None
       }
-      val liveMax = stores.collect { case s: TwsInPlacePerTable =>
-        JdbcFeed.maxId(s.jdbcUrl, t, "event_id")
-      }
-      val fallback = (0L +: archiveMax +: liveMax).max
-      users.map(u => (t, u) -> recorded.getOrElse(u, fallback))
+      publishCutoffs(spark, archives(t), users, liveMax)
+        .map { case (u, cutoff) => (t, u) -> cutoff }
     }.toMap
 
-    val done = receipts(spark, ledger)
-    val (afterStores, movedStores) = stores.map { s =>
-      val pending = users.filterNot(u => done((s.name, u))).toSet
-      val verified =
-        if (pending.isEmpty) s
-        else s.erase(spark, set.filter { case ((_, u), _) => pending.contains(u) })
-      val after = verified.found(spark, set)
-      if (pending.nonEmpty && after == 0L)
-        recordReceipts(spark, ledger, s.name, pending.toSeq.sorted)
-      (after, verified)
-    }.unzip
+    val (afterStores, movedStores) =
+      dispatch(spark, ledger, users, stores)(
+        _.name,
+        (s: ByTableStore) => s.found(spark, set),
+        (s: ByTableStore, pending: Set[Long]) =>
+          s.erase(spark, set.filter { case ((_, u), _) => pending.contains(u) }))
 
     val sq = spark
     import sq.implicits._
     val report = (tables.zip(beforeArch).map { case (t, b) =>
-      (s"archive:$t", b, archiveFound(archives(t)))
+      (s"archive:$t", b, archiveCount(spark, archives(t), users))
     } ++ stores.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
       (s.name, b, a)
     }).toDF("store", "found_before", "found_after")

@@ -596,6 +596,151 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(calls == 2, "receipted users must not re-run after compaction")
   }
 
+  test("an archive-PRESENT user's cutoff is floored and published durably: neither state nor archive can regain the pre-request rows") {
+    val url = "jdbc:derby:memory:erase_floor2;create=true"
+    createEvents(url)
+    // the archive lags the live table: user 1's rows 1-2 are archived,
+    // rows 3-4 are live-only (committed before the request, not yet
+    // archived) — the recorded tombstone cutoff alone (pre-rewrite max 2)
+    // would let BOTH resurrection paths open: a restart replay rebuilds
+    // the prev-image state, and the daemon's next archived batch lands
+    // rows 3-4 in the archive after the report said complete
+    insert(url,
+      (1L, t(0), 1L, "signup",   """{"k":1}"""),
+      (2L, t(1), 1L, "purchase", """{"k":2}"""),
+      (3L, t(2), 1L, "purchase", """{"k":3}"""),
+      (4L, t(3), 1L, "purchase", """{"k":4}"""))
+    val adir = tmp("erase_floor2_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 1L, "UPDATE", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+
+    val chkT = tmp("erase_floor2_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chkT) }
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L),
+      Seq(TwsInPlace("twsf2", chkT, url, "events", erased => {
+        withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chkT) }
+      }))))
+    assert(rep("archive") == (2L, 0L) && rep("twsf2") == (1L, 0L), s"got $rep")
+    // state side: the stamped cutoff is the LIVE max (4), not the
+    // recorded archive cutoff (2)
+    assert(erasedAtReceipts(chkT) == Map(1L -> 4L), s"${erasedAtReceipts(chkT)}")
+    // archive side: the floor is DURABLE — the published tombstone raises
+    // the effective cutoff, so the daemon archiving rows 3-4 (a batch
+    // committed before the request) drops them instead of landing the
+    // user's data after the completeness report
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir) == Map(1L -> 4L))
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((3L, t(2), 1L, "INSERT", """{"k":3}"""), (4L, t(3), 1L, "INSERT", """{"k":4}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir, 77L))
+    val landed =
+      try spark.read.parquet(adir).filter(col("user_id") === 1L).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(landed == 0L,
+      "the floored tombstone must drop the user's not-yet-archived pre-request rows")
+  }
+
+  test("a crash between the compaction renames cannot lose the ledger; a typo'd archive path is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val adir = tmp("erase_crash_ledger")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    // a ledger with one fact
+    val (_, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), Seq.empty)
+    // simulate the compaction crash window: the live ledger retired, the
+    // compacted copy not yet renamed into place
+    val chk0 = tmp("erase_crash_seed")
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(in.toDS()).writeStream
+      .format("memory").queryName("ee_crash_seed")
+      .option("checkpointLocation", chk0).outputMode("append").start()
+    try {
+      in.addData(RawChange(1L, t(0), 1L, "signup", """{"k":1}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    var n = 0
+    val (_, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L),
+      Seq(ClassicOffline("crashled", chk0, { filtered =>
+        n += 1
+        val fresh = tmp("erase_crash_b")
+        val in2 = MemoryStream[RawChange]
+        val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+          .format("memory").queryName(s"ee_crash_resume_$n")
+          .option("checkpointLocation", fresh).outputMode("append").start()
+        try {
+          in2.addData(RawChange(50L, t(50), 9L, "purchase", """{"k":5}"""))
+          q2.processAllAvailable()
+        } finally q2.stop()
+        fresh
+      })))
+    val before = EraseEverywhere.receipts(spark, adir)
+    assert(before.contains(("crashled", 1L)))
+    val live = java.nio.file.Paths.get(adir, "_erasure_receipts")
+    val retired = java.nio.file.Paths.get(adir, "_erasure_receipts_retired")
+    java.nio.file.Files.move(live, retired) // the crash window, simulated
+    assert(EraseEverywhere.receipts(spark, adir) == before,
+      "the recovery path must restore the retired ledger before reading")
+    assert(java.nio.file.Files.exists(live) && !java.nio.file.Files.exists(retired))
+
+    // and the other report-integrity guard: an absent archive path must
+    // REFUSE, never read as already-erased
+    val e = intercept[IllegalArgumentException] {
+      EraseEverywhere.run(spark, s"$adir/no_such_dir", Seq(1L), Seq.empty)
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
+  test("a crash after decommission but before the receipt is retried gracefully: the move journal forwards the stale config") {
+    implicit val sqlCtx = spark.sqlContext
+    val adir = tmp("erase_fwd_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chkA = tmp("erase_fwd_a")
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(in.toDS()).writeStream
+      .format("memory").queryName("ee_fwd_seed")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try {
+      in.addData(RawChange(1L, t(0), 1L, "signup", """{"k":1}"""),
+        RawChange(2L, t(1), 2L, "signup", """{"k":2}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    var n = 0
+    def mk(chk: String) = ClassicOffline("fwd", chk, { filtered =>
+      n += 1
+      val fresh = tmp(s"erase_fwd_b$n")
+      val in2 = MemoryStream[RawChange]
+      val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+        .format("memory").queryName(s"ee_fwd_resume_$n")
+        .option("checkpointLocation", fresh).outputMode("append").start()
+      try {
+        in2.addData(RawChange(60L + n, t(60L + n), 2L, "purchase", """{"k":6}"""))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      fresh
+    })
+    // simulate the crash: the recipe ran to completion (old checkpoint
+    // decommissioned, move journaled) but the driver died before the
+    // receipt write and before the moved handles reached the caller
+    val store = mk(chkA)
+    store.erase(spark, Map(1L -> 10L), adir)
+    assert(!exists(chkA), "precondition: the old checkpoint is gone")
+    assert(EraseEverywhere.receipts(spark, adir).isEmpty,
+      "precondition: no receipt was recorded")
+
+    // the retry presents the ORIGINAL config naming the deleted dir — the
+    // move journal forwards it instead of crashing on the missing path
+    val (rep, moved) = EraseEverywhere.runDetailed(spark, adir, Seq(1L), Seq(store))
+    assert(reportMap(rep)("fwd") == (0L, 0L), s"${reportMap(rep)}")
+    assert(EraseEverywhere.receipts(spark, adir).contains(("fwd", 1L)),
+      "the retry must complete the interrupted call: receipt recorded")
+    assert(StateMigration.readPrevImageState(spark,
+      moved.head.asInstanceOf[ClassicOffline].checkpointDir).collect().toMap
+      .get(2L).isDefined, "the survivor's state must be intact on the final checkpoint")
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
