@@ -550,8 +550,8 @@ object EraseEverywhere {
     * this orchestration began.
     */
   private def publishCutoffs(spark: SparkSession, archivePath: String,
-                             users: Seq[Long],
-                             liveMax: Seq[Long]): Map[Long, Long] = {
+                             users: Seq[Long], liveMax: Seq[Long],
+                             priorTombstones: Map[Long, Long]): Map[Long, Long] = {
     val recorded = StateErasure.erasureSet(spark, archivePath)
     val archiveMax = archiveDf(spark, archivePath) match {
       case Some(df) =>
@@ -560,7 +560,15 @@ object EraseEverywhere {
       case None => 0L
     }
     val floor = (0L +: archiveMax +: liveMax).max
-    val needsFloor = users.filter(u => recorded.getOrElse(u, -1L) < floor)
+    // the point-in-time is established ONCE per user, at the FIRST
+    // erasure event: a user who already had a tombstone before this call
+    // keeps that cutoff untouched — re-flooring a re-call at the current
+    // live max would ratchet the cutoff past rows the user legitimately
+    // produced AFTER the erasure and silently drop them at the archive's
+    // append guard. Only first-time users get the floored cutoff
+    // published.
+    val firstTime = users.filterNot(priorTombstones.contains)
+    val needsFloor = firstTime.filter(u => recorded.getOrElse(u, -1L) < floor)
     if (needsFloor.nonEmpty) {
       val sq = spark
       import sq.implicits._
@@ -568,7 +576,42 @@ object EraseEverywhere {
         .coalesce(1).write.mode("append")
         .parquet(new org.apache.hadoop.fs.Path(archivePath, "_tombstones").toString)
     }
-    users.map(u => u -> math.max(recorded.getOrElse(u, 0L), floor)).toMap
+    users.map { u =>
+      if (priorTombstones.contains(u)) u -> recorded.getOrElse(u, 0L)
+      else u -> math.max(recorded.getOrElse(u, 0L), floor)
+    }.toMap
+  }
+
+  /** Revoke receipts for a REPEAT erasure request: the ledger makes
+    * re-calls structural no-ops, so a user who produced new data after a
+    * completed erasure and is erased AGAIN (a second compliance request)
+    * needs their receipt rows cleared first — then the next [[run]]
+    * re-establishes a fresh point-in-time cutoff for them (the archive
+    * side re-records on locate) and re-runs every store's recipe. Uses
+    * the same crash-safe retire-swap as [[compactReceipts]].
+    */
+  def revokeReceipts(spark: SparkSession, archivePath: String,
+                     userIds: Seq[Long]): Long = {
+    recoverLedger(spark, archivePath)
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir) || userIds.isEmpty) return 0L
+    val users = userIds.distinct
+    val staging = new org.apache.hadoop.fs.Path(archivePath,
+      "_erasure_receipts_compacting")
+    if (fs.exists(staging)) require(fs.delete(staging, true),
+      s"failed to clear stale compaction staging $staging")
+    val all = spark.read.parquet(dir.toString)
+    val revoked = all.filter(col("user_id").isin(users: _*)).count()
+    all.filter(!col("user_id").isin(users: _*))
+      .coalesce(1).write.parquet(staging.toString)
+    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
+    if (fs.exists(retired)) require(fs.delete(retired, true),
+      s"failed to clear stale retired ledger $retired")
+    require(fs.rename(dir, retired), s"failed to retire ledger $dir")
+    require(fs.rename(staging, dir), s"failed to swap revoked ledger into $dir")
+    require(fs.delete(retired, true), s"failed to drop retired ledger $retired")
+    revoked
   }
 
   /** The receipt-keyed recipe dispatch both run() forms share: a first
@@ -636,6 +679,10 @@ object EraseEverywhere {
     val beforeArchive = archiveCount(spark, archivePath, users)
     val beforeStores = live.map(s => s.found(spark, preSet))
 
+    // tombstones as they stood BEFORE this call: the first-erasure marker
+    // that keeps a re-call from re-flooring an established point-in-time
+    val priorTombstones = StateErasure.erasureSet(spark, archivePath)
+
     // archive erasure + tombstones (point-in-time cutoffs, replay guard)
     if (beforeArchive > 0)
       graft.sources.Layout.eraseEntities(spark, archivePath, users)
@@ -647,7 +694,7 @@ object EraseEverywhere {
       case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
       case _                    => Nil
     }
-    val set = publishCutoffs(spark, archivePath, users, liveMax)
+    val set = publishCutoffs(spark, archivePath, users, liveMax, priorTombstones)
 
     val (afterStores, movedStores) =
       dispatch(spark, archivePath, users, live)(
@@ -749,6 +796,9 @@ object EraseEverywhere {
     val beforeArch = tables.map(t => archiveCount(spark, archives(t), users))
     val beforeStores = stores.map(_.found(spark, preSet))
 
+    val priorByTable = tables.map(t =>
+      t -> StateErasure.erasureSet(spark, archives(t))).toMap
+
     tables.zip(beforeArch).foreach { case (t, before) =>
       if (before > 0) graft.sources.Layout.eraseEntities(spark, archives(t), users)
     }
@@ -764,7 +814,7 @@ object EraseEverywhere {
           scala.util.Try(JdbcFeed.maxId(s.jdbcUrl, t, "event_id")).toOption
         case _ => None
       }
-      publishCutoffs(spark, archives(t), users, liveMax)
+      publishCutoffs(spark, archives(t), users, liveMax, priorByTable(t))
         .map { case (u, cutoff) => (t, u) -> cutoff }
     }.toMap
 

@@ -741,6 +741,55 @@ class EraseEverywhereSpec extends SparkSuite {
       .get(2L).isDefined, "the survivor's state must be intact on the final checkpoint")
   }
 
+  test("re-calls never ratchet an established cutoff past post-erasure data; a repeat request goes through revokeReceipts") {
+    val url = "jdbc:derby:memory:erase_ratchet;create=true"
+    createEvents(url)
+    insert(url,
+      (1L, t(0), 1L, "signup",   """{"k":1}"""),
+      (2L, t(1), 2L, "signup",   """{"k":2}"""))
+    val adir = tmp("erase_ratchet_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chkT = tmp("erase_ratchet_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chkT) }
+    def store = TwsInPlace("rat", chkT, url, "events", erased => {
+      withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chkT) }
+    })
+    val rep1 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+    assert(rep1("rat") == (1L, 0L))
+    val cutoff1 = graft.streaming.StateErasure.erasureSet(spark, adir)(1L)
+
+    // the user legitimately returns AFTER the completed erasure: new live
+    // rows with higher ids (kept data)
+    insert(url, (10L, t(10), 1L, "purchase", """{"k":10}"""))
+    // a RE-CALL must not move the established point-in-time — re-flooring
+    // at the current live max (10) would make the archive's append guard
+    // silently drop the post-erasure rows
+    val rep2 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+    assert(rep2.values.toSet == Set((0L, 0L)), s"$rep2")
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == cutoff1,
+      "re-call ratcheted the cutoff past the user's post-erasure data")
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((10L, t(10), 1L, "INSERT", """{"k":10}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir, 50L))
+    assert(spark.read.parquet(adir).filter(col("user_id") === 1L).count() == 1L,
+      "the post-erasure row must flow into the archive")
+
+    // a genuinely NEW request for the same user: revoke the receipts, the
+    // next call re-establishes a fresh point-in-time... but the PRIOR
+    // tombstone still pins the old cutoff, so the archive re-erase is the
+    // locate pass (the new row found and removed) while the state recipe
+    // re-runs off the cleared ledger
+    assert(EraseEverywhere.revokeReceipts(spark, adir, Seq(1L)) == 1L)
+    val rep3 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+    assert(rep3("archive") == (1L, 0L),
+      s"repeat request must erase the user's new archive rows: $rep3")
+    assert(rep3("rat")._2 == 0L)
+    assert(EraseEverywhere.receipts(spark, adir).contains(("rat", 1L)),
+      "the repeat request must be re-receipted")
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
