@@ -406,37 +406,50 @@ object EraseEverywhere {
         s"failed to recover the receipt ledger from $retired")
   }
 
+  /** The crash-safe ledger rewrite both [[compactReceipts]] and
+    * [[revokeReceipts]] share: the replacement is fully written to a
+    * staging dir, the live ledger is RETIRED by rename (never deleted
+    * while it is the only copy), the staging dir renamed into place, and
+    * only then is the retired original dropped — a crash at any point
+    * leaves a complete ledger recoverable by [[recoverLedger]].
+    */
+  private def swapLedger(spark: SparkSession, archivePath: String)
+                        (write: String => Unit): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(archivePath,
+      "_erasure_receipts_compacting")
+    if (fs.exists(staging)) require(fs.delete(staging, true),
+      s"failed to clear stale compaction staging $staging")
+    write(staging.toString)
+    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
+    if (fs.exists(retired)) require(fs.delete(retired, true),
+      s"failed to clear stale retired ledger $retired")
+    require(fs.rename(dir, retired), s"failed to retire ledger $dir")
+    require(fs.rename(staging, dir), s"failed to swap rewritten ledger into $dir")
+    require(fs.delete(retired, true), s"failed to drop retired ledger $retired")
+  }
+
   /** Receipt-ledger compaction: every verified store erasure appends one
     * small file, so a long-lived deployment's ledger accumulates files at
     * compliance-request rate. Receipts are EVIDENCE — compaction dedupes
     * and rewrites them as one sorted file (same one-file contract as
     * `Layout.compactDay`), never drops a (store, user) fact. Returns the
-    * receipt count. Crash-safe swap: the compacted copy is fully written
-    * to a staging dir, the live ledger is RETIRED by rename (never
-    * deleted while it is the only copy), the staging dir renamed into
-    * place, and only then is the retired original deleted — a crash at
-    * any point leaves a complete ledger recoverable by [[recoverLedger]].
+    * receipt count. Crash-safe via [[swapLedger]].
     */
   def compactReceipts(spark: SparkSession, archivePath: String): Long = {
     recoverLedger(spark, archivePath)
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
-    val staging = new org.apache.hadoop.fs.Path(archivePath,
-      "_erasure_receipts_compacting")
-    if (fs.exists(staging)) require(fs.delete(staging, true),
-      s"failed to clear stale compaction staging $staging")
-    spark.read.parquet(dir.toString)
-      .select(col("store"), col("user_id")).distinct()
-      .orderBy(col("store"), col("user_id"))
-      .coalesce(1).write.parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
-    if (fs.exists(retired)) require(fs.delete(retired, true),
-      s"failed to clear stale retired ledger $retired")
-    require(fs.rename(dir, retired), s"failed to retire ledger $dir")
-    require(fs.rename(staging, dir), s"failed to swap compacted ledger into $dir")
-    require(fs.delete(retired, true), s"failed to drop retired ledger $retired")
+    var n = 0L
+    swapLedger(spark, archivePath) { staging =>
+      spark.read.parquet(dir.toString)
+        .select(col("store"), col("user_id")).distinct()
+        .orderBy(col("store"), col("user_id"))
+        .coalesce(1).write.parquet(staging)
+      n = spark.read.parquet(staging).count()
+    }
     n
   }
 
@@ -551,7 +564,7 @@ object EraseEverywhere {
     */
   private def publishCutoffs(spark: SparkSession, archivePath: String,
                              users: Seq[Long], liveMax: Seq[Long],
-                             priorTombstones: Map[Long, Long]): Map[Long, Long] = {
+                             openUsers: Seq[Long]): Map[Long, Long] = {
     val recorded = StateErasure.erasureSet(spark, archivePath)
     val archiveMax = archiveDf(spark, archivePath) match {
       case Some(df) =>
@@ -560,15 +573,15 @@ object EraseEverywhere {
       case None => 0L
     }
     val floor = (0L +: archiveMax +: liveMax).max
-    // the point-in-time is established ONCE per user, at the FIRST
-    // erasure event: a user who already had a tombstone before this call
-    // keeps that cutoff untouched — re-flooring a re-call at the current
-    // live max would ratchet the cutoff past rows the user legitimately
-    // produced AFTER the erasure and silently drop them at the archive's
-    // append guard. Only first-time users get the floored cutoff
-    // published.
-    val firstTime = users.filterNot(priorTombstones.contains)
-    val needsFloor = firstTime.filter(u => recorded.getOrElse(u, -1L) < floor)
+    // the point-in-time is established when the request COMPLETES: while
+    // a user's request is OPEN ([[openMarkers]]) the cutoff may rise to
+    // the current floor on every attempt (a retried call re-floors — the
+    // rows in between were committed before completion, still in scope);
+    // once closed it never moves — re-flooring a completed user at the
+    // current live max would ratchet the cutoff past rows they
+    // legitimately produced AFTER the erasure and silently drop them at
+    // the archive's append guard.
+    val needsFloor = openUsers.filter(u => recorded.getOrElse(u, -1L) < floor)
     if (needsFloor.nonEmpty) {
       val sq = spark
       import sq.implicits._
@@ -576,42 +589,101 @@ object EraseEverywhere {
         .coalesce(1).write.mode("append")
         .parquet(new org.apache.hadoop.fs.Path(archivePath, "_tombstones").toString)
     }
+    val open = openUsers.toSet
     users.map { u =>
-      if (priorTombstones.contains(u)) u -> recorded.getOrElse(u, 0L)
-      else u -> math.max(recorded.getOrElse(u, 0L), floor)
+      if (open(u)) u -> math.max(recorded.getOrElse(u, 0L), floor)
+      else u -> recorded.getOrElse(u, 0L)
     }.toMap
   }
 
   /** Revoke receipts for a REPEAT erasure request: the ledger makes
     * re-calls structural no-ops, so a user who produced new data after a
     * completed erasure and is erased AGAIN (a second compliance request)
-    * needs their receipt rows cleared first — then the next [[run]]
-    * re-establishes a fresh point-in-time cutoff for them (the archive
-    * side re-records on locate) and re-runs every store's recipe. Uses
-    * the same crash-safe retire-swap as [[compactReceipts]].
+    * needs their receipt rows cleared first. Revocation also RE-OPENS the
+    * archive side for those users (the open marker below): the next
+    * [[run]] re-locates their archive rows, re-floors and publishes a
+    * fresh point-in-time cutoff, and re-runs every store's recipe — even
+    * when the user's new data is still live-only (daemon lag), where the
+    * old "re-records on locate" behavior would have kept the stale cutoff
+    * and livelocked the state erasure. Multi-archive deployments pass
+    * every archive in `alsoReopen`. Crash-safe via [[swapLedger]].
     */
   def revokeReceipts(spark: SparkSession, archivePath: String,
-                     userIds: Seq[Long]): Long = {
+                     userIds: Seq[Long],
+                     alsoReopen: Seq[String] = Seq.empty): Long = {
     recoverLedger(spark, archivePath)
+    val users = userIds.distinct
+    (archivePath +: alsoReopen).distinct.foreach(markOpen(spark, _, users))
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir) || userIds.isEmpty) return 0L
-    val users = userIds.distinct
-    val staging = new org.apache.hadoop.fs.Path(archivePath,
-      "_erasure_receipts_compacting")
-    if (fs.exists(staging)) require(fs.delete(staging, true),
-      s"failed to clear stale compaction staging $staging")
-    val all = spark.read.parquet(dir.toString)
-    val revoked = all.filter(col("user_id").isin(users: _*)).count()
-    all.filter(!col("user_id").isin(users: _*))
-      .coalesce(1).write.parquet(staging.toString)
-    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts_retired")
-    if (fs.exists(retired)) require(fs.delete(retired, true),
-      s"failed to clear stale retired ledger $retired")
-    require(fs.rename(dir, retired), s"failed to retire ledger $dir")
-    require(fs.rename(staging, dir), s"failed to swap revoked ledger into $dir")
-    require(fs.delete(retired, true), s"failed to drop retired ledger $retired")
+    var revoked = 0L
+    swapLedger(spark, archivePath) { staging =>
+      val all = spark.read.parquet(dir.toString)
+      revoked = all.filter(col("user_id").isin(users: _*)).count()
+      all.filter(!col("user_id").isin(users: _*))
+        .coalesce(1).write.parquet(staging)
+    }
     revoked
+  }
+
+  /** The archive-side OPEN markers: a user's erasure request is open —
+    * their archive rows in scope for the locate pass and their cutoff
+    * still allowed to rise to the current floor — from before the archive
+    * rewrite until the floored cutoff is durably published. Without the
+    * marker, the tombstone doubles as the done-signal while being written
+    * MID-call: a crash between the archive rewrite (which records a
+    * tombstone at the pre-rewrite max) and the floor publication would
+    * permanently mis-file a first-time user as completed, leaving the
+    * live-ahead resurrection window open with no automatic repair.
+    * [[revokeReceipts]] writes the marker to re-open a completed user for
+    * a repeat request.
+    */
+  private[graft] def openMarkers(spark: SparkSession,
+                                 archivePath: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else spark.read.parquet(dir.toString)
+      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+  }
+
+  private[graft] def markOpen(spark: SparkSession, archivePath: String,
+                              userIds: Seq[Long]): Unit = {
+    val missing = userIds.distinct.filterNot(openMarkers(spark, archivePath))
+    if (missing.isEmpty) return
+    val sq = spark
+    import sq.implicits._
+    missing.map(Tuple1(_)).toDF("user_id")
+      .coalesce(1).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(archivePath, "_erasure_open").toString)
+  }
+
+  /** Clear open markers once the users' floored cutoffs are durable. The
+    * marker dir is tiny (open requests only), so the clear is a simple
+    * rewrite-or-drop; a crash before the clear just leaves the users open
+    * one call longer (idempotent — the re-floor is harmless while open).
+    */
+  private def clearOpen(spark: SparkSession, archivePath: String,
+                        userIds: Set[Long]): Unit = {
+    if (userIds.isEmpty) return
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val remaining = openMarkers(spark, archivePath) -- userIds
+    if (remaining.isEmpty) {
+      require(fs.delete(dir, true), s"failed to clear open markers $dir")
+    } else {
+      val staging = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open_rewrite")
+      if (fs.exists(staging)) require(fs.delete(staging, true),
+        s"failed to clear stale marker staging $staging")
+      val sq = spark
+      import sq.implicits._
+      remaining.toSeq.sorted.map(Tuple1(_)).toDF("user_id")
+        .coalesce(1).write.parquet(staging.toString)
+      require(fs.delete(dir, true), s"failed to clear open markers $dir")
+      require(fs.rename(staging, dir), s"failed to swap open markers into $dir")
+    }
   }
 
   /** The receipt-keyed recipe dispatch both run() forms share: a first
@@ -625,15 +697,20 @@ object EraseEverywhere {
     * extra sentinel rows in the live table.
     */
   private def dispatch[S](spark: SparkSession, ledger: String,
-                          users: Seq[Long], stores: Seq[S])(
+                          users: Seq[Long], stores: Seq[S],
+                          done: Set[(String, Long)])(
       nameOf: S => String,
-      foundOf: S => Long,
+      foundOf: (S, Set[Long]) => Long,
       eraseOf: (S, Set[Long]) => S): (Seq[Long], Seq[S]) = {
-    val done = receipts(spark, ledger)
     stores.map { s =>
       val pending = users.filterNot(u => done((nameOf(s), u))).toSet
       val verified = if (pending.isEmpty) s else eraseOf(s, pending)
-      val after = foundOf(verified)
+      // the after-census is scoped to the PENDING users: a completed
+      // user's legitimately rebuilt post-erasure state must neither block
+      // a new user's receipt nor misreport a verified erasure as
+      // incomplete (it is out of this request's scope by the pinned
+      // point-in-time)
+      val after = if (pending.isEmpty) 0L else foundOf(verified, pending)
       if (pending.nonEmpty && after == 0L)
         recordReceipts(spark, ledger, nameOf(s), pending.toSeq.sorted)
       (after, verified)
@@ -666,47 +743,104 @@ object EraseEverywhere {
       s"store names must be unique: ${stores.map(_.name)}")
     requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
-    // forward any stale offline checkpointDir through the move journal
+    // forward a stale offline checkpointDir through the move journal — but
+    // REFUSE when the configured dir still exists alongside a journaled
+    // successor: either an interrupted decommission left it (its files
+    // still hold the erased payload — delete it and re-run) or the path
+    // was reused for a rebuilt store (clear the journal entry); guessing
+    // either way silently violates a contract
     val live = stores.map { s =>
       s.chk.map { dir =>
         val fwd = forwardedDir(spark, archivePath, s.name, dir)
-        if (fwd != dir) s.at(fwd) else s
+        if (fwd == dir) s
+        else {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(!fs.exists(p),
+            s"store '${s.name}': configured checkpoint $dir has a " +
+              s"move-journal successor ($fwd) but still exists on disk — " +
+              "an interrupted decommission left it (delete the stale " +
+              "directory and re-run) or the path was reused for a rebuilt " +
+              "store (clear the journal); refusing to guess")
+          s.at(fwd)
+        }
       }.getOrElse(s)
     }
 
-    // BEFORE census (cutoffs don't matter to found(); 0L placeholders)
-    val preSet = users.map(_ -> 0L).toMap
-    val beforeArchive = archiveCount(spark, archivePath, users)
-    val beforeStores = live.map(s => s.found(spark, preSet))
-
-    // tombstones as they stood BEFORE this call: the first-erasure marker
-    // that keeps a re-call from re-flooring an established point-in-time
+    // request lifecycle: a user is OPEN (archive rows in scope, cutoff may
+    // rise) when they have no tombstone yet, an open marker survives from
+    // an interrupted call, or revokeReceipts re-opened them; COMPLETED
+    // users are out of the archive-side scope — their post-erasure rows
+    // are legitimate data the locate pass must not destroy
     val priorTombstones = StateErasure.erasureSet(spark, archivePath)
+    val marked = openMarkers(spark, archivePath)
+    val openUsers = users.filter(u => !priorTombstones.contains(u) || marked(u))
+    // the marker makes the open state durable across the
+    // eraseEntities→publishCutoffs window: a crash there must not
+    // mis-file the user as completed with an unfloored cutoff
+    markOpen(spark, archivePath, openUsers)
 
-    // archive erasure + tombstones (point-in-time cutoffs, replay guard)
-    if (beforeArchive > 0)
-      graft.sources.Layout.eraseEntities(spark, archivePath, users)
+    // censuses are cutoff-scoped: a user with no cutoff yet counts in
+    // full; one with a cutoff counts only rows at-or-below it (anything
+    // there is a leak; rows above are theirs to keep)
+    def archiveScoped(scope: Long => Option[Long]): Long =
+      archiveDf(spark, archivePath) match {
+        case Some(df) =>
+          val conds = users.map { u =>
+            scope(u) match {
+              case Some(c) => col("user_id") === u && col("event_id") <= c
+              case None    => col("user_id") === u
+            }
+          }
+          df.filter(col("user_id").isNotNull && conds.reduce(_ || _)).count()
+        case None => 0L
+      }
+    val openSet = openUsers.toSet
+    val done = receipts(spark, archivePath)
+    def pendingOf(s: Store): Set[Long] =
+      users.filterNot(u => done((s.name, u))).toSet
+
+    // BEFORE census (cutoffs don't matter to found(); 0L placeholders),
+    // store-side scoped to each store's pending users
+    val beforeArchive = archiveScoped(u =>
+      if (openSet(u)) None else priorTombstones.get(u))
+    val beforeStores = live.map { s =>
+      val pending = pendingOf(s)
+      if (pending.isEmpty) 0L
+      else s.found(spark, pending.map(_ -> 0L).toMap)
+    }
+
+    // archive erasure + tombstones for the OPEN users only (point-in-time
+    // cutoffs, replay guard); completed users' rows are post-erasure data
+    if (openUsers.nonEmpty &&
+        archiveCount(spark, archivePath, openUsers) > 0)
+      graft.sources.Layout.eraseEntities(spark, archivePath, openUsers)
 
     // cutoff publication, floored at every live feed's top id (durable —
-    // see publishCutoffs for why the floor must reach the tombstones)
-    val liveMax = live.flatMap {
-      case t: TwsInPlace        => Seq(JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id"))
-      case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
-      case _                    => Nil
-    }
-    val set = publishCutoffs(spark, archivePath, users, liveMax, priorTombstones)
+    // see publishCutoffs for why the floor must reach the tombstones);
+    // probes skipped when nothing is open
+    val liveMax =
+      if (openUsers.isEmpty) Nil
+      else live.flatMap {
+        case t: TwsInPlace        => Seq(JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id"))
+        case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
+        case _                    => Nil
+      }
+    val set = publishCutoffs(spark, archivePath, users, liveMax, openUsers)
+    clearOpen(spark, archivePath, openUsers.toSet)
 
     val (afterStores, movedStores) =
-      dispatch(spark, archivePath, users, live)(
+      dispatch(spark, archivePath, users, live, done)(
         _.name,
-        (s: Store) => s.found(spark, set),
+        (s: Store, pending: Set[Long]) =>
+          s.found(spark, set.filter { case (u, _) => pending.contains(u) }),
         (s: Store, pending: Set[Long]) =>
           s.erase(spark, set.filter { case (u, _) => pending.contains(u) },
             archivePath))
 
     val sq = spark
     import sq.implicits._
-    val report = (("archive", beforeArchive, archiveCount(spark, archivePath, users)) +:
+    val report = (("archive", beforeArchive, archiveScoped(u => set.get(u))) +:
       live.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
         (s.name, b, a)
       }).toDF("store", "found_before", "found_after")
@@ -792,43 +926,86 @@ object EraseEverywhere {
       existing.headOption.getOrElse(archives(tables.head))
     }
 
-    val preSet = (for { t <- tables; u <- users } yield (t, u) -> 0L).toMap
-    val beforeArch = tables.map(t => archiveCount(spark, archives(t), users))
-    val beforeStores = stores.map(_.found(spark, preSet))
-
+    // request lifecycle, same as the single-archive form: a user is OPEN
+    // when any archive lacks their tombstone, an open marker survives
+    // from an interrupted call, or revokeReceipts re-opened them (markers
+    // per archive — pass every archive in its alsoReopen)
     val priorByTable = tables.map(t =>
       t -> StateErasure.erasureSet(spark, archives(t))).toMap
+    val markedByTable = tables.map(t =>
+      t -> openMarkers(spark, archives(t))).toMap
+    val openUsers = users.filter(u => tables.exists(t =>
+      !priorByTable(t).contains(u) || markedByTable(t)(u)))
+    val openSet = openUsers.toSet
+    tables.foreach(t => markOpen(spark, archives(t), openUsers))
 
-    tables.zip(beforeArch).foreach { case (t, before) =>
-      if (before > 0) graft.sources.Layout.eraseEntities(spark, archives(t), users)
+    def archiveScoped(t: String, scope: Long => Option[Long]): Long =
+      archiveDf(spark, archives(t)) match {
+        case Some(df) =>
+          val conds = users.map { u =>
+            scope(u) match {
+              case Some(c) => col("user_id") === u && col("event_id") <= c
+              case None    => col("user_id") === u
+            }
+          }
+          df.filter(col("user_id").isNotNull && conds.reduce(_ || _)).count()
+        case None => 0L
+      }
+    val done = receipts(spark, ledger)
+    def pendingOf(s: ByTableStore): Set[Long] =
+      users.filterNot(u => done((s.name, u))).toSet
+
+    val beforeArch = tables.map(t => archiveScoped(t, u =>
+      if (openSet(u)) None else priorByTable(t).get(u)))
+    val beforeStores = stores.map { s =>
+      val pending = pendingOf(s)
+      if (pending.isEmpty) 0L
+      else s.found(spark,
+        (for { t <- tables; u <- pending } yield (t, u) -> 0L).toMap)
+    }
+
+    tables.foreach { t =>
+      if (openUsers.nonEmpty &&
+          archiveCount(spark, archives(t), openUsers) > 0)
+        graft.sources.Layout.eraseEntities(spark, archives(t), openUsers)
     }
 
     // per-table cutoff publication, each floored at ITS archive/live max
     val set: Map[(String, Long), Long] = tables.flatMap { t =>
-      val liveMax = stores.flatMap {
-        case s: TwsInPlacePerTable =>
-          // a deployment may split tables across databases: a store whose
-          // DB lacks table t contributes no floor for t (the probe is
-          // Try-wrapped rather than fatal; withRetry absorbs transient
-          // lock losses first)
-          scala.util.Try(JdbcFeed.maxId(s.jdbcUrl, t, "event_id")).toOption
-        case _ => None
-      }
-      publishCutoffs(spark, archives(t), users, liveMax, priorByTable(t))
+      val liveMax =
+        if (openUsers.isEmpty) Nil
+        else stores.flatMap {
+          case s: TwsInPlacePerTable =>
+            // a deployment may split tables across databases: a store
+            // whose DB genuinely lacks table t contributes no floor for t
+            // (SQLState class 42 = the table does not exist there); any
+            // OTHER persistent failure — auth, connectivity beyond
+            // withRetry's attempts — aborts the run rather than silently
+            // publishing a too-low floor
+            try Some(JdbcFeed.maxId(s.jdbcUrl, t, "event_id"))
+            catch {
+              case e: java.sql.SQLException
+                  if Option(e.getSQLState).exists(_.startsWith("42")) => None
+            }
+          case _ => None
+        }
+      publishCutoffs(spark, archives(t), users, liveMax, openUsers)
         .map { case (u, cutoff) => (t, u) -> cutoff }
     }.toMap
+    tables.foreach(t => clearOpen(spark, archives(t), openSet))
 
     val (afterStores, movedStores) =
-      dispatch(spark, ledger, users, stores)(
+      dispatch(spark, ledger, users, stores, done)(
         _.name,
-        (s: ByTableStore) => s.found(spark, set),
+        (s: ByTableStore, pending: Set[Long]) =>
+          s.found(spark, set.filter { case ((_, u), _) => pending.contains(u) }),
         (s: ByTableStore, pending: Set[Long]) =>
           s.erase(spark, set.filter { case ((_, u), _) => pending.contains(u) }))
 
     val sq = spark
     import sq.implicits._
     val report = (tables.zip(beforeArch).map { case (t, b) =>
-      (s"archive:$t", b, archiveCount(spark, archives(t), users))
+      (s"archive:$t", b, archiveScoped(t, u => set.get((t, u))))
     } ++ stores.zip(beforeStores.zip(afterStores)).map { case (s, (b, a)) =>
       (s.name, b, a)
     }).toDF("store", "found_before", "found_after")

@@ -790,6 +790,167 @@ class EraseEverywhereSpec extends SparkSuite {
       "the repeat request must be re-receipted")
   }
 
+  test("grown request set: a completed user's post-erasure data survives the new user's erasure, scoped out of every census") {
+    val url = "jdbc:derby:memory:erase_grown;create=true"
+    createEvents(url)
+    insert(url,
+      (1L, t(0), 1L, "signup", """{"k":1}"""),
+      (2L, t(1), 1L, "purchase", """{"k":2}"""),
+      (3L, t(2), 2L, "signup", """{"k":3}"""))
+    val adir = tmp("erase_grown_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 1L, "UPDATE", """{"k":2}"""),
+        (3L, t(2), 2L, "INSERT", """{"k":3}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chk = tmp("erase_grown_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    def store = TwsInPlace("grown", chk, url, "events", erased => {
+      withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chk) }
+    })
+    assert(reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+      .values.forall(_._2 == 0L))
+    val cutoff1 = graft.streaming.StateErasure.erasureSet(spark, adir)(1L)
+
+    // user 1 legitimately returns: a new live row, processed into state by
+    // the normal query AND archived by the daemon — all post-cutoff, kept
+    insert(url, (10L, t(10), 1L, "purchase", """{"k":10}"""))
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((10L, t(10), 1L, "INSERT", """{"k":10}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir, 60L))
+
+    // a GROWN request {completed user 1, new user 2}: user 1 is out of
+    // scope everywhere — the locate pass must not destroy their row 10,
+    // their rebuilt state must neither be cleared nor counted, and their
+    // pinned cutoff must not move; user 2 is erased and receipted
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 2L), Seq(store)))
+    assert(rep("archive") == (1L, 0L), s"only user 2's row is in scope: $rep")
+    assert(rep("grown") == (1L, 0L), s"only user 2's state is in scope: $rep")
+    assert(spark.read.parquet(adir)
+      .filter(col("user_id") === 1L && col("event_id") === 10L).count() == 1L,
+      "the completed user's post-erasure archive row must survive")
+    assert(StateMigration.readPrevImageStateTws(spark, chk).collect().toMap
+      .get(1L).contains("""{"k":10}"""),
+      "the completed user's rebuilt state must survive the grown-set call")
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == cutoff1,
+      "the pinned cutoff must not move")
+    assert(EraseEverywhere.receipts(spark, adir).contains(("grown", 2L)),
+      "the new user's verified erasure must be receipted despite the " +
+        "completed user's legitimate state")
+  }
+
+  test("a crash between the archive rewrite and the floor publication stays OPEN: the retry still floors the cutoff") {
+    val url = "jdbc:derby:memory:erase_crashwin;create=true"
+    createEvents(url)
+    insert(url,
+      (1L, t(0), 1L, "signup",   """{"k":1}"""),
+      (2L, t(1), 1L, "purchase", """{"k":2}"""),
+      (3L, t(2), 1L, "purchase", """{"k":3}"""),
+      (4L, t(3), 1L, "purchase", """{"k":4}"""))
+    val adir = tmp("erase_crashwin_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 1L, "UPDATE", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chk = tmp("erase_crashwin_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+
+    // simulate the interrupted first call: the open marker and the archive
+    // rewrite (tombstone at the pre-rewrite max, 2) are durable, the floor
+    // publication is not — pre-fix, the tombstone alone mis-filed the user
+    // as completed and the retry kept the unfloored cutoff forever
+    EraseEverywhere.markOpen(spark, adir, Seq(1L))
+    graft.sources.Layout.eraseEntities(spark, adir, Seq(1L))
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == 2L)
+
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L),
+      Seq(TwsInPlace("cw", chk, url, "events", erased => {
+        withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chk) }
+      }))))
+    assert(rep("cw") == (1L, 0L))
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == 4L,
+      "the retry must re-floor the still-open request at the live max")
+    assert(erasedAtReceipts(chk) == Map(1L -> 4L))
+    assert(EraseEverywhere.openMarkers(spark, adir).isEmpty,
+      "the completed retry must close the request")
+  }
+
+  test("revoke with LIVE-ONLY new data: the repeat request floors at the live max instead of livelocking") {
+    val url = "jdbc:derby:memory:erase_revlive;create=true"
+    createEvents(url)
+    insert(url, (1L, t(0), 1L, "signup", """{"k":1}"""),
+      (2L, t(1), 2L, "signup", """{"k":2}"""))
+    val adir = tmp("erase_revlive_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chk = tmp("erase_revlive_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    def store = TwsInPlace("rvl", chk, url, "events", erased => {
+      withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chk) }
+    })
+    assert(reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+      .values.forall(_._2 == 0L))
+
+    // the user returns with a row the daemon has NOT archived yet, and the
+    // normal query rebuilds their state from it
+    insert(url, (10L, t(10), 1L, "purchase", """{"k":10}"""))
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    assert(StateMigration.readPrevImageStateTws(spark, chk).collect().toMap
+      .get(1L).contains("""{"k":10}"""))
+
+    // second compliance request: with the old locate-only re-recording the
+    // archive has nothing to locate, the stale cutoff (2) keeps row 10 in
+    // state, and the request can never verify — the re-opened floor at the
+    // live max (10) is what makes it terminate
+    assert(EraseEverywhere.revokeReceipts(spark, adir, Seq(1L)) == 1L)
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(store)))
+    assert(rep("rvl") == (1L, 0L), s"got $rep")
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == 10L,
+      "the repeat request must establish its point-in-time at the live max")
+    assert(!StateMigration.readPrevImageStateTws(spark, chk).collect().toMap
+      .contains(1L))
+    assert(EraseEverywhere.receipts(spark, adir).contains(("rvl", 1L)))
+  }
+
+  test("forwarding refuses when the journaled old checkpoint still exists (interrupted decommission or path reuse)") {
+    implicit val sqlCtx = spark.sqlContext
+    val adir = tmp("erase_fwdref_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chkA = tmp("erase_fwdref_a")
+    val in = MemoryStream[RawChange]
+    val q = CdcStream.withPrevState(in.toDS()).writeStream
+      .format("memory").queryName("ee_fwdref_seed")
+      .option("checkpointLocation", chkA).outputMode("append").start()
+    try {
+      in.addData(RawChange(1L, t(0), 1L, "signup", """{"k":1}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = ClassicOffline("fr", chkA, { filtered =>
+      val fresh = tmp("erase_fwdref_b")
+      val in2 = MemoryStream[RawChange]
+      val q2 = CdcStream.withPrevStateFrom(in2.toDS(), filtered).writeStream
+        .format("memory").queryName("ee_fwdref_resume")
+        .option("checkpointLocation", fresh).outputMode("append").start()
+      try {
+        in2.addData(RawChange(9L, t(9), 5L, "purchase", """{"k":9}"""))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      fresh
+    })
+    store.erase(spark, Map(1L -> 10L), adir) // journals chkA -> fresh, deletes chkA
+    // the ambiguous state: a directory reappears at the journaled old path
+    // (an interrupted decommission's leftover, or a rebuilt store reusing
+    // the path) — auto-forwarding would skip real data, auto-deleting
+    // would destroy it; the only safe move is a loud refusal
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(chkA))
+    val e = intercept[IllegalArgumentException] {
+      EraseEverywhere.run(spark, adir, Seq(1L), Seq(store))
+    }
+    assert(e.getMessage.contains("still exists on disk"), e.getMessage)
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
