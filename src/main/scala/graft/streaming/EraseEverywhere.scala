@@ -540,6 +540,27 @@ object EraseEverywhere {
     try Some(spark.read.parquet(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Cutoff-scoped census over an archive frame: rows of `users` where
+    * the per-user scope is open (no cutoff) or the row id is at-or-below
+    * the cutoff. The bounded request set ships as a broadcast join — the
+    * scale-safe shape for a backlog of thousands.
+    */
+  private def scopedCount(spark: SparkSession, frame: Option[DataFrame],
+                          users: Seq[Long],
+                          scope: Long => Option[Long]): Long = frame match {
+    case Some(df) =>
+      val sq = spark
+      import sq.implicits._
+      val scopeDf = users
+        .map(u => (u, scope(u).map(Long.box).orNull.asInstanceOf[java.lang.Long]))
+        .toDF("u", "cutoff")
+      df.filter(col("user_id").isNotNull)
+        .join(broadcast(scopeDf), col("user_id") === col("u"))
+        .filter(col("cutoff").isNull || col("event_id") <= col("cutoff"))
+        .count()
+    case None => 0L
+  }
+
   private def archiveCount(spark: SparkSession, path: String,
                            users: Seq[Long]): Long = archiveDf(spark, path) match {
     case Some(df) =>
@@ -782,19 +803,13 @@ object EraseEverywhere {
 
     // censuses are cutoff-scoped: a user with no cutoff yet counts in
     // full; one with a cutoff counts only rows at-or-below it (anything
-    // there is a leak; rows above are theirs to keep)
+    // there is a leak; rows above are theirs to keep). The request set is
+    // bounded but can be thousands, so the scope ships as a BROADCAST
+    // join — a per-user OR chain overflows the expression converter at
+    // backlog scale (measured at 1k entities) and would not survive 100 TB
+    // plans either.
     def archiveScoped(scope: Long => Option[Long]): Long =
-      archiveDf(spark, archivePath) match {
-        case Some(df) =>
-          val conds = users.map { u =>
-            scope(u) match {
-              case Some(c) => col("user_id") === u && col("event_id") <= c
-              case None    => col("user_id") === u
-            }
-          }
-          df.filter(col("user_id").isNotNull && conds.reduce(_ || _)).count()
-        case None => 0L
-      }
+      scopedCount(spark, archiveDf(spark, archivePath), users, scope)
     val openSet = openUsers.toSet
     val done = receipts(spark, archivePath)
     def pendingOf(s: Store): Set[Long] =
@@ -940,17 +955,7 @@ object EraseEverywhere {
     tables.foreach(t => markOpen(spark, archives(t), openUsers))
 
     def archiveScoped(t: String, scope: Long => Option[Long]): Long =
-      archiveDf(spark, archives(t)) match {
-        case Some(df) =>
-          val conds = users.map { u =>
-            scope(u) match {
-              case Some(c) => col("user_id") === u && col("event_id") <= c
-              case None    => col("user_id") === u
-            }
-          }
-          df.filter(col("user_id").isNotNull && conds.reduce(_ || _)).count()
-        case None => 0L
-      }
+      scopedCount(spark, archiveDf(spark, archives(t)), users, scope)
     val done = receipts(spark, ledger)
     def pendingOf(s: ByTableStore): Set[Long] =
       users.filterNot(u => done((s.name, u))).toSet
