@@ -634,17 +634,25 @@ object EraseEverywhere {
                      alsoReopen: Seq[String] = Seq.empty): Long = {
     recoverLedger(spark, archivePath)
     val users = userIds.distinct
-    (archivePath +: alsoReopen).distinct.foreach(markOpen(spark, _, users))
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir) || userIds.isEmpty) return 0L
     var revoked = 0L
-    swapLedger(spark, archivePath) { staging =>
-      val all = spark.read.parquet(dir.toString)
-      revoked = all.filter(col("user_id").isin(users: _*)).count()
-      all.filter(!col("user_id").isin(users: _*))
-        .coalesce(1).write.parquet(staging)
+    // ORDER MATTERS: receipts are cleared BEFORE the open markers are
+    // written. A crash in between leaves receipts gone + user unmarked —
+    // the next run re-runs the store recipes with the pinned cutoff and
+    // at worst reports non-zero (fail-VISIBLE; the operator re-runs this
+    // idempotent call). The reverse order's crash window would let a run
+    // re-floor and close the request while the stale receipts suppress
+    // every store recipe — an all-zero report over an unerased store.
+    if (fs.exists(dir) && users.nonEmpty) {
+      swapLedger(spark, archivePath) { staging =>
+        val all = spark.read.parquet(dir.toString)
+        revoked = all.filter(col("user_id").isin(users: _*)).count()
+        all.filter(!col("user_id").isin(users: _*))
+          .coalesce(1).write.parquet(staging)
+      }
     }
+    (archivePath +: alsoReopen).distinct.foreach(markOpen(spark, _, users))
     revoked
   }
 
@@ -660,18 +668,39 @@ object EraseEverywhere {
     * [[revokeReceipts]] writes the marker to re-open a completed user for
     * a repeat request.
     */
+  private def recoverOpen(spark: SparkSession, archivePath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open")
+    val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open_retired")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between clearOpen's two renames leaves the pre-clear truth
+    // under the retired name — restore it (conservatively LARGER: the
+    // cleared users stay open one call longer, which only re-floors an
+    // in-flight request — idempotent and harmless)
+    if (!fs.exists(dir) && fs.exists(retired))
+      require(fs.rename(retired, dir),
+        s"failed to recover open markers from $retired")
+  }
+
   private[graft] def openMarkers(spark: SparkSession,
                                  archivePath: String): Set[Long] = {
+    recoverOpen(spark, archivePath)
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Set.empty
-    else spark.read.parquet(dir.toString)
-      .select(col("user_id")).collect().map(_.getLong(0)).toSet
+    else
+      // a crashed markOpen append can leave the dir with no readable data
+      // files — that must read as "nothing marked", not brick every
+      // subsequent call on this archive
+      try spark.read.parquet(dir.toString)
+        .select(col("user_id")).collect().map(_.getLong(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
   }
 
   private[graft] def markOpen(spark: SparkSession, archivePath: String,
-                              userIds: Seq[Long]): Unit = {
-    val missing = userIds.distinct.filterNot(openMarkers(spark, archivePath))
+                              userIds: Seq[Long],
+                              already: Option[Set[Long]] = None): Unit = {
+    val marked = already.getOrElse(openMarkers(spark, archivePath))
+    val missing = userIds.distinct.filterNot(marked)
     if (missing.isEmpty) return
     val sq = spark
     import sq.implicits._
@@ -680,18 +709,22 @@ object EraseEverywhere {
       .parquet(new org.apache.hadoop.fs.Path(archivePath, "_erasure_open").toString)
   }
 
-  /** Clear open markers once the users' floored cutoffs are durable. The
-    * marker dir is tiny (open requests only), so the clear is a simple
-    * rewrite-or-drop; a crash before the clear just leaves the users open
-    * one call longer (idempotent — the re-floor is harmless while open).
+  /** Clear open markers once the users' floored cutoffs are durable.
+    * Crash-safe like the receipt ledger: the surviving set is fully
+    * written to a staging dir, the live dir RETIRED by rename, the
+    * staging renamed in, the retired copy dropped — [[recoverOpen]]
+    * restores the pre-clear truth if a crash lands between the renames.
+    * `preCall` is the marker set as read at the top of the run (markOpen
+    * may have added `userIds` since; the survivors are preCall minus the
+    * cleared users).
     */
   private def clearOpen(spark: SparkSession, archivePath: String,
-                        userIds: Set[Long]): Unit = {
+                        userIds: Set[Long], preCall: Set[Long]): Unit = {
     if (userIds.isEmpty) return
     val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return
-    val remaining = openMarkers(spark, archivePath) -- userIds
+    val remaining = preCall -- userIds
     if (remaining.isEmpty) {
       require(fs.delete(dir, true), s"failed to clear open markers $dir")
     } else {
@@ -702,8 +735,12 @@ object EraseEverywhere {
       import sq.implicits._
       remaining.toSeq.sorted.map(Tuple1(_)).toDF("user_id")
         .coalesce(1).write.parquet(staging.toString)
-      require(fs.delete(dir, true), s"failed to clear open markers $dir")
+      val retired = new org.apache.hadoop.fs.Path(archivePath, "_erasure_open_retired")
+      if (fs.exists(retired)) require(fs.delete(retired, true),
+        s"failed to clear stale retired markers $retired")
+      require(fs.rename(dir, retired), s"failed to retire open markers $dir")
       require(fs.rename(staging, dir), s"failed to swap open markers into $dir")
+      require(fs.delete(retired, true), s"failed to drop retired markers $retired")
     }
   }
 
@@ -799,7 +836,7 @@ object EraseEverywhere {
     // the marker makes the open state durable across the
     // eraseEntities→publishCutoffs window: a crash there must not
     // mis-file the user as completed with an unfloored cutoff
-    markOpen(spark, archivePath, openUsers)
+    markOpen(spark, archivePath, openUsers, Some(marked))
 
     // censuses are cutoff-scoped: a user with no cutoff yet counts in
     // full; one with a cutoff counts only rows at-or-below it (anything
@@ -826,9 +863,11 @@ object EraseEverywhere {
     }
 
     // archive erasure + tombstones for the OPEN users only (point-in-time
-    // cutoffs, replay guard); completed users' rows are post-erasure data
-    if (openUsers.nonEmpty &&
-        archiveCount(spark, archivePath, openUsers) > 0)
+    // cutoffs, replay guard); completed users' rows are post-erasure data.
+    // beforeArchive counts open users in full, so a zero skips the locate
+    // without a second scan (a closed-leak-only nonzero costs one no-op
+    // locate pass — the leak case is already a reportable anomaly)
+    if (openUsers.nonEmpty && beforeArchive > 0)
       graft.sources.Layout.eraseEntities(spark, archivePath, openUsers)
 
     // cutoff publication, floored at every live feed's top id (durable —
@@ -842,7 +881,7 @@ object EraseEverywhere {
         case _                    => Nil
       }
     val set = publishCutoffs(spark, archivePath, users, liveMax, openUsers)
-    clearOpen(spark, archivePath, openUsers.toSet)
+    clearOpen(spark, archivePath, openSet, marked ++ openSet)
 
     val (afterStores, movedStores) =
       dispatch(spark, archivePath, users, live, done)(
@@ -941,18 +980,24 @@ object EraseEverywhere {
       existing.headOption.getOrElse(archives(tables.head))
     }
 
-    // request lifecycle, same as the single-archive form: a user is OPEN
-    // when any archive lacks their tombstone, an open marker survives
-    // from an interrupted call, or revokeReceipts re-opened them (markers
-    // per archive — pass every archive in its alsoReopen)
+    // request lifecycle, PER (table, user): a user is open in table t when
+    // t's archive lacks their tombstone, t's marker survives from an
+    // interrupted call, or revokeReceipts re-opened them there (pass every
+    // archive in its alsoReopen). Openness must not leak across tables — a
+    // GLOBAL open bit would let a newly-captured table re-open a user who
+    // completed in the original tables, re-locating their legitimate
+    // post-erasure rows there and ratcheting the pinned cutoffs; per-table
+    // openness confines the standing request to the new table only.
     val priorByTable = tables.map(t =>
       t -> StateErasure.erasureSet(spark, archives(t))).toMap
     val markedByTable = tables.map(t =>
       t -> openMarkers(spark, archives(t))).toMap
-    val openUsers = users.filter(u => tables.exists(t =>
-      !priorByTable(t).contains(u) || markedByTable(t)(u)))
-    val openSet = openUsers.toSet
-    tables.foreach(t => markOpen(spark, archives(t), openUsers))
+    val openByTable: Map[String, Seq[Long]] = tables.map { t =>
+      t -> users.filter(u =>
+        !priorByTable(t).contains(u) || markedByTable(t)(u))
+    }.toMap
+    tables.foreach(t =>
+      markOpen(spark, archives(t), openByTable(t), Some(markedByTable(t))))
 
     def archiveScoped(t: String, scope: Long => Option[Long]): Long =
       scopedCount(spark, archiveDf(spark, archives(t)), users, scope)
@@ -960,8 +1005,10 @@ object EraseEverywhere {
     def pendingOf(s: ByTableStore): Set[Long] =
       users.filterNot(u => done((s.name, u))).toSet
 
-    val beforeArch = tables.map(t => archiveScoped(t, u =>
-      if (openSet(u)) None else priorByTable(t).get(u)))
+    val beforeArch = tables.map { t =>
+      val open = openByTable(t).toSet
+      archiveScoped(t, u => if (open(u)) None else priorByTable(t).get(u))
+    }
     val beforeStores = stores.map { s =>
       val pending = pendingOf(s)
       if (pending.isEmpty) 0L
@@ -969,35 +1016,38 @@ object EraseEverywhere {
         (for { t <- tables; u <- pending } yield (t, u) -> 0L).toMap)
     }
 
-    tables.foreach { t =>
-      if (openUsers.nonEmpty &&
-          archiveCount(spark, archives(t), openUsers) > 0)
-        graft.sources.Layout.eraseEntities(spark, archives(t), openUsers)
+    tables.zip(beforeArch).foreach { case (t, before) =>
+      if (openByTable(t).nonEmpty && before > 0)
+        graft.sources.Layout.eraseEntities(spark, archives(t), openByTable(t))
     }
 
     // per-table cutoff publication, each floored at ITS archive/live max
+    // (SQLStates naming table-absence only — class 42 also covers
+    // privilege and syntax errors, which must ABORT rather than silently
+    // publish a too-low floor)
+    val tableAbsent = Set("42P01", "42S02", "42X05", "42Y07")
     val set: Map[(String, Long), Long] = tables.flatMap { t =>
+      val open = openByTable(t)
       val liveMax =
-        if (openUsers.isEmpty) Nil
+        if (open.isEmpty) Nil
         else stores.flatMap {
           case s: TwsInPlacePerTable =>
             // a deployment may split tables across databases: a store
             // whose DB genuinely lacks table t contributes no floor for t
-            // (SQLState class 42 = the table does not exist there); any
-            // OTHER persistent failure — auth, connectivity beyond
-            // withRetry's attempts — aborts the run rather than silently
-            // publishing a too-low floor
             try Some(JdbcFeed.maxId(s.jdbcUrl, t, "event_id"))
             catch {
               case e: java.sql.SQLException
-                  if Option(e.getSQLState).exists(_.startsWith("42")) => None
+                  if Option(e.getSQLState).exists(tableAbsent) => None
             }
           case _ => None
         }
-      publishCutoffs(spark, archives(t), users, liveMax, openUsers)
+      publishCutoffs(spark, archives(t), users, liveMax, open)
         .map { case (u, cutoff) => (t, u) -> cutoff }
     }.toMap
-    tables.foreach(t => clearOpen(spark, archives(t), openSet))
+    tables.foreach { t =>
+      val open = openByTable(t).toSet
+      clearOpen(spark, archives(t), open, markedByTable(t) ++ open)
+    }
 
     val (afterStores, movedStores) =
       dispatch(spark, ledger, users, stores, done)(

@@ -951,6 +951,69 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(e.getMessage.contains("still exists on disk"), e.getMessage)
   }
 
+  test("a newly-onboarded archive applies a STANDING request without re-opening the completed tables") {
+    def arch(rows: Seq[(Long, Long, Int)]): String = {
+      val d = tmp("erase_standing")
+      graft.sources.Layout.writeEventArchive(
+        rows.map { case (id, uid, k) => (id, t(id), uid, "INSERT", s"""{"k":$k}""") }
+          .toDF("event_id", "ts", "user_id", "op", "props"), d)
+      d
+    }
+    val n1 = arch(Seq((1L, 1L, 1), (2L, 2L, 2)))
+    val (rep1, _) = EraseEverywhere.runMultiArchive(spark, Map("n1" -> n1),
+      Seq(1L), Seq.empty)
+    assert(reportMap(rep1)("archive:n1") == (1L, 0L))
+    val cutoffN1 = graft.streaming.StateErasure.erasureSet(spark, n1)(1L)
+
+    // the user legitimately returns in n1 (post-cutoff row archived by the
+    // daemon), and a NEW table n2 — holding the user's rows — is onboarded
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((10L, t(10), 1L, "INSERT", """{"k":10}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), n1, 40L))
+    val n2 = arch(Seq((3L, 1L, 30), (4L, 2L, 40)))
+
+    // openness is PER (table, user): the standing request reaches n2 (no
+    // tombstone there) while n1 stays pinned — a global open bit would
+    // re-locate the user's legitimate row 10 in n1 and ratchet its cutoff
+    val (rep2, _) = EraseEverywhere.runMultiArchive(spark,
+      Map("n1" -> n1, "n2" -> n2), Seq(1L), Seq.empty,
+      ledgerPath = Some(n1))
+    val r2 = reportMap(rep2)
+    assert(r2("archive:n1") == (0L, 0L), s"n1 must stay pinned: $r2")
+    assert(r2("archive:n2") == (1L, 0L), s"n2 must apply the standing request: $r2")
+    assert(spark.read.parquet(n1)
+      .filter(col("user_id") === 1L && col("event_id") === 10L).count() == 1L,
+      "the completed table's post-erasure row must survive")
+    assert(graft.streaming.StateErasure.erasureSet(spark, n1)(1L) == cutoffN1,
+      "n1's pinned cutoff must not move")
+    assert(graft.streaming.StateErasure.erasureSet(spark, n2).contains(1L),
+      "n2 must record the user's tombstone")
+  }
+
+  test("open markers survive a crash between the clear's renames and a torn append") {
+    val adir = tmp("erase_marker_crash")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 9L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    EraseEverywhere.markOpen(spark, adir, Seq(7L, 8L))
+    assert(EraseEverywhere.openMarkers(spark, adir) == Set(7L, 8L))
+    // the clear's crash window: live dir retired, rewrite not yet in place
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(adir, "_erasure_open"),
+      java.nio.file.Paths.get(adir, "_erasure_open_retired"))
+    assert(EraseEverywhere.openMarkers(spark, adir) == Set(7L, 8L),
+      "recovery must restore the retired marker set (conservatively open)")
+    // a torn append (dir with no readable data files) reads as empty, not
+    // as a bricked archive
+    val torn = tmp("erase_marker_torn")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 9L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), torn)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(torn, "_erasure_open"))
+    assert(EraseEverywhere.openMarkers(spark, torn).isEmpty)
+  }
+
   test("erasing the whole archive reports zero instead of throwing on the emptied directory") {
     val adir = tmp("erase_empty_archive")
     graft.sources.Layout.writeEventArchive(
