@@ -174,7 +174,9 @@ object EraseScaleBench {
         chkC
       })
       val t0 = System.nanoTime()
-      val report = Graft.eraseEverywhere(spark, adir, backlog, Seq(store)).collect()
+      val (reportDf, moved) =
+        graft.streaming.EraseEverywhere.runDetailed(spark, adir, backlog, Seq(store))
+      val report = reportDf.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       val bad = report.filter(_.getLong(2) != 0L)
       require(bad.isEmpty, s"one-call erasure left artifacts: ${bad.mkString(",")}")
@@ -182,6 +184,33 @@ object EraseScaleBench {
       require(found("archive") > 0 && found("tws") > 0,
         s"backlog must be present before the call: $found")
       println(s"""{"metric":"erase_everywhere_total","archive_rows":$n,"state_rows":${users - nErased},"erased":${backlog.size},"archive_found":${found("archive")},"state_found":${found("tws")},"sec":$sec}""")
+
+      // ===== shape 4: the receipt ledger at LIFETIME scale =====
+      // receipts are all-time compliance evidence (never dropped), so a
+      // long-lived deployment's ledger holds years of requests. The re-call
+      // keying must consume it as one distributed semi-join against the
+      // broadcast request set — never a driver-side collect of the whole
+      // ledger — so a structural-no-op re-call must cost the SAME over a
+      // 10^6-receipt ledger as over the fresh one (flat, ledger-independent
+      // driver state). Measured: re-call before vs after appending 10^6
+      // synthetic receipts for OTHER users under the same store names.
+      def recall(): Double = {
+        val t = System.nanoTime()
+        val (df2, _) =
+          graft.streaming.EraseEverywhere.runDetailed(spark, adir, backlog, moved)
+        val rep2 = df2.collect()
+        require(rep2.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+          s"receipted re-call must be a structural no-op: ${rep2.mkString(",")}")
+        (System.nanoTime() - t) / 1e9
+      }
+      val secSmall = recall()
+      val nReceipts = 1000000L
+      spark.range(nReceipts).select(
+        lit("tws").as("store"), (col("id") + users).as("user_id"))
+        .write.mode("append")
+        .parquet(new org.apache.hadoop.fs.Path(adir, "_erasure_receipts").toString)
+      val secBig = recall()
+      println(s"""{"metric":"erase_everywhere_recall_ledger","receipts_small":${backlog.size},"sec_small":$secSmall,"receipts_big":${nReceipts + backlog.size},"sec_big":$secBig}""")
     }
     spark.stop()
   }

@@ -399,8 +399,10 @@ object Graft {
     */
   def eraseEverywhere(spark: SparkSession, archivePath: String,
                       userIds: Seq[Long],
-                      stores: Seq[graft.streaming.EraseEverywhere.Store]): DataFrame =
-    graft.streaming.EraseEverywhere.run(spark, archivePath, userIds, stores)
+                      stores: Seq[graft.streaming.EraseEverywhere.Store],
+                      liveFeeds: Seq[(String, String)] = Seq.empty): DataFrame =
+    graft.streaming.EraseEverywhere.run(spark, archivePath, userIds, stores,
+      liveFeeds)
 
   /** [[eraseEverywhere]] for MULTI-ARCHIVE deployments (one archive per
     * captured table, per-table id spaces independent): cutoffs are
@@ -413,6 +415,8 @@ object Graft {
   def eraseEverywhereMultiArchive(spark: SparkSession,
                                   archives: Map[String, String],
                                   userIds: Seq[Long],
-                                  stores: Seq[graft.streaming.EraseEverywhere.ByTableStore]): DataFrame =
-    graft.streaming.EraseEverywhere.runMultiArchive(spark, archives, userIds, stores)._1
+                                  stores: Seq[graft.streaming.EraseEverywhere.ByTableStore],
+                                  liveFeeds: Seq[(String, String)] = Seq.empty): DataFrame =
+    graft.streaming.EraseEverywhere.runMultiArchive(spark, archives, userIds,
+      stores, liveFeeds = liveFeeds)._1
 }

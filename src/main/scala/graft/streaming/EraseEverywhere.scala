@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   *     recorded with a pre-rewrite cutoff (replay resurrection blocked).
   *  1. Erasure-set publication — the tombstones read back as
   *     (user → cutoff); a requested user the archive never held gets a
-  *     synthesized cutoff of max(archive top id, every live feed's top
-  *     id) — the live floor matters because the live table runs ahead of
-  *     the archive, and a cutoff below live ids would let a restart
-  *     replay of not-yet-archived rows rebuild the erased state.
+  *     synthesized cutoff of max(archive top id, every REACHABLE live
+  *     feed's top id) — the live floor matters because the live table
+  *     runs ahead of the archive, and a cutoff below live ids would let
+  *     a restart replay of not-yet-archived rows rebuild the erased
+  *     state. Only in-place stores ([[TwsInPlace]]/[[TwsInPlaceByTable]])
+  *     name their feed, so they are probed automatically; a deployment
+  *     using only offline stores MUST pass its captured feeds via the
+  *     `liveFeeds` parameter or its floor is just the archive max.
   *  1. Per-store recipe dispatch — each [[Store]] applies ITS deployment's
   *     recipe (see the subtypes); in-place stores get sentinels inserted
   *     through the REAL feed first so never-recurring keys are reached.
@@ -58,6 +62,18 @@ import org.apache.spark.sql.functions._
   * offline rewrites are distributed frames end to end. The census scans
   * are one filtered read per store — the archive scan prunes on row-group
   * `user_id` stats, the state reads are one task per state partition.
+  * The all-time receipt ledger is consumed as a distributed semi-join
+  * against the broadcast request set ([[receiptedOf]]) — never collected
+  * whole, so a lifetime of requests cannot grow a driver-side set.
+  *
+  * FILESYSTEM CONTRACT: the receipt ledger and the open markers are made
+  * crash-safe by ATOMIC DIRECTORY RENAME (retire/swap/recover) — true on
+  * HDFS and POSIX, NOT on object stores, where a crash mid-"rename"
+  * (copy+delete) can leave both or neither copy and silently lose
+  * compliance evidence. Every entry point refuses object-store schemes
+  * ([[NonRenameAtomicSchemes]]); deployments archiving to an object store
+  * must place `ledgerPath` (multi-archive form) or the archive itself on
+  * a rename-atomic filesystem.
   */
 object EraseEverywhere {
 
@@ -68,7 +84,19 @@ object EraseEverywhere {
     */
   sealed trait Store {
     def name: String
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long
+    /** PER-USER artifact counts over the requested entities (absent user =
+      * zero found). Receipts are attributed per user off this map: one
+      * user whose erasure failed — or whose state was legitimately rebuilt
+      * by concurrent traffic before the census — must not block receipts
+      * for the users that individually verified zero (blocking them would
+      * re-run their recipe on retry: duplicate sentinel rows in the live
+      * table, repeat full offline rewrites).
+      */
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long]
+    private[graft] final def found(spark: SparkSession,
+                                   erased: Map[Long, Long]): Long =
+      foundBy(spark, erased).values.sum
     /** Applies this store's recipe; `ledger` is where offline moves are
       * journaled before an old checkpoint is deleted (see
       * [[forwardedDir]]). Returns the store to VERIFY — offline-rewrite
@@ -109,9 +137,11 @@ object EraseEverywhere {
                               jdbcUrl: String, table: String,
                               resumeErasing: Map[Long, Long] => Unit)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
-      StateMigration.readPrevImageStateTws(spark, checkpointDir)
-        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] =
+      countByUser(StateMigration.readPrevImageStateTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1))
+        .map(_._1)(org.apache.spark.sql.Encoders.scalaLong))
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       insertSentinels(jdbcUrl, table, erased)
@@ -139,9 +169,11 @@ object EraseEverywhere {
                                      jdbcUrl: String, tables: Seq[String],
                                      resumeErasing: Map[Long, Long] => Unit)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
-      StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
-        .filter(kv => erased.contains(kv._1._2)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] =
+      countByUser(StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1._2))
+        .map(_._1._2)(org.apache.spark.sql.Encoders.scalaLong))
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       tables.foreach(t => insertSentinels(jdbcUrl, t, erased))
@@ -168,9 +200,11 @@ object EraseEverywhere {
   final case class TwsOffline(name: String, checkpointDir: String,
                               resumeFrom: Dataset[(Long, String)] => String)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
-      StateMigration.readPrevImageStateTws(spark, checkpointDir)
-        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] =
+      countByUser(StateMigration.readPrevImageStateTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1))
+        .map(_._1)(org.apache.spark.sql.Encoders.scalaLong))
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageStateTws(spark, checkpointDir, erased.keySet)
@@ -196,9 +230,11 @@ object EraseEverywhere {
   final case class ClassicOffline(name: String, checkpointDir: String,
                                   resumeFrom: Dataset[(Long, String)] => String)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long =
-      StateMigration.readPrevImageState(spark, checkpointDir)
-        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] =
+      countByUser(StateMigration.readPrevImageState(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1))
+        .map(_._1)(org.apache.spark.sql.Encoders.scalaLong))
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageState(spark, checkpointDir, erased.keySet)
@@ -220,10 +256,12 @@ object EraseEverywhere {
                                   rowKeysOf: Set[Long] => Set[String],
                                   resumeFrom: Dataset[(String, String)] => String)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long = {
-      val keys = rowKeysOf(erased.keySet)
-      StateMigration.readPrevImageStateByRowKey(spark, checkpointDir)
-        .filter(kv => keys.contains(kv._1)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] = {
+      val keyToUser = attribution(erased.keySet, rowKeysOf)
+      countByUser(StateMigration.readPrevImageStateByRowKey(spark, checkpointDir)
+        .filter(kv => keyToUser.contains(kv._1))
+        .map(kv => keyToUser(kv._1))(org.apache.spark.sql.Encoders.scalaLong))
     }
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
@@ -249,10 +287,12 @@ object EraseEverywhere {
                                 resumeFrom: Dataset[(String, Long)] => String,
                                 docsOf: Set[Long] => Set[Long] = identity)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long = {
-      val docs = docsOf(erased.keySet)
-      StateMigration.readDedupBucketState(spark, checkpointDir)
-        .filter(kv => docs.contains(kv._2)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] = {
+      val docToUser = attribution(erased.keySet, docsOf)
+      countByUser(StateMigration.readDedupBucketState(spark, checkpointDir)
+        .filter(kv => docToUser.contains(kv._2))
+        .map(kv => docToUser(kv._2))(org.apache.spark.sql.Encoders.scalaLong))
     }
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
@@ -274,11 +314,13 @@ object EraseEverywhere {
                               resumeFrom: Dataset[(String, DedupStream.FpBucketState)] => String,
                               docsOf: Set[Long] => Set[Long] = identity)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long = {
-      val docs = docsOf(erased.keySet)
-      StateMigration.readMediaDedupState(spark, checkpointDir)
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] = {
+      val docToUser = attribution(erased.keySet, docsOf)
+      countByUser(StateMigration.readMediaDedupState(spark, checkpointDir)
         .flatMap(_._2.exemplars.map(_.doc_id))(org.apache.spark.sql.Encoders.scalaLong)
-        .filter(d => docs.contains(d)).count()
+        .filter(d => docToUser.contains(d))
+        .map(docToUser)(org.apache.spark.sql.Encoders.scalaLong))
     }
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
@@ -301,11 +343,13 @@ object EraseEverywhere {
                             resumeFrom: Dataset[(Long, SemDedupStream.ClusterState)] => String,
                             vecsOf: Set[Long] => Set[Long] = identity)
       extends Store {
-    private[graft] def found(spark: SparkSession, erased: Map[Long, Long]): Long = {
-      val vecs = vecsOf(erased.keySet)
-      StateMigration.readSemDedupState(spark, checkpointDir)
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] = {
+      val vecToUser = attribution(erased.keySet, vecsOf)
+      countByUser(StateMigration.readSemDedupState(spark, checkpointDir)
         .flatMap(_._2.ex.map(_.vec_id))(org.apache.spark.sql.Encoders.scalaLong)
-        .filter(v => vecs.contains(v)).count()
+        .filter(v => vecToUser.contains(v))
+        .map(vecToUser)(org.apache.spark.sql.Encoders.scalaLong))
     }
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
@@ -318,6 +362,28 @@ object EraseEverywhere {
     override private[graft] def chk: Option[String] = Some(checkpointDir)
     override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
+
+  /** Distributed per-user counts of an entity-id dataset — the census
+    * attribution every store's foundBy shares. The aggregate is keyed by
+    * the requested users, so the collected result is bounded by the
+    * request set, never by store size.
+    */
+  private def countByUser(ds: Dataset[Long]): Map[Long, Long] =
+    ds.groupBy(col("value")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Artifact → requesting-user attribution for stores whose entities are
+    * named indirectly (row keys, doc ids, vector ids): the deployment's
+    * mapping callback is invoked per user, so each artifact attributes to
+    * the user that named it. Per-user artifact sets are expected disjoint;
+    * an artifact named by several users attributes to the lowest user id
+    * (deterministic), and each matching state row still counts exactly
+    * once — the per-user totals sum to the old union-filter census.
+    */
+  private def attribution[A](users: Set[Long],
+                             of: Set[Long] => Set[A]): Map[A, Long] =
+    users.toSeq.sorted.flatMap(u => of(Set(u)).toSeq.map(_ -> u))
+      .groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).min }
 
   /** Sentinel command rows inserted into the CAPTURED TABLE ITSELF — the
     * "through the real feed" half the memory-harness specs stubbed: ids
@@ -368,17 +434,55 @@ object EraseEverywhere {
     * every deployment already has — same placement as `_tombstones`). The
     * idempotence key for [[run]]; see the class doc for why the
     * before-census cannot be that key.
+    *
+    * Read guarded the same way as [[openMarkers]]: a crashed
+    * [[recordReceipts]] append can leave the dir existing with no readable
+    * data files, and that must read as EMPTY (safe direction — recipes
+    * merely re-run and re-verify), not throw and brick every later
+    * run/compact/revoke on this archive until manual cleanup.
+    */
+  private def receiptsDf(spark: SparkSession,
+                         ledgerPath: String): Option[DataFrame] = {
+    recoverLedger(spark, ledgerPath)
+    val dir = new org.apache.hadoop.fs.Path(ledgerPath, "_erasure_receipts")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else
+      try Some(spark.read.parquet(dir.toString)
+        .select(col("store"), col("user_id")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** The receipted (store, user) pairs among THIS call's request set. The
+    * ledger is all-time compliance evidence — it grows with lifetime
+    * requests × stores and is never dropped — so it is consumed as one
+    * distributed scan semi-joined against the broadcast request set (the
+    * same shape as the cutoff-scoped census), never collected whole on
+    * the driver. The result is bounded by the call: ≤ stores × users.
+    */
+  private[graft] def receiptedOf(spark: SparkSession, ledgerPath: String,
+                                 users: Seq[Long]): Set[(String, Long)] =
+    receiptsDf(spark, ledgerPath) match {
+      case Some(df) =>
+        val sq = spark
+        import sq.implicits._
+        val req = users.map(Tuple1(_)).toDF("u")
+        df.join(broadcast(req), col("user_id") === col("u"), "left_semi")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      case None => Set.empty
+    }
+
+  /** The FULL ledger materialized — diagnostics and specs only; unbounded
+    * by design (all-time evidence), so the orchestration paths use
+    * [[receiptedOf]] instead.
     */
   private[graft] def receipts(spark: SparkSession,
-                              archivePath: String): Set[(String, Long)] = {
-    recoverLedger(spark, archivePath)
-    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Set.empty
-    else spark.read.parquet(dir.toString)
-      .select(col("store"), col("user_id")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
-  }
+                              archivePath: String): Set[(String, Long)] =
+    receiptsDf(spark, archivePath) match {
+      case Some(df) =>
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      case None => Set.empty
+    }
 
   private def recordReceipts(spark: SparkSession, archivePath: String,
                              store: String, users: Seq[Long]): Unit = {
@@ -438,19 +542,19 @@ object EraseEverywhere {
     * receipt count. Crash-safe via [[swapLedger]].
     */
   def compactReceipts(spark: SparkSession, archivePath: String): Long = {
-    recoverLedger(spark, archivePath)
-    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return 0L
-    var n = 0L
-    swapLedger(spark, archivePath) { staging =>
-      spark.read.parquet(dir.toString)
-        .select(col("store"), col("user_id")).distinct()
-        .orderBy(col("store"), col("user_id"))
-        .coalesce(1).write.parquet(staging)
-      n = spark.read.parquet(staging).count()
+    requireRenameAtomic(spark, archivePath, "receipt ledger")
+    receiptsDf(spark, archivePath) match {
+      case None => 0L // missing or torn (no readable data files): nothing to compact
+      case Some(all) =>
+        var n = 0L
+        swapLedger(spark, archivePath) { staging =>
+          all.distinct()
+            .orderBy(col("store"), col("user_id"))
+            .coalesce(1).write.parquet(staging)
+          n = spark.read.parquet(staging).count()
+        }
+        n
     }
-    n
   }
 
   /** Offline-move journal: (store, old_dir, new_dir) appended BEFORE an
@@ -478,7 +582,14 @@ object EraseEverywhere {
     val p = new org.apache.hadoop.fs.Path(ledger, "_erasure_moves")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return dir
-    val moves = spark.read.parquet(p.toString)
+    // same torn-append guard as the receipt ledger: a crashed recordMove
+    // can leave the journal dir with no readable data files — a journal
+    // with zero COMPLETE appends holds zero moves, so reading it as "no
+    // forwarding" is exact, not just safe
+    val journal =
+      try spark.read.parquet(p.toString)
+      catch { case _: org.apache.spark.sql.AnalysisException => return dir }
+    val moves = journal
       .filter(col("store") === store)
       .select(col("old_dir"), col("new_dir")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -516,6 +627,34 @@ object EraseEverywhere {
     val p = new org.apache.hadoop.fs.Path(oldDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) require(fs.delete(p, true), s"failed to decommission $oldDir")
+  }
+
+  /** URI schemes of object stores whose "rename" is copy+delete, not an
+    * atomic metadata move. The receipt ledger, open markers, and their
+    * compaction/revocation swaps are crash-safe ONLY under atomic
+    * directory rename ([[swapLedger]]/[[recoverLedger]]/[[clearOpen]]:
+    * retire-by-rename, swap-by-rename, recover-by-rename) — on an object
+    * store a crash mid-"rename" can leave BOTH or NEITHER copy, and for a
+    * compliance-evidence ledger that failure mode is silent evidence loss
+    * (or a resurrected stale ledger suppressing recipes over unerased
+    * stores). Refused loudly at every entry point that touches the ledger
+    * or markers; deployments on object stores must place the archive (or
+    * at least `ledgerPath` for the multi-archive form) on HDFS/POSIX.
+    */
+  private[graft] val NonRenameAtomicSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cos", "swift")
+
+  private def requireRenameAtomic(spark: SparkSession, path: String,
+                                  what: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    require(!scheme.exists(NonRenameAtomicSchemes),
+      s"$what path $path is on '${scheme.getOrElse("")}', an object store " +
+        "without atomic directory rename — the receipt ledger and open " +
+        "markers are crash-safe only on rename-atomic filesystems " +
+        "(HDFS/POSIX). Place the archive — or ledgerPath for the " +
+        "multi-archive form — on a rename-atomic filesystem.")
   }
 
   /** An unreadable ARCHIVE PATH must never read as "already erased": a
@@ -557,14 +696,6 @@ object EraseEverywhere {
       df.filter(col("user_id").isNotNull)
         .join(broadcast(scopeDf), col("user_id") === col("u"))
         .filter(col("cutoff").isNull || col("event_id") <= col("cutoff"))
-        .count()
-    case None => 0L
-  }
-
-  private def archiveCount(spark: SparkSession, path: String,
-                           users: Seq[Long]): Long = archiveDf(spark, path) match {
-    case Some(df) =>
-      df.filter(col("user_id").isNotNull && col("user_id").isin(users: _*))
         .count()
     case None => 0L
   }
@@ -632,10 +763,9 @@ object EraseEverywhere {
   def revokeReceipts(spark: SparkSession, archivePath: String,
                      userIds: Seq[Long],
                      alsoReopen: Seq[String] = Seq.empty): Long = {
-    recoverLedger(spark, archivePath)
+    (archivePath +: alsoReopen).distinct
+      .foreach(requireRenameAtomic(spark, _, "receipt ledger / open markers"))
     val users = userIds.distinct
-    val dir = new org.apache.hadoop.fs.Path(archivePath, "_erasure_receipts")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var revoked = 0L
     // ORDER MATTERS: receipts are cleared BEFORE the open markers are
     // written. A crash in between leaves receipts gone + user unmarked —
@@ -644,13 +774,14 @@ object EraseEverywhere {
     // idempotent call). The reverse order's crash window would let a run
     // re-floor and close the request while the stale receipts suppress
     // every store recipe — an all-zero report over an unerased store.
-    if (fs.exists(dir) && users.nonEmpty) {
-      swapLedger(spark, archivePath) { staging =>
-        val all = spark.read.parquet(dir.toString)
-        revoked = all.filter(col("user_id").isin(users: _*)).count()
-        all.filter(!col("user_id").isin(users: _*))
-          .coalesce(1).write.parquet(staging)
-      }
+    if (users.nonEmpty) receiptsDf(spark, archivePath) match {
+      case Some(all) =>
+        swapLedger(spark, archivePath) { staging =>
+          revoked = all.filter(col("user_id").isin(users: _*)).count()
+          all.filter(!col("user_id").isin(users: _*))
+            .coalesce(1).write.parquet(staging)
+        }
+      case None => () // missing or torn ledger: nothing to revoke
     }
     (archivePath +: alsoReopen).distinct.foreach(markOpen(spark, _, users))
     revoked
@@ -758,7 +889,7 @@ object EraseEverywhere {
                           users: Seq[Long], stores: Seq[S],
                           done: Set[(String, Long)])(
       nameOf: S => String,
-      foundOf: (S, Set[Long]) => Long,
+      foundByOf: (S, Set[Long]) => Map[Long, Long],
       eraseOf: (S, Set[Long]) => S): (Seq[Long], Seq[S]) = {
     stores.map { s =>
       val pending = users.filterNot(u => done((nameOf(s), u))).toSet
@@ -767,11 +898,19 @@ object EraseEverywhere {
       // user's legitimately rebuilt post-erasure state must neither block
       // a new user's receipt nor misreport a verified erasure as
       // incomplete (it is out of this request's scope by the pinned
-      // point-in-time)
-      val after = if (pending.isEmpty) 0L else foundOf(verified, pending)
-      if (pending.nonEmpty && after == 0L)
-        recordReceipts(spark, ledger, nameOf(s), pending.toSeq.sorted)
-      (after, verified)
+      // point-in-time). Receipts are attributed PER USER off the census:
+      // one user whose erasure failed — or whose state was rebuilt by
+      // concurrent traffic before the census — must not block receipts
+      // for the users that individually verified zero (they would get
+      // their recipe re-run on every retry: duplicate sentinel rows in
+      // the live table, repeat full offline rewrites).
+      val afterBy =
+        if (pending.isEmpty) Map.empty[Long, Long]
+        else foundByOf(verified, pending)
+      val verifiedZero = pending.filter(u => afterBy.getOrElse(u, 0L) == 0L)
+      if (verifiedZero.nonEmpty)
+        recordReceipts(spark, ledger, nameOf(s), verifiedZero.toSeq.sorted)
+      (afterBy.values.sum, verified)
     }.unzip
   }
 
@@ -781,10 +920,20 @@ object EraseEverywhere {
     * first. All-zero `found_after` = the erasure is complete; a re-call
     * is a structural no-op reporting (0, 0) everywhere (receipt-keyed —
     * see the class doc).
+    *
+    * `liveFeeds`: extra (jdbcUrl, table) pairs whose top ids join the
+    * archive-absent cutoff floor. The floor is probed AUTOMATICALLY only
+    * through in-place stores ([[TwsInPlace]]/[[TwsInPlaceByTable]] name
+    * their feed); a deployment using only offline stores has no reachable
+    * feed config, so without explicit probes its floor would be the
+    * archive max — leaving the live-ahead restart-replay resurrection
+    * window open for archive-absent users. Pass every captured feed here
+    * when no in-place store names it.
     */
   def run(spark: SparkSession, archivePath: String, userIds: Seq[Long],
-          stores: Seq[Store]): DataFrame =
-    runDetailed(spark, archivePath, userIds, stores)._1
+          stores: Seq[Store],
+          liveFeeds: Seq[(String, String)] = Seq.empty): DataFrame =
+    runDetailed(spark, archivePath, userIds, stores, liveFeeds)._1
 
   /** [[run]] plus the POST-erasure store configs: the offline-rewrite
     * recipes move each store to the fresh checkpoint its resumed query
@@ -795,10 +944,13 @@ object EraseEverywhere {
     * through the move journal instead of crashing on the deleted path.
     */
   def runDetailed(spark: SparkSession, archivePath: String, userIds: Seq[Long],
-                  stores: Seq[Store]): (DataFrame, Seq[Store]) = {
+                  stores: Seq[Store],
+                  liveFeeds: Seq[(String, String)] = Seq.empty)
+      : (DataFrame, Seq[Store]) = {
     require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
     require(stores.map(_.name).distinct.size == stores.size,
       s"store names must be unique: ${stores.map(_.name)}")
+    requireRenameAtomic(spark, archivePath, "receipt ledger / open markers")
     requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
     // forward a stale offline checkpointDir through the move journal — but
@@ -848,7 +1000,7 @@ object EraseEverywhere {
     def archiveScoped(scope: Long => Option[Long]): Long =
       scopedCount(spark, archiveDf(spark, archivePath), users, scope)
     val openSet = openUsers.toSet
-    val done = receipts(spark, archivePath)
+    val done = receiptedOf(spark, archivePath, users)
     def pendingOf(s: Store): Set[Long] =
       users.filterNot(u => done((s.name, u))).toSet
 
@@ -870,16 +1022,19 @@ object EraseEverywhere {
     if (openUsers.nonEmpty && beforeArchive > 0)
       graft.sources.Layout.eraseEntities(spark, archivePath, openUsers)
 
-    // cutoff publication, floored at every live feed's top id (durable —
-    // see publishCutoffs for why the floor must reach the tombstones);
-    // probes skipped when nothing is open
+    // cutoff publication, floored at every reachable live feed's top id
+    // (durable — see publishCutoffs for why the floor must reach the
+    // tombstones); probes skipped when nothing is open. Only in-place
+    // stores NAME their feed, so offline-only deployments must pass
+    // liveFeeds explicitly (see run()'s doc) — their floor is otherwise
+    // just the archive max.
     val liveMax =
       if (openUsers.isEmpty) Nil
       else live.flatMap {
         case t: TwsInPlace        => Seq(JdbcFeed.maxId(t.jdbcUrl, t.table, "event_id"))
         case t: TwsInPlaceByTable => t.tables.map(JdbcFeed.maxId(t.jdbcUrl, _, "event_id"))
         case _                    => Nil
-      }
+      } ++ liveFeeds.map { case (url, table) => JdbcFeed.maxId(url, table, "event_id") }
     val set = publishCutoffs(spark, archivePath, users, liveMax, openUsers)
     clearOpen(spark, archivePath, openSet, marked ++ openSet)
 
@@ -887,7 +1042,7 @@ object EraseEverywhere {
       dispatch(spark, archivePath, users, live, done)(
         _.name,
         (s: Store, pending: Set[Long]) =>
-          s.found(spark, set.filter { case (u, _) => pending.contains(u) }),
+          s.foundBy(spark, set.filter { case (u, _) => pending.contains(u) }),
         (s: Store, pending: Set[Long]) =>
           s.erase(spark, set.filter { case (u, _) => pending.contains(u) },
             archivePath))
@@ -910,8 +1065,15 @@ object EraseEverywhere {
     */
   sealed trait ByTableStore {
     def name: String
-    private[graft] def found(spark: SparkSession,
-                             erased: Map[(String, Long), Long]): Long
+    /** Per-USER artifact counts (summed over tables) — receipts are keyed
+      * on (store, user), so attribution is by user even when the state
+      * key is (table, user); see [[Store.foundBy]] for why per-user.
+      */
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[(String, Long), Long]): Map[Long, Long]
+    private[graft] final def found(spark: SparkSession,
+                                   erased: Map[(String, Long), Long]): Long =
+      foundBy(spark, erased).values.sum
     private[graft] def erase(spark: SparkSession,
                              erased: Map[(String, Long), Long]): ByTableStore
   }
@@ -926,10 +1088,11 @@ object EraseEverywhere {
                                       jdbcUrl: String,
                                       resumeErasing: Map[(String, Long), Long] => Unit)
       extends ByTableStore {
-    private[graft] def found(spark: SparkSession,
-                             erased: Map[(String, Long), Long]): Long =
-      StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
-        .filter(kv => erased.contains(kv._1)).count()
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[(String, Long), Long]): Map[Long, Long] =
+      countByUser(StateMigration.readPrevImageStateByTableTws(spark, checkpointDir)
+        .filter(kv => erased.contains(kv._1))
+        .map(_._1._2)(org.apache.spark.sql.Encoders.scalaLong))
     private[graft] def erase(spark: SparkSession,
                              erased: Map[(String, Long), Long]): ByTableStore = {
       erased.groupBy(_._1._1).toSeq.sortBy(_._1).foreach { case (table, keys) =>
@@ -958,7 +1121,8 @@ object EraseEverywhere {
     */
   def runMultiArchive(spark: SparkSession, archives: Map[String, String],
                       userIds: Seq[Long], stores: Seq[ByTableStore],
-                      ledgerPath: Option[String] = None)
+                      ledgerPath: Option[String] = None,
+                      liveFeeds: Seq[(String, String)] = Seq.empty)
       : (DataFrame, Seq[ByTableStore]) = {
     require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
     require(archives.nonEmpty, "multi-archive erasure needs at least one archive")
@@ -966,6 +1130,10 @@ object EraseEverywhere {
       s"store names must be unique: ${stores.map(_.name)}")
     val users = userIds.distinct.sorted
     val tables = archives.keys.toSeq.sorted
+    // open markers live under every archive; the receipt ledger under
+    // ledgerPath — all of them swap by rename, so all must be rename-atomic
+    (ledgerPath.toSeq ++ tables.map(archives)).distinct
+      .foreach(requireRenameAtomic(spark, _, "receipt ledger / open markers"))
     tables.foreach(t => requireArchiveDir(spark, archives(t)))
     val ledger = ledgerPath.getOrElse {
       val existing = tables.map(archives).distinct.filter { p =>
@@ -1001,7 +1169,7 @@ object EraseEverywhere {
 
     def archiveScoped(t: String, scope: Long => Option[Long]): Long =
       scopedCount(spark, archiveDf(spark, archives(t)), users, scope)
-    val done = receipts(spark, ledger)
+    val done = receiptedOf(spark, ledger, users)
     def pendingOf(s: ByTableStore): Set[Long] =
       users.filterNot(u => done((s.name, u))).toSet
 
@@ -1034,12 +1202,17 @@ object EraseEverywhere {
           case s: TwsInPlacePerTable =>
             // a deployment may split tables across databases: a store
             // whose DB genuinely lacks table t contributes no floor for t
+            // (the absence probe fails FAST — withRetry rethrows class-42
+            // SQLStates immediately instead of 5×100 ms backoff per
+            // absent (table, store) pair on every call with open users)
             try Some(JdbcFeed.maxId(s.jdbcUrl, t, "event_id"))
             catch {
               case e: java.sql.SQLException
                   if Option(e.getSQLState).exists(tableAbsent) => None
             }
           case _ => None
+        } ++ liveFeeds.collect {
+          case (url, table) if table == t => JdbcFeed.maxId(url, t, "event_id")
         }
       publishCutoffs(spark, archives(t), users, liveMax, open)
         .map { case (u, cutoff) => (t, u) -> cutoff }
@@ -1053,7 +1226,7 @@ object EraseEverywhere {
       dispatch(spark, ledger, users, stores, done)(
         _.name,
         (s: ByTableStore, pending: Set[Long]) =>
-          s.found(spark, set.filter { case ((_, u), _) => pending.contains(u) }),
+          s.foundBy(spark, set.filter { case ((_, u), _) => pending.contains(u) }),
         (s: ByTableStore, pending: Set[Long]) =>
           s.erase(spark, set.filter { case ((_, u), _) => pending.contains(u) }))
 

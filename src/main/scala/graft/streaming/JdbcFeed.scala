@@ -94,6 +94,10 @@ object JdbcFeed {
     * streaming query (a killed query is a restart + checkpoint recovery
     * for what a 100 ms backoff absorbs). Non-SQLException errors
     * propagate immediately; the last attempt's failure propagates too.
+    * SQLState class 42 (syntax / access rule: absent table, bad column,
+    * privilege) is NEVER transient — it rethrows on the first attempt, so
+    * a caller probing for table absence pays one round-trip instead of
+    * attempts × backoff.
     */
   def withRetry[T](attempts: Int = 5, backoffMs: Long = 100L)(f: => T): T = {
     var i = 0
@@ -102,7 +106,8 @@ object JdbcFeed {
       try return f
       catch {
         case e: java.sql.SQLException =>
-          if (i >= attempts) throw e
+          if (i >= attempts ||
+              Option(e.getSQLState).exists(_.startsWith("42"))) throw e
           Thread.sleep(backoffMs)
       }
     }

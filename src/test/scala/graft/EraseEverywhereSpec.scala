@@ -1059,4 +1059,138 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(StateMigration.readPrevImageStateTws(spark, chkT).collect().toMap ==
       Map(2L -> """{"k":2}"""))
   }
+
+  test("a torn receipt-ledger or move-journal append reads as empty, not as a bricked archive") {
+    val adir = tmp("erase_torn_ledger")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    // a crashed recordReceipts append: the dir exists with no readable
+    // data files — every later run/compact/revoke must survive it (the
+    // safe direction: recipes merely re-run and re-verify)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(adir, "_erasure_receipts"))
+    assert(EraseEverywhere.receipts(spark, adir).isEmpty)
+    assert(EraseEverywhere.receiptedOf(spark, adir, Seq(1L)).isEmpty)
+    assert(EraseEverywhere.compactReceipts(spark, adir) == 0L)
+    assert(EraseEverywhere.revokeReceipts(spark, adir, Seq(1L)) == 0L)
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq.empty))
+    assert(rep("archive") == (1L, 0L), s"got $rep")
+    // same for a crashed recordMove: zero complete appends = zero moves,
+    // so the configured dir forwards to itself
+    val adir2 = tmp("erase_torn_moves")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir2)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(adir2, "_erasure_moves"))
+    assert(EraseEverywhere.forwardedDir(spark, adir2, "s", "/cfg/dir") == "/cfg/dir")
+  }
+
+  test("offline-only deployment: explicit liveFeeds probes floor the archive-absent cutoff at the live max") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:erase_livefeeds;create=true"
+    createEvents(url)
+    // user 1 exists ONLY in not-yet-archived live rows (ids 3-4, above the
+    // archive's max of 2); the only store is OFFLINE, so no store config
+    // names the feed — without the explicit probe the floor would be the
+    // archive max (2) and a restart replay of rows 3-4 could rebuild the
+    // erased state
+    insert(url,
+      (1L, t(0), 2L, "signup",   """{"k":1}"""),
+      (2L, t(1), 2L, "purchase", """{"k":2}"""),
+      (3L, t(2), 1L, "signup",   """{"k":3}"""),
+      (4L, t(3), 1L, "purchase", """{"k":4}"""))
+    val adir = tmp("erase_livefeeds_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 2L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "UPDATE", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chkA = tmp("erase_livefeeds_a")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chkA) }
+    val (rep, _) = EraseEverywhere.runDetailed(spark, adir, Seq(1L),
+      Seq(EraseEverywhere.TwsOffline("off", chkA, { filtered =>
+        val fresh = tmp("erase_livefeeds_b")
+        withRocks {
+          val in2 = MemoryStream[RawChange]
+          val q2 = CdcStream.withPrevStateTwsFrom(in2.toDS(), filtered).writeStream
+            .format("memory").queryName("ee_livefeeds_resume")
+            .option("checkpointLocation", fresh).outputMode("append").start()
+          try {
+            in2.addData(RawChange(50L, t(50), 2L, "purchase", """{"k":50}"""))
+            q2.processAllAvailable()
+          } finally q2.stop()
+        }
+        fresh
+      })),
+      liveFeeds = Seq((url, "events")))
+    assert(reportMap(rep)("off") == (1L, 0L))
+    assert(graft.streaming.StateErasure.erasureSet(spark, adir)(1L) == 4L,
+      "the explicit live-feed probe must floor the cutoff at the live max, " +
+        s"not the archive max: ${graft.streaming.StateErasure.erasureSet(spark, adir)}")
+  }
+
+  test("receipts are attributed per user: one failed erasure must not block — or re-run — the verified users") {
+    val url = "jdbc:derby:memory:erase_peruser;create=true"
+    createEvents(url)
+    insert(url,
+      (1L, t(0), 1L, "signup", """{"k":1}"""),
+      (2L, t(1), 2L, "signup", """{"k":2}"""),
+      (3L, t(2), 3L, "signup", """{"k":3}"""))
+    val adir = tmp("erase_peruser_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 2L, "INSERT", """{"k":2}"""),
+        (3L, t(2), 3L, "INSERT", """{"k":3}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chk = tmp("erase_peruser_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    def sentinelsOf(user: Long): Long =
+      countSql(url, s"SELECT COUNT(*) FROM events WHERE event_type = 'erase' AND user_id = $user")
+
+    // first call: the bounce DROPS user 2 from its erasure set (a failed
+    // erasure — config mishap, concurrent rebuild, whatever) while user 1
+    // erases cleanly
+    var broken = true
+    def store = TwsInPlace("pu", chk, url, "events", erased => {
+      val applied = if (broken) erased.view.filterKeys(_ != 2L).toMap else erased
+      withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), applied), chk) }
+    })
+    val rep1 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 2L), Seq(store)))
+    assert(rep1("pu") == (2L, 1L), s"user 2's state must survive the broken bounce: $rep1")
+    assert(EraseEverywhere.receipts(spark, adir) == Set(("pu", 1L)),
+      "the individually-verified user must be receipted despite the failed one")
+    assert(sentinelsOf(1L) == 1L && sentinelsOf(2L) == 1L)
+
+    // the retry (recipe fixed): only user 2's recipe re-runs — user 1 gets
+    // no second sentinel and no second bounce-driven state touch
+    broken = false
+    val rep2 = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 2L), Seq(store)))
+    assert(rep2("pu") == (1L, 0L), s"got $rep2")
+    assert(sentinelsOf(1L) == 1L,
+      "the already-verified user must not get a duplicate sentinel on retry")
+    assert(sentinelsOf(2L) == 2L, "the failed user's recipe re-runs")
+    assert(EraseEverywhere.receipts(spark, adir) == Set(("pu", 1L), ("pu", 2L)))
+    assert(!StateMigration.readPrevImageStateTws(spark, chk).collect().toMap.contains(2L))
+  }
+
+  test("the ledger's rename-atomicity contract is enforced: object-store schemes are refused at every entry point") {
+    val adir = tmp("erase_scheme_guard")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    def refused(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("rename-atomic"), e.getMessage)
+    }
+    refused(EraseEverywhere.run(spark, "s3a://bucket/archive", Seq(1L), Seq.empty))
+    refused(EraseEverywhere.compactReceipts(spark, "gs://bucket/archive"))
+    refused(EraseEverywhere.revokeReceipts(spark, adir, Seq(1L),
+      alsoReopen = Seq("abfss://c@a.dfs.example/archive")))
+    refused(EraseEverywhere.runMultiArchive(spark, Map("t1" -> adir), Seq(1L),
+      Seq.empty, ledgerPath = Some("s3://bucket/ledger")))
+    refused(EraseEverywhere.runMultiArchive(spark,
+      Map("t1" -> "wasb://c@a.example/archive"), Seq(1L), Seq.empty))
+    // a local path still passes (the happy path is exercised everywhere else)
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq.empty))
+    assert(rep("archive") == (1L, 0L))
+  }
 }

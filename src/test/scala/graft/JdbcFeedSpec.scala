@@ -708,4 +708,36 @@ class JdbcFeedSpec extends SparkSuite {
         got(1)._3.contains("\"age\":34"), s"user payload: ${got(1)._3}")
     }
   }
+  test("withRetry: class-42 SQLStates (absent table, privilege) fail FAST; transient lock states still retry") {
+    // a table-absence probe must cost ONE round-trip, not attempts x
+    // backoff — class 42 (syntax/access rule) is never transient
+    var calls42 = 0
+    val e = intercept[java.sql.SQLException] {
+      JdbcFeed.withRetry(attempts = 5, backoffMs = 1L) {
+        calls42 += 1
+        throw new java.sql.SQLException("no such table", "42X05")
+      }
+    }
+    assert(e.getSQLState == "42X05" && calls42 == 1,
+      s"class-42 must rethrow on the first attempt, got $calls42 attempts")
+    // the transient class (deadlock/serialization victims) keeps the
+    // bounded retry that protects the capture from lock fights
+    var calls40 = 0
+    intercept[java.sql.SQLException] {
+      JdbcFeed.withRetry(attempts = 3, backoffMs = 1L) {
+        calls40 += 1
+        throw new java.sql.SQLException("lock timeout", "40XL1")
+      }
+    }
+    assert(calls40 == 3, s"transient states must exhaust the attempts, got $calls40")
+    // and a null SQLState (driver quirk) is treated as possibly-transient
+    var callsNull = 0
+    intercept[java.sql.SQLException] {
+      JdbcFeed.withRetry(attempts = 2, backoffMs = 1L) {
+        callsNull += 1
+        throw new java.sql.SQLException("opaque")
+      }
+    }
+    assert(callsNull == 2)
+  }
 }
