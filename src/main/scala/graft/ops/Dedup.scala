@@ -693,6 +693,49 @@ object Dedup {
     base.exceptAll(rerun).count() + rerun.exceptAll(base).count()
   }
 
+  /** INDEPENDENT reference closure for the engine-side scale parity check
+    * ([[graft.CcParity]]): textbook min-label propagation — every vertex
+    * starts labeled with itself, each round takes the min of its own and
+    * its neighbors' labels, until nothing changes. Shares nothing with the
+    * production star-alternation loop but the DataFrame algebra: different
+    * recurrence, different fixpoint argument, different convergence bound
+    * (O(diameter) rounds, not O(log n)) — so an implementation bug in
+    * either cannot reproduce in the other, which is what makes their
+    * agreement at x10 a verification (the same role the driver's DuckDB
+    * recursive CTE plays at small SF, where it OOMs past x1).
+    *
+    * Deliberately NOT a production operator: diameter-bound rounds are
+    * exactly what [[connectedComponents]] exists to avoid at 100 TB. Output
+    * contract matches it exactly — one (doc_id, comp) row per vertex
+    * appearing in any pair, comp = min reachable id.
+    */
+  def connectedComponentsByPropagation(pairs: DataFrame,
+                                       maxIter: Int = 1000): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().localCheckpoint(false)
+    var labels = sym.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(false)
+    var rounds = 0
+    var changed = labels.limit(1).count() // enter the loop iff any vertex
+    while (changed > 0 && rounds < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("doc_id").as("u"), col("comp")), "u")
+        .groupBy(col("v").as("doc_id")).agg(min(col("comp")).as("nc"))
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .localCheckpoint(false)
+      changed = next
+        .join(labels.select(col("doc_id"), col("comp").as("old")), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Quality-aware cluster collapse: for each near-dup cluster (CC over the
     * LSH candidate graph), keep the highest-QUALITY member instead of the
     * min-id one — the policy real curation pipelines want (among near-dups
@@ -704,8 +747,16 @@ object Dedup {
     * that follows the window reuses the window's comp-partitioning — one
     * shuffle for both.
     */
-  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = connectedComponents(minhashCandidates(spark, sfDir))
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    dedupKeepBestWith(spark, sfDir, connectedComponents(_))
+
+  /** [[dedupKeepBest]] with the closure pluggable — [[graft.CcParity]]
+    * re-runs the collapse over the independent propagation closure to
+    * engine-verify this query at scales the DuckDB oracle cannot reach.
+    */
+  private[graft] def dedupKeepBestWith(spark: SparkSession, sfDir: String,
+                                       close: DataFrame => DataFrame): DataFrame = {
+    val cc = close(minhashCandidates(spark, sfDir))
     val scores = TextStats.bigramFamiliarity(spark, sfDir)
       .select(col("doc_id"), col("avg_freq"))
     val byComp = Window.partitionBy(col("comp"))

@@ -106,6 +106,37 @@ class DedupBoundsSpec extends SparkSuite {
       s"closure diverged from union-find on ${(got.toSet -- truth.toSet).take(5)}")
   }
 
+  test("propagation closure (the CcParity reference twin) agrees with star alternation everywhere it is trusted") {
+    import spark.implicits._
+    // the independent diameter-bound closure must reproduce the production
+    // star-alternation labels exactly — on the adversarial fixture (chain,
+    // disjoint pair, star) and on the real phash near-dup graph — before
+    // CcParity is allowed to stand in for the DuckDB oracle at x10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("doc_a", "doc_b")
+    val prop = Dedup.connectedComponentsByPropagation(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L),
+      s"got $prop")
+    val real = graft.ops.Multimodal.imagePhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val star = Dedup.connectedComponents(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop2 = Dedup.connectedComponentsByPropagation(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop2, "the two closures diverged on the real graph: " +
+      s"${(star.toSet -- prop2.toSet).take(5)} vs ${(prop2.toSet -- star.toSet).take(5)}")
+    // and the downstream twin CcParity actually runs: keep-best collapse
+    // over either closure is the same frame
+    val a = Dedup.dedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Dedup.dedupKeepBestWith(spark, sf,
+        Dedup.connectedComponentsByPropagation(_)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, s"keep-best twin diverged: ${(a -- b).take(3)} vs ${(b -- a).take(3)}")
+  }
+
   test("cc audit: catches an omitted component, spurious labels, and unlabeled neighbors") {
     // the audit's adversarial cases: a labeling that silently DROPS an
     // entire component (the x100 failure mode the oracle can't check) must

@@ -45,6 +45,34 @@ grep '\[verify\]' /tmp/x10_verify_$TAG.log || true
 SKIP_ORACLE=$SKIP COMPARE_JSON_OUT=X10_PARITY_$TAG.json \
   python3 tools/compare.py "$DIR" "$OUT" | tee /tmp/x10_sweep_$TAG.log
 
+# Engine-hash section (r14): the five SKIP queries get a REAL check at x10
+# — graft.CcParity recomputes each over an independent diameter-bound
+# closure and fingerprints both frames (labels are canonical min-ids, so
+# hash equality is frame equality). Matching queries move from rows_only
+# into the checked count: the artifact then carries 183/183 checked
+# (oracle-hash + engine-hash), 0 rows-only.
+sbt -batch "runMain graft.CcParity $DIR" > /tmp/ccparity_$TAG.log 2>&1 || {
+  echo "CcParity FAILED — see /tmp/ccparity_$TAG.log (artifact keeps rows-only)"
+  grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log || true
+  exit 1
+}
+grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log | tee /tmp/ccparity_$TAG.jsonl
+python3 - "$TAG" <<'PY'
+import json, sys
+tag = sys.argv[1]
+art = json.load(open(f"X10_PARITY_{tag}.json"))
+lines = [json.loads(l) for l in open(f"/tmp/ccparity_{tag}.jsonl")]
+eh = {l["query"]: {"rows": l["rows"], "fp": l["fp"], "match": l["match"]}
+      for l in lines}
+art["engine_hash"] = eh
+moved = [q for q in art.get("rows_only", []) if eh.get(q, {}).get("match")]
+art["rows_only"] = [q for q in art.get("rows_only", []) if q not in moved]
+art["ok"] += len(moved)
+art["ok_queries"] = sorted(set(art.get("ok_queries", [])) | set(moved))
+json.dump(art, open(f"X10_PARITY_{tag}.json", "w"), indent=1)
+print(f"engine-hash verified: {sorted(moved)}; rows_only now {art['rows_only']}")
+PY
+
 if [ -d "$X100_DIR" ]; then
   OUT100=/tmp/x100_sweep_out_$TAG
   rm -rf "$OUT100"
