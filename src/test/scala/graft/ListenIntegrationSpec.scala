@@ -217,6 +217,105 @@ class ListenIntegrationSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("bootstrapAll -> multi-archive erasure MID-GAP -> per-table resume: the gap replays minus each table's erased rows") {
+    import graft.streaming.{CdcCatalog, CdcSource, EraseEverywhere, ListenResume, PqsClient, StateErasure}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:listen_erasegap;create=true"
+    DriverManager.getConnection(url).close()
+    def mk(table: String): Unit =
+      exec(url, s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type VARCHAR(32), props VARCHAR(500))")
+    def ins(table: String, ids: Range): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?, ?, ?)")
+        ids.foreach { i =>
+          ps.setLong(1, i.toLong); ps.setTimestamp(2, t(i.toLong))
+          ps.setLong(3, i.toLong % 3); ps.setString(4, "INSERT")
+          ps.setString(5, s"""{"k":$i}"""); ps.executeUpdate()
+        }
+      } finally c.close()
+    }
+    // skewed id spaces (orders tops out at 4 while clicks reaches 9 with
+    // the same low ids) — the shape where a merged cross-table cutoff
+    // either resurrects or blocks; users keyed id % 3
+    mk("orders"); mk("clicks")
+    ins("orders", 1 to 4); ins("clicks", 1 to 9)
+
+    val specs = Seq(CdcSource.JdbcSpec(url, "orders"), CdcSource.JdbcSpec(url, "clicks"))
+    val (snapshot, tail) = CdcCatalog.bootstrapAll(spark, specs, numPartitions = 2)
+    def toArchive(df: DataFrame): DataFrame =
+      df.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type").as("op"), col("props"))
+    val dirs = Map(
+      "orders" -> java.nio.file.Files.createTempDirectory("egap_orders").toString,
+      "clicks" -> java.nio.file.Files.createTempDirectory("egap_clicks").toString)
+    dirs.foreach { case (tab, d) =>
+      graft.sources.Layout.writeEventArchive(
+        toArchive(snapshot.filter(col("table") === tab)), d)
+    }
+
+    // the client died holding per-table tokens; new commits land on both
+    // tables while it is gone and the daemon archives them per table
+    val tokens = Map("orders" -> 3L, "clicks" -> 7L)
+    ins("orders", 5 to 6); ins("clicks", 10 to 12)
+    val server = new ListenServer(replaySourceByTable = Some(
+      ListenResume.multiArchiveReplay(spark, dirs)))
+    val q = tail.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val rows = b.persist()
+        try dirs.foreach { case (tab, d) =>
+          graft.sources.Layout.appendArchiveBatch(
+            toArchive(rows.filter(col("table") === tab)), d, id)
+        } finally rows.unpersist()
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("egap_chk").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // MID-GAP compliance request: user 1 (ids 1,4 in orders; 1,4,7,10 in
+      // clicks) erased from BOTH archives in one call, per-table cutoffs
+      val (rep, _) = EraseEverywhere.runMultiArchive(spark, dirs, Seq(1L), Seq.empty)
+      val r = rep.collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+      assert(r("archive:orders") == (2L, 0L) && r("archive:clicks") == (4L, 0L), s"$r")
+      // the cutoffs are each table's OWN archive max — the independent
+      // id-space contract the resume must now compose with
+      assert(StateErasure.erasureSet(spark, dirs("orders")) == Map(1L -> 6L))
+      assert(StateErasure.erasureSet(spark, dirs("clicks")) == Map(1L -> 12L))
+
+      // reconnect: each table's gap replays above ITS token, minus ITS
+      // erased rows — orders loses id 4 (user 1), clicks loses id 10 —
+      // exactly once, no cross-table bleed
+      val got = new CopyOnWriteArrayList[String]()
+      PqsClient.runFromTables("127.0.0.1", server.boundPort, ".*", tokens,
+        got.add(_), maxEvents = 6)
+      import scala.jdk.CollectionConverters._
+      val byTable = got.asScala.toSeq.groupBy(PqsClient.eventTable)
+        .view.mapValues(_.map(PqsClient.eventId)).toMap
+      assert(byTable.keySet == Set("orders", "clicks"), s"got $byTable")
+      assert(byTable("orders") == Seq(5L, 6L),
+        s"orders gap must replay minus the erased id 4: ${byTable("orders")}")
+      assert(byTable("clicks") == Seq(8L, 9L, 11L, 12L),
+        s"clicks gap must replay minus the erased id 10: ${byTable("clicks")}")
+
+      // the entity's FUTURE rows still flow in the low-id table: orders id
+      // 7 (user 1) is above orders' cutoff (6) but below clicks' (12) — a
+      // merged cutoff would silently drop it at the append guard
+      ins("orders", 7 to 7)
+      q.processAllAvailable()
+      val got2 = new CopyOnWriteArrayList[String]()
+      PqsClient.runFromTables("127.0.0.1", server.boundPort, ".*",
+        Map("orders" -> 6L, "clicks" -> 12L), got2.add(_), maxEvents = 1)
+      val after = got2.asScala.toSeq.map(l => (PqsClient.eventTable(l), PqsClient.eventId(l)))
+      assert(after == Seq(("orders", 7L)),
+        s"the erased entity's post-request row must flow (per-table cutoff, " +
+          s"no cross-table bleed): $after")
+    } finally { q.stop(); server.close() }
+  }
+
   test("subscriber churn: a disconnected client unregisters; the hub keeps serving") {
     val server = new ListenServer()
     try {
