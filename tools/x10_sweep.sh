@@ -56,7 +56,9 @@ sbt -batch "runMain graft.CcParity $DIR" > /tmp/ccparity_$TAG.log 2>&1 || {
   grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log || true
   exit 1
 }
-grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log | tee /tmp/ccparity_$TAG.jsonl
+# strip sbt's forked-stdout "[info] " prefix or json.loads chokes
+grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log | sed 's/^\[info\] //' \
+  | tee /tmp/ccparity_$TAG.jsonl
 python3 - "$TAG" <<'PY'
 import json, sys
 tag = sys.argv[1]
