@@ -397,6 +397,23 @@ object Graft {
     * `SemDedup` — see [[graft.streaming.EraseEverywhere]] for each
     * recipe's contract.
     */
+  /** NON-MUTATING per-(store, user) preview of [[eraseEverywhere]] — the
+    * compliance "what would this request find, where" before the
+    * destructive call. One (store, user_id, found) row per store ×
+    * requested user, counts exactly the destructive form's before-census;
+    * nothing written. Multi-archive twin: [[erasurePreviewMultiArchive]].
+    */
+  def erasurePreview(spark: SparkSession, archivePath: String,
+                     userIds: Seq[Long],
+                     stores: Seq[graft.streaming.EraseEverywhere.Store]): DataFrame =
+    graft.streaming.EraseEverywhere.preview(spark, archivePath, userIds, stores)
+
+  def erasurePreviewMultiArchive(spark: SparkSession,
+                                 archives: Map[String, String],
+                                 userIds: Seq[Long],
+                                 stores: Seq[graft.streaming.EraseEverywhere.ByTableStore]): DataFrame =
+    graft.streaming.EraseEverywhere.previewMultiArchive(spark, archives, userIds, stores)
+
   def eraseEverywhere(spark: SparkSession, archivePath: String,
                       userIds: Seq[Long],
                       stores: Seq[graft.streaming.EraseEverywhere.Store],

@@ -542,7 +542,7 @@ object EraseEverywhere {
     * receipt count. Crash-safe via [[swapLedger]].
     */
   def compactReceipts(spark: SparkSession, archivePath: String): Long = {
-    requireRenameAtomic(spark, archivePath, "receipt ledger")
+    requireRenameAtomic(archivePath, "receipt ledger")
     receiptsDf(spark, archivePath) match {
       case None => 0L // missing or torn (no readable data files): nothing to compact
       case Some(all) =>
@@ -645,8 +645,7 @@ object EraseEverywhere {
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
       "oss", "cos", "swift")
 
-  private def requireRenameAtomic(spark: SparkSession, path: String,
-                                  what: String): Unit = {
+  private def requireRenameAtomic(path: String, what: String): Unit = {
     val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
       .map(_.toLowerCase(java.util.Locale.ROOT))
     require(!scheme.exists(NonRenameAtomicSchemes),
@@ -682,23 +681,31 @@ object EraseEverywhere {
   /** Cutoff-scoped census over an archive frame: rows of `users` where
     * the per-user scope is open (no cutoff) or the row id is at-or-below
     * the cutoff. The bounded request set ships as a broadcast join — the
-    * scale-safe shape for a backlog of thousands.
+    * scale-safe shape for a backlog of thousands. Per-user grain (the
+    * [[preview]] report); the aggregate count derives from it.
     */
+  private def scopedCountByUser(spark: SparkSession, frame: Option[DataFrame],
+                                users: Seq[Long],
+                                scope: Long => Option[Long]): Map[Long, Long] =
+    frame match {
+      case Some(df) =>
+        val sq = spark
+        import sq.implicits._
+        val scopeDf = users
+          .map(u => (u, scope(u).map(Long.box).orNull.asInstanceOf[java.lang.Long]))
+          .toDF("u", "cutoff")
+        df.filter(col("user_id").isNotNull)
+          .join(broadcast(scopeDf), col("user_id") === col("u"))
+          .filter(col("cutoff").isNull || col("event_id") <= col("cutoff"))
+          .groupBy(col("u")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case None => Map.empty
+    }
+
   private def scopedCount(spark: SparkSession, frame: Option[DataFrame],
                           users: Seq[Long],
-                          scope: Long => Option[Long]): Long = frame match {
-    case Some(df) =>
-      val sq = spark
-      import sq.implicits._
-      val scopeDf = users
-        .map(u => (u, scope(u).map(Long.box).orNull.asInstanceOf[java.lang.Long]))
-        .toDF("u", "cutoff")
-      df.filter(col("user_id").isNotNull)
-        .join(broadcast(scopeDf), col("user_id") === col("u"))
-        .filter(col("cutoff").isNull || col("event_id") <= col("cutoff"))
-        .count()
-    case None => 0L
-  }
+                          scope: Long => Option[Long]): Long =
+    scopedCountByUser(spark, frame, users, scope).values.sum
 
   /** Cutoff publication for ONE archive: the recorded tombstones, floored
     * at max(the archive's top id, every relevant live feed's top id) —
@@ -764,7 +771,7 @@ object EraseEverywhere {
                      userIds: Seq[Long],
                      alsoReopen: Seq[String] = Seq.empty): Long = {
     (archivePath +: alsoReopen).distinct
-      .foreach(requireRenameAtomic(spark, _, "receipt ledger / open markers"))
+      .foreach(requireRenameAtomic(_, "receipt ledger / open markers"))
     val users = userIds.distinct
     var revoked = 0L
     // ORDER MATTERS: receipts are cleared BEFORE the open markers are
@@ -914,6 +921,79 @@ object EraseEverywhere {
     }.unzip
   }
 
+  /** Forward each store's configured checkpoint dir through the move
+    * journal — but REFUSE when the configured dir still exists alongside a
+    * journaled successor: either an interrupted decommission left it (its
+    * files still hold the erased payload — delete it and re-run) or the
+    * path was reused for a rebuilt store (clear the journal entry);
+    * guessing either way silently violates a contract.
+    */
+  private def forwardStores(spark: SparkSession, ledger: String,
+                            stores: Seq[Store]): Seq[Store] =
+    stores.map { s =>
+      s.chk.map { dir =>
+        val fwd = forwardedDir(spark, ledger, s.name, dir)
+        if (fwd == dir) s
+        else {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(!fs.exists(p),
+            s"store '${s.name}': configured checkpoint $dir has a " +
+              s"move-journal successor ($fwd) but still exists on disk — " +
+              "an interrupted decommission left it (delete the stale " +
+              "directory and re-run) or the path was reused for a rebuilt " +
+              "store (clear the journal); refusing to guess")
+          s.at(fwd)
+        }
+      }.getOrElse(s)
+    }
+
+  /** NON-MUTATING preview of [[run]] at per-user grain — the compliance
+    * team's "what would this erasure request find, where" BEFORE the
+    * destructive call, and the per-request evidence of what is still held.
+    * One row per (store, user): (store, user_id, found), `"archive"`
+    * first, zero-count rows included so absence is explicit evidence.
+    * The counts are EXACTLY what [[run]]'s before-census would read with
+    * the same arguments: archive rows cutoff-scoped (an open user counts
+    * in full; a completed user counts only leaked rows at-or-below their
+    * pinned cutoff — their post-erasure rows are legitimate data), store
+    * counts scoped to unreceipted users (a receipted user's store erasure
+    * is verified; anything newer is out of the request's scope by the
+    * pinned point-in-time). Nothing is written: no open markers, no
+    * tombstones, no sentinels, no recipes, no receipts — safe against
+    * production at any time, any number of times. (Crash REPAIR can still
+    * run: a retired ledger/marker dir from an interrupted earlier call is
+    * recovered by rename before reading — restoring durable truth, not
+    * changing it — hence the same rename-atomic filesystem guard.)
+    */
+  def preview(spark: SparkSession, archivePath: String, userIds: Seq[Long],
+              stores: Seq[Store]): DataFrame = {
+    require(userIds.nonEmpty, "erasure preview needs at least one entity")
+    require(stores.map(_.name).distinct.size == stores.size,
+      s"store names must be unique: ${stores.map(_.name)}")
+    requireRenameAtomic(archivePath, "receipt ledger / open markers")
+    requireArchiveDir(spark, archivePath)
+    val users = userIds.distinct.sorted
+    val live = forwardStores(spark, archivePath, stores)
+    val priorTombstones = StateErasure.erasureSet(spark, archivePath)
+    val marked = openMarkers(spark, archivePath)
+    val openSet = users.filter(u => !priorTombstones.contains(u) || marked(u)).toSet
+    val done = receiptedOf(spark, archivePath, users)
+    val archBy = scopedCountByUser(spark, archiveDf(spark, archivePath), users,
+      u => if (openSet(u)) None else priorTombstones.get(u))
+    val rows = users.map(u => ("archive", u, archBy.getOrElse(u, 0L))) ++
+      live.flatMap { s =>
+        val pending = users.filterNot(u => done((s.name, u)))
+        val by =
+          if (pending.isEmpty) Map.empty[Long, Long]
+          else s.foundBy(spark, pending.map(_ -> 0L).toMap)
+        users.map(u => (s.name, u, by.getOrElse(u, 0L)))
+      }
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("store", "user_id", "found")
+  }
+
   /** The one call: erase `userIds` from the archive and every configured
     * store, verify every copy, return the completeness report —
     * one row per target: (store, found_before, found_after), `"archive"`
@@ -950,32 +1030,10 @@ object EraseEverywhere {
     require(userIds.nonEmpty, "eraseEverywhere needs at least one entity")
     require(stores.map(_.name).distinct.size == stores.size,
       s"store names must be unique: ${stores.map(_.name)}")
-    requireRenameAtomic(spark, archivePath, "receipt ledger / open markers")
+    requireRenameAtomic(archivePath, "receipt ledger / open markers")
     requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
-    // forward a stale offline checkpointDir through the move journal — but
-    // REFUSE when the configured dir still exists alongside a journaled
-    // successor: either an interrupted decommission left it (its files
-    // still hold the erased payload — delete it and re-run) or the path
-    // was reused for a rebuilt store (clear the journal entry); guessing
-    // either way silently violates a contract
-    val live = stores.map { s =>
-      s.chk.map { dir =>
-        val fwd = forwardedDir(spark, archivePath, s.name, dir)
-        if (fwd == dir) s
-        else {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          require(!fs.exists(p),
-            s"store '${s.name}': configured checkpoint $dir has a " +
-              s"move-journal successor ($fwd) but still exists on disk — " +
-              "an interrupted decommission left it (delete the stale " +
-              "directory and re-run) or the path was reused for a rebuilt " +
-              "store (clear the journal); refusing to guess")
-          s.at(fwd)
-        }
-      }.getOrElse(s)
-    }
+    val live = forwardStores(spark, archivePath, stores)
 
     // request lifecycle: a user is OPEN (archive rows in scope, cutoff may
     // rise) when they have no tombstone yet, an open marker survives from
@@ -1104,6 +1162,69 @@ object EraseEverywhere {
     }
   }
 
+  /** The multi-archive receipt-ledger location: an EXISTING ledger among
+    * the archives wins (so the default stays stable when the captured
+    * table set grows — a map-order default would silently move the
+    * idempotence key), falling back to the first table's archive;
+    * multiple existing ledgers refuse loudly.
+    */
+  private def resolveLedger(spark: SparkSession, archives: Map[String, String],
+                            tables: Seq[String],
+                            ledgerPath: Option[String]): String =
+    ledgerPath.getOrElse {
+      val existing = tables.map(archives).distinct.filter { p =>
+        val d = new org.apache.hadoop.fs.Path(p, "_erasure_receipts")
+        val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.exists(d) ||
+          f.exists(new org.apache.hadoop.fs.Path(p, "_erasure_receipts_retired"))
+      }
+      require(existing.size <= 1,
+        s"multiple receipt ledgers found under ${existing.mkString(", ")} — " +
+          "pass ledgerPath explicitly")
+      existing.headOption.getOrElse(archives(tables.head))
+    }
+
+  /** [[preview]] for multi-archive deployments: one row per
+    * (`archive:<table>` | store, user) with the count [[runMultiArchive]]'s
+    * before-census would read — per-table cutoff scoping (openness is per
+    * (table, user), exactly as the destructive form), store counts scoped
+    * to unreceipted users. Nothing written; same crash-repair caveat as
+    * [[preview]].
+    */
+  def previewMultiArchive(spark: SparkSession, archives: Map[String, String],
+                          userIds: Seq[Long], stores: Seq[ByTableStore],
+                          ledgerPath: Option[String] = None): DataFrame = {
+    require(userIds.nonEmpty, "erasure preview needs at least one entity")
+    require(archives.nonEmpty, "multi-archive preview needs at least one archive")
+    require(stores.map(_.name).distinct.size == stores.size,
+      s"store names must be unique: ${stores.map(_.name)}")
+    val users = userIds.distinct.sorted
+    val tables = archives.keys.toSeq.sorted
+    (ledgerPath.toSeq ++ tables.map(archives)).distinct
+      .foreach(requireRenameAtomic(_, "receipt ledger / open markers"))
+    tables.foreach(t => requireArchiveDir(spark, archives(t)))
+    val ledger = resolveLedger(spark, archives, tables, ledgerPath)
+    val done = receiptedOf(spark, ledger, users)
+    val rows = tables.flatMap { t =>
+      val prior = StateErasure.erasureSet(spark, archives(t))
+      val marked = openMarkers(spark, archives(t))
+      val open = users.filter(u => !prior.contains(u) || marked(u)).toSet
+      val by = scopedCountByUser(spark, archiveDf(spark, archives(t)), users,
+        u => if (open(u)) None else prior.get(u))
+      users.map(u => (s"archive:$t", u, by.getOrElse(u, 0L)))
+    } ++ stores.flatMap { s =>
+      val pending = users.filterNot(u => done((s.name, u)))
+      val by =
+        if (pending.isEmpty) Map.empty[Long, Long]
+        else s.foundBy(spark,
+          (for { t <- tables; u <- pending } yield (t, u) -> 0L).toMap)
+      users.map(u => (s.name, u, by.getOrElse(u, 0L)))
+    }
+    val sq = spark
+    import sq.implicits._
+    rows.toDF("store", "user_id", "found")
+  }
+
   /** [[run]] for multi-archive deployments: each captured table has its
     * OWN archive and its OWN id space, so cutoffs are published per
     * (table, user) — a recorded tombstone from table t's archive applies
@@ -1133,20 +1254,9 @@ object EraseEverywhere {
     // open markers live under every archive; the receipt ledger under
     // ledgerPath — all of them swap by rename, so all must be rename-atomic
     (ledgerPath.toSeq ++ tables.map(archives)).distinct
-      .foreach(requireRenameAtomic(spark, _, "receipt ledger / open markers"))
+      .foreach(requireRenameAtomic(_, "receipt ledger / open markers"))
     tables.foreach(t => requireArchiveDir(spark, archives(t)))
-    val ledger = ledgerPath.getOrElse {
-      val existing = tables.map(archives).distinct.filter { p =>
-        val d = new org.apache.hadoop.fs.Path(p, "_erasure_receipts")
-        val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        f.exists(d) ||
-          f.exists(new org.apache.hadoop.fs.Path(p, "_erasure_receipts_retired"))
-      }
-      require(existing.size <= 1,
-        s"multiple receipt ledgers found under ${existing.mkString(", ")} — " +
-          "pass ledgerPath explicitly")
-      existing.headOption.getOrElse(archives(tables.head))
-    }
+    val ledger = resolveLedger(spark, archives, tables, ledgerPath)
 
     // request lifecycle, PER (table, user): a user is open in table t when
     // t's archive lacks their tombstone, t's marker survives from an

@@ -1172,6 +1172,90 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(!StateMigration.readPrevImageStateTws(spark, chk).collect().toMap.contains(2L))
   }
 
+  test("erasure preview: per-(store,user) dry census mirrors run's before-census and writes NOTHING") {
+    val url = "jdbc:derby:memory:erase_preview;create=true"
+    createEvents(url)
+    insert(url,
+      (1L, t(0), 1L, "signup",   """{"k":1}"""),
+      (2L, t(1), 1L, "purchase", """{"k":2}"""),
+      (3L, t(2), 2L, "signup",   """{"k":3}"""))
+    val adir = tmp("erase_preview_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""), (2L, t(1), 1L, "UPDATE", """{"k":2}"""),
+        (3L, t(2), 2L, "INSERT", """{"k":3}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val chk = tmp("erase_preview_tws")
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    def store = TwsInPlace("pv", chk, url, "events", erased => {
+      withRocks { runTws(CdcStream.withPrevStateTwsErasing(jdbcSrc(url), erased), chk) }
+    })
+    def previewMap(users: Seq[Long]): Map[(String, Long), Long] =
+      EraseEverywhere.preview(spark, adir, users, Seq(store)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val pv = previewMap(Seq(1L, 2L))
+    assert(pv == Map(("archive", 1L) -> 2L, ("archive", 2L) -> 1L,
+      ("pv", 1L) -> 1L, ("pv", 2L) -> 1L), s"got $pv")
+    // NOTHING was written: no ledger, no markers, no tombstones, no
+    // sentinels in the live table, state untouched
+    for (d <- Seq("_tombstones", "_erasure_open", "_erasure_receipts"))
+      assert(!exists(s"$adir/$d"), s"preview must not create $d")
+    assert(countSql(url,
+      "SELECT COUNT(*) FROM events WHERE event_type = 'erase'") == 0L,
+      "preview must not insert sentinel rows")
+    assert(StateMigration.readPrevImageStateTws(spark, chk).count() == 2L)
+
+    // the preview IS run's before-census: per-store sums match exactly
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L, 2L), Seq(store)))
+    assert(rep("archive")._1 == 3L && rep("pv")._1 == 2L, s"got $rep")
+
+    // post-run preview: completed + receipted users read zero — and STAY
+    // zero after legitimate new data (above the pinned cutoff, rebuilt
+    // state is out of the request's scope)
+    insert(url, (10L, t(10), 1L, "purchase", """{"k":10}"""))
+    withRocks { runTws(CdcStream.withPrevStateTws(jdbcSrc(url)), chk) }
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((10L, t(10), 1L, "INSERT", """{"k":10}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir, 70L))
+    val pv2 = previewMap(Seq(1L, 2L))
+    assert(pv2.values.forall(_ == 0L),
+      s"completed users' post-erasure data must be out of scope: $pv2")
+  }
+
+  test("multi-archive preview: per-table scoping — a standing request shows only the unerased table, dry") {
+    def arch(rows: Seq[(Long, Long, Int)]): String = {
+      val d = tmp("erase_pvma")
+      graft.sources.Layout.writeEventArchive(
+        rows.map { case (id, uid, k) => (id, t(id), uid, "INSERT", s"""{"k":$k}""") }
+          .toDF("event_id", "ts", "user_id", "op", "props"), d)
+      d
+    }
+    val n1 = arch(Seq((1L, 1L, 1), (2L, 2L, 2)))
+    val (rep1, _) = EraseEverywhere.runMultiArchive(spark, Map("n1" -> n1),
+      Seq(1L), Seq.empty)
+    assert(reportMap(rep1)("archive:n1") == (1L, 0L))
+    // the user returns in n1 (post-cutoff, legitimate) and a NEW table n2
+    // holding their rows is onboarded
+    assert(graft.sources.Layout.appendArchiveBatch(
+      Seq((10L, t(10), 1L, "INSERT", """{"k":10}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), n1, 40L))
+    val n2 = arch(Seq((3L, 1L, 30), (4L, 2L, 40)))
+
+    val pv = EraseEverywhere.previewMultiArchive(spark,
+        Map("n1" -> n1, "n2" -> n2), Seq(1L), Seq.empty, ledgerPath = Some(n1))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(pv == Map("archive:n1" -> 0L, "archive:n2" -> 1L),
+      s"n1 pinned (post-erasure row out of scope), n2 standing: $pv")
+    // dry: the preview must not have opened the request on n2
+    assert(!exists(s"$n2/_tombstones") && !exists(s"$n2/_erasure_open"),
+      "preview must not write to the new archive")
+    // the destructive call then finds exactly what the preview promised
+    val (rep2, _) = EraseEverywhere.runMultiArchive(spark,
+      Map("n1" -> n1, "n2" -> n2), Seq(1L), Seq.empty, ledgerPath = Some(n1))
+    val r2 = reportMap(rep2)
+    assert(r2("archive:n1") == (0L, 0L) && r2("archive:n2") == (1L, 0L), s"$r2")
+  }
+
   test("the ledger's rename-atomicity contract is enforced: object-store schemes are refused at every entry point") {
     val adir = tmp("erase_scheme_guard")
     graft.sources.Layout.writeEventArchive(
