@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{EventLog, Fallback, Redactions, Tiering}
 import graft.functions.MergePatch
-import graft.ops.{Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextStats}
+import graft.ops.{BloomMembership, Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -945,6 +945,9 @@ object SparkEntry {
     "ops_gz_staged"    -> (graft.sources.TextFormats.stagedGzEventIngest _),
     "ops_orc_source"   -> (graft.sources.TextFormats.orcEventIngest _),
     "ops_cc_audit"     -> (opsCcAudit _),
+    // bloom-membership set: exact compositions of the Bloom build/probe pair
+    "ops_bloom_prune"  -> (BloomMembership.bloomPrune _),
+    "ops_bloom_novel"  -> (BloomMembership.bloomNovel _),
   )
 
   // ===== DuckDB oracles =====

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Bloom
+
+/** The two query-level compositions of the [[graft.functions.Bloom]] family —
+  * both EXACT (the filter only prunes; an exact join settles every survivor),
+  * so both carry full DuckDB oracles that never mention the bloom at all.
+  *
+  * Shared scale shape: build the filter over the SMALL side (one scan,
+  * map-side OR-merge, a fixed few-hundred-KB bit array to the driver — the
+  * same bounded scalar witness as the KMV sketches), then probe the BIG side
+  * inside whole-stage codegen at scan level, BEFORE anything shuffles. The
+  * exactness contract is no-false-negatives: probe=false rows are settled
+  * without ever reaching a join; only true-probes (real matches + the ~fpp
+  * sliver) pay exchange or verification.
+  */
+object BloomMembership {
+
+  import Relational.money
+
+  /** Semi-join reduction: revenue by brand over the lineitem rows whose part
+    * is in a filtered dim subset (`p_size <= 5`, ~10% of parts). The bloom
+    * over the subset's keys prunes the fact scan to ~10% + fpp before the
+    * exact join verifies; at bench scale Catalyst broadcasts the dim and the
+    * probe is belt-and-braces, but in the shuffle-join regime (dim subset
+    * too big to broadcast — routine at 100 TB) the probe is the difference
+    * between exchanging the whole fact table and exchanging the matching
+    * tenth. This is Spark's own runtime bloom-filter-join construction
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) held as a first-class
+    * operator, available to compositions the optimizer's equi-join pattern
+    * can't see.
+    *
+    * The build side pays one count() for sizing — at warehouse scale that is
+    * table-stats metadata, and the build side is by assumption the small
+    * side of the reduction.
+    */
+  def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.load(spark, sfDir, "part")
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val p = Bloom.forExpected(dim.count(), fpp = 0.01)
+    val bits = dim.agg(Bloom.agg(p)(col("p_partkey")))
+      .as[Array[Long]].head() // bounded scalar witness: 2^b bits regardless of data scale
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(Bloom.mightContain(col("l_partkey"), bits, p))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        (sum(money(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - money(col("l_discount")))) * 10000)
+          .cast("long").as("rev_bp"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Cross-corpus novelty: for each incoming-batch document (doc_id % 10 ==
+    * 0, the same batch convention as [[Dedup.incrementalDedup]]), how many of
+    * its distinct word 3-gram shingles are NOT anywhere in the standing
+    * corpus (doc_id % 10 != 0)? The "how much of this doc is genuinely new
+    * text" gate that runs before paying for near-dup scoring on a recurring
+    * crawl.
+    *
+    * Plan: bloom over the corpus shingles' 64-bit hashes; batch shingles
+    * split by probe — false ⇒ DEFINITELY novel (settled at scan, no join);
+    * true ⇒ candidate, settled by an exact anti-join against the corpus
+    * shingle set. At 100 TB the anti-join input is the seen-fraction + fpp
+    * of the batch instead of all of it, and the corpus side of that join is
+    * itself semi-joinable to the candidate hashes. Probing by hash is safe
+    * for exactness in BOTH directions: a hash collision only turns a novel
+    * shingle into a candidate (the anti-join on the shingle STRING still
+    * counts it novel); it can never hide one.
+    */
+  def bloomNovel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = Dedup.shingles(docs) // distinct (doc_id, shingle), narrow
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0).select(col("shingle"))
+    val batch = sh.filter(col("doc_id") % 10 === 0)
+
+    val p = Bloom.forExpected(corpus.count(), fpp = 0.01)
+    val bits = corpus.agg(Bloom.agg(p)(xxhash64(col("shingle"))))
+      .as[Array[Long]].head()
+    def maybeSeen: Column = Bloom.mightContain(xxhash64(col("shingle")), bits, p)
+
+    // shingling is recomputed per branch (it's narrow and cheap); the joins
+    // below only ever see the post-probe slivers
+    val definiteNovel = batch.filter(!maybeSeen)
+    val verifiedNovel = batch.filter(maybeSeen)
+      .join(corpus.distinct(), Seq("shingle"), "left_anti")
+    val novel = definiteNovel.unionByName(verifiedNovel)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+
+    batch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+}

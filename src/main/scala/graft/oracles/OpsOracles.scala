@@ -851,5 +851,16 @@ private[graft] object OpsOracles {
         |     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000
         |     // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS chi2_micro
         |FROM m""".stripMargin,
+
+    // twin of [[graft.ops.BloomMembership.bloomPrune]] — the bloom is a
+    // pure pruning device, so the oracle is the plain exact join it
+    // accelerates
+    "ops_bloom_prune" ->
+      s"""SELECT p_brand,
+         |  CAST(SUM($discPrice) * 10000 AS BIGINT) AS rev_bp,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 5
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -1406,5 +1406,17 @@ private[graft] object TextOracles {
         |   AS BIGINT) AS rrf_ppb
         |FROM f
         |ORDER BY rrf_ppb DESC, doc_id LIMIT ${Similarity.RrfK}""".stripMargin,
+
+    // twin of [[graft.ops.BloomMembership.bloomNovel]] — the bloom only
+    // routes shingles between "settled at scan" and "settled by anti-join",
+    // so the oracle is the plain exact novelty count
+    "ops_bloom_novel" ->
+      s"""WITH $shinglesCte,
+         |corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0)
+         |SELECT b.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |FROM batch b LEFT JOIN corpus c ON b.shingle = c.shingle
+         |GROUP BY 1""".stripMargin,
   )
 }
