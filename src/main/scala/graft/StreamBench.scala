@@ -660,6 +660,39 @@ object StreamBench {
       val warmNv = runNovelty()
       println(s"""{"metric":"novelty_monitor_throughput","docs":${replayed.length},"warm_sec":$warmNv,"docs_per_sec":${(replayed.length / warmNv).toLong},"sf":"$sfDir"}""")
     }
+
+    // Bloom novelty gate: the full corpus replayed 5x through the
+    // constant-state prefilter (rep 0 mostly definitely_new, reps 1-4 all
+    // maybe_seen — the steady-state mix of a long-lived crawl); state =
+    // 2^shardBits fixed filters regardless of reps
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = graft.streaming.BloomNovelty
+        .keyed(Tables.load(spark, sfDir, "documents"), shardBits = 5)
+        .collect()
+      val replayed = (0 until 5).flatMap(rep =>
+        base.map(r => r.copy(doc_id = r.doc_id + rep * 10000000L)))
+        .sortBy(_.doc_id)
+      val p = graft.functions.Bloom.forExpected(base.length.toLong.max(1024L) >> 5, 0.01)
+      def runGate(): Double = {
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[graft.streaming.BloomNovelty.Keyed]
+        val q = graft.streaming.BloomNovelty.tagged(input.toDS(), p)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("bloom_novelty_bench").toString)
+          .start()
+        input.addData(replayed)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        sec
+      }
+      runGate()
+      val warmBn = runGate()
+      println(s"""{"metric":"bloom_novelty_throughput","docs":${replayed.length},"warm_sec":$warmBn,"docs_per_sec":${(replayed.length / warmBn).toLong},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

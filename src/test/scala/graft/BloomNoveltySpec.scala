@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.Bloom
+import graft.streaming.BloomNovelty
+import graft.streaming.BloomNovelty.{Keyed, Tagged}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The constant-state novelty gate: definitely_new is EXACT (never claimed
+  * for previously-seen content), output is invariant under micro-batch
+  * split points for a monotone-id stream, and the state never grows.
+  */
+class BloomNoveltySpec extends SparkSuite {
+  import BloomNoveltySpec.D
+
+  // per-shard params sized small so spec-scale corpora still exercise
+  // multi-word filters
+  private val p = Bloom.forExpected(512, 0.01)
+
+  private def docSeq: Seq[D] = {
+    val real = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(40).collect()
+      .map(r => D(r.getLong(0), r.getString(1))).toSeq
+    // plant exact repeats LATER in id order (content seen again must tag
+    // maybe_seen), ids above the real ones to keep the monotone contract
+    real ++ real.take(10).zipWithIndex.map { case (d, i) =>
+      D(100000L + i, d.text)
+    }
+  }
+
+  private def runSplits(splits: Seq[Seq[D]]): Seq[Tagged] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[D]
+    val name = s"bloom_novelty_${System.nanoTime()}"
+    val q = BloomNovelty.tagged(
+        BloomNovelty.keyed(input.toDS().toDF(), shardBits = 4), p)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[Tagged].collect().toSeq.sortBy(t => (t.doc_id, t.h))
+    } finally q.stop()
+  }
+
+  test("stream == one-pass batch fold; repeats always maybe_seen; invariant under splits") {
+    val docs = docSeq
+    import spark.implicits._
+    val keyedRows = BloomNovelty.keyed(docs.toDF(), shardBits = 4).collect().toSeq
+    val expect = BloomNovelty.batchTagged(keyedRows, p).sortBy(t => (t.doc_id, t.h))
+
+    val oneBatch = runSplits(Seq(docs))
+    val threeBatches = runSplits(Seq(docs.take(15), docs.slice(15, 41), docs.drop(41)))
+    assert(oneBatch == expect, "single-batch stream diverged from the batch fold")
+    assert(threeBatches == expect, "classification changed with micro-batch split points")
+
+    // the exactness contract: a planted repeat is NEVER definitely_new
+    val repeats = oneBatch.filter(_.doc_id >= 100000L)
+    assert(repeats.size == 10)
+    assert(repeats.forall(!_.definitely_new),
+      "previously-seen content tagged definitely_new — false negative in the filter")
+    // and the gate is not degenerate: first-time docs are overwhelmingly new
+    val firstSeen = oneBatch.filter(_.doc_id < 100000L)
+    assert(firstSeen.count(_.definitely_new) >= firstSeen.size - 2,
+      "first-time docs mostly tagged maybe_seen — fpp or sharding is off")
+  }
+
+  test("within-batch duplicate content: second copy tags maybe_seen (sequential semantics)") {
+    val twice = Seq(D(1L, "alpha beta gamma delta epsilon"), D(2L, "alpha beta gamma delta epsilon"))
+    val got = runSplits(Seq(twice))
+    assert(got.map(_.definitely_new) == Seq(true, false))
+  }
+
+  test("state is the fixed per-shard word count regardless of history") {
+    import spark.implicits._
+    val keyedRows = BloomNovelty.keyed(docSeq.toDF(), shardBits = 4).collect().toSeq
+    // drive the handler directly twice: the state array length never changes
+    val grouped = keyedRows.groupBy(_.shard)
+    grouped.foreach { case (_, rows) =>
+      val st = new TestGroupState[Array[Long]]
+      BloomNovelty.onShard(rows.iterator, st, p).toSeq // drain
+      assert(st.value.get.length == p.numBits >>> 6)
+      BloomNovelty.onShard(rows.iterator, st, p).toSeq
+      assert(st.value.get.length == p.numBits >>> 6)
+    }
+  }
+}
+
+object BloomNoveltySpec {
+  /** Top-level so Spark can derive an Encoder (inner classes can't). */
+  case class D(doc_id: Long, text: String)
+}
+
+/** Minimal GroupState stub for driving handlers directly (update/get only —
+  * the novelty handler uses no timeouts or watermarks).
+  */
+private class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  var value: Option[S] = None
+  override def exists: Boolean = value.isDefined
+  override def get: S = value.get
+  override def getOption: Option[S] = value
+  override def update(s: S): Unit = value = Some(s)
+  override def remove(): Unit = value = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}

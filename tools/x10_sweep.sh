@@ -31,7 +31,7 @@ SKIP="ops_dedup_cc,ops_dedup_keep_best,ops_embed_cluster,ops_phash_cc,ops_cc_aud
 X100_DIR=${SPARK_GRAFT_X100_DIR:-/tmp/graft_scale/x100}
 X100_QUERIES="ops_erase_entity ops_erase_batch cdc_erase_replay \
 cdc_generic_roundtrip cdc_key_promotion ops_kmv_overlap \
-ops_quality_logit ops_quality_distilled"
+ops_quality_logit ops_quality_distilled ops_bloom_novel"
 
 # fresh output dir + hard Verify gate: a crashed Verify must never let
 # compare.py bless the PREVIOUS sweep's stale dumps into the artifact
@@ -92,6 +92,27 @@ import json, sys
 tag = sys.argv[1]
 art = json.load(open(f"X10_PARITY_{tag}.json"))
 art["x100"] = json.load(open(f"/tmp/x100_parity_{tag}.json"))
+json.dump(art, open(f"X10_PARITY_{tag}.json", "w"), indent=1)
+PY
+
+  # CC-closure engine-hash at x100 too (r14): the same propagation-twin
+  # check the x10 section carries, at the 100x corpus — the five CC queries
+  # verified at a scale NO oracle reaches. Failures keep the x10 artifact.
+  sbt -batch "runMain graft.CcParity $X100_DIR" > /tmp/ccparity100_$TAG.log 2>&1 || {
+    echo "x100 CcParity FAILED — see /tmp/ccparity100_$TAG.log"
+    grep '"metric":"cc_parity"' /tmp/ccparity100_$TAG.log || true
+    exit 1
+  }
+  grep '"metric":"cc_parity"' /tmp/ccparity100_$TAG.log | sed 's/^\[info\] //' \
+    | tee /tmp/ccparity100_$TAG.jsonl
+  python3 - "$TAG" <<'PY'
+import json, sys
+tag = sys.argv[1]
+art = json.load(open(f"X10_PARITY_{tag}.json"))
+lines = [json.loads(l) for l in open(f"/tmp/ccparity100_{tag}.jsonl")]
+art["engine_hash_x100"] = {
+    l["query"]: {"rows": l["rows"], "fp": l["fp"], "match": l["match"]}
+    for l in lines}
 json.dump(art, open(f"X10_PARITY_{tag}.json", "w"), indent=1)
 PY
 else
