@@ -161,6 +161,38 @@ object Graft {
     */
   def sharedChunks(docs: DataFrame): DataFrame = Dedup.contentChunksDf(docs)
 
+  // ===== bloom membership (build/probe + the streaming gate) =====
+
+  /** Build a Bloom filter over a LONG key column (pre-hash strings with
+    * `xxhash64`): one fixed bit array to the driver, partial-agg mergeable.
+    * Probe with [[bloomMightContain]]; size with
+    * [[graft.functions.Bloom.forExpected]].
+    */
+  def bloomBuild(df: DataFrame, key: Column,
+                 p: graft.functions.Bloom.Params): Array[Long] = {
+    import df.sparkSession.implicits._
+    df.agg(graft.functions.Bloom.agg(p)(key)).as[Array[Long]].head()
+  }
+
+  /** Scan-level membership probe: false ⇒ DEFINITELY not in the built set
+    * (no false negatives — the exact-composition contract), true ⇒ present
+    * or the ~fpp sliver. Native codegen'd expression.
+    */
+  def bloomMightContain(key: Column, bits: Array[Long],
+                        p: graft.functions.Bloom.Params): Column =
+    graft.functions.Bloom.mightContain(key, bits, p)
+
+  /** Streaming constant-state novelty gate: tag each arriving document
+    * definitely_new (exact) or maybe_seen (route ONLY these into the exact
+    * dedup stream). State = 2^shardBits fixed per-shard filters, forever.
+    * `p` sizes ONE shard. See [[graft.streaming.BloomNovelty]].
+    */
+  def noveltyGate(docs: DataFrame, p: graft.functions.Bloom.Params,
+                  shardBits: Int = 8)
+      : Dataset[graft.streaming.BloomNovelty.Tagged] =
+    graft.streaming.BloomNovelty.tagged(
+      graft.streaming.BloomNovelty.keyed(docs, shardBits), p)
+
   // ===== CDC (column functions + streaming source) =====
 
   /** RFC 7386 JSON merge patch from `newDoc` to `oldDoc` (the reference's

@@ -896,6 +896,7 @@ object SparkEntry {
     "ops_bm25"          -> ((s: SparkSession, d: String) => TextStats.bm25Search(s, d)),
     "ops_entropy"       -> (TextStats.tokenEntropy _),
     "ops_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)),
+    "ops_group_heavy_hitters" -> ((s: SparkSession, d: String) => TextStats.groupHeavyHitters(s, d)),
     "ops_bpe_pairs"     -> (TextStats.bpePairStats _),
     // curation set
     "ops_pii_scan"   -> (Curation.piiScan _),

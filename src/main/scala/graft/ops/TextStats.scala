@@ -860,4 +860,40 @@ object TextStats {
       .filter(col("n") * capacity > col("n_total"))
       .select(col("tok"), col("n"))
   }
+
+  /** [[heavyHitters]] PER GROUP — "top domains per language"-class
+    * monitoring, the grain real curation dashboards want. Same
+    * sketch-then-verify discipline, with the Misra–Gries summary keyed by
+    * the group column: pass 1 is one groupBy whose partial aggregation
+    * ships a capacity-m map per (partition, group) — never the per-group
+    * vocabulary; pass 2 re-counts only the ≤ m candidates of each group
+    * exactly behind a broadcast of (group, candidate) pairs (≤ groups × m
+    * rows however large the corpus), and keeps those above that GROUP's
+    * n/capacity threshold. The MG superset guarantee is per summary, so it
+    * holds per group independently — a group's heavy hitter can never be
+    * crowded out by another group's traffic, which is exactly the failure
+    * mode of running the global sketch and post-filtering by group.
+    */
+  def groupHeavyHitters(spark: SparkSession, sfDir: String,
+                        capacity: Int = 32): DataFrame =
+    groupHeavyHittersDf(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok")),
+      capacity)
+
+  /** Core of [[groupHeavyHitters]] over (source, tok) rows — the spec
+    * drives adversarial per-group fixtures through this.
+    */
+  def groupHeavyHittersDf(toks: DataFrame, capacity: Int = 32): DataFrame = {
+    val mg = graft.functions.MisraGries.sketch(capacity)
+    val cands = toks
+      .groupBy(col("source"))
+      .agg(mg(col("tok")).as("sk"), count(lit(1)).as("n_total"))
+      .select(col("source"), explode(map_keys(col("sk"))).as("tok"), col("n_total"))
+    toks.join(broadcast(cands), Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * capacity > col("n_total"))
+      .select(col("source"), col("tok"), col("n"))
+  }
 }

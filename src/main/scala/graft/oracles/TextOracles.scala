@@ -298,6 +298,17 @@ private[graft] object TextOracles {
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
         |HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM toks)""".stripMargin,
+    // twin of [[graft.ops.TextStats.groupHeavyHitters]] — the sketch is a
+    // guaranteed candidate superset per group, the exact pass discards the
+    // padding, so the plain per-group GROUP BY / HAVING is the oracle
+    "ops_group_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT source, COUNT(*) AS n_total FROM toks GROUP BY 1)
+        |SELECT t.source, t.tok, COUNT(*) AS n
+        |FROM toks t JOIN tot USING (source)
+        |GROUP BY t.source, t.tok, tot.n_total
+        |HAVING COUNT(*) * 32 > tot.n_total""".stripMargin,
     "ops_lsh_calib" ->
       s"""WITH $shinglesCte,
          |$minhashCandsCte,

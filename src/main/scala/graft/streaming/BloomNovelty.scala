@@ -84,6 +84,42 @@ object BloomNovelty {
     out.iterator
   }
 
+  /** [[tagged]] on transformWithState — completing the dual-API matrix the
+    * dedup and prev-image stores keep (classic checkpoints migrate per
+    * [[StateMigration]]'s discipline; here the state is one Array[Long]
+    * value per shard, nothing per-key to migrate). Parity with the classic
+    * path is spec-pinned.
+    */
+  class ShardProcessor(p: Bloom.Params)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Keyed, Tagged] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var bloom: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bloom = getHandle.getValueState[Array[Long]]("bloom",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[Keyed],
+                                 timerValues: TimerValues): Iterator[Tagged] = {
+      val bits =
+        if (bloom.exists()) bloom.get() else new Array[Long](p.numBits >>> 6)
+      val out = rows.toSeq.sortBy(r => (r.doc_id, r.h)).map { r =>
+        val fresh = !BloomKernel.mightContain(bits, p.numHashes, r.h)
+        BloomKernel.insert(bits, p.numHashes, r.h)
+        Tagged(r.doc_id, r.h, fresh)
+      }
+      bloom.update(bits)
+      out.iterator
+    }
+  }
+
+  /** The gate on the modern stateful API. */
+  def taggedTws(keyed: Dataset[Keyed], p: Bloom.Params): Dataset[Tagged] = {
+    import keyed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    keyed.groupByKey(_.shard)
+      .transformWithState(new ShardProcessor(p), TimeMode.None(), OutputMode.Append())
+  }
+
   /** The one-pass batch twin the spec pins the stream against: the same
     * per-shard classify-then-insert fold in (doc_id, h) order, driver-side
     * (spec scale only).

@@ -66,6 +66,35 @@ class BloomNoveltySpec extends SparkSuite {
       "first-time docs mostly tagged maybe_seen — fpp or sharding is off")
   }
 
+  test("transformWithState twin == classic path across the same splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = docSeq
+      val input = MemoryStream[BloomNoveltySpec.D]
+      val name = s"bloom_novelty_tws_${System.nanoTime()}"
+      val q = BloomNovelty.taggedTws(
+          BloomNovelty.keyed(input.toDS().toDF(), shardBits = 4), p)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val tws = try {
+        Seq(docs.take(20), docs.drop(20)).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+        }
+        spark.table(name).as[Tagged].collect().toSeq.sortBy(t => (t.doc_id, t.h))
+      } finally q.stop()
+      val classic = runSplits(Seq(docs.take(20), docs.drop(20)))
+      assert(tws == classic, "tws and classic novelty gates diverged")
+    } finally {
+      prior.fold(spark.conf.unset(RocksKey))(spark.conf.set(RocksKey, _))
+    }
+  }
+
   test("within-batch duplicate content: second copy tags maybe_seen (sequential semantics)") {
     val twice = Seq(D(1L, "alpha beta gamma delta epsilon"), D(2L, "alpha beta gamma delta epsilon"))
     val got = runSplits(Seq(twice))

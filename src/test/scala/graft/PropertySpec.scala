@@ -69,6 +69,35 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("per-group heavy hitters: one group's heavy survives another group's bulk, any partitioning") {
+    // group A plants ONE heavy over 300 distinct noise keys; group B is
+    // 20000 rows of bulk on 50 other keys. A GLOBAL capacity-16 sketch is
+    // dominated by B's keys and would evict A's heavy before the verify
+    // pass ever saw it; the per-group summary must keep it regardless of
+    // how Spark partitions (merge-order stress), and the exact pass must
+    // discard every padded candidate so the output equals the plain
+    // per-group GROUP BY / HAVING twin.
+    val aRows = Seq.fill(500)("hot_a") ++ (0 until 300).map(i => s"a_noise_$i")
+    val bRows = (0 until 50).flatMap(i => Seq.fill(400)(s"b_bulk_$i"))
+    val rows = aRows.map(("A", _)) ++ bRows.map(("B", _))
+    val exact: Set[(String, String, Long)] = {
+      val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+      byGroup.flatMap { case (g, toks) =>
+        val n = toks.size.toLong
+        toks.groupBy(identity).collect {
+          case (t, occ) if occ.size.toLong * 16 > n => (g, t, occ.size.toLong)
+        }
+      }.toSet
+    }
+    assert(exact.contains(("A", "hot_a", 500L)), "fixture broken: planted heavy not heavy")
+    for (parts <- Seq(1, 8, 32)) {
+      val got = graft.ops.TextStats.groupHeavyHittersDf(
+          rows.toDF("source", "tok").repartition(parts))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == exact, s"$parts partitions: per-group output diverged from the exact twin")
+    }
+  }
+
   test("misra-gries: exact (and partitioning-invariant) when distinct keys fit capacity") {
     val mg = graft.functions.MisraGries.sketch(64)
     val stream = (0 until 3000).map(i => s"k${i % 20}")
