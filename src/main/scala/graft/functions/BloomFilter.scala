@@ -52,14 +52,26 @@ object Bloom {
     * m = -n·ln p / (ln 2)^2 rounded UP to a power of two (the mask-indexing
     * contract), k = (m/n)·ln 2 clamped to [1, 16]. The pow-2 round-up only
     * ever lowers the realized fpp below the ask.
+    *
+    * REFUSES asks above 2^30 bits (128 MiB) instead of silently clamping —
+    * a clamped filter would quietly run at a far worse fpp than requested,
+    * exactly the no-silent-caps failure mode. Past that size a single
+    * driver-held filter is the wrong tool: shard the key space (the
+    * [[graft.streaming.BloomNovelty]] gate's `shardBits` design — each
+    * shard sizes independently) or raise `fpp`.
     */
   def forExpected(n: Long, fpp: Double = 0.01): Params = {
     require(n >= 0, s"expected cardinality must be >= 0, got $n")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val ln2 = math.log(2.0)
     val ideal = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    require(ideal <= (1L << 30),
+      s"a Bloom filter for n=$n at fpp=$fpp needs $ideal bits (> 2^30 / " +
+        "128 MiB) — shard the key space (BloomNovelty-style shardBits, one " +
+        "independently-sized filter per shard) or accept a higher fpp " +
+        "instead of a silently-degraded filter")
     var m = 64L
-    while (m < ideal && m < (1L << 30)) m <<= 1
+    while (m < ideal) m <<= 1
     val k = math.max(1, math.min(16, math.round(m.toDouble / math.max(1L, n) * ln2).toInt))
     Params(m.toInt, k)
   }

@@ -48,7 +48,10 @@ object BloomNovelty {
     * (no shuffle until the shard groupByKey).
     */
   def keyed(docs: DataFrame, shardBits: Int = 8): Dataset[Keyed] = {
-    require(shardBits >= 0 && shardBits <= 16, s"shardBits in [0,16], got $shardBits")
+    // lower bound 1: a 0-bit shard would shift by 64, which Java's >>> masks
+    // to a shift of 0 — garbage shards, not one shard. One shard = bits 1
+    // with both shards landing on the same filter size anyway.
+    require(shardBits >= 1 && shardBits <= 16, s"shardBits in [1,16], got $shardBits")
     import docs.sparkSession.implicits._
     docs.select(
       expr(s"cast(shiftrightunsigned(xxhash64(text), ${64 - shardBits}) as int)")

@@ -37,6 +37,17 @@ class BloomSpec extends SparkSuite {
     assert(rate <= 0.02, s"fpp $rate exceeds 2x the 1% ask")
   }
 
+  test("oversized ask refuses loudly instead of silently clamping the fpp") {
+    // 10^10 keys at 1% needs ~10^11 bits — a clamped 2^30-bit filter would
+    // run at a fpp orders worse than asked; the sizing must refuse
+    val e = intercept[IllegalArgumentException] {
+      Bloom.forExpected(10_000_000_000L, 0.01)
+    }
+    assert(e.getMessage.contains("shard the key space"))
+    // the largest representable ask still sizes (2^30 bits exactly)
+    assert(Bloom.forExpected((1L << 30) / 2, 0.5).numBits <= (1 << 30))
+  }
+
   test("empty build side: aggregator zero rides through and everything probes false") {
     val p = Bloom.forExpected(100, 0.01)
     val bits = spark.emptyDataset[Long].toDF("k")
