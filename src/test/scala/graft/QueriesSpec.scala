@@ -172,6 +172,24 @@ class QueriesSpec extends SparkSuite {
     assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
   }
 
+  test("ops_sim_pq: rerank output sorted/bounded, full measured recall of the exact top-10") {
+    val pq = SparkEntry.queries("ops_sim_pq")(spark, sf).collect()
+    assert(pq.length == 10)
+    val sims = pq.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(!pq.map(_.getAs[Long]("vec_id")).contains(0L))
+    // candidate quality vs the brute-force exact top-10 (same ranking
+    // formula as ops_sim_topk): m=8/ksub=32/rerank=100 measured 10/10 on
+    // this clusterless fixture — the PQ-adversarial case (BASELINE r14
+    // late; 4/16/50 sat at 3/10). Pinned at >= 8 so a future param tweak
+    // that quietly guts recall fails HERE, not in production ranking.
+    val exact = SparkEntry.queries("ops_sim_topk")(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val hit = pq.map(_.getAs[Long]("vec_id")).count(exact)
+    assert(hit >= 8, s"PQ recall@10 collapsed: $hit/10")
+  }
+
   test("salted join is semantics-preserving vs the plain join") {
     import graft.ops.Skew
     val ev = Tables.load(spark, sf, "events").filter(col("event_type") === "purchase")
