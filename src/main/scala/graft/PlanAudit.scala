@@ -21,8 +21,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *
   * Reading `cartesian_or_bnlj`: a BroadcastNestedLoopJoin with a ONE-ROW
   * build side is the intentional scalar-subquery shape (`ops_scalar_subquery`,
-  * `ops_sim_topk`/`ops_sim_ivf`/`ops_sim_pq` query-vector/centroid/codebook
-  * rows, `ops_zorder`
+  * `ops_sim_topk`/`ops_sim_ivf`/`ops_sim_pq`/`ops_sim_pq_trained`
+  * query-vector/centroid/codebook rows, `ops_zorder`
   * stats row, `ops_quality_mix` quartile bounds, and the round-5 statistics
   * rows: `ops_bm25` corpus length stats, `ops_ks_test` sample totals,
   * `ops_seasonal` day census, `ops_skipgram_pmi` token total,

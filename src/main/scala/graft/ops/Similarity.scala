@@ -496,6 +496,18 @@ object Similarity {
     * each candidate for m lookups, no shuffle anywhere until the
     * TakeOrderedAndProject heap for the rerank cut.
     */
+  /** One subspace of a vector: elements [mi·sub, mi·sub + sub). */
+  private def pqSubSlice(v: Column, mi: Int, sub: Int): Column =
+    slice(v, mi * sub + 1, sub)
+
+  /** Ordered index-fold L2² of one subspace, floored to integer MICRO-units
+    * — the cross-engine determinism device both PQ forms share (an integer
+    * sum is order-free; a raw double SUM exposes SQL accumulation order).
+    */
+  private def pqL2Micro(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, d) => acc + d) * 1e6).cast("long")
+
   def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
              k: Int = 10, m: Int = 8, ksub: Int = 32,
              rerank: Int = 100): DataFrame = {
@@ -510,11 +522,8 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("vn").as("cv"))))
         .as("cb"))
 
-    def subSlice(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    // ordered index-fold L2² of one subspace, floored to integer micros
-    def l2micro(a: Column, b: Column): Column =
-      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, d) => acc + d) * 1e6).cast("long")
+    def subSlice(v: Column, mi: Int): Column = pqSubSlice(v, mi, sub)
+    def l2micro(a: Column, b: Column): Column = pqL2Micro(a, b)
 
     // encode: per subspace, the (micro-dist, cid)-min codeword — in-row
     val codes = array((0 until m).map { mi =>
@@ -533,6 +542,60 @@ object Similarity {
       l2micro(subSlice(col("qvn"), mi),
         subSlice(element_at(col("cb"),
           (element_at(col("codes"), mi + 1) + 1).cast("int"))("cv"), mi))
+    }.reduce(_ + _)
+    assigned.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", adc)
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[pqTopK]] with the TRAINED codebooks — the learn-then-deploy loop for
+    * ANN, completing the QualityModel pattern on the vector side: per-
+    * subspace Lloyd training runs OFFLINE ([[graft.PqTrain]]), the learned
+    * float centroids are DISTILLED to integer micro-units and frozen as
+    * [[PqModel]], and this query deploys those published integers — learned
+    * floats never cross engines, so the DuckDB oracle inlines the identical
+    * constants and stays exact. Serving shape improves on the sampled form:
+    * the codebooks are a PLAN LITERAL (2048 doubles), so encoding needs no
+    * codebook join at all — one broadcast row remains for the query vector.
+    * `PqModelSpec` pins the trained books at strictly lower total
+    * quantization error than the sampled init on the training corpus
+    * (Lloyd descends monotonically from exactly that init) and the same
+    * recall floor as [[pqTopK]].
+    */
+  def pqTopKTrained(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                    k: Int = 10, rerank: Int = 100): DataFrame = {
+    val m = PqModel.M; val sub = PqModel.Sub
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = emb
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    // published integer micros → doubles, driver-side (micro / 1e6 is the
+    // same IEEE division the oracle's `micro / 1000000.0` performs)
+    val books: Seq[Seq[Seq[Double]]] =
+      PqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq
+    val cbm = typedLit(books)
+
+    def cw(mi: Int, cid: Column): Column =
+      element_at(element_at(cbm, mi + 1), (cid + 1).cast("int"))
+    val codes = array((0 until m).map { mi =>
+      element_at(array_sort(transform(sequence(lit(0), lit(PqModel.Ksub - 1)),
+        cid => struct(
+          pqL2Micro(pqSubSlice(col("vn"), mi, sub), cw(mi, cid)).as("d"),
+          cid.as("cid")))), 1)("cid")
+    }: _*)
+    val assigned = base.withColumn("codes", codes)
+
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    val adc = (0 until m).map { mi =>
+      pqL2Micro(pqSubSlice(col("qvn"), mi, sub),
+        cw(mi, element_at(col("codes"), mi + 1)))
     }.reduce(_ + _)
     assigned.join(broadcast(q))
       .filter(col("vec_id") =!= queryId)

@@ -599,6 +599,41 @@ private[graft] object TextOracles {
          |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
+    // twin of [[graft.ops.Similarity.pqTopKTrained]] — the PUBLISHED integer
+    // codebooks ([[graft.ops.PqModel]], trained offline and distilled like
+    // QualityModel's weights) inlined as a VALUES table: both engines divide
+    // the same integer micros by 1000000.0, so the codewords are
+    // bit-identical without any float crossing engines
+    "ops_sim_pq_trained" -> {
+      import graft.ops.PqModel
+      val sub = PqModel.Sub; val rerank = 100
+      val cbValues = (for { mi <- 0 until PqModel.M; cid <- 0 until PqModel.Ksub }
+        yield s"($mi, $cid, " +
+          PqModel.Micros(mi)(cid).map(v => s"$v / 1000000.0")
+            .mkString("list_value(", ", ", "))")).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |cbv(m, cid, cw) AS (VALUES $cbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
+         |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid) GROUP BY 1),
+         |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |         ORDER BY adc, vec_id LIMIT $rerank),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    },
     "ops_sim_ivf" -> {
       val nlist = 16; val nprobe = 4
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
