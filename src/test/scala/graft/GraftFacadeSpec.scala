@@ -34,6 +34,37 @@ class GraftFacadeSpec extends SparkSuite {
     assert(pairsFacade == pairsDirect && pairsFacade > 0)
   }
 
+  test("bloomBuild/bloomMightContain roundtrip: inserted keys true, pruning real") {
+    import graft.functions.Bloom
+    val dim = Tables.load(spark, sf, "part").filter(col("p_size") <= 5)
+    val p = Bloom.forExpected(dim.count(), 0.01)
+    val bits = Graft.bloomBuild(dim, col("p_partkey"), p)
+    val li = Tables.load(spark, sf, "lineitem")
+    val passed = li.filter(Graft.bloomMightContain(col("l_partkey"), bits, p)).count()
+    val matching = li.join(dim, col("l_partkey") === col("p_partkey")).count()
+    assert(passed >= matching, "facade probe dropped a matching row")
+    assert(passed < li.count(), "facade probe pruned nothing")
+  }
+
+  test("noveltyGate facade tags the planted repeat maybe_seen") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BloomNoveltySpec.D]
+    val p = graft.functions.Bloom.forExpected(1024, 0.01)
+    val name = s"facade_gate_${System.nanoTime()}"
+    val q = Graft.noveltyGate(input.toDS().toDF(), p, shardBits = 4)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(BloomNoveltySpec.D(1L, "alpha beta gamma"),
+        BloomNoveltySpec.D(2L, "alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .as[graft.streaming.BloomNovelty.Tagged].collect().sortBy(_.doc_id)
+      assert(got.map(_.definitely_new).toSeq == Seq(true, false))
+    } finally q.stop()
+  }
+
   test("mergePatch column function is the native RFC 7386 expression") {
     import spark.implicits._
     val out = Seq(("""{"a":1,"b":2}""", """{"a":1,"b":3}"""))
