@@ -81,7 +81,11 @@ object BloomMembership {
     val corpus = sh.filter(col("doc_id") % 10 =!= 0).select(col("shingle"))
     val batch = sh.filter(col("doc_id") % 10 === 0)
 
-    val p = Bloom.forExpected(corpus.count(), fpp = 0.01)
+    // sized from the DISTINCT shingle count — forExpected's contract is
+    // expected distinct keys; the raw (doc_id, shingle) row count overshoots
+    // by the cross-doc repetition factor and would trip the 2^30-bit refusal
+    // far earlier than the real cardinality warrants
+    val p = Bloom.forExpected(corpus.distinct().count(), fpp = 0.01)
     val bits = corpus.agg(Bloom.agg(p)(xxhash64(col("shingle"))))
       .as[Array[Long]].head()
     def maybeSeen: Column = Bloom.mightContain(xxhash64(col("shingle")), bits, p)

@@ -492,7 +492,8 @@ object Similarity {
     *
     * Scale shape: encoding is one narrow map over the corpus with the
     * codebooks riding as ONE broadcast row (at 100 TB you persist `codes`
-    * — 4 bytes/vector — and this stage amortizes); the query side touches
+    * — 5 bytes/vector — and this stage amortizes; [[ensurePqCodes]] +
+    * [[pqTopKServed]] are exactly that deployment); the query side touches
     * each candidate for m lookups, no shuffle anywhere until the
     * TakeOrderedAndProject heap for the rerank cut.
     */
@@ -518,8 +519,17 @@ object Similarity {
     val base = emb
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    // The positional `cb[cid+1]` lookups below assume the sampled codebook
+    // is EXACTLY vec_ids [0, ksub) — a gap (sparse id space) would silently
+    // resolve the wrong codeword while the oracle joins by cid VALUE. The
+    // guard turns that divergence into a loud plan-time error: When-branch
+    // type coercion accepts raise_error's NullType against the array.
+    val cbRow = sort_array(collect_list(struct(col("vec_id").as("cid"), col("vn").as("cv"))))
     val cb = base.filter(col("vec_id") < ksub)
-      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("vn").as("cv"))))
+      .agg(when(size(cbRow) === ksub, cbRow)
+        .otherwise(raise_error(concat(
+          lit("pqTopK: codebook has "), size(cbRow).cast("string"),
+          lit(s" entries, expected $ksub — vec_id space must cover [0,$ksub) contiguously"))))
         .as("cb"))
 
     def subSlice(v: Column, mi: Int): Column = pqSubSlice(v, mi, sub)
@@ -569,39 +579,168 @@ object Similarity {
     */
   def pqTopKTrained(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                     k: Int = 10, rerank: Int = 100): DataFrame = {
-    val m = PqModel.M; val sub = PqModel.Sub
-    val emb = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val base = emb
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-    // published integer micros → doubles, driver-side (micro / 1e6 is the
-    // same IEEE division the oracle's `micro / 1000000.0` performs)
-    val books: Seq[Seq[Seq[Double]]] =
-      PqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq
-    val cbm = typedLit(books)
-
-    def cw(mi: Int, cid: Column): Column =
-      element_at(element_at(cbm, mi + 1), (cid + 1).cast("int"))
-    val codes = array((0 until m).map { mi =>
-      element_at(array_sort(transform(sequence(lit(0), lit(PqModel.Ksub - 1)),
-        cid => struct(
-          pqL2Micro(pqSubSlice(col("vn"), mi, sub), cw(mi, cid)).as("d"),
-          cid.as("cid")))), 1)("cid")
-    }: _*)
-    val assigned = base.withColumn("codes", codes)
-
+    val base = loadNormalized(spark, sfDir)
+    val assigned = base.withColumn("codes", trainedCodes(col("vn")))
     val q = base.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("vn").as("qvn"))
-    val adc = (0 until m).map { mi =>
-      pqL2Micro(pqSubSlice(col("qvn"), mi, sub),
-        cw(mi, element_at(col("codes"), mi + 1)))
-    }.reduce(_ + _)
     assigned.join(broadcast(q))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("adc", adc)
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(rerank)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The (vec_id, v, vn) frame every PQ form starts from. */
+  private def loadNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+  /** [[PqModel]]'s published integer micros → doubles, driver-side, as one
+    * plan literal (m × ksub × sub = 2048 doubles — micro / 1e6 is the same
+    * IEEE division the oracle's `micro / 1000000.0` performs).
+    */
+  private lazy val trainedBooks: Column = typedLit(
+    PqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
+
+  /** Codeword (mi, cid) of the trained books — `Sub` doubles. */
+  private def trainedCw(mi: Int, cid: Column): Column =
+    element_at(element_at(trainedBooks, mi + 1), (cid + 1).cast("int"))
+
+  /** In-row trained-PQ encode of a normalized vector: per subspace, the
+    * (micro-dist, cid)-min codeword id. No join — the books are a literal.
+    */
+  private def trainedCodes(vn: Column): Column =
+    array((0 until PqModel.M).map { mi =>
+      element_at(array_sort(transform(sequence(lit(0), lit(PqModel.Ksub - 1)),
+        cid => struct(
+          pqL2Micro(pqSubSlice(vn, mi, PqModel.Sub), trainedCw(mi, cid)).as("d"),
+          cid.as("cid")))), 1)("cid")
+    }: _*)
+
+  /** ADC distance: Σ_m micro-dist(query subspace m, candidate's codeword m)
+    * — integer adds over literal-table lookups, the order-free cross-engine
+    * sum both PQ serving forms share.
+    */
+  private def trainedAdc(qvn: Column, codes: Column): Column =
+    (0 until PqModel.M).map { mi =>
+      pqL2Micro(pqSubSlice(qvn, mi, PqModel.Sub),
+        trainedCw(mi, element_at(codes, mi + 1)))
+    }.reduce(_ + _)
+
+  /** Build-once IVF-PQ codes ARTIFACT — the persisted form the [[pqTopK]]
+    * scaladoc promises at 100 TB: one table of (vec_id, codes[, list]) with
+    * codes from the TRAINED books ([[trainedCodes]]) and `list` the IVF
+    * coarse assignment ([[ivfTopK]]'s argmax-cosine over the first `nlist`
+    * vectors), written PARTITIONED BY list so an nprobe-pruned serving scan
+    * reads only its probed partitions. Same amortization contract as
+    * [[graft.sources.Layout.ensureBucketed]]: built once per (source dir)
+    * into the session warehouse — 5 logical bytes/vector (8×5-bit ids) vs
+    * 256 for the floats — and every subsequent ADC query serves from it;
+    * the encode never appears in a serving plan again. Cross-JVM staleness
+    * handled the same way (the in-memory catalog forgets, the warehouse
+    * dir persists — drop stale files before CTAS).
+    */
+  def ensurePqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): String = {
+    val short = s"pq_codes_${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+    val name = s"graft_artifacts.$short"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val base = loadNormalized(spark, sfDir)
+      val cents = base.filter(col("vec_id") < nlist)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+          .as("cents"))
+      // coarse assignment identical to ivfTopK's: argmax cosine over RAW
+      // vectors, ties by cid ascending
+      val ranked = array_sort(transform(col("cents"),
+        c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
+      base.join(broadcast(cents))
+        .withColumn("list", element_at(ranked, 1)("cid"))
+        .withColumn("codes", trainedCodes(col("vn")))
+        .select(col("vec_id"), col("codes"), col("list"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("list").saveAsTable(name)
+    }
+    name
+  }
+
+  /** PQ serving from the PERSISTED codes artifact — [[pqTopKTrained]]'s
+    * exact output (same oracle) with the corpus-wide encode GONE from the
+    * serving plan: ADC reads the 5-byte codes table, the rerank reads raw
+    * vectors for the ≤`rerank` ADC survivors only (candidate ids broadcast
+    * into one hash join), and the only corpus-wide work left is the codes
+    * scan itself. `PqServedSpec` pins both halves: row parity with the
+    * unserved form, and a serving plan free of the encode's argmin
+    * (`sequence(0, ksub-1)` appears nowhere).
+    */
+  def pqTopKServed(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                   k: Int = 10, rerank: Int = 100): DataFrame = {
+    val codes = spark.table(ensurePqCodes(spark, sfDir))
+    val base = loadNormalized(spark, sfDir)
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    val cand = codes.join(broadcast(q.select(col("qvn"))))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("qv"))))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ — the standard two-level ANN layout (Jégou et al. §V: coarse
+    * quantizer prunes, product codes rank): the query ranks the `nlist`
+    * coarse centroids DRIVER-SIDE (nlist rows — planning metadata, the
+    * bounded collect an ANN service performs to route a query), the codes
+    * scan prunes to the `nprobe` probed PARTITIONS of the
+    * [[ensurePqCodes]] artifact (static partition pruning — the plan's
+    * PartitionFilters, not a row filter), ADC ranks within the probed
+    * lists, and exact cosine reranks the top `rerank` as ever. At 100 TB
+    * the serving cost is nprobe/nlist of the codes bytes + `rerank` raw
+    * vectors — independent of corpus growth once list sizes are balanced.
+    * Centroid ranking uses the same fused cosine kernel as the oracle's
+    * `cosineSql` (bit-equal), so the probed set is cross-engine exact.
+    */
+  def pqTopKIvf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                rerank: Int = 100): DataFrame = {
+    val tbl = ensurePqCodes(spark, sfDir, nlist)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probes: Seq[Long] = emb.filter(col("vec_id") < nlist)
+      .join(broadcast(q))
+      .select(col("vec_id").as("cid"), cosine(col("v"), col("qv")).as("cs"))
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .take(nprobe).map(_.getLong(0)).toSeq
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    val cand = spark.table(tbl)
+      .filter(col("list").isin(probes: _*))
+      .join(broadcast(qn.select(col("qvn"))))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("qv"))))
       .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

@@ -9,6 +9,48 @@ private[graft] object TextOracles {
   import OracleFrags._
   import graft.ops.{Curation, Similarity, TextStats}
 
+  /** [[graft.ops.PqModel]]'s published integer codebooks as a DuckDB VALUES
+    * list — both engines divide the same integer micros by 1000000.0, so the
+    * codewords are bit-identical without any float crossing engines.
+    */
+  private lazy val pqCbValues: String = {
+    import graft.ops.PqModel
+    (for { mi <- 0 until PqModel.M; cid <- 0 until PqModel.Ksub }
+      yield s"($mi, $cid, " +
+        PqModel.Micros(mi)(cid).map(v => s"$v / 1000000.0")
+          .mkString("list_value(", ", ", "))")).mkString(", ")
+  }
+
+  /** Twin of [[graft.ops.Similarity.pqTopKTrained]] — shared verbatim by
+    * `ops_sim_pq_trained` and the persisted-codes `ops_sim_pq_served`.
+    */
+  private lazy val pqTrainedSql: String = {
+    import graft.ops.PqModel
+    val sub = PqModel.Sub; val rerank = 100
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+       |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+       |sm AS (
+       |  SELECT vec_id, cb.m, cb.cid,
+       |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+       |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+       |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+       |  FROM nz, cbv cb),
+       |asg AS (SELECT vec_id, m, cid FROM (
+       |  SELECT vec_id, m, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+       |  FROM sm) WHERE rk = 1),
+       |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
+       |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+       |        FROM asg a JOIN qd t USING (m, cid) GROUP BY 1),
+       |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+       |         ORDER BY adc, vec_id LIMIT $rerank),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+       |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "ops_histogram" ->
       """SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
@@ -573,7 +615,7 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.Similarity.pqTopK]] — same deterministically-
     // sampled codebooks, same ordered-fold subspace L2 floored to integer
     // micros (so the ADC SUM is order-free), same (dmicro, cid) argmin and
-    // exact-cosine rerank of the top-50 candidates
+    // exact-cosine rerank of the top-100 candidates
     "ops_sim_pq" -> {
       val m = 8; val ksub = 32; val sub = Similarity.Dim / m; val rerank = 100
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -604,16 +646,32 @@ private[graft] object TextOracles {
     // QualityModel's weights) inlined as a VALUES table: both engines divide
     // the same integer micros by 1000000.0, so the codewords are
     // bit-identical without any float crossing engines
-    "ops_sim_pq_trained" -> {
+    "ops_sim_pq_trained" -> pqTrainedSql,
+    // twin of [[graft.ops.Similarity.pqTopKServed]] — the persisted-codes
+    // serving form. The ARTIFACT is a Spark-side layout choice (the codes
+    // table holds exactly the trained encode of every vector), so the
+    // oracle is the trained query verbatim: serving from codes must never
+    // change answers, only plans.
+    "ops_sim_pq_served" -> pqTrainedSql,
+    // twin of [[graft.ops.Similarity.pqTopKIvf]] — IVF coarse pruning
+    // (ops_sim_ivf's assignment + probes, raw-vector cosine) composed with
+    // the trained-PQ ADC (ops_sim_pq_trained's CTEs) restricted to the
+    // probed lists, then the shared exact-cosine rerank.
+    "ops_sim_ivfpq" -> {
       import graft.ops.PqModel
       val sub = PqModel.Sub; val rerank = 100
-      val cbValues = (for { mi <- 0 until PqModel.M; cid <- 0 until PqModel.Ksub }
-        yield s"($mi, $cid, " +
-          PqModel.Micros(mi)(cid).map(v => s"$v / 1000000.0")
-            .mkString("list_value(", ", ", "))")).mkString(", ")
+      val nlist = 16; val nprobe = 4
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
-         |cbv(m, cid, cw) AS (VALUES $cbValues),
+         |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
+         |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, ccid AS list FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |    FROM ca) WHERE rk = 1),
+         |probes AS (SELECT ccid FROM ca WHERE vec_id = 0 ORDER BY csim DESC, ccid LIMIT $nprobe),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
          |sm AS (
          |  SELECT vec_id, cb.m, cb.cid,
          |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
@@ -626,12 +684,15 @@ private[graft] object TextOracles {
          |  FROM sm) WHERE rk = 1),
          |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
          |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
-         |        FROM asg a JOIN qd t USING (m, cid) GROUP BY 1),
+         |        FROM asg a JOIN qd t USING (m, cid)
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        WHERE s.list IN (SELECT ccid FROM probes)
+         |        GROUP BY 1),
          |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
          |         ORDER BY adc, vec_id LIMIT $rerank),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
          |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
-         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |FROM cand c2 JOIN e ON e.vec_id = c2.vec_id, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
     "ops_sim_ivf" -> {

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{PqModel, Similarity}
+
+/** The persisted-codes PQ serving path ([[Similarity.ensurePqCodes]] /
+  * [[Similarity.pqTopKServed]] / [[Similarity.pqTopKIvf]]): layout choices
+  * must never change answers, and the serving PLANS must actually be the
+  * amortized shape the artifact exists for — no corpus-wide encode, and
+  * (for IVF-PQ) a partition-pruned codes scan.
+  */
+class PqServedSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pqTopKServed returns exactly pqTopKTrained's rows") {
+    val served = Similarity.pqTopKServed(spark, sf).collect().toSeq
+    val trained = Similarity.pqTopKTrained(spark, sf).collect().toSeq
+    assert(served == trained,
+      s"serving from the codes artifact changed answers:\n$served\nvs\n$trained")
+  }
+
+  test("serving plan reads the codes artifact and contains no encode") {
+    val name = Similarity.ensurePqCodes(spark, sf)
+    val plan = planOf(Similarity.pqTopKServed(spark, sf))
+    assert(plan.contains(name.split('.').last),
+      s"serving plan does not scan the persisted codes table:\n${plan.take(4000)}")
+    // the encode's surviving plan signature is the per-row ARGMIN over the
+    // codeword ids — array_sort over the candidate struct array (the
+    // sequence(0, ksub-1) literal itself constant-folds away). The TRAINED
+    // query carries it (corpus-wide re-encode); the SERVED query must not,
+    // anywhere — its only higher-order work is the ADC lookups and the
+    // one-row query normalization, neither of which sorts an array.
+    val argmin = "array_sort("
+    assert(planOf(Similarity.pqTopKTrained(spark, sf)).contains(argmin),
+      "sanity: the unserved plan should contain the encode argmin")
+    assert(!plan.contains(argmin),
+      "serving plan still encodes the corpus — the artifact is not amortizing")
+  }
+
+  test("IVF-PQ prunes the codes scan to the probed partitions") {
+    Similarity.ensurePqCodes(spark, sf)
+    val plan = planOf(Similarity.pqTopKIvf(spark, sf))
+    // static partition pruning: the codes scan must carry a PartitionFilters
+    // entry binding `list` to the nprobe probed ids (a post-scan row filter
+    // would read every list's bytes — the opposite of the IVF contract)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("list"),
+      s"codes scan has no partition filter on `list`:\n$plan")
+    assert(!plan.contains(s"sequence(0, ${PqModel.Ksub - 1}"),
+      "IVF-PQ serving plan re-encodes the corpus")
+  }
+
+  test("IVF-PQ equals brute-force exact top-k restricted to probed lists") {
+    // the algorithm-defined candidate set (probed lists, ADC top-rerank)
+    // then exact cosine: with rerank >= every probed-list member at this
+    // scale, the output must equal exact cosine over the probed lists.
+    import org.apache.spark.sql.functions._
+    val nlist = 16; val nprobe = 4
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val probes = emb.filter(col("vec_id") < nlist)
+      .join(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("v"), col("qv")).as("cs"))
+      .collect().sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .take(nprobe).map(_.getLong(0)).toSet
+    val cents = emb.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    val ranked = array_sort(transform(col("cents"),
+      c => struct((-Similarity.cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
+    val inProbed = emb.join(broadcast(cents))
+      .withColumn("list", element_at(ranked, 1)("cid"))
+      .filter(col("list").isin(probes.toSeq: _*) && col("vec_id") =!= 0L)
+    val total = inProbed.count()
+    val exact = inProbed.join(broadcast(q))
+      .select(col("vec_id"), round(Similarity.cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      .collect().toSeq
+    // rerank >= probed membership makes the ADC cut a no-op, so the output
+    // must EQUAL exact cosine over the probed lists — the candidate-set
+    // contract tested independently of ADC quality
+    val got = Similarity.pqTopKIvf(spark, sf, rerank = total.toInt).collect().toSeq
+    assert(got == exact, s"IVF-PQ diverged from exact-over-probed-lists:\n$got\nvs\n$exact")
+  }
+
+  test("artifact is built once and reused (second ensure is a no-op)") {
+    val name = Similarity.ensurePqCodes(spark, sf)
+    val files = spark.table(name).inputFiles.toSet
+    assert(Similarity.ensurePqCodes(spark, sf) == name)
+    assert(spark.table(name).inputFiles.toSet == files,
+      "second ensurePqCodes rewrote the artifact")
+  }
+}
