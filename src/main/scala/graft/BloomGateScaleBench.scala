@@ -74,6 +74,47 @@ object BloomGateScaleBench {
       val stateBytes = shards.toLong * (p.numBits >> 3)
       println(s"""{"metric":"bloom_gate_scale","shards":$shards,"keys_per_wave":$keysPerWave,"waves":$waves,"warm_new_wave_sec":$lastNewSec,"new_keys_per_sec":${(keysPerWave / lastNewSec).toLong},"replay_wave_sec":$replaySec,"replay_keys_per_sec":${(keysPerWave / replaySec).toLong},"state_bytes":$stateBytes}""")
     }
+
+    // ROTATION wave: the same flow into a gate whose per-shard ACTIVE
+    // capacity is deliberately ~1/4 of its key share, so every shard
+    // rotates several times mid-run. The claims: throughput stays in the
+    // fixed-gate's class on every wave (rotation is an O(arrays) pointer
+    // shuffle, not a rebuild), and state is exactly (retired+1) fixed
+    // filters per shard however far past sized capacity the stream runs.
+    {
+      val shards = 32
+      val shardBits = Integer.numberOfTrailingZeros(shards)
+      val retired = 2
+      val perShardFlow = math.max(1024L, keysPerWave.toLong * waves / shards)
+      val cap = math.max(1024L, perShardFlow / 4) // ~4 rotations per shard
+      val rot = graft.streaming.BloomNovelty.Rotation(cap, retired)
+      val p = graft.functions.Bloom.forRotation(cap, 0.01, retired)
+      def keyedRow(globalId: Long): graft.streaming.BloomNovelty.Keyed = {
+        val h = scala.util.hashing.byteswap64(globalId)
+        graft.streaming.BloomNovelty.Keyed((h >>> (64 - shardBits)).toInt, h, globalId)
+      }
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.BloomNovelty.Keyed]
+      val q = graft.streaming.BloomNovelty.tagged(in.toDS(), p, rot)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bloom_gate_rot").toString)
+        .start()
+      val waveSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      try {
+        (0 until waves).foreach { w =>
+          val rows = (0 until keysPerWave)
+            .map(i => keyedRow(w.toLong * keysPerWave + i))
+          val t0 = System.nanoTime()
+          in.addData(rows)
+          q.processAllAvailable()
+          waveSecs += (System.nanoTime() - t0) / 1e9
+        }
+      } finally q.stop()
+      val stateBytes = shards.toLong * (retired + 1) * (p.numBits >> 3)
+      val per = waveSecs.map(s => (keysPerWave / s).toLong)
+      println(s"""{"metric":"bloom_gate_rotation","shards":$shards,"active_capacity":$cap,"retired":$retired,"keys_per_wave":$keysPerWave,"waves":$waves,"wave_keys_per_sec":[${per.mkString(",")}],"warm_new_wave_sec":${waveSecs.last},"state_bytes":$stateBytes}""")
+    }
     spark.stop()
   }
 }

@@ -185,13 +185,20 @@ object Graft {
   /** Streaming constant-state novelty gate: tag each arriving document
     * definitely_new (exact) or maybe_seen (route ONLY these into the exact
     * dedup stream). State = 2^shardBits fixed per-shard filters, forever.
-    * `p` sizes ONE shard. See [[graft.streaming.BloomNovelty]].
+    * `p` sizes ONE shard. For UNBOUNDED key flow pass a
+    * [[graft.streaming.BloomNovelty.Rotation]] (and size `p` with
+    * [[graft.functions.Bloom.forRotation]]): generations rotate at sized
+    * capacity so the realized fpp never climbs past the ask — no false
+    * negatives within the retention window, state still constant. See
+    * [[graft.streaming.BloomNovelty]].
     */
   def noveltyGate(docs: DataFrame, p: graft.functions.Bloom.Params,
-                  shardBits: Int = 8)
+                  shardBits: Int = 8,
+                  rot: graft.streaming.BloomNovelty.Rotation =
+                    graft.streaming.BloomNovelty.Rotation.none)
       : Dataset[graft.streaming.BloomNovelty.Tagged] =
     graft.streaming.BloomNovelty.tagged(
-      graft.streaming.BloomNovelty.keyed(docs, shardBits), p)
+      graft.streaming.BloomNovelty.keyed(docs, shardBits), p, rot)
 
   // ===== CDC (column functions + streaming source) =====
 
@@ -431,9 +438,14 @@ object Graft {
     */
   /** NON-MUTATING per-(store, user) preview of [[eraseEverywhere]] — the
     * compliance "what would this request find, where" before the
-    * destructive call. One (store, user_id, found) row per store ×
-    * requested user, counts exactly the destructive form's before-census;
-    * nothing written. Multi-archive twin: [[erasurePreviewMultiArchive]].
+    * destructive call. One (store, user_id, found, posture) row per store
+    * × requested user, counts exactly the destructive form's
+    * before-census; nothing written. `posture` states each store's
+    * attribution contract — "attributable" for erasable stores, and the
+    * explicit no-attributable-state note for hash-only gates
+    * ([[graft.streaming.EraseEverywhere.BloomGate]]), so a configured gate
+    * appears in the census instead of being silently absent.
+    * Multi-archive twin: [[erasurePreviewMultiArchive]].
     */
   def erasurePreview(spark: SparkSession, archivePath: String,
                      userIds: Seq[Long],

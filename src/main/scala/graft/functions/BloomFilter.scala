@@ -76,6 +76,18 @@ object Bloom {
     Params(m.toInt, k)
   }
 
+  /** Per-GENERATION params for a rotating gate
+    * ([[graft.streaming.BloomNovelty.Rotation]]): with `retired` + 1
+    * generations probed as an OR, the union bound gives realized fpp ≤
+    * Σ per-generation fpp, so each generation is sized for
+    * `fpp / (retired + 1)` over its `maxInserts` capacity — the asked fpp
+    * holds no matter how long the stream runs.
+    */
+  def forRotation(maxInserts: Long, fpp: Double, retired: Int): Params = {
+    require(retired >= 1, s"retired generations must be >= 1, got $retired")
+    forExpected(maxInserts, fpp / (retired + 1))
+  }
+
   /** Untyped-column build form for `df.agg(...)` over a LONG key column
     * (pre-hash strings with `xxhash64`/[[Hash60]] — any 64-bit map works,
     * the probe only promises no false negatives over the SAME key values).

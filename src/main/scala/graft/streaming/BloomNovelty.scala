@@ -25,24 +25,67 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * constant memory" posture ([[Bloom.forExpected]] sizes per shard for
   * expectedKeys / 2^shardBits).
   *
+  * GENERATIONAL ROTATION ([[Rotation]]): a fixed filter is correct for a
+  * SIZED key universe, but an unbounded stream eventually pushes a shard
+  * past its sized n and the realized fpp silently climbs above the ask.
+  * With rotation, each shard counts its actual (new-to-active) inserts;
+  * when the active filter reaches `maxInserts` it retires — the shard
+  * keeps the last `retired` generations and probes the OR of all of them,
+  * so there are NO false negatives within the retention window of
+  * `retired × maxInserts` distinct-insert events, and every generation is
+  * sized for `fpp / (retired + 1)` ([[Bloom.forRotation]]) so the union-
+  * bound realized fpp stays ≤ the asked fpp no matter how long the stream
+  * runs. A key resident only in a retired generation that arrives again
+  * re-inserts into the active filter (still tagged maybe_seen), refreshing
+  * its retention — hot keys are never forgotten; a key untouched for the
+  * whole window ages out and will tag definitely_new once more (the
+  * explicit contract of a bounded-memory gate over unbounded flow — route
+  * it to the exact store again, which is idempotent). State stays constant:
+  * at most `retired + 1` fixed bit arrays per shard, forever.
+  *
   * Determinism: within a micro-batch each shard classifies in (doc_id, h)
   * order, classify-THEN-insert, so for a stream delivered in nondecreasing
   * doc_id order (the engine-wide monotone-id contract) the output is
   * INVARIANT under micro-batch split points and equal to the one-pass
-  * batch fold ([[batchTagged]]) — `BloomNoveltySpec` pins both. Duplicate
-  * content in one batch tags the second copy `maybe_seen`, exactly as if
-  * the copies had arrived in different batches.
+  * batch fold ([[batchTagged]]) — `BloomNoveltySpec` pins both, with and
+  * without rotation. Duplicate content in one batch tags the second copy
+  * `maybe_seen`, exactly as if the copies had arrived in different batches.
+  * Both stateful APIs run the SAME [[foldShard]] — the classify-then-
+  * insert-then-rotate recurrence exists exactly once.
   *
   * Erasure posture, by construction: state holds ONLY irreversible 64-bit
   * content hashes — no payload, no user ids, nothing attributable — so the
   * per-entity erasure recipes have nothing to reach here (a Bloom cannot
   * delete; full reset = drop the checkpoint and re-warm from the exact
-  * stores, which ARE erasable).
+  * stores, which ARE erasable). [[EraseEverywhere.BloomGate]] carries that
+  * posture into the erasure preview as an explicit row rather than an
+  * omission.
   */
 object BloomNovelty {
 
   case class Keyed(shard: Int, h: Long, doc_id: Long)
   case class Tagged(doc_id: Long, h: Long, definitely_new: Boolean)
+
+  /** Generational-rotation config. `maxInserts` = distinct-insert capacity
+    * of the active filter (its sized n); `retired` = generations kept
+    * probing after retirement. [[none]] never rotates — the fixed-filter
+    * contract for a sized key universe, bit-for-bit the pre-rotation
+    * behavior.
+    */
+  final case class Rotation(maxInserts: Long, retired: Int) {
+    require(maxInserts >= 1, s"maxInserts must be >= 1, got $maxInserts")
+    require(retired >= 1, s"retired generations must be >= 1, got $retired")
+  }
+  object Rotation {
+    val none: Rotation = Rotation(Long.MaxValue, 1)
+  }
+
+  /** Per-shard gate state: the active filter with its insert count, plus
+    * the retired generations (newest first). At most `retired + 1` fixed
+    * arrays — constant whatever flows through.
+    */
+  case class GateState(inserted: Long, active: Array[Long],
+                       retired: Seq[Array[Long]])
 
   /** (shard, content-hash, doc_id) rows — one per document, all in-row
     * (no shuffle until the shard groupByKey).
@@ -60,81 +103,111 @@ object BloomNovelty {
       col("doc_id")).as[Keyed]
   }
 
-  /** The stateful gate: per shard, classify-then-insert against the
-    * shard's Bloom. `p` sizes ONE shard's filter (expected keys per shard,
-    * not total).
+  /** THE recurrence — shared verbatim by the classic handler, the
+    * transformWithState handler, and the batch twin, so the three paths
+    * cannot drift: sort (doc_id, h), classify against the OR of all
+    * retained generations, insert new-to-active keys into the active
+    * filter, rotate when the active filter reaches its sized capacity.
     */
-  def tagged(keyed: Dataset[Keyed], p: Bloom.Params): Dataset[Tagged] = {
+  private[graft] def foldShard(st: GateState, rows: Seq[Keyed],
+                               p: Bloom.Params,
+                               rot: Rotation): (GateState, Seq[Tagged]) = {
+    var inserted = st.inserted
+    var active = st.active
+    var retired = st.retired
+    val out = rows.sortBy(r => (r.doc_id, r.h)).map { r =>
+      val inActive = BloomKernel.mightContain(active, p.numHashes, r.h)
+      val fresh = !inActive &&
+        !retired.exists(g => BloomKernel.mightContain(g, p.numHashes, r.h))
+      if (!inActive) {
+        // new to the ACTIVE generation (fresh, or resident only in a
+        // retired one) — insert to refresh retention, and count it: the
+        // count tracks actual bit-setting inserts, the quantity the
+        // filter was sized for
+        BloomKernel.insert(active, p.numHashes, r.h)
+        inserted += 1L
+        if (inserted >= rot.maxInserts) {
+          retired = (active +: retired).take(rot.retired)
+          active = new Array[Long](p.numBits >>> 6)
+          inserted = 0L
+        }
+      }
+      Tagged(r.doc_id, r.h, fresh)
+    }
+    (GateState(inserted, active, retired), out)
+  }
+
+  private def freshState(p: Bloom.Params): GateState =
+    GateState(0L, new Array[Long](p.numBits >>> 6), Nil)
+
+  /** The stateful gate: per shard, classify-then-insert against the
+    * shard's Bloom generations. `p` sizes ONE shard's filter (expected
+    * keys per shard, not total — with rotation, [[Bloom.forRotation]]'s
+    * per-generation params).
+    */
+  def tagged(keyed: Dataset[Keyed], p: Bloom.Params,
+             rot: Rotation = Rotation.none): Dataset[Tagged] = {
     import keyed.sparkSession.implicits._
     keyed.groupByKey(_.shard)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (_: Int, rows: Iterator[Keyed], state: GroupState[Array[Long]]) =>
-          onShard(rows, state, p)
+        (_: Int, rows: Iterator[Keyed], state: GroupState[GateState]) =>
+          onShard(rows, state, p, rot)
       }
   }
 
   private[graft] def onShard(rows: Iterator[Keyed],
-                             state: GroupState[Array[Long]],
-                             p: Bloom.Params): Iterator[Tagged] = {
-    val bits =
-      if (state.exists) state.get else new Array[Long](p.numBits >>> 6)
-    val out = rows.toSeq.sortBy(r => (r.doc_id, r.h)).map { r =>
-      val fresh = !BloomKernel.mightContain(bits, p.numHashes, r.h)
-      BloomKernel.insert(bits, p.numHashes, r.h)
-      Tagged(r.doc_id, r.h, fresh)
-    }
-    state.update(bits)
+                             state: GroupState[GateState],
+                             p: Bloom.Params,
+                             rot: Rotation = Rotation.none): Iterator[Tagged] = {
+    val st = if (state.exists) state.get else freshState(p)
+    val (next, out) = foldShard(st, rows.toSeq, p, rot)
+    state.update(next)
     out.iterator
   }
 
   /** [[tagged]] on transformWithState — completing the dual-API matrix the
     * dedup and prev-image stores keep (classic checkpoints migrate per
-    * [[StateMigration]]'s discipline; here the state is one Array[Long]
+    * [[StateMigration]]'s discipline; here the state is one [[GateState]]
     * value per shard, nothing per-key to migrate). Parity with the classic
-    * path is spec-pinned.
+    * path is structural: both call [[foldShard]].
     */
-  class ShardProcessor(p: Bloom.Params)
+  class ShardProcessor(p: Bloom.Params, rot: Rotation = Rotation.none)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Keyed, Tagged] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var bloom: ValueState[Array[Long]] = _
+    @transient private var gate: ValueState[GateState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      bloom = getHandle.getValueState[Array[Long]]("bloom",
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
-        TTLConfig.NONE)
+      gate = getHandle.getValueState[GateState]("gate",
+        org.apache.spark.sql.Encoders.product[GateState], TTLConfig.NONE)
     override def handleInputRows(key: Int, rows: Iterator[Keyed],
                                  timerValues: TimerValues): Iterator[Tagged] = {
-      val bits =
-        if (bloom.exists()) bloom.get() else new Array[Long](p.numBits >>> 6)
-      val out = rows.toSeq.sortBy(r => (r.doc_id, r.h)).map { r =>
-        val fresh = !BloomKernel.mightContain(bits, p.numHashes, r.h)
-        BloomKernel.insert(bits, p.numHashes, r.h)
-        Tagged(r.doc_id, r.h, fresh)
-      }
-      bloom.update(bits)
+      val st = if (gate.exists()) gate.get() else freshState(p)
+      val (next, out) = foldShard(st, rows.toSeq, p, rot)
+      gate.update(next)
       out.iterator
     }
   }
 
   /** The gate on the modern stateful API. */
-  def taggedTws(keyed: Dataset[Keyed], p: Bloom.Params): Dataset[Tagged] = {
+  def taggedTws(keyed: Dataset[Keyed], p: Bloom.Params,
+                rot: Rotation = Rotation.none): Dataset[Tagged] = {
     import keyed.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     keyed.groupByKey(_.shard)
-      .transformWithState(new ShardProcessor(p), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new ShardProcessor(p, rot), TimeMode.None(), OutputMode.Append())
   }
 
   /** The one-pass batch twin the spec pins the stream against: the same
-    * per-shard classify-then-insert fold in (doc_id, h) order, driver-side
+    * per-shard fold ([[foldShard]]) in (doc_id, h) order, driver-side
     * (spec scale only).
     */
-  private[graft] def batchTagged(keyedRows: Seq[Keyed],
-                                 p: Bloom.Params): Seq[Tagged] = {
-    val byShard = scala.collection.mutable.Map.empty[Int, Array[Long]]
+  private[graft] def batchTagged(keyedRows: Seq[Keyed], p: Bloom.Params,
+                                 rot: Rotation = Rotation.none): Seq[Tagged] = {
+    val byShard = scala.collection.mutable.Map.empty[Int, GateState]
     keyedRows.sortBy(r => (r.doc_id, r.h)).map { r =>
-      val bits = byShard.getOrElseUpdate(r.shard, new Array[Long](p.numBits >>> 6))
-      val fresh = !BloomKernel.mightContain(bits, p.numHashes, r.h)
-      BloomKernel.insert(bits, p.numHashes, r.h)
-      Tagged(r.doc_id, r.h, fresh)
+      val st = byShard.getOrElseUpdate(r.shard, freshState(p))
+      val (next, out) = foldShard(st, Seq(r), p, rot)
+      byShard(r.shard) = next
+      out.head
     }
   }
 }

@@ -104,6 +104,14 @@ object EraseEverywhere {
       */
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store
+    /** What the erasure PREVIEW should say about this store's attribution
+      * posture: "attributable" for stores whose recipes reach per-entity
+      * artifacts. Stores whose state is irreversible by construction
+      * ([[BloomGate]]) override with an explicit note, so a compliance
+      * review sees the posture STATED per store instead of wondering why
+      * a configured store is absent from the census.
+      */
+    private[graft] def posture: String = "attributable"
     /** The checkpoint this store's config names, when the recipe can MOVE
       * it (offline rewrites) — the forwarding key. In-place stores: None.
       */
@@ -361,6 +369,28 @@ object EraseEverywhere {
     }
     override private[graft] def chk: Option[String] = Some(checkpointDir)
     override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
+  }
+
+  /** The Bloom novelty gate ([[BloomNovelty]]) as a PREVIEW-VISIBLE store:
+    * its state holds ONLY irreversible 64-bit content hashes — no payload,
+    * no user ids, nothing attributable — so per-entity erasure has nothing
+    * to reach BY CONSTRUCTION (a Bloom cannot delete a key; full reset =
+    * drop the checkpoint and re-warm from the exact stores, which ARE
+    * erasable). `foundBy` is identically zero and `erase` is a no-op; the
+    * point of configuring the gate here is the preview ROW — the posture
+    * is stated per store rather than the gate silently missing from the
+    * deployment's erasure census.
+    */
+  final case class BloomGate(name: String, checkpointDir: String)
+      extends Store {
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] =
+      Map.empty
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = this
+    override private[graft] def posture: String =
+      "no attributable state by construction (irreversible content hashes " +
+        "only; reset = drop checkpoint and re-warm from the exact stores)"
   }
 
   /** Distributed per-user counts of an entity-id dataset — the census
@@ -981,17 +1011,17 @@ object EraseEverywhere {
     val done = receiptedOf(spark, archivePath, users)
     val archBy = scopedCountByUser(spark, archiveDf(spark, archivePath), users,
       u => if (openSet(u)) None else priorTombstones.get(u))
-    val rows = users.map(u => ("archive", u, archBy.getOrElse(u, 0L))) ++
+    val rows = users.map(u => ("archive", u, archBy.getOrElse(u, 0L), "attributable")) ++
       live.flatMap { s =>
         val pending = users.filterNot(u => done((s.name, u)))
         val by =
           if (pending.isEmpty) Map.empty[Long, Long]
           else s.foundBy(spark, pending.map(_ -> 0L).toMap)
-        users.map(u => (s.name, u, by.getOrElse(u, 0L)))
+        users.map(u => (s.name, u, by.getOrElse(u, 0L), s.posture))
       }
     val sq = spark
     import sq.implicits._
-    rows.toDF("store", "user_id", "found")
+    rows.toDF("store", "user_id", "found", "posture")
   }
 
   /** The one call: erase `userIds` from the archive and every configured
@@ -1134,6 +1164,8 @@ object EraseEverywhere {
       foundBy(spark, erased).values.sum
     private[graft] def erase(spark: SparkSession,
                              erased: Map[(String, Long), Long]): ByTableStore
+    /** Preview attribution posture — see [[Store.posture]]. */
+    private[graft] def posture: String = "attributable"
   }
 
   /** By-table transformWithState prev-image state erased in place with
@@ -1211,18 +1243,18 @@ object EraseEverywhere {
       val open = users.filter(u => !prior.contains(u) || marked(u)).toSet
       val by = scopedCountByUser(spark, archiveDf(spark, archives(t)), users,
         u => if (open(u)) None else prior.get(u))
-      users.map(u => (s"archive:$t", u, by.getOrElse(u, 0L)))
+      users.map(u => (s"archive:$t", u, by.getOrElse(u, 0L), "attributable"))
     } ++ stores.flatMap { s =>
       val pending = users.filterNot(u => done((s.name, u)))
       val by =
         if (pending.isEmpty) Map.empty[Long, Long]
         else s.foundBy(spark,
           (for { t <- tables; u <- pending } yield (t, u) -> 0L).toMap)
-      users.map(u => (s.name, u, by.getOrElse(u, 0L)))
+      users.map(u => (s.name, u, by.getOrElse(u, 0L), s.posture))
     }
     val sq = spark
     import sq.implicits._
-    rows.toDF("store", "user_id", "found")
+    rows.toDF("store", "user_id", "found", "posture")
   }
 
   /** [[run]] for multi-archive deployments: each captured table has its

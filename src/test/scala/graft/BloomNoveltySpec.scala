@@ -107,12 +107,122 @@ class BloomNoveltySpec extends SparkSuite {
     // drive the handler directly twice: the state array length never changes
     val grouped = keyedRows.groupBy(_.shard)
     grouped.foreach { case (_, rows) =>
-      val st = new TestGroupState[Array[Long]]
+      val st = new TestGroupState[BloomNovelty.GateState]
       BloomNovelty.onShard(rows.iterator, st, p).toSeq // drain
-      assert(st.value.get.length == p.numBits >>> 6)
+      assert(st.value.get.active.length == p.numBits >>> 6)
+      assert(st.value.get.retired.isEmpty, "non-rotating gate grew a generation")
       BloomNovelty.onShard(rows.iterator, st, p).toSeq
-      assert(st.value.get.length == p.numBits >>> 6)
+      assert(st.value.get.active.length == p.numBits >>> 6)
+      assert(st.value.get.retired.isEmpty)
     }
+  }
+
+  // ---- generational rotation: the unbounded-flow fpp contract ----
+
+  /** One-shard key at a deterministic distinct hash per id. */
+  private def key1(id: Long): Keyed =
+    Keyed(0, scala.util.hashing.byteswap64(id), id)
+
+  private val RotCap = 256L
+  private val RotKeep = 2
+  private val rot = BloomNovelty.Rotation(RotCap, RotKeep)
+  private val rotP = Bloom.forRotation(RotCap, 0.01, RotKeep)
+
+  test("rotation: fpp stays <= ask past sized capacity; without it, it climbs") {
+    // drive 16x the active capacity through ONE shard — far past the point
+    // a fixed filter's realized fpp exceeds its ask
+    val n = RotCap * 16
+    val st = new TestGroupState[BloomNovelty.GateState]
+    BloomNovelty.onShard((0L until n).map(key1).iterator, st, rotP, rot).toSeq
+    val g = st.value.get
+    assert(g.retired.size == RotKeep, "rotation never retired a generation")
+    // realized fpp on keys NEVER inserted: probe the final generations
+    // directly (classification would insert and perturb the measurement)
+    def present(h: Long): Boolean =
+      graft.functions.BloomKernel.mightContain(g.active, rotP.numHashes, h) ||
+        g.retired.exists(r =>
+          graft.functions.BloomKernel.mightContain(r, rotP.numHashes, h))
+    val probes = (1000000L until 1010000L).map(scala.util.hashing.byteswap64)
+    val fp = probes.count(present).toDouble / probes.size
+    assert(fp <= 0.01, f"rotating gate realized fpp $fp%.4f > 0.01 ask")
+
+    // the motivation: the SAME flow into a non-rotating filter sized for
+    // RotCap overshoots its ask (saturation) — this is what rotation fixes
+    val stFixed = new TestGroupState[BloomNovelty.GateState]
+    val pFixed = Bloom.forExpected(RotCap, 0.01)
+    BloomNovelty.onShard((0L until n).map(key1).iterator, stFixed, pFixed).toSeq
+    val gf = stFixed.value.get
+    val fpFixed = probes.count(h => graft.functions.BloomKernel
+      .mightContain(gf.active, pFixed.numHashes, h)).toDouble / probes.size
+    assert(fpFixed > 0.01,
+      f"saturated fixed filter read $fpFixed%.4f — the wave is too small to show saturation")
+  }
+
+  test("rotation: no false negatives within the retention window") {
+    val n = RotCap * 16
+    val st = new TestGroupState[BloomNovelty.GateState]
+    BloomNovelty.onShard((0L until n).map(key1).iterator, st, rotP, rot).toSeq
+    // the last retired*maxInserts distinct inserts are all retained: replaying
+    // them must classify maybe_seen (fresh=false), exactly per the contract
+    val windowStart = n - RotCap * RotKeep
+    val replay = (windowStart until n).map(i => key1(i).copy(doc_id = n + i))
+    val out = BloomNovelty.onShard(replay.iterator, st, rotP, rot).toSeq
+    assert(out.nonEmpty && out.forall(!_.definitely_new),
+      "a key inserted within the retention window tagged definitely_new — false negative")
+  }
+
+  test("rotation: state is bounded at retired+1 generations forever") {
+    val st = new TestGroupState[BloomNovelty.GateState]
+    (0 until 40).foreach { w =>
+      val rows = (w * RotCap until (w + 1) * RotCap).map(i => key1(i.toLong))
+      BloomNovelty.onShard(rows.iterator, st, rotP, rot).toSeq
+      val g = st.value.get
+      assert(g.retired.size <= RotKeep)
+      assert(g.active.length == rotP.numBits >>> 6)
+      assert(g.retired.forall(_.length == rotP.numBits >>> 6))
+    }
+  }
+
+  test("rotation: stream == batch fold, invariant under splits, both APIs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // shrink capacity so spec-scale docs cross a rotation boundary
+    val tinyRot = BloomNovelty.Rotation(3, 1)
+    val tinyP = Bloom.forRotation(3, 0.01, 1)
+    val docs = docSeq
+    val keyedRows = BloomNovelty.keyed(docs.toDF(), shardBits = 4).collect().toSeq
+    val expect = BloomNovelty.batchTagged(keyedRows, tinyP, tinyRot)
+      .sortBy(t => (t.doc_id, t.h))
+    // sanity: the fixture actually rotates at this capacity
+    assert(keyedRows.groupBy(_.shard).values.exists(_.map(_.h).distinct.size > 3))
+
+    def run(mk: org.apache.spark.sql.Dataset[Keyed] => org.apache.spark.sql.Dataset[Tagged],
+            splits: Seq[Seq[D]]): Seq[Tagged] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[D]
+      val name = s"bloom_rot_${System.nanoTime()}"
+      val q = mk(BloomNovelty.keyed(input.toDS().toDF(), shardBits = 4))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Tagged].collect().toSeq.sortBy(t => (t.doc_id, t.h))
+      } finally q.stop()
+    }
+    val classic1 = run(BloomNovelty.tagged(_, tinyP, tinyRot), Seq(docs))
+    val classic3 = run(BloomNovelty.tagged(_, tinyP, tinyRot),
+      Seq(docs.take(15), docs.slice(15, 41), docs.drop(41)))
+    assert(classic1 == expect, "rotating single-batch stream diverged from the batch fold")
+    assert(classic3 == expect, "rotating classification changed with split points")
+
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = run(BloomNovelty.taggedTws(_, tinyP, tinyRot),
+        Seq(docs.take(20), docs.drop(20)))
+      assert(tws == expect, "rotating tws gate diverged from the batch fold")
+    } finally prior.fold(spark.conf.unset(RocksKey))(spark.conf.set(RocksKey, _))
   }
 }
 

@@ -1222,6 +1222,26 @@ class EraseEverywhereSpec extends SparkSuite {
       s"completed users' post-erasure data must be out of scope: $pv2")
   }
 
+  test("erasure preview states the novelty gate's no-attributable-state posture") {
+    val adir = tmp("erase_preview_gate_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 1L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val gate = EraseEverywhere.BloomGate("novelty_gate", tmp("gate_chk"))
+    val pv = EraseEverywhere.preview(spark, adir, Seq(1L), Seq(gate)).collect()
+    // the gate is PRESENT in the census — zero found, posture stated —
+    // instead of silently absent from the store list
+    val row = pv.find(_.getString(0) == "novelty_gate").get
+    assert(row.getLong(2) == 0L)
+    assert(row.getString(3).contains("no attributable state by construction"),
+      s"gate posture not stated: ${row.getString(3)}")
+    assert(pv.find(_.getString(0) == "archive").get.getString(3) == "attributable")
+    // and the destructive call composes: the gate verifies zero by
+    // construction and receives its receipt like any other store
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(1L), Seq(gate)))
+    assert(rep("novelty_gate") == (0L, 0L), s"got $rep")
+  }
+
   test("multi-archive preview: per-table scoping — a standing request shows only the unerased table, dry") {
     def arch(rows: Seq[(Long, Long, Int)]): String = {
       val d = tmp("erase_pvma")
