@@ -693,6 +693,64 @@ object StreamBench {
       val warmBn = runGate()
       println(s"""{"metric":"bloom_novelty_throughput","docs":${replayed.length},"warm_sec":$warmBn,"docs_per_sec":${(replayed.length / warmBn).toLong},"sf":"$sfDir"}""")
     }
+
+    // Semantic-dedup exemplar state: raw vectors vs PQ codes. Same corpus
+    // replay through judgedTws (ListState entry = cap x dim doubles worth
+    // of vector per exemplar) and judgedPqTws (entry = 8 codeword ids +
+    // an error radius; exact cosine decides only for ADC-screen
+    // survivors, paying a point fetch). Judgments are parity-pinned in
+    // SemDedupStreamSpec; what this measures is the DEPLOYMENT trade:
+    // state bytes on disk and warm throughput.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
+      val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+      val priorProv = spark.conf.getOption(RocksKey)
+      spark.conf.set(RocksKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val corpus = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), graft.ops.Similarity.toDouble(col("embedding")).as("v"))
+        val cents = graft.streaming.SemDedupStream.centroids(corpus)
+        import spark.implicits._
+        val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1)
+        val byId = rows.toMap
+        val fetch: Long => Seq[Double] = byId(_)
+        def dirBytes(d: String): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+        def runSem(pq: Boolean): (Double, Long) = {
+          implicit val sqlCtx = spark.sqlContext
+          val input = MemoryStream[(Long, Seq[Double])]
+          val assigned = graft.streaming.SemDedupStream.assign(
+            input.toDS().toDF("vec_id", "v"), cents)
+            .as[graft.streaming.SemDedupStream.VecRow]
+          val chk = java.nio.file.Files.createTempDirectory(
+            s"sem_state_${if (pq) "pq" else "raw"}").toString
+          val judged =
+            if (pq) graft.streaming.SemDedupStream.judgedPqTws(assigned, fetch)
+            else graft.streaming.SemDedupStream.judgedTws(assigned)
+          val q = judged.writeStream.format("noop").outputMode("append")
+            .option("checkpointLocation", chk).start()
+          val t0 = System.nanoTime()
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          q.stop()
+          (sec, dirBytes(s"$chk/state"))
+        }
+        runSem(pq = false) // codegen/session warmup
+        val (rawSec, rawBytes) = runSem(pq = false)
+        val (pqSec, pqBytes) = runSem(pq = true)
+        println(s"""{"metric":"semdedup_pq_state","vectors":${rows.length},"raw_warm_sec":$rawSec,"raw_state_bytes":$rawBytes,"pq_warm_sec":$pqSec,"pq_state_bytes":$pqBytes,"state_ratio":${if (pqBytes > 0) f"${rawBytes.toDouble / pqBytes}%.1f" else "-1"},"sf":"$sfDir"}""")
+      } finally priorProv match {
+        case Some(v) => spark.conf.set(RocksKey, v)
+        case None    => spark.conf.unset(RocksKey)
+      }
+    }
     spark.stop()
   }
 }

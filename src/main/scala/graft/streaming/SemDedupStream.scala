@@ -183,6 +183,164 @@ object SemDedupStream {
         initial.groupByKey(_._1).mapValues(_._2))
   }
 
+  // ===== PQ-screened exemplar state (5 bytes/exemplar + rerank cost) =====
+
+  /** Exemplar compressed to its trained-PQ form: the 8 codeword ids
+    * ([[graft.ops.PqModel]] — 5 logical bytes) plus the exemplar's own
+    * quantization error ‖en − recon(en)‖ (the soundness radius the ADC
+    * pre-screen needs). ~24 bytes vs cap × dim × 8 for the raw-vector
+    * exemplar — the state-size story `StreamBench` measures.
+    */
+  case class PqExemplar(vec_id: Long, codes: Seq[Int], err: Double)
+
+  /** Driver/executor-side trained-PQ kernels over [[graft.ops.PqModel]]'s
+    * published integers — plain-double arithmetic (no cross-engine oracle
+    * here; the contract is SOUNDNESS of the screen, pinned by the parity
+    * spec against the raw-vector path).
+    */
+  private[graft] object PqScreen {
+    import graft.ops.PqModel
+    lazy val books: Array[Array[Array[Double]]] =
+      PqModel.Micros.map(_.map(_.map(_ / 1e6)))
+
+    /** Normalized copy, or null for a zero vector (screen then defers to
+      * the exact path, whose NaN-cosine never drops — parity either way).
+      */
+    def normalize(v: Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      var ss = 0.0; var i = 0
+      while (i < a.length) { ss += a(i) * a(i); i += 1 }
+      if (ss == 0.0) return null
+      val n = math.sqrt(ss); i = 0
+      val out = new Array[Double](a.length)
+      while (i < a.length) { out(i) = a(i) / n; i += 1 }
+      out
+    }
+
+    /** L2² between one subspace of `x` and codeword (mi, cid). */
+    private def subL2(x: Array[Double], mi: Int, cid: Int): Double = {
+      val cw = books(mi)(cid)
+      var s = 0.0; var j = 0
+      while (j < PqModel.Sub) {
+        val d = x(mi * PqModel.Sub + j) - cw(j); s += d * d; j += 1
+      }
+      s
+    }
+
+    def encode(en: Array[Double]): Array[Int] =
+      Array.tabulate(PqModel.M) { mi =>
+        var best = 0; var bestD = Double.MaxValue; var cid = 0
+        while (cid < PqModel.Ksub) {
+          val d = subL2(en, mi, cid)
+          if (d < bestD) { bestD = d; best = cid }
+          cid += 1
+        }
+        best
+      }
+
+    /** ADC = exact L2² between a normalized vector and an exemplar's
+      * RECONSTRUCTION (per-subspace codeword concatenation).
+      */
+    def adc(rn: Array[Double], codes: Seq[Int]): Double = {
+      var s = 0.0; var mi = 0
+      while (mi < PqModel.M) { s += subL2(rn, mi, codes(mi)); mi += 1 }
+      s
+    }
+
+    /** Soundness margin for the screen: the bound is on TRUE cosine of
+      * normalized vectors; the decided value is round6 of the sequential
+      * kernel over RAW vectors. Kernel float error at dim 64 is ≲1e-10 and
+      * round6 moves ≤5e-7; 1e-4 dominates both with room to spare, at the
+      * price of exact-checking pairs within 1e-4 of tau — the right trade,
+      * a screen must never flip a judgment.
+      */
+    val Margin = 1e-4
+
+    /** True iff cos(e, r) < tau PROVABLY, from codes alone: by triangle
+      * inequality ‖en−rn‖ ≥ ‖recon(e)−rn‖ − ‖en−recon(e)‖ = √adc − err,
+      * and for unit vectors cos = 1 − ‖en−rn‖²/2, so cos ≤ 1 − (√adc −
+      * err)²/2 whenever √adc > err. A skipped pair would have failed the
+      * exact check too — judgments cannot change, only costs.
+      */
+    def provablyBelow(rn: Array[Double], e: PqExemplar, tau: Double): Boolean = {
+      if (rn == null) return false
+      val a = math.sqrt(adc(rn, e.codes)) - e.err
+      a > 0.0 && 1.0 - a * a / 2.0 < tau - Margin
+    }
+  }
+
+  /** [[ClusterProcessor]] with PQ-SCREENED exemplar state — the 100 TB
+    * posture for the semantic gate: RocksDB holds [[PqExemplar]] entries
+    * (~24 bytes) instead of raw cap × dim vectors, the ADC pre-screen
+    * settles most pairs from codes alone, and only the survivors pay
+    * `fetchVec` — a POINT READ of the exemplar's raw vector (in production
+    * a vector-store/row-store lookup keyed by vec_id; the bench wires a
+    * broadcast map, the deployment wires its KV client) — before the SAME
+    * exact round6-cosine decides. Judgments are identical to the raw-state
+    * path by the screen's soundness bound ([[PqScreen.provablyBelow]]);
+    * `SemDedupStreamSpec` pins row-for-row equality.
+    */
+  class PqClusterProcessor(tau: Double, clusterCap: Int,
+                           fetchVec: Long => Seq[Double],
+                           ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, VecRow, Judged] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var ex: ListState[PqExemplar] = _
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+      ex = getHandle.getListState[PqExemplar]("pq_exemplars",
+        org.apache.spark.sql.Encoders.product[PqExemplar], ttlConf)
+      count = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+    }
+    override def handleInputRows(bucket: Long, rows: Iterator[VecRow],
+                                 timerValues: TimerValues): Iterator[Judged] = {
+      val rs = rows.toSeq.sortBy(_.vec_id)
+      var cur = ex.get().toVector
+      var n = if (ttl.isDefined) cur.size.toLong
+              else if (count.exists()) count.get() else cur.size.toLong
+      val out = rs.map { r =>
+        val rn = PqScreen.normalize(r.v)
+        val dropped = cur.exists { e =>
+          e.vec_id < r.vec_id && !PqScreen.provablyBelow(rn, e, tau) &&
+            round6(cosine(fetchVec(e.vec_id), r.v)) >= tau
+        }
+        if (n < clusterCap) {
+          val e =
+            if (rn == null)
+              // zero vector: no reconstruction is meaningful — infinite
+              // radius forces every probe to the exact path, whose NaN
+              // cosine never drops (same as the raw-state path)
+              PqExemplar(r.vec_id, Seq.fill(graft.ops.PqModel.M)(0), Double.PositiveInfinity)
+            else {
+              val codes = PqScreen.encode(rn)
+              PqExemplar(r.vec_id, codes.toSeq, math.sqrt(PqScreen.adc(rn, codes)))
+            }
+          ex.appendValue(e)
+          cur = cur :+ e
+          n += 1L
+        }
+        Judged(r.vec_id, bucket, !dropped)
+      }
+      count.update(n)
+      out.iterator
+    }
+  }
+
+  /** [[judgedTws]] with PQ-screened state — see [[PqClusterProcessor]]. */
+  def judgedPqTws(assigned: Dataset[VecRow], fetchVec: Long => Seq[Double],
+                  tau: Double = 0.4, clusterCap: Int = 256,
+                  ttl: Option[java.time.Duration] = None): Dataset[Judged] = {
+    import assigned.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    assigned.groupByKey(_.bucket)
+      .transformWithState(new PqClusterProcessor(tau, clusterCap, fetchVec, ttl),
+        mode, org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Sequential-accumulation cosine — bit-parity with the fused
     * [[graft.functions.VectorExprs]] kernel (`ab/sqrt(aa*bb)`, one pass).
     */

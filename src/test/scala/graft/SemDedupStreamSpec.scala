@@ -114,6 +114,59 @@ class SemDedupStreamSpec extends SparkSuite {
     }
   }
 
+  test("PQ-screened state: judgments equal the raw-vector path; the screen actually screens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * lit(2.0)).as("v"))
+      val corpus = base.unionAll(planted)
+      val cents = SemDedupStream.centroids(corpus)
+      val rows = corpus.as[(Long, Seq[Double])].collect().sortBy(_._1)
+      // the deployment's vector-store point read, modeled as a broadcast
+      // map; the accumulator counts how many pairs actually paid it
+      val byId = rows.toMap
+      val fetches = spark.sparkContext.longAccumulator("pq_fetches")
+      val fetch: Long => Seq[Double] = id => { fetches.add(1L); byId(id) }
+      def assigned(in: MemoryStream[(Long, Seq[Double])]) =
+        SemDedupStream.assign(in.toDS().toDF("vec_id", "v"), cents).as[VecRow]
+      val batch = Similarity.semDedupDf(corpus)
+        .select(col("vec_id"), col("bucket"), col("kept"))
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (id, b, k) => Judged(id, b, k) }.toSet
+
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = SemDedupStream.judgedPqTws(assigned(in), fetch)
+        .writeStream.format("memory").queryName("sem_pq_tws")
+        .outputMode("append").start()
+      val pq = try {
+        in.addData(rows.take(rows.length / 2): _*); q.processAllAvailable()
+        in.addData(rows.drop(rows.length / 2): _*); q.processAllAvailable()
+        spark.table("sem_pq_tws").as[Judged].collect().toSet
+      } finally q.stop()
+      // judgments unchanged — ADC only pre-screens, exact cosine decides
+      assert(pq == batch, s"PQ-screened judgments diverged: ${(pq -- batch).take(5)}")
+      assert(pq.exists(!_.kept), "no drops — fixture degenerate")
+      // and the screen is doing work: with random-vector clusters most
+      // pairs are provably below tau from codes alone, so the exact
+      // fetches must be well under the pair count the raw path evaluates
+      val pairBound = rows.size.toLong * 16L // loose floor: >= pairs per cluster chain
+      assert(fetches.value > 0, "no fetch ever — planted clones must reach the exact check")
+      assert(fetches.value < pairBound,
+        s"screen ineffective: ${fetches.value} fetches vs ~$pairBound pair budget")
+    } finally prior match {
+      case Some(v) => spark.conf.set(RocksKey, v)
+      case None    => spark.conf.unset(RocksKey)
+    }
+  }
+
   test("cluster-state migration: relocated exemplar store keeps judging history") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
