@@ -672,6 +672,49 @@ object Similarity {
     name
   }
 
+  /** Entity erasure for the persisted codes artifact: the codes table
+    * holds CONTENT-DERIVED data keyed by vec_id (8 codeword ids reconstruct
+    * a lossy sketch of the vector), so an erasure request that removes a
+    * vector from `embeddings` must reach its codes row too. The rewrite is
+    * PARTITION-SCOPED: one bounded scan finds the affected IVF lists, a
+    * dynamic-partition-overwrite rewrites ONLY those lists without the
+    * target rows (untouched lists keep their files byte-identical), and a
+    * list emptied entirely is dropped explicitly — dynamic overwrite only
+    * replaces partitions PRESENT in the written data, so an empty result
+    * would otherwise leave the stale partition behind (the silent-leak
+    * case the explicit drop closes). Returns the number of rows erased.
+    * At 100 TB this touches nprobe-sized slices of a 5-byte/row table —
+    * the same cost class as serving, not a corpus rewrite.
+    */
+  def erasePqCodes(spark: SparkSession, sfDir: String, vecIds: Set[Long]): Long = {
+    if (vecIds.isEmpty) return 0L
+    val name = ensurePqCodes(spark, sfDir)
+    val tbl = spark.table(name)
+    val hit = col("vec_id").isin(vecIds.toSeq: _*)
+    val affected = tbl.filter(hit).groupBy(col("list"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    val lists = affected.keys.toSeq.sorted
+    val remaining = tbl.filter(col("list").isin(lists: _*) && !hit)
+      .select(col("vec_id"), col("codes"), col("list"))
+    // survivors per affected list, counted BEFORE the write: a list with
+    // zero survivors contributes no rows to the dynamic overwrite, so it
+    // is never rewritten — probing the table afterwards would still show
+    // its stale rows and miss exactly the partitions that must be dropped
+    val survivors = remaining.groupBy(col("list")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(ModeKey)
+    try {
+      spark.conf.set(ModeKey, "dynamic")
+      remaining.write.mode("overwrite").insertInto(name)
+    } finally prior.fold(spark.conf.unset(ModeKey))(spark.conf.set(ModeKey, _))
+    val emptied = lists.filterNot(l => survivors.getOrElse(l, 0L) > 0L)
+    emptied.foreach(l =>
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (list=$l)"))
+    affected.values.sum
+  }
+
   /** PQ serving from the PERSISTED codes artifact — [[pqTopKTrained]]'s
     * exact output (same oracle) with the corpus-wide encode GONE from the
     * serving plan: ADC reads the 5-byte codes table, the rerank reads raw

@@ -371,6 +371,36 @@ object EraseEverywhere {
     override private[graft] def at(dir: String): Store = copy(checkpointDir = dir)
   }
 
+  /** The persisted PQ codes artifact ([[graft.ops.Similarity.ensurePqCodes]])
+    * as a first-class erasure target: the codes table holds CONTENT-DERIVED
+    * rows keyed by vec_id (a lossy sketch of each vector), so a request
+    * that erases a user's vectors from the corpus must reach their codes
+    * rows too. `vecsOf` maps each requesting user to their vector ids (the
+    * [[SemDedup]] attribution shape); the recipe is the partition-scoped
+    * rewrite of [[graft.ops.Similarity.erasePqCodes]] — affected IVF lists
+    * only, emptied lists dropped, untouched lists byte-identical.
+    */
+  final case class PqCodes(name: String, sfDir: String,
+                           vecsOf: Set[Long] => Set[Long] = identity)
+      extends Store {
+    private[graft] def foundBy(spark: SparkSession,
+                               erased: Map[Long, Long]): Map[Long, Long] = {
+      val vecToUser = attribution(erased.keySet, vecsOf)
+      if (vecToUser.isEmpty) return Map.empty
+      val tbl = spark.table(graft.ops.Similarity.ensurePqCodes(spark, sfDir))
+      countByUser(tbl
+        .filter(col("vec_id").isin(vecToUser.keys.toSeq: _*))
+        .select(col("vec_id"))
+        .as(org.apache.spark.sql.Encoders.scalaLong)
+        .map(vecToUser)(org.apache.spark.sql.Encoders.scalaLong))
+    }
+    private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
+                             ledger: String): Store = {
+      graft.ops.Similarity.erasePqCodes(spark, sfDir, vecsOf(erased.keySet))
+      this
+    }
+  }
+
   /** The Bloom novelty gate ([[BloomNovelty]]) as a PREVIEW-VISIBLE store:
     * its state holds ONLY irreversible 64-bit content hashes — no payload,
     * no user ids, nothing attributable — so per-entity erasure has nothing

@@ -85,6 +85,61 @@ class PqServedSpec extends SparkSuite {
     assert(got == exact, s"IVF-PQ diverged from exact-over-probed-lists:\n$got\nvs\n$exact")
   }
 
+  test("erasePqCodes: partition-scoped rewrite, untouched lists byte-identical") {
+    import org.apache.spark.sql.functions._
+    // a COPIED corpus dir so the erasure never perturbs the shared sf
+    // artifact other tests serve from
+    val dir = java.nio.file.Files.createTempDirectory("pq_erase_corpus").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val before = spark.table(name)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    // victims spread across >1 list so the rewrite touches several
+    // partitions while leaving the rest alone
+    val byList = spark.table(name).select("vec_id", "list")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victims = byList.groupBy(_._2).toSeq.sortBy(_._1)
+      .take(2).flatMap(_._2.keys.take(2)).toSet
+    assert(victims.size >= 3, s"fixture too small: $victims")
+    val victimLists = victims.map(byList)
+    val untouchedBefore = spark.table(name)
+      .filter(!col("list").isin(victimLists.toSeq: _*)).inputFiles.toSet
+
+    val n = Similarity.erasePqCodes(spark, dir, victims)
+    assert(n == victims.size.toLong, s"erased $n of ${victims.size}")
+    val after = spark.table(name)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(victims.forall(v => !after.contains(v)), "victim codes survived")
+    assert(after == before -- victims, "a survivor row changed under erasure")
+    // partition-scoped: untouched lists kept their exact files
+    val untouchedAfter = spark.table(name)
+      .filter(!col("list").isin(victimLists.toSeq: _*)).inputFiles.toSet
+    assert(untouchedAfter == untouchedBefore,
+      "erasure rewrote partitions outside the affected lists")
+    // idempotent: nothing left to find
+    assert(Similarity.erasePqCodes(spark, dir, victims) == 0L)
+  }
+
+  test("emptying a whole list drops its partition (no stale files)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pq_erase_empty").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val rows = spark.table(name).select("vec_id", "list")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (victimList, members) = rows.groupBy(_._2).minBy(_._2.length)
+    Similarity.erasePqCodes(spark, dir, members.map(_._1).toSet)
+    assert(spark.table(name).filter(col("list") === victimList).count() == 0L)
+    // dynamic overwrite alone would leave the old files: the explicit
+    // partition drop must have removed them from the table's file set
+    assert(!spark.table(name).inputFiles.exists(_.contains(s"list=$victimList/")),
+      "stale partition files survived an emptying erasure")
+  }
+
   test("artifact is built once and reused (second ensure is a no-op)") {
     val name = Similarity.ensurePqCodes(spark, sf)
     val files = spark.table(name).inputFiles.toSet
