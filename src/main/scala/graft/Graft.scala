@@ -433,8 +433,10 @@ object Graft {
     * is the done signal, and a re-call is a no-op reporting (0, 0).
     * Store constructors: [[graft.streaming.EraseEverywhere.TwsInPlace]],
     * `ClassicOffline`, `GenericOffline`, `DedupBuckets`, `MediaDedup`,
-    * `SemDedup` — see [[graft.streaming.EraseEverywhere]] for each
-    * recipe's contract.
+    * `SemDedup`, `PqCodes` (the persisted PQ codes artifact —
+    * partition-scoped rewrite), `BloomGate` (hash-only novelty gate:
+    * zero census, stated posture) — see
+    * [[graft.streaming.EraseEverywhere]] for each recipe's contract.
     */
   /** NON-MUTATING per-(store, user) preview of [[eraseEverywhere]] — the
     * compliance "what would this request find, where" before the

@@ -672,6 +672,41 @@ object Similarity {
     name
   }
 
+  /** Incremental artifact MAINTENANCE for a growing corpus: encode ONLY
+    * the vectors not yet in the codes table (left-anti on vec_id) and
+    * append them into their list partitions — the steady-state path of a
+    * crawl that adds documents daily. The quantizers are stable under
+    * append by construction: the trained PQ books are a frozen published
+    * artifact, and the IVF coarse centroids are the `nlist` LOWEST vec_ids
+    * — ids are monotone, so growth never changes them. Existing partition
+    * files are untouched (append adds files); at 100 TB the refresh cost
+    * is one anti-join against a 5-byte/row table plus the encode of the
+    * DELTA, never the corpus. Returns the number of newly encoded rows.
+    * (Re-training the books on a drifted corpus is a MODEL update —
+    * [[graft.PqTrain]] + a rebuilt artifact — not a refresh.)
+    */
+  def refreshPqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): Long = {
+    val name = ensurePqCodes(spark, sfDir, nlist)
+    val existing = spark.table(name).select(col("vec_id"))
+    val base = loadNormalized(spark, sfDir)
+    val fresh = base.join(existing, Seq("vec_id"), "left_anti")
+    val cents = base.filter(col("vec_id") < nlist)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+    val ranked = array_sort(transform(col("cents"),
+      c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
+    val encoded = fresh.join(broadcast(cents))
+      .withColumn("list", element_at(ranked, 1)("cid"))
+      .withColumn("codes", trainedCodes(col("vn")))
+      .select(col("vec_id"), col("codes"), col("list"))
+      .cache()
+    try {
+      val n = encoded.count()
+      if (n > 0L) encoded.write.mode("append").insertInto(name)
+      n
+    } finally { encoded.unpersist(); () }
+  }
+
   /** Entity erasure for the persisted codes artifact: the codes table
     * holds CONTENT-DERIVED data keyed by vec_id (8 codeword ids reconstruct
     * a lossy sketch of the vector), so an erasure request that removes a

@@ -196,6 +196,42 @@ object BloomNovelty {
       .transformWithState(new ShardProcessor(p, rot), TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[tagged]] seeded with MIGRATED gate state — the StateMigration
+    * discipline applied to the gate: relocating (or upgrading) the
+    * novelty store keeps its filters, so previously-seen content still
+    * tags maybe_seen after the move. The r14→r15 layout change (bare bit
+    * array → [[GateState]]) migrates through
+    * [[StateMigration.migrateNoveltyState]].
+    */
+  def taggedFrom(keyed: Dataset[Keyed], p: Bloom.Params,
+                 initial: Dataset[(Int, GateState)],
+                 rot: Rotation = Rotation.none): Dataset[Tagged] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout(),
+        initial.groupByKey(_._1).mapValues(_._2)) {
+        (_: Int, rows: Iterator[Keyed], state: GroupState[GateState]) =>
+          onShard(rows, state, p, rot)
+      }
+  }
+
+  /** Swamidass–Baldi cardinality estimate for a Bloom filter: from X set
+    * bits of m with k hashes, n ≈ −(m/k)·ln(1 − X/m). A Bloom cannot
+    * enumerate its keys, so a shard migrated mid-life seeds its rotation
+    * insert counter from occupancy — the boundary lands where the filter's
+    * actual fill says it should, not at zero (which would let a migrated
+    * near-full shard absorb a full extra capacity before rotating,
+    * overshooting its sized fpp).
+    */
+  def estimateInserted(bits: Array[Long], numHashes: Int): Long = {
+    val m = bits.length.toLong << 6
+    if (m == 0L) return 0L
+    var x = 0L; var i = 0
+    while (i < bits.length) { x += java.lang.Long.bitCount(bits(i)); i += 1 }
+    if (x >= m) return m // fully saturated: estimate unbounded; clamp to m
+    math.round(-(m.toDouble / numHashes) * math.log1p(-x.toDouble / m))
+  }
+
   /** The one-pass batch twin the spec pins the stream against: the same
     * per-shard fold ([[foldShard]]) in (doc_id, h) order, driver-side
     * (spec scale only).

@@ -189,6 +189,40 @@ object StateMigration {
       .as[(Long, SemDedupStream.ClusterState)]
   }
 
+  /** The r14 novelty-gate state layout — per-shard value = the BARE bit
+    * array (no insert counter, no generations) — read back from a classic
+    * checkpoint for upgrade into the rotating [[BloomNovelty.GateState]].
+    */
+  def readNoveltyStateLegacy(spark: SparkSession, checkpointDir: String)
+      : Dataset[(Int, Array[Long])] = {
+    import spark.implicits._
+    // the bare-array state encoder serializes as a single-field struct
+    // (STRUCT<value: ARRAY<BIGINT>>) — unwrap it
+    spark.read.format("statestore").option("path", checkpointDir).load()
+      .select(col("key.value").cast("int").as("_1"),
+        col("value.groupState.value").as("_2"))
+      .as[(Int, Array[Long])]
+  }
+
+  /** Upgrade legacy gate state to [[BloomNovelty.GateState]]: the bits
+    * carry over verbatim (classification is bits-only, so migrated
+    * judgments are exact), and the rotation insert counter — which the
+    * legacy layout never tracked — is seeded from filter OCCUPANCY
+    * ([[BloomNovelty.estimateInserted]], Swamidass–Baldi), so a shard
+    * migrated mid-life rotates where its actual fill says, instead of
+    * absorbing a full extra capacity past its sized fpp. Feed the result
+    * to [[BloomNovelty.taggedFrom]] / the tws twin.
+    */
+  def migrateNoveltyState(legacy: Dataset[(Int, Array[Long])],
+                          p: graft.functions.Bloom.Params)
+      : Dataset[(Int, BloomNovelty.GateState)] = {
+    import legacy.sparkSession.implicits._
+    legacy.map { case (shard, bits) =>
+      shard -> BloomNovelty.GateState(
+        BloomNovelty.estimateInserted(bits, p.numHashes), bits, Nil)
+    }
+  }
+
   /** Scope a STATE-PARTITION-COUNT change for an offline repartition —
     * the operational lever the r6 latency study surfaced: shuffle
     * partition count is the 10× trigger-latency knob, but a streaming

@@ -117,6 +117,72 @@ class BloomNoveltySpec extends SparkSuite {
     }
   }
 
+  test("r14 legacy checkpoint migrates: bits carry over exactly, counter seeded from occupancy") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val docs = docSeq
+    val (wave1, wave2) = docs.splitAt(25)
+    // wave 1 through the r14 LAYOUT: per-shard state = the bare bit array
+    // (this inline handler replicates the pre-rotation fold verbatim)
+    val chk = java.nio.file.Files.createTempDirectory("bloom_legacy_chk").toString
+    val in1 = MemoryStream[D]
+    // locals only: the handler closure ships to tasks and must not drag
+    // the (non-serializable) suite in via a field reference
+    val nb = p.numBits; val nh = p.numHashes
+    val q1 = BloomNovelty.keyed(in1.toDS().toDF(), shardBits = 4)
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Keyed], st: GroupState[Array[Long]]) =>
+          val bits = if (st.exists) st.get else new Array[Long](nb >>> 6)
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.h)).map { r =>
+            val fresh = !graft.functions.BloomKernel.mightContain(bits, nh, r.h)
+            graft.functions.BloomKernel.insert(bits, nh, r.h)
+            Tagged(r.doc_id, r.h, fresh)
+          }
+          st.update(bits)
+          out.iterator
+      }
+      .writeStream.format("memory").queryName("bloom_legacy")
+      .option("checkpointLocation", chk).outputMode("append").start()
+    try { in1.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+
+    // migrate and resume wave 2 on the NEW layout
+    val legacy = graft.streaming.StateMigration.readNoveltyStateLegacy(spark, chk)
+    assert(legacy.count() > 0, "wave 1 built no gate state")
+    val migrated = graft.streaming.StateMigration.migrateNoveltyState(legacy, p)
+    val in2 = MemoryStream[D]
+    val name = s"bloom_mig_${System.nanoTime()}"
+    val q2 = BloomNovelty.taggedFrom(
+        BloomNovelty.keyed(in2.toDS().toDF(), shardBits = 4), p, migrated)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val resumed = try {
+      in2.addData(wave2: _*); q2.processAllAvailable()
+      spark.table(name).as[Tagged].collect().toSeq.sortBy(t => (t.doc_id, t.h))
+    } finally q2.stop()
+    // wave-2 classifications equal the uninterrupted fold's tail —
+    // migrated bits are the SAME bits, so judgments are exact, not close
+    val keyedAll = BloomNovelty.keyed(docs.toDF(), shardBits = 4).collect().toSeq
+    val wave2Ids = wave2.map(_.doc_id).toSet
+    val expect = BloomNovelty.batchTagged(keyedAll, p)
+      .filter(t => wave2Ids(t.doc_id)).sortBy(t => (t.doc_id, t.h))
+    assert(resumed == expect, "migrated gate diverged from the uninterrupted fold")
+    assert(resumed.exists(!_.definitely_new),
+      "wave 2 must re-see wave-1 content through the migrated bits")
+
+    // the occupancy seed: estimate within 15% of the true distinct count
+    val pEst = Bloom.forExpected(1024, 0.01)
+    val bits = new Array[Long](pEst.numBits >>> 6)
+    val n = 300
+    (0 until n).foreach(i =>
+      graft.functions.BloomKernel.insert(bits, pEst.numHashes,
+        scala.util.hashing.byteswap64(i.toLong)))
+    val est = BloomNovelty.estimateInserted(bits, pEst.numHashes)
+    assert(math.abs(est - n) <= n * 0.15,
+      s"occupancy estimate $est too far from true $n")
+  }
+
   // ---- generational rotation: the unbounded-flow fpp contract ----
 
   /** One-shard key at a deterministic distinct hash per id. */

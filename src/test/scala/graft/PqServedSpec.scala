@@ -140,6 +140,37 @@ class PqServedSpec extends SparkSuite {
       "stale partition files survived an emptying erasure")
   }
 
+  test("refreshPqCodes: corpus growth encodes the delta only; serving stays exact") {
+    import org.apache.spark.sql.functions._
+    // a corpus dir whose embeddings table is a DIRECTORY so it can grow
+    val dir = java.nio.file.Files.createTempDirectory("pq_refresh_corpus").toString
+    val base = Tables.load(spark, sf, "embeddings")
+    base.write.parquet(s"$dir/embeddings.parquet")
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val filesBefore = spark.table(name).inputFiles.toSet
+    val rowsBefore = spark.table(name).count()
+    assert(Similarity.refreshPqCodes(spark, dir) == 0L, "no growth must be a no-op")
+    assert(spark.table(name).inputFiles.toSet == filesBefore)
+
+    // grow: planted doubles with ids above the corpus (monotone contract)
+    base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val added = Similarity.refreshPqCodes(spark, dir)
+    assert(added > 0L, "growth not detected")
+    assert(spark.table(name).count() == rowsBefore + added)
+    // append-only: every pre-growth file survives untouched
+    assert(filesBefore.subsetOf(spark.table(name).inputFiles.toSet),
+      "refresh rewrote existing partition files")
+    // incremental == from-scratch: the refreshed artifact serves the grown
+    // corpus exactly as the encode-inline query computes it
+    val served = Similarity.pqTopKServed(spark, dir).collect().toSeq
+    val trained = Similarity.pqTopKTrained(spark, dir).collect().toSeq
+    assert(served == trained,
+      s"refreshed artifact diverged from from-scratch encode:\n$served\nvs\n$trained")
+  }
+
   test("artifact is built once and reused (second ensure is a no-op)") {
     val name = Similarity.ensurePqCodes(spark, sf)
     val files = spark.table(name).inputFiles.toSet
