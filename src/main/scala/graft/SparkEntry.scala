@@ -869,6 +869,7 @@ object SparkEntry {
     "ops_sim_pq"      -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "ops_sim_pq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTopKTrained(s, d)),
     "ops_sim_pq_served" -> ((s: SparkSession, d: String) => Similarity.pqTopKServed(s, d)),
+    "ops_sim_pq_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKServedBatch(s, d)),
     "ops_sim_ivfpq"   -> ((s: SparkSession, d: String) => Similarity.pqTopKIvf(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),

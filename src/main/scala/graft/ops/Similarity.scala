@@ -780,6 +780,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED PQ serving — Q queries against ONE codes scan, the throughput
+    * shape of a production ANN endpoint (queries arrive in batches; the
+    * corpus is read once per batch, not once per query). The plan the
+    * batch contract demands at 100 TB: codes × a broadcast Q-row frame
+    * (in-row ADC per pair), then per-query top-rerank via
+    * [[graft.functions.TopKPairs]] — a PARTIAL AGGREGATION whose map-side
+    * heaps ship one ≤rerank-row buffer per query across the exchange,
+    * where the window-rank formulation would shuffle all n×Q ADC rows to
+    * Q partitions first. Downstream of the heaps everything is
+    * (Q × rerank)-sized: candidate broadcast into the raw-vector join,
+    * exact cosine, and a final per-query window over ≤ Q×rerank rows.
+    * Output (query_id, vec_id, cos_sim); same determinism discipline as
+    * the single-query forms (integer ADC, (adc, vec_id) ties, rounded
+    * exact-cosine rerank).
+    */
+  def pqTopKServedBatch(spark: SparkSession, sfDir: String,
+                        queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                        k: Int = 10, rerank: Int = 100): DataFrame = {
+    require(queryIds.nonEmpty, "batch serving needs at least one query")
+    val codes = spark.table(ensurePqCodes(spark, sfDir))
+    val base = loadNormalized(spark, sfDir)
+    val qs = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
+    val cand = codes.join(broadcast(qs.select(col("query_id"), col("qvn"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("vec_id"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qs.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
   /** IVF-PQ — the standard two-level ANN layout (Jégou et al. §V: coarse
     * quantizer prunes, product codes rank): the query ranks the `nlist`
     * coarse centroids DRIVER-SIDE (nlist rows — planning metadata, the

@@ -653,6 +653,45 @@ private[graft] object TextOracles {
     // oracle is the trained query verbatim: serving from codes must never
     // change answers, only plans.
     "ops_sim_pq_served" -> pqTrainedSql,
+    // twin of [[graft.ops.Similarity.pqTopKServedBatch]] — Q queries, one
+    // corpus pass: the trained-PQ CTEs with a query SET, per-query ADC
+    // rank windows, shared exact-cosine rerank. The Spark side's map-side
+    // top-k heaps keep exactly the window's (adc, vec_id)-ascending set,
+    // so the two formulations agree row for row.
+    "ops_sim_pq_batch" -> {
+      import graft.ops.PqModel
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adc AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid)
+         |        WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adc) WHERE rk <= $rerank),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids))
+         |SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT c.query_id, e.vec_id,
+         |    round(${cosineSql("e.v", "qv")}, 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.query_id = c.query_id)
+         |WHERE rk <= 10""".stripMargin
+    },
     // twin of [[graft.ops.Similarity.pqTopKIvf]] — IVF coarse pruning
     // (ops_sim_ivf's assignment + probes, raw-vector cosine) composed with
     // the trained-PQ ADC (ops_sim_pq_trained's CTEs) restricted to the

@@ -166,18 +166,21 @@ object BloomNovelty {
   }
 
   /** [[tagged]] on transformWithState — completing the dual-API matrix the
-    * dedup and prev-image stores keep (classic checkpoints migrate per
-    * [[StateMigration]]'s discipline; here the state is one [[GateState]]
-    * value per shard, nothing per-key to migrate). Parity with the classic
-    * path is structural: both call [[foldShard]].
+    * dedup and prev-image stores keep. Parity with the classic path is
+    * structural: both call [[foldShard]]. Accepts migrated initial state
+    * through the `WithInitialState` hook ([[taggedTwsFrom]]).
     */
   class ShardProcessor(p: Bloom.Params, rot: Rotation = Rotation.none)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Keyed, Tagged] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Int, Keyed, Tagged, GateState] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var gate: ValueState[GateState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       gate = getHandle.getValueState[GateState]("gate",
         org.apache.spark.sql.Encoders.product[GateState], TTLConfig.NONE)
+    override def handleInitialState(key: Int, initial: GateState,
+                                    timerValues: TimerValues): Unit =
+      gate.update(initial)
     override def handleInputRows(key: Int, rows: Iterator[Keyed],
                                  timerValues: TimerValues): Iterator[Tagged] = {
       val st = if (gate.exists()) gate.get() else freshState(p)
@@ -213,6 +216,21 @@ object BloomNovelty {
         (_: Int, rows: Iterator[Keyed], state: GroupState[GateState]) =>
           onShard(rows, state, p, rot)
       }
+  }
+
+  /** [[taggedTws]] seeded with migrated gate state — the tws half of the
+    * migration matrix ([[taggedFrom]] is the classic half): an r14 classic
+    * checkpoint upgrades THROUGH [[StateMigration.migrateNoveltyState]]
+    * into either API's resumed gate.
+    */
+  def taggedTwsFrom(keyed: Dataset[Keyed], p: Bloom.Params,
+                    initial: Dataset[(Int, GateState)],
+                    rot: Rotation = Rotation.none): Dataset[Tagged] = {
+    import keyed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    keyed.groupByKey(_.shard)
+      .transformWithState(new ShardProcessor(p, rot), TimeMode.None(),
+        OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Swamidass–Baldi cardinality estimate for a Bloom filter: from X set

@@ -171,6 +171,26 @@ class BloomNoveltySpec extends SparkSuite {
     assert(resumed.exists(!_.definitely_new),
       "wave 2 must re-see wave-1 content through the migrated bits")
 
+    // the tws half of the migration matrix: the SAME migrated state
+    // resumed on transformWithState must classify identically
+    val RocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(RocksKey)
+    spark.conf.set(RocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in3 = MemoryStream[D]
+      val nameT = s"bloom_mig_tws_${System.nanoTime()}"
+      val q3 = BloomNovelty.taggedTwsFrom(
+          BloomNovelty.keyed(in3.toDS().toDF(), shardBits = 4), p, migrated)
+        .writeStream.format("memory").queryName(nameT)
+        .outputMode("append").start()
+      val resumedTws = try {
+        in3.addData(wave2: _*); q3.processAllAvailable()
+        spark.table(nameT).as[Tagged].collect().toSeq.sortBy(t => (t.doc_id, t.h))
+      } finally q3.stop()
+      assert(resumedTws == expect, "tws-resumed migrated gate diverged")
+    } finally prior.fold(spark.conf.unset(RocksKey))(spark.conf.set(RocksKey, _))
+
     // the occupancy seed: estimate within 15% of the true distinct count
     val pEst = Bloom.forExpected(1024, 0.01)
     val bits = new Array[Long](pEst.numBits >>> 6)

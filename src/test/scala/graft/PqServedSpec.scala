@@ -85,6 +85,53 @@ class PqServedSpec extends SparkSuite {
     assert(got == exact, s"IVF-PQ diverged from exact-over-probed-lists:\n$got\nvs\n$exact")
   }
 
+  test("batched serving: per-query rows equal the single-query serve; heap replaces the window") {
+    import org.apache.spark.sql.functions._
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val batch = Similarity.pqTopKServedBatch(spark, sf, qids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qids.foreach { q =>
+      val single = Similarity.pqTopKServed(spark, sf, queryId = q)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // batch rows carry no intra-query order guarantee (window filter,
+      // not a sorted limit) — the SET of (neighbor, score) is the contract
+      assert(batch(q).toSet == single,
+        s"batched serve for query $q diverged from the single-query serve")
+    }
+    // the batch plan must NOT shuffle the n×Q ADC rows: the only exchange
+    // below the candidate join is the Q-row partial-agg heap output
+    val plan = Similarity.pqTopKServedBatch(spark, sf, qids)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"per-query top-k is not running as an aggregation (map-side heaps):\n${plan.take(2000)}")
+  }
+
+  test("TopKPairs: deterministic k-smallest under any partitioning; buffer bound holds") {
+    val k = 7
+    val agg = new graft.functions.TopKPairs.Agg(k)
+    val rows = (0 until 1000).map(i =>
+      ((i * 7919 % 101).toLong, i.toLong)) // many sort-key ties → id tiebreak
+    val expect = rows.sorted.take(k).map(_._2)
+    // single fold
+    val direct = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(direct == expect)
+    // arbitrary partition/merge trees must agree (the partial-agg contract)
+    for (parts <- Seq(2, 3, 8, 31)) {
+      val merged = rows.grouped(rows.size / parts + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(agg.finish(merged) == expect, s"merge tree with $parts parts diverged")
+    }
+    // the buffer never exceeds 2k however large the group
+    val buf = rows.foldLeft(agg.zero) { (b, x) =>
+      val nb = agg.reduce(b, x)
+      assert(nb.length < 2 * k, s"buffer grew to ${nb.length}")
+      nb
+    }
+    assert(buf.length < 2 * k)
+  }
+
   test("erasePqCodes: partition-scoped rewrite, untouched lists byte-identical") {
     import org.apache.spark.sql.functions._
     // a COPIED corpus dir so the erasure never perturbs the shared sf
