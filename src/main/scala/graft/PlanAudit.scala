@@ -28,7 +28,11 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * `ops_seasonal` day census, `ops_skipgram_pmi` token total,
   * `ops_q22_idle_rich` balance-stats row, and the round-5 closers:
   * `ops_q11_important_stock` total/count threshold row, `ops_hybrid_rrf`
-  * inheriting `ops_sim_topk`'s query-vector row) — those are
+  * inheriting `ops_sim_topk`'s query-vector row, and the r15 serving
+  * family's Q-row query-frame broadcasts: `ops_sim_pq_served`/
+  * `ops_sim_pq_batch`/`ops_sim_ivfpq`/`ops_sim_ivfpq_batch`/
+  * `ops_sim_recall` — a 1-to-Q-row build side against the codes scan,
+  * the batched-ADC shape) — those are
   * the expected hits; anything else flagged here is a regression
   * (`PlanSpec`'s no-CartesianProduct test is the hard gate).
   */

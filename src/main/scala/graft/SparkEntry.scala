@@ -871,6 +871,8 @@ object SparkEntry {
     "ops_sim_pq_served" -> ((s: SparkSession, d: String) => Similarity.pqTopKServed(s, d)),
     "ops_sim_pq_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKServedBatch(s, d)),
     "ops_sim_ivfpq"   -> ((s: SparkSession, d: String) => Similarity.pqTopKIvf(s, d)),
+    "ops_sim_ivfpq_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfBatch(s, d)),
+    "ops_sim_recall"  -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_semdedup"    -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

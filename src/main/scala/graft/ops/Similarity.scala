@@ -867,4 +867,120 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** BATCHED IVF-PQ serving — [[pqTopKIvf]]'s pruning composed with
+    * [[pqTopKServedBatch]]'s one-scan batch shape, the full production ANN
+    * endpoint: Q queries route driver-side against the `nlist` coarse
+    * centroids (a Q×nlist bounded collect — planning metadata, exactly the
+    * routing table an ANN service keeps hot), the codes scan prunes to the
+    * UNION of all probed lists (static PartitionFilters — at 100 TB the
+    * batch reads ≤ Q×nprobe list partitions of a 5-byte/row table, however
+    * large the corpus), each (query, candidate) pair is admitted only when
+    * the candidate's list is in THAT query's probes (an in-row lookup of
+    * the broadcast per-query probe map — IVF semantics per query, not
+    * per batch), ADC ranks via the [[graft.functions.TopKPairs]] partial
+    * aggregation (one ≤rerank-row buffer per query crosses the exchange),
+    * and exact cosine reranks. Output (query_id, vec_id, cos_sim), same
+    * determinism discipline as every PQ form.
+    */
+  def pqTopKIvfBatch(spark: SparkSession, sfDir: String,
+                     queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                     k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                     rerank: Int = 100): DataFrame = {
+    require(queryIds.nonEmpty, "batch serving needs at least one query")
+    val tbl = ensurePqCodes(spark, sfDir, nlist)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // per-query routing: rank the nlist centroids for every query in ONE
+    // bounded job (Q × nlist rows — the only driver-side collect, same
+    // cosine kernel as the oracle's cosineSql so the probe sets are
+    // cross-engine exact; ties by centroid id ascending)
+    val probesByQ: Map[Long, Seq[Long]] = emb.filter(col("vec_id") < nlist)
+      .join(broadcast(qs))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        cosine(col("v"), col("qv")).as("cs"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (-t._2, t._1)).take(nprobe).map(_._1).toSeq
+      }
+    val unionLists = probesByQ.values.flatten.toSeq.distinct.sorted
+    // query_id → its probed lists, as ONE map literal riding the plan
+    val probeMap = map(probesByQ.toSeq.sortBy(_._1).flatMap { case (q, ps) =>
+      Seq(lit(q), typedLit(ps)) }: _*)
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
+    val cand = spark.table(tbl)
+      .filter(col("list").isin(unionLists: _*)) // static partition pruning
+      .join(broadcast(qn.select(col("query_id"), col("qvn"))))
+      .filter(col("vec_id") =!= col("query_id") &&
+        array_contains(element_at(probeMap, col("query_id")), col("list")))
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Recall\@k harness — "measure, don't guess" as a first-class
+    * oracle-checked query: for a batch of queries, the flat-PQ serve
+    * ([[pqTopKServedBatch]]) and the IVF-PQ serve ([[pqTopKIvfBatch]]) are
+    * each scored against brute-force exact cosine top-k, producing one
+    * (variant, query_id, hits, recall) row per (variant, query). Every
+    * quantity is deterministic — exact top-k ties break on round-6 cosine
+    * then vec_id, the ANN sides are the hash-green serving queries
+    * verbatim, hits is an integer intersection count — so recall itself
+    * sits behind the DuckDB hash gate, not a spec assertion: a quantizer
+    * or routing regression that silently degrades recall now FAILS
+    * correctness instead of passing with worse answers. The exact side is
+    * O(n·Q) by construction (it is the ground truth, not the serving
+    * path); the grid left-join keeps zero-hit (variant, query) rows
+    * visible instead of vanishing them.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+                queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = pqTopKServedBatch(spark, sfDir, queryIds, k)
+      .select(lit("pq").as("variant"), col("query_id"), col("vec_id"))
+      .unionByName(pqTopKIvfBatch(spark, sfDir, queryIds, k)
+        .select(lit("ivfpq").as("variant"), col("query_id"), col("vec_id")))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("variant"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    val grid = Seq("ivfpq", "pq").toDF("variant")
+      .crossJoin(qs.select(col("query_id")))
+    grid.join(hits, Seq("variant", "query_id"), "left")
+      .select(col("variant"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 2).as("recall"))
+  }
 }

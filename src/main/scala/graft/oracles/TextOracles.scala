@@ -734,6 +734,142 @@ private[graft] object TextOracles {
          |FROM cand c2 JOIN e ON e.vec_id = c2.vec_id, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
+    // twin of [[graft.ops.Similarity.pqTopKIvfBatch]] — per-query probe
+    // windows (ops_sim_ivfpq's probes CTE with a query SET) composed with
+    // the batched trained-ADC CTEs, the pair admission requiring the
+    // candidate's list in THAT query's probes, then the shared per-query
+    // rerank windows. The Spark side's driver-side routing + broadcast
+    // probe map + partition-pruned codes scan must agree row for row.
+    "ops_sim_ivfpq_batch" -> {
+      import graft.ops.PqModel
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val nlist = 16; val nprobe = 4
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
+         |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, ccid AS list FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |    FROM ca) WHERE rk = 1),
+         |probes AS (SELECT query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |  FROM ca WHERE vec_id IN ($qids)) WHERE rk <= $nprobe),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adc AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid)
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |        WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adc) WHERE rk <= $rerank),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids))
+         |SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT c2.query_id, e.vec_id,
+         |    round(${cosineSql("e.v", "qv")}, 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM cand c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id)
+         |WHERE rk <= 10""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.annRecall]] — brute-force exact
+    // top-k per query, both serving variants' top-k (the two CTE chains
+    // above verbatim), integer intersection counts, and the grid left
+    // join that keeps zero-hit rows visible. Recall regression = hash
+    // mismatch, not a softer spec assertion.
+    "ops_sim_recall" -> {
+      import graft.ops.PqModel
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val nlist = 16; val nprobe = 4; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adcp AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |candp AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adcp) WHERE rk <= $rerank),
+         |pqk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c1.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c1.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candp c1 JOIN e ON e.vec_id = c1.vec_id
+         |  JOIN q ON q.query_id = c1.query_id) WHERE rk <= $k),
+         |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
+         |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, ccid AS list FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |    FROM ca) WHERE rk = 1),
+         |probes AS (SELECT query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |  FROM ca WHERE vec_id IN ($qids)) WHERE rk <= $nprobe),
+         |adci AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         JOIN assign s ON s.vec_id = a.vec_id
+         |         JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |candi AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adci) WHERE rk <= $rerank),
+         |ivfk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c2.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+         |allv AS (SELECT 'pq' AS variant, query_id, vec_id FROM pqk
+         |         UNION ALL
+         |         SELECT 'ivfpq' AS variant, query_id, vec_id FROM ivfk),
+         |hits AS (SELECT variant, query_id, COUNT(*) AS n_hits
+         |         FROM allv JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
+         |grid AS (SELECT variant, query_id
+         |         FROM (VALUES ('ivfpq'), ('pq')) vv(variant),
+         |              (SELECT vec_id AS query_id FROM e WHERE vec_id IN ($qids)) qq)
+         |SELECT g.variant, g.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
+         |  round(COALESCE(h.n_hits, 0) / $k.0, 2) AS recall
+         |FROM grid g LEFT JOIN hits h
+         |  ON h.variant = g.variant AND h.query_id = g.query_id""".stripMargin
+    },
     "ops_sim_ivf" -> {
       val nlist = 16; val nprobe = 4
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Stream-driven ANN serving — the online half of the persisted-codes PQ
+  * deployment ([[graft.ops.Similarity.ensurePqCodes]] /
+  * [[graft.ops.Similarity.pqTopKServedBatch]]): queries arrive as an
+  * unbounded stream of ids, each micro-batch becomes ONE batched serve
+  * against the codes artifact (corpus read once per micro-batch, never per
+  * query — the same Q-row-exchange plan the batch contract pinned), and
+  * results land keyed by micro-batch.
+  *
+  * Why foreachBatch and not a stream-static join: the serve is a multi-stage
+  * plan (codes×queries ADC → per-query top-k AGGREGATION → candidate join →
+  * rerank WINDOW) — Structured Streaming forbids a window after a streaming
+  * aggregation in one continuous plan, and the batch formulation is exactly
+  * what a production endpoint wants anyway: admission-batched requests, each
+  * batch amortizing one artifact scan. This is the documented
+  * "stream-driven batch serving" pattern, the streaming twin of
+  * [[graft.streaming.CdcSink]]'s idempotent delivery.
+  *
+  * Exactly-once: the sink is keyed by micro-batch — each batch OVERWRITES
+  * its own `batch_id=<id>` directory, so a replayed batch (failure between
+  * sink write and offset commit) rewrites the same bytes instead of
+  * appending duplicates. The per-batch id collect is bounded by the batch of
+  * serving REQUESTS (admission-controlled upstream), not by any corpus size.
+  */
+object AnnServe {
+
+  /** Start the serving loop. `queries` is a streaming DataFrame bearing a
+    * `query_id` long column (ids into the corpus — production would carry a
+    * raw vector instead; the id form keeps the loop on the hash-green
+    * serving queries). Results: `outDir/batch_id=<n>/` parquet with
+    * (query_id, vec_id, cos_sim) — top-k neighbors per query.
+    */
+  def serve(spark: SparkSession, sfDir: String, queries: DataFrame,
+            outDir: String, checkpointDir: String,
+            k: Int = 10, rerank: Int = 100): StreamingQuery = {
+    // the artifact is built (or found) BEFORE the stream starts — a serving
+    // loop must never pay the corpus-wide encode inside a micro-batch
+    Similarity.ensurePqCodes(spark, sfDir)
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val ids = batch.select(col("query_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (ids.nonEmpty) {
+          Similarity.pqTopKServedBatch(spark, sfDir, ids, k, rerank)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+}
