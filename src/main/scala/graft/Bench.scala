@@ -96,9 +96,13 @@ object Bench {
     // via SPARK_GRAFT_BENCH_OUT), so per-rep evidence for EVERY query (not
     // just the tail) is readable after the driver's stdout truncation —
     // overwritten per run
+    // a FILTERED run (query-name args — the iterate-on-one-query mode) must
+    // not clobber the committed full-inventory artifact: it lands in /tmp
+    // unless SPARK_GRAFT_BENCH_OUT says otherwise
+    val defaultOut = if (args.isEmpty) "BENCH_FULL.json" else "/tmp/bench_partial.json"
     try {
       val w = new java.io.PrintWriter(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       try w.println(line) finally w.close()
     } catch { // the artifact is best-effort; only IO-class failures are benign
       case e @ (_: java.io.IOException | _: SecurityException) =>

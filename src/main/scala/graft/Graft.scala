@@ -155,6 +155,35 @@ object Graft {
   def similarTopK(embeddings: DataFrame, queryId: Long, k: Int = 10): DataFrame =
     Similarity.topKDf(embeddings, queryId, k)
 
+  /** ANN serving from the persisted PQ codes artifact — one batched serve
+    * for Q query ids (one codes scan per batch, per-query top-k as a
+    * map-side-heap partial aggregation, exact-cosine rerank). Build/refresh
+    * the artifact with [[graft.ops.Similarity.ensurePqCodes]] /
+    * [[graft.ops.Similarity.refreshPqCodes]]; IVF-pruned variant:
+    * [[graft.ops.Similarity.pqTopKIvfBatch]].
+    */
+  def annTopKBatch(spark: SparkSession, sfDir: String, queryIds: Seq[Long],
+                   k: Int = 10): DataFrame =
+    Similarity.pqTopKServedBatch(spark, sfDir, queryIds, k)
+
+  /** The ONLINE ANN endpoint: a streaming frame of `query_id`s, one batched
+    * serve per micro-batch against the codes artifact, results under
+    * `outDir/batch_id=<n>/` with exactly-once batch-keyed overwrite. See
+    * [[graft.streaming.AnnServe]].
+    */
+  def annServe(spark: SparkSession, sfDir: String, queries: DataFrame,
+               outDir: String, checkpointDir: String,
+               k: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AnnServe.serve(spark, sfDir, queries, outDir, checkpointDir, k)
+
+  /** Recall@k scorecard for the ANN serving variants vs brute-force exact
+    * cosine — (variant, query_id, hits, recall), oracle-checked. See
+    * [[graft.ops.Similarity.annRecall]].
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+                queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)): DataFrame =
+    Similarity.annRecall(spark, sfDir, queryIds)
+
   /** Sub-document boilerplate detection: content-defined chunking rollup —
     * (chunk_hash, n_copies, n_docs, chunk_len) for chunk content appearing
     * in ≥ 2 places. See [[Dedup.contentChunksDf]].
