@@ -34,6 +34,43 @@ class PqModelSpec extends SparkSuite {
     }
   }
 
+  test("distributed twin: bit-for-bit train() on 1/7/31-part layouts, == committed artifact") {
+    import spark.implicits._
+    val ds = Tables.load(spark, trainDir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / n))
+      }
+    val want = PqTrain.train(normalizedVecs, PqModel.M, PqModel.Ksub, 5)
+    Seq(1, 7, 31).foreach { parts =>
+      val got = PqTrain.trainDistributed(ds.repartition(parts),
+        PqModel.M, PqModel.Ksub, 5)
+      (0 until PqModel.M).foreach { mi =>
+        (0 until PqModel.Ksub).foreach { cid =>
+          assert(got(mi)(cid).sameElements(want(mi)(cid)),
+            s"($mi, $cid) differs from the driver loop at $parts partitions — " +
+              "the exact-sum recurrence leaked an order dependence")
+          assert(got(mi)(cid).sameElements(PqModel.Micros(mi)(cid)),
+            s"($mi, $cid) differs from the committed artifact at $parts partitions")
+        }
+      }
+    }
+  }
+
+  test("distributed twin refuses a corpus slice missing the seed ids") {
+    import spark.implicits._
+    val ds = Tables.load(spark, trainDir, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 >= 3L) // drops seeds 0..2 — a sliced corpus, not a gap bug
+    val e = intercept[IllegalArgumentException] {
+      PqTrain.trainDistributed(ds, PqModel.M, PqModel.Ksub, 1)
+    }
+    assert(e.getMessage.contains("sampled init"),
+      s"wrong failure shape: ${e.getMessage}")
+  }
+
   test("trained codebooks strictly beat the sampled init on total distortion") {
     val vecs = normalizedVecs
     val sub = PqModel.Sub

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Run a graft main straight from the compiled classes — no sbt lock, so a
+# long Spark job (scale generation, the x10 sweep's Verify, Bench) can run
+# concurrently with an sbt compile/test cycle. Compile first (`sbt compile`);
+# this script does NOT build. The add-opens set mirrors Spark's own JDK-17
+# launcher flags (org.apache.spark.launcher.JavaModuleOptions).
+#
+# Usage: tools/run_main.sh graft.ScaleProbe ops_entropy
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+exec java \
+  -XX:+IgnoreUnrecognizedVMOptions \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  --enable-native-access=ALL-UNNAMED \
+  -Djdk.reflect.useDirectMethodHandle=false \
+  -Dio.netty.tryReflectionSetAccessible=true \
+  ${RUN_MAIN_JAVA_OPTS:-} \
+  -cp "$CP" "$@"
