@@ -645,8 +645,24 @@ object Similarity {
     * handled the same way (the in-memory catalog forgets, the warehouse
     * dir persists — drop stale files before CTAS).
     */
+  private def codesShort(sfDir: String, trained: Boolean): String =
+    s"pq_codes_${if (trained) "t_" else ""}${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+
+  /** Every codes artifact currently STANDING for `sfDir` — the sampled one
+    * (ensured: the default serving artifact must exist for the erasure
+    * recipe to have a target) plus the trained-IVF one when built. The
+    * erasure and census paths iterate THIS list, so a deployment that
+    * builds both layouts cannot leak a vector's codes through the second
+    * copy.
+    */
+  private[graft] def codesTablesStanding(spark: SparkSession, sfDir: String): Seq[String] = {
+    val trained = s"graft_artifacts.${codesShort(sfDir, trained = true)}"
+    ensurePqCodes(spark, sfDir) +:
+      (if (spark.catalog.tableExists(trained)) Seq(trained) else Nil)
+  }
+
   def ensurePqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): String = {
-    val short = s"pq_codes_${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+    val short = codesShort(sfDir, trained = false)
     val name = s"graft_artifacts.$short"
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
     if (!spark.catalog.tableExists(name)) {
@@ -723,7 +739,11 @@ object Similarity {
     */
   def erasePqCodes(spark: SparkSession, sfDir: String, vecIds: Set[Long]): Long = {
     if (vecIds.isEmpty) return 0L
-    val name = ensurePqCodes(spark, sfDir)
+    codesTablesStanding(spark, sfDir).map(eraseFromCodes(spark, _, vecIds)).sum
+  }
+
+  private def eraseFromCodes(spark: SparkSession, name: String,
+                             vecIds: Set[Long]): Long = {
     val tbl = spark.table(name)
     val hit = col("vec_id").isin(vecIds.toSeq: _*)
     val affected = tbl.filter(hit).groupBy(col("list"))
@@ -868,6 +888,98 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[IvfModel]]'s published integer centroids → doubles, one plan
+    * literal (nlist × dim = 1024 doubles; micro / 1e6 = the oracle's
+    * `micro / 1000000.0`, bit-identical).
+    */
+  private lazy val ivfCents: Column = typedLit(
+    IvfModel.Micros.map(_.map(_ / 1e6).toSeq).toSeq: Seq[Seq[Double]])
+
+  /** The trained coarse quantizer's ranking of all `Nlist` centroids for
+    * one normalized vector: (micro-L2, cid)-ascending — the SAME integer
+    * discipline as the PQ encode, so assignment and routing are
+    * cross-engine exact. Used both to build the trained artifact (rank 1 =
+    * the list) and to route queries (prefix = the probes).
+    */
+  private def ivfTrainedRanked(vn: Column): Column =
+    array_sort(transform(sequence(lit(0), lit(IvfModel.Nlist - 1)),
+      cid => struct(
+        pqL2Micro(vn, element_at(ivfCents, (cid + 1).cast("int"))).as("d"),
+        cid.as("cid"))))
+
+  /** The TRAINED-quantizer codes artifact — [[ensurePqCodes]] with the
+    * coarse assignment from [[IvfModel]] instead of the first-`Nlist`
+    * sampled vectors: same (vec_id, codes, list) schema, same
+    * PARTITIONED-BY-list layout, same build-once amortization; `list` is
+    * the (micro-L2, cid)-argmin against the published centroids, so the
+    * partitioning itself is part of the published model (retrain ⇒
+    * rebuild, exactly like a PQ-books update). This is the layout a
+    * deployment graduates to when the sampled quantizer's lists skew:
+    * Lloyd pulls centroids toward the data's real modes, and the balance
+    * it buys is pinned (with the fixture's measured sizes) in
+    * `IvfTrainedSpec`. Standing alongside the sampled artifact it is a
+    * SECOND durable copy of every vector's codes — [[erasePqCodes]] and
+    * the erasure census iterate [[codesTablesStanding]], so both copies
+    * are reached by one request.
+    */
+  def ensurePqCodesTrained(spark: SparkSession, sfDir: String): String = {
+    val short = codesShort(sfDir, trained = true)
+    val name = s"graft_artifacts.$short"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      loadNormalized(spark, sfDir)
+        .withColumn("list",
+          element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
+        .withColumn("codes", trainedCodes(col("vn")))
+        .select(col("vec_id"), col("codes"), col("list"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("list").saveAsTable(name)
+    }
+    name
+  }
+
+  /** IVF-PQ serving on the FULLY-TRAINED stack: published coarse centroids
+    * ([[IvfModel]]) route the query and partition the codes, published PQ
+    * books ([[PqModel]]) quantize within lists — no sampled component
+    * anywhere, the deployment shape after both model updates. Routing is
+    * the centroid ranking evaluated on the ONE query row and collected
+    * (nlist structs — planning metadata); the codes scan prunes to the
+    * `nprobe` probed partitions (static PartitionFilters); ADC and the
+    * exact-cosine rerank are the shared trained kernels. Same determinism
+    * discipline as every PQ form, so the whole path sits behind the hash
+    * gate.
+    */
+  def pqTopKIvfTrained(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                       k: Int = 10, nprobe: Int = 4,
+                       rerank: Int = 100): DataFrame = {
+    val tbl = ensurePqCodesTrained(spark, sfDir)
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    val probes: Seq[Int] = qn.select(ivfTrainedRanked(col("qvn")).as("r"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .take(nprobe).map(_.getInt(1))
+    val cand = spark.table(tbl)
+      .filter(col("list").isin(probes: _*))
+      .join(broadcast(qn.select(col("qvn"))))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("qv"))))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** BATCHED IVF-PQ serving — [[pqTopKIvf]]'s pruning composed with
     * [[pqTopKServedBatch]]'s one-scan batch shape, the full production ANN
     * endpoint: Q queries route driver-side against the `nlist` coarse
@@ -982,5 +1094,78 @@ object Similarity {
       .select(col("variant"), col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 2).as("recall"))
+  }
+
+  /** The nprobe CALIBRATION curve — how a deployment actually picks the
+    * IVF knob: for each nprobe in `grid`, the batched IVF-PQ serve
+    * ([[pqTopKIvfBatch]] verbatim — the hash-green query, not a
+    * reimplementation) scored per query on BOTH axes of the trade:
+    * recall\@k against brute-force exact cosine, and `scanned` = the codes
+    * rows inside that query's probed lists — the 5-byte bytes-read cost an
+    * ANN service pays, an exact integer from the deterministic list
+    * assignment (so the whole curve sits behind the DuckDB hash gate; at
+    * 100 TB you run this ONCE on a sample, read off the cheapest nprobe
+    * meeting the recall target, and freeze it into the endpoint). The
+    * routing table is ranked once per query (one Q×nlist bounded collect)
+    * and prefixed per grid point; list sizes are one nlist-row aggregate
+    * of the codes table — the calibration adds NO corpus-sized work beyond
+    * the |grid| serves it is measuring. `grid` should end at `nlist`: the
+    * full-probe row is the flat-PQ ceiling (IVF admission vacuous —
+    * `PqServedSpec` pins that serve equal to [[pqTopKServedBatch]]), so
+    * the curve carries its own asymptote.
+    */
+  def ivfCalib(spark: SparkSession, sfDir: String,
+               queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+               k: Int = 10, nlist: Int = 16,
+               grid: Seq[Int] = Seq(1, 2, 4, 16),
+               rerank: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(grid.nonEmpty && grid.forall(np => np >= 1 && np <= nlist),
+      s"grid must be nprobe values in [1, $nlist]: $grid")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = emb.join(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = grid.map(np =>
+        pqTopKIvfBatch(spark, sfDir, queryIds, k, nlist, np, rerank)
+          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id")))
+      .reduce(_ unionByName _)
+    val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    // cost axis: ranked routing per query (one bounded collect), prefixed
+    // per grid point; probed-list sizes from one nlist-row aggregate
+    val ranked: Map[Long, Seq[Long]] = emb.filter(col("vec_id") < nlist)
+      .join(broadcast(qs))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        cosine(col("v"), col("qv")).as("cs"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+      }
+    val sizes: Map[Long, Long] = spark.table(ensurePqCodes(spark, sfDir, nlist))
+      .groupBy(col("list")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scanned = (for {
+      np <- grid; (q, lists) <- ranked.toSeq
+    } yield (np, q, lists.take(np).map(sizes.getOrElse(_, 0L)).sum))
+      .toDF("nprobe", "query_id", "scanned")
+    scanned.join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 2).as("recall"),
+        col("scanned"))
   }
 }

@@ -21,6 +21,16 @@ private[graft] object TextOracles {
           .mkString("list_value(", ", ", "))")).mkString(", ")
   }
 
+  /** [[graft.ops.IvfModel]]'s published integer coarse centroids as a
+    * DuckDB VALUES list — same discipline as [[pqCbValues]].
+    */
+  private lazy val ivfCbValues: String = {
+    import graft.ops.IvfModel
+    (0 until IvfModel.Nlist).map(cid =>
+      s"($cid, " + IvfModel.Micros(cid).map(v => s"$v / 1000000.0")
+        .mkString("list_value(", ", ", "))")).mkString(", ")
+  }
+
   /** Twin of [[graft.ops.Similarity.pqTopKTrained]] — shared verbatim by
     * `ops_sim_pq_trained` and the persisted-codes `ops_sim_pq_served`.
     */
@@ -869,6 +879,120 @@ private[graft] object TextOracles {
          |  round(COALESCE(h.n_hits, 0) / $k.0, 2) AS recall
          |FROM grid g LEFT JOIN hits h
          |  ON h.variant = g.variant AND h.query_id = g.query_id""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.pqTopKIvfTrained]] — the fully-trained
+    // stack: the PUBLISHED coarse centroids (icb VALUES) assign lists and
+    // route the query by (micro-L2, ccid) — the same integer discipline as
+    // the PQ encode, so partitioning and probing are cross-engine exact —
+    // then the trained-ADC chain restricted to the probed lists and the
+    // shared exact-cosine rerank.
+    "ops_sim_ivfpq_trained" -> {
+      import graft.ops.{PqModel, Similarity}
+      val sub = PqModel.Sub; val rerank = 100
+      val dim = Similarity.Dim; val nprobe = 4
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |assign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |probes AS (SELECT ccid FROM idm WHERE vec_id = 0 ORDER BY cdmicro, ccid LIMIT $nprobe),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
+         |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid)
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        WHERE s.list IN (SELECT ccid FROM probes)
+         |        GROUP BY 1),
+         |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |         ORDER BY adc, vec_id LIMIT $rerank),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+         |FROM cand c2 JOIN e ON e.vec_id = c2.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.ivfCalib]] — the nprobe grid as a
+    // VALUES frame, per-(np, query) probe PREFIXES of one ranked routing
+    // window, the batched trained-ADC chain admitted per (np, query),
+    // recall vs brute-force exact, and the scanned cost summed from the
+    // deterministic list assignment — both axes of the calibration curve
+    // integer-exact, so knob-tuning itself is hash-gated.
+    "ops_ivf_calib" -> {
+      import graft.ops.PqModel
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val nlist = 16; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
+         |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, ccid AS list FROM (
+         |    SELECT vec_id, ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |    FROM ca) WHERE rk = 1),
+         |gridnp(np) AS (VALUES (1), (2), (4), (16)),
+         |probes AS (SELECT np, query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+         |  FROM ca WHERE vec_id IN ($qids)) r, gridnp WHERE r.rk <= gridnp.np),
+         |adci AS (SELECT p.np, t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         JOIN assign s ON s.vec_id = a.vec_id
+         |         JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2, 3),
+         |candi AS (SELECT np, query_id, vec_id FROM (
+         |  SELECT np, query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adci) WHERE rk <= $rerank),
+         |ivfk AS (SELECT np, query_id, vec_id FROM (
+         |  SELECT c2.np, c2.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.np, c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+         |hits AS (SELECT np, query_id, COUNT(*) AS n_hits
+         |         FROM ivfk JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
+         |sizes AS (SELECT list, COUNT(*) AS n FROM assign GROUP BY 1),
+         |sc AS (SELECT np, query_id, SUM(n) AS scanned
+         |       FROM probes JOIN sizes ON sizes.list = probes.ccid GROUP BY 1, 2)
+         |SELECT s.np AS nprobe, s.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
+         |  round(COALESCE(h.n_hits, 0) / $k.0, 2) AS recall,
+         |  CAST(s.scanned AS BIGINT) AS scanned
+         |FROM sc s LEFT JOIN hits h ON h.np = s.np AND h.query_id = s.query_id""".stripMargin
     },
     "ops_sim_ivf" -> {
       val nlist = 16; val nprobe = 4

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.language.implicitConversions
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -261,12 +263,12 @@ object EraseEverywhere {
     * of the user's rows across captured tables).
     */
   final case class GenericOffline(name: String, checkpointDir: String,
-                                  rowKeysOf: Set[Long] => Set[String],
+                                  rowKeysOf: Naming[String],
                                   resumeFrom: Dataset[(String, String)] => String)
       extends Store {
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
-      val keyToUser = attribution(erased.keySet, rowKeysOf)
+      val keyToUser = rowKeysOf.attribution(erased.keySet)
       countByUser(StateMigration.readPrevImageStateByRowKey(spark, checkpointDir)
         .filter(kv => keyToUser.contains(kv._1))
         .map(kv => keyToUser(kv._1))(org.apache.spark.sql.Encoders.scalaLong))
@@ -274,7 +276,7 @@ object EraseEverywhere {
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.erasePrevImageStateByRowKey(
-        spark, checkpointDir, rowKeysOf(erased.keySet))
+        spark, checkpointDir, rowKeysOf.artifacts(erased.keySet))
       val fresh = resumeFrom(filtered)
       decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
@@ -293,11 +295,11 @@ object EraseEverywhere {
     */
   final case class DedupBuckets(name: String, checkpointDir: String,
                                 resumeFrom: Dataset[(String, Long)] => String,
-                                docsOf: Set[Long] => Set[Long] = identity)
+                                docsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
-      val docToUser = attribution(erased.keySet, docsOf)
+      val docToUser = docsOf.attribution(erased.keySet)
       countByUser(StateMigration.readDedupBucketState(spark, checkpointDir)
         .filter(kv => docToUser.contains(kv._2))
         .map(kv => docToUser(kv._2))(org.apache.spark.sql.Encoders.scalaLong))
@@ -305,7 +307,7 @@ object EraseEverywhere {
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.eraseDedupBucketState(
-        StateMigration.readDedupBucketState(spark, checkpointDir), docsOf(erased.keySet))
+        StateMigration.readDedupBucketState(spark, checkpointDir), docsOf.artifacts(erased.keySet))
       val fresh = resumeFrom(filtered)
       decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
@@ -320,11 +322,11 @@ object EraseEverywhere {
     */
   final case class MediaDedup(name: String, checkpointDir: String,
                               resumeFrom: Dataset[(String, DedupStream.FpBucketState)] => String,
-                              docsOf: Set[Long] => Set[Long] = identity)
+                              docsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
-      val docToUser = attribution(erased.keySet, docsOf)
+      val docToUser = docsOf.attribution(erased.keySet)
       countByUser(StateMigration.readMediaDedupState(spark, checkpointDir)
         .flatMap(_._2.exemplars.map(_.doc_id))(org.apache.spark.sql.Encoders.scalaLong)
         .filter(d => docToUser.contains(d))
@@ -333,7 +335,7 @@ object EraseEverywhere {
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.eraseMediaDedupState(
-        StateMigration.readMediaDedupState(spark, checkpointDir), docsOf(erased.keySet))
+        StateMigration.readMediaDedupState(spark, checkpointDir), docsOf.artifacts(erased.keySet))
       val fresh = resumeFrom(filtered)
       decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
@@ -349,11 +351,11 @@ object EraseEverywhere {
     */
   final case class SemDedup(name: String, checkpointDir: String,
                             resumeFrom: Dataset[(Long, SemDedupStream.ClusterState)] => String,
-                            vecsOf: Set[Long] => Set[Long] = identity)
+                            vecsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
-      val vecToUser = attribution(erased.keySet, vecsOf)
+      val vecToUser = vecsOf.attribution(erased.keySet)
       countByUser(StateMigration.readSemDedupState(spark, checkpointDir)
         .flatMap(_._2.ex.map(_.vec_id))(org.apache.spark.sql.Encoders.scalaLong)
         .filter(v => vecToUser.contains(v))
@@ -362,7 +364,7 @@ object EraseEverywhere {
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
       val filtered = StateErasure.eraseSemDedupState(
-        StateMigration.readSemDedupState(spark, checkpointDir), vecsOf(erased.keySet))
+        StateMigration.readSemDedupState(spark, checkpointDir), vecsOf.artifacts(erased.keySet))
       val fresh = resumeFrom(filtered)
       decommission(spark, checkpointDir, fresh, ledger, name)
       copy(checkpointDir = fresh)
@@ -381,22 +383,31 @@ object EraseEverywhere {
     * only, emptied lists dropped, untouched lists byte-identical.
     */
   final case class PqCodes(name: String, sfDir: String,
-                           vecsOf: Set[Long] => Set[Long] = identity)
+                           vecsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
-      val vecToUser = attribution(erased.keySet, vecsOf)
+      val vecToUser = vecsOf.attribution(erased.keySet)
       if (vecToUser.isEmpty) return Map.empty
-      val tbl = spark.table(graft.ops.Similarity.ensurePqCodes(spark, sfDir))
-      countByUser(tbl
-        .filter(col("vec_id").isin(vecToUser.keys.toSeq: _*))
-        .select(col("vec_id"))
-        .as(org.apache.spark.sql.Encoders.scalaLong)
-        .map(vecToUser)(org.apache.spark.sql.Encoders.scalaLong))
+      // census EVERY standing codes artifact (sampled + trained layouts) —
+      // the same set the erase recipe rewrites, so found == erased even
+      // when a deployment keeps both copies
+      graft.ops.Similarity.codesTablesStanding(spark, sfDir)
+        .map { name =>
+          countByUser(spark.table(name)
+            .filter(col("vec_id").isin(vecToUser.keys.toSeq: _*))
+            .select(col("vec_id"))
+            .as(org.apache.spark.sql.Encoders.scalaLong)
+            .map(vecToUser)(org.apache.spark.sql.Encoders.scalaLong))
+        }
+        .foldLeft(Map.empty[Long, Long]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map(u =>
+            u -> (acc.getOrElse(u, 0L) + m.getOrElse(u, 0L))).toMap
+        }
     }
     private[graft] def erase(spark: SparkSession, erased: Map[Long, Long],
                              ledger: String): Store = {
-      graft.ops.Similarity.erasePqCodes(spark, sfDir, vecsOf(erased.keySet))
+      graft.ops.Similarity.erasePqCodes(spark, sfDir, vecsOf.artifacts(erased.keySet))
       this
     }
   }
@@ -432,18 +443,59 @@ object EraseEverywhere {
     ds.groupBy(col("value")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** Artifact → requesting-user attribution for stores whose entities are
-    * named indirectly (row keys, doc ids, vector ids): the deployment's
-    * mapping callback is invoked per user, so each artifact attributes to
-    * the user that named it. Per-user artifact sets are expected disjoint;
+  /** Deployment mapping from requesting users to the artifact ids they
+    * named (row keys, doc ids, vector ids). Two shapes, one contract:
+    *
+    *  - [[Naming.perUser]] — the original `Set[Long] => Set[A]` callback,
+    *    invoked once per requesting user so each artifact attributes to
+    *    the user that named it. Fine when the mapping is a driver-side
+    *    map; any plain function still converts implicitly, so existing
+    *    store constructions are untouched.
+    *  - [[Naming.bulk]] — ONE call with the whole request set returning
+    *    the artifact → user attribution directly. For mappings that pay
+    *    I/O per invocation (a JDBC lookup, a KV fetch): one round-trip
+    *    bounded by the request, not |users| of them. A bulk mapping that
+    *    attributes an artifact to a user OUTSIDE the request set is a
+    *    deployment bug and fails loudly — receipts must never name users
+    *    who didn't ask.
+    *
+    * Per-user artifact sets are expected disjoint; under [[Naming.perUser]]
     * an artifact named by several users attributes to the lowest user id
     * (deterministic), and each matching state row still counts exactly
     * once — the per-user totals sum to the old union-filter census.
     */
-  private def attribution[A](users: Set[Long],
-                             of: Set[Long] => Set[A]): Map[A, Long] =
-    users.toSeq.sorted.flatMap(u => of(Set(u)).toSeq.map(_ -> u))
-      .groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).min }
+  sealed trait Naming[A] {
+    /** artifact → requesting user, bounded by the request set */
+    private[graft] def attribution(users: Set[Long]): Map[A, Long]
+    /** the artifacts to erase: the union over the request set */
+    private[graft] def artifacts(users: Set[Long]): Set[A]
+  }
+  object Naming {
+    def perUser[A](of: Set[Long] => Set[A]): Naming[A] = PerUser(of)
+    def bulk[A](of: Set[Long] => Map[A, Long]): Naming[A] = Bulk(of)
+    /** keeps every pre-bulk call site compiling verbatim */
+    implicit def fromFunction[A](of: Set[Long] => Set[A]): Naming[A] = PerUser(of)
+
+    private final case class PerUser[A](of: Set[Long] => Set[A]) extends Naming[A] {
+      private[graft] def attribution(users: Set[Long]): Map[A, Long] =
+        users.toSeq.sorted.flatMap(u => of(Set(u)).toSeq.map(_ -> u))
+          .groupBy(_._1).map { case (a, vs) => a -> vs.map(_._2).min }
+      private[graft] def artifacts(users: Set[Long]): Set[A] = of(users)
+    }
+    private final case class Bulk[A](of: Set[Long] => Map[A, Long]) extends Naming[A] {
+      private[graft] def attribution(users: Set[Long]): Map[A, Long] = {
+        val m = of(users)
+        val strays = m.values.toSet -- users
+        require(strays.isEmpty,
+          s"bulk naming attributed artifacts to non-requesting users " +
+            s"${strays.toSeq.sorted.mkString(", ")} — a receipt may only " +
+            "name a user who asked; fix the deployment mapping")
+        m
+      }
+      private[graft] def artifacts(users: Set[Long]): Set[A] =
+        attribution(users).keySet
+    }
+  }
 
   /** Sentinel command rows inserted into the CAPTURED TABLE ITSELF — the
     * "through the real feed" half the memory-harness specs stubbed: ids

@@ -1242,6 +1242,32 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(rep("novelty_gate") == (0L, 0L), s"got $rep")
   }
 
+  test("Naming.bulk: one mapping call for the whole request, same attribution as per-user") {
+    // the PqCodes store over the shared sf artifact — foundBy only, never
+    // erase, so the fixture other suites serve from stays intact
+    val byUser = Map(1L -> Set(5L, 6L), 2L -> Set(7L), 3L -> Set.empty[Long])
+    var perUserCalls = 0
+    var bulkCalls = 0
+    val perUser = EraseEverywhere.PqCodes("codes", sf,
+      vecsOf = { (us: Set[Long]) => perUserCalls += 1; us.flatMap(byUser) })
+    val bulk = EraseEverywhere.PqCodes("codes", sf,
+      vecsOf = EraseEverywhere.Naming.bulk { us =>
+        bulkCalls += 1
+        us.flatMap(u => byUser(u).map(_ -> u)).toMap
+      })
+    val req = Map(1L -> 10L, 2L -> 10L, 3L -> 10L)
+    val a = perUser.foundBy(spark, req)
+    val b = bulk.foundBy(spark, req)
+    assert(a == b, s"bulk attribution diverged: per-user $a vs bulk $b")
+    assert(a == Map(1L -> 2L, 2L -> 1L), s"unexpected census: $a")
+    assert(perUserCalls == 3, s"per-user shape must pay one call per user: $perUserCalls")
+    assert(bulkCalls == 1, s"bulk shape must pay ONE call for the request: $bulkCalls")
+    // a bulk mapping attributing to a user who didn't ask is refused loudly
+    val stray = EraseEverywhere.Naming.bulk[Long](_ => Map(5L -> 42L))
+    val e = intercept[IllegalArgumentException](stray.attribution(Set(1L)))
+    assert(e.getMessage.contains("non-requesting"), e.getMessage)
+  }
+
   test("multi-archive preview: per-table scoping — a standing request shows only the unerased table, dry") {
     def arch(rows: Seq[(Long, Long, Int)]): String = {
       val d = tmp("erase_pvma")

@@ -178,6 +178,27 @@ class PqServedSpec extends SparkSuite {
     assert(buf.length < 2 * k)
   }
 
+  test("ivfCalib: full grid, monotone scanned cost, full-probe row is the flat-PQ ceiling") {
+    val rows = Similarity.ivfCalib(spark, sf).collect()
+    assert(rows.length == 16, s"grid incomplete: ${rows.length} rows") // 4 np x 4 queries
+    val n = Tables.load(spark, sf, "embeddings").count()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sc = rs.sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Long]("scanned"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a <= b },
+        s"scanned cost not monotone in nprobe for query $q: ${sc.toSeq}")
+      assert(sc.last == n,
+        s"full-probe scanned must cover the corpus: ${sc.last} != $n")
+    }
+    // nprobe = nlist makes the IVF admission vacuous: that serve IS flat PQ,
+    // so the calibration curve carries its own ceiling
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val full = Similarity.pqTopKIvfBatch(spark, sf, qids, 10, 16, 16, 100)
+      .collect().map(_.toSeq).toSet
+    val flat = Similarity.pqTopKServedBatch(spark, sf, qids, 10)
+      .collect().map(_.toSeq).toSet
+    assert(full == flat, "full-probe IVF-PQ diverged from the flat-PQ serve")
+  }
+
   test("erasePqCodes: partition-scoped rewrite, untouched lists byte-identical") {
     import org.apache.spark.sql.functions._
     // a COPIED corpus dir so the erasure never perturbs the shared sf
