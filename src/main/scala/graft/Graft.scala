@@ -184,6 +184,25 @@ object Graft {
                 queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)): DataFrame =
     Similarity.annRecall(spark, sfDir, queryIds)
 
+  /** The nprobe calibration curve — (nprobe, query_id, hits, recall,
+    * scanned) per grid point, both axes integer-exact and oracle-checked:
+    * run on a sample, pick the cheapest nprobe meeting the recall target,
+    * freeze it into the endpoint. See [[graft.ops.Similarity.ivfCalib]].
+    */
+  def annCalibrate(spark: SparkSession, sfDir: String,
+                   queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                   grid: Seq[Int] = Seq(1, 2, 4, 16)): DataFrame =
+    Similarity.ivfCalib(spark, sfDir, queryIds, grid = grid)
+
+  /** Codes-artifact maintenance: coalesce list partitions fragmented by
+    * incremental refreshes (every standing artifact, partition-scoped,
+    * byte-identical rows). Returns list partitions compacted. See
+    * [[graft.ops.Similarity.compactPqCodes]].
+    */
+  def annCompactCodes(spark: SparkSession, sfDir: String,
+                      maxFilesPerList: Int = 4): Long =
+    Similarity.compactPqCodes(spark, sfDir, maxFilesPerList)
+
   /** Sub-document boilerplate detection: content-defined chunking rollup —
     * (chunk_hash, n_copies, n_docs, chunk_len) for chunk content appearing
     * in ≥ 2 places. See [[Dedup.contentChunksDf]].

@@ -723,6 +723,46 @@ object Similarity {
     } finally { encoded.unpersist(); () }
   }
 
+  /** Small-file MAINTENANCE for the codes artifacts — the missing third of
+    * the lifecycle (build = [[ensurePqCodes]], grow = [[refreshPqCodes]],
+    * shrink = [[erasePqCodes]], and now COMPACT): every refresh appends
+    * one file set into each touched list partition, so a corpus that
+    * grows daily fragments its lists into hundreds of splinter files —
+    * and at 100 TB that is the difference between a serving scan opening
+    * nprobe files and opening nprobe × days of them. The rewrite is
+    * partition-scoped like the erasure recipe: only lists whose file
+    * count exceeds `maxFilesPerList` are rewritten (one shuffle keyed by
+    * `list`, so each fragmented list lands in one task = one file),
+    * byte-identical rows, dynamic partition overwrite — untouched lists
+    * keep their exact files. Iterates every standing artifact. Returns
+    * the number of list partitions compacted.
+    */
+  def compactPqCodes(spark: SparkSession, sfDir: String,
+                     maxFilesPerList: Int = 4): Long = {
+    require(maxFilesPerList >= 1, s"maxFilesPerList must be >= 1: $maxFilesPerList")
+    val ListDir = "list=(-?\\d+)".r
+    codesTablesStanding(spark, sfDir).map { name =>
+      val tbl = spark.table(name)
+      val filesPerList = tbl.inputFiles.toSeq
+        .flatMap(f => ListDir.findFirstMatchIn(f).map(_.group(1).toLong))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val frag = filesPerList.filter(_._2 > maxFilesPerList).keys.toSeq.sorted
+      if (frag.isEmpty) 0L
+      else {
+        val rewritten = tbl.filter(col("list").isin(frag: _*))
+          .select(col("vec_id"), col("codes"), col("list"))
+          .repartition(col("list"))
+        val ModeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prior = spark.conf.getOption(ModeKey)
+        try {
+          spark.conf.set(ModeKey, "dynamic")
+          rewritten.write.mode("overwrite").insertInto(name)
+        } finally prior.fold(spark.conf.unset(ModeKey))(spark.conf.set(ModeKey, _))
+        frag.size.toLong
+      }
+    }.sum
+  }
+
   /** Entity erasure for the persisted codes artifact: the codes table
     * holds CONTENT-DERIVED data keyed by vec_id (8 codeword ids reconstruct
     * a lossy sketch of the vector), so an erasure request that removes a

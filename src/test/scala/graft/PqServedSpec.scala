@@ -285,6 +285,46 @@ class PqServedSpec extends SparkSuite {
       s"refreshed artifact diverged from from-scratch encode:\n$served\nvs\n$trained")
   }
 
+  test("compactPqCodes: fragmented lists coalesce to one file, rows byte-identical, quiet lists untouched") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact_corpus").toString
+    val base = Tables.load(spark, sf, "embeddings")
+    base.write.parquet(s"$dir/embeddings.parquet")
+    val name = Similarity.ensurePqCodes(spark, dir)
+    // five growth waves: every touched list gains a file set per refresh
+    (1 to 5).foreach { w =>
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(100000L * w)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f + w)).as("embedding"))
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    }
+    def filesByList(): Map[Long, Set[String]] = {
+      val ListDir = "list=(-?\\d+)".r
+      spark.table(name).inputFiles.toSeq
+        .flatMap(f => ListDir.findFirstMatchIn(f).map(_.group(1).toLong -> f))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    val before = filesByList()
+    val fragged = before.filter(_._2.size > 4).keys.toSet
+    assert(fragged.nonEmpty, s"fixture failed to fragment: ${before.view.mapValues(_.size).toMap}")
+    val rows = spark.table(name).collect().map(_.toSeq).toSet
+
+    val n = Similarity.compactPqCodes(spark, dir)
+    assert(n == fragged.size.toLong, s"compacted $n of ${fragged.size} fragmented lists")
+    val after = filesByList()
+    fragged.foreach { l =>
+      assert(after(l).size == 1, s"list $l still holds ${after(l).size} files")
+    }
+    (before.keySet -- fragged).foreach { l =>
+      assert(after(l) == before(l), s"quiet list $l was rewritten")
+    }
+    assert(spark.table(name).collect().map(_.toSeq).toSet == rows,
+      "compaction changed table contents")
+    // second pass: nothing left to compact
+    assert(Similarity.compactPqCodes(spark, dir) == 0L)
+  }
+
   test("artifact is built once and reused (second ensure is a no-op)") {
     val name = Similarity.ensurePqCodes(spark, sf)
     val files = spark.table(name).inputFiles.toSet

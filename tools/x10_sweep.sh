@@ -18,7 +18,7 @@ OUT=/tmp/x10_sweep_out_$TAG
 
 if [ ! -d "$DIR/documents.parquet" ] && [ ! -e "$DIR/documents.parquet" ]; then
   echo "x10 dir $DIR missing — generate it first:"
-  echo "  sbt 'runMain graft.ScaleProbe ops_entropy'   (generation is cached)"
+  echo "  tools/run_main.sh graft.ScaleProbe ops_entropy   (generation is cached)"
   exit 2
 fi
 
@@ -38,7 +38,7 @@ ops_group_heavy_hitters"
 # fresh output dir + hard Verify gate: a crashed Verify must never let
 # compare.py bless the PREVIOUS sweep's stale dumps into the artifact
 rm -rf "$OUT"
-sbt -batch "runMain graft.Verify $DIR $OUT" > /tmp/x10_verify_$TAG.log 2>&1 || {
+tools/run_main.sh graft.Verify "$DIR" "$OUT" > /tmp/x10_verify_$TAG.log 2>&1 || {
   echo "Verify FAILED — see /tmp/x10_verify_$TAG.log (no artifact written)"
   grep '\[verify\]' /tmp/x10_verify_$TAG.log || true
   exit 1
@@ -53,7 +53,7 @@ SKIP_ORACLE=$SKIP COMPARE_JSON_OUT=X10_PARITY_$TAG.json \
 # hash equality is frame equality). Matching queries move from rows_only
 # into the checked count: the artifact then carries 183/183 checked
 # (oracle-hash + engine-hash), 0 rows-only.
-sbt -batch "runMain graft.CcParity $DIR" > /tmp/ccparity_$TAG.log 2>&1 || {
+tools/run_main.sh graft.CcParity "$DIR" > /tmp/ccparity_$TAG.log 2>&1 || {
   echo "CcParity FAILED — see /tmp/ccparity_$TAG.log (artifact keeps rows-only)"
   grep '"metric":"cc_parity"' /tmp/ccparity_$TAG.log || true
   exit 1
@@ -80,7 +80,7 @@ PY
 if [ -d "$X100_DIR" ]; then
   OUT100=/tmp/x100_sweep_out_$TAG
   rm -rf "$OUT100"
-  sbt -batch "runMain graft.Verify $X100_DIR $OUT100 $X100_QUERIES" \
+  tools/run_main.sh graft.Verify "$X100_DIR" "$OUT100" $X100_QUERIES \
       > /tmp/x100_verify_$TAG.log 2>&1 || {
     echo "x100 Verify FAILED — see /tmp/x100_verify_$TAG.log (artifact keeps x10 only)"
     grep '\[verify\]' /tmp/x100_verify_$TAG.log || true
@@ -100,7 +100,7 @@ PY
   # CC-closure engine-hash at x100 too (r14): the same propagation-twin
   # check the x10 section carries, at the 100x corpus — the five CC queries
   # verified at a scale NO oracle reaches. Failures keep the x10 artifact.
-  sbt -batch "runMain graft.CcParity $X100_DIR" > /tmp/ccparity100_$TAG.log 2>&1 || {
+  tools/run_main.sh graft.CcParity "$X100_DIR" > /tmp/ccparity100_$TAG.log 2>&1 || {
     echo "x100 CcParity FAILED — see /tmp/ccparity100_$TAG.log"
     grep '"metric":"cc_parity"' /tmp/ccparity100_$TAG.log || true
     exit 1
