@@ -28,5 +28,11 @@ exec java \
   --enable-native-access=ALL-UNNAMED \
   -Djdk.reflect.useDirectMethodHandle=false \
   -Dio.netty.tryReflectionSetAccessible=true \
+  -Dspark.sql.warehouse.dir="${RUN_MAIN_WAREHOUSE:-/tmp/graft_wh_$$}" \
   ${RUN_MAIN_JAVA_OPTS:-} \
   -cp "$CP" "$@"
+# The isolated warehouse (one per invocation unless RUN_MAIN_WAREHOUSE pins
+# it) keeps a side-run's ensure-style artifact rebuilds from yanking files
+# out from under a concurrently-running sbt test JVM that shares the repo's
+# spark-warehouse — the catalog is in-memory per JVM, so cross-run artifact
+# reuse never existed to lose.
