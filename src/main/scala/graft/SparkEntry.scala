@@ -875,6 +875,8 @@ object SparkEntry {
     "ops_sim_recall"  -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "ops_ivf_calib"   -> ((s: SparkSession, d: String) => Similarity.ivfCalib(s, d)),
     "ops_sim_ivfpq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfTrained(s, d)),
+    "ops_sim_ivfpq_trained_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfTrainedBatch(s, d)),
+    "ops_ivf_calib_trained" -> ((s: SparkSession, d: String) => Similarity.ivfCalib(s, d, trained = true)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_semdedup"    -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

@@ -1020,6 +1020,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[pqTopKIvfTrained]] batched — the trained layout under the
+    * [[pqTopKIvfBatch]] endpoint shape: routing is the published-centroid
+    * ranking evaluated in-plan on the Q-row query frame and collected
+    * (Q × nlist structs — the service's hot routing table, now derived
+    * from [[IvfModel]] instead of sampled rows), the trained codes scan
+    * prunes to the union of probed lists, per-query admission via the
+    * broadcast probe-map literal, `TopKPairs` partial aggregation, exact
+    * cosine rerank. With `nprobe = Nlist` the admission is vacuous and
+    * the serve equals the flat-PQ batch row-for-row (same trained codes,
+    * different partitioning — `IvfTrainedSpec` pins it), so the trained
+    * layout is a pure pruning overlay, never a different answer.
+    */
+  def pqTopKIvfTrainedBatch(spark: SparkSession, sfDir: String,
+                            queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                            k: Int = 10, nprobe: Int = 4,
+                            rerank: Int = 100): DataFrame = {
+    require(queryIds.nonEmpty, "batch serving needs at least one query")
+    val tbl = ensurePqCodesTrained(spark, sfDir)
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
+    val probesByQ: Map[Long, Seq[Long]] = qn
+      .select(col("query_id"), ivfTrainedRanked(col("qvn")).as("r"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[org.apache.spark.sql.Row](1).take(nprobe).map(_.getInt(1).toLong))
+      .toMap
+    val unionLists = probesByQ.values.flatten.toSeq.distinct.sorted
+    val probeMap = map(probesByQ.toSeq.sortBy(_._1).flatMap { case (q, ps) =>
+      Seq(lit(q), typedLit(ps)) }: _*)
+    val cand = spark.table(tbl)
+      .filter(col("list").isin(unionLists: _*)) // static partition pruning
+      .join(broadcast(qn.select(col("query_id"), col("qvn"))))
+      .filter(col("vec_id") =!= col("query_id") &&
+        array_contains(element_at(probeMap, col("query_id")), col("list")))
+      .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("vec_id"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
   /** BATCHED IVF-PQ serving — [[pqTopKIvf]]'s pruning composed with
     * [[pqTopKServedBatch]]'s one-scan batch shape, the full production ANN
     * endpoint: Q queries route driver-side against the `nlist` coarse
@@ -1152,16 +1206,22 @@ object Similarity {
     * the |grid| serves it is measuring. `grid` should end at `nlist`: the
     * full-probe row is the flat-PQ ceiling (IVF admission vacuous —
     * `PqServedSpec` pins that serve equal to [[pqTopKServedBatch]]), so
-    * the curve carries its own asymptote.
+    * the curve carries its own asymptote. `trained = true` runs the same
+    * curve over the TRAINED layout ([[pqTopKIvfTrainedBatch]], published
+    * centroids routing, trained artifact sizes) — the calibration a
+    * deployment re-runs after publishing its own [[IvfModel]].
     */
   def ivfCalib(spark: SparkSession, sfDir: String,
                queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
                k: Int = 10, nlist: Int = 16,
                grid: Seq[Int] = Seq(1, 2, 4, 16),
-               rerank: Int = 100): DataFrame = {
+               rerank: Int = 100,
+               trained: Boolean = false): DataFrame = {
     import spark.implicits._
     require(grid.nonEmpty && grid.forall(np => np >= 1 && np <= nlist),
       s"grid must be nprobe values in [1, $nlist]: $grid")
+    if (trained) require(nlist == IvfModel.Nlist,
+      s"the trained layout has ${IvfModel.Nlist} lists, not $nlist")
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
@@ -1176,26 +1236,45 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"))
-    val ann = grid.map(np =>
-        pqTopKIvfBatch(spark, sfDir, queryIds, k, nlist, np, rerank)
-          .select(lit(np).as("nprobe"), col("query_id"), col("vec_id")))
+    val ann = grid.map { np =>
+        val serve =
+          if (trained) pqTopKIvfTrainedBatch(spark, sfDir, queryIds, k, np, rerank)
+          else pqTopKIvfBatch(spark, sfDir, queryIds, k, nlist, np, rerank)
+        serve.select(lit(np).as("nprobe"), col("query_id"), col("vec_id"))
+      }
       .reduce(_ unionByName _)
     val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("nprobe"), col("query_id"))
       .agg(count(lit(1)).as("hits"))
     // cost axis: ranked routing per query (one bounded collect), prefixed
-    // per grid point; probed-list sizes from one nlist-row aggregate
-    val ranked: Map[Long, Seq[Long]] = emb.filter(col("vec_id") < nlist)
-      .join(broadcast(qs))
-      .select(col("query_id"), col("vec_id").as("cid"),
-        cosine(col("v"), col("qv")).as("cs"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (q, rs) =>
-        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
-          .sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+    // per grid point; probed-list sizes from one nlist-row aggregate —
+    // each layout ranked by ITS OWN routing metric (sampled: raw-cosine
+    // desc; trained: published-centroid micro-L2 asc)
+    val ranked: Map[Long, Seq[Long]] =
+      if (trained) {
+        loadNormalized(spark, sfDir)
+          .filter(col("vec_id").isin(queryIds: _*))
+          .select(col("vec_id").as("query_id"), ivfTrainedRanked(col("vn")).as("r"))
+          .collect()
+          .map(row => row.getLong(0) ->
+            row.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1).toLong).toSeq)
+          .toMap
+      } else {
+        emb.filter(col("vec_id") < nlist)
+          .join(broadcast(qs))
+          .select(col("query_id"), col("vec_id").as("cid"),
+            cosine(col("v"), col("qv")).as("cs"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) =>
+            q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+              .sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+          }
       }
-    val sizes: Map[Long, Long] = spark.table(ensurePqCodes(spark, sfDir, nlist))
+    val sizesTable =
+      if (trained) ensurePqCodesTrained(spark, sfDir)
+      else ensurePqCodes(spark, sfDir, nlist)
+    val sizes: Map[Long, Long] = spark.table(sizesTable)
       .groupBy(col("list")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val scanned = (for {

@@ -926,6 +926,128 @@ private[graft] object TextOracles {
          |FROM cand c2 JOIN e ON e.vec_id = c2.vec_id, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
     },
+    // twin of [[graft.ops.Similarity.pqTopKIvfTrainedBatch]] — the trained
+    // layout under the batch shape: published-centroid assignment and
+    // per-query probe windows (micro-L2 asc), batched trained-ADC chain
+    // with per-query list admission, shared per-query rerank windows.
+    "ops_sim_ivfpq_trained_batch" -> {
+      import graft.ops.{PqModel, Similarity}
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val dim = Similarity.Dim; val nprobe = 4; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |assign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |probes AS (SELECT query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm WHERE vec_id IN ($qids)) WHERE rk <= $nprobe),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adc AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid)
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |        WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adc) WHERE rk <= $rerank),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids))
+         |SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT c2.query_id, e.vec_id,
+         |    round(${cosineSql("e.v", "qv")}, 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM cand c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id)
+         |WHERE rk <= $k""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.ivfCalib]] with `trained = true` —
+    // the same two-axis grid over the TRAINED layout: published-centroid
+    // assignment, per-(np, query) micro-L2 probe prefixes, batched
+    // trained-ADC admission, scanned from the trained assignment.
+    "ops_ivf_calib_trained" -> {
+      import graft.ops.{PqModel, Similarity}
+      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val dim = Similarity.Dim; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |assign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |gridnp(np) AS (VALUES (1), (2), (4), (16)),
+         |probes AS (SELECT np, query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm WHERE vec_id IN ($qids)) r, gridnp WHERE r.rk <= gridnp.np),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adci AS (SELECT p.np, t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         JOIN assign s ON s.vec_id = a.vec_id
+         |         JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2, 3),
+         |candi AS (SELECT np, query_id, vec_id FROM (
+         |  SELECT np, query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adci) WHERE rk <= $rerank),
+         |ivfk AS (SELECT np, query_id, vec_id FROM (
+         |  SELECT c2.np, c2.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.np, c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+         |hits AS (SELECT np, query_id, COUNT(*) AS n_hits
+         |         FROM ivfk JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
+         |sizes AS (SELECT list, COUNT(*) AS n FROM assign GROUP BY 1),
+         |sc AS (SELECT np, query_id, SUM(n) AS scanned
+         |       FROM probes JOIN sizes ON sizes.list = probes.ccid GROUP BY 1, 2)
+         |SELECT s.np AS nprobe, s.query_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
+         |  round(COALESCE(h.n_hits, 0) / $k.0, 2) AS recall,
+         |  CAST(s.scanned AS BIGINT) AS scanned
+         |FROM sc s LEFT JOIN hits h ON h.np = s.np AND h.query_id = s.query_id""".stripMargin
+    },
     // twin of [[graft.ops.Similarity.ivfCalib]] — the nprobe grid as a
     // VALUES frame, per-(np, query) probe PREFIXES of one ranked routing
     // window, the batched trained-ADC chain admitted per (np, query),

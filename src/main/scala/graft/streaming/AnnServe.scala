@@ -30,6 +30,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object AnnServe {
 
+  /** Which batched serve the endpoint runs per micro-batch — the layout is
+    * a deployment knob, the loop is not: `Flat` scans the whole codes
+    * table ([[graft.ops.Similarity.pqTopKServedBatch]]); `IvfTrained`
+    * routes against the published [[graft.ops.IvfModel]] centroids and
+    * reads only the probed partitions of the trained artifact
+    * ([[graft.ops.Similarity.pqTopKIvfTrainedBatch]]) — what the endpoint
+    * graduates to at corpus sizes where even the 5-byte full scan is the
+    * bottleneck.
+    */
+  sealed trait Layout {
+    private[graft] def ensure(spark: SparkSession, sfDir: String): Unit
+    private[graft] def serve(spark: SparkSession, sfDir: String,
+                             ids: Seq[Long], k: Int, rerank: Int): DataFrame
+  }
+  case object Flat extends Layout {
+    private[graft] def ensure(spark: SparkSession, sfDir: String): Unit =
+      { Similarity.ensurePqCodes(spark, sfDir); () }
+    private[graft] def serve(spark: SparkSession, sfDir: String,
+                             ids: Seq[Long], k: Int, rerank: Int): DataFrame =
+      Similarity.pqTopKServedBatch(spark, sfDir, ids, k, rerank)
+  }
+  final case class IvfTrained(nprobe: Int = 4) extends Layout {
+    private[graft] def ensure(spark: SparkSession, sfDir: String): Unit =
+      { Similarity.ensurePqCodesTrained(spark, sfDir); () }
+    private[graft] def serve(spark: SparkSession, sfDir: String,
+                             ids: Seq[Long], k: Int, rerank: Int): DataFrame =
+      Similarity.pqTopKIvfTrainedBatch(spark, sfDir, ids, k, nprobe, rerank)
+  }
+
   /** Start the serving loop. `queries` is a streaming DataFrame bearing a
     * `query_id` long column (ids into the corpus — production would carry a
     * raw vector instead; the id form keeps the loop on the hash-green
@@ -38,17 +67,18 @@ object AnnServe {
     */
   def serve(spark: SparkSession, sfDir: String, queries: DataFrame,
             outDir: String, checkpointDir: String,
-            k: Int = 10, rerank: Int = 100): StreamingQuery = {
+            k: Int = 10, rerank: Int = 100,
+            layout: Layout = Flat): StreamingQuery = {
     // the artifact is built (or found) BEFORE the stream starts — a serving
     // loop must never pay the corpus-wide encode inside a micro-batch
-    Similarity.ensurePqCodes(spark, sfDir)
+    layout.ensure(spark, sfDir)
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val ids = batch.select(col("query_id")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
         if (ids.nonEmpty) {
-          Similarity.pqTopKServedBatch(spark, sfDir, ids, k, rerank)
+          layout.serve(spark, sfDir, ids, k, rerank)
             .write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$batchId")
         }

@@ -119,6 +119,37 @@ class IvfTrainedSpec extends SparkSuite {
     assert(got == want, s"restricted-exact contract broken:\n$got\nvs\n$want")
   }
 
+  test("trained batch == single-query trained serve per query; full probe == flat PQ") {
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val batch = Similarity.pqTopKIvfTrainedBatch(spark, sf, qids)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSet).toMap
+    qids.foreach { qid =>
+      val single = Similarity.pqTopKIvfTrained(spark, sf, qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(qid) == single, s"batch diverged from single serve for query $qid")
+    }
+    // nprobe = Nlist: admission vacuous, the trained layout is a pure
+    // pruning overlay — same trained codes, so the serve IS flat PQ
+    val full = Similarity.pqTopKIvfTrainedBatch(spark, sf, qids,
+      nprobe = IvfModel.Nlist).collect().map(_.toSeq).toSet
+    val flat = Similarity.pqTopKServedBatch(spark, sf, qids)
+      .collect().map(_.toSeq).toSet
+    assert(full == flat, "full-probe trained IVF diverged from the flat-PQ serve")
+  }
+
+  test("trained calibration curve: full grid, monotone scanned, full-probe covers the corpus") {
+    val rows = Similarity.ivfCalib(spark, sf, trained = true).collect()
+    assert(rows.length == 16, s"grid incomplete: ${rows.length} rows")
+    val n = Tables.load(spark, sf, "embeddings").count()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sc = rs.sortBy(_.getAs[Int]("nprobe")).map(_.getAs[Long]("scanned"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a <= b },
+        s"scanned not monotone for query $q: ${sc.toSeq}")
+      assert(sc.last == n, s"full-probe scanned must cover the corpus: ${sc.last} != $n")
+    }
+  }
+
   test("one erasure call reaches BOTH standing codes artifacts") {
     val dir = java.nio.file.Files.createTempDirectory("ivft_erase_corpus").toString
     java.nio.file.Files.copy(
