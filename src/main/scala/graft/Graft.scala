@@ -172,9 +172,11 @@ object Graft {
     * [[graft.streaming.AnnServe]].
     */
   def annServe(spark: SparkSession, sfDir: String, queries: DataFrame,
-               outDir: String, checkpointDir: String,
-               k: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
-    graft.streaming.AnnServe.serve(spark, sfDir, queries, outDir, checkpointDir, k)
+               outDir: String, checkpointDir: String, k: Int = 10,
+               layout: graft.streaming.AnnServe.Layout = graft.streaming.AnnServe.Flat)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AnnServe.serve(spark, sfDir, queries, outDir, checkpointDir,
+      k, layout = layout)
 
   /** Recall@k scorecard for the ANN serving variants vs brute-force exact
     * cosine — (variant, query_id, hits, recall), oracle-checked. See

@@ -31,11 +31,12 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * inheriting `ops_sim_topk`'s query-vector row, and the r15 serving
   * family's Q-row query-frame broadcasts: `ops_sim_pq_served`/
   * `ops_sim_pq_batch`/`ops_sim_ivfpq`/`ops_sim_ivfpq_batch`/
-  * `ops_sim_recall`, plus the late-r15 `ops_ivf_calib` (the grid of
-  * batched serves inherits the same Q-row frames) and
-  * `ops_sim_ivfpq_trained` (query-row broadcast against the trained
-  * codes scan) — a 1-to-Q-row build side against the codes scan,
-  * the batched-ADC shape) — those are
+  * `ops_sim_recall`, plus the late-r15 `ops_ivf_calib` /
+  * `ops_ivf_calib_trained` (the grid of batched serves inherits the
+  * same Q-row frames) and `ops_sim_ivfpq_trained` /
+  * `ops_sim_ivfpq_trained_batch` (query-frame broadcast against the
+  * trained codes scan) — a 1-to-Q-row build side against the codes
+  * scan, the batched-ADC shape) — those are
   * the expected hits; anything else flagged here is a regression
   * (`PlanSpec`'s no-CartesianProduct test is the hard gate).
   */

@@ -723,6 +723,34 @@ object Similarity {
     } finally { encoded.unpersist(); () }
   }
 
+  /** [[refreshPqCodes]] for the TRAINED artifact: the same left-anti +
+    * delta-encode recipe with the published-centroid assignment
+    * ([[ivfTrainedRanked]]) in place of the sampled one. Stability under
+    * append is even simpler here than in the sampled case (which leans on
+    * monotone ids keeping the first-`nlist` rows fixed): the trained
+    * centroids are FROZEN published integers, so growth can never move
+    * them — the partitioning is part of the model, and only a model
+    * update ([[graft.IvfTrain]] → rebuilt artifact) changes it. Returns
+    * the number of newly encoded rows.
+    */
+  def refreshPqCodesTrained(spark: SparkSession, sfDir: String): Long = {
+    val name = ensurePqCodesTrained(spark, sfDir)
+    val existing = spark.table(name).select(col("vec_id"))
+    val fresh = loadNormalized(spark, sfDir)
+      .join(existing, Seq("vec_id"), "left_anti")
+    val encoded = fresh
+      .withColumn("list",
+        element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
+      .withColumn("codes", trainedCodes(col("vn")))
+      .select(col("vec_id"), col("codes"), col("list"))
+      .cache()
+    try {
+      val n = encoded.count()
+      if (n > 0L) encoded.write.mode("append").insertInto(name)
+      n
+    } finally { encoded.unpersist(); () }
+  }
+
   /** Small-file MAINTENANCE for the codes artifacts — the missing third of
     * the lifecycle (build = [[ensurePqCodes]], grow = [[refreshPqCodes]],
     * shrink = [[erasePqCodes]], and now COMPACT): every refresh appends

@@ -150,6 +150,36 @@ class IvfTrainedSpec extends SparkSuite {
     }
   }
 
+  test("refreshPqCodesTrained: delta-only encode, append-only files, serving == from-scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("ivft_refresh_corpus").toString
+    val base = Tables.load(spark, sf, "embeddings")
+    base.write.parquet(s"$dir/embeddings.parquet")
+    val name = Similarity.ensurePqCodesTrained(spark, dir)
+    val filesBefore = spark.table(name).inputFiles.toSet
+    val rowsBefore = spark.table(name).count()
+    assert(Similarity.refreshPqCodesTrained(spark, dir) == 0L, "no growth must be a no-op")
+    assert(spark.table(name).inputFiles.toSet == filesBefore)
+
+    base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val added = Similarity.refreshPqCodesTrained(spark, dir)
+    assert(added > 0L, "growth not detected")
+    assert(spark.table(name).count() == rowsBefore + added)
+    assert(filesBefore.subsetOf(spark.table(name).inputFiles.toSet),
+      "refresh rewrote existing partition files")
+    // incremental == from-scratch: a clean rebuild of the SAME grown corpus
+    // in a second dir produces the identical (vec_id, codes, list) table —
+    // frozen published quantizers cannot assign growth differently
+    val dir2 = java.nio.file.Files.createTempDirectory("ivft_refresh_scratch").toString
+    Tables.load(spark, dir, "embeddings").write.parquet(s"$dir2/embeddings.parquet")
+    val scratch = Similarity.ensurePqCodesTrained(spark, dir2)
+    val a = spark.table(name).collect().map(_.toSeq).toSet
+    val b = spark.table(scratch).collect().map(_.toSeq).toSet
+    assert(a == b, "refreshed artifact diverged from the from-scratch build")
+  }
+
   test("one erasure call reaches BOTH standing codes artifacts") {
     val dir = java.nio.file.Files.createTempDirectory("ivft_erase_corpus").toString
     java.nio.file.Files.copy(
