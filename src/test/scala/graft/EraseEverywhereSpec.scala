@@ -1273,6 +1273,34 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(e.getMessage.contains("non-requesting"), e.getMessage)
   }
 
+  test("PqCodes store through the orchestrator: one run reaches both standing artifacts, verified and receipted") {
+    import graft.ops.Similarity
+    // corpus dir with BOTH codes layouts standing (sampled + trained)
+    val dir = java.nio.file.Files.createTempDirectory("erase_pq_both").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val sTbl = Similarity.ensurePqCodes(spark, dir)
+    val tTbl = Similarity.ensurePqCodesTrained(spark, dir)
+    val adir = tmp("erase_pq_both_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 40L, "INSERT", """{"k":1}"""),
+        (2L, t(1), 41L, "INSERT", """{"k":2}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    // users 40/41 name their own vec ids (identity naming)
+    val store = EraseEverywhere.PqCodes("codes", dir)
+    val rep = reportMap(EraseEverywhere.run(spark, adir, Seq(40L, 41L), Seq(store)))
+    // found = one row per user per STANDING COPY (2 artifacts), after = 0
+    assert(rep("codes") == (4L, 0L), s"codes census: ${rep("codes")}")
+    Seq(sTbl, tTbl).foreach { tbl =>
+      assert(spark.table(tbl).filter(col("vec_id").isin(40L, 41L)).count() == 0L,
+        s"victim codes survived in $tbl after the orchestrated erase")
+    }
+    // re-call: receipt-keyed structural no-op
+    val rep2 = reportMap(EraseEverywhere.run(spark, adir, Seq(40L, 41L), Seq(store)))
+    assert(rep2("codes") == (0L, 0L), s"re-call not a no-op: ${rep2("codes")}")
+  }
+
   test("multi-archive preview: per-table scoping — a standing request shows only the unerased table, dry") {
     def arch(rows: Seq[(Long, Long, Int)]): String = {
       val d = tmp("erase_pvma")
