@@ -645,20 +645,36 @@ object Similarity {
     * handled the same way (the in-memory catalog forgets, the warehouse
     * dir persists — drop stale files before CTAS).
     */
-  private def codesShort(sfDir: String, trained: Boolean): String =
+  private[graft] def codesShort(sfDir: String, trained: Boolean): String =
     s"pq_codes_${if (trained) "t_" else ""}${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+
+  private def warehouseLoc(spark: SparkSession, short: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
 
   /** Every codes artifact currently STANDING for `sfDir` — the sampled one
     * (ensured: the default serving artifact must exist for the erasure
     * recipe to have a target) plus the trained-IVF one when built. The
     * erasure and census paths iterate THIS list, so a deployment that
     * builds both layouts cannot leak a vector's codes through the second
-    * copy.
+    * copy. "Built" is a FILESYSTEM fact, not a catalog one: after a JVM
+    * restart the in-memory catalog forgets the trained table while its
+    * parquet files persist in the warehouse — a catalog-only check would
+    * silently skip exactly the stale files an erasure request must reach.
+    * A trained location with no catalog entry goes through
+    * [[ensurePqCodesTrained]]'s drop-stale-and-rebuild (the same
+    * discipline every ensure applies cross-JVM): the rebuild re-encodes
+    * the CURRENT corpus, and the caller's erase/census then rewrites it —
+    * no pre-restart bytes survive.
     */
   private[graft] def codesTablesStanding(spark: SparkSession, sfDir: String): Seq[String] = {
-    val trained = s"graft_artifacts.${codesShort(sfDir, trained = true)}"
+    val tShort = codesShort(sfDir, trained = true)
+    val trained = s"graft_artifacts.$tShort"
+    val loc = warehouseLoc(spark, tShort)
+    val trainedStanding = spark.catalog.tableExists(trained) ||
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
     ensurePqCodes(spark, sfDir) +:
-      (if (spark.catalog.tableExists(trained)) Seq(trained) else Nil)
+      (if (trainedStanding) Seq(ensurePqCodesTrained(spark, sfDir)) else Nil)
   }
 
   def ensurePqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): String = {
@@ -762,14 +778,22 @@ object Similarity {
     * count exceeds `maxFilesPerList` are rewritten (one shuffle keyed by
     * `list`, so each fragmented list lands in one task = one file),
     * byte-identical rows, dynamic partition overwrite — untouched lists
-    * keep their exact files. Iterates every standing artifact. Returns
-    * the number of list partitions compacted.
+    * keep their exact files. Returns the number of list partitions
+    * compacted. Maintenance never CREATES: only artifacts the session's
+    * catalog already serves are compacted (a trained-only deployment must
+    * not gain a corpus-wide sampled encode — and a second durable
+    * content-derived copy — as a side effect of a compaction pass; run
+    * compaction in the serving session, where the artifacts it should
+    * touch are registered).
     */
   def compactPqCodes(spark: SparkSession, sfDir: String,
                      maxFilesPerList: Int = 4): Long = {
     require(maxFilesPerList >= 1, s"maxFilesPerList must be >= 1: $maxFilesPerList")
     val ListDir = "list=(-?\\d+)".r
-    codesTablesStanding(spark, sfDir).map { name =>
+    Seq(false, true)
+      .map(t => s"graft_artifacts.${codesShort(sfDir, trained = t)}")
+      .filter(spark.catalog.tableExists)
+      .map { name =>
       val tbl = spark.table(name)
       val filesPerList = tbl.inputFiles.toSeq
         .flatMap(f => ListDir.findFirstMatchIn(f).map(_.group(1).toLong))
@@ -1028,9 +1052,12 @@ object Similarity {
     val base = loadNormalized(spark, sfDir)
     val qn = base.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("vn").as("qvn"))
+    // a queryId outside the corpus routes nowhere and returns empty, the
+    // same contract as the sampled sibling (never an index crash)
     val probes: Seq[Int] = qn.select(ivfTrainedRanked(col("qvn")).as("r"))
-      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
-      .take(nprobe).map(_.getInt(1))
+      .collect().headOption
+      .map(_.getSeq[org.apache.spark.sql.Row](0).take(nprobe).map(_.getInt(1)).toSeq)
+      .getOrElse(Seq.empty)
     val cand = spark.table(tbl)
       .filter(col("list").isin(probes: _*))
       .join(broadcast(qn.select(col("qvn"))))
@@ -1170,6 +1197,29 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Brute-force exact cosine top-k ids per query — the ONE definition of
+    * ground truth the recall scorecard and both calibration curves share
+    * (round-6 cosine desc, vec_id ties). A tie-break or rounding change
+    * here moves every harness together; there is no second copy to drift.
+    */
+  private def exactTopKIds(spark: SparkSession, sfDir: String,
+                           queryIds: Seq[Long], k: Int): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** Recall\@k harness — "measure, don't guess" as a first-class
     * oracle-checked query: for a batch of queries, the flat-PQ serve
     * ([[pqTopKServedBatch]]) and the IVF-PQ serve ([[pqTopKIvfBatch]]) are
@@ -1193,16 +1243,7 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val exact = emb.join(broadcast(qs))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"))
+    val exact = exactTopKIds(spark, sfDir, queryIds, k)
     val ann = pqTopKServedBatch(spark, sfDir, queryIds, k)
       .select(lit("pq").as("variant"), col("query_id"), col("vec_id"))
       .unionByName(pqTopKIvfBatch(spark, sfDir, queryIds, k)
@@ -1227,11 +1268,13 @@ object Similarity {
     * ANN service pays, an exact integer from the deterministic list
     * assignment (so the whole curve sits behind the DuckDB hash gate; at
     * 100 TB you run this ONCE on a sample, read off the cheapest nprobe
-    * meeting the recall target, and freeze it into the endpoint). The
-    * routing table is ranked once per query (one Q×nlist bounded collect)
-    * and prefixed per grid point; list sizes are one nlist-row aggregate
-    * of the codes table — the calibration adds NO corpus-sized work beyond
-    * the |grid| serves it is measuring. `grid` should end at `nlist`: the
+    * meeting the recall target, and freeze it into the endpoint). Each
+    * grid serve routes itself (the serving queries are used VERBATIM, so
+    * each pays its own Q×nlist bounded routing collect — planning
+    * metadata, |grid|+1 small jobs in total with the scanned axis's
+    * ranking); list sizes are one nlist-row aggregate of the codes table
+    * — the calibration adds NO corpus-sized work beyond the |grid| serves
+    * it is measuring. `grid` should end at `nlist`: the
     * full-probe row is the flat-PQ ceiling (IVF admission vacuous —
     * `PqServedSpec` pins that serve equal to [[pqTopKServedBatch]]), so
     * the curve carries its own asymptote. `trained = true` runs the same
@@ -1254,16 +1297,7 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val exact = emb.join(broadcast(qs))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"))
+    val exact = exactTopKIds(spark, sfDir, queryIds, k)
     val ann = grid.map { np =>
         val serve =
           if (trained) pqTopKIvfTrainedBatch(spark, sfDir, queryIds, k, np, rerank)

@@ -473,7 +473,12 @@ object EraseEverywhere {
   object Naming {
     def perUser[A](of: Set[Long] => Set[A]): Naming[A] = PerUser(of)
     def bulk[A](of: Set[Long] => Map[A, Long]): Naming[A] = Bulk(of)
-    /** keeps every pre-bulk call site compiling verbatim */
+    /** Converts plain function VALUES (typed lambdas, `identity`, eta-
+      * expanded `method _`) so pre-bulk call sites keep compiling. An
+      * UNTYPED lambda (`docsOf = us => …`) cannot infer its parameter
+      * type against the non-function expected type `Naming[A]` — type the
+      * parameter or wrap in [[Naming.perUser]] there.
+      */
     implicit def fromFunction[A](of: Set[Long] => Set[A]): Naming[A] = PerUser(of)
 
     private final case class PerUser[A](of: Set[Long] => Set[A]) extends Naming[A] {

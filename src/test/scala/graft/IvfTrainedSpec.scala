@@ -180,6 +180,46 @@ class IvfTrainedSpec extends SparkSuite {
     assert(a == b, "refreshed artifact diverged from the from-scratch build")
   }
 
+  test("trained codes standing is a FILESYSTEM fact: unregistered stale files are healed and erased") {
+    // the post-JVM-restart state: trained artifact FILES persist in the
+    // warehouse while the in-memory catalog has forgotten the table. A
+    // catalog-only check would skip exactly the bytes an erasure request
+    // must reach; codesTablesStanding must detect the location, heal it
+    // (drop-stale-and-rebuild — the cross-JVM discipline every ensure
+    // applies), and hand it to the erase.
+    def corpus(): String = {
+      val d = java.nio.file.Files.createTempDirectory("ivft_stale_corpus").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+        java.nio.file.Paths.get(s"$d/embeddings.parquet"))
+      d
+    }
+    val dirA = corpus()
+    Similarity.ensurePqCodesTrained(spark, dirA)
+    val dirB = corpus()
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_artifacts.db")
+    val src = wh.resolve(Similarity.codesShort(dirA, trained = true))
+    val dst = wh.resolve(Similarity.codesShort(dirB, trained = true))
+    java.nio.file.Files.walk(src).forEach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val trainedB = s"graft_artifacts.${Similarity.codesShort(dirB, trained = true)}"
+    assert(!spark.catalog.tableExists(trainedB), "fixture broke: table registered")
+    val standing = Similarity.codesTablesStanding(spark, dirB)
+    assert(standing.size == 2 && standing.contains(trainedB),
+      s"stale trained files not detected as standing: $standing")
+    assert(spark.catalog.tableExists(trainedB), "healing did not register the table")
+    // and one erase call reaches the healed copy too: 1 row per artifact
+    assert(Similarity.erasePqCodes(spark, dirB, Set(40L)) == 2L)
+    standing.foreach { tbl =>
+      assert(spark.table(tbl).filter(col("vec_id") === 40L).count() == 0L,
+        s"victim survived in $tbl")
+    }
+  }
+
   test("one erasure call reaches BOTH standing codes artifacts") {
     val dir = java.nio.file.Files.createTempDirectory("ivft_erase_corpus").toString
     java.nio.file.Files.copy(

@@ -9,7 +9,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-exec java \
+WH="${RUN_MAIN_WAREHOUSE:-/tmp/graft_wh_$$}"
+# a per-invocation warehouse can hold corpus-scale rebuilt artifacts —
+# clean it up unless the caller pinned a shared one to keep
+if [ -z "${RUN_MAIN_WAREHOUSE:-}" ]; then
+  trap 'rm -rf "$WH"' EXIT
+fi
+java \
   -XX:+IgnoreUnrecognizedVMOptions \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
@@ -28,7 +34,7 @@ exec java \
   --enable-native-access=ALL-UNNAMED \
   -Djdk.reflect.useDirectMethodHandle=false \
   -Dio.netty.tryReflectionSetAccessible=true \
-  -Dspark.sql.warehouse.dir="${RUN_MAIN_WAREHOUSE:-/tmp/graft_wh_$$}" \
+  -Dspark.sql.warehouse.dir="$WH" \
   ${RUN_MAIN_JAVA_OPTS:-} \
   -cp "$CP" "$@"
 # The isolated warehouse (one per invocation unless RUN_MAIN_WAREHOUSE pins
