@@ -665,7 +665,11 @@ object Similarity {
     * [[ensurePqCodesTrained]]'s drop-stale-and-rebuild (the same
     * discipline every ensure applies cross-JVM): the rebuild re-encodes
     * the CURRENT corpus, and the caller's erase/census then rewrites it —
-    * no pre-restart bytes survive.
+    * no pre-restart bytes survive. (At 100 TB the heal-by-rebuild is the
+    * belt-and-braces for in-memory catalogs, not the plan: a production
+    * deployment pins a persistent metastore so the catalog never forgets
+    * and this path never fires; the filesystem check still guards the
+    * compliance invariant if it somehow does.)
     */
   private[graft] def codesTablesStanding(spark: SparkSession, sfDir: String): Seq[String] = {
     val tShort = codesShort(sfDir, trained = true)
