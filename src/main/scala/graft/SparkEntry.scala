@@ -877,6 +877,9 @@ object SparkEntry {
     "ops_sim_ivfpq_trained" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfTrained(s, d)),
     "ops_sim_ivfpq_trained_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfTrainedBatch(s, d)),
     "ops_ivf_calib_trained" -> ((s: SparkSession, d: String) => Similarity.ivfCalib(s, d, trained = true)),
+    "ops_sim_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfRes(s, d)),
+    "ops_sim_ivfpq_res_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfResBatch(s, d)),
+    "ops_ivf_choose" -> ((s: SparkSession, d: String) => Similarity.ivfChoose(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_semdedup"    -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated commits for the persisted codes artifacts — the
+  * concurrent-reader contract the in-place dynamic-partition-overwrite
+  * lifecycle could not give: a reader planned mid-rewrite used to be able
+  * to list SOME list partitions before the overwrite and some after (a
+  * torn view — silently wrong answers), because a catalog table's file
+  * listing happens lazily at physical planning. Here every mutation is
+  * staged as APPEND-ONLY data files (invisible to any reader), then made
+  * visible by ONE atomic commit: writing manifest `m-%06d.txt` via
+  * create-new rename — the classic lakehouse metadata-pointer swap
+  * (Iceberg/Delta's core idea, reduced to what a codes artifact needs).
+  * The current snapshot is simply the manifest with the highest version;
+  * a reader resolves it ONCE (a bounded driver-side read) and plans over
+  * exactly that file set, so it observes the old artifact in full or the
+  * new one in full — never a mix.
+  *
+  * What happens to superseded files is the caller's policy, and the two
+  * maintenance verbs deliberately differ:
+  *  - ERASURE vacuums immediately — compliance wins over availability:
+  *    pre-erase bytes must not survive the call, so a reader still
+  *    holding the pre-swap snapshot fails LOUDLY on the vacuumed files
+  *    (a crash, never a torn or stale-and-silent answer).
+  *  - COMPACTION may defer ([[Similarity.compactPqCodesReport]]'s
+  *    `vacuum = false`) — in-flight readers keep their snapshot readable
+  *    until an explicit [[vacuum]] reclaims unreferenced files.
+  *
+  * Manifest layout, inside the artifact's own table directory:
+  * {{{
+  *   <loc>/list=<l>/part-*.parquet        data files (append-only)
+  *   <loc>/_graft_manifests/m-000001.txt  one relative data-file path/line
+  * }}}
+  * The `_`-prefixed dir is invisible to Spark's file index, so catalog
+  * reads of the table keep working untouched. Single-writer discipline
+  * (one maintenance session), as everywhere in this artifact lifecycle;
+  * the create-new rename makes a racing second writer fail loudly rather
+  * than corrupt.
+  */
+private[graft] object CodesSnapshot {
+
+  final case class Snapshot(version: Int, root: Path, files: Seq[String]) {
+    def absolute: Seq[String] = files.map(f => new Path(root, f).toString)
+    /** files pruned to the given list partitions — manifest-level static
+      * pruning: the plan never even lists the unprobed lists' files */
+    def prunedTo(lists: Seq[Long]): Snapshot = {
+      val keep = lists.map(l => s"list=$l/").toSet
+      copy(files = files.filter(f => keep.exists(f.startsWith)))
+    }
+    def listsHeld: Seq[Long] =
+      files.flatMap(ListDir.findFirstMatchIn(_).map(_.group(1).toLong)).distinct.sorted
+  }
+
+  private val ListDir = "^list=(-?\\d+)/".r
+  private val ManifestName = "^m-(\\d{6})\\.txt$".r
+
+  private def manifestDir(root: Path) = new Path(root, "_graft_manifests")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All data files currently ON DISK, as root-relative paths — the
+    * physical truth, independent of any manifest (used to diff before and
+    * after an append stage, and by [[vacuum]]).
+    */
+  def dataFiles(spark: SparkSession, root: Path): Seq[String] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+      }
+      .sorted
+  }
+
+  /** The highest-version manifest, if any commit ever happened. */
+  def current(spark: SparkSession, root: Path): Option[Snapshot] = {
+    val fs = fsOf(spark, root)
+    val dir = manifestDir(root)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq.flatMap(s =>
+      ManifestName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val in = fs.open(new Path(dir, f"m-$v%06d.txt"))
+      val files =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      Some(Snapshot(v, root, files))
+    }
+  }
+
+  /** Atomically publish a new snapshot listing exactly `files` (relative
+    * paths). The write goes to a `.tmp` then renames to the FINAL versioned
+    * name — create-new rename is atomic on POSIX and HDFS, so a reader
+    * either sees the complete new manifest or still resolves the previous
+    * one; there is no intermediate state. Returns the committed version.
+    */
+  def commit(spark: SparkSession, root: Path, files: Seq[String]): Int = {
+    val fs = fsOf(spark, root)
+    val dir = manifestDir(root)
+    fs.mkdirs(dir)
+    val next = current(spark, root).map(_.version).getOrElse(0) + 1
+    val tmp = new Path(dir, f"m-$next%06d.txt.tmp")
+    val out = fs.create(tmp, false)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(dir, f"m-$next%06d.txt")
+    require(fs.rename(tmp, fin),
+      s"snapshot commit lost the publish race for $fin — a second writer " +
+        "is mutating this artifact; the lifecycle is single-writer")
+    next
+  }
+
+  /** Read a snapshot as a DataFrame. `schema` must be the table's catalog
+    * schema INCLUDING the `list` partition column, so partition values
+    * parse to the declared type and filters on `list` stay partition
+    * filters. An empty snapshot reads as an empty frame of that schema.
+    */
+  def read(spark: SparkSession, snap: Snapshot,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read
+      .option("basePath", snap.root.toString)
+      .schema(schema)
+      .parquet(snap.absolute: _*)
+
+  /** Delete every data file NOT referenced by the current snapshot (and
+    * any list directory left empty), returning the removed relative paths.
+    * This is the reclaim step deferred maintenance owes: after it, the
+    * physical directory and the snapshot agree file-for-file — which is
+    * also the invariant that keeps plain catalog reads of the table exact.
+    */
+  def vacuum(spark: SparkSession, root: Path): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val keep = current(spark, root).map(_.files.toSet).getOrElse(Set.empty)
+    val doomed = dataFiles(spark, root).filterNot(keep)
+    doomed.foreach(f => fs.delete(new Path(root, f), false))
+    // a list dir holding no data files anymore is dropped entirely
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+      .filter(d => fs.listStatus(d.getPath).forall(f =>
+        f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith(".")))
+      .foreach(d => fs.delete(d.getPath, true))
+    doomed
+  }
+}

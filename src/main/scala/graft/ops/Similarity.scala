@@ -645,44 +645,121 @@ object Similarity {
     * handled the same way (the in-memory catalog forgets, the warehouse
     * dir persists — drop stale files before CTAS).
     */
-  private[graft] def codesShort(sfDir: String, trained: Boolean): String =
-    s"pq_codes_${if (trained) "t_" else ""}${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
-
-  private def warehouseLoc(spark: SparkSession, short: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
-
-  /** Every codes artifact currently STANDING for `sfDir` — the sampled one
-    * (ensured: the default serving artifact must exist for the erasure
-    * recipe to have a target) plus the trained-IVF one when built. The
-    * erasure and census paths iterate THIS list, so a deployment that
-    * builds both layouts cannot leak a vector's codes through the second
-    * copy. "Built" is a FILESYSTEM fact, not a catalog one: after a JVM
-    * restart the in-memory catalog forgets the trained table while its
-    * parquet files persist in the warehouse — a catalog-only check would
-    * silently skip exactly the stale files an erasure request must reach.
-    * A trained location with no catalog entry goes through
-    * [[ensurePqCodesTrained]]'s drop-stale-and-rebuild (the same
-    * discipline every ensure applies cross-JVM): the rebuild re-encodes
-    * the CURRENT corpus, and the caller's erase/census then rewrites it —
-    * no pre-restart bytes survive. (At 100 TB the heal-by-rebuild is the
-    * belt-and-braces for in-memory catalogs, not the plan: a production
-    * deployment pins a persistent metastore so the catalog never forgets
-    * and this path never fires; the filesystem check still guards the
-    * compliance invariant if it somehow does.)
+  /** The three codes layouts: `Sampled` (first-`nlist` coarse quantizer,
+    * raw-vector PQ books), `Trained` (published [[IvfModel]] centroids,
+    * raw-vector books), `Residual` (published centroids, RESIDUAL books —
+    * textbook IVF-PQ). One artifact family, one lifecycle.
     */
-  private[graft] def codesTablesStanding(spark: SparkSession, sfDir: String): Seq[String] = {
-    val tShort = codesShort(sfDir, trained = true)
-    val trained = s"graft_artifacts.$tShort"
-    val loc = warehouseLoc(spark, tShort)
-    val trainedStanding = spark.catalog.tableExists(trained) ||
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
-    ensurePqCodes(spark, sfDir) +:
-      (if (trainedStanding) Seq(ensurePqCodesTrained(spark, sfDir)) else Nil)
+  private[graft] object CodesKind {
+    val Sampled = "sampled"
+    val Trained = "trained"
+    val Residual = "residual"
+    val All: Seq[String] = Seq(Sampled, Trained, Residual)
+    def tag(kind: String): String = kind match {
+      case Sampled  => ""
+      case Trained  => "t_"
+      case Residual => "r_"
+      case other    => throw new IllegalArgumentException(s"unknown codes kind: $other")
+    }
   }
 
-  def ensurePqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): String = {
-    val short = codesShort(sfDir, trained = false)
+  private[graft] def codesShortKind(sfDir: String, kind: String): String =
+    s"pq_codes_${CodesKind.tag(kind)}${Integer.toHexString(sfDir.hashCode).takeRight(8)}"
+
+  private[graft] def codesShort(sfDir: String, trained: Boolean): String =
+    codesShortKind(sfDir, if (trained) CodesKind.Trained else CodesKind.Sampled)
+
+  /** The artifact's real location: from the CATALOG when the table is
+    * registered (the session may run with a different warehouse dir than
+    * the one the artifact was built under — per-invocation warehouses are
+    * a deliberate harness posture), falling back to the current session's
+    * warehouse-derived path only for unregistered locations. The
+    * filesystem-standing checks are therefore scoped to ONE warehouse
+    * only in the unregistered corner, and exact whenever the catalog
+    * knows the table.
+    */
+  private[graft] def artifactLoc(spark: SparkSession, short: String): org.apache.hadoop.fs.Path = {
+    val name = s"graft_artifacts.$short"
+    if (spark.catalog.tableExists(name))
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(short, Some("graft_artifacts"))).location)
+    else new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
+  }
+
+  /** Non-mutating standing check for one codes layout: registered in the
+    * catalog, or its parquet files persist in the warehouse (after a JVM
+    * restart the in-memory catalog forgets while the files remain — the
+    * filesystem fact is what an erasure request must reach).
+    */
+  private def layoutStanding(spark: SparkSession, short: String): Boolean = {
+    val name = s"graft_artifacts.$short"
+    val loc = artifactLoc(spark, short)
+    spark.catalog.tableExists(name) ||
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(loc)
+  }
+
+  /** All codes layouts, as (short name, kind) in census order. */
+  private[graft] def codesShorts(sfDir: String): Seq[(String, String)] =
+    CodesKind.All.map(k => codesShortKind(sfDir, k) -> k)
+
+  /** NON-MUTATING readers over every codes artifact currently standing for
+    * `sfDir` — the census path. A registered table reads through the
+    * catalog; files standing WITHOUT a catalog entry (post-restart) are
+    * read directly with partition discovery, exactly as they lie on disk.
+    * Nothing is built, rebuilt, or registered: a preview documented as
+    * "nothing written" must never trigger [[ensurePqCodes]]'s corpus-wide
+    * encode or [[ensurePqCodesTrained]]'s drop-stale-and-rebuild as a side
+    * effect (a census counts what IS there, stale or not — healing is the
+    * destructive erase path's job).
+    */
+  private[graft] def codesReadersStanding(spark: SparkSession,
+                                          sfDir: String): Seq[DataFrame] =
+    codesShorts(sfDir).flatMap { case (short, _) =>
+      val name = s"graft_artifacts.$short"
+      if (spark.catalog.tableExists(name)) Some(spark.table(name))
+      else {
+        val loc = artifactLoc(spark, short)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc))
+          Some(spark.read.option("basePath", loc.toString).parquet(loc.toString))
+        else None
+      }
+    }
+
+  /** Every codes artifact currently STANDING for `sfDir`, HEALED for the
+    * destructive erase path: each layout that is present — catalog entry
+    * or surviving warehouse files ("built" is a FILESYSTEM fact; a
+    * catalog-only check would silently skip exactly the stale files an
+    * erasure request must reach after a JVM restart) — goes through its
+    * ensure, so files with no catalog entry are drop-stale-and-rebuilt
+    * from the CURRENT corpus before the caller's rewrite: no pre-restart
+    * bytes survive. Layouts that were never built are NOT created (erasing
+    * from an artifact that doesn't exist is a no-op, not a build trigger —
+    * the maintenance-never-CREATES posture). At 100 TB the heal-by-rebuild
+    * is the belt-and-braces for in-memory catalogs, not the plan: a
+    * production deployment pins a persistent metastore so the catalog
+    * never forgets and this path never fires.
+    */
+  private[graft] def codesTablesStanding(spark: SparkSession, sfDir: String): Seq[String] =
+    codesShorts(sfDir).collect {
+      case (short, kind) if layoutStanding(spark, short) =>
+        ensureCodesKind(spark, sfDir, kind)
+    }
+
+  private def ensureCodesKind(spark: SparkSession, sfDir: String, kind: String): String =
+    kind match {
+      case CodesKind.Sampled  => ensurePqCodes(spark, sfDir)
+      case CodesKind.Trained  => ensurePqCodesTrained(spark, sfDir)
+      case CodesKind.Residual => ensurePqCodesRes(spark, sfDir)
+    }
+
+  /** Shared ensure body: drop stale cross-JVM files, CTAS the encoded rows
+    * partitioned by list, and publish snapshot v1 — every artifact is born
+    * with a manifest so maintenance can stage-and-swap from day one.
+    */
+  private def buildCodesArtifact(spark: SparkSession, short: String,
+                                 rows: => DataFrame): String = {
     val name = s"graft_artifacts.$short"
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
     if (!spark.catalog.tableExists(name)) {
@@ -690,6 +767,48 @@ object Similarity {
         s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
+      rows.select(col("vec_id"), col("codes"), col("list"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("list").saveAsTable(name)
+      val root = artifactLoc(spark, short)
+      CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
+    }
+    name
+  }
+
+  /** The current snapshot of one layout (ensuring the artifact first). A
+    * pre-manifest artifact (built by an older session) is adopted: its
+    * on-disk files become snapshot v1.
+    */
+  private def codesSnapshotOf(spark: SparkSession, sfDir: String,
+                              kind: String): (String, CodesSnapshot.Snapshot) = {
+    val name = ensureCodesKind(spark, sfDir, kind)
+    val root = artifactLoc(spark, codesShortKind(sfDir, kind))
+    val snap = CodesSnapshot.current(spark, root).getOrElse {
+      CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
+      CodesSnapshot.current(spark, root).get
+    }
+    (name, snap)
+  }
+
+  /** Snapshot-isolated read of one layout's codes — THE serving read: the
+    * file set binds to one committed manifest at plan time, so a serve
+    * concurrent with a maintenance rewrite sees the old artifact in full
+    * or the new one in full, never a torn mix (see [[CodesSnapshot]]).
+    * `lists` prunes at the MANIFEST level — the plan never lists, opens,
+    * or even stats the unprobed lists' files; the surviving `list` filter
+    * in callers still shows as PartitionFilters because the read carries
+    * the catalog schema (typed partition column).
+    */
+  private def codesSnapshotRead(spark: SparkSession, sfDir: String, kind: String,
+                                lists: Option[Seq[Long]] = None): DataFrame = {
+    val (name, snap) = codesSnapshotOf(spark, sfDir, kind)
+    val pruned = lists.fold(snap)(snap.prunedTo)
+    CodesSnapshot.read(spark, pruned, spark.table(name).schema)
+  }
+
+  def ensurePqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): String =
+    buildCodesArtifact(spark, codesShortKind(sfDir, CodesKind.Sampled), {
       val base = loadNormalized(spark, sfDir)
       val cents = base.filter(col("vec_id") < nlist)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
@@ -701,12 +820,7 @@ object Similarity {
       base.join(broadcast(cents))
         .withColumn("list", element_at(ranked, 1)("cid"))
         .withColumn("codes", trainedCodes(col("vn")))
-        .select(col("vec_id"), col("codes"), col("list"))
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("list").saveAsTable(name)
-    }
-    name
-  }
+    })
 
   /** Incremental artifact MAINTENANCE for a growing corpus: encode ONLY
     * the vectors not yet in the codes table (left-anti on vec_id) and
@@ -722,23 +836,47 @@ object Similarity {
     * [[graft.PqTrain]] + a rebuilt artifact — not a refresh.)
     */
   def refreshPqCodes(spark: SparkSession, sfDir: String, nlist: Int = 16): Long = {
-    val name = ensurePqCodes(spark, sfDir, nlist)
-    val existing = spark.table(name).select(col("vec_id"))
-    val base = loadNormalized(spark, sfDir)
-    val fresh = base.join(existing, Seq("vec_id"), "left_anti")
-    val cents = base.filter(col("vec_id") < nlist)
-      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
-        .as("cents"))
-    val ranked = array_sort(transform(col("cents"),
-      c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
-    val encoded = fresh.join(broadcast(cents))
-      .withColumn("list", element_at(ranked, 1)("cid"))
-      .withColumn("codes", trainedCodes(col("vn")))
+    ensurePqCodes(spark, sfDir, nlist)
+    refreshCodesKind(spark, sfDir, CodesKind.Sampled) { fresh =>
+      val base = loadNormalized(spark, sfDir)
+      val cents = base.filter(col("vec_id") < nlist)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
+          .as("cents"))
+      val ranked = array_sort(transform(col("cents"),
+        c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
+      fresh.join(broadcast(cents))
+        .withColumn("list", element_at(ranked, 1)("cid"))
+        .withColumn("codes", trainedCodes(col("vn")))
+    }
+  }
+
+  /** The shared grow step, snapshot-committed: the delta (left-anti on the
+    * CURRENT snapshot's ids) is encoded by `encode` and STAGED as plain
+    * appended files — invisible to every reader, because reads bind to a
+    * manifest — then ONE atomic commit publishes old-files + delta-files.
+    * A reader concurrent with a refresh sees the pre-growth artifact in
+    * full or the grown one in full; the old half-visible-append window is
+    * gone. Existing files are never touched (append-only), so the refresh
+    * cost at 100 TB stays one anti-join + the delta encode.
+    */
+  private def refreshCodesKind(spark: SparkSession, sfDir: String, kind: String)
+                              (encode: DataFrame => DataFrame): Long = {
+    val (name, snap) = codesSnapshotOf(spark, sfDir, kind)
+    val existing = CodesSnapshot.read(spark, snap, spark.table(name).schema)
+      .select(col("vec_id"))
+    val fresh = loadNormalized(spark, sfDir)
+      .join(existing, Seq("vec_id"), "left_anti")
+    val encoded = encode(fresh)
       .select(col("vec_id"), col("codes"), col("list"))
       .cache()
     try {
       val n = encoded.count()
-      if (n > 0L) encoded.write.mode("append").insertInto(name)
+      if (n > 0L) {
+        val before = CodesSnapshot.dataFiles(spark, snap.root).toSet
+        encoded.write.mode("append").insertInto(name)
+        val added = CodesSnapshot.dataFiles(spark, snap.root).filterNot(before)
+        CodesSnapshot.commit(spark, snap.root, snap.files ++ added)
+      }
       n
     } finally { encoded.unpersist(); () }
   }
@@ -753,23 +891,21 @@ object Similarity {
     * update ([[graft.IvfTrain]] → rebuilt artifact) changes it. Returns
     * the number of newly encoded rows.
     */
-  def refreshPqCodesTrained(spark: SparkSession, sfDir: String): Long = {
-    val name = ensurePqCodesTrained(spark, sfDir)
-    val existing = spark.table(name).select(col("vec_id"))
-    val fresh = loadNormalized(spark, sfDir)
-      .join(existing, Seq("vec_id"), "left_anti")
-    val encoded = fresh
-      .withColumn("list",
-        element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
-      .withColumn("codes", trainedCodes(col("vn")))
-      .select(col("vec_id"), col("codes"), col("list"))
-      .cache()
-    try {
-      val n = encoded.count()
-      if (n > 0L) encoded.write.mode("append").insertInto(name)
-      n
-    } finally { encoded.unpersist(); () }
-  }
+  def refreshPqCodesTrained(spark: SparkSession, sfDir: String): Long =
+    refreshCodesKind(spark, sfDir, CodesKind.Trained)(
+      _.withColumn("list",
+          element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
+        .withColumn("codes", trainedCodes(col("vn"))))
+
+  /** [[refreshPqCodesTrained]] for the RESIDUAL artifact: published-
+    * centroid assignment, residual-book encode — the same frozen-model
+    * append stability (growth can never move a published quantizer).
+    */
+  def refreshPqCodesRes(spark: SparkSession, sfDir: String): Long =
+    refreshCodesKind(spark, sfDir, CodesKind.Residual)(
+      _.withColumn("list",
+          element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
+        .withColumn("codes", residualCodesFor(col("vn"), col("list"))))
 
   /** Small-file MAINTENANCE for the codes artifacts — the missing third of
     * the lifecycle (build = [[ensurePqCodes]], grow = [[refreshPqCodes]],
@@ -778,12 +914,14 @@ object Similarity {
     * grows daily fragments its lists into hundreds of splinter files —
     * and at 100 TB that is the difference between a serving scan opening
     * nprobe files and opening nprobe × days of them. The rewrite is
-    * partition-scoped like the erasure recipe: only lists whose file
-    * count exceeds `maxFilesPerList` are rewritten (one shuffle keyed by
-    * `list`, so each fragmented list lands in one task = one file),
-    * byte-identical rows, dynamic partition overwrite — untouched lists
-    * keep their exact files. Returns the number of list partitions
-    * compacted. Maintenance never CREATES: only artifacts the session's
+    * partition-scoped like the erasure recipe, and STAGE-AND-SWAP
+    * ([[CodesSnapshot]]): only lists whose file count exceeds
+    * `maxFilesPerList` are rewritten (one shuffle keyed by `list`, so each
+    * fragmented list lands in one task = one file), byte-identical rows,
+    * published by one atomic manifest commit — untouched lists keep their
+    * exact files, and a reader concurrent with the compaction sees the old
+    * or the new artifact in full, never a mix. Returns the number of list
+    * partitions compacted. Maintenance never CREATES: only artifacts the session's
     * catalog already serves are compacted (a trained-only deployment must
     * not gain a corpus-wide sampled encode — and a second durable
     * content-derived copy — as a side effect of a compaction pass; run
@@ -791,47 +929,117 @@ object Similarity {
     * touch are registered).
     */
   def compactPqCodes(spark: SparkSession, sfDir: String,
-                     maxFilesPerList: Int = 4): Long = {
-    require(maxFilesPerList >= 1, s"maxFilesPerList must be >= 1: $maxFilesPerList")
-    val ListDir = "list=(-?\\d+)".r
-    Seq(false, true)
-      .map(t => s"graft_artifacts.${codesShort(sfDir, trained = t)}")
-      .filter(spark.catalog.tableExists)
-      .map { name =>
-      val tbl = spark.table(name)
-      val filesPerList = tbl.inputFiles.toSeq
-        .flatMap(f => ListDir.findFirstMatchIn(f).map(_.group(1).toLong))
-        .groupBy(identity).view.mapValues(_.size).toMap
-      val frag = filesPerList.filter(_._2 > maxFilesPerList).keys.toSeq.sorted
-      if (frag.isEmpty) 0L
-      else {
-        val rewritten = tbl.filter(col("list").isin(frag: _*))
-          .select(col("vec_id"), col("codes"), col("list"))
-          .repartition(col("list"))
-        val ModeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prior = spark.conf.getOption(ModeKey)
-        try {
-          spark.conf.set(ModeKey, "dynamic")
-          rewritten.write.mode("overwrite").insertInto(name)
-        } finally prior.fold(spark.conf.unset(ModeKey))(spark.conf.set(ModeKey, _))
-        frag.size.toLong
-      }
-    }.sum
+                     maxFilesPerList: Int = 4, vacuum: Boolean = true): Long =
+    compactPqCodesReport(spark, sfDir, maxFilesPerList, vacuum)
+      .collect { case (_, CompactStatus.Compacted, n) => n }.sum
+
+  /** Per-layout compaction outcome, so an operator can distinguish
+    * "nothing fragmented" from "layout not registered in this session":
+    * the erase path is filesystem-standing but compaction is catalog-only
+    * by design (maintenance never CREATES — registering/healing an orphan
+    * layout is the destructive erase path's job), and before this report a
+    * post-restart compaction pass silently skipped the trained artifact's
+    * fragmented files and returned 0 with no signal. Statuses:
+    * `Compacted` (n = lists rewritten, possibly 0 when quiet),
+    * `SkippedUnregistered` (files stand in the warehouse but the catalog
+    * doesn't serve the table — run compaction in the serving session),
+    * `Absent` (layout never built).
+    */
+  object CompactStatus {
+    val Compacted = "compacted"
+    val SkippedUnregistered = "skipped-unregistered"
+    val Absent = "absent"
   }
+
+  def compactPqCodesReport(spark: SparkSession, sfDir: String,
+                           maxFilesPerList: Int = 4,
+                           vacuum: Boolean = true): Seq[(String, String, Long)] = {
+    require(maxFilesPerList >= 1, s"maxFilesPerList must be >= 1: $maxFilesPerList")
+    val ListPrefix = "^list=(-?\\d+)/".r
+    codesShorts(sfDir).map { case (short, _) =>
+      val name = s"graft_artifacts.$short"
+      if (!spark.catalog.tableExists(name)) {
+        if (layoutStanding(spark, short))
+          (name, CompactStatus.SkippedUnregistered, 0L)
+        else (name, CompactStatus.Absent, 0L)
+      } else {
+        // fragmentation is judged on the CURRENT SNAPSHOT's files (the
+        // ones a serve actually opens), never raw directory contents —
+        // deferred-vacuum leftovers are reclaim debt, not fragmentation
+        val root = artifactLoc(spark, short)
+        val snap = CodesSnapshot.current(spark, root).getOrElse {
+          CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
+          CodesSnapshot.current(spark, root).get
+        }
+        val filesPerList = snap.files
+          .flatMap(f => ListPrefix.findFirstMatchIn(f).map(_.group(1).toLong))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val frag = filesPerList.filter(_._2 > maxFilesPerList).keys.toSeq.sorted
+        if (frag.isEmpty) (name, CompactStatus.Compacted, 0L)
+        else {
+          // STAGE: each fragmented list rewritten to one new file (one
+          // shuffle keyed by list → one task → one file), appended so no
+          // reader can see it before the commit
+          val rewritten = CodesSnapshot.read(spark, snap.prunedTo(frag),
+              spark.table(name).schema)
+            .select(col("vec_id"), col("codes"), col("list"))
+            .repartition(col("list"))
+          val before = CodesSnapshot.dataFiles(spark, root).toSet
+          rewritten.write.mode("append").insertInto(name)
+          val staged = CodesSnapshot.dataFiles(spark, root).filterNot(before)
+          // SWAP: one atomic manifest commit — fragmented lists' files
+          // replaced by the coalesced ones, quiet lists byte-identical
+          val fragSet = frag.map(l => s"list=$l/").toSet
+          val keep = snap.files.filterNot(f => fragSet.exists(f.startsWith))
+          CodesSnapshot.commit(spark, root, keep ++ staged)
+          // RECLAIM: by default superseded files go now (directory and
+          // snapshot agree again — plain catalog reads stay exact);
+          // vacuum = false leaves them for in-flight readers holding the
+          // pre-swap snapshot, to be reclaimed by [[vacuumPqCodes]]
+          if (vacuum) {
+            CodesSnapshot.vacuum(spark, root)
+            spark.catalog.refreshTable(name)
+          }
+          (name, CompactStatus.Compacted, frag.size.toLong)
+        }
+      }
+    }
+  }
+
+  /** Reclaim files superseded by past stage-and-swap commits (deferred
+    * compactions) across every registered codes layout — run once
+    * in-flight readers of the old snapshots have drained. Returns the
+    * removed relative paths per layout.
+    */
+  def vacuumPqCodes(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
+    codesShorts(sfDir).flatMap { case (short, _) =>
+      val name = s"graft_artifacts.$short"
+      if (!spark.catalog.tableExists(name)) None
+      else {
+        val removed = CodesSnapshot.vacuum(spark, artifactLoc(spark, short))
+        if (removed.nonEmpty) spark.catalog.refreshTable(name)
+        Some(name -> removed)
+      }
+    }.toMap
 
   /** Entity erasure for the persisted codes artifact: the codes table
     * holds CONTENT-DERIVED data keyed by vec_id (8 codeword ids reconstruct
     * a lossy sketch of the vector), so an erasure request that removes a
     * vector from `embeddings` must reach its codes row too. The rewrite is
-    * PARTITION-SCOPED: one bounded scan finds the affected IVF lists, a
-    * dynamic-partition-overwrite rewrites ONLY those lists without the
-    * target rows (untouched lists keep their files byte-identical), and a
-    * list emptied entirely is dropped explicitly — dynamic overwrite only
-    * replaces partitions PRESENT in the written data, so an empty result
-    * would otherwise leave the stale partition behind (the silent-leak
-    * case the explicit drop closes). Returns the number of rows erased.
-    * At 100 TB this touches nprobe-sized slices of a 5-byte/row table —
-    * the same cost class as serving, not a corpus rewrite.
+    * PARTITION-SCOPED and STAGE-AND-SWAP ([[CodesSnapshot]]): one bounded
+    * scan finds the affected IVF lists, their survivors are STAGED as
+    * appended files (invisible — reads bind to a committed manifest), one
+    * atomic manifest commit swaps the affected lists' files for the
+    * survivor files (a fully-emptied list simply has none — no stale
+    * partition can linger), and the superseded files are vacuumed in the
+    * same call (compliance: pre-erase bytes must not survive; a reader
+    * still holding the pre-swap snapshot fails loudly, never reads them
+    * silently, and never sees a TORN mix of rewritten and unrewritten
+    * lists — the window the old in-place dynamic overwrite left open).
+    * Untouched lists keep their files byte-identical. Returns the number
+    * of rows erased. At 100 TB this touches nprobe-sized slices of a
+    * 5-byte/row table — the same cost class as serving, not a corpus
+    * rewrite.
     */
   def erasePqCodes(spark: SparkSession, sfDir: String, vecIds: Set[Long]): Long = {
     if (vecIds.isEmpty) return 0L
@@ -840,29 +1048,43 @@ object Similarity {
 
   private def eraseFromCodes(spark: SparkSession, name: String,
                              vecIds: Set[Long]): Long = {
-    val tbl = spark.table(name)
+    val short = name.split('.').last
+    val root = artifactLoc(spark, short)
+    val snap = CodesSnapshot.current(spark, root).getOrElse {
+      CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
+      CodesSnapshot.current(spark, root).get
+    }
+    val schema = spark.table(name).schema
+    val tbl = CodesSnapshot.read(spark, snap, schema)
     val hit = col("vec_id").isin(vecIds.toSeq: _*)
     val affected = tbl.filter(hit).groupBy(col("list"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return 0L
     val lists = affected.keys.toSeq.sorted
+    // STAGE: survivors of the affected lists land as appended files — no
+    // reader can see them, reads bind to the committed manifest
     val remaining = tbl.filter(col("list").isin(lists: _*) && !hit)
       .select(col("vec_id"), col("codes"), col("list"))
-    // survivors per affected list, counted BEFORE the write: a list with
-    // zero survivors contributes no rows to the dynamic overwrite, so it
-    // is never rewritten — probing the table afterwards would still show
-    // its stale rows and miss exactly the partitions that must be dropped
-    val survivors = remaining.groupBy(col("list")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ModeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(ModeKey)
-    try {
-      spark.conf.set(ModeKey, "dynamic")
-      remaining.write.mode("overwrite").insertInto(name)
-    } finally prior.fold(spark.conf.unset(ModeKey))(spark.conf.set(ModeKey, _))
-    val emptied = lists.filterNot(l => survivors.getOrElse(l, 0L) > 0L)
+    val before = CodesSnapshot.dataFiles(spark, root).toSet
+    remaining.write.mode("append").insertInto(name)
+    val staged = CodesSnapshot.dataFiles(spark, root).filterNot(before)
+    // SWAP: one atomic commit — affected lists' files replaced by the
+    // survivor files (a fully-emptied list simply has none), untouched
+    // lists byte-identical. No torn window: pre-swap readers resolve the
+    // old manifest in full, post-swap readers the new one in full.
+    val affectedSet = lists.map(l => s"list=$l/").toSet
+    val keep = snap.files.filterNot(f => affectedSet.exists(f.startsWith))
+    CodesSnapshot.commit(spark, root, keep ++ staged)
+    // RECLAIM immediately — compliance wins over availability for ERASURE:
+    // the pre-erase bytes must not survive this call, so a reader still
+    // holding the pre-swap snapshot fails loudly rather than reading them
+    CodesSnapshot.vacuum(spark, root)
+    // catalog hygiene: emptied lists lose their partition entry too (the
+    // vacuum already removed their directories)
+    val emptied = lists.filterNot(l => staged.exists(_.startsWith(s"list=$l/")))
     emptied.foreach(l =>
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (list=$l)"))
+    spark.catalog.refreshTable(name)
     affected.values.sum
   }
 
@@ -877,7 +1099,7 @@ object Similarity {
     */
   def pqTopKServed(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                    k: Int = 10, rerank: Int = 100): DataFrame = {
-    val codes = spark.table(ensurePqCodes(spark, sfDir))
+    val codes = codesSnapshotRead(spark, sfDir, CodesKind.Sampled)
     val base = loadNormalized(spark, sfDir)
     val q = base.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("vn").as("qvn"))
@@ -915,7 +1137,7 @@ object Similarity {
                         queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
                         k: Int = 10, rerank: Int = 100): DataFrame = {
     require(queryIds.nonEmpty, "batch serving needs at least one query")
-    val codes = spark.table(ensurePqCodes(spark, sfDir))
+    val codes = codesSnapshotRead(spark, sfDir, CodesKind.Sampled)
     val base = loadNormalized(spark, sfDir)
     val qs = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
@@ -956,7 +1178,7 @@ object Similarity {
   def pqTopKIvf(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                 k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
                 rerank: Int = 100): DataFrame = {
-    val tbl = ensurePqCodes(spark, sfDir, nlist)
+    ensurePqCodes(spark, sfDir, nlist)
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
@@ -969,7 +1191,7 @@ object Similarity {
     val base = loadNormalized(spark, sfDir)
     val qn = base.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("vn").as("qvn"))
-    val cand = spark.table(tbl)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Sampled, Some(probes))
       .filter(col("list").isin(probes: _*))
       .join(broadcast(qn.select(col("qvn"))))
       .filter(col("vec_id") =!= queryId)
@@ -1018,25 +1240,12 @@ object Similarity {
     * the erasure census iterate [[codesTablesStanding]], so both copies
     * are reached by one request.
     */
-  def ensurePqCodesTrained(spark: SparkSession, sfDir: String): String = {
-    val short = codesShort(sfDir, trained = true)
-    val name = s"graft_artifacts.$short"
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
-    if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+  def ensurePqCodesTrained(spark: SparkSession, sfDir: String): String =
+    buildCodesArtifact(spark, codesShortKind(sfDir, CodesKind.Trained),
       loadNormalized(spark, sfDir)
         .withColumn("list",
           element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
-        .withColumn("codes", trainedCodes(col("vn")))
-        .select(col("vec_id"), col("codes"), col("list"))
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("list").saveAsTable(name)
-    }
-    name
-  }
+        .withColumn("codes", trainedCodes(col("vn"))))
 
   /** IVF-PQ serving on the FULLY-TRAINED stack: published coarse centroids
     * ([[IvfModel]]) route the query and partition the codes, published PQ
@@ -1052,7 +1261,7 @@ object Similarity {
   def pqTopKIvfTrained(spark: SparkSession, sfDir: String, queryId: Long = 0L,
                        k: Int = 10, nprobe: Int = 4,
                        rerank: Int = 100): DataFrame = {
-    val tbl = ensurePqCodesTrained(spark, sfDir)
+    ensurePqCodesTrained(spark, sfDir)
     val base = loadNormalized(spark, sfDir)
     val qn = base.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("vn").as("qvn"))
@@ -1062,7 +1271,8 @@ object Similarity {
       .collect().headOption
       .map(_.getSeq[org.apache.spark.sql.Row](0).take(nprobe).map(_.getInt(1)).toSeq)
       .getOrElse(Seq.empty)
-    val cand = spark.table(tbl)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Trained,
+        Some(probes.map(_.toLong)))
       .filter(col("list").isin(probes: _*))
       .join(broadcast(qn.select(col("qvn"))))
       .filter(col("vec_id") =!= queryId)
@@ -1096,7 +1306,7 @@ object Similarity {
                             k: Int = 10, nprobe: Int = 4,
                             rerank: Int = 100): DataFrame = {
     require(queryIds.nonEmpty, "batch serving needs at least one query")
-    val tbl = ensurePqCodesTrained(spark, sfDir)
+    ensurePqCodesTrained(spark, sfDir)
     val base = loadNormalized(spark, sfDir)
     val qn = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
@@ -1109,12 +1319,162 @@ object Similarity {
     val unionLists = probesByQ.values.flatten.toSeq.distinct.sorted
     val probeMap = map(probesByQ.toSeq.sortBy(_._1).flatMap { case (q, ps) =>
       Seq(lit(q), typedLit(ps)) }: _*)
-    val cand = spark.table(tbl)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Trained, Some(unionLists))
       .filter(col("list").isin(unionLists: _*)) // static partition pruning
       .join(broadcast(qn.select(col("query_id"), col("qvn"))))
       .filter(col("vec_id") =!= col("query_id") &&
         array_contains(element_at(probeMap, col("query_id")), col("list")))
       .withColumn("adc", trainedAdc(col("qvn"), col("codes")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("vec_id"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
+  // ===== Residual IVF-PQ (Jégou et al. TPAMI'11 §V — the textbook form:
+  // the PQ books quantize the RESIDUAL x − c(list) under the coarse
+  // quantizer, concentrating the codebook budget on within-cell variance
+  // instead of re-spending it on the cell position the `list` id already
+  // encodes — better recall at IDENTICAL bits: same m, same ksub, same
+  // 5 logical bytes per vector) =====
+
+  /** [[PqResModel]]'s published residual books → doubles, one plan literal
+    * (micro / 1e6 — the same IEEE division the oracle performs).
+    */
+  private lazy val resBooks: Column = typedLit(
+    PqResModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
+
+  private def resCw(mi: Int, cid: Column): Column =
+    element_at(element_at(resBooks, mi + 1), (cid + 1).cast("int"))
+
+  /** The residual of a normalized vector under its assigned trained list:
+    * vn − c(list), elementwise — the same doubles in the same order on
+    * both engines (list centroids are the published integer micros / 1e6),
+    * so everything downstream stays bit-equal.
+    */
+  private def residualOf(vn: Column, list: Column): Column =
+    zip_with(vn, element_at(ivfCents, (list + 1).cast("int")), (x, c) => x - c)
+
+  /** In-row residual-PQ encode: per subspace, the (micro-dist, cid)-min
+    * RESIDUAL codeword. `list` must be the vector's trained assignment —
+    * the residual is only meaningful under the centroid that produced it.
+    */
+  private def residualCodesFor(vn: Column, list: Column): Column = {
+    val r = residualOf(vn, list)
+    array((0 until PqResModel.M).map { mi =>
+      element_at(array_sort(transform(sequence(lit(0), lit(PqResModel.Ksub - 1)),
+        cid => struct(
+          pqL2Micro(pqSubSlice(r, mi, PqResModel.Sub), resCw(mi, cid)).as("d"),
+          cid.as("cid")))), 1)("cid")
+    }: _*)
+  }
+
+  /** Residual ADC: the query's residual is taken under the CANDIDATE'S
+    * list (the asymmetric-distance table is per probed cell in IVF-PQ —
+    * query and candidate must subtract the same centroid for the distance
+    * to live in one space), then Σ_m micro-dist(query-residual subspace,
+    * candidate's residual codeword) — the same order-free integer sum as
+    * every PQ form.
+    */
+  private def residualAdc(qvn: Column, list: Column, codes: Column): Column = {
+    val qr = residualOf(qvn, list)
+    (0 until PqResModel.M).map { mi =>
+      pqL2Micro(pqSubSlice(qr, mi, PqResModel.Sub),
+        resCw(mi, element_at(codes, mi + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** The RESIDUAL codes artifact — [[ensurePqCodesTrained]]'s layout
+    * (published-centroid `list` partitioning, same schema, same snapshot
+    * lifecycle) with the codes from the residual books: the third standing
+    * layout, reached by the same one-call erasure/census as the other two
+    * ([[codesShorts]] iterates all kinds). Retrain ⇒ rebuild, exactly like
+    * a books or centroid update — BOTH models ([[IvfModel]], [[PqResModel]])
+    * are part of this artifact's identity.
+    */
+  def ensurePqCodesRes(spark: SparkSession, sfDir: String): String =
+    buildCodesArtifact(spark, codesShortKind(sfDir, CodesKind.Residual),
+      loadNormalized(spark, sfDir)
+        .withColumn("list",
+          element_at(ivfTrainedRanked(col("vn")), 1)("cid").cast("long"))
+        .withColumn("codes", residualCodesFor(col("vn"), col("list"))))
+
+  /** Residual IVF-PQ serving, single query — [[pqTopKIvfTrained]]'s plan
+    * shape (published-centroid routing, partition-pruned codes scan, exact
+    * cosine rerank) over the residual artifact and [[residualAdc]]. Same
+    * bits, same cost, better-conditioned quantization.
+    */
+  def pqTopKIvfRes(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                   k: Int = 10, nprobe: Int = 4,
+                   rerank: Int = 100): DataFrame = {
+    ensurePqCodesRes(spark, sfDir)
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("vn").as("qvn"))
+    val probes: Seq[Int] = qn.select(ivfTrainedRanked(col("qvn")).as("r"))
+      .collect().headOption
+      .map(_.getSeq[org.apache.spark.sql.Row](0).take(nprobe).map(_.getInt(1)).toSeq)
+      .getOrElse(Seq.empty)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Residual,
+        Some(probes.map(_.toLong)))
+      .filter(col("list").isin(probes: _*))
+      .join(broadcast(qn.select(col("qvn"))))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", residualAdc(col("qvn"), col("list"), col("codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"))
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn.select(col("qv"))))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[pqTopKIvfRes]] batched — the [[pqTopKIvfTrainedBatch]] endpoint
+    * shape over the residual artifact: in-plan routing collected once
+    * (Q × nlist structs), union-of-probes manifest pruning, per-query
+    * probe admission, [[graft.functions.TopKPairs]] partial-agg heaps,
+    * exact-cosine rerank.
+    */
+  def pqTopKIvfResBatch(spark: SparkSession, sfDir: String,
+                        queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                        k: Int = 10, nprobe: Int = 4,
+                        rerank: Int = 100): DataFrame = {
+    require(queryIds.nonEmpty, "batch serving needs at least one query")
+    ensurePqCodesRes(spark, sfDir)
+    val base = loadNormalized(spark, sfDir)
+    val qn = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
+    val probesByQ: Map[Long, Seq[Long]] = qn
+      .select(col("query_id"), ivfTrainedRanked(col("qvn")).as("r"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[org.apache.spark.sql.Row](1).take(nprobe).map(_.getInt(1).toLong))
+      .toMap
+    val unionLists = probesByQ.values.flatten.toSeq.distinct.sorted
+    val probeMap = map(probesByQ.toSeq.sortBy(_._1).flatMap { case (q, ps) =>
+      Seq(lit(q), typedLit(ps)) }: _*)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Residual, Some(unionLists))
+      .filter(col("list").isin(unionLists: _*)) // static partition pruning
+      .join(broadcast(qn.select(col("query_id"), col("qvn"))))
+      .filter(col("vec_id") =!= col("query_id") &&
+        array_contains(element_at(probeMap, col("query_id")), col("list")))
+      .withColumn("adc", residualAdc(col("qvn"), col("list"), col("codes")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
         .as("cands"))
@@ -1153,7 +1513,7 @@ object Similarity {
                      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
                      rerank: Int = 100): DataFrame = {
     require(queryIds.nonEmpty, "batch serving needs at least one query")
-    val tbl = ensurePqCodes(spark, sfDir, nlist)
+    ensurePqCodes(spark, sfDir, nlist)
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
@@ -1179,7 +1539,7 @@ object Similarity {
     val base = loadNormalized(spark, sfDir)
     val qn = base.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qvn"))
-    val cand = spark.table(tbl)
+    val cand = codesSnapshotRead(spark, sfDir, CodesKind.Sampled, Some(unionLists))
       .filter(col("list").isin(unionLists: _*)) // static partition pruning
       .join(broadcast(qn.select(col("query_id"), col("qvn"))))
       .filter(col("vec_id") =!= col("query_id") &&
@@ -1248,14 +1608,24 @@ object Similarity {
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val exact = exactTopKIds(spark, sfDir, queryIds, k)
+    // four variants, one scorecard: flat PQ, sampled-quantizer IVF-PQ, and
+    // the two TRAINED layouts at identical bits — `ivfpq_t` (raw-vector
+    // books) vs `ivfpq_res` (residual books) differ ONLY in what the books
+    // quantize, same routing, same m/ksub/rerank: the apples-to-apples
+    // residual-encoding comparison the textbook claims, measured as a
+    // hash-gated integer instead of asserted
     val ann = pqTopKServedBatch(spark, sfDir, queryIds, k)
       .select(lit("pq").as("variant"), col("query_id"), col("vec_id"))
       .unionByName(pqTopKIvfBatch(spark, sfDir, queryIds, k)
         .select(lit("ivfpq").as("variant"), col("query_id"), col("vec_id")))
+      .unionByName(pqTopKIvfTrainedBatch(spark, sfDir, queryIds, k)
+        .select(lit("ivfpq_t").as("variant"), col("query_id"), col("vec_id")))
+      .unionByName(pqTopKIvfResBatch(spark, sfDir, queryIds, k)
+        .select(lit("ivfpq_res").as("variant"), col("query_id"), col("vec_id")))
     val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("variant"), col("query_id"))
       .agg(count(lit(1)).as("hits"))
-    val grid = Seq("ivfpq", "pq").toDF("variant")
+    val grid = Seq("ivfpq", "ivfpq_res", "ivfpq_t", "pq").toDF("variant")
       .crossJoin(qs.select(col("query_id")))
     grid.join(hits, Seq("variant", "query_id"), "left")
       .select(col("variant"), col("query_id"),
@@ -1337,10 +1707,9 @@ object Similarity {
               .sortBy(t => (-t._2, t._1)).map(_._1).toSeq
           }
       }
-    val sizesTable =
-      if (trained) ensurePqCodesTrained(spark, sfDir)
-      else ensurePqCodes(spark, sfDir, nlist)
-    val sizes: Map[Long, Long] = spark.table(sizesTable)
+    if (!trained) ensurePqCodes(spark, sfDir, nlist)
+    val sizes: Map[Long, Long] = codesSnapshotRead(spark, sfDir,
+        if (trained) CodesKind.Trained else CodesKind.Sampled)
       .groupBy(col("list")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val scanned = (for {
@@ -1352,5 +1721,54 @@ object Similarity {
         coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 2).as("recall"),
         col("scanned"))
+  }
+
+  /** Close the measure→DECIDE loop over the calibration curve: the
+    * cheapest nprobe whose MEAN recall over the query batch (documented
+    * choice: mean, i.e. Σhits / (Q·k) — the batch-throughput view an
+    * endpoint optimizes; a per-query floor would be a different, stricter
+    * policy) meets `recallTarget`, ties broken toward the smaller nprobe.
+    * Cost is the total scanned codes rows over the batch — the integer
+    * bytes-read axis [[ivfCalib]] already publishes. Both decision inputs
+    * are exact integers from the hash-gated curve, and the emitted mean
+    * recall is one shared IEEE division (Σhits / (Q·k), no rounding), so
+    * the CHOICE itself sits behind the hash gate: a quantizer or routing
+    * regression that shifts the knee now fails correctness. A target the
+    * curve never reaches fails LOUDLY with the best achievable mean — a
+    * deployment must widen the grid or fix the index, not silently serve
+    * below its SLO. One row out: (nprobe, total_hits, mean_recall,
+    * total_scanned).
+    */
+  def ivfChoose(spark: SparkSession, sfDir: String,
+                recallTarget: Double = 0.8,
+                queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                k: Int = 10, nlist: Int = 16,
+                grid: Seq[Int] = Seq(1, 2, 4, 16),
+                rerank: Int = 100,
+                trained: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recallTarget must be in (0, 1]: $recallTarget")
+    val denom = queryIds.size.toLong * k
+    val need = math.ceil(recallTarget * denom).toLong
+    // the curve is the hash-green calibration VERBATIM (the serves are the
+    // cost; this aggregation is |grid| rows of planning metadata)
+    val curve = ivfCalib(spark, sfDir, queryIds, k, nlist, grid, rerank, trained)
+      .groupBy(col("nprobe"))
+      .agg(sum(col("hits")).as("th"), sum(col("scanned")).as("ts"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val eligible = curve.filter(_._2 >= need)
+    require(eligible.nonEmpty, {
+      val best = curve.maxBy(_._2)
+      f"no nprobe in grid ${grid.mkString("{", ",", "}")} reaches mean " +
+        f"recall $recallTarget%.2f (need $need/$denom hits); best is " +
+        f"nprobe=${best._1} at ${best._2}/$denom — widen the grid, raise " +
+        "rerank, or retrain the quantizer"
+    })
+    val (np, hits, scanned) = eligible.minBy(t => (t._3, t._1))
+    Seq((np, hits, hits.toDouble / denom, scanned))
+      .toDF("nprobe", "total_hits", "mean_recall", "total_scanned")
   }
 }

@@ -31,6 +31,86 @@ private[graft] object TextOracles {
         .mkString("list_value(", ", ", "))")).mkString(", ")
   }
 
+  /** [[graft.ops.PqResModel]]'s published RESIDUAL codebooks as a DuckDB
+    * VALUES list — same discipline as [[pqCbValues]].
+    */
+  private lazy val pqResCbValues: String = {
+    import graft.ops.PqResModel
+    (for { mi <- 0 until PqResModel.M; cid <- 0 until PqResModel.Ksub }
+      yield s"($mi, $cid, " +
+        PqResModel.Micros(mi)(cid).map(v => s"$v / 1000000.0")
+          .mkString("list_value(", ", ", "))")).mkString(", ")
+  }
+
+  /** The ops_ivf_calib CTE chain, extracted so `ops_ivf_choose` can wrap
+    * the SAME curve (decision and measurement share one SQL body — a
+    * drifted copy could silently choose off a different curve).
+    */
+  private lazy val ivfCalibCtes: String = {
+    import graft.ops.PqModel
+    val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+    val nlist = 16; val k = 10
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+       |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
+       |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+       |sm AS (
+       |  SELECT vec_id, cb.m, cb.cid,
+       |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+       |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+       |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+       |  FROM nz, cbv cb),
+       |asg AS (SELECT vec_id, m, cid FROM (
+       |  SELECT vec_id, m, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+       |  FROM sm) WHERE rk = 1),
+       |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+       |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
+       |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
+       |assign AS (
+       |  SELECT vec_id, ccid AS list FROM (
+       |    SELECT vec_id, ccid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+       |    FROM ca) WHERE rk = 1),
+       |gridnp(np) AS (VALUES (1), (2), (4), (16)),
+       |probes AS (SELECT np, query_id, ccid FROM (
+       |  SELECT vec_id AS query_id, ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
+       |  FROM ca WHERE vec_id IN ($qids)) r, gridnp WHERE r.rk <= gridnp.np),
+       |adci AS (SELECT p.np, t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+       |         FROM asg a JOIN qd t USING (m, cid)
+       |         JOIN assign s ON s.vec_id = a.vec_id
+       |         JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+       |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2, 3),
+       |candi AS (SELECT np, query_id, vec_id FROM (
+       |  SELECT np, query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc, vec_id) AS rk
+       |  FROM adci) WHERE rk <= $rerank),
+       |ivfk AS (SELECT np, query_id, vec_id FROM (
+       |  SELECT c2.np, c2.query_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c2.np, c2.query_id
+       |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+       |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
+       |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+       |hits AS (SELECT np, query_id, COUNT(*) AS n_hits
+       |         FROM ivfk JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
+       |sizes AS (SELECT list, COUNT(*) AS n FROM assign GROUP BY 1),
+       |sc AS (SELECT np, query_id, SUM(n) AS scanned
+       |       FROM probes JOIN sizes ON sizes.list = probes.ccid GROUP BY 1, 2)""".stripMargin
+  }
+
+  private lazy val ivfCalibSelect: String =
+    s"""SELECT s.np AS nprobe, s.query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
+       |  round(COALESCE(h.n_hits, 0) / 10.0, 2) AS recall,
+       |  CAST(s.scanned AS BIGINT) AS scanned
+       |FROM sc s LEFT JOIN hits h ON h.np = s.np AND h.query_id = s.query_id""".stripMargin
+
   /** Twin of [[graft.ops.Similarity.pqTopKTrained]] — shared verbatim by
     * `ops_sim_pq_trained` and the persisted-codes `ops_sim_pq_served`.
     */
@@ -804,9 +884,10 @@ private[graft] object TextOracles {
     // join that keeps zero-hit rows visible. Recall regression = hash
     // mismatch, not a softer spec assertion.
     "ops_sim_recall" -> {
-      import graft.ops.PqModel
+      import graft.ops.{PqModel, Similarity}
       val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
       val nlist = 16; val nprobe = 4; val k = 10
+      val dim = Similarity.Dim
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
@@ -866,13 +947,82 @@ private[graft] object TextOracles {
          |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
          |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
          |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |tassign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |tprobes AS (SELECT query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm WHERE vec_id IN ($qids)) WHERE rk <= $nprobe),
+         |adct AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         JOIN tassign s ON s.vec_id = a.vec_id
+         |         JOIN tprobes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |candt AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adct) WHERE rk <= $rerank),
+         |tk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c4.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c4.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candt c4 JOIN e ON e.vec_id = c4.vec_id
+         |  JOIN q ON q.query_id = c4.query_id) WHERE rk <= $k),
+         |rbv(m, cid, cw) AS (VALUES $pqResCbValues),
+         |res AS (SELECT nz.vec_id, a.list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - c5.cv[i]) AS r
+         |  FROM nz JOIN tassign a USING (vec_id) JOIN icb c5 ON c5.ccid = a.list),
+         |rsm AS (SELECT vec_id, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (r[rb.m * $sub + i] - cw[i]) * (r[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM res, rbv rb),
+         |rasg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM rsm) WHERE rk = 1),
+         |qres AS (SELECT nz.vec_id AS query_id, icb.ccid AS list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - cv[i]) AS qr
+         |  FROM nz, icb WHERE nz.vec_id IN ($qids)),
+         |rqd AS (SELECT qr2.query_id, qr2.list, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (qr[rb.m * $sub + i] - cw[i]) * (qr[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM qres qr2, rbv rb),
+         |adcr AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM rasg a
+         |         JOIN tassign s ON s.vec_id = a.vec_id
+         |         JOIN rqd t ON t.list = s.list AND t.m = a.m AND t.cid = a.cid
+         |         JOIN tprobes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |candr AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adcr) WHERE rk <= $rerank),
+         |resk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c6.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c6.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candr c6 JOIN e ON e.vec_id = c6.vec_id
+         |  JOIN q ON q.query_id = c6.query_id) WHERE rk <= $k),
          |allv AS (SELECT 'pq' AS variant, query_id, vec_id FROM pqk
          |         UNION ALL
-         |         SELECT 'ivfpq' AS variant, query_id, vec_id FROM ivfk),
+         |         SELECT 'ivfpq' AS variant, query_id, vec_id FROM ivfk
+         |         UNION ALL
+         |         SELECT 'ivfpq_t' AS variant, query_id, vec_id FROM tk
+         |         UNION ALL
+         |         SELECT 'ivfpq_res' AS variant, query_id, vec_id FROM resk),
          |hits AS (SELECT variant, query_id, COUNT(*) AS n_hits
          |         FROM allv JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
          |grid AS (SELECT variant, query_id
-         |         FROM (VALUES ('ivfpq'), ('pq')) vv(variant),
+         |         FROM (VALUES ('ivfpq'), ('ivfpq_res'), ('ivfpq_t'), ('pq')) vv(variant),
          |              (SELECT vec_id AS query_id FROM e WHERE vec_id IN ($qids)) qq)
          |SELECT g.variant, g.query_id,
          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
@@ -980,6 +1130,126 @@ private[graft] object TextOracles {
          |  JOIN q ON q.query_id = c2.query_id)
          |WHERE rk <= $k""".stripMargin
     },
+    // twin of [[graft.ops.Similarity.pqTopKIvfRes]] — textbook residual
+    // IVF-PQ: published-centroid assignment and routing (the trained
+    // chain verbatim), then the RESIDUAL encode — every vector's r = vn −
+    // c(list) quantized by the published residual books (rbv VALUES) —
+    // and the per-LIST query residual distance tables (the ADC table is
+    // per probed cell: query and candidate subtract the same centroid),
+    // integer-micro ADC, shared exact-cosine rerank.
+    "ops_sim_ivfpq_res" -> {
+      import graft.ops.{PqResModel, Similarity}
+      val sub = PqResModel.Sub; val rerank = 100
+      val dim = Similarity.Dim; val nprobe = 4
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |assign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |probes AS (SELECT ccid FROM idm WHERE vec_id = 0 ORDER BY cdmicro, ccid LIMIT $nprobe),
+         |rbv(m, cid, cw) AS (VALUES $pqResCbValues),
+         |res AS (SELECT nz.vec_id, a.list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - c2.cv[i]) AS r
+         |  FROM nz JOIN assign a USING (vec_id) JOIN icb c2 ON c2.ccid = a.list),
+         |rsm AS (SELECT vec_id, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (r[rb.m * $sub + i] - cw[i]) * (r[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM res, rbv rb),
+         |rasg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM rsm) WHERE rk = 1),
+         |qres AS (SELECT icb.ccid AS list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - cv[i]) AS qr
+         |  FROM nz, icb WHERE nz.vec_id = 0),
+         |rqd AS (SELECT qr2.list, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (qr[rb.m * $sub + i] - cw[i]) * (qr[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM qres qr2, rbv rb),
+         |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM rasg a
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        JOIN rqd t ON t.list = s.list AND t.m = a.m AND t.cid = a.cid
+         |        WHERE s.list IN (SELECT ccid FROM probes) AND a.vec_id <> 0
+         |        GROUP BY 1),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $rerank),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+         |FROM cand c3 JOIN e ON e.vec_id = c3.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.pqTopKIvfResBatch]] — the residual
+    // chain under the batch shape: per-query probe windows, per-(query,
+    // list) residual distance tables, per-query list admission, shared
+    // per-query rerank windows.
+    "ops_sim_ivfpq_res_batch" -> {
+      import graft.ops.{PqResModel, Similarity}
+      val sub = PqResModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
+      val dim = Similarity.Dim; val nprobe = 4; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |icb(ccid, cv) AS (VALUES $ivfCbValues),
+         |idm AS (SELECT nz.vec_id, icb.ccid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> (vn[i] - cv[i]) * (vn[i] - cv[i])), (x, y) -> x + y) * 1000000) AS BIGINT) AS cdmicro
+         |  FROM nz, icb),
+         |assign AS (SELECT vec_id, ccid AS list FROM (
+         |  SELECT vec_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm) WHERE rk = 1),
+         |probes AS (SELECT query_id, ccid FROM (
+         |  SELECT vec_id AS query_id, ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdmicro, ccid) AS rk
+         |  FROM idm WHERE vec_id IN ($qids)) WHERE rk <= $nprobe),
+         |rbv(m, cid, cw) AS (VALUES $pqResCbValues),
+         |res AS (SELECT nz.vec_id, a.list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - c2.cv[i]) AS r
+         |  FROM nz JOIN assign a USING (vec_id) JOIN icb c2 ON c2.ccid = a.list),
+         |rsm AS (SELECT vec_id, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (r[rb.m * $sub + i] - cw[i]) * (r[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM res, rbv rb),
+         |rasg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM rsm) WHERE rk = 1),
+         |qres AS (SELECT nz.vec_id AS query_id, icb.ccid AS list,
+         |    list_transform(range(1, ${dim + 1}), i -> vn[i] - cv[i]) AS qr
+         |  FROM nz, icb WHERE nz.vec_id IN ($qids)),
+         |rqd AS (SELECT qr2.query_id, qr2.list, rb.m, rb.cid,
+         |  CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |    i -> (qr[rb.m * $sub + i] - cw[i]) * (qr[rb.m * $sub + i] - cw[i])),
+         |    (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM qres qr2, rbv rb),
+         |adc AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM rasg a
+         |        JOIN assign s ON s.vec_id = a.vec_id
+         |        JOIN rqd t ON t.list = s.list AND t.m = a.m AND t.cid = a.cid
+         |        JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
+         |        WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adc) WHERE rk <= $rerank),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids))
+         |SELECT query_id, vec_id, cos_sim FROM (
+         |  SELECT c3.query_id, e.vec_id,
+         |    round(${cosineSql("e.v", "qv")}, 6) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c3.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM cand c3 JOIN e ON e.vec_id = c3.vec_id
+         |  JOIN q ON q.query_id = c3.query_id)
+         |WHERE rk <= $k""".stripMargin
+    },
     // twin of [[graft.ops.Similarity.ivfCalib]] with `trained = true` —
     // the same two-axis grid over the TRAINED layout: published-centroid
     // assignment, per-(np, query) micro-L2 probe prefixes, batched
@@ -1054,68 +1324,23 @@ private[graft] object TextOracles {
     // recall vs brute-force exact, and the scanned cost summed from the
     // deterministic list assignment — both axes of the calibration curve
     // integer-exact, so knob-tuning itself is hash-gated.
-    "ops_ivf_calib" -> {
-      import graft.ops.PqModel
-      val sub = PqModel.Sub; val rerank = 100; val qids = "0, 1, 2, 3"
-      val nlist = 16; val k = 10
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
-         |ex AS (SELECT query_id, vec_id FROM (
-         |  SELECT q.query_id, e.vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
-         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
-         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
-         |sm AS (
-         |  SELECT vec_id, cb.m, cb.cid,
-         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
-         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
-         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
-         |  FROM nz, cbv cb),
-         |asg AS (SELECT vec_id, m, cid FROM (
-         |  SELECT vec_id, m, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
-         |  FROM sm) WHERE rk = 1),
-         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
-         |c AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < $nlist),
-         |ca AS (SELECT e.vec_id, ccid, ${cosineSql("e.v", "c.cv")} AS csim FROM e, c),
-         |assign AS (
-         |  SELECT vec_id, ccid AS list FROM (
-         |    SELECT vec_id, ccid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
-         |    FROM ca) WHERE rk = 1),
-         |gridnp(np) AS (VALUES (1), (2), (4), (16)),
-         |probes AS (SELECT np, query_id, ccid FROM (
-         |  SELECT vec_id AS query_id, ccid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS rk
-         |  FROM ca WHERE vec_id IN ($qids)) r, gridnp WHERE r.rk <= gridnp.np),
-         |adci AS (SELECT p.np, t.query_id, a.vec_id, SUM(t.dmicro) AS adc
-         |         FROM asg a JOIN qd t USING (m, cid)
-         |         JOIN assign s ON s.vec_id = a.vec_id
-         |         JOIN probes p ON p.query_id = t.query_id AND p.ccid = s.list
-         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2, 3),
-         |candi AS (SELECT np, query_id, vec_id FROM (
-         |  SELECT np, query_id, vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY np, query_id ORDER BY adc, vec_id) AS rk
-         |  FROM adci) WHERE rk <= $rerank),
-         |ivfk AS (SELECT np, query_id, vec_id FROM (
-         |  SELECT c2.np, c2.query_id, e.vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY c2.np, c2.query_id
-         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
-         |  FROM candi c2 JOIN e ON e.vec_id = c2.vec_id
-         |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
-         |hits AS (SELECT np, query_id, COUNT(*) AS n_hits
-         |         FROM ivfk JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
-         |sizes AS (SELECT list, COUNT(*) AS n FROM assign GROUP BY 1),
-         |sc AS (SELECT np, query_id, SUM(n) AS scanned
-         |       FROM probes JOIN sizes ON sizes.list = probes.ccid GROUP BY 1, 2)
-         |SELECT s.np AS nprobe, s.query_id,
-         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
-         |  round(COALESCE(h.n_hits, 0) / $k.0, 2) AS recall,
-         |  CAST(s.scanned AS BIGINT) AS scanned
-         |FROM sc s LEFT JOIN hits h ON h.np = s.np AND h.query_id = s.query_id""".stripMargin
-    },
+    "ops_ivf_calib" -> s"WITH $ivfCalibCtes\n$ivfCalibSelect",
+    // twin of [[graft.ops.Similarity.ivfChoose]] — the DECISION over the
+    // calibration curve as one more hash-gated query: per-nprobe integer
+    // totals, the eligibility floor ceil(0.8 × 4 × 10) = 32 total hits
+    // (mean recall ≥ the 0.8 default target), cheapest total-scanned wins,
+    // nprobe ties toward the smaller knob. mean_recall is ONE shared IEEE
+    // division of exact integers (no rounding — both engines divide the
+    // same BIGINTs by 40.0), so the chosen row hashes bit-for-bit.
+    "ops_ivf_choose" ->
+      s"""WITH $ivfCalibCtes,
+         |curve AS ($ivfCalibSelect),
+         |agg AS (SELECT nprobe, CAST(SUM(hits) AS BIGINT) AS total_hits,
+         |        CAST(SUM(scanned) AS BIGINT) AS total_scanned
+         |        FROM curve GROUP BY 1)
+         |SELECT nprobe, total_hits, total_hits / 40.0 AS mean_recall, total_scanned
+         |FROM agg WHERE total_hits >= 32
+         |ORDER BY total_scanned, nprobe LIMIT 1""".stripMargin,
     "ops_sim_ivf" -> {
       val nlist = 16; val nprobe = 4
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -65,6 +65,62 @@ object AnnServe {
     * serving queries). Results: `outDir/batch_id=<n>/` parquet with
     * (query_id, vec_id, cos_sim) — top-k neighbors per query.
     */
+  /** The consumer's view of the served results: the LATEST answer per
+    * query — a query re-asked in a later batch supersedes its older
+    * answers (the serving corpus may have grown between batches). One
+    * read of the batch-partitioned dir (partition discovery gives
+    * `batch_id`), one per-query window over it; at scale the dir is
+    * bounded by [[sweepServed]]'s retention, so this is a view over the
+    * retained tail, not an unbounded history scan. Returns
+    * (query_id, batch_id, vec_id, cos_sim) — the full top-k of the
+    * winning batch.
+    */
+  def latest(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    spark.read.parquet(outDir)
+      .withColumn("max_b", max(col("batch_id")).over(w))
+      .filter(col("batch_id") === col("max_b"))
+      .select(col("query_id"), col("batch_id").cast("long").as("batch_id"),
+        col("vec_id"), col("cos_sim"))
+  }
+
+  /** Retention sweep over the served dirs — the same metadata-only
+    * discipline as [[graft.sources.Layout.retentionSweep]] (list the
+    * top-level `batch_id=` partition directories, delete whole dirs; a
+    * retention pass that scans data is a bug), with one serving-specific
+    * guard: a batch dir is retained while it still carries the LATEST
+    * answer for any query (dropping it would not "age out" a result, it
+    * would VANISH it — a query served once in an old batch keeps its
+    * answer until a newer batch re-answers it). Keeps the newest
+    * `keepBatches` dirs plus every still-latest dir; returns a
+    * (batch_id, files, bytes) report of what was removed. Idempotent: a
+    * second sweep with the same arguments removes nothing.
+    */
+  def sweepServed(spark: SparkSession, outDir: String,
+                  keepBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(keepBatches >= 1, s"keepBatches must be >= 1: $keepBatches")
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
+      .sortBy(_._1)
+    val newest = dirs.map(_._1).takeRight(keepBatches).toSet
+    // bounded metadata: one row per served query — the winning batch ids
+    val stillLatest = latest(spark, outDir)
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dropped = dirs
+      .filter { case (b, _) => !newest(b) && !stillLatest(b) }
+      .map { case (b, p) =>
+        val usage = fs.getContentSummary(p) // counted before the delete
+        require(fs.delete(p, true), s"failed to drop served batch $p")
+        (b, usage.getFileCount, usage.getLength)
+      }
+    dropped.toDF("batch_id", "files", "bytes")
+  }
+
   def serve(spark: SparkSession, sfDir: String, queries: DataFrame,
             outDir: String, checkpointDir: String,
             k: Int = 10, rerank: Int = 100,

@@ -391,10 +391,14 @@ object EraseEverywhere {
       if (vecToUser.isEmpty) return Map.empty
       // census EVERY standing codes artifact (sampled + trained layouts) —
       // the same set the erase recipe rewrites, so found == erased even
-      // when a deployment keeps both copies
-      graft.ops.Similarity.codesTablesStanding(spark, sfDir)
-        .map { name =>
-          countByUser(spark.table(name)
+      // when a deployment keeps both copies. NON-MUTATING readers: the
+      // census counts the bytes as they lie (registered tables through the
+      // catalog, post-restart orphan files read directly) — preview is
+      // documented "nothing written", so it must never trigger an ensure's
+      // build or drop-stale-and-rebuild; healing stays inside erase.
+      graft.ops.Similarity.codesReadersStanding(spark, sfDir)
+        .map { tbl =>
+          countByUser(tbl
             .filter(col("vec_id").isin(vecToUser.keys.toSeq: _*))
             .select(col("vec_id"))
             .as(org.apache.spark.sql.Encoders.scalaLong)
@@ -488,15 +492,26 @@ object EraseEverywhere {
       private[graft] def artifacts(users: Set[Long]): Set[A] = of(users)
     }
     private final case class Bulk[A](of: Set[Long] => Map[A, Long]) extends Naming[A] {
-      private[graft] def attribution(users: Set[Long]): Map[A, Long] = {
-        val m = of(users)
-        val strays = m.values.toSet -- users
-        require(strays.isEmpty,
-          s"bulk naming attributed artifacts to non-requesting users " +
-            s"${strays.toSeq.sorted.mkString(", ")} — a receipt may only " +
-            "name a user who asked; fix the deployment mapping")
-        m
-      }
+      // one store run invokes the mapping twice (census attribution, then
+      // erase artifacts) — memoize the last request set so the advertised
+      // "ONE round-trip bounded by the request" holds, and a stateful or
+      // time-varying deployment mapping cannot attribute DIFFERENTLY
+      // between the census and the erase within one run. Last-entry-only:
+      // bounded memory, and runs are per-request-set by construction.
+      @volatile private var last: Option[(Set[Long], Map[A, Long])] = None
+      private[graft] def attribution(users: Set[Long]): Map[A, Long] =
+        last match {
+          case Some((u, m)) if u == users => m
+          case _ =>
+            val m = of(users)
+            val strays = m.values.toSet -- users
+            require(strays.isEmpty,
+              s"bulk naming attributed artifacts to non-requesting users " +
+                s"${strays.toSeq.sorted.mkString(", ")} — a receipt may only " +
+                "name a user who asked; fix the deployment mapping")
+            last = Some((users, m))
+            m
+        }
       private[graft] def artifacts(users: Set[Long]): Set[A] =
         attribution(users).keySet
     }

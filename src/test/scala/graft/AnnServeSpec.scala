@@ -72,4 +72,62 @@ class AnnServeSpec extends SparkSuite {
         s"trained-layout stream serve diverged from the batch serve:\n$got\nvs\n$expect")
     } finally q.stop()
   }
+
+  test("latest view + retention sweep: re-answered queries supersede; still-latest batches survive the sweep; sweep is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val out = Files.createTempDirectory("ann_serve_life_out").toString
+    val ckpt = Files.createTempDirectory("ann_serve_life_ckpt").toString
+    val q = AnnServe.serve(spark, sf,
+      input.toDF().select(col("value").as("query_id")), out, ckpt)
+    try {
+      // batch 0: queries 0,1 — query 0 is then RE-asked in every later
+      // batch, query 1 never again (its only answer lives in batch 0)
+      input.addData(0L, 1L); q.processAllAvailable()
+      input.addData(0L, 2L); q.processAllAvailable()
+      input.addData(0L, 3L); q.processAllAvailable()
+      input.addData(0L, 4L); q.processAllAvailable()
+
+      val lat = AnnServe.latest(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batches = spark.read.parquet(out)
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(batches.length == 4, s"expected 4 served batches: ${batches.toSeq}")
+      val last = batches.max
+      // query 0's latest answer comes from the LAST batch only; each other
+      // query keeps its one answering batch
+      assert(lat.filter(_._1 == 0L).map(_._2) == Set(last),
+        s"superseded answers leaked into the latest view: $lat")
+      assert(lat.map(_._1) == Set(0L, 1L, 2L, 3L, 4L))
+
+      // sweep keeping 1 newest dir: batch 0 SURVIVES anyway (it still
+      // carries query 1's only answer), and so do the still-latest middle
+      // batches (queries 2, 3) — only dirs that are neither newest nor
+      // anyone's latest may go (here: none, every batch is someone's
+      // latest — so the first sweep removes nothing and proves the guard)
+      val swept1 = AnnServe.sweepServed(spark, out, keepBatches = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(swept1.isEmpty,
+        s"sweep dropped a batch that still carried someone's latest answer: $swept1")
+
+      // re-answer 1, 2, 3 in one new batch: the old middle batches lose
+      // their last claim and a sweep now reclaims them
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      val swept2 = AnnServe.sweepServed(spark, out, keepBatches = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(swept2.nonEmpty, "sweep reclaimed nothing after supersession")
+      assert(!swept2.contains(batches(3)),
+        "sweep dropped the batch holding query 4's only answer")
+      // the latest view is UNCHANGED by the sweep (it only ever removes
+      // superseded history), and a second sweep is a no-op
+      val lat2 = AnnServe.latest(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lat2.map(_._1) == Set(0L, 1L, 2L, 3L, 4L),
+        s"sweep vanished a query's answer: $lat2")
+      assert(AnnServe.sweepServed(spark, out, keepBatches = 1).count() == 0L,
+        "retention sweep is not idempotent")
+    } finally q.stop()
+  }
 }

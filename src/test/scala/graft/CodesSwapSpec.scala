@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.{CodesSnapshot, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The codes artifacts' STAGE-AND-SWAP concurrent-reader contract
+  * ([[CodesSnapshot]]): a reader binds to one committed manifest and sees
+  * the old artifact in full or the new one in full — never the torn
+  * per-partition mix the old in-place dynamic overwrite allowed. Pins:
+  * visibility flips ONLY at the atomic manifest commit (staged files are
+  * invisible); a deferred-vacuum compaction keeps the pre-swap snapshot
+  * byte-readable until [[Similarity.vacuumPqCodes]] reclaims it; an
+  * ERASURE vacuums in the same call, so no pre-erase byte survives in ANY
+  * file on disk; and the lifecycle answers are unchanged (parity with the
+  * from-scratch encode).
+  */
+class CodesSwapSpec extends SparkSuite {
+
+  private def corpus(prefix: String, growable: Boolean = false): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    if (growable)
+      Tables.load(spark, sf, "embeddings").write.parquet(s"$dir/embeddings.parquet")
+    else
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    dir
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.select(col("vec_id"), col("codes"), col("list"))
+      .collect().map(_.toSeq).toSet
+
+  private def readFiles(root: org.apache.hadoop.fs.Path,
+                        files: Seq[String]): org.apache.spark.sql.DataFrame =
+    spark.read.option("basePath", root.toString)
+      .parquet(files.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+
+  test("visibility flips only at the manifest commit: staged files are invisible to snapshot readers") {
+    val dir = corpus("swap_commit")
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val snapA = CodesSnapshot.current(spark, root).get
+    val contentA = rowsOf(readFiles(root, snapA.files))
+    assert(contentA.nonEmpty)
+
+    // STAGE: append new rows straight into the partition dirs — the write
+    // a maintenance verb performs before its commit
+    val staged = spark.table(name).orderBy(col("vec_id")).limit(3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("codes"), col("list"))
+    staged.write.mode("append").insertInto(name)
+    val afterStage = CodesSnapshot.dataFiles(spark, root)
+    val newFiles = afterStage.filterNot(snapA.files.toSet)
+    assert(newFiles.nonEmpty, "stage produced no files")
+
+    // pre-commit: the current snapshot is UNCHANGED — a reader resolving
+    // now still plans exactly the old file set and reads the old content
+    val stillA = CodesSnapshot.current(spark, root).get
+    assert(stillA.version == snapA.version && stillA.files == snapA.files,
+      "staged (uncommitted) files leaked into the current snapshot")
+    assert(rowsOf(readFiles(root, stillA.files)) == contentA)
+
+    // SWAP: one atomic commit — and only now do readers see the new rows
+    CodesSnapshot.commit(spark, root, snapA.files ++ newFiles)
+    val snapB = CodesSnapshot.current(spark, root).get
+    assert(snapB.version == snapA.version + 1)
+    val contentB = rowsOf(readFiles(root, snapB.files))
+    assert(contentB == contentA ++ rowsOf(staged),
+      "post-commit snapshot is not old-plus-staged")
+  }
+
+  test("compact(vacuum = false): pre-swap snapshot stays byte-readable until vacuumPqCodes reclaims it") {
+    val dir = corpus("swap_compact", growable = true)
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val base = Tables.load(spark, sf, "embeddings")
+    (1 to 5).foreach { w =>
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(100000L * w)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f + w)).as("embedding"))
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    }
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val snapA = CodesSnapshot.current(spark, root).get
+    val contentA = rowsOf(readFiles(root, snapA.files))
+
+    val n = Similarity.compactPqCodes(spark, dir, vacuum = false)
+    assert(n > 0L, "fixture failed to fragment")
+
+    // the in-flight reader's view: its pre-swap snapshot reads in FULL,
+    // byte-identical — the old files are retained until an explicit vacuum
+    assert(rowsOf(readFiles(root, snapA.files)) == contentA,
+      "deferred-vacuum compaction broke the pre-swap snapshot")
+    // the new reader's view: same rows, coalesced files, higher version
+    val snapB = CodesSnapshot.current(spark, root).get
+    assert(snapB.version > snapA.version)
+    assert(rowsOf(readFiles(root, snapB.files)) == contentA,
+      "compaction changed artifact contents")
+    assert(snapB.files.size < snapA.files.size)
+
+    // reclaim: superseded files go, the current snapshot still serves, and
+    // plain catalog reads agree with it again (directory == manifest)
+    val removed = Similarity.vacuumPqCodes(spark, dir)(name)
+    assert(removed.nonEmpty, "vacuum reclaimed nothing")
+    assert(removed.toSet.subsetOf(snapA.files.toSet))
+    assert(rowsOf(readFiles(root, snapB.files)) == contentA)
+    assert(rowsOf(spark.table(name)) == contentA)
+    intercept[Exception](readFiles(root, snapA.files).collect())
+  }
+
+  test("erasure vacuums in the same call: no pre-erase byte survives in any file on disk") {
+    val dir = corpus("swap_erase")
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val before = CodesSnapshot.current(spark, root).get
+    val victims = spark.table(name).orderBy(col("vec_id")).limit(3)
+      .collect().map(_.getLong(0)).toSet
+
+    val n = Similarity.erasePqCodes(spark, dir, victims)
+    assert(n == victims.size.toLong)
+
+    // the swap happened (version moved) and the DIRECTORY holds no file —
+    // referenced or stray — containing a victim row: compliance means the
+    // bytes are gone, not merely unreferenced
+    val after = CodesSnapshot.current(spark, root).get
+    assert(after.version == before.version + 1)
+    val allOnDisk = CodesSnapshot.dataFiles(spark, root)
+    assert(allOnDisk.toSet == after.files.toSet,
+      "stray files on disk after an erasure (vacuum must be immediate)")
+    val survivors = rowsOf(readFiles(root, allOnDisk))
+    assert(survivors.forall(r => !victims.contains(r.head.asInstanceOf[Long])),
+      "a pre-erase byte survived on disk")
+    assert(rowsOf(spark.table(name)) == survivors)
+  }
+}

@@ -1244,7 +1244,10 @@ class EraseEverywhereSpec extends SparkSuite {
 
   test("Naming.bulk: one mapping call for the whole request, same attribution as per-user") {
     // the PqCodes store over the shared sf artifact — foundBy only, never
-    // erase, so the fixture other suites serve from stays intact
+    // erase, so the fixture other suites serve from stays intact. The
+    // census is NON-MUTATING now, so the artifact must be built up front
+    // (foundBy counting zero standing copies would be correct, just empty).
+    graft.ops.Similarity.ensurePqCodes(spark, sf)
     val byUser = Map(1L -> Set(5L, 6L), 2L -> Set(7L), 3L -> Set.empty[Long])
     var perUserCalls = 0
     var bulkCalls = 0
@@ -1271,6 +1274,44 @@ class EraseEverywhereSpec extends SparkSuite {
     val stray = EraseEverywhere.Naming.bulk[Long](_ => Map(5L -> 42L))
     val e = intercept[IllegalArgumentException](stray.attribution(Set(1L)))
     assert(e.getMessage.contains("non-requesting"), e.getMessage)
+    // memoized per request set: the census→erase double-invocation within
+    // one store run pays ONE mapping round-trip, and a time-varying
+    // deployment mapping cannot attribute differently between the two
+    bulk.foundBy(spark, req)
+    assert(bulkCalls == 1, s"repeat same-request census must reuse the memo: $bulkCalls")
+    bulk.foundBy(spark, Map(1L -> 10L))
+    assert(bulkCalls == 2, s"a different request set must re-invoke: $bulkCalls")
+  }
+
+  test("preview over a PqCodes store is NON-MUTATING: no codes artifact is built by the census") {
+    import graft.ops.Similarity
+    // a corpus dir with NO standing codes artifact, in a deployment whose
+    // erasure config names the PqCodes store: preview is documented
+    // "nothing written", so the census must report zero without triggering
+    // ensurePqCodes' corpus-wide encode (a durable content-derived copy
+    // must never appear as a side effect of LOOKING)
+    val dir = tmp("erase_pq_preview_corpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val adir = tmp("erase_pq_preview_archive")
+    graft.sources.Layout.writeEventArchive(
+      Seq((1L, t(0), 40L, "INSERT", """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "op", "props"), adir)
+    val pv = EraseEverywhere.preview(spark, adir, Seq(40L),
+      Seq(EraseEverywhere.PqCodes("codes", dir)))
+    assert(pv.filter(col("store") === "codes").select(col("found"))
+      .first().getLong(0) == 0L, "census of an artifact-less corpus must be 0")
+    val whDb = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_artifacts.db")
+    Seq(false, true).foreach { trained =>
+      val short = Similarity.codesShort(dir, trained)
+      assert(!spark.catalog.tableExists(s"graft_artifacts.$short"),
+        s"preview registered $short")
+      assert(!java.nio.file.Files.exists(whDb.resolve(short)),
+        s"preview wrote files for $short")
+    }
   }
 
   test("PqCodes store through the orchestrator: one run reaches both standing artifacts, verified and receipted") {

@@ -209,11 +209,14 @@ class IvfTrainedSpec extends SparkSuite {
     val trainedB = s"graft_artifacts.${Similarity.codesShort(dirB, trained = true)}"
     assert(!spark.catalog.tableExists(trainedB), "fixture broke: table registered")
     val standing = Similarity.codesTablesStanding(spark, dirB)
-    assert(standing.size == 2 && standing.contains(trainedB),
-      s"stale trained files not detected as standing: $standing")
+    // ONLY the trained layout stands for dirB — the sampled artifact was
+    // never built there, and erase/census must not CREATE a durable
+    // content-derived copy as a side effect of reaching the one that is
+    assert(standing == Seq(trainedB),
+      s"stale trained files not detected as (exactly) standing: $standing")
     assert(spark.catalog.tableExists(trainedB), "healing did not register the table")
-    // and one erase call reaches the healed copy too: 1 row per artifact
-    assert(Similarity.erasePqCodes(spark, dirB, Set(40L)) == 2L)
+    // and one erase call reaches the healed copy: 1 row in the one artifact
+    assert(Similarity.erasePqCodes(spark, dirB, Set(40L)) == 1L)
     standing.foreach { tbl =>
       assert(spark.table(tbl).filter(col("vec_id") === 40L).count() == 0L,
         s"victim survived in $tbl")

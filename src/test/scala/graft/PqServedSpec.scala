@@ -138,7 +138,18 @@ class PqServedSpec extends SparkSuite {
       .toMap
     // grid completeness: every (variant, query) present even at zero hits
     assert(rows.keySet ==
-      (for (v <- Seq("pq", "ivfpq"); q <- 0L to 3L) yield (v, q)).toSet)
+      (for (v <- Seq("pq", "ivfpq", "ivfpq_t", "ivfpq_res"); q <- 0L to 3L)
+        yield (v, q)).toSet)
+    // residual books at IDENTICAL bits (same routing, same m/ksub/rerank —
+    // only what the books quantize differs): never worse than the raw-
+    // vector trained layout in batch total. On this deliberately
+    // clusterless fixture the two measure EQUAL (residual ≈ vn when
+    // centroids sit near the origin); the fixture where residuals WIN is
+    // ResidualSpec's clustered corpus.
+    val resTotal = (0L to 3L).map(q => rows(("ivfpq_res", q))._1).sum
+    val rawTotal = (0L to 3L).map(q => rows(("ivfpq_t", q))._1).sum
+    assert(resTotal >= rawTotal,
+      s"residual encoding lost recall at identical bits: $resTotal < $rawTotal")
     rows.foreach { case ((v, q), (hits, recall)) =>
       assert(hits >= 0L && hits <= 10L, s"($v,$q) hits=$hits out of range")
       assert(math.abs(recall - hits / 10.0) < 1e-9, s"($v,$q) recall!=hits/k")
