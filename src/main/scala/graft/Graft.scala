@@ -197,13 +197,46 @@ object Graft {
     Similarity.ivfCalib(spark, sfDir, queryIds, grid = grid)
 
   /** Codes-artifact maintenance: coalesce list partitions fragmented by
-    * incremental refreshes (every standing artifact, partition-scoped,
-    * byte-identical rows). Returns list partitions compacted. See
+    * incremental refreshes (every standing artifact, stage-and-swap — a
+    * concurrent reader sees old or new in full, never a torn mix;
+    * `vacuum = false` retains superseded files for in-flight readers
+    * until [[annVacuumCodes]]). Returns list partitions compacted. See
     * [[graft.ops.Similarity.compactPqCodes]].
     */
   def annCompactCodes(spark: SparkSession, sfDir: String,
-                      maxFilesPerList: Int = 4): Long =
-    Similarity.compactPqCodes(spark, sfDir, maxFilesPerList)
+                      maxFilesPerList: Int = 4, vacuum: Boolean = true): Long =
+    Similarity.compactPqCodes(spark, sfDir, maxFilesPerList, vacuum)
+
+  /** Reclaim files superseded by deferred-vacuum maintenance commits, per
+    * registered codes layout. See [[graft.ops.Similarity.vacuumPqCodes]].
+    */
+  def annVacuumCodes(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
+    Similarity.vacuumPqCodes(spark, sfDir)
+
+  /** The measure→DECIDE step over [[annCalibrate]]'s curve: the cheapest
+    * nprobe whose mean recall meets `recallTarget` (loud failure when the
+    * grid never reaches it). One row: (nprobe, total_hits, mean_recall,
+    * total_scanned). See [[graft.ops.Similarity.ivfChoose]].
+    */
+  def annChoose(spark: SparkSession, sfDir: String,
+                recallTarget: Double = 0.8,
+                queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                grid: Seq[Int] = Seq(1, 2, 4, 16)): DataFrame =
+    Similarity.ivfChoose(spark, sfDir, recallTarget, queryIds, grid = grid)
+
+  /** The served results' consumer view: the LATEST answer per query over
+    * [[annServe]]'s batch-keyed output. See [[graft.streaming.AnnServe.latest]].
+    */
+  def annLatest(spark: SparkSession, outDir: String): DataFrame =
+    graft.streaming.AnnServe.latest(spark, outDir)
+
+  /** Retention over the served batch dirs — metadata-only, never drops a
+    * batch still carrying some query's only answer; idempotent. See
+    * [[graft.streaming.AnnServe.sweepServed]].
+    */
+  def annSweepServed(spark: SparkSession, outDir: String,
+                     keepBatches: Int = 3): DataFrame =
+    graft.streaming.AnnServe.sweepServed(spark, outDir, keepBatches)
 
   /** Sub-document boilerplate detection: content-defined chunking rollup —
     * (chunk_hash, n_copies, n_docs, chunk_len) for chunk content appearing

@@ -58,6 +58,18 @@ object AnnServe {
                              ids: Seq[Long], k: Int, rerank: Int): DataFrame =
       Similarity.pqTopKIvfTrainedBatch(spark, sfDir, ids, k, nprobe, rerank)
   }
+  /** The residual-books layout ([[graft.ops.Similarity.pqTopKIvfResBatch]])
+    * — same routing and pruning as [[IvfTrained]], better-conditioned
+    * quantization at identical bits; what the endpoint graduates to after
+    * publishing a [[graft.ops.PqResModel]].
+    */
+  final case class IvfResidual(nprobe: Int = 4) extends Layout {
+    private[graft] def ensure(spark: SparkSession, sfDir: String): Unit =
+      { Similarity.ensurePqCodesRes(spark, sfDir); () }
+    private[graft] def serve(spark: SparkSession, sfDir: String,
+                             ids: Seq[Long], k: Int, rerank: Int): DataFrame =
+      Similarity.pqTopKIvfResBatch(spark, sfDir, ids, k, nprobe, rerank)
+  }
 
   /** Start the serving loop. `queries` is a streaming DataFrame bearing a
     * `query_id` long column (ids into the corpus — production would carry a

@@ -51,26 +51,34 @@ class AnnServeSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("the trained-IVF layout plugs into the same loop: answers == the trained batch serve") {
+  test("the trained-IVF and residual layouts plug into the same loop: answers == their batch serves") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val input = MemoryStream[Long]
-    val out = Files.createTempDirectory("ann_serve_t_out").toString
-    val ckpt = Files.createTempDirectory("ann_serve_t_ckpt").toString
-    val q = AnnServe.serve(spark, sf,
-      input.toDF().select(col("value").as("query_id")), out, ckpt,
-      layout = AnnServe.IvfTrained())
-    try {
-      input.addData(0L, 2L)
-      q.processAllAvailable()
-      val got = spark.read.parquet(out)
-        .select(col("query_id"), col("vec_id"), col("cos_sim"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val expect = Similarity.pqTopKIvfTrainedBatch(spark, sf, Seq(0L, 2L))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(got == expect,
-        s"trained-layout stream serve diverged from the batch serve:\n$got\nvs\n$expect")
-    } finally q.stop()
+    val cases: Seq[(String, AnnServe.Layout,
+        (org.apache.spark.sql.SparkSession, String, Seq[Long]) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("t", AnnServe.IvfTrained(),
+        (s, d, q) => Similarity.pqTopKIvfTrainedBatch(s, d, q)),
+      ("r", AnnServe.IvfResidual(),
+        (s, d, q) => Similarity.pqTopKIvfResBatch(s, d, q)))
+    cases.foreach { case (tag, layout, batchServe) =>
+      val input = MemoryStream[Long]
+      val out = Files.createTempDirectory(s"ann_serve_${tag}_out").toString
+      val ckpt = Files.createTempDirectory(s"ann_serve_${tag}_ckpt").toString
+      val q = AnnServe.serve(spark, sf,
+        input.toDF().select(col("value").as("query_id")), out, ckpt,
+        layout = layout)
+      try {
+        input.addData(0L, 2L)
+        q.processAllAvailable()
+        val got = spark.read.parquet(out)
+          .select(col("query_id"), col("vec_id"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val expect = batchServe(spark, sf, Seq(0L, 2L))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == expect,
+          s"$tag-layout stream serve diverged from the batch serve:\n$got\nvs\n$expect")
+      } finally q.stop()
+    }
   }
 
   test("latest view + retention sweep: re-answered queries supersede; still-latest batches survive the sweep; sweep is idempotent") {

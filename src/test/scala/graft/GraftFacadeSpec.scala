@@ -34,6 +34,19 @@ class GraftFacadeSpec extends SparkSuite {
     assert(pairsFacade == pairsDirect && pairsFacade > 0)
   }
 
+  test("annChoose facade matches the operator's chosen row; vacuum reports per standing layout") {
+    val viaFacade = Graft.annChoose(spark, sf, recallTarget = 0.5)
+      .collect().map(_.toSeq).toSeq
+    val direct = Similarity.ivfChoose(spark, sf, recallTarget = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFacade == direct && viaFacade.size == 1)
+    // nothing is in a deferred-vacuum state on the shared fixture: the
+    // report names only registered layouts, each with zero reclaimable files
+    val vac = Graft.annVacuumCodes(spark, sf)
+    assert(vac.keys.forall(_.startsWith("graft_artifacts.pq_codes")), s"$vac")
+    assert(vac.values.forall(_.isEmpty), s"unexpected reclaim on a clean fixture: $vac")
+  }
+
   test("bloomBuild/bloomMightContain roundtrip: inserted keys true, pruning real") {
     import graft.functions.Bloom
     val dim = Tables.load(spark, sf, "part").filter(col("p_size") <= 5)
