@@ -98,18 +98,37 @@ private[graft] object CodesSnapshot {
     }
   }
 
+  /** The current snapshot, ADOPTING a pre-manifest artifact on first
+    * contact: an artifact built before the snapshot layer (or by an older
+    * session) has data files but no manifest — its on-disk files become
+    * snapshot v1, so every lifecycle verb (including [[vacuum]], whose
+    * keep-set would otherwise be EMPTY and delete the whole artifact)
+    * starts from a truthful baseline. One helper, one adoption policy —
+    * not a per-call-site copy that can drift.
+    */
+  def currentOrAdopt(spark: SparkSession, root: Path): Snapshot =
+    current(spark, root).getOrElse {
+      commit(spark, root, dataFiles(spark, root))
+      current(spark, root).get
+    }
+
   /** Atomically publish a new snapshot listing exactly `files` (relative
-    * paths). The write goes to a `.tmp` then renames to the FINAL versioned
-    * name — create-new rename is atomic on POSIX and HDFS, so a reader
-    * either sees the complete new manifest or still resolves the previous
-    * one; there is no intermediate state. Returns the committed version.
+    * paths). The write goes to a RANDOMIZED `.tmp` (a crash between create
+    * and rename leaves orphan scratch — reclaimed by [[vacuum]] — never a
+    * deterministic name that would wedge every later commit with
+    * FileAlreadyExists), then renames to the FINAL versioned name —
+    * create-new rename is atomic on POSIX and HDFS, so a reader either
+    * sees the complete new manifest or still resolves the previous one;
+    * there is no intermediate state, and a racing second writer loses the
+    * rename LOUDLY. Returns the committed version.
     */
   def commit(spark: SparkSession, root: Path, files: Seq[String]): Int = {
     val fs = fsOf(spark, root)
     val dir = manifestDir(root)
     fs.mkdirs(dir)
     val next = current(spark, root).map(_.version).getOrElse(0) + 1
-    val tmp = new Path(dir, f"m-$next%06d.txt.tmp")
+    val tmp = new Path(dir,
+      f"m-$next%06d.txt.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
     try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -142,7 +161,9 @@ private[graft] object CodesSnapshot {
     */
   def vacuum(spark: SparkSession, root: Path): Seq[String] = {
     val fs = fsOf(spark, root)
-    val keep = current(spark, root).map(_.files.toSet).getOrElse(Set.empty)
+    // ADOPT before reclaiming: a pre-manifest artifact's keep-set must be
+    // its own files, never the empty set (which would reclaim EVERYTHING)
+    val keep = currentOrAdopt(spark, root).files.toSet
     val doomed = dataFiles(spark, root).filterNot(keep)
     doomed.foreach(f => fs.delete(new Path(root, f), false))
     // a list dir holding no data files anymore is dropped entirely
@@ -151,6 +172,12 @@ private[graft] object CodesSnapshot {
       .filter(d => fs.listStatus(d.getPath).forall(f =>
         f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith(".")))
       .foreach(d => fs.delete(d.getPath, true))
+    // crash-orphaned commit scratch (randomized .tmp names) goes too
+    val mdir = manifestDir(root)
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".tmp"))
+        .foreach(s => fs.delete(s.getPath, false))
     doomed
   }
 }

@@ -704,26 +704,42 @@ object Similarity {
     CodesKind.All.map(k => codesShortKind(sfDir, k) -> k)
 
   /** NON-MUTATING readers over every codes artifact currently standing for
-    * `sfDir` — the census path. A registered table reads through the
-    * catalog; files standing WITHOUT a catalog entry (post-restart) are
-    * read directly with partition discovery, exactly as they lie on disk.
-    * Nothing is built, rebuilt, or registered: a preview documented as
-    * "nothing written" must never trigger [[ensurePqCodes]]'s corpus-wide
-    * encode or [[ensurePqCodesTrained]]'s drop-stale-and-rebuild as a side
-    * effect (a census counts what IS there, stale or not — healing is the
+    * `sfDir` — the census path. An artifact with a committed manifest is
+    * read through its CURRENT SNAPSHOT (the files a serve actually opens —
+    * a plain catalog read would double-count rows whose superseded
+    * deferred-vacuum copies still lie in the partition dirs, breaking the
+    * census's found == erased invariant); a registered pre-manifest table
+    * reads through the catalog; files standing WITHOUT a catalog entry
+    * (post-restart) are read directly with partition discovery, exactly
+    * as they lie on disk. Nothing is built, rebuilt, registered, or even
+    * adopted: a preview documented as "nothing written" must never
+    * trigger [[ensurePqCodes]]'s corpus-wide encode, the trained layout's
+    * drop-stale-and-rebuild, or a manifest commit as a side effect (a
+    * census counts what IS there, stale or not — healing is the
     * destructive erase path's job).
     */
   private[graft] def codesReadersStanding(spark: SparkSession,
                                           sfDir: String): Seq[DataFrame] =
     codesShorts(sfDir).flatMap { case (short, _) =>
       val name = s"graft_artifacts.$short"
-      if (spark.catalog.tableExists(name)) Some(spark.table(name))
-      else {
-        val loc = artifactLoc(spark, short)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc))
-          Some(spark.read.option("basePath", loc.toString).parquet(loc.toString))
-        else None
+      val loc = artifactLoc(spark, short)
+      val registered = spark.catalog.tableExists(name)
+      val snap = CodesSnapshot.current(spark, loc) // read-only, never adopts
+      (snap, registered) match {
+        case (Some(s), true) =>
+          Some(CodesSnapshot.read(spark, s, spark.table(name).schema))
+        case (Some(s), false) =>
+          // orphan WITH a manifest: read the snapshot with the schema
+          // inferred from its own files (vec_id is all the census needs)
+          if (s.files.isEmpty) None
+          else Some(spark.read.option("basePath", loc.toString)
+            .parquet(s.absolute: _*))
+        case (None, true) => Some(spark.table(name))
+        case (None, false) =>
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc))
+            Some(spark.read.option("basePath", loc.toString).parquet(loc.toString))
+          else None
       }
     }
 
@@ -763,8 +779,9 @@ object Similarity {
     val name = s"graft_artifacts.$short"
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_artifacts")
     if (!spark.catalog.tableExists(name)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/graft_artifacts.db/$short")
+      // not registered here, so artifactLoc IS the warehouse-derived path —
+      // one location policy, not a second hand-built copy of it
+      val loc = artifactLoc(spark, short)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       rows.select(col("vec_id"), col("codes"), col("list"))
@@ -784,11 +801,7 @@ object Similarity {
                               kind: String): (String, CodesSnapshot.Snapshot) = {
     val name = ensureCodesKind(spark, sfDir, kind)
     val root = artifactLoc(spark, codesShortKind(sfDir, kind))
-    val snap = CodesSnapshot.current(spark, root).getOrElse {
-      CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
-      CodesSnapshot.current(spark, root).get
-    }
-    (name, snap)
+    (name, CodesSnapshot.currentOrAdopt(spark, root))
   }
 
   /** Snapshot-isolated read of one layout's codes — THE serving read: the
@@ -967,10 +980,7 @@ object Similarity {
         // ones a serve actually opens), never raw directory contents —
         // deferred-vacuum leftovers are reclaim debt, not fragmentation
         val root = artifactLoc(spark, short)
-        val snap = CodesSnapshot.current(spark, root).getOrElse {
-          CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
-          CodesSnapshot.current(spark, root).get
-        }
+        val snap = CodesSnapshot.currentOrAdopt(spark, root)
         val filesPerList = snap.files
           .flatMap(f => ListPrefix.findFirstMatchIn(f).map(_.group(1).toLong))
           .groupBy(identity).view.mapValues(_.size).toMap
@@ -1050,10 +1060,7 @@ object Similarity {
                              vecIds: Set[Long]): Long = {
     val short = name.split('.').last
     val root = artifactLoc(spark, short)
-    val snap = CodesSnapshot.current(spark, root).getOrElse {
-      CodesSnapshot.commit(spark, root, CodesSnapshot.dataFiles(spark, root))
-      CodesSnapshot.current(spark, root).get
-    }
+    val snap = CodesSnapshot.currentOrAdopt(spark, root)
     val schema = spark.table(name).schema
     val tbl = CodesSnapshot.read(spark, snap, schema)
     val hit = col("vec_id").isin(vecIds.toSeq: _*)

@@ -87,7 +87,31 @@ object AnnServe {
     * (query_id, batch_id, vec_id, cos_sim) — the full top-k of the
     * winning batch.
     */
+  /** The served batch dirs under `outDir`, sorted by batch id — empty when
+    * the dir doesn't exist yet or no non-empty micro-batch has landed (a
+    * periodic consumer/sweeper may fire before the stream's first write;
+    * that is a quiet empty state, not an error).
+    */
+  private def servedBatchDirs(spark: SparkSession, outDir: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
+      .sortBy(_._1)
+  }
+
+  private def emptyLatest(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("query_id", LongType), StructField("batch_id", LongType),
+      StructField("vec_id", LongType), StructField("cos_sim", DoubleType))))
+  }
+
   def latest(spark: SparkSession, outDir: String): DataFrame = {
+    if (servedBatchDirs(spark, outDir).isEmpty) return emptyLatest(spark)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
     spark.read.parquet(outDir)
       .withColumn("max_b", max(col("batch_id")).over(w))
@@ -112,12 +136,11 @@ object AnnServe {
                   keepBatches: Int = 3): DataFrame = {
     import spark.implicits._
     require(keepBatches >= 1, s"keepBatches must be >= 1: $keepBatches")
+    val dirs = servedBatchDirs(spark, outDir)
+    if (dirs.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("batch_id", "files", "bytes")
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
-      .sortBy(_._1)
     val newest = dirs.map(_._1).takeRight(keepBatches).toSet
     // bounded metadata: one row per served query — the winning batch ids
     val stillLatest = latest(spark, outDir)

@@ -120,6 +120,15 @@ object EraseEverywhere {
     private[graft] def chk: Option[String] = None
     /** This store re-addressed at a forwarded checkpoint dir. */
     private[graft] def at(dir: String): Store = this
+    /** The deployment naming mappings this store carries, so the
+      * orchestrator can scope their per-request memoization to ONE run
+      * ([[Naming.beginRun]]): store configs are long-lived values (erase
+      * returns `this`), and a memo surviving across runs would let a
+      * time-varying deployment mapping serve a STALE attribution to a
+      * later request for the same users — under-erasing the artifacts the
+      * mapping has since grown.
+      */
+    private[graft] def namings: Seq[Naming[_]] = Nil
   }
 
   /** transformWithState prev-image state, erased IN PLACE on its existing
@@ -266,6 +275,7 @@ object EraseEverywhere {
                                   rowKeysOf: Naming[String],
                                   resumeFrom: Dataset[(String, String)] => String)
       extends Store {
+    override private[graft] def namings: Seq[Naming[_]] = Seq(rowKeysOf)
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
       val keyToUser = rowKeysOf.attribution(erased.keySet)
@@ -297,6 +307,7 @@ object EraseEverywhere {
                                 resumeFrom: Dataset[(String, Long)] => String,
                                 docsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
+    override private[graft] def namings: Seq[Naming[_]] = Seq(docsOf)
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
       val docToUser = docsOf.attribution(erased.keySet)
@@ -324,6 +335,7 @@ object EraseEverywhere {
                               resumeFrom: Dataset[(String, DedupStream.FpBucketState)] => String,
                               docsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
+    override private[graft] def namings: Seq[Naming[_]] = Seq(docsOf)
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
       val docToUser = docsOf.attribution(erased.keySet)
@@ -353,6 +365,7 @@ object EraseEverywhere {
                             resumeFrom: Dataset[(Long, SemDedupStream.ClusterState)] => String,
                             vecsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
+    override private[graft] def namings: Seq[Naming[_]] = Seq(vecsOf)
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
       val vecToUser = vecsOf.attribution(erased.keySet)
@@ -385,6 +398,7 @@ object EraseEverywhere {
   final case class PqCodes(name: String, sfDir: String,
                            vecsOf: Naming[Long] = Naming.perUser(identity))
       extends Store {
+    override private[graft] def namings: Seq[Naming[_]] = Seq(vecsOf)
     private[graft] def foundBy(spark: SparkSession,
                                erased: Map[Long, Long]): Map[Long, Long] = {
       val vecToUser = vecsOf.attribution(erased.keySet)
@@ -473,6 +487,12 @@ object EraseEverywhere {
     private[graft] def attribution(users: Set[Long]): Map[A, Long]
     /** the artifacts to erase: the union over the request set */
     private[graft] def artifacts(users: Set[Long]): Set[A]
+    /** Run boundary: any per-request memoization is dropped, so a LATER
+      * run for the same users re-consults the deployment mapping (which
+      * may have grown since) instead of serving a stale attribution.
+      * Within one run the memo stands — census and erase see ONE answer.
+      */
+    private[graft] def beginRun(): Unit = ()
   }
   object Naming {
     def perUser[A](of: Set[Long] => Set[A]): Naming[A] = PerUser(of)
@@ -496,9 +516,13 @@ object EraseEverywhere {
       // erase artifacts) — memoize the last request set so the advertised
       // "ONE round-trip bounded by the request" holds, and a stateful or
       // time-varying deployment mapping cannot attribute DIFFERENTLY
-      // between the census and the erase within one run. Last-entry-only:
-      // bounded memory, and runs are per-request-set by construction.
+      // between the census and the erase within one run. Scoped to ONE
+      // run: the orchestrator drops the memo at every run boundary
+      // ([[Naming.beginRun]]) — store configs are long-lived, and a memo
+      // surviving across runs would serve a STALE attribution to a later
+      // request for the same users after the deployment mapping grew.
       @volatile private var last: Option[(Set[Long], Map[A, Long])] = None
+      override private[graft] def beginRun(): Unit = { last = None }
       private[graft] def attribution(users: Set[Long]): Map[A, Long] =
         last match {
           case Some((u, m)) if u == users => m
@@ -1106,6 +1130,7 @@ object EraseEverywhere {
     requireRenameAtomic(archivePath, "receipt ledger / open markers")
     requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
+    stores.foreach(_.namings.foreach(_.beginRun())) // run-scope the memos
     val live = forwardStores(spark, archivePath, stores)
     val priorTombstones = StateErasure.erasureSet(spark, archivePath)
     val marked = openMarkers(spark, archivePath)
@@ -1165,6 +1190,7 @@ object EraseEverywhere {
     requireRenameAtomic(archivePath, "receipt ledger / open markers")
     requireArchiveDir(spark, archivePath)
     val users = userIds.distinct.sorted
+    stores.foreach(_.namings.foreach(_.beginRun())) // run-scope the memos
     val live = forwardStores(spark, archivePath, stores)
 
     // request lifecycle: a user is OPEN (archive rows in scope, cutoff may

@@ -81,6 +81,19 @@ class AnnServeSpec extends SparkSuite {
     }
   }
 
+  test("latest/sweepServed on an empty or missing served dir: quiet empty frames, never a schema-inference crash") {
+    // a periodic consumer/sweeper can fire before the stream's first
+    // non-empty micro-batch lands — that is a quiet empty state
+    val missing = "/tmp/ann_serve_never_written_" + System.nanoTime()
+    assert(AnnServe.latest(spark, missing).count() == 0L)
+    assert(AnnServe.sweepServed(spark, missing).count() == 0L)
+    val empty = Files.createTempDirectory("ann_serve_empty").toString
+    assert(AnnServe.latest(spark, empty).count() == 0L)
+    assert(AnnServe.sweepServed(spark, empty).count() == 0L)
+    assert(AnnServe.latest(spark, empty).columns.toSeq ==
+      Seq("query_id", "batch_id", "vec_id", "cos_sim"))
+  }
+
   test("latest view + retention sweep: re-answered queries supersede; still-latest batches survive the sweep; sweep is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -108,6 +108,59 @@ class CodesSwapSpec extends SparkSuite {
     intercept[Exception](readFiles(root, snapA.files).collect())
   }
 
+  test("vacuum on a pre-manifest artifact ADOPTS before reclaiming — it must never delete the whole artifact") {
+    val dir = corpus("swap_premanifest")
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the pre-snapshot deployment: data files, NO manifests
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_manifests"), true)
+    assert(CodesSnapshot.current(spark, root).isEmpty, "fixture broke")
+    val rows = rowsOf(spark.table(name))
+    val removed = Similarity.vacuumPqCodes(spark, dir)(name)
+    // nothing is superseded: the keep-set must be the ADOPTED files, not ∅
+    assert(removed.isEmpty,
+      s"vacuum reclaimed a pre-manifest artifact's live data: $removed")
+    assert(rowsOf(spark.table(name)) == rows, "vacuum lost artifact rows")
+    val adopted = CodesSnapshot.current(spark, root)
+    assert(adopted.nonEmpty && adopted.get.files.nonEmpty,
+      "vacuum did not adopt the pre-manifest files as a snapshot")
+  }
+
+  test("census after a deferred-vacuum compaction counts snapshot rows, not doubled directory rows") {
+    import graft.streaming.EraseEverywhere
+    val dir = corpus("swap_census", growable = true)
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val base = Tables.load(spark, sf, "embeddings")
+    (1 to 5).foreach { w =>
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(100000L * w)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f + w)).as("embedding"))
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    }
+    // pick the victim from the MOST fragmented list — the one compaction
+    // will rewrite, leaving its superseded files on disk
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val preFiles = CodesSnapshot.current(spark, root).get.files
+    val ListPrefix = "^list=(-?\\d+)/".r
+    val fragList = preFiles
+      .flatMap(f => ListPrefix.findFirstMatchIn(f).map(_.group(1).toLong))
+      .groupBy(identity).maxBy(_._2.size)._1
+    val victim = spark.table(name).filter(col("list") === fragList)
+      .select(col("vec_id")).orderBy(col("vec_id")).first().getLong(0)
+
+    assert(Similarity.compactPqCodes(spark, dir, vacuum = false) > 0L)
+    // the double-count is REAL through the catalog (old + new files)...
+    assert(spark.table(name).filter(col("vec_id") === victim).count() == 2L,
+      "fixture broke: deferred vacuum left no superseded copy")
+    // ...and the census must NOT inherit it: it reads the snapshot
+    val store = EraseEverywhere.PqCodes("codes", dir)
+    val found = store.foundBy(spark, Map(victim -> 0L))
+    assert(found == Map(victim -> 1L),
+      s"census double-counted deferred-vacuum leftovers: $found")
+  }
+
   test("erasure vacuums in the same call: no pre-erase byte survives in any file on disk") {
     val dir = corpus("swap_erase")
     val name = Similarity.ensurePqCodes(spark, dir)

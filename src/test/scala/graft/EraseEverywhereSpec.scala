@@ -1281,6 +1281,15 @@ class EraseEverywhereSpec extends SparkSuite {
     assert(bulkCalls == 1, s"repeat same-request census must reuse the memo: $bulkCalls")
     bulk.foundBy(spark, Map(1L -> 10L))
     assert(bulkCalls == 2, s"a different request set must re-invoke: $bulkCalls")
+    // RUN boundary drops the memo: store configs are long-lived (erase
+    // returns `this`), and a later run for the SAME users must re-consult
+    // the deployment mapping — it may have grown since (a stale
+    // attribution would silently under-erase the new artifacts). The
+    // orchestrator fires beginRun on every store's namings at run entry.
+    assert(bulk.namings.size == 1, "PqCodes must expose its naming for run-scoping")
+    bulk.namings.foreach(_.beginRun())
+    bulk.foundBy(spark, Map(1L -> 10L))
+    assert(bulkCalls == 3, s"a new run must re-invoke the mapping: $bulkCalls")
   }
 
   test("preview over a PqCodes store is NON-MUTATING: no codes artifact is built by the census") {
