@@ -208,10 +208,27 @@ object Graft {
     Similarity.compactPqCodes(spark, sfDir, maxFilesPerList, vacuum)
 
   /** Reclaim files superseded by deferred-vacuum maintenance commits, per
-    * registered codes layout. See [[graft.ops.Similarity.vacuumPqCodes]].
+    * registered codes layout; `keepLast` > 1 retains that many snapshot
+    * versions time-travel readable. See
+    * [[graft.ops.Similarity.vacuumPqCodes]].
     */
-  def annVacuumCodes(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
-    Similarity.vacuumPqCodes(spark, sfDir)
+  def annVacuumCodes(spark: SparkSession, sfDir: String,
+                     keepLast: Int = 1): Map[String, Seq[String]] =
+    Similarity.vacuumPqCodes(spark, sfDir, keepLast)
+
+  /** The retained snapshot commit log per registered codes layout —
+    * (layout, kind, version, n_files, bytes). See
+    * [[graft.ops.Similarity.codesHistory]].
+    */
+  def annCodesHistory(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.codesHistory(spark, sfDir)
+
+  /** Time-travel read of a codes layout at a pinned retained snapshot
+    * version. See [[graft.ops.Similarity.readCodesAsOf]].
+    */
+  def annCodesAsOf(spark: SparkSession, sfDir: String, kind: String,
+                   version: Int): DataFrame =
+    Similarity.readCodesAsOf(spark, sfDir, kind, version)
 
   /** The measure→DECIDE step over [[annCalibrate]]'s curve: the cheapest
     * nprobe whose mean recall meets `recallTarget` (loud failure when the
@@ -237,6 +254,24 @@ object Graft {
   def annSweepServed(spark: SparkSession, outDir: String,
                      keepBatches: Int = 3): DataFrame =
     graft.streaming.AnnServe.sweepServed(spark, outDir, keepBatches)
+
+  /** OPQ serving — the published variance-balancing dimension permutation
+    * plus books trained on permuted rows, batched over Q queries at
+    * identical bits to the flat trained layout. See
+    * [[graft.ops.Similarity.opqTopKBatch]]; the permutation's recall
+    * effect is hash-gated by [[annRecallOpq]], its variance-balance audit
+    * by [[graft.ops.Similarity.opqBalance]].
+    */
+  def annOpqTopKBatch(spark: SparkSession, sfDir: String, queryIds: Seq[Long],
+                      k: Int = 10): DataFrame =
+    Similarity.opqTopKBatch(spark, sfDir, queryIds, k)
+
+  /** Recall scorecard for the permutation question alone: flat trained PQ
+    * vs OPQ at identical bits. See [[graft.ops.Similarity.annRecallOpq]].
+    */
+  def annRecallOpq(spark: SparkSession, sfDir: String,
+                   queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)): DataFrame =
+    Similarity.annRecallOpq(spark, sfDir, queryIds)
 
   /** Sub-document boilerplate detection: content-defined chunking rollup —
     * (chunk_hash, n_copies, n_docs, chunk_len) for chunk content appearing

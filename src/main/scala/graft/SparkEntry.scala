@@ -880,6 +880,9 @@ object SparkEntry {
     "ops_sim_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfRes(s, d)),
     "ops_sim_ivfpq_res_batch" -> ((s: SparkSession, d: String) => Similarity.pqTopKIvfResBatch(s, d)),
     "ops_ivf_choose" -> ((s: SparkSession, d: String) => Similarity.ivfChoose(s, d)),
+    "ops_sim_opq"    -> ((s: SparkSession, d: String) => Similarity.opqTopK(s, d)),
+    "ops_sim_recall_opq" -> ((s: SparkSession, d: String) => Similarity.annRecallOpq(s, d)),
+    "ops_opq_balance" -> ((s: SparkSession, d: String) => Similarity.opqBalance(s, d)),
     "ops_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
     "ops_embed_cluster" -> (Similarity.embedClusters _),
     "ops_semdedup"    -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),

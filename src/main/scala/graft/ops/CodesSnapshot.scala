@@ -79,23 +79,56 @@ private[graft] object CodesSnapshot {
       .sorted
   }
 
-  /** The highest-version manifest, if any commit ever happened. */
-  def current(spark: SparkSession, root: Path): Option[Snapshot] = {
+  /** All committed manifest versions on disk, ascending. */
+  def versions(spark: SparkSession, root: Path): Seq[Int] = {
     val fs = fsOf(spark, root)
     val dir = manifestDir(root)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq.flatMap(s =>
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s =>
       ManifestName.findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
-    if (versions.isEmpty) None
-    else {
-      val v = versions.max
-      val in = fs.open(new Path(dir, f"m-$v%06d.txt"))
-      val files =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
-        finally in.close()
-      Some(Snapshot(v, root, files))
+      .sorted
+  }
+
+  private def readManifest(spark: SparkSession, root: Path, v: Int): Snapshot = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new Path(manifestDir(root), f"m-$v%06d.txt"))
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    Snapshot(v, root, files)
+  }
+
+  /** A SPECIFIC committed snapshot — time travel: a reader that pins a
+    * version sees that commit's file set exactly, provided retention has
+    * kept it ([[vacuum]]'s `keepLast` / an erasure expires history; a
+    * vacuumed version returns None, never a torn or partial view).
+    */
+  def at(spark: SparkSession, root: Path, version: Int): Option[Snapshot] =
+    if (versions(spark, root).contains(version))
+      Some(readManifest(spark, root, version))
+    else None
+
+  /** The retained commit log, newest last: (version, file count, rough
+    * byte size of the referenced data files) — bounded driver-side
+    * metadata (manifests are text files of relative paths).
+    */
+  def history(spark: SparkSession, root: Path): Seq[(Int, Int, Long)] = {
+    val fs = fsOf(spark, root)
+    versions(spark, root).map { v =>
+      val snap = readManifest(spark, root, v)
+      val bytes = snap.files.map { f =>
+        val p = new Path(root, f)
+        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      }.sum
+      (v, snap.files.size, bytes)
     }
+  }
+
+  /** The highest-version manifest, if any commit ever happened. */
+  def current(spark: SparkSession, root: Path): Option[Snapshot] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) None else Some(readManifest(spark, root, vs.max))
   }
 
   /** The current snapshot, ADOPTING a pre-manifest artifact on first
@@ -153,17 +186,38 @@ private[graft] object CodesSnapshot {
       .schema(schema)
       .parquet(snap.absolute: _*)
 
-  /** Delete every data file NOT referenced by the current snapshot (and
-    * any list directory left empty), returning the removed relative paths.
-    * This is the reclaim step deferred maintenance owes: after it, the
-    * physical directory and the snapshot agree file-for-file — which is
-    * also the invariant that keeps plain catalog reads of the table exact.
+  /** Drop all but the newest `keepLast` manifests — the retention knob of
+    * the commit log. Expiring a manifest removes only METADATA (the
+    * version stops being time-travel addressable); the files it alone
+    * referenced become reclaimable by the next [[vacuum]]. Returns the
+    * expired versions.
     */
-  def vacuum(spark: SparkSession, root: Path): Seq[String] = {
+  def expire(spark: SparkSession, root: Path, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val fs = fsOf(spark, root)
+    val doomed = versions(spark, root).dropRight(keepLast)
+    doomed.foreach(v =>
+      fs.delete(new Path(manifestDir(root), f"m-$v%06d.txt"), false))
+    doomed
+  }
+
+  /** Delete every data file NOT referenced by any RETAINED manifest (and
+    * any list directory left empty), returning the removed relative paths.
+    * `keepLast` bounds the retained commit log first ([[expire]]): the
+    * default 1 keeps only the current snapshot — after it, the physical
+    * directory and the snapshot agree file-for-file, which is also the
+    * invariant that keeps plain catalog reads of the table exact. A larger
+    * `keepLast` reclaims only files no retained version references, so
+    * time-travel reads of the kept versions stay exact.
+    */
+  def vacuum(spark: SparkSession, root: Path, keepLast: Int = 1): Seq[String] = {
     val fs = fsOf(spark, root)
     // ADOPT before reclaiming: a pre-manifest artifact's keep-set must be
     // its own files, never the empty set (which would reclaim EVERYTHING)
-    val keep = currentOrAdopt(spark, root).files.toSet
+    currentOrAdopt(spark, root)
+    expire(spark, root, keepLast)
+    val keep = versions(spark, root)
+      .flatMap(v => readManifest(spark, root, v).files).toSet
     val doomed = dataFiles(spark, root).filterNot(keep)
     doomed.foreach(f => fs.delete(new Path(root, f), false))
     // a list dir holding no data files anymore is dropped entirely

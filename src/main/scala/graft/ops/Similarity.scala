@@ -1018,19 +1018,63 @@ object Similarity {
 
   /** Reclaim files superseded by past stage-and-swap commits (deferred
     * compactions) across every registered codes layout — run once
-    * in-flight readers of the old snapshots have drained. Returns the
-    * removed relative paths per layout.
+    * in-flight readers of the old snapshots have drained. `keepLast`
+    * bounds the retained commit log per layout (default 1 = only the
+    * current snapshot survives; a larger value keeps that many versions
+    * time-travel readable and reclaims only files NO retained version
+    * references). Returns the removed relative paths per layout.
     */
-  def vacuumPqCodes(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
+  def vacuumPqCodes(spark: SparkSession, sfDir: String,
+                    keepLast: Int = 1): Map[String, Seq[String]] =
     codesShorts(sfDir).flatMap { case (short, _) =>
       val name = s"graft_artifacts.$short"
       if (!spark.catalog.tableExists(name)) None
       else {
-        val removed = CodesSnapshot.vacuum(spark, artifactLoc(spark, short))
+        val removed = CodesSnapshot.vacuum(spark, artifactLoc(spark, short), keepLast)
         if (removed.nonEmpty) spark.catalog.refreshTable(name)
         Some(name -> removed)
       }
     }.toMap
+
+  /** The retained commit log of every REGISTERED codes layout — one row
+    * per (layout, version): file count and data bytes referenced, newest
+    * version last per layout. Bounded metadata (manifests are text files);
+    * non-mutating, same read-as-it-lies posture as the census.
+    */
+  def codesHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    codesShorts(sfDir).flatMap { case (short, kind) =>
+      val name = s"graft_artifacts.$short"
+      if (!spark.catalog.tableExists(name)) Seq.empty
+      else CodesSnapshot.history(spark, artifactLoc(spark, short))
+        .map { case (v, n, bytes) => (name, kind, v, n.toLong, bytes) }
+    }.toDF("layout", "kind", "version", "n_files", "bytes")
+  }
+
+  /** Time-travel read of one layout's codes at a PINNED snapshot version —
+    * the reader contract deferred-vacuum maintenance enables: a version
+    * retention has kept ([[vacuumPqCodes]]'s `keepLast`) reads exactly as
+    * committed; an expired or never-committed version fails LOUDLY naming
+    * the retained range (never a torn or silently-current view). Erasure
+    * expires ALL history as part of its compliance contract, so no pinned
+    * read can resurrect erased bytes.
+    */
+  def readCodesAsOf(spark: SparkSession, sfDir: String, kind: String,
+                    version: Int): DataFrame = {
+    val short = codesShortKind(sfDir, kind)
+    val name = s"graft_artifacts.$short"
+    require(spark.catalog.tableExists(name),
+      s"codes layout $kind is not registered for $sfDir")
+    val root = artifactLoc(spark, short)
+    val snap = CodesSnapshot.at(spark, root, version).getOrElse {
+      val vs = CodesSnapshot.versions(spark, root)
+      throw new IllegalArgumentException(
+        s"snapshot v$version of $name is not retained " +
+          s"(retained versions: ${vs.mkString("[", ", ", "]")}) — " +
+          "expired by vacuum retention or an erasure, or never committed")
+    }
+    CodesSnapshot.read(spark, snap, spark.table(name).schema)
+  }
 
   /** Entity erasure for the persisted codes artifact: the codes table
     * holds CONTENT-DERIVED data keyed by vec_id (8 codeword ids reconstruct
@@ -1777,5 +1821,181 @@ object Similarity {
     val (np, hits, scanned) = eligible.minBy(t => (t._3, t._1))
     Seq((np, hits, hits.toDouble / denom, scanned))
       .toDF("nprobe", "total_hits", "mean_recall", "total_scanned")
+  }
+
+  // ===== OPQ — Optimized Product Quantization restricted to PERMUTATIONS
+  // (Ge et al. CVPR'13: reassign DIMENSIONS to subspaces so each book
+  // quantizes a comparable share of the corpus variance; the rotation-free
+  // form costs one free in-row reorder at serving time instead of a dense
+  // matrix multiply, and already fixes the block-concentrated-variance
+  // failure mode that starves PQ books — see [[graft.OpqTrain]] and
+  // `OpqSpec`'s anisotropic fixture). Identical bits to the flat trained
+  // layout: same m/ksub/rerank, only WHICH dims each book sees differs. =====
+
+  /** [[OpqModel]]'s published books → doubles, one plan literal (micro /
+    * 1e6 — the same IEEE division the oracle performs).
+    */
+  private lazy val opqBooks: Column = typedLit(
+    OpqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
+
+  private def opqCw(mi: Int, cid: Column): Column =
+    element_at(element_at(opqBooks, mi + 1), (cid + 1).cast("int"))
+
+  /** The published permutation as an in-row projection: permuted position
+    * j reads original dimension `Perm(j)` — an `element_at` reorder, free
+    * inside whole-stage codegen (vs the dense rotate full OPQ would pay
+    * per vector per query).
+    */
+  private def opqPermute(vn: Column): Column =
+    array(OpqModel.Perm.map(d => element_at(vn, d + 1)): _*)
+
+  /** In-row OPQ encode of a PERMUTED normalized vector — [[trainedCodes]]'
+    * (micro-dist, cid)-min over the OPQ books.
+    */
+  private def opqCodes(pvn: Column): Column =
+    array((0 until OpqModel.M).map { mi =>
+      element_at(array_sort(transform(sequence(lit(0), lit(OpqModel.Ksub - 1)),
+        cid => struct(
+          pqL2Micro(pqSubSlice(pvn, mi, OpqModel.Sub), opqCw(mi, cid)).as("d"),
+          cid.as("cid")))), 1)("cid")
+    }: _*)
+
+  /** OPQ ADC: query and candidate live in the SAME permuted space (one
+    * permutation for the whole corpus — unlike residual IVF-PQ there is no
+    * per-cell table), so the distance is [[trainedAdc]] verbatim over
+    * permuted query subspaces and OPQ codewords.
+    */
+  private def opqAdc(qpn: Column, codes: Column): Column =
+    (0 until OpqModel.M).map { mi =>
+      pqL2Micro(pqSubSlice(qpn, mi, OpqModel.Sub),
+        opqCw(mi, element_at(codes, mi + 1)))
+    }.reduce(_ + _)
+
+  /** OPQ top-k, single query — [[pqTopKTrained]]'s shape (inline encode,
+    * ADC rank, exact-cosine rerank) in the permuted space. The rerank uses
+    * the RAW vectors: the permutation only changes what the books
+    * quantize, never the answer geometry.
+    */
+  def opqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              k: Int = 10, rerank: Int = 100): DataFrame = {
+    val base = loadNormalized(spark, sfDir)
+      .withColumn("pn", opqPermute(col("vn")))
+    val assigned = base.withColumn("codes", opqCodes(col("pn")))
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("pn").as("qpn"))
+    assigned.join(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", opqAdc(col("qpn"), col("codes")))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(rerank)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[opqTopK]] batched — Q queries, one corpus pass, per-query
+    * [[graft.functions.TopKPairs]] heaps (the [[pqTopKServedBatch]] batch
+    * shape with the encode inline: OPQ shares the flat codes artifact's
+    * economics — a persisted permuted-codes table would be the same 5
+    * bytes/row — but is served inline here to keep the standing-layout
+    * set, and therefore the erasure/census surface, unchanged).
+    */
+  def opqTopKBatch(spark: SparkSession, sfDir: String,
+                   queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                   k: Int = 10, rerank: Int = 100): DataFrame = {
+    require(queryIds.nonEmpty, "batch serving needs at least one query")
+    val base = loadNormalized(spark, sfDir)
+      .withColumn("pn", opqPermute(col("vn")))
+    val qs = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("pn").as("qpn"))
+    val cand = base.withColumn("codes", opqCodes(col("pn")))
+      .join(broadcast(qs.select(col("query_id"), col("qpn"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", opqAdc(col("qpn"), col("codes")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(rerank)(col("adc"), col("vec_id"))
+        .as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("vec_id"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qs.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Recall scorecard for the permutation question alone: `pq` (flat
+    * trained books, [[pqTopKServedBatch]] verbatim) vs `opq`
+    * ([[opqTopKBatch]]) at IDENTICAL bits — same m/ksub/rerank, same
+    * rerank geometry, only the dimension-to-subspace dealing differs.
+    * Same hash-gate discipline as [[annRecall]] (kept separate so the
+    * long-stable four-variant scorecard's oracle is untouched): a
+    * permutation regression is a correctness failure, not a silent
+    * quality drift. On the near-isotropic main fixture the two are
+    * expected to measure close (no variance concentration to fix);
+    * `OpqSpec` pins the WIN on the fixture that has the disease.
+    */
+  def annRecallOpq(spark: SparkSession, sfDir: String,
+                   queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qs = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"))
+    val exact = exactTopKIds(spark, sfDir, queryIds, k)
+    val ann = pqTopKServedBatch(spark, sfDir, queryIds, k)
+      .select(lit("pq").as("variant"), col("query_id"), col("vec_id"))
+      .unionByName(opqTopKBatch(spark, sfDir, queryIds, k)
+        .select(lit("opq").as("variant"), col("query_id"), col("vec_id")))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("variant"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    val grid = Seq("opq", "pq").toDF("variant").crossJoin(qs)
+    grid.join(hits, Seq("variant", "query_id"), "left")
+      .select(col("variant"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 2).as("recall"))
+  }
+
+  /** The variance-balance AUDIT behind the permutation — per subspace, the
+    * exact integer variance mass (Σ_d n·Σm² − (Σm)² over milli-quantized
+    * normalized coordinates, the same grid [[graft.OpqTrain]] ranks on)
+    * under the IDENTITY dealing vs the published OPQ dealing. One corpus
+    * scan, one 129-column partial aggregation (2 sums per dim + n — a
+    * single row of bounded metadata); the 8-row scorecard is driver
+    * arithmetic on exact longs ([[ivfChoose]]'s planning-metadata
+    * discipline). Every value is an integer, so the audit — the published
+    * artifact's reason to exist — sits behind the DuckDB hash gate: a
+    * trainer regression that unbalances the dealing fails correctness.
+    * Milli (not micro) grid: n·Σm² stays in signed-64 range at x100.
+    */
+  def opqBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Dim
+    val milli = loadNormalized(spark, sfDir)
+      .select(transform(col("vn"), x => floor(x * lit(1e3)).cast("long")).as("mv"))
+    val aggs = (0 until dim).flatMap(d => Seq(
+      sum(element_at(col("mv"), d + 1)).as(s"s$d"),
+      sum(element_at(col("mv"), d + 1) * element_at(col("mv"), d + 1)).as(s"q$d")
+    )) :+ count(lit(1)).as("n")
+    val row = milli.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(2 * dim)
+    def varNum(d: Int): Long = Math.subtractExact(
+      Math.multiplyExact(n, row.getLong(2 * d + 1)),
+      Math.multiplyExact(row.getLong(2 * d), row.getLong(2 * d)))
+    val sub = dim / OpqModel.M
+    (0 until OpqModel.M).map { g =>
+      val idDims = (g * sub) until ((g + 1) * sub)
+      val opDims = OpqModel.Perm.slice(g * sub, (g + 1) * sub)
+      (g.toLong,
+        idDims.map(varNum).reduce((a, b) => Math.addExact(a, b)),
+        opDims.map(varNum).reduce((a, b) => Math.addExact(a, b)))
+    }.toDF("subspace", "var_identity", "var_opq")
   }
 }

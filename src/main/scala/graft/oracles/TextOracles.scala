@@ -42,6 +42,25 @@ private[graft] object TextOracles {
           .mkString("list_value(", ", ", "))")).mkString(", ")
   }
 
+  /** [[graft.ops.OpqModel]]'s published dimension permutation as a
+    * 1-indexed DuckDB list literal: permuted position j reads original
+    * dimension Perm(j) — `list_transform($opqPermList, d -> vn[d])` is the
+    * oracle's copy of the Spark side's `element_at` reorder.
+    */
+  private lazy val opqPermList: String =
+    graft.ops.OpqModel.Perm.map(_ + 1).mkString("[", ", ", "]")
+
+  /** [[graft.ops.OpqModel]]'s published codebooks (trained on PERMUTED
+    * vectors) as a DuckDB VALUES list — same discipline as [[pqCbValues]].
+    */
+  private lazy val opqCbValues: String = {
+    import graft.ops.OpqModel
+    (for { mi <- 0 until OpqModel.M; cid <- 0 until OpqModel.Ksub }
+      yield s"($mi, $cid, " +
+        OpqModel.Micros(mi)(cid).map(v => s"$v / 1000000.0")
+          .mkString("list_value(", ", ", "))")).mkString(", ")
+  }
+
   /** The ops_ivf_calib CTE chain, extracted so `ops_ivf_choose` can wrap
     * the SAME curve (decision and measurement share one SQL body — a
     * drifted copy could silently choose off a different curve).
@@ -737,6 +756,149 @@ private[graft] object TextOracles {
     // the same integer micros by 1000000.0, so the codewords are
     // bit-identical without any float crossing engines
     "ops_sim_pq_trained" -> pqTrainedSql,
+    // twin of [[graft.ops.Similarity.opqTopK]] — the trained-PQ CTE chain
+    // in the PERMUTED space: pn = the published OPQ dimension reorder of
+    // vn (a list_transform over the inlined 1-indexed perm — the oracle's
+    // copy of Spark's element_at projection), books = the published OPQ
+    // codebooks trained on permuted rows, everything downstream (floor-
+    // micro subspace L2, (dmicro, cid) argmin, order-free ADC sum,
+    // exact-cosine rerank over the RAW vectors) identical.
+    "ops_sim_opq" -> {
+      import graft.ops.OpqModel
+      val sub = OpqModel.Sub; val rerank = 100
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |pz AS (SELECT vec_id, v, list_transform($opqPermList, d -> vn[d]) AS pn FROM nz),
+         |cbv(m, cid, cw) AS (VALUES $opqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (pn[cb.m * $sub + i] - cw[i]) * (pn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM pz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT m, cid, dmicro FROM sm WHERE vec_id = 0),
+         |adc AS (SELECT a.vec_id, SUM(t.dmicro) AS adc
+         |        FROM asg a JOIN qd t USING (m, cid) GROUP BY 1),
+         |cand AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |         ORDER BY adc, vec_id LIMIT $rerank),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${cosineSql("e.v", "qv")}, 6) AS cos_sim
+         |FROM cand c JOIN e ON e.vec_id = c.vec_id, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.annRecallOpq]] — exact top-k per
+    // query, the flat trained-PQ top-k and the OPQ top-k (both CTE chains
+    // verbatim at identical bits), integer intersection counts, and the
+    // grid left join keeping zero-hit rows visible. The permutation's
+    // recall effect is hash-gated, not asserted.
+    "ops_sim_recall_opq" -> {
+      import graft.ops.{OpqModel, PqModel}
+      val sub = PqModel.Sub; val osub = OpqModel.Sub
+      val rerank = 100; val qids = "0, 1, 2, 3"; val k = 10
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT vec_id, v, list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rk <= $k),
+         |cbv(m, cid, cw) AS (VALUES $pqCbValues),
+         |sm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (vn[cb.m * $sub + i] - cw[i]) * (vn[cb.m * $sub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM nz, cbv cb),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM sm) WHERE rk = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM sm WHERE vec_id IN ($qids)),
+         |adcp AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM asg a JOIN qd t USING (m, cid)
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |candp AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adcp) WHERE rk <= $rerank),
+         |pqk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c1.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c1.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM candp c1 JOIN e ON e.vec_id = c1.vec_id
+         |  JOIN q ON q.query_id = c1.query_id) WHERE rk <= $k),
+         |pz AS (SELECT vec_id, list_transform($opqPermList, d -> vn[d]) AS pn FROM nz),
+         |ocb(m, cid, cw) AS (VALUES $opqCbValues),
+         |osm AS (
+         |  SELECT vec_id, cb.m, cb.cid,
+         |    CAST(floor(list_reduce(list_transform(range(1, ${osub + 1}),
+         |      i -> (pn[cb.m * $osub + i] - cw[i]) * (pn[cb.m * $osub + i] - cw[i])),
+         |      (x, y) -> x + y) * 1000000) AS BIGINT) AS dmicro
+         |  FROM pz, ocb cb),
+         |oasg AS (SELECT vec_id, m, cid FROM (
+         |  SELECT vec_id, m, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rk
+         |  FROM osm) WHERE rk = 1),
+         |oqd AS (SELECT vec_id AS query_id, m, cid, dmicro FROM osm WHERE vec_id IN ($qids)),
+         |oadc AS (SELECT t.query_id, a.vec_id, SUM(t.dmicro) AS adc
+         |         FROM oasg a JOIN oqd t USING (m, cid)
+         |         WHERE a.vec_id <> t.query_id GROUP BY 1, 2),
+         |ocand AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM oadc) WHERE rk <= $rerank),
+         |opqk AS (SELECT query_id, vec_id FROM (
+         |  SELECT c2.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c2.query_id
+         |      ORDER BY round(${cosineSql("e.v", "qv")}, 6) DESC, e.vec_id) AS rk
+         |  FROM ocand c2 JOIN e ON e.vec_id = c2.vec_id
+         |  JOIN q ON q.query_id = c2.query_id) WHERE rk <= $k),
+         |u AS (SELECT 'pq' AS variant, query_id, vec_id FROM pqk
+         |      UNION ALL SELECT 'opq', query_id, vec_id FROM opqk),
+         |hits AS (SELECT variant, query_id, COUNT(*) AS n
+         |         FROM u JOIN ex USING (query_id, vec_id) GROUP BY 1, 2),
+         |grid AS (SELECT variant, query_id
+         |         FROM (SELECT unnest(['opq', 'pq']) AS variant),
+         |              (SELECT vec_id AS query_id FROM e WHERE vec_id IN ($qids)))
+         |SELECT g.variant, g.query_id,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS hits,
+         |  round(COALESCE(h.n, 0) / $k.0, 2) AS recall
+         |FROM grid g LEFT JOIN hits h ON h.variant = g.variant AND h.query_id = g.query_id""".stripMargin
+    },
+    // twin of [[graft.ops.Similarity.opqBalance]] — per-dimension exact
+    // integer variance numerators n·Σm² − (Σm)² over milli-quantized
+    // normalized coordinates, summed per subspace under the identity
+    // dealing and the published OPQ dealing (both dim→subspace maps
+    // inlined as VALUES). Every value is a BIGINT; the audit behind the
+    // permutation artifact is itself hash-gated.
+    "ops_opq_balance" -> {
+      import graft.ops.{OpqModel, Similarity}
+      val dim = Similarity.Dim; val sub = OpqModel.Sub
+      val giVals = (0 until dim).map(d => s"(${d + 1}, ${d / sub})").mkString(", ")
+      val goVals = (0 until dim).map(j =>
+        s"(${OpqModel.Perm(j) + 1}, ${j / sub})").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nz AS (SELECT list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS vn FROM e),
+         |mv AS (SELECT list_transform(vn, x -> CAST(floor(x * 1000) AS BIGINT)) AS m FROM nz),
+         |ds AS (SELECT d, CAST(SUM(m[d]) AS BIGINT) AS s1,
+         |              CAST(SUM(m[d] * m[d]) AS BIGINT) AS s2,
+         |              COUNT(*) AS n
+         |       FROM mv, (SELECT unnest(range(1, ${dim + 1})) AS d) GROUP BY d),
+         |vr AS (SELECT d, n * s2 - s1 * s1 AS vnum FROM ds),
+         |gi(d, g) AS (VALUES $giVals),
+         |go(d, g) AS (VALUES $goVals),
+         |ai AS (SELECT g, CAST(SUM(vnum) AS BIGINT) AS var_identity
+         |       FROM vr JOIN gi USING (d) GROUP BY g),
+         |ao AS (SELECT g, CAST(SUM(vnum) AS BIGINT) AS var_opq
+         |       FROM vr JOIN go USING (d) GROUP BY g)
+         |SELECT CAST(ai.g AS BIGINT) AS subspace, var_identity, var_opq
+         |FROM ai JOIN ao ON ai.g = ao.g""".stripMargin
+    },
     // twin of [[graft.ops.Similarity.pqTopKServed]] — the persisted-codes
     // serving form. The ARTIFACT is a Spark-side layout choice (the codes
     // table holds exactly the trained encode of every vector), so the

@@ -161,6 +161,106 @@ class CodesSwapSpec extends SparkSuite {
       s"census double-counted deferred-vacuum leftovers: $found")
   }
 
+  test("time travel: history lists retained commits; a pinned version reads as committed; retention expires it loudly") {
+    val dir = corpus("swap_history", growable = true)
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val v1 = CodesSnapshot.current(spark, root).get
+    assert(v1.version == 1)
+    val contentV1 = rowsOf(readFiles(root, v1.files))
+
+    Tables.load(spark, sf, "embeddings").filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    val contentV2 = rowsOf(spark.table(name))
+    assert(contentV2.size > contentV1.size)
+
+    val kind = Similarity.CodesKind.Sampled
+    val hist = Similarity.codesHistory(spark, dir).collect()
+      .filter(r => r.getString(0) == name)
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(hist.map(_._2).toSeq == Seq(1, 2), s"commit log diverged: ${hist.toSeq}")
+    assert(hist.forall(h => h._1 == kind && h._3 > 0L && h._4 > 0L))
+
+    // pinned reads: each retained version exactly as committed
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 1)) == contentV1)
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 2)) == contentV2)
+
+    // keepLast = 2 retains both (refresh is append-only — nothing reclaimable)
+    assert(Similarity.vacuumPqCodes(spark, dir, keepLast = 2)(name).isEmpty)
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 1)) == contentV1)
+
+    // retention to 1: the old version expires, its pinned read fails LOUDLY
+    // naming the retained range; the current version is untouched
+    Similarity.vacuumPqCodes(spark, dir, keepLast = 1)
+    val e = intercept[IllegalArgumentException](
+      Similarity.readCodesAsOf(spark, dir, kind, 1))
+    assert(e.getMessage.contains("retained versions: [2]"), e.getMessage)
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 2)) == contentV2)
+    // pinning a version that never existed is the same loud contract
+    intercept[IllegalArgumentException](
+      Similarity.readCodesAsOf(spark, dir, kind, 99))
+  }
+
+  test("vacuum keepLast=2 keeps the pre-compaction version byte-readable; keepLast=1 reclaims it") {
+    val dir = corpus("swap_retention", growable = true)
+    val name = Similarity.ensurePqCodes(spark, dir)
+    val base = Tables.load(spark, sf, "embeddings")
+    (1 to 5).foreach { w =>
+      base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(100000L * w)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f + w)).as("embedding"))
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    }
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    val preSwap = CodesSnapshot.current(spark, root).get
+    val content = rowsOf(readFiles(root, preSwap.files))
+    assert(Similarity.compactPqCodes(spark, dir, vacuum = false) > 0L)
+
+    // retain the last two versions: the pre-swap snapshot's files are
+    // referenced by a RETAINED manifest, so nothing is reclaimed and a
+    // pinned read of it stays byte-exact
+    assert(Similarity.vacuumPqCodes(spark, dir, keepLast = 2)(name).isEmpty,
+      "retention-2 vacuum reclaimed files a retained version references")
+    val kind = Similarity.CodesKind.Sampled
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, preSwap.version))
+      == content)
+
+    // tighten to 1: the superseded fragments go, current still serves
+    val removed = Similarity.vacuumPqCodes(spark, dir, keepLast = 1)(name)
+    assert(removed.nonEmpty && removed.toSet.subsetOf(preSwap.files.toSet))
+    intercept[IllegalArgumentException](
+      Similarity.readCodesAsOf(spark, dir, kind, preSwap.version))
+    assert(rowsOf(spark.table(name)) == content)
+  }
+
+  test("erasure expires ALL history: no retained version can resurrect erased bytes") {
+    val dir = corpus("swap_erase_hist", growable = true)
+    val name = Similarity.ensurePqCodes(spark, dir)
+    Tables.load(spark, sf, "embeddings").filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.refreshPqCodes(spark, dir) > 0L)
+    val root = Similarity.artifactLoc(spark, name.split('.').last)
+    assert(CodesSnapshot.versions(spark, root) == Seq(1, 2))
+
+    val victim = spark.table(name).orderBy(col("vec_id")).first().getLong(0)
+    assert(Similarity.erasePqCodes(spark, dir, Set(victim)) == 1L)
+    // exactly one retained version — the post-erase one; pinned reads of
+    // the pre-erase commits are gone with their bytes
+    val retained = CodesSnapshot.versions(spark, root)
+    assert(retained.size == 1, s"erasure left history retained: $retained")
+    val kind = Similarity.CodesKind.Sampled
+    intercept[IllegalArgumentException](
+      Similarity.readCodesAsOf(spark, dir, kind, 1))
+    assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, retained.head))
+      .forall(_.head.asInstanceOf[Long] != victim))
+  }
+
   test("erasure vacuums in the same call: no pre-erase byte survives in any file on disk") {
     val dir = corpus("swap_erase")
     val name = Similarity.ensurePqCodes(spark, dir)

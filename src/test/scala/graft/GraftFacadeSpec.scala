@@ -47,6 +47,20 @@ class GraftFacadeSpec extends SparkSuite {
     assert(vac.values.forall(_.isEmpty), s"unexpected reclaim on a clean fixture: $vac")
   }
 
+  test("annOpqTopKBatch / annRecallOpq facades match the operators") {
+    val qids = Seq(0L, 1L)
+    val viaFacade = Graft.annOpqTopKBatch(spark, sf, qids)
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.opqTopKBatch(spark, sf, qids)
+      .collect().map(_.toSeq).toSet
+    assert(viaFacade == direct && viaFacade.nonEmpty)
+    val recFacade = Graft.annRecallOpq(spark, sf, qids)
+      .collect().map(_.toSeq).toSet
+    val recDirect = Similarity.annRecallOpq(spark, sf, qids)
+      .collect().map(_.toSeq).toSet
+    assert(recFacade == recDirect && recFacade.size == 2 * qids.size)
+  }
+
   test("bloomBuild/bloomMightContain roundtrip: inserted keys true, pruning real") {
     import graft.functions.Bloom
     val dim = Tables.load(spark, sf, "part").filter(col("p_size") <= 5)
