@@ -241,6 +241,24 @@ object Graft {
                 grid: Seq[Int] = Seq(1, 2, 4, 16)): DataFrame =
     Similarity.ivfChoose(spark, sfDir, recallTarget, queryIds, grid = grid)
 
+  /** The ONLINE INGEST loop — the other half of [[annServe]]'s duplex: the
+    * corpus directory is watched as a streaming file source and every
+    * micro-batch of newly landed embedding files triggers a delta-only,
+    * snapshot-committed refresh of the named codes layouts. See
+    * [[graft.streaming.AnnIngest]].
+    */
+  def annIngest(spark: SparkSession, sfDir: String, checkpointDir: String,
+                layouts: Seq[String] = Seq(graft.ops.Similarity.CodesKind.Sampled),
+                ledgerDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.AnnIngest.ingest(spark, sfDir, checkpointDir, layouts, ledgerDir)
+
+  /** The ingest growth ledger — (batch_id, layout, rows_added). See
+    * [[graft.streaming.AnnIngest.ledger]].
+    */
+  def annIngestLedger(spark: SparkSession, ledgerDir: String): DataFrame =
+    graft.streaming.AnnIngest.ledger(spark, ledgerDir)
+
   /** The served results' consumer view: the LATEST answer per query over
     * [[annServe]]'s batch-keyed output. See [[graft.streaming.AnnServe.latest]].
     */
