@@ -70,6 +70,17 @@ object AnnServe {
                              ids: Seq[Long], k: Int, rerank: Int): DataFrame =
       Similarity.pqTopKIvfResBatch(spark, sfDir, ids, k, nprobe, rerank)
   }
+  /** The OPQ layout ([[graft.ops.Similarity.opqTopKBatch]]) — the published
+    * variance-balancing dimension permutation ahead of the unchanged ADC
+    * machinery, at identical bits to [[Flat]]; served inline (no persisted
+    * permuted-codes table), so there is nothing to ensure pre-stream.
+    */
+  case object Opq extends Layout {
+    private[graft] def ensure(spark: SparkSession, sfDir: String): Unit = ()
+    private[graft] def serve(spark: SparkSession, sfDir: String,
+                             ids: Seq[Long], k: Int, rerank: Int): DataFrame =
+      Similarity.opqTopKBatch(spark, sfDir, ids, k, rerank)
+  }
 
   /** Start the serving loop. `queries` is a streaming DataFrame bearing a
     * `query_id` long column (ids into the corpus — production would carry a

@@ -59,7 +59,9 @@ class AnnServeSpec extends SparkSuite {
       ("t", AnnServe.IvfTrained(),
         (s, d, q) => Similarity.pqTopKIvfTrainedBatch(s, d, q)),
       ("r", AnnServe.IvfResidual(),
-        (s, d, q) => Similarity.pqTopKIvfResBatch(s, d, q)))
+        (s, d, q) => Similarity.pqTopKIvfResBatch(s, d, q)),
+      ("o", AnnServe.Opq,
+        (s, d, q) => Similarity.opqTopKBatch(s, d, q)))
     cases.foreach { case (tag, layout, batchServe) =>
       val input = MemoryStream[Long]
       val out = Files.createTempDirectory(s"ann_serve_${tag}_out").toString

@@ -33,7 +33,7 @@ X100_QUERIES="ops_erase_entity ops_erase_batch cdc_erase_replay \
 cdc_generic_roundtrip cdc_key_promotion ops_kmv_overlap \
 ops_quality_logit ops_quality_distilled ops_bloom_novel \
 ops_bloom_prune ops_q5_local_volume ops_q12_priority_lanes \
-ops_group_heavy_hitters"
+ops_group_heavy_hitters ops_opq_balance"
 
 # fresh output dir + hard Verify gate: a crashed Verify must never let
 # compare.py bless the PREVIOUS sweep's stale dumps into the artifact
