@@ -208,13 +208,23 @@ object Graft {
     Similarity.compactPqCodes(spark, sfDir, maxFilesPerList, vacuum)
 
   /** Reclaim files superseded by deferred-vacuum maintenance commits, per
-    * registered codes layout; `keepLast` > 1 retains that many snapshot
-    * versions time-travel readable. See
+    * registered codes layout. Default honors each artifact's standing
+    * retention policy ([[annSetCodesRetention]]); an explicit `keepLast`
+    * overrides it for this call. See
     * [[graft.ops.Similarity.vacuumPqCodes]].
     */
   def annVacuumCodes(spark: SparkSession, sfDir: String,
-                     keepLast: Int = 1): Map[String, Seq[String]] =
+                     keepLast: Option[Int] = None): Map[String, Seq[String]] =
     Similarity.vacuumPqCodes(spark, sfDir, keepLast)
+
+  /** Standing snapshot-retention policy for the codes layouts — how many
+    * versions default vacuums (including compaction's in-call one) keep
+    * time-travel readable; erasure ignores it by design. See
+    * [[graft.ops.Similarity.setCodesRetention]].
+    */
+  def annSetCodesRetention(spark: SparkSession, sfDir: String,
+                           keepLast: Int): Seq[String] =
+    Similarity.setCodesRetention(spark, sfDir, keepLast)
 
   /** The retained snapshot commit log per registered codes layout —
     * (layout, kind, version, n_files, bytes). See
@@ -249,9 +259,11 @@ object Graft {
     */
   def annIngest(spark: SparkSession, sfDir: String, checkpointDir: String,
                 layouts: Seq[String] = Seq(graft.ops.Similarity.CodesKind.Sampled),
-                ledgerDir: Option[String] = None)
+                ledgerDir: Option[String] = None,
+                maxFilesPerTrigger: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.streaming.AnnIngest.ingest(spark, sfDir, checkpointDir, layouts, ledgerDir)
+    graft.streaming.AnnIngest.ingest(spark, sfDir, checkpointDir, layouts,
+      ledgerDir, maxFilesPerTrigger)
 
   /** The ingest growth ledger — (batch_id, layout, rows_added). See
     * [[graft.streaming.AnnIngest.ledger]].

@@ -111,17 +111,53 @@ private[graft] object CodesSnapshot {
 
   /** The retained commit log, newest last: (version, file count, rough
     * byte size of the referenced data files) — bounded driver-side
-    * metadata (manifests are text files of relative paths).
+    * metadata (manifests are text files of relative paths). File sizes
+    * come from ONE directory listing built up front (files shared across
+    * versions — the common case, commits are incremental — are stat'ed
+    * once, not once per version; per-file exists+stat round-trips would
+    * make this serial metadata I/O on an object store).
     */
   def history(spark: SparkSession, root: Path): Seq[(Int, Int, Long)] = {
     val fs = fsOf(spark, root)
+    val sizes: Map[String, Long] =
+      if (!fs.exists(root)) Map.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+            .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f.getLen)
+        }.toMap
     versions(spark, root).map { v =>
       val snap = readManifest(spark, root, v)
-      val bytes = snap.files.map { f =>
-        val p = new Path(root, f)
-        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
-      }.sum
-      (v, snap.files.size, bytes)
+      (v, snap.files.size, snap.files.map(sizes.getOrElse(_, 0L)).sum)
+    }
+  }
+
+  private def retentionFile(root: Path) = new Path(manifestDir(root), "retention.txt")
+
+  /** STANDING retention policy for this artifact — how many snapshot
+    * versions a default [[vacuum]] keeps time-travel readable. Persisted
+    * next to the manifests so the policy survives sessions and is honored
+    * by maintenance verbs that vacuum as a side effect (a compaction must
+    * not silently destroy history a deployment asked to keep). Absent =
+    * 1 (only the current snapshot — the pre-retention semantics).
+    */
+  def setRetention(spark: SparkSession, root: Path, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val fs = fsOf(spark, root)
+    fs.mkdirs(manifestDir(root))
+    val out = fs.create(retentionFile(root), true)
+    try out.write(s"$keepLast\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def retention(spark: SparkSession, root: Path): Int = {
+    val fs = fsOf(spark, root)
+    val f = retentionFile(root)
+    if (!fs.exists(f)) 1
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
     }
   }
 
@@ -203,19 +239,25 @@ private[graft] object CodesSnapshot {
 
   /** Delete every data file NOT referenced by any RETAINED manifest (and
     * any list directory left empty), returning the removed relative paths.
-    * `keepLast` bounds the retained commit log first ([[expire]]): the
-    * default 1 keeps only the current snapshot — after it, the physical
-    * directory and the snapshot agree file-for-file, which is also the
-    * invariant that keeps plain catalog reads of the table exact. A larger
-    * `keepLast` reclaims only files no retained version references, so
-    * time-travel reads of the kept versions stay exact.
+    * `keepLast` bounds the retained commit log first ([[expire]]):
+    * `None` (the default) honors the artifact's STANDING [[retention]]
+    * policy — so maintenance verbs that vacuum as a side effect
+    * (compaction) can never silently destroy history a deployment asked
+    * to keep — while an explicit value overrides it for THIS call:
+    * erasure passes `Some(1)` (compliance expires all history,
+    * policy notwithstanding). With one version retained, the physical
+    * directory and the snapshot agree file-for-file after the vacuum —
+    * the invariant that keeps plain catalog reads of the table exact;
+    * with more retained, only files NO kept version references are
+    * reclaimed, so time-travel reads of the kept versions stay exact.
     */
-  def vacuum(spark: SparkSession, root: Path, keepLast: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, root: Path,
+             keepLast: Option[Int] = None): Seq[String] = {
     val fs = fsOf(spark, root)
     // ADOPT before reclaiming: a pre-manifest artifact's keep-set must be
     // its own files, never the empty set (which would reclaim EVERYTHING)
     currentOrAdopt(spark, root)
-    expire(spark, root, keepLast)
+    expire(spark, root, keepLast.getOrElse(retention(spark, root)))
     val keep = versions(spark, root)
       .flatMap(v => readManifest(spark, root, v).files).toSet
     val doomed = dataFiles(spark, root).filterNot(keep)

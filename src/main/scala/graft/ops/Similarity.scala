@@ -607,30 +607,46 @@ object Similarity {
   private lazy val trainedBooks: Column = typedLit(
     PqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
 
-  /** Codeword (mi, cid) of the trained books — `Sub` doubles. */
-  private def trainedCw(mi: Int, cid: Column): Column =
-    element_at(element_at(trainedBooks, mi + 1), (cid + 1).cast("int"))
-
-  /** In-row trained-PQ encode of a normalized vector: per subspace, the
-    * (micro-dist, cid)-min codeword id. No join — the books are a literal.
+  /** Codeword (mi, cid) of a books plan literal — `sub` doubles. ONE
+    * lookup/encode/ADC implementation serves every book family (trained,
+    * residual, OPQ): the families differ only in WHICH literal and what
+    * the input vector is (raw / per-list residual / permuted) — a
+    * tie-break or grid fix lands once, not once per copy that can
+    * silently diverge from its oracle twin.
     */
-  private def trainedCodes(vn: Column): Column =
-    array((0 until PqModel.M).map { mi =>
-      element_at(array_sort(transform(sequence(lit(0), lit(PqModel.Ksub - 1)),
+  private def bookCw(books: Column, mi: Int, cid: Column): Column =
+    element_at(element_at(books, mi + 1), (cid + 1).cast("int"))
+
+  /** In-row PQ encode of a normalized (or residual/permuted) vector
+    * against a books literal: per subspace, the (micro-dist, cid)-min
+    * codeword id. No join — the books are a literal.
+    */
+  private def bookCodes(books: Column, m: Int, ksub: Int, sub: Int,
+                        vn: Column): Column =
+    array((0 until m).map { mi =>
+      element_at(array_sort(transform(sequence(lit(0), lit(ksub - 1)),
         cid => struct(
-          pqL2Micro(pqSubSlice(vn, mi, PqModel.Sub), trainedCw(mi, cid)).as("d"),
+          pqL2Micro(pqSubSlice(vn, mi, sub), bookCw(books, mi, cid)).as("d"),
           cid.as("cid")))), 1)("cid")
     }: _*)
 
   /** ADC distance: Σ_m micro-dist(query subspace m, candidate's codeword m)
     * — integer adds over literal-table lookups, the order-free cross-engine
-    * sum both PQ serving forms share.
+    * sum every PQ serving form shares.
     */
-  private def trainedAdc(qvn: Column, codes: Column): Column =
-    (0 until PqModel.M).map { mi =>
-      pqL2Micro(pqSubSlice(qvn, mi, PqModel.Sub),
-        trainedCw(mi, element_at(codes, mi + 1)))
+  private def bookAdc(books: Column, m: Int, sub: Int,
+                      qvn: Column, codes: Column): Column =
+    (0 until m).map { mi =>
+      pqL2Micro(pqSubSlice(qvn, mi, sub),
+        bookCw(books, mi, element_at(codes, mi + 1)))
     }.reduce(_ + _)
+
+  /** In-row trained-PQ encode / ADC over [[PqModel]]'s published books. */
+  private def trainedCodes(vn: Column): Column =
+    bookCodes(trainedBooks, PqModel.M, PqModel.Ksub, PqModel.Sub, vn)
+
+  private def trainedAdc(qvn: Column, codes: Column): Column =
+    bookAdc(trainedBooks, PqModel.M, PqModel.Sub, qvn, codes)
 
   /** Build-once IVF-PQ codes ARTIFACT — the persisted form the [[pqTopK]]
     * scaladoc promises at 100 TB: one table of (vec_id, codes[, list]) with
@@ -1019,13 +1035,16 @@ object Similarity {
   /** Reclaim files superseded by past stage-and-swap commits (deferred
     * compactions) across every registered codes layout — run once
     * in-flight readers of the old snapshots have drained. `keepLast`
-    * bounds the retained commit log per layout (default 1 = only the
-    * current snapshot survives; a larger value keeps that many versions
-    * time-travel readable and reclaims only files NO retained version
-    * references). Returns the removed relative paths per layout.
+    * bounds the retained commit log per layout: `None` (default) honors
+    * each artifact's STANDING retention policy ([[setCodesRetention]];
+    * absent = 1, only the current snapshot survives); an explicit value
+    * overrides it for this call. With versions retained, only files NO
+    * retained version references are reclaimed, so time-travel reads of
+    * the kept versions stay exact. Returns the removed relative paths per
+    * layout.
     */
   def vacuumPqCodes(spark: SparkSession, sfDir: String,
-                    keepLast: Int = 1): Map[String, Seq[String]] =
+                    keepLast: Option[Int] = None): Map[String, Seq[String]] =
     codesShorts(sfDir).flatMap { case (short, _) =>
       val name = s"graft_artifacts.$short"
       if (!spark.catalog.tableExists(name)) None
@@ -1035,6 +1054,21 @@ object Similarity {
         Some(name -> removed)
       }
     }.toMap
+
+  /** Set the STANDING snapshot-retention policy for every registered
+    * codes layout of `sfDir`: how many versions a default vacuum —
+    * including the one a `compactPqCodes(vacuum = true)` runs as a side
+    * effect — keeps time-travel readable. Persisted in each artifact's
+    * manifest dir, so the policy survives sessions. Erasure IGNORES the
+    * policy by design (compliance expires all history).
+    */
+  def setCodesRetention(spark: SparkSession, sfDir: String,
+                        keepLast: Int): Seq[String] =
+    codesShorts(sfDir).collect {
+      case (short, _) if spark.catalog.tableExists(s"graft_artifacts.$short") =>
+        CodesSnapshot.setRetention(spark, artifactLoc(spark, short), keepLast)
+        s"graft_artifacts.$short"
+    }
 
   /** The retained commit log of every REGISTERED codes layout — one row
     * per (layout, version): file count and data bytes referenced, newest
@@ -1128,8 +1162,11 @@ object Similarity {
     CodesSnapshot.commit(spark, root, keep ++ staged)
     // RECLAIM immediately — compliance wins over availability for ERASURE:
     // the pre-erase bytes must not survive this call, so a reader still
-    // holding the pre-swap snapshot fails loudly rather than reading them
-    CodesSnapshot.vacuum(spark, root)
+    // holding the pre-swap snapshot fails loudly rather than reading them.
+    // The explicit Some(1) OVERRIDES any standing retention policy: an
+    // erasure expires all history by definition, a kept-versions knob
+    // must never preserve erased bytes
+    CodesSnapshot.vacuum(spark, root, Some(1))
     // catalog hygiene: emptied lists lose their partition entry too (the
     // vacuum already removed their directories)
     val emptied = lists.filterNot(l => staged.exists(_.startsWith(s"list=$l/")))
@@ -1407,9 +1444,6 @@ object Similarity {
   private lazy val resBooks: Column = typedLit(
     PqResModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
 
-  private def resCw(mi: Int, cid: Column): Column =
-    element_at(element_at(resBooks, mi + 1), (cid + 1).cast("int"))
-
   /** The residual of a normalized vector under its assigned trained list:
     * vn − c(list), elementwise — the same doubles in the same order on
     * both engines (list centroids are the published integer micros / 1e6),
@@ -1418,34 +1452,22 @@ object Similarity {
   private def residualOf(vn: Column, list: Column): Column =
     zip_with(vn, element_at(ivfCents, (list + 1).cast("int")), (x, c) => x - c)
 
-  /** In-row residual-PQ encode: per subspace, the (micro-dist, cid)-min
-    * RESIDUAL codeword. `list` must be the vector's trained assignment —
-    * the residual is only meaningful under the centroid that produced it.
+  /** In-row residual-PQ encode ([[bookCodes]] over the residual): `list`
+    * must be the vector's trained assignment — the residual is only
+    * meaningful under the centroid that produced it.
     */
-  private def residualCodesFor(vn: Column, list: Column): Column = {
-    val r = residualOf(vn, list)
-    array((0 until PqResModel.M).map { mi =>
-      element_at(array_sort(transform(sequence(lit(0), lit(PqResModel.Ksub - 1)),
-        cid => struct(
-          pqL2Micro(pqSubSlice(r, mi, PqResModel.Sub), resCw(mi, cid)).as("d"),
-          cid.as("cid")))), 1)("cid")
-    }: _*)
-  }
+  private def residualCodesFor(vn: Column, list: Column): Column =
+    bookCodes(resBooks, PqResModel.M, PqResModel.Ksub, PqResModel.Sub,
+      residualOf(vn, list))
 
   /** Residual ADC: the query's residual is taken under the CANDIDATE'S
     * list (the asymmetric-distance table is per probed cell in IVF-PQ —
     * query and candidate must subtract the same centroid for the distance
-    * to live in one space), then Σ_m micro-dist(query-residual subspace,
-    * candidate's residual codeword) — the same order-free integer sum as
-    * every PQ form.
+    * to live in one space), then [[bookAdc]] over the residual books.
     */
-  private def residualAdc(qvn: Column, list: Column, codes: Column): Column = {
-    val qr = residualOf(qvn, list)
-    (0 until PqResModel.M).map { mi =>
-      pqL2Micro(pqSubSlice(qr, mi, PqResModel.Sub),
-        resCw(mi, element_at(codes, mi + 1)))
-    }.reduce(_ + _)
-  }
+  private def residualAdc(qvn: Column, list: Column, codes: Column): Column =
+    bookAdc(resBooks, PqResModel.M, PqResModel.Sub,
+      residualOf(qvn, list), codes)
 
   /** The RESIDUAL codes artifact — [[ensurePqCodesTrained]]'s layout
     * (published-centroid `list` partitioning, same schema, same snapshot
@@ -1838,9 +1860,6 @@ object Similarity {
   private lazy val opqBooks: Column = typedLit(
     OpqModel.Micros.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
 
-  private def opqCw(mi: Int, cid: Column): Column =
-    element_at(element_at(opqBooks, mi + 1), (cid + 1).cast("int"))
-
   /** The published permutation as an in-row projection: permuted position
     * j reads original dimension `Perm(j)` — an `element_at` reorder, free
     * inside whole-stage codegen (vs the dense rotate full OPQ would pay
@@ -1849,27 +1868,17 @@ object Similarity {
   private def opqPermute(vn: Column): Column =
     array(OpqModel.Perm.map(d => element_at(vn, d + 1)): _*)
 
-  /** In-row OPQ encode of a PERMUTED normalized vector — [[trainedCodes]]'
-    * (micro-dist, cid)-min over the OPQ books.
+  /** In-row OPQ encode / ADC over a PERMUTED normalized vector — the
+    * shared [[bookCodes]]/[[bookAdc]] machinery against [[OpqModel]]'s
+    * books. Query and candidate live in the SAME permuted space (one
+    * permutation for the whole corpus — unlike residual IVF-PQ there is
+    * no per-cell table).
     */
   private def opqCodes(pvn: Column): Column =
-    array((0 until OpqModel.M).map { mi =>
-      element_at(array_sort(transform(sequence(lit(0), lit(OpqModel.Ksub - 1)),
-        cid => struct(
-          pqL2Micro(pqSubSlice(pvn, mi, OpqModel.Sub), opqCw(mi, cid)).as("d"),
-          cid.as("cid")))), 1)("cid")
-    }: _*)
+    bookCodes(opqBooks, OpqModel.M, OpqModel.Ksub, OpqModel.Sub, pvn)
 
-  /** OPQ ADC: query and candidate live in the SAME permuted space (one
-    * permutation for the whole corpus — unlike residual IVF-PQ there is no
-    * per-cell table), so the distance is [[trainedAdc]] verbatim over
-    * permuted query subspaces and OPQ codewords.
-    */
   private def opqAdc(qpn: Column, codes: Column): Column =
-    (0 until OpqModel.M).map { mi =>
-      pqL2Micro(pqSubSlice(qpn, mi, OpqModel.Sub),
-        opqCw(mi, element_at(codes, mi + 1)))
-    }.reduce(_ + _)
+    bookAdc(opqBooks, OpqModel.M, OpqModel.Sub, qpn, codes)
 
   /** OPQ top-k, single query — [[pqTopKTrained]]'s shape (inline encode,
     * ADC rank, exact-cosine rerank) in the permuted space. The rerank uses

@@ -69,9 +69,22 @@ object AnnIngest {
         if (!batch.isEmpty) {
           val added = layouts.map(k => k -> refreshOf(spark, sfDir, k))
           ledgerDir.foreach { dir =>
-            import spark.implicits._
-            added.toDF("layout", "rows_added")
-              .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+            // FIRST completion wins: on a crash-replay (failure between
+            // the refresh's snapshot commit and the offset commit) the
+            // re-run's refreshes return 0 — overwriting would replace the
+            // true growth with zeros, corrupting the audit. A batch dir
+            // that already exists keeps its first-written truth. Residual
+            // window: a crash between the refresh commit and this write
+            // records that batch's growth as 0 on replay — the ARTIFACT
+            // is exact either way (the ledger is observability, not the
+            // source of truth; reconcile against Similarity.codesHistory)
+            val bdir = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+            val fs = bdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(bdir)) {
+              import spark.implicits._
+              added.toDF("layout", "rows_added")
+                .write.mode("overwrite").parquet(bdir.toString)
+            }
           }
         }
         ()
@@ -87,7 +100,12 @@ object AnnIngest {
   def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) {
+    // quiet empty when the dir is absent OR exists but holds no batch yet
+    // (a pre-created mount/temp dir before the first non-empty batch) —
+    // schema inference over a parquet-less dir would crash instead
+    val hasBatches = fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (!hasBatches) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField("batch_id", LongType), StructField("layout", StringType),

@@ -74,6 +74,12 @@ object AnnServe {
     * variance-balancing dimension permutation ahead of the unchanged ADC
     * machinery, at identical bits to [[Flat]]; served inline (no persisted
     * permuted-codes table), so there is nothing to ensure pre-stream.
+    * CAVEAT vs the artifact layouts: the inline encode reads the RAW
+    * corpus directory at plan time, so [[AnnIngest]]'s snapshot-isolation
+    * guarantee (a serve sees pre- or post-growth in full) does NOT extend
+    * to this layout — a serve planned mid-landing can list a subset of a
+    * multi-file drop. Under concurrent ingest, prefer the artifact-backed
+    * layouts, whose reads bind to a committed manifest.
     */
   case object Opq extends Layout {
     private[graft] def ensure(spark: SparkSession, sfDir: String): Unit = ()

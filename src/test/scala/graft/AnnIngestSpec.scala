@@ -87,6 +87,12 @@ class AnnIngestSpec extends SparkSuite {
       Files.createTempDirectory("ann_ingest_nl").toString + "/never")
     assert(empty.isEmpty && empty.columns.toSeq ==
       Seq("batch_id", "layout", "rows_added"))
+    // a PRE-CREATED but batch-less dir (a mount/temp path made up front) is
+    // the same quiet empty state, not a parquet schema-inference crash
+    val premade = AnnIngest.ledger(spark,
+      Files.createTempDirectory("ann_ingest_premade").toString)
+    assert(premade.isEmpty && premade.columns.toSeq ==
+      Seq("batch_id", "layout", "rows_added"))
     intercept[IllegalArgumentException] {
       AnnIngest.ingest(spark, growableCorpus("ann_ingest_bad"),
         Files.createTempDirectory("ann_ingest_bad_ckpt").toString,

@@ -189,12 +189,12 @@ class CodesSwapSpec extends SparkSuite {
     assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 2)) == contentV2)
 
     // keepLast = 2 retains both (refresh is append-only — nothing reclaimable)
-    assert(Similarity.vacuumPqCodes(spark, dir, keepLast = 2)(name).isEmpty)
+    assert(Similarity.vacuumPqCodes(spark, dir, Some(2))(name).isEmpty)
     assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, 1)) == contentV1)
 
     // retention to 1: the old version expires, its pinned read fails LOUDLY
     // naming the retained range; the current version is untouched
-    Similarity.vacuumPqCodes(spark, dir, keepLast = 1)
+    Similarity.vacuumPqCodes(spark, dir, Some(1))
     val e = intercept[IllegalArgumentException](
       Similarity.readCodesAsOf(spark, dir, kind, 1))
     assert(e.getMessage.contains("retained versions: [2]"), e.getMessage)
@@ -204,7 +204,7 @@ class CodesSwapSpec extends SparkSuite {
       Similarity.readCodesAsOf(spark, dir, kind, 99))
   }
 
-  test("vacuum keepLast=2 keeps the pre-compaction version byte-readable; keepLast=1 reclaims it") {
+  test("standing retention=2 survives a vacuum-true compaction; tightening the policy reclaims") {
     val dir = corpus("swap_retention", growable = true)
     val name = Similarity.ensurePqCodes(spark, dir)
     val base = Tables.load(spark, sf, "embeddings")
@@ -218,19 +218,24 @@ class CodesSwapSpec extends SparkSuite {
     val root = Similarity.artifactLoc(spark, name.split('.').last)
     val preSwap = CodesSnapshot.current(spark, root).get
     val content = rowsOf(readFiles(root, preSwap.files))
-    assert(Similarity.compactPqCodes(spark, dir, vacuum = false) > 0L)
 
-    // retain the last two versions: the pre-swap snapshot's files are
-    // referenced by a RETAINED manifest, so nothing is reclaimed and a
-    // pinned read of it stays byte-exact
-    assert(Similarity.vacuumPqCodes(spark, dir, keepLast = 2)(name).isEmpty,
-      "retention-2 vacuum reclaimed files a retained version references")
+    // the STANDING policy: keep 2 versions — honored by every default
+    // vacuum, INCLUDING the one compactPqCodes(vacuum = true) runs as a
+    // side effect: a routine compaction must not destroy retained history
+    assert(Similarity.setCodesRetention(spark, dir, 2) == Seq(name))
+    assert(Similarity.compactPqCodes(spark, dir) > 0L) // vacuum = true
     val kind = Similarity.CodesKind.Sampled
     assert(rowsOf(Similarity.readCodesAsOf(spark, dir, kind, preSwap.version))
-      == content)
+      == content,
+      "a vacuum-true compaction destroyed history the standing policy retains")
 
-    // tighten to 1: the superseded fragments go, current still serves
-    val removed = Similarity.vacuumPqCodes(spark, dir, keepLast = 1)(name)
+    // a default (policy-honoring) vacuum reclaims nothing either
+    assert(Similarity.vacuumPqCodes(spark, dir)(name).isEmpty,
+      "policy-honoring vacuum reclaimed files a retained version references")
+
+    // tighten the policy to 1: the superseded fragments go, current serves
+    Similarity.setCodesRetention(spark, dir, 1)
+    val removed = Similarity.vacuumPqCodes(spark, dir)(name)
     assert(removed.nonEmpty && removed.toSet.subsetOf(preSwap.files.toSet))
     intercept[IllegalArgumentException](
       Similarity.readCodesAsOf(spark, dir, kind, preSwap.version))
@@ -248,6 +253,9 @@ class CodesSwapSpec extends SparkSuite {
     val root = Similarity.artifactLoc(spark, name.split('.').last)
     assert(CodesSnapshot.versions(spark, root) == Seq(1, 2))
 
+    // a standing keep-5 policy must NOT shield history from an erasure —
+    // compliance overrides retention by design
+    Similarity.setCodesRetention(spark, dir, 5)
     val victim = spark.table(name).orderBy(col("vec_id")).first().getLong(0)
     assert(Similarity.erasePqCodes(spark, dir, Set(victim)) == 1L)
     // exactly one retained version — the post-erase one; pinned reads of
