@@ -530,6 +530,25 @@ object Graft {
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.TextStats.qualityLogit(spark, sfDir)
 
+  /** The quality-gate yield curve and its decision: the highest distilled
+    * threshold meeting a yield floor, read off the hash-gated curve —
+    * the `annChoose` discipline for the curation knob. See
+    * [[graft.ops.Curation.qualityCurve]] / [[graft.ops.Curation.qualityChoose]].
+    */
+  def qualityChoose(spark: SparkSession, sfDir: String,
+                    yieldTargetPermille: Long = 500L): DataFrame =
+    graft.ops.Curation.qualityChoose(spark, sfDir, yieldTargetPermille)
+
+  /** Feasible-mix solver: the largest corpus achievable at the target
+    * domain weights without repeating data (epochs ≤ 1), water-filled
+    * from the binding domain — per-domain takes and sampling rates, all
+    * exact integers. See [[graft.ops.Curation.mixSolve]].
+    */
+  def mixSolve(spark: SparkSession, sfDir: String,
+               weights: Seq[(String, Long)] =
+                 graft.ops.Curation.MixWeightsPermille): DataFrame =
+    graft.ops.Curation.mixSolve(spark, sfDir, weights)
+
   /** GDPR erasure against a (day, op) archive: remove the entities'
     * history (only affected partitions rewritten, null keys survive,
     * tombstones block replay resurrection) and return the per-(user,

@@ -936,6 +936,9 @@ object SparkEntry {
     "ops_domain_mix"      -> (Curation.domainMix _),
     "ops_url_dedup"       -> (Curation.urlDedup _),
     "ops_pref_pairs"      -> (Curation.prefPairs _),
+    "ops_quality_curve"   -> ((s: SparkSession, d: String) => Curation.qualityCurve(s, d)),
+    "ops_quality_choose"  -> ((s: SparkSession, d: String) => Curation.qualityChoose(s, d)),
+    "ops_mix_solve"       -> ((s: SparkSession, d: String) => Curation.mixSolve(s, d)),
     "ops_span_corrupt"    -> ((s: SparkSession, d: String) => Curation.spanCorruption(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),

@@ -676,4 +676,115 @@ object Curation {
       when(!hasStop, 8L).otherwise(0L) +
       when((nb - nd) * 5 > nb, 16L).otherwise(0L)
   }
+
+  // ===== measure→DECIDE for the curation knobs — the `ivfChoose`
+  // discipline applied to quality gating and mix assembly: the curve is a
+  // hash-gated query, the decision a bounded-arithmetic read of it =====
+
+  /** Default z_int threshold grid for [[qualityCurve]] — spans the
+    * published distilled model's score range on the fixture family
+    * (p10 ≈ −21M, median ≈ 27M, p90 ≈ 116M at sf0.01), in the model's own
+    * integer units so the curve is scale-invariant arithmetic.
+    */
+  val QualityGrid: Seq[Long] = Seq(
+    -100000000L, -20000000L, 0L, 20000000L, 50000000L, 100000000L, 150000000L)
+
+  /** The quality-gate YIELD CURVE — how a deployment actually picks its
+    * keep threshold: for each candidate threshold, how many documents the
+    * published distilled model ([[QualityModel.scoreDistilled]], the
+    * hash-green integer scorer) would keep at `z_int > t`, and the yield
+    * in permille. ONE corpus pass, one partial aggregation producing a
+    * single row of |grid| conditional counts (exploded against the
+    * threshold literal in-plan — no per-threshold rescan, no driver math),
+    * every output an exact integer behind the DuckDB hash gate: a model
+    * or featurizer regression that moves the curve fails correctness.
+    */
+  def qualityCurve(spark: SparkSession, sfDir: String,
+                   grid: Seq[Long] = QualityGrid): DataFrame = {
+    require(grid.nonEmpty && grid == grid.sorted && grid.distinct == grid,
+      s"grid must be ascending distinct thresholds: $grid")
+    val scores = QualityModel.scoreDistilled(QualityModel.Published, spark, sfDir)
+    val one = scores.agg(
+      count(lit(1)).as("n_total"),
+      array(grid.map(t =>
+        sum(when(col("z_int") > lit(t), 1L).otherwise(0L))): _*).as("ks"))
+    one.select(col("n_total"),
+        explode(arrays_zip(typedLit(grid).as("t"), col("ks").as("k"))).as("z"))
+      .select(col("z.t").as("threshold"), col("z.k").as("n_kept"),
+        col("n_total"),
+        expr("z.k * 1000 DIV n_total").as("yield_permille"))
+  }
+
+  /** Close the measure→decide loop over [[qualityCurve]]: the HIGHEST
+    * threshold (strictest gate — quality maximized) whose yield still
+    * meets `yieldTargetPermille`, read off the hash-gated curve (the
+    * decision is a |grid|-row argmax of exact integers — planning
+    * metadata, the `ivfChoose` posture). A target no grid threshold meets
+    * fails LOUDLY naming the best achievable yield: a pipeline must relax
+    * the gate or grow the corpus, not silently under-fill its token
+    * budget. One row: (threshold, n_kept, n_total, yield_permille).
+    */
+  def qualityChoose(spark: SparkSession, sfDir: String,
+                    yieldTargetPermille: Long = 500L,
+                    grid: Seq[Long] = QualityGrid): DataFrame = {
+    import spark.implicits._
+    require(yieldTargetPermille >= 1L && yieldTargetPermille <= 1000L,
+      s"yieldTargetPermille must be in [1, 1000]: $yieldTargetPermille")
+    val curve = qualityCurve(spark, sfDir, grid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val eligible = curve.filter(_._4 >= yieldTargetPermille)
+    require(eligible.nonEmpty, {
+      val best = curve.maxBy(_._4)
+      s"no grid threshold meets yield ${yieldTargetPermille}‰ " +
+        s"(best: ${best._4}‰ at threshold ${best._1}) — lower the target, " +
+        "extend the grid downward, or grow the corpus"
+    })
+    Seq(eligible.maxBy(_._1))
+      .toDF("threshold", "n_kept", "n_total", "yield_permille")
+  }
+
+  /** Default target mix for [[mixSolve]] — permille weights over the
+    * fixture's language domains (sums to 1000).
+    */
+  val MixWeightsPermille: Seq[(String, Long)] = Seq(
+    "en" -> 400L, "zh" -> 200L, "de" -> 150L, "fr" -> 150L, "es" -> 100L)
+
+  /** The FEASIBLE-mix solver — the decision step [[domainMix]] measures
+    * toward: the LARGEST corpus achievable at the target weights WITHOUT
+    * repeating data (epochs ≤ 1, the single-epoch regime large-scale
+    * pretraining favors). Water-filling: the binding domain is the one
+    * whose inventory runs out first at its weight —
+    * `feasible = min_d floor(n_tokens_d · 1000 / w_d)` total tokens — and
+    * every domain then contributes `take_d = floor(w_d · feasible / 1000)`
+    * at sampling rate `floor(take_d · 1000 / n_tokens_d)` permille. All
+    * exact integer arithmetic (overflow headroom: tokens·1000 at x100 ≈
+    * 6·10¹¹), one partial aggregation over the corpus + one 5-row min —
+    * the whole decision sits behind the hash gate. Output per domain:
+    * (lang, n_docs, n_tokens, weight_permille, feasible_tokens,
+    * take_tokens, rate_permille, binding).
+    */
+  def mixSolve(spark: SparkSession, sfDir: String,
+               weights: Seq[(String, Long)] = MixWeightsPermille): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0L),
+      s"weights must be positive permille values: $weights")
+    val wmap = map(weights.flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*)
+    val per = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("weight_permille",
+        coalesce(element_at(wmap, col("lang")), lit(0L)))
+      // domains outside the target mix are dropped, as in [[domainMix]]
+      .filter(col("weight_permille") > 0L)
+      .withColumn("cap", expr("n_tokens * 1000 DIV weight_permille"))
+    val s = per.agg(min(col("cap")).as("feasible_tokens"))
+    per.join(broadcast(s))
+      .withColumn("take_tokens",
+        expr("weight_permille * feasible_tokens DIV 1000"))
+      .withColumn("rate_permille", expr("take_tokens * 1000 DIV n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("weight_permille"), col("feasible_tokens"), col("take_tokens"),
+        col("rate_permille"),
+        (col("cap") === col("feasible_tokens")).cast("long").as("binding"))
+  }
 }

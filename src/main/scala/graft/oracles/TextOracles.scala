@@ -61,6 +61,37 @@ private[graft] object TextOracles {
           .mkString("list_value(", ", ", "))")).mkString(", ")
   }
 
+  /** The distilled quality-score CTE chain plus the threshold-grid yield
+    * curve, shared VERBATIM by `ops_quality_curve` and
+    * `ops_quality_choose` — decision and measurement share one SQL body
+    * (the `ivfCalibCtes` discipline): a drifted copy could silently
+    * choose off a different curve.
+    */
+  private lazy val qualityCurveCtes: String = {
+    val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
+    val w = graft.ops.QualityModel.Published
+    val gridVals = Curation.QualityGrid.map(t => s"($t)").mkString(", ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+       |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
+       |    SUM(length(tok)) AS tok_chars
+       |  FROM toks GROUP BY doc_id),
+       |f AS (
+       |  SELECT doc_id, n_types * 1000 // n_tokens AS ttr,
+       |    n_stop * 1000 // n_tokens AS stp,
+       |    LEAST(n_tokens, 500) AS len_cap,
+       |    ABS(tok_chars * 1000 // n_tokens - 4500) AS mlen_dev
+       |  FROM agg),
+       |z AS (SELECT ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
+       |  len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
+       |  ${w.bias} AS z FROM f),
+       |g(threshold) AS (VALUES $gridVals),
+       |c AS (SELECT threshold,
+       |  SUM(CASE WHEN z > threshold THEN 1 ELSE 0 END) AS k,
+       |  COUNT(*) AS n FROM z, g GROUP BY threshold)""".stripMargin
+  }
+
   /** The ops_ivf_calib CTE chain, extracted so `ops_ivf_choose` can wrap
     * the SAME curve (decision and measurement share one SQL body — a
     * drifted copy could silently choose off a different curve).
@@ -1810,6 +1841,46 @@ private[graft] object TextOracles {
         |    AS sample_rate,
         |  round(CAST((tot * w.weight) // 200 AS DOUBLE) / p.n_tokens, 6) AS epochs
         |FROM per p JOIN w ON p.lang = w.lang, tot""".stripMargin,
+    // twin of [[graft.ops.Curation.qualityCurve]] — the distilled scorer's
+    // CTEs + a threshold-grid VALUES frame, one conditional count per
+    // threshold; every output an exact integer
+    "ops_quality_curve" ->
+      s"""WITH $qualityCurveCtes
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(k AS BIGINT) AS n_kept, CAST(n AS BIGINT) AS n_total,
+         |  CAST(k * 1000 // n AS BIGINT) AS yield_permille
+         |FROM c""".stripMargin,
+    // twin of [[graft.ops.Curation.qualityChoose]] — the SAME curve CTEs
+    // (shared body, like ops_ivf_choose), the decision = the highest
+    // threshold meeting the yield floor
+    "ops_quality_choose" ->
+      s"""WITH $qualityCurveCtes
+         |SELECT CAST(threshold AS BIGINT) AS threshold,
+         |  CAST(k AS BIGINT) AS n_kept, CAST(n AS BIGINT) AS n_total,
+         |  CAST(k * 1000 // n AS BIGINT) AS yield_permille
+         |FROM c WHERE k * 1000 // n >= 500
+         |ORDER BY threshold DESC LIMIT 1""".stripMargin,
+    // twin of [[graft.ops.Curation.mixSolve]] — water-filling feasible mix
+    // at epochs <= 1: the binding domain sets the scale, all integer
+    "ops_mix_solve" -> {
+      val wVals = Curation.MixWeightsPermille
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH per AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w(lang, wp) AS (VALUES $wVals),
+         |j AS (SELECT per.lang, n_docs, n_tokens, wp,
+         |        n_tokens * 1000 // wp AS cap
+         |      FROM per JOIN w ON per.lang = w.lang),
+         |s AS (SELECT MIN(cap) AS feasible FROM j)
+         |SELECT lang, n_docs, n_tokens, CAST(wp AS BIGINT) AS weight_permille,
+         |  CAST(feasible AS BIGINT) AS feasible_tokens,
+         |  CAST(wp * feasible // 1000 AS BIGINT) AS take_tokens,
+         |  CAST((wp * feasible // 1000) * 1000 // n_tokens AS BIGINT) AS rate_permille,
+         |  CAST(CASE WHEN cap = feasible THEN 1 ELSE 0 END AS BIGINT) AS binding
+         |FROM j, s""".stripMargin
+    },
     // URL canonicalization dedup: identical synthesis + regex chain as
     // Curation.urlDedup (RE2-safe patterns, 'g' flag = Spark's replace-all).
     "ops_url_dedup" ->

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Curation
+
+/** The curation measure→decide steps ([[Curation.qualityCurve]] /
+  * [[Curation.qualityChoose]] / [[Curation.mixSolve]]) — the `ivfChoose`
+  * discipline applied to quality gating and mix assembly. The VALUES are
+  * hash-gated (DuckDB oracles); these pins cover the decision contracts:
+  * monotonicity, the strictest-eligible-gate choice, loud unreachable
+  * targets, and the water-filling invariants.
+  */
+class CurationDecisionSpec extends SparkSuite {
+
+  test("qualityCurve: yield is non-increasing in the threshold; totals constant") {
+    val rows = Curation.qualityCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == Curation.QualityGrid.length)
+    assert(rows.map(_._3).distinct.length == 1, "n_total varied across grid rows")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"kept count rose with a stricter threshold: $a -> $b")
+    }
+  }
+
+  test("qualityChoose: the HIGHEST threshold meeting the floor; unreachable fails loudly") {
+    val row = Curation.qualityChoose(spark, sf, yieldTargetPermille = 500L)
+      .collect().head
+    val curve = Curation.qualityCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val expect = curve.filter(_._2 >= 500L).map(_._1).max
+    assert(row.getLong(0) == expect,
+      s"chose ${row.getLong(0)}, strictest eligible is $expect")
+    assert(row.getLong(3) >= 500L)
+    // a stricter threshold than the chosen one must be under the floor
+    curve.filter(_._1 > expect).foreach { case (t, y) =>
+      assert(y < 500L, s"threshold $t also met the floor but was not chosen")
+    }
+    // a grid of only impossibly strict gates cannot meet any floor
+    val e = intercept[IllegalArgumentException](
+      Curation.qualityChoose(spark, sf, yieldTargetPermille = 500L,
+        grid = Seq(400000000L)).collect())
+    assert(e.getMessage.contains("best:"), e.getMessage)
+  }
+
+  test("mixSolve: water-filling invariants — binding domain, rates <= 1000, proportions within floor error") {
+    val rows = Curation.mixSolve(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Curation.MixWeightsPermille.map(_._1).sorted)
+    val feasible = rows.head._4
+    assert(rows.forall(_._4 == feasible), "feasible_tokens differed per row")
+    // epochs <= 1 everywhere: nobody is asked for more than their inventory
+    rows.foreach { case (l, nt, _, _, take, rate, _) =>
+      assert(take <= nt, s"$l asked for $take of $nt tokens (epochs > 1)")
+      assert(rate >= 0L && rate <= 1000L, s"$l rate $rate out of range")
+    }
+    // at least one binding domain, and it is (one of) the minimum-cap rows —
+    // its take is its whole inventory up to the two floor divisions
+    val binding = rows.filter(_._7 == 1L)
+    assert(binding.nonEmpty, "no binding domain")
+    binding.foreach { case (l, nt, wp, _, take, _, _) =>
+      assert(nt - take <= (nt / wp) + 1000L,
+        s"binding domain $l leaves more than floor slack: take=$take of $nt")
+    }
+    // the realized mix matches the target weights up to floor error:
+    // take_d = floor(w_d * feasible / 1000) exactly
+    rows.foreach { case (l, _, wp, feas, take, _, _) =>
+      assert(take == wp * feas / 1000L, s"$l take diverged from w*S/1000")
+    }
+  }
+}
