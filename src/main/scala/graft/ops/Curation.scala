@@ -518,10 +518,7 @@ object Curation {
     val weight = coalesce(element_at(
       map(lit("en"), lit(40L), lit("zh"), lit(20L), lit("de"), lit(15L),
         lit("fr"), lit(15L), lit("es"), lit(10L)), col("lang")), lit(0L))
-    val per = Tables.load(spark, sfDir, "documents")
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val per = perLangTokens(spark, sfDir)
     val tot = per.agg(sum(col("n_tokens")).as("tot"))
     per.join(broadcast(tot))
       .withColumn("weight", weight)
@@ -710,6 +707,9 @@ object Curation {
         sum(when(col("z_int") > lit(t), 1L).otherwise(0L))): _*).as("ks"))
     one.select(col("n_total"),
         explode(arrays_zip(typedLit(grid).as("t"), col("ks").as("k"))).as("z"))
+      // an EMPTY corpus yields zero rows (matching the oracle's cross join
+      // against an empty score CTE), not |grid| rows of null arithmetic
+      .filter(col("n_total") > 0L)
       .select(col("z.t").as("threshold"), col("z.k").as("n_kept"),
         col("n_total"),
         expr("z.k * 1000 DIV n_total").as("yield_permille"))
@@ -732,6 +732,8 @@ object Curation {
       s"yieldTargetPermille must be in [1, 1000]: $yieldTargetPermille")
     val curve = qualityCurve(spark, sfDir, grid).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    require(curve.nonEmpty,
+      "the corpus is empty — no yield curve exists to choose from")
     val eligible = curve.filter(_._4 >= yieldTargetPermille)
     require(eligible.nonEmpty, {
       val best = curve.maxBy(_._4)
@@ -765,26 +767,48 @@ object Curation {
     */
   def mixSolve(spark: SparkSession, sfDir: String,
                weights: Seq[(String, Long)] = MixWeightsPermille): DataFrame = {
+    import spark.implicits._
     require(weights.nonEmpty && weights.forall(_._2 > 0L),
       s"weights must be positive permille values: $weights")
-    val wmap = map(weights.flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*)
-    val per = Tables.load(spark, sfDir, "documents")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate domains in weights: ${weights.map(_._1).mkString(", ")}")
+    // the water-filling identities (feasible = the total corpus size,
+    // Σtake_d ≈ feasible) only hold for a true permille distribution
+    require(weights.map(_._2).sum == 1000L,
+      s"weights must sum to 1000 permille, got ${weights.map(_._2).sum}: $weights")
+    // ONE corpus pass; everything after the per-domain aggregate is exact
+    // integer arithmetic on a frame bounded by the domain count — the
+    // ivfChoose planning-metadata posture (overflow headroom: tokens·1000
+    // ≈ 6·10¹¹ at x100, weight·feasible ≈ 6·10¹⁴ — both well in-range)
+    val wmap = weights.toMap
+    val per = perLangTokens(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(t => wmap.contains(t._1))
+    // a target domain with NO inventory makes the mix infeasible at ANY
+    // size (its weight can never be met without repetition) — fail LOUDLY
+    // like qualityChoose, never report a mix that silently omits it
+    val missing = weights.map(_._1).filterNot(per.map(_._1).toSet)
+    require(missing.isEmpty,
+      s"target domains with no corpus inventory: ${missing.mkString(", ")} — " +
+        "the mix is infeasible at any size; drop them from the target or fix the feed")
+    val caps = per.map { case (l, _, nt) => l -> nt * 1000L / wmap(l) }.toMap
+    val feasible = caps.values.min
+    per.sortBy(_._1).map { case (l, nd, nt) =>
+      val take = wmap(l) * feasible / 1000L
+      (l, nd, nt, wmap(l), feasible, take, take * 1000L / nt,
+        if (caps(l) == feasible) 1L else 0L)
+    }.toSeq.toDF("lang", "n_docs", "n_tokens", "weight_permille",
+      "feasible_tokens", "take_tokens", "rate_permille", "binding")
+  }
+
+  /** Per-domain inventory — ONE aggregation shared by the measurement
+    * query ([[domainMix]]) and the decision ([[mixSolve]]): the two must
+    * count tokens the same way or the decision silently de-couples from
+    * the curve it is documented to read.
+    */
+  private[graft] def perLangTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-      .withColumn("weight_permille",
-        coalesce(element_at(wmap, col("lang")), lit(0L)))
-      // domains outside the target mix are dropped, as in [[domainMix]]
-      .filter(col("weight_permille") > 0L)
-      .withColumn("cap", expr("n_tokens * 1000 DIV weight_permille"))
-    val s = per.agg(min(col("cap")).as("feasible_tokens"))
-    per.join(broadcast(s))
-      .withColumn("take_tokens",
-        expr("weight_permille * feasible_tokens DIV 1000"))
-      .withColumn("rate_permille", expr("take_tokens * 1000 DIV n_tokens"))
-      .select(col("lang"), col("n_docs"), col("n_tokens"),
-        col("weight_permille"), col("feasible_tokens"), col("take_tokens"),
-        col("rate_permille"),
-        (col("cap") === col("feasible_tokens")).cast("long").as("binding"))
-  }
 }

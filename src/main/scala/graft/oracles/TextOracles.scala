@@ -67,10 +67,14 @@ private[graft] object TextOracles {
     * (the `ivfCalibCtes` discipline): a drifted copy could silently
     * choose off a different curve.
     */
-  private lazy val qualityCurveCtes: String = {
+  /** The distilled model's feature CTEs (toks/agg/f) and its integer
+    * z-score expression — ONE body shared by `ops_quality_distilled`,
+    * `ops_quality_curve`, and `ops_quality_choose`: a featurizer or
+    * weight tweak applied to a forked copy would let the scorer and the
+    * curve it feeds pass their hash gates while silently diverging.
+    */
+  private lazy val distilledFeatureCtes: String = {
     val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
-    val w = graft.ops.QualityModel.Published
-    val gridVals = Curation.QualityGrid.map(t => s"($t)").mkString(", ")
     s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
        |agg AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
@@ -82,10 +86,19 @@ private[graft] object TextOracles {
        |    n_stop * 1000 // n_tokens AS stp,
        |    LEAST(n_tokens, 500) AS len_cap,
        |    ABS(tok_chars * 1000 // n_tokens - 4500) AS mlen_dev
-       |  FROM agg),
-       |z AS (SELECT ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
-       |  len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
-       |  ${w.bias} AS z FROM f),
+       |  FROM agg)""".stripMargin
+  }
+
+  private lazy val distilledZExpr: String = {
+    val w = graft.ops.QualityModel.Published
+    s"ttr * ${w.weights(0)} + stp * ${w.weights(1)} + " +
+      s"len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} + ${w.bias}"
+  }
+
+  private lazy val qualityCurveCtes: String = {
+    val gridVals = Curation.QualityGrid.map(t => s"($t)").mkString(", ")
+    s"""$distilledFeatureCtes,
+       |z AS (SELECT $distilledZExpr AS z FROM f),
        |g(threshold) AS (VALUES $gridVals),
        |c AS (SELECT threshold,
        |  SUM(CASE WHEN z > threshold THEN 1 ELSE 0 END) AS k,
@@ -1687,31 +1700,14 @@ private[graft] object TextOracles {
     // twin of [[graft.ops.QualityModel.scoreDistilled]] under the
     // PUBLISHED weights (train ∘ distill frozen as constants — the model
     // artifact is data, so the trained path gates the HLL-free way: the
-    // oracle replicates the integer dot product literally)
-    "ops_quality_distilled" -> {
-      val en = TextStats.markers.filter(_._1 == "en").map(m => s"'${m._2}'").mkString(", ")
-      val w = graft.ops.QualityModel.Published
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-         |agg AS (
-         |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
-         |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS n_stop,
-         |    SUM(length(tok)) AS tok_chars
-         |  FROM toks GROUP BY doc_id),
-         |f AS (
-         |  SELECT doc_id, n_types * 1000 // n_tokens AS ttr,
-         |    n_stop * 1000 // n_tokens AS stp,
-         |    LEAST(n_tokens, 500) AS len_cap,
-         |    ABS(tok_chars * 1000 // n_tokens - 4500) AS mlen_dev
-         |  FROM agg)
+    // oracle replicates the integer dot product literally). Features and
+    // z-expression are the SHARED body the curve/choose oracles also use.
+    "ops_quality_distilled" ->
+      s"""WITH $distilledFeatureCtes
          |SELECT doc_id,
-         |  CAST(ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
-         |    len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
-         |    ${w.bias} AS BIGINT) AS z_int,
-         |  (ttr * ${w.weights(0)} + stp * ${w.weights(1)} +
-         |    len_cap * ${w.weights(2)} + mlen_dev * ${w.weights(3)} +
-         |    ${w.bias}) > 0 AS keep
-         |FROM f""".stripMargin
-    },
+         |  CAST($distilledZExpr AS BIGINT) AS z_int,
+         |  ($distilledZExpr) > 0 AS keep
+         |FROM f""".stripMargin,
     "ops_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,

@@ -68,4 +68,19 @@ class CurationDecisionSpec extends SparkSuite {
       assert(take == wp * feas / 1000L, s"$l take diverged from w*S/1000")
     }
   }
+
+  test("mixSolve: a target domain with no inventory fails loudly; malformed weights refused") {
+    // 'xx' has zero corpus inventory — the mix is infeasible at ANY size,
+    // and reporting a mix that silently omits it would be wrong
+    val e = intercept[IllegalArgumentException](
+      Curation.mixSolve(spark, sf, weights = Seq(
+        "en" -> 400L, "zh" -> 200L, "de" -> 150L, "fr" -> 150L,
+        "es" -> 50L, "xx" -> 50L)).collect())
+    assert(e.getMessage.contains("xx"), e.getMessage)
+    // duplicates and non-permille sums are refused before any corpus work
+    intercept[IllegalArgumentException](
+      Curation.mixSolve(spark, sf, weights = Seq("en" -> 400L, "en" -> 600L)))
+    intercept[IllegalArgumentException](
+      Curation.mixSolve(spark, sf, weights = Seq("en" -> 400L, "zh" -> 100L)))
+  }
 }
