@@ -539,6 +539,16 @@ object Graft {
                     yieldTargetPermille: Long = 500L): DataFrame =
     graft.ops.Curation.qualityChoose(spark, sfDir, yieldTargetPermille)
 
+  /** The MEASURED training-prep pipeline: gate at the chosen quality
+    * threshold, dedup, mix at the water-filled rates of the CLEANED
+    * inventory, pack — every knob chosen by measurement, the whole
+    * composition (decisions included) behind one hash gate. See
+    * [[graft.ops.Curation.trainPrepMeasured]].
+    */
+  def trainPrepMeasured(spark: SparkSession, sfDir: String,
+                        yieldTargetPermille: Long = 300L): DataFrame =
+    graft.ops.Curation.trainPrepMeasured(spark, sfDir, yieldTargetPermille)
+
   /** Feasible-mix solver: the largest corpus achievable at the target
     * domain weights without repeating data (epochs ≤ 1), water-filled
     * from the binding domain — per-domain takes and sampling rates, all

@@ -939,6 +939,7 @@ object SparkEntry {
     "ops_quality_curve"   -> ((s: SparkSession, d: String) => Curation.qualityCurve(s, d)),
     "ops_quality_choose"  -> ((s: SparkSession, d: String) => Curation.qualityChoose(s, d)),
     "ops_mix_solve"       -> ((s: SparkSession, d: String) => Curation.mixSolve(s, d)),
+    "ops_train_prep_measured" -> ((s: SparkSession, d: String) => Curation.trainPrepMeasured(s, d)),
     "ops_span_corrupt"    -> ((s: SparkSession, d: String) => Curation.spanCorruption(s, d)),
     // multimodal set
     "ops_media_meta"   -> (Multimodal.mediaMeta _),

@@ -780,10 +780,8 @@ object Curation {
     // integer arithmetic on a frame bounded by the domain count — the
     // ivfChoose planning-metadata posture (overflow headroom: tokens·1000
     // ≈ 6·10¹¹ at x100, weight·feasible ≈ 6·10¹⁴ — both well in-range)
-    val wmap = weights.toMap
     val per = perLangTokens(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .filter(t => wmap.contains(t._1))
     // a target domain with NO inventory makes the mix infeasible at ANY
     // size (its weight can never be met without repetition) — fail LOUDLY
     // like qualityChoose, never report a mix that silently omits it
@@ -791,14 +789,31 @@ object Curation {
     require(missing.isEmpty,
       s"target domains with no corpus inventory: ${missing.mkString(", ")} — " +
         "the mix is infeasible at any size; drop them from the target or fix the feed")
-    val caps = per.map { case (l, _, nt) => l -> nt * 1000L / wmap(l) }.toMap
+    waterFill(per, weights)
+      .toDF("lang", "n_docs", "n_tokens", "weight_permille",
+        "feasible_tokens", "take_tokens", "rate_permille", "binding")
+  }
+
+  /** The water-filling core shared by [[mixSolve]] (strict: the caller has
+    * already refused missing domains) and [[trainPrepMeasured]] (adaptive:
+    * domains the cleaning emptied simply drop out — running the SAME
+    * arithmetic over the present domains realizes the target weights
+    * renormalized among survivors, with no separate renormalization step).
+    * Exact integer arithmetic over a frame bounded by the domain count.
+    */
+  private def waterFill(per: Seq[(String, Long, Long)],
+                        weights: Seq[(String, Long)])
+      : Seq[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+    val wmap = weights.toMap
+    val present = per.filter(t => wmap.contains(t._1))
+    require(present.nonEmpty, "no target domain has any inventory")
+    val caps = present.map { case (l, _, nt) => l -> nt * 1000L / wmap(l) }.toMap
     val feasible = caps.values.min
-    per.sortBy(_._1).map { case (l, nd, nt) =>
+    present.sortBy(_._1).map { case (l, nd, nt) =>
       val take = wmap(l) * feasible / 1000L
       (l, nd, nt, wmap(l), feasible, take, take * 1000L / nt,
         if (caps(l) == feasible) 1L else 0L)
-    }.toSeq.toDF("lang", "n_docs", "n_tokens", "weight_permille",
-      "feasible_tokens", "take_tokens", "rate_permille", "binding")
+    }
   }
 
   /** Per-domain inventory — ONE aggregation shared by the measurement
@@ -807,8 +822,62 @@ object Curation {
     * the curve it is documented to read.
     */
   private[graft] def perLangTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
+    perLangTokensOf(Tables.load(spark, sfDir, "documents"))
+
+  private def perLangTokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+
+  /** The MEASURED training-prep pipeline — [[trainPrep]]'s composition
+    * with every knob CHOSEN BY MEASUREMENT instead of configured, the
+    * capstone of the measure→decide family:
+    *
+    *  1. GATE at t* = [[qualityChoose]]'s threshold (the strictest
+    *     distilled gate whose yield meets the floor), applied IN-ROW on
+    *     the corpus scan ([[QualityModel.gateDocs]] — one featurizer, one
+    *     z expression shared with the scorer; no join back).
+    *  2. DEDUP exact content (keep lowest doc_id per md5).
+    *  3. MIX at the rates the water-fill derives from the CLEANED
+    *     inventory — what actually survived gating+dedup, not the raw
+    *     feed; domains the cleaning emptied drop out (the same
+    *     arithmetic realizes the target renormalized among survivors —
+    *     the adaptive posture a composed pipeline wants, vs standalone
+    *     [[mixSolve]]'s loud refusal). Membership is the deterministic
+    *     seeded hash (`mixsel:`), reproducible across engines and runs.
+    *  4. PACK into fixed-token bins ([[seqPackDf]]) → the (lang, bin)
+    *     block manifest a loader reads.
+    *
+    * Decision cost: the curve (one scan + |grid|-count agg) and the
+    * cleaned inventory (one agg over the gated lineage) are bounded
+    * planning metadata; the apply pass is ONE declarative lineage. Two
+    * passes total over the corpus — the measure-then-apply shape every
+    * real pipeline has.
+    */
+  def trainPrepMeasured(spark: SparkSession, sfDir: String,
+                        yieldTargetPermille: Long = 300L,
+                        weights: Seq[(String, Long)] = MixWeightsPermille,
+                        budget: Int = 2048, shards: Int = 8): DataFrame = {
+    val tStar = qualityChoose(spark, sfDir, yieldTargetPermille)
+      .collect().head.getLong(0)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gated = QualityModel.gateDocs(QualityModel.Published, docs, tStar)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val inv = perLangTokensOf(deduped).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rates: Seq[(String, Long)] =
+      waterFill(inv, weights).map(t => t._1 -> t._7)
+    val rateMap = map(rates.flatMap { case (l, r) => Seq(lit(l), lit(r)) }: _*)
+    val mixed = deduped
+      .filter(coalesce(element_at(rateMap, col("lang")), lit(0L)) >
+        Hashing.h60(concat(lit("mixsel:"), col("doc_id"))) % 1000)
+    seqPackDf(mixed, budget, shards)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
 }

@@ -60,27 +60,58 @@ object QualityModel {
   val Published: Distilled =
     Distilled(Array(333382L, 1000000L, 275039L, -17393L), -200518862L)
 
+  /** The four engineered per-mille features as EXACT integers, one narrow
+    * pass, carrying through the caller's `keep` columns — the shared
+    * featurizer behind training ([[features]]), scoring
+    * ([[scoreDistilled]]), and in-row gating ([[gateDocs]]): one body, so
+    * a featurizer tweak can never de-couple the model from its gate.
+    */
+  private def intFeatures(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val en = TextStats.markers.filter(_._1 == "en").map(_._2)
+    val toks = split(lower(col("text")), " ")
+    docs.select(keep.map(col) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars")): _*)
+      .select(keep.map(col) ++ Seq(
+        expr("n_types * 1000 div n_tokens").as("ttr"),
+        expr("n_stop * 1000 div n_tokens").as("stp"),
+        least(col("n_tokens"), lit(500L)).as("len_cap"),
+        abs(expr("tok_chars * 1000 div n_tokens") - 4500L).as("mlen_dev")): _*)
+  }
+
+  /** A distilled model's integer z-score over [[intFeatures]] columns. */
+  private def zOf(d: Distilled): org.apache.spark.sql.Column =
+    FeatureCols.zip(d.weights).map { case (c, w) =>
+      col(c).cast("long") * lit(w)
+    }.reduce(_ + _) + lit(d.bias)
+
   /** The four engineered per-mille features, one narrow pass — the same
     * integer statistics [[TextStats.qualityLogit]] scores (doubles here
     * only because MLlib vectors are doubles; values are integral).
     */
   def features(docs: DataFrame): DataFrame = {
-    val en = TextStats.markers.filter(_._1 == "en").map(_._2)
-    val toks = split(lower(col("text")), " ")
-    val f = docs.select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_types"),
-        size(filter(toks, t => t.isin(en: _*))).cast("long").as("n_stop"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+    val f = intFeatures(docs, Seq("doc_id"))
       .select(col("doc_id"),
-        expr("n_types * 1000 div n_tokens").cast("double").as("ttr"),
-        expr("n_stop * 1000 div n_tokens").cast("double").as("stp"),
-        least(col("n_tokens"), lit(500L)).cast("double").as("len_cap"),
-        abs(expr("tok_chars * 1000 div n_tokens") - 4500L).cast("double").as("mlen_dev"))
+        col("ttr").cast("double").as("ttr"),
+        col("stp").cast("double").as("stp"),
+        col("len_cap").cast("double").as("len_cap"),
+        col("mlen_dev").cast("double").as("mlen_dev"))
     new VectorAssembler().setInputCols(FeatureCols).setOutputCol("features")
       .transform(f)
   }
+
+  /** IN-ROW quality gate at a chosen threshold, keeping the document
+    * columns — the composition form ([[Curation.trainPrepMeasured]]):
+    * the gate rides the one corpus scan, no join back to a scored frame.
+    * Same integers as [[scoreDistilled]] by construction (one featurizer,
+    * one z expression).
+    */
+  def gateDocs(d: Distilled, docs: DataFrame, threshold: Long): DataFrame =
+    intFeatures(docs, Seq("doc_id", "lang", "text"))
+      .filter(zOf(d) > threshold)
+      .select(col("doc_id"), col("lang"), col("text"))
 
   /** Train on `labels` = (doc_id, label ∈ {0.0, 1.0}) over the
     * `doc_id % 5 != holdoutResidue` slice. Reproducible up to float
@@ -130,10 +161,8 @@ object QualityModel {
     * LEARNED weights. (doc_id, z_int, keep).
     */
   def scoreDistilled(d: Distilled, spark: SparkSession, sfDir: String): DataFrame = {
-    val f = features(Tables.load(spark, sfDir, "documents"))
-    val z = FeatureCols.zip(d.weights).map { case (c, w) =>
-      col(c).cast("long") * lit(w)
-    }.reduce(_ + _) + lit(d.bias)
-    f.select(col("doc_id"), z.as("z_int"), (z > 0L).as("keep"))
+    val z = zOf(d)
+    intFeatures(Tables.load(spark, sfDir, "documents"), Seq("doc_id"))
+      .select(col("doc_id"), z.as("z_int"), (z > 0L).as("keep"))
   }
 }

@@ -1877,6 +1877,56 @@ private[graft] object TextOracles {
          |  CAST(CASE WHEN cap = feasible THEN 1 ELSE 0 END AS BIGINT) AS binding
          |FROM j, s""".stripMargin
     },
+    // twin of [[graft.ops.Curation.trainPrepMeasured]] — the MEASURED
+    // pipeline end to end in one SQL body: the shared distilled-score
+    // CTEs choose the gate threshold (yield floor 300‰, strictest
+    // eligible), the gated+deduped inventory water-fills the mix rates
+    // (adaptive: absent domains drop out via the inner join), membership
+    // is the seeded h60 hash, and the packing CTEs are ops_train_prep's.
+    // Every decision input is an exact integer, so the WHOLE composition
+    // — decisions included — sits behind one hash gate.
+    "ops_train_prep_measured" -> {
+      val wVals = Curation.MixWeightsPermille
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH $qualityCurveCtes,
+         |zz AS (SELECT doc_id, $distilledZExpr AS z FROM f),
+         |t AS (SELECT threshold FROM c WHERE k * 1000 // n >= 300
+         |      ORDER BY threshold DESC LIMIT 1),
+         |gated AS (SELECT d.doc_id, d.lang, d.text
+         |          FROM documents d JOIN zz ON zz.doc_id = d.doc_id, t
+         |          WHERE zz.z > t.threshold),
+         |ded AS (SELECT doc_id, lang, text FROM gated
+         |        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |inv AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |        FROM ded GROUP BY lang),
+         |w(lang, wp) AS (VALUES $wVals),
+         |j AS (SELECT inv.lang, n_tokens, wp, n_tokens * 1000 // wp AS cap
+         |      FROM inv JOIN w ON inv.lang = w.lang),
+         |s AS (SELECT MIN(cap) AS feasible FROM j),
+         |r AS (SELECT lang, (wp * feasible // 1000) * 1000 // n_tokens AS rate
+         |      FROM j, s),
+         |sel AS (SELECT ded.doc_id, ded.lang, ded.text
+         |        FROM ded JOIN r ON ded.lang = r.lang
+         |        WHERE ${h60sql("'mixsel:' || ded.doc_id")} % 1000 < r.rate),
+         |base AS (
+         |  SELECT doc_id, lang, doc_id % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM sel),
+         |loc AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_prev
+         |  FROM base),
+         |off AS (
+         |  SELECT lang, shard,
+         |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY lang ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shard_offset
+         |  FROM base GROUP BY lang, shard)
+         |SELECT loc.lang, CAST((off.shard_offset + loc.local_prev) // 2048 AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(loc.n_tokens) AS BIGINT) AS n_tokens
+         |FROM loc JOIN off ON loc.lang = off.lang AND loc.shard = off.shard
+         |GROUP BY 1, 2""".stripMargin
+    },
     // URL canonicalization dedup: identical synthesis + regex chain as
     // Curation.urlDedup (RE2-safe patterns, 'g' flag = Spark's replace-all).
     "ops_url_dedup" ->

@@ -69,6 +69,25 @@ class CurationDecisionSpec extends SparkSuite {
     }
   }
 
+  test("trainPrepMeasured: adaptive mix — an absent target domain drops out instead of crashing the pipeline") {
+    // standalone mixSolve REFUSES an absent domain (the strict decision
+    // contract); the composed pipeline ADAPTS: cleaning may empty a
+    // domain, and the water-fill over survivors realizes the target
+    // renormalized among them
+    val out = Curation.trainPrepMeasured(spark, sf,
+        weights = Seq("en" -> 500L, "xx" -> 500L))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "pipeline emptied instead of adapting")
+    assert(out.map(_._1).distinct.toSeq == Seq("en"),
+      s"absent domain leaked into the manifest: ${out.map(_._1).distinct.toSeq}")
+    // block manifest sanity: every bin's tokens within budget + one-doc
+    // overshoot (first-fit-in-order packing's documented approximation);
+    // sf0.001 docs are < 600 tokens so the slack bound is generous
+    out.foreach { case (l, _, toks) =>
+      assert(toks <= 2048L + 600L, s"bin overshot the budget+doc bound: $l $toks")
+    }
+  }
+
   test("mixSolve: a target domain with no inventory fails loudly; malformed weights refused") {
     // 'xx' has zero corpus inventory — the mix is infeasible at ANY size,
     // and reporting a mix that silently omits it would be wrong
