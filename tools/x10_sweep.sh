@@ -33,7 +33,8 @@ X100_QUERIES="ops_erase_entity ops_erase_batch cdc_erase_replay \
 cdc_generic_roundtrip cdc_key_promotion ops_kmv_overlap \
 ops_quality_logit ops_quality_distilled ops_bloom_novel \
 ops_bloom_prune ops_q5_local_volume ops_q12_priority_lanes \
-ops_group_heavy_hitters ops_opq_balance ops_quality_curve ops_mix_solve"
+ops_group_heavy_hitters ops_opq_balance ops_quality_curve ops_mix_solve \
+ops_train_prep_measured"
 # ops_quality_choose is NOT in the x100 set by design: the blowup corpus
 # token-suffixes every copy (`_cp<i>`), so stop-word features — and with
 # them the distilled quality scores — drop, and the default 500‰ yield
