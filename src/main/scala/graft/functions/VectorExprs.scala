@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector kernels for the similarity suite — the codegen'd form of
   * the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` higher-order chains, whose
@@ -130,9 +130,75 @@ case class CosineSim(left: Expression, right: Expression) extends DenseVectorBin
     copy(left = l, right = r)
 }
 
+/** l2sq_micro(a, b) = floor(Σ (a_i − b_i)² · 1e6) as BIGINT — the integer
+  * micro-unit squared-L2 kernel of the whole PQ family (encode argmin, ADC,
+  * IVF routing). Replaces the interpreted
+  * `floor(aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, _+_) · 1e6)`
+  * chain, which paid a per-ELEMENT interpreter round trip × ksub codewords
+  * × m subspaces per encoded row. Bit-identity contract: the loop computes
+  * `d = a_i − b_i; acc += d·d` left to right — the exact operand order of
+  * the lambda chain — then `(long) Math.floor(acc · 1e6)`, the same
+  * double→long floor Spark's `Floor` performs; every PQ oracle's
+  * `floor(... * 1000000)` stays exact. Null/length semantics mirror the
+  * chain (null padding / acc + null): length mismatch or a null element
+  * yields null.
+  */
+case class L2SqMicro(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq_micro"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d; i += 1
+    }
+    java.lang.Math.floor(acc * 1.0e6).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i) = (ctx.freshName("n"), ctx.freshName("i"))
+      val (acc, d) = (ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = (long) java.lang.Math.floor($acc * 1.0E6);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DoubleDot(Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def l2sqMicro(a: Column, b: Column): Column =
+    Bridge.column(L2SqMicro(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -77,24 +77,33 @@ object BloomMembership {
   def bloomNovel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
-    val sh = Dedup.shingles(docs) // distinct (doc_id, shingle), narrow
-    val corpus = sh.filter(col("doc_id") % 10 =!= 0).select(col("shingle"))
+    // the shingle explode is the corpus-scale cost here, and the lazy form
+    // re-ran it in EVERY consumer (distinct-count sizing, filter build, the
+    // batch's three readers, the anti-join's corpus side — six explodes per
+    // invocation). Materialize the narrow (doc_id, shingle) frame once and
+    // the distinct corpus shingle set once: at 100 TB these ARE the
+    // materialized shingle/signature tables a recurring-crawl pipeline keeps
+    // between runs (the [[Dedup.dedupVerifyDf]] shape), here with in-session
+    // lifetime. Same rows, same filter, same answers — one explode instead
+    // of six.
+    val sh = Dedup.shingles(docs).localCheckpoint() // distinct (doc_id, shingle), narrow
+    val corpusD = sh.filter(col("doc_id") % 10 =!= 0).select(col("shingle"))
+      .distinct().localCheckpoint()
     val batch = sh.filter(col("doc_id") % 10 === 0)
 
     // sized from the DISTINCT shingle count — forExpected's contract is
     // expected distinct keys; the raw (doc_id, shingle) row count overshoots
     // by the cross-doc repetition factor and would trip the 2^30-bit refusal
     // far earlier than the real cardinality warrants
-    val p = Bloom.forExpected(corpus.distinct().count(), fpp = 0.01)
-    val bits = corpus.agg(Bloom.agg(p)(xxhash64(col("shingle"))))
+    val p = Bloom.forExpected(corpusD.count(), fpp = 0.01)
+    val bits = corpusD.agg(Bloom.agg(p)(xxhash64(col("shingle"))))
       .as[Array[Long]].head()
     def maybeSeen: Column = Bloom.mightContain(xxhash64(col("shingle")), bits, p)
 
-    // shingling is recomputed per branch (it's narrow and cheap); the joins
-    // below only ever see the post-probe slivers
+    // the joins below only ever see the post-probe slivers
     val definiteNovel = batch.filter(!maybeSeen)
     val verifiedNovel = batch.filter(maybeSeen)
-      .join(corpus.distinct(), Seq("shingle"), "left_anti")
+      .join(corpusD, Seq("shingle"), "left_anti")
     val novel = definiteNovel.unionByName(verifiedNovel)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
 

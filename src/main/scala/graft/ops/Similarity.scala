@@ -173,6 +173,18 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** Coarse-quantizer ASSIGNMENT against a collected `cents` row — the
+    * (cosine desc, cid asc) argmax as an `array_min` over (−cosine, cid)
+    * structs: identical to the head of the ascending sort every ranking
+    * site uses (cids are distinct ⇒ unique minimum), without sorting an
+    * nlist-struct array per corpus row. Ranking sites that need a PREFIX
+    * (query routing) still sort; assignment — the per-row corpus-scale
+    * path — only needs the argmin.
+    */
+  private def centArgmaxCos(v: Column): Column =
+    array_min(transform(col("cents"),
+      c => struct((-cosine(v, c("cv"))).as("neg"), c("cid").as("cid"))))("cid")
+
   /** One k-means centroid-update iteration over the IVF assignment: vectors
     * grouped by their current bucket, new centroid = [[VectorMean]] of each
     * group. Returns (bucket, centroid, n_members).
@@ -184,11 +196,8 @@ object Similarity {
     val cents = emb.filter(col("vec_id") < nlist)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
         .as("cents"))
-    def ranked(v: Column): Column =
-      array_sort(transform(col("cents"),
-        c => struct((-cosine(v, c("cv"))).as("neg"), c("cid").as("cid"))))
     emb.join(broadcast(cents))
-      .select(element_at(ranked(col("v")), 1)("cid").as("bucket"), col("v"))
+      .select(centArgmaxCos(col("v")).as("bucket"), col("v"))
       .as[(Long, Array[Double])]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -224,7 +233,7 @@ object Similarity {
       array_sort(transform(col("cents"),
         c => struct((-cosine(v, c("cv"))).as("neg"), c("cid").as("cid"))))
     val assigned = emb.join(broadcast(cents))
-      .withColumn("bucket", element_at(ranked(col("v")), 1)("cid"))
+      .withColumn("bucket", centArgmaxCos(col("v")))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"),
         transform(slice(ranked(col("v")), 1, nprobe), c => c("cid")).as("probes"))
@@ -394,9 +403,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
         .as("cents"))
     val assigned = e.join(broadcast(cents))
-      .withColumn("bucket",
-        element_at(array_sort(transform(col("cents"),
-          c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid")))), 1)("cid"))
+      .withColumn("bucket", centArgmaxCos(col("v")))
       .select(col("vec_id"), col("v"), col("bucket"))
     // Bounded in-bucket judgment — the same `row_number <= cap` discipline
     // as [[nearDupPairsDf]]: the collected per-cluster row holds only the
@@ -504,10 +511,14 @@ object Similarity {
   /** Ordered index-fold L2² of one subspace, floored to integer MICRO-units
     * — the cross-engine determinism device both PQ forms share (an integer
     * sum is order-free; a raw double SUM exposes SQL accumulation order).
+    * Native codegen'd kernel since r16 ([[graft.functions.L2SqMicro]]) —
+    * bit-identical to the `floor(aggregate(zip_with(...)) * 1e6)` chain it
+    * replaces (property-pinned incl. forced codegen); the chain ran its
+    * lambda bodies interpreted per element, × ksub codewords × m subspaces
+    * per encoded row in every PQ encode/ADC/routing hot path.
     */
   private def pqL2Micro(a: Column, b: Column): Column =
-    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, d) => acc + d) * 1e6).cast("long")
+    graft.functions.VectorExprs.l2sqMicro(a, b)
 
   def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
              k: Int = 10, m: Int = 8, ksub: Int = 32,
@@ -536,10 +547,12 @@ object Similarity {
     def l2micro(a: Column, b: Column): Column = pqL2Micro(a, b)
 
     // encode: per subspace, the (micro-dist, cid)-min codeword — in-row
+    // (array_min = ascending sort's head, the same lexicographic minimum,
+    // without sorting ksub structs per subspace per row)
     val codes = array((0 until m).map { mi =>
-      element_at(array_sort(transform(col("cb"), c =>
+      array_min(transform(col("cb"), c =>
         struct(l2micro(subSlice(col("vn"), mi), subSlice(c("cv"), mi)).as("d"),
-          c("cid").as("cid")))), 1)("cid")
+          c("cid").as("cid"))))("cid")
     }: _*)
     val assigned = base.join(broadcast(cb)).withColumn("codes", codes)
 
@@ -624,10 +637,14 @@ object Similarity {
   private def bookCodes(books: Column, m: Int, ksub: Int, sub: Int,
                         vn: Column): Column =
     array((0 until m).map { mi =>
-      element_at(array_sort(transform(sequence(lit(0), lit(ksub - 1)),
+      // array_min = the (d, cid)-lexicographic minimum — identical to the
+      // former array_sort(...)[1] (ascending sort's head IS the min; cids
+      // are distinct so the min is unique) without materializing and
+      // sorting a ksub-struct array per subspace per row
+      array_min(transform(sequence(lit(0), lit(ksub - 1)),
         cid => struct(
           pqL2Micro(pqSubSlice(vn, mi, sub), bookCw(books, mi, cid)).as("d"),
-          cid.as("cid")))), 1)("cid")
+          cid.as("cid"))))("cid")
     }: _*)
 
   /** ADC distance: Σ_m micro-dist(query subspace m, candidate's codeword m)
@@ -844,10 +861,8 @@ object Similarity {
           .as("cents"))
       // coarse assignment identical to ivfTopK's: argmax cosine over RAW
       // vectors, ties by cid ascending
-      val ranked = array_sort(transform(col("cents"),
-        c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
       base.join(broadcast(cents))
-        .withColumn("list", element_at(ranked, 1)("cid"))
+        .withColumn("list", centArgmaxCos(col("v")))
         .withColumn("codes", trainedCodes(col("vn")))
     })
 
@@ -871,10 +886,8 @@ object Similarity {
       val cents = base.filter(col("vec_id") < nlist)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))))
           .as("cents"))
-      val ranked = array_sort(transform(col("cents"),
-        c => struct((-cosine(col("v"), c("cv"))).as("neg"), c("cid").as("cid"))))
       fresh.join(broadcast(cents))
-        .withColumn("list", element_at(ranked, 1)("cid"))
+        .withColumn("list", centArgmaxCos(col("v")))
         .withColumn("codes", trainedCodes(col("vn")))
     }
   }

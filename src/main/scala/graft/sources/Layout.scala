@@ -253,8 +253,10 @@ object Layout {
       .orderBy(col("day"))
   }
 
-  /** BATCHED erasure — the GDPR-backlog form: N entities in ONE locate
-    * pass and ONE rewrite cycle over the union of their affected
+  /** BATCHED erasure — the GDPR-backlog form: N entities in ONE
+    * bounded-metadata pass over the archive (locate + audit + tombstone
+    * cutoff + emptied census, all from a single (day, op, target)-grain
+    * aggregation) and ONE rewrite cycle over the union of their affected
     * (day, op) partitions (per-entity loops would rewrite shared days N
     * times). Returns the per-(user, day) audit so each request gets its
     * own record. Same null-safety contract as the single form: a null
@@ -265,19 +267,29 @@ object Layout {
     import spark.implicits._
     require(userIds.nonEmpty, "eraseEntities needs at least one entity")
     val hit = col("user_id").isNotNull && col("user_id").isin(userIds: _*)
-    // one pass over the archive locates the union of targets (row-group
-    // pruned); one more over just the affected days takes the census
-    val days = spark.read.parquet(path)
-      .filter(hit)
-      .select(col("day")).distinct().collect().map(_.getDate(0)).toSeq
+    // ONE full-archive pass replaces what used to be FOUR (locate the
+    // affected days, per-request audit, pre-rewrite max(event_id) for the
+    // tombstone cutoff, per-(day, op) emptied-directory census): aggregate
+    // at (day, op, hit-target-or-null) grain — cardinality bounded by
+    // retention days × the op enum × (targets + 1), so the collect is
+    // planning metadata, never data-sized — and derive all four driver-side
+    // decisions from the same rows. At 100 TB this is the difference
+    // between one scan of the archive and four.
+    val facts = spark.read.parquet(path)
+      .groupBy(col("day"), col("op"), when(hit, col("user_id")).as("t_user"))
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("mx"))
+      .collect()
+      .map(r => (r.getDate(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val days = facts.collect { case (d, _, Some(_), _, _) => d }.distinct.toSeq
     if (days.isEmpty)
       return Seq.empty[(Long, java.sql.Date, Long)].toDF("user_id", "day", "rows_removed")
-    // the per-request audit, materialized BEFORE the rewrite mutates the
-    // data (bounded: entities x retention days)
-    val audit = spark.read.parquet(path)
-      .filter(col("day").isin(days: _*)).filter(hit)
-      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("rows_removed"))
-      .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2))).toSeq
+    // the per-request audit, from the pre-rewrite pass (bounded:
+    // entities x retention days)
+    val audit = facts.collect { case (d, _, Some(u), n, _) => ((u, d), n) }
+      .groupBy(_._1).map { case ((u, d), rs) => (u, d, rs.map(_._2).sum) }.toSeq
     // cutoff for the tombstones, taken BEFORE the rewrite: the erased
     // user may hold the archive's highest event_ids, and a survivors-only
     // max would then sit BELOW them — a replayed batch carrying those
@@ -285,17 +297,22 @@ object Layout {
     // erased data. Pre-rewrite max covers every id any replayable batch
     // can carry. Non-null by construction here: days.nonEmpty implies the
     // archive holds at least the located rows.
-    val cutoffRow = spark.read.parquet(path).agg(max(col("event_id"))).head
-    require(!cutoffRow.isNullAt(0),
+    val cutoffs = facts.flatMap(_._5)
+    require(cutoffs.nonEmpty,
       "archive row located but max(event_id) is null — corrupt archive")
-    val cutoff = cutoffRow.getLong(0)
-    val census = spark.read.parquet(path)
-      .filter(col("day").isin(days: _*))
-      .groupBy(col("day"), col("op"))
-      .agg(count(lit(1)).as("total"),
-        sum(when(hit, 1L).otherwise(0L)).as("gone"))
-      .collect()
-    val emptied = census.filter(r => r.getAs[Long]("total") == r.getAs[Long]("gone"))
+    val cutoff = cutoffs.max
+    // emptied-directory census over the affected days: a (day, op) whose
+    // every row belongs to erased targets must be deleted outright after
+    // the dynamic overwrite (which only rewrites partitions present in
+    // the written data)
+    val affected = days.toSet
+    // NB: keep this a Map → keys derivation — a `collect` emitting (d, op)
+    // PAIRS from a Map would rebuild a Map keyed on `d` alone and silently
+    // drop all but one op of a day whose every op-directory emptied
+    val emptied = facts.filter(t => affected(t._1))
+      .groupBy(t => (t._1, t._2))
+      .filter { case (_, rs) => rs.forall(_._3.isDefined) }
+      .keys.toSeq
     // survivors of the affected days, rewritten in place (null-safe: a
     // null user_id row must SURVIVE an erasure, not vanish — `hit` is
     // null-proof by construction, so its negation keeps null keys)
@@ -315,9 +332,8 @@ object Layout {
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    emptied.foreach { r =>
-      val dir = new org.apache.hadoop.fs.Path(path,
-        s"day=${r.getDate(0)}/op=${r.getString(1)}")
+    emptied.foreach { case (d, op) =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"day=$d/op=$op")
       if (fs.exists(dir)) require(fs.delete(dir, true), s"failed to drop $dir")
       // a day whose every op directory emptied leaves a hollow day= shell
       val parent = dir.getParent

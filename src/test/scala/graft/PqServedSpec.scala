@@ -26,12 +26,13 @@ class PqServedSpec extends SparkSuite {
     assert(plan.contains(name.split('.').last),
       s"serving plan does not scan the persisted codes table:\n${plan.take(4000)}")
     // the encode's surviving plan signature is the per-row ARGMIN over the
-    // codeword ids — array_sort over the candidate struct array (the
-    // sequence(0, ksub-1) literal itself constant-folds away). The TRAINED
-    // query carries it (corpus-wide re-encode); the SERVED query must not,
-    // anywhere — its only higher-order work is the ADC lookups and the
-    // one-row query normalization, neither of which sorts an array.
-    val argmin = "array_sort("
+    // codeword ids — array_min over the candidate struct array since the
+    // r16 argmin rewrite (the sequence(0, ksub-1) literal itself
+    // constant-folds away). The TRAINED query carries it (corpus-wide
+    // re-encode); the SERVED query must not, anywhere — its only
+    // higher-order work is the ADC lookups and the one-row query
+    // normalization, neither of which takes an array minimum.
+    val argmin = "array_min("
     assert(planOf(Similarity.pqTopKTrained(spark, sf)).contains(argmin),
       "sanity: the unserved plan should contain the encode argmin")
     assert(!plan.contains(argmin),

@@ -316,6 +316,41 @@ class PropertySpec extends SparkSuite {
     TestSpark.withCodegenOnly { assert(sparseNulls() == 2) }
   }
 
+  test("native l2sq_micro is bit-identical to the floor(aggregate(zip_with)) chain, incl. codegen") {
+    // the kernel of every PQ encode argmin / ADC / IVF routing — one
+    // differing bit would shift a codeword id and fail the hash gate
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextDouble() * 4 - 2), Seq.fill(n)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("a", "b")
+    def oldL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, d) => acc + d) * 1e6).cast("long")
+    val cmp = df.select(
+      graft.functions.VectorExprs.l2sqMicro(col("a"), col("b")).as("nl"),
+      oldL2(col("a"), col("b")).as("ol"))
+    def check(): Unit =
+      assert(cmp.filter(col("nl") =!= col("ol")).count() == 0)
+    check()
+    TestSpark.withCodegenOnly { check() }
+    // length mismatch and null elements yield null, matching the chain
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorExprs.l2sqMicro(col("a"), col("b")).as("l"))
+    assert(edge.filter(col("l").isNull).count() == 2)
+    // the encode argmin rewrite: array_min over (d, cid) structs IS the
+    // ascending sort's head — pinned on ties (equal d, distinct cid)
+    val tie = Seq(Tuple1(Seq((5L, 2), (3L, 7), (3L, 4), (9L, 0)))).toDF("xs")
+      .select(
+        array_min(col("xs")).as("mn"),
+        element_at(array_sort(col("xs")), 1).as("hd"))
+    assert(tie.filter(col("mn") =!= col("hd")).count() == 0)
+  }
+
   test("native word_bigrams is element-identical to the zip_with chain, incl. codegen") {
     val rnd = new scala.util.Random(17)
     val words = Seq("a", "bb", "ccc", "", "αβ", "日本", "x-y", "z'z")
