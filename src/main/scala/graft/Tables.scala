@@ -11,7 +11,62 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (FanOutTables(name))
+      fanOut(spark, loadRaw(spark, sfDir, name), s"$sfDir/$name.parquet")
+    else loadRaw(spark, sfDir, name)
+
+  /** Only the CONTENT-BEARING tables fan out: their consumers run
+    * corpus-scale in-row kernels above the scan (shingle/token explodes,
+    * PQ encodes, embedding math) where serializing on one scan task costs
+    * seconds. The relational/event tables' query population is dominated
+    * by scan→partial-agg/filter shapes where map-side aggregation already
+    * collapses in the scan task and an unconditional exchange is pure tax
+    * — measured: a global fan-out cut the heavy family 2-3× but taxed
+    * ~100 light queries +0.3-0.6 s each (full-bench A/B, OPTIMIZATION_r16
+    * §5), a net loss the scoped form keeps on the right side.
+    */
+  private val FanOutTables = Set("documents", "embeddings")
+
+  /** SCAN-PARALLELISM FLOOR (optimization guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read"): the
+    * driver's testdata tables are single-file, SINGLE-ROW-GROUP parquet, so
+    * a scan is ONE task no matter the core count — every in-row stage above
+    * it (shingle explodes, PQ encodes, variant parsing, codec work, partial
+    * aggregation) ran serial on one of `local[N]`'s N cores, and the
+    * core-count scaling the driver measures was flat for scan-bound plans.
+    * When the scan cannot reach the session's own parallelism (estimated
+    * splits < defaultParallelism) and the table is big enough for fan-out
+    * to matter (≥ 512 KiB), repartition ONCE right after the read, hashed
+    * on the table's leading key column (deterministic — NOT round-robin,
+    * whose retry-safety local sort would serialize on the single input
+    * partition; leading keys here are unique or high-cardinality, so the
+    * spread is even).
+    *
+    * SCALE-ADAPTIVE by construction, not a local-mode constant: the
+    * decision derives from input size vs the session's parallelism — a
+    * production-sized input yields splits ≥ cores and the fan-out vanishes
+    * from the plan (the x10/x100 blowup dirs already take that branch);
+    * a lower SPARK_GRAFT_CPUS lowers the target with it.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    // split estimate mirroring FilePartition packing: bytes / min(max split,
+    // max(open cost, bytes/cores)) — row-group packing can only LOWER the
+    // real task count, so this never under-triggers
+    val openCost = 4L << 20
+    val maxSplit = 128L << 20
+    val splitBytes = math.min(maxSplit, math.max(openCost, bytes / math.max(cores, 1)))
+    val estSplits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
+    if (bytes >= (512L << 10) && estSplits < cores)
+      df.repartition(cores, org.apache.spark.sql.functions.col(df.columns.head))
+    else df
+  }
+
+  private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts has shipped in two physical layouts: TIMESTAMP(NANOS)
     // (read as a raw-nanos long under nanosAsLong, then converted — also the
     // layout ScaleProbe's blowup dirs keep for DuckDB-comparability) and

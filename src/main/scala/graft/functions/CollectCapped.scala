@@ -62,4 +62,44 @@ object CollectCapped {
   /** Column-level entry: `collect(cap)(col("doc_id"))`. */
   def collect(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new Agg(cap))
+
+  /** [[Agg]] over (id, payload) PAIRS — the carry-the-metadata variant:
+    * posting lists that collect `(doc_id, n_sh)` structs let the pair
+    * stage read both documents' set sizes OFF THE PAIR ITSELF, instead of
+    * joining the exploded pair frame back against a per-doc size table
+    * twice (two shuffles of the largest frame in the query). Same hard
+    * buffer bound, same determinism argument — the extra long per element
+    * widens the bounded buffer, never unbounds it.
+    */
+  class PairAgg(cap: Int)
+      extends Aggregator[(Long, Long), ArrayBuffer[(Long, Long)], Seq[(Long, Long)]] {
+    override def zero: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+
+    override def reduce(b: ArrayBuffer[(Long, Long)], x: (Long, Long)): ArrayBuffer[(Long, Long)] = {
+      if (b.length <= cap) b += x
+      b
+    }
+
+    override def merge(a: ArrayBuffer[(Long, Long)],
+                       b: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
+      val room = cap + 1 - a.length
+      if (room >= b.length) a ++= b
+      else if (room > 0) a ++= b.view.take(room)
+      a
+    }
+
+    override def finish(b: ArrayBuffer[(Long, Long)]): Seq[(Long, Long)] = b.toSeq
+
+    override def bufferEncoder: Encoder[ArrayBuffer[(Long, Long)]] =
+      ExpressionEncoder[ArrayBuffer[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Column-level entry: `collectPairs(cap)(col("doc_id"), col("n_sh"))` →
+    * array<struct<_1, _2>> sorted by the caller (struct order = id order,
+    * ids are distinct).
+    */
+  def collectPairs(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new PairAgg(cap))
 }

@@ -310,31 +310,54 @@ object Dedup {
     */
   def ngramJaccardDf(docs: DataFrame, threshold: Double = 0.05,
                      dfCap: Int = 5000): DataFrame = {
-    // per-doc set sizes straight off the shingle array — no aggregation pass
-    val sizes = docs.select(col("doc_id"),
-        size(shingleArray(col("text"))).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
     // inverted index: group docs per shingle, explode in-posting pairs —
     // only pairs sharing >= 1 shingle are ever materialized, shingling runs
     // once. The index key is the 60-bit md5 hash of the shingle, not the
     // string: the shuffle carries 8-byte longs instead of ~20-byte strings
-    // (no measurable effect at sf0.1 where pair explosion dominates, but
-    // shuffle bytes are the scale bottleneck; the oracle keys on the
-    // identical hash, so a collision — ~1e-10 at this cardinality — cannot
-    // break parity)
-    val shared = cappedPostings(
-        shingles(docs).select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle")),
-        "shingle", dfCap)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // (the oracle keys on the identical hash, so a collision — ~1e-10 at
+    // this cardinality — cannot break parity). The per-doc set size RIDES
+    // THE POSTING as (doc_id, n_sh) structs ([[sizedSharedCounts]]), so the
+    // pair stage reads both sizes off the pair itself — the former design
+    // joined the exploded pair frame back against a per-doc size table
+    // twice (two shuffles of the query's largest frame, plus two extra
+    // shingle passes to build the size table's broadcast).
+    sizedSharedCounts(docs, dfCap)
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The shared candidate-pair core of [[ngramJaccardDf]] and
+    * [[containmentDf]]: df-capped inverted index over 8-byte shingle
+    * hashes with the per-doc distinct-shingle count carried IN the posting
+    * element, in-posting pair explosion, partial-agg intersection counts.
+    * One shingle pass total (n_sh = size of the same array the explode
+    * consumes), zero post-explosion joins. Returns
+    * (doc_a, doc_b, n_shared, n_a, n_b).
+    */
+  private def sizedSharedCounts(docs: DataFrame, dfCap: Int): DataFrame = {
+    val cc = graft.functions.CollectCapped.collectPairs(dfCap)
+    val keyed = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sh_arr", shingleArray(col("text")))
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+      .select(Hashing.h60(col("shingle")).as("shingle"), col("doc_id"), col("n_sh"))
+    keyed.groupBy(col("shingle"))
+      .agg(cc(col("doc_id"), col("n_sh")).as("ids0"))
+      .filter(size(col("ids0")) > 1 && size(col("ids0")) <= dfCap)
+      // struct sort = doc_id sort (ids distinct), the same canonical order
+      // the id-only posting used
+      .select(explode(pairsOf(sort_array(col("ids0")))).as("p"))
+      // group on the four SCALAR fields, not the two nested structs: same
+      // groups (n_sh is functionally dependent on doc_id), but UnsafeRow
+      // hashing/equality over four longs beats nested-struct keys (A/B'd)
+      .select(col("p.doc_a._1").as("doc_a"), col("p.doc_a._2").as("n_a"),
+        col("p.doc_b._1").as("doc_b"), col("p.doc_b._2").as("n_b"))
+      .groupBy(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"))
   }
 
   /** Asymmetric shingle CONTAINMENT — |A∩B|/|A| and |A∩B|/|B| per candidate
@@ -361,19 +384,8 @@ object Dedup {
     */
   def containmentDf(docs: DataFrame, threshold: Double = 0.5,
                     dfCap: Int = 5000): DataFrame = {
-    val sizes = docs.select(col("doc_id"),
-        size(shingleArray(col("text"))).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
-    val shared = cappedPostings(
-        shingles(docs).select(col("doc_id"), Hashing.h60(col("shingle")).as("shingle")),
-        "shingle", dfCap)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
     val ns = col("n_shared").cast("double")
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    sizedSharedCounts(docs, dfCap)
       .filter(greatest(ns / col("n_a"), ns / col("n_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(ns / col("n_a"), 6).as("cont_a"),

@@ -818,6 +818,16 @@ object Similarity {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       rows.select(col("vec_id"), col("codes"), col("list"))
+        // cluster by the partition column before the write: without this,
+        // every encode task writes a sliver into every list directory
+        // (files-per-list = upstream task count — Tables.load's scan
+        // fan-out made that 32×), and every nprobe-pruned serve pays the
+        // per-file open cost times the fragmentation. One shuffle of
+        // 5-byte rows at build time buys the one-file-per-list layout
+        // every serve reads forever after — the guide §6 "aim for few,
+        // right-sized files per partition" rule applied where the read
+        // amortization actually lives.
+        .repartition(col("list"))
         .write.mode("overwrite").format("parquet")
         .partitionBy("list").saveAsTable(name)
       val root = artifactLoc(spark, short)
