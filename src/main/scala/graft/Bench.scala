@@ -92,17 +92,28 @@ object Bench {
     val line =
       s"""{"queries":$qs,"times":$ts,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
-    // the full untruncated line also lands next to the build (cwd, override
-    // via SPARK_GRAFT_BENCH_OUT), so per-rep evidence for EVERY query (not
-    // just the tail) is readable after the driver's stdout truncation —
-    // overwritten per run
     // a FILTERED run (query-name args — the iterate-on-one-query mode) must
     // not clobber the committed full-inventory artifact: it lands in /tmp
     // unless SPARK_GRAFT_BENCH_OUT says otherwise
     val defaultOut = if (args.isEmpty) "BENCH_FULL.json" else "/tmp/bench_partial.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    // SECOND, SHORT, FINAL summary line (r16 verdict fix #1): the driver
+    // archives only the last 2000 chars of stdout, and the full contract
+    // line above is ~20 KB — two rounds of driver PERF comparisons came
+    // back `parsed: null` because the tail started mid-line. This line is
+    // ~150 chars, always lands in the tail WHOLE, and is valid JSON on its
+    // own: scalar summary + pointer to the full per-query artifact. The
+    // full contract line is unchanged (printed first, written to the
+    // artifact file verbatim); consumers that captured complete stdout are
+    // unmoved, consumers that keep a tail now get a parseable record.
+    val nOk = results.values.count(_._1 >= 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"n_ok":$nOk,"cpus":$cpus,"reps":$reps,"out":"$outPath"}""")
+    // the full untruncated line also lands next to the build (cwd, override
+    // via SPARK_GRAFT_BENCH_OUT), so per-rep evidence for EVERY query (not
+    // just the tail) is readable after the driver's stdout truncation —
+    // overwritten per run
     try {
-      val w = new java.io.PrintWriter(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
+      val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
     } catch { // the artifact is best-effort; only IO-class failures are benign
       case e @ (_: java.io.IOException | _: SecurityException) =>

@@ -12,21 +12,43 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (FanOutTables(name))
-      fanOut(spark, loadRaw(spark, sfDir, name), s"$sfDir/$name.parquet")
-    else loadRaw(spark, sfDir, name)
+    FanOutTables.get(name) match {
+      case Some(key) =>
+        fanOut(spark, loadRaw(spark, sfDir, name), s"$sfDir/$name.parquet", key)
+      case None => loadRaw(spark, sfDir, name)
+    }
 
-  /** Only the CONTENT-BEARING tables fan out: their consumers run
-    * corpus-scale in-row kernels above the scan (shingle/token explodes,
-    * PQ encodes, embedding math) where serializing on one scan task costs
-    * seconds. The relational/event tables' query population is dominated
-    * by scan→partial-agg/filter shapes where map-side aggregation already
-    * collapses in the scan task and an unconditional exchange is pure tax
-    * — measured: a global fan-out cut the heavy family 2-3× but taxed
-    * ~100 light queries +0.3-0.6 s each (full-bench A/B, OPTIMIZATION_r16
-    * §5), a net loss the scoped form keeps on the right side.
+  /** [[load]] WITHOUT the scan-parallelism fan-out — for consumers whose
+    * plan is a scan→partial-agg/filter shape (token counts, vocabulary,
+    * URL normalization, per-doc stats): map-side aggregation already
+    * collapses inside the scan task, so the fan-out exchange moves the
+    * whole corpus to buy parallelism the next operator immediately
+    * discards. The r16 fan-out gated per TABLE; the driver's r16 bench
+    * showed the light documents consumers paying +0.1–0.25 s each for it
+    * (ops_vocab, ops_text_stats, ops_term_drift, ops_url_dedup,
+    * ops_token_counts, …) — this is the per-CONSUMER gate the r16 verdict
+    * asked for. The cost is not a local[32] artifact: wherever the gate
+    * fires, a full-corpus exchange ahead of a partial agg is pure tax at
+    * any scale; where natural splits ≥ cores the two loaders are
+    * identical.
     */
-  private val FanOutTables = Set("documents", "embeddings")
+  def loadPlain(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loadRaw(spark, sfDir, name)
+
+  /** Only the CONTENT-BEARING tables fan out, hashed on their named unique
+    * key (NOT positionally on the leading column — a schema evolution that
+    * reorders columns must not silently repartition on full document
+    * text): their consumers run corpus-scale in-row kernels above the scan
+    * (shingle/token explodes, PQ encodes, embedding math) where
+    * serializing on one scan task costs seconds. The relational/event
+    * tables' query population is dominated by scan→partial-agg/filter
+    * shapes where map-side aggregation already collapses in the scan task
+    * and an unconditional exchange is pure tax — measured: a global
+    * fan-out cut the heavy family 2-3× but taxed ~100 light queries
+    * +0.3-0.6 s each (full-bench A/B, OPTIMIZATION_r16 §5), a net loss the
+    * scoped form keeps on the right side.
+    */
+  private val FanOutTables = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
   /** SCAN-PARALLELISM FLOOR (optimization guide §2.5 "input skew: one huge
     * unsplittable file — repartition immediately after the read"): the
@@ -49,20 +71,25 @@ object Tables {
     * from the plan (the x10/x100 blowup dirs already take that branch);
     * a lower SPARK_GRAFT_CPUS lowers the target with it.
     */
-  private def fanOut(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+  private def fanOut(spark: SparkSession, df: DataFrame, path: String,
+                     key: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val p = new org.apache.hadoop.fs.Path(path)
     val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(p).getLength
     // split estimate mirroring FilePartition packing: bytes / min(max split,
-    // max(open cost, bytes/cores)) — row-group packing can only LOWER the
-    // real task count, so this never under-triggers
+    // max(open cost, bytes/cores)) — the estimate never FALSELY triggers
+    // (row-group packing can only lower the real task count below it), but
+    // it can MISS: a single-row-group file ≥ cores×128 MB estimates ≥ cores
+    // splits while the actual scan is still one task per row group. The
+    // driver's blowup dirs are multi-row-group, so the miss is theoretical
+    // there; a production layout that big would be multi-file anyway.
     val openCost = 4L << 20
     val maxSplit = 128L << 20
     val splitBytes = math.min(maxSplit, math.max(openCost, bytes / math.max(cores, 1)))
     val estSplits = math.max(1L, (bytes + splitBytes - 1) / splitBytes)
     if (bytes >= (512L << 10) && estSplits < cores)
-      df.repartition(cores, org.apache.spark.sql.functions.col(df.columns.head))
+      df.repartition(cores, org.apache.spark.sql.functions.col(key))
     else df
   }
 

@@ -33,6 +33,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 abstract class DenseVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // these kernels can return null even for non-null inputs (length mismatch,
+  // null element): without this override, two non-nullable array children
+  // would make nullSafeCodeGen treat ev.isNull as the constant `false` and
+  // the templates' `ev.isNull = true;` assignments would emit non-compiling
+  // Java (codegen failure → interpreted fallback at best) — and the declared
+  // contract would be wrong regardless
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -147,6 +155,11 @@ case class L2SqMicro(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "vec_l2sq_micro"
 
   override def dataType: DataType = LongType
+
+  // same null contract as DenseVectorBinary (see its nullable note): the
+  // kernel yields null on length mismatch / null element even when both
+  // children are non-nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -65,7 +65,8 @@ object Curation {
     * Deterministic tie-break on the token itself.
     */
   def vocabulary(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // scan→partial-agg shape: fan-out is pure exchange tax (Tables.loadPlain)
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     docs.select(explode(split(lower(col("text")), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
@@ -147,7 +148,9 @@ object Curation {
     */
   def seqPack(spark: SparkSession, sfDir: String, budget: Int = 2048,
               shards: Int = 8): DataFrame =
-    seqPackDf(Tables.load(spark, sfDir, "documents"), budget, shards)
+    // the (lang, shard) window repartitions immediately: a doc_id fan-out
+    // exchange ahead of it is discarded work at ANY scale
+    seqPackDf(Tables.loadPlain(spark, sfDir, "documents"), budget, shards)
 
   /** DataFrame-level core of [[seqPack]] over any (doc_id, lang, text)
     * frame — also the packing stage of the composed [[trainPrep]] pipeline.
@@ -556,7 +559,9 @@ object Curation {
     * the DuckDB oracle applies the identical patterns with the 'g' flag.
     */
   def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // regex-chain projection folds into the scan, then one partial-agg
+    // groupBy: fan-out is pure exchange tax (Tables.loadPlain)
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     val url = concat(
       when(col("doc_id") % 3 === 1, lit("HTTP://")).otherwise(lit("https://")),
       when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),

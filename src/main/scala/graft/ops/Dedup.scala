@@ -544,7 +544,22 @@ object Dedup {
     var prev = witness(edges)
     var converged = prev._1 == 0L // empty candidate graph: nothing to close
     var rounds = 0
+    // SIZE-DERIVED loop-frame task count (r16 verdict #4): the loop's
+    // groupBy/join exchanges inherit the session's shuffle-partition count,
+    // so a few-hundred-edge graph (the bench regime, and the tail of any
+    // per-tenant run) schedules cores-wide micro-stages SIX times per round.
+    // The witness already paid for an exact row count — derive the task
+    // count from it: ~1M pair rows (two longs) per task, floored at 1.
+    // `coalesce` is a narrow merge of the reduce stage (no extra exchange),
+    // and it can only REDUCE a stage's task count — at production scale
+    // rows/1M exceeds the session parallelism and every coalesce below is a
+    // no-op, so nothing here is a local-mode constant. Exactness is
+    // unaffected: all loop math is long/decimal (order-free).
+    def loopParts(rows: Long): Int =
+      math.max(1L, math.min(Int.MaxValue.toLong, (rows + (1L << 20) - 1) / (1L << 20))).toInt
+    if (!converged) edges = edges.coalesce(loopParts(prev._1))
     while (!converged && rounds < maxIter) {
+      val parts = loopParts(prev._1)
       // ---- large-star ----
       // no distinct needed: each undirected input edge is emitted exactly
       // once (from its smaller endpoint's group), so the output stays
@@ -557,6 +572,7 @@ object Dedup {
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("child"), col("m").as("parent"))
+        .coalesce(parts)
         .localCheckpoint(false)
       // ---- small-star (input already child>parent oriented) ----
       val mins2 = large.groupBy(col("child").as("c")).agg(min(col("parent")).as("m"))
@@ -565,6 +581,7 @@ object Dedup {
           when(col("parent") === col("m"), col("child")).otherwise(col("parent")).as("child"),
           col("m").as("parent"))
         .distinct()
+        .coalesce(parts)
         .localCheckpoint(false)
       // ---- fixpoint witness (the round's only action; exact — see scaladoc)
       val cur = witness(next)
@@ -1104,19 +1121,35 @@ object Dedup {
   def lshCalibrationDf(docs: DataFrame, dfCap: Int = 5000,
                        numHashes: Int = DefaultNumHashes,
                        rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
-    // the per-doc hash set feeds BOTH the size census and the posting index
-    // — persist it once (same diamond and lifecycle note as dedupVerifyDf)
-    val hv = shingles(docs)
+    // truth pass with the per-doc DISTINCT-hash count carried IN the posting
+    // element (the [[sizedSharedCounts]] §8 shape applied to the calibration
+    // truth): one doc-keyed set aggregation replaces the old distinct +
+    // persist `hv` frame, its separate size census, AND the two size joins
+    // against the exploded pair frame — the largest frame in the query,
+    // which at 100 TB would re-shuffle per join. Semantics preserved
+    // exactly: `shingles` is per-doc distinct already, `collect_set` folds
+    // the (astronomically rare) h60 collision the old `.distinct()` folded,
+    // n_sh = the set's size = the old count-distinct census, and the
+    // posting's (doc_id, n_sh) struct sort = doc_id order (ids distinct per
+    // key), so pair enumeration and the integer decile are unchanged.
+    val cc = graft.functions.CollectCapped.collectPairs(dfCap)
+    val keyed = shingles(docs)
       .select(col("doc_id"), Hashing.h60(col("shingle")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = hv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val truth = cappedPostings(hv, "h", dfCap)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
+    val truth = keyed.groupBy(col("h"))
+      .agg(cc(col("doc_id"), col("n_sh")).as("ids0"))
+      .filter(size(col("ids0")) > 1 && size(col("ids0")) <= dfCap)
+      .select(explode(pairsOf(sort_array(col("ids0")))).as("p"))
+      // scalar group keys, not nested structs — same groups (n_sh is
+      // functionally dependent on doc_id), faster UnsafeRow hashing (the
+      // sizedSharedCounts A/B)
+      .select(col("p.doc_a._1").as("doc_a"), col("p.doc_a._2").as("n_a"),
+        col("p.doc_b._1").as("doc_b"), col("p.doc_b._2").as("n_b"))
+      .groupBy(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("10 * n_shared div (n_a + n_b - n_shared)").as("bucket"))
       .filter(col("bucket") >= 1)

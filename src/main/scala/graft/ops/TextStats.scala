@@ -16,7 +16,8 @@ object TextStats {
 
   /** Per-language corpus statistics. */
   def corpusStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // scan→partial-agg shape: fan-out is pure exchange tax (Tables.loadPlain)
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("lang"))
@@ -140,7 +141,8 @@ object TextStats {
     * subset — SURVEY §7.4 #2).
     */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // pure per-row projection: fan-out is pure exchange tax (Tables.loadPlain)
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit("[a-zA-Z]+")).cast("long").as("n_alpha"),
@@ -250,7 +252,9 @@ object TextStats {
     */
   def textSearch(spark: SparkSession, sfDir: String,
                  terms: Seq[String] = searchTerms, k: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // selective prefilter→partial-agg: fan-out would exchange the whole
+    // corpus to parallelize a scan the contains() prefilter already guts
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     val prefilter = terms.map(t => col("text").contains(t)).reduce(_ && _)
     docs.filter(prefilter)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
@@ -826,7 +830,8 @@ object TextStats {
     * every ratio output here.
     */
   def termDrift(spark: SparkSession, sfDir: String, minCount: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+    // scan→partial-agg shape: fan-out is pure exchange tax (Tables.loadPlain)
+    val docs = Tables.loadPlain(spark, sfDir, "documents")
     val inA = Hashing.h60(concat(lit("drift:"), col("doc_id").cast("string"))) % 2 === 0
     val perAll = docs
       .select(inA.as("in_a"), explode(split(col("text"), " ")).as("term"))

@@ -491,4 +491,32 @@ class LayoutSpec extends SparkSuite {
       "tombstone must survive an erase-all and guard the empty archive")
     assert(back.count() == 1L, "the non-erased replay row must land")
   }
+
+  test("COW staging: erasing a hardlink clone never mutates the master archive") {
+    val ev = graft.cdc.EventLog.normalize(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("op"), col("props"))
+    // two clones of the SAME session master — the bench-rep shape
+    val clone1 = Layout.stagedArchiveClone(spark, sf, ev, "erase_cow_spec")
+    val clone2 = Layout.stagedArchiveClone(spark, sf, ev, "erase_cow_spec")
+    assert(clone1 != clone2, "clones must be distinct directories")
+    val target = ev.filter(col("user_id").isNotNull)
+      .agg(min(col("user_id"))).first().getLong(0)
+    val total = spark.read.parquet(clone2).count()
+    val targetRows = spark.read.parquet(clone2)
+      .filter(col("user_id") === target).count()
+    assert(targetRows > 0, "fixture must contain the erasure target")
+    Layout.eraseEntity(spark, clone1, target)
+    // the mutated clone lost exactly the target's rows...
+    val after1 = spark.read.parquet(clone1)
+    assert(after1.filter(col("user_id") === target).count() == 0)
+    assert(after1.count() == total - targetRows)
+    // ...while the sibling clone (hardlinks to the same master inodes) still
+    // serves every row — the mutation-isolation property the per-invocation
+    // fresh-staging discipline existed for, now held by COW instead of a
+    // full re-write per invocation
+    val after2 = spark.read.parquet(clone2)
+    assert(after2.filter(col("user_id") === target).count() == targetRows,
+      "erasing one clone must not reach through the hardlinks into the master")
+    assert(after2.count() == total)
+  }
 }
