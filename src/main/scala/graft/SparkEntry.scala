@@ -392,9 +392,13 @@ object SparkEntry {
     * the x100 run carry it.
     */
   private def opsCcAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Multimodal.imagePhashPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val cc = graft.ops.Dedup.connectedComponents(pairs).localCheckpoint()
+    // sizedCoalesce: pairs/labels are candidate-graph-sized (hundreds of
+    // rows here) yet checkpoint at the session parallelism — the audit's
+    // join/agg cascade would schedule cores-wide micro-stages per check
+    val pairs = Tables.sizedCoalesce(Multimodal.imagePhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint())
+    val cc = Tables.sizedCoalesce(
+      graft.ops.Dedup.connectedComponents(pairs).localCheckpoint())
     val a = graft.ops.Dedup.auditComponents(pairs, cc)
     import spark.implicits._
     Seq((a("vertices"), a("components"),

@@ -93,6 +93,28 @@ object Tables {
     else df
   }
 
+  /** SIZE-DERIVED task count for a MATERIALIZED (checkpointed) frame that
+    * feeds several downstream stages (r16 verdict #4, the flip side of the
+    * fan-out above): a localCheckpoint inherits its producer's partitioning
+    * — under the content-table fan-out that is `defaultParallelism` — so a
+    * few-hundred-row census/pair/label frame schedules cores-wide
+    * micro-stages in EVERY consumer (CC rounds, audit joins, banding
+    * census). One exact count (cheap: the RDD is already cached — and the
+    * count is paid INSIDE the timed query, nothing crosses invocations)
+    * sizes a narrow `coalesce` at ~1M rows per task. Not a local-mode
+    * constant: at production scale rows/1M exceeds any session
+    * parallelism and the coalesce is a no-op; correctness is unaffected
+    * because coalesce only merges partitions (no row moves across the
+    * frame's value space, and every consumer here is order-free).
+    */
+  private[graft] def sizedCoalesce(df: DataFrame,
+                                   rowsPerTask: Long = 1L << 20): DataFrame = {
+    val rows = df.count()
+    val parts = math.max(1L,
+      math.min(Int.MaxValue.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt
+    df.coalesce(parts)
+  }
+
   private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts has shipped in two physical layouts: TIMESTAMP(NANOS)
     // (read as a raw-nanos long under nanosAsLong, then converted — also the

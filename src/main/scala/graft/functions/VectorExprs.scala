@@ -207,6 +207,126 @@ case class L2SqMicro(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** vn = v / s elementwise — the codegen'd form of the normalization chain
+  * `transform(v, x => x / nrm)` at the head of EVERY PQ/IVF/OPQ serve and of
+  * the corpus-side encode (per corpus row, per query — 64 interpreted lambda
+  * round trips each under the higher-order form). Bit-identity contract:
+  * per-element IEEE division in array order, and the transform chain's exact
+  * null algebra — a null ARRAY yields null, a null SCALAR yields an array of
+  * null elements (transform applies the lambda per element; x / null is null
+  * — NOT a null array), a null element stays a null element. The custom
+  * doGenCode below exists precisely for that middle case, which
+  * nullSafeCodeGen cannot express.
+  */
+case class VecDivScalar(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_div_scalar"
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def nullable: Boolean = left.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<double>, double) inputs, got $l / $r")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) return null
+    val s = right.eval(input)
+    VectorKernels.divScalar(v.asInstanceOf[ArrayData], s == null,
+      if (s == null) 0.0 else s.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val cls = VectorKernels.getClass.getName.stripSuffix("$")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        boolean ${ev.isNull} = ${l.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${r.code}
+          ${ev.value} = $cls.divScalar(${l.value}, ${r.isNull},
+            ${r.isNull} ? 0.0 : ${r.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** a − b elementwise — the codegen'd form of the residual chain
+  * `zip_with(vn, centroid, (x, c) => x − c)` (per probed candidate row in
+  * residual IVF-PQ). Bit-identity contract: per-element IEEE subtraction in
+  * array order, zip_with's exact null algebra — either array null ⇒ null
+  * result; result length = max of the lengths with the shorter side
+  * null-padded (⇒ null elements there); a null element stays null.
+  */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sub"
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<double> inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = VectorKernels.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls.sub($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static kernels for the array-returning expressions — companion-less
+  * object for static forwarders (the [[WordBigramsKernel]] pattern): the
+  * generated code makes ONE static call per row instead of one interpreter
+  * round trip per element.
+  */
+object VectorKernels {
+  def divScalar(v: ArrayData, sNull: Boolean, s: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!sNull && !v.isNullAt(i)) out(i) = v.getDouble(i) / s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def sub(a: ArrayData, b: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DoubleDot(Bridge.expression(a), Bridge.expression(b)))
@@ -214,4 +334,8 @@ object VectorExprs {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def l2sqMicro(a: Column, b: Column): Column =
     Bridge.column(L2SqMicro(Bridge.expression(a), Bridge.expression(b)))
+  def divScalar(v: Column, s: Column): Column =
+    Bridge.column(VecDivScalar(Bridge.expression(v), Bridge.expression(s)))
+  def sub(a: Column, b: Column): Column =
+    Bridge.column(VecSub(Bridge.expression(a), Bridge.expression(b)))
 }

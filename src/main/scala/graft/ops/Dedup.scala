@@ -840,10 +840,13 @@ object Dedup {
     */
   def pagerankDf(pairs: DataFrame, iters: Int = 5,
                  massPerNode: Long = 1000000000000L): DataFrame = {
-    val edges = pairs
+    // sizedCoalesce (r16 verdict #4 pattern): the symmetrized graph is
+    // pair-sized; without it the 5-round score/message cascade reads a
+    // cores-wide checkpoint every round
+    val edges = graft.Tables.sizedCoalesce(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // merge hints, same reason as lineDedup's membership join: deg and the
     // per-round score table are NODE-count-sized, corpus-derived agg outputs —
@@ -1187,7 +1190,12 @@ object Dedup {
 
   /** Core of [[triangles]] over any distinct (doc_a < doc_b) pair frame. */
   def trianglesDf(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    // sizedCoalesce: the candidate graph is pair-sized (hundreds of rows at
+    // test SF), yet inherits cores-wide checkpoint partitioning — degree,
+    // orientation, and both wedge-join scans would each schedule cores-wide
+    // micro-stages (r16 verdict #4 pattern)
+    val edges = graft.Tables.sizedCoalesce(
+      pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false))
     val deg = edges.select(col("doc_a").as("v"))
       .union(edges.select(col("doc_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

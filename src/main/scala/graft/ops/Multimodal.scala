@@ -371,8 +371,11 @@ object Multimodal {
     val bandBits = 14
     val mask = (1L << bandBits) - 1
     // doc-sized but 16 B/row; two consumers (class table + the star join)
-    // — checkpoint so the codec pass runs once
-    val fp = pngPhashDf(spark, sfDir).toDF().localCheckpoint()
+    // — checkpoint so the codec pass runs once. The decode materializes at
+    // full parallelism; the checkpointed RESULT is then sizedCoalesce'd so
+    // the class/band/census micro-frames stop scheduling cores-wide stages
+    val fp = graft.Tables.sizedCoalesce(
+      pngPhashDf(spark, sfDir).toDF().localCheckpoint())
     val classes = fp.groupBy(col("phash")).agg(min(col("doc_id")).as("rep"))
     val bands = (0 until 56 / bandBits).map { b =>
       struct(lit(b).as("band_id"),
@@ -701,8 +704,10 @@ object Multimodal {
                    maxHamming: Int = 3, bucketCap: Int = 10000): DataFrame = {
     val bandBits = 8
     val mask = (1L << bandBits) - 1
-    val fp = wavFingerprintDf(spark, sfDir).toDF()
-      .select(col("doc_id"), col("afp")).localCheckpoint()
+    // decode at full parallelism, then sizedCoalesce the 16 B/row result
+    // (same micro-stage rationale as imagePhashPairs' fp)
+    val fp = graft.Tables.sizedCoalesce(wavFingerprintDf(spark, sfDir).toDF()
+      .select(col("doc_id"), col("afp")).localCheckpoint())
     val classes = fp.groupBy(col("afp")).agg(min(col("doc_id")).as("rep"))
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),

@@ -529,7 +529,9 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val base = emb
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .withColumn("vn", // native normalize kernel (bit-identical to the
+        // transform divide chain incl. its null algebra - PropertySpec)
+        graft.functions.VectorExprs.divScalar(col("v"), col("nrm")))
     // The positional `cb[cid+1]` lookups below assume the sampled codebook
     // is EXACTLY vec_ids [0, ksub) — a gap (sparse id space) would silently
     // resolve the wrong codeword while the oracle joins by cid VALUE. The
@@ -611,7 +613,9 @@ object Similarity {
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .withColumn("vn", // native normalize kernel (bit-identical to the
+        // transform divide chain incl. its null algebra - PropertySpec)
+        graft.functions.VectorExprs.divScalar(col("v"), col("nrm")))
 
   /** [[PqModel]]'s published integer micros → doubles, driver-side, as one
     * plan literal (m × ksub × sub = 2048 doubles — micro / 1e6 is the same
@@ -1473,7 +1477,9 @@ object Similarity {
     * so everything downstream stays bit-equal.
     */
   private def residualOf(vn: Column, list: Column): Column =
-    zip_with(vn, element_at(ivfCents, (list + 1).cast("int")), (x, c) => x - c)
+    // native elementwise subtract (bit-identical to the zip_with chain
+    // incl. its null-padding algebra - PropertySpec)
+    graft.functions.VectorExprs.sub(vn, element_at(ivfCents, (list + 1).cast("int")))
 
   /** In-row residual-PQ encode ([[bookCodes]] over the residual): `list`
     * must be the vector's trained assignment — the residual is only

@@ -716,11 +716,11 @@ object TextStats {
     // continuation aggregations, and the type-count scalar) — checkpoint it
     // so the corpus is scanned ONCE, not once per consumer; the table itself
     // is Heaps-law (type-sized), safe to materialize
-    val c12 = docs.select(explode(bg).as("b"))
+    val c12 = graft.Tables.sizedCoalesce(docs.select(explode(bg).as("b"))
       .select(substring_index(col("b"), " ", 1).as("w1"),
         substring_index(col("b"), " ", -1).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .localCheckpoint())
     val left = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
     val right = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
@@ -839,6 +839,9 @@ object TextStats {
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
       .localCheckpoint()
+      // type-sized two-consumer frame: sizedCoalesce kills the cores-wide
+      // rescan stages (same rationale as knScoredTable's c12)
+      .transform(graft.Tables.sizedCoalesce(_))
     val tot = perAll.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
     val ea = (col("n_a") + col("n_b")).cast("double") * col("t_a") /
       (col("t_a") + col("t_b")).cast("double")

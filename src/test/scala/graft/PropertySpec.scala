@@ -351,6 +351,51 @@ class PropertySpec extends SparkSuite {
     assert(tie.filter(col("mn") =!= col("hd")).count() == 0)
   }
 
+  test("native vec_div_scalar / vec_sub are bit-identical to their HOF chains, incl. codegen") {
+    // the normalize head of every PQ/IVF/OPQ serve and the residual
+    // subtract — one differing bit shifts a codeword id downstream
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(80)
+      (Seq.fill(n)(rnd.nextDouble() * 4 - 2), Seq.fill(n)(rnd.nextDouble() * 4 - 2),
+        rnd.nextDouble() * 3 + 0.1)
+    }
+    val df = rows.toDF("a", "b", "s")
+    val cmp = df.select(
+      graft.functions.VectorExprs.divScalar(col("a"), col("s")).as("nd"),
+      transform(col("a"), x => x / col("s")).as("od"),
+      graft.functions.VectorExprs.sub(col("a"), col("b")).as("ns"),
+      zip_with(col("a"), col("b"), (x, c) => x - c).as("os"))
+    def check(): Unit = {
+      assert(cmp.filter(not(col("nd") === col("od"))).count() == 0)
+      assert(cmp.filter(not(col("ns") === col("os"))).count() == 0)
+    }
+    check()
+    TestSpark.withCodegenOnly { check() }
+    // null algebra pinned against the chains themselves: null scalar ⇒ array
+    // of null elements (NOT a null array); null element stays null; length
+    // mismatch null-pads the shorter side (zip_with)
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0),
+        null: java.lang.Double),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](4.0, 5.0, 6.0),
+        java.lang.Double.valueOf(2.0)))
+      .toDF("a", "b", "s")
+    val ecmp = edge.select(
+      graft.functions.VectorExprs.divScalar(col("a"), col("s")).as("nd"),
+      transform(col("a"), x => x / col("s")).as("od"),
+      graft.functions.VectorExprs.sub(col("a"), col("b")).as("ns"),
+      zip_with(col("a"), col("b"), (x, c) => x - c).as("os"))
+    // <=> : null-safe top-level compare; inner nulls compare by ordering,
+    // so arrays with matching null slots read equal
+    def echeck(): Unit =
+      assert(ecmp.filter(not(col("nd") <=> col("od")) ||
+          not(col("ns") <=> col("os"))).count() == 0,
+        ecmp.collect().mkString("; "))
+    echeck()
+    TestSpark.withCodegenOnly { echeck() }
+  }
+
   test("native word_bigrams is element-identical to the zip_with chain, incl. codegen") {
     val rnd = new scala.util.Random(17)
     val words = Seq("a", "bb", "ccc", "", "αβ", "日本", "x-y", "z'z")
